@@ -1,0 +1,81 @@
+"""Named-query registry.
+
+Every operator the engine claims (SURVEY.md §2) registers here exactly once:
+a callable ``(spark, sf_dir) -> DataFrame`` plus, when SQL-expressible, the
+equivalent DuckDB oracle SQL. ``__spark_entry__.queries()`` /
+``oracle_sql()`` are direct views over this dict, and the pytest harness
+replays the driver's gate (row-count + schema + order-insensitive values)
+against DuckDB locally before any query is declared.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    # tags: free-form markers ("streaming", "udf", "llm") used by bench/tests
+    tags: frozenset[str] = field(default_factory=frozenset)
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register a named query. Usage::
+
+        @query("filter_cmp", oracle="SELECT ... FROM lineitem WHERE ...")
+        def filter_cmp(spark, sf_dir):
+            return load(spark, sf_dir, "lineitem").where(...)
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key: {name}")
+        QUERIES[name] = QueryDef(name=name, fn=fn, oracle=oracle, tags=frozenset(tags))
+        return fn
+
+    return deco
+
+
+def load_all_modules() -> None:
+    """Import every operator module so decorators populate QUERIES.
+
+    Kept explicit (no pkgutil magic) so a broken module fails loudly and
+    the import list is reviewable.
+    """
+    import importlib
+
+    for mod in (
+        "atlas_migration_repo_spark.operators.scans",
+        "atlas_migration_repo_spark.operators.filters",
+        "atlas_migration_repo_spark.operators.aggregates",
+        "atlas_migration_repo_spark.operators.joins",
+        "atlas_migration_repo_spark.operators.windows",
+        "atlas_migration_repo_spark.operators.setops",
+        "atlas_migration_repo_spark.functions.scalars",
+        "atlas_migration_repo_spark.functions.udfs",
+        "atlas_migration_repo_spark.sources.files",
+        "atlas_migration_repo_spark.streaming.windows",
+        "atlas_migration_repo_spark.streaming.stateful",
+        "atlas_migration_repo_spark.llm.text",
+        "atlas_migration_repo_spark.llm.dedup",
+        "atlas_migration_repo_spark.llm.similarity",
+        "atlas_migration_repo_spark.llm.multimodal",
+    ):
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Modules land incrementally across milestones; only swallow
+            # "module doesn't exist yet", never a real import error inside one.
+            if e.name is None or not e.name.startswith("atlas_migration_repo_spark"):
+                raise

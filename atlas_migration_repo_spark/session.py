@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+One session per process; UTC everywhere (oracle comparability — SURVEY.md §5.4),
+AQE on (runtime re-plan: skew joins, partition coalescing, broadcast promotion),
+Arrow on (pandas UDF fast path). ``shuffle_partitions`` defaults small for
+local fixture scale; on a real cluster set it ≈ 2-3× total cores or rely on
+AQE coalescing from a higher initial value.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "atlas-migration-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    Env overrides: SPARK_GRAFT_CPUS → local[N]; defaults tuned for the
+    local[*] test box while staying valid on a 1000-executor cluster
+    (everything here is per-session config, not hardware assumptions).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ns-precision parquet timestamps (events.ts) must not hard-fail;
+        # Spark truncates to µs which matches DuckDB's µs semantics.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Benchmark runner: times headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+
+Each query tagged "bench" in the registry is executed to completion with a
+count() action (forces the full plan without driver-side materialization of
+the result set). First a warmup of the flagship primes the JVM/codegen; each
+query is then timed cold-cache-realistic (single run, in registration order).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from atlas_migration_repo_spark.registry import QUERIES, load_all_modules
+from atlas_migration_repo_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    load_all_modules()
+    spark = get_spark(app_name="atlas-bench")
+    bench = {n: qd for n, qd in QUERIES.items() if "bench" in qd.tags}
+
+    # Warmup: prime JVM, codegen, parquet footer caches — not timed.
+    next(iter(bench.values())).fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, qd in bench.items():
+        t0 = time.perf_counter()
+        qd.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
