@@ -1,0 +1,40 @@
+"""Scan operators (SURVEY.md §2.1).
+
+The migration contract's read side ("extract objects, land columnar on S3",
+/root/reference/README.md:3,7): plain declarative parquet scans so Catalyst
+plants predicate pushdown + column pruning at the source. `scan_pruned`'s
+plan is asserted in tests to actually push its filter into the parquet
+reader (PushedFilters) — at 100 TB that's the difference between reading
+one column's row groups and reading everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.registry import query
+
+
+@query("scan_parquet", oracle="SELECT r_regionkey, r_name FROM region")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of a parquet table."""
+    return load(spark, sf_dir, "region")
+
+
+@query(
+    "scan_pruned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+    """,
+)
+def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, predicate-pushed scan: reads 4 of 12 lineitem columns
+    and only row groups that can contain late ship dates."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -1,0 +1,129 @@
+"""Sorts, limits, set operations (SURVEY.md §2.6).
+
+limit_topk compiles to TakeOrderedAndProject (per-partition heap + driver
+merge of k rows — no global sort, no full shuffle), which is the shape that
+survives 100 TB. sort_multi materializes its ordering as a rank column so
+the order-insensitive oracle hash still verifies ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.registry import query
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderstatus DESC, o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS rn
+    FROM orders
+    WHERE o_totalprice > 350000
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY (desc + asc, unique-key tiebreak), with the rank
+    materialized so ordering itself is hash-verified."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
+    w = Window.orderBy(
+        F.col("o_orderstatus").desc(), F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.row_number().over(w).alias("rn")
+    )
+
+
+@query(
+    "limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject: heap per partition, merge k)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def _seg(spark: SparkSession, sf_dir: str, seg: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == seg)
+        .select("c_nationkey")
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union by column name (no shuffle — partitions concatenate)."""
+    return _seg(spark, sf_dir, "BUILDING").unionByName(_seg(spark, sf_dir, "MACHINERY"))
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union = bag union + hash dedup."""
+    return (
+        _seg(spark, sf_dir, "BUILDING").unionByName(_seg(spark, sf_dir, "MACHINERY")).distinct()
+    )
+
+
+def _buyers(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
+    # keyed on o_custkey so INTERSECT/EXCEPT stay non-trivial at every sf
+    # (nation-keyed sets collapse to identical 25-key sets past sf0.001)
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == status)
+        .select("o_custkey")
+    )
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): customers with both a finished and a
+    pending order."""
+    return _buyers(spark, sf_dir, "F").intersect(_buyers(spark, sf_dir, "P"))
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): finished-order customers with no
+    pending order."""
+    return _buyers(spark, sf_dir, "F").subtract(_buyers(spark, sf_dir, "P"))

@@ -1,0 +1,94 @@
+"""File sources & sinks beyond parquet (SURVEY.md §2.1).
+
+The reference's migration story is "extract → transform → land columnar on
+object storage" (/root/reference/README.md:3,7). These operators exercise the
+ingest (CSV/JSON with explicit schemas — no inference in core paths, for
+determinism) and the landing side (partitioned parquet write + readback,
+the S3-landing step run locally). Scratch output goes under the repo's
+.scratch/ dir, keyed by scale factor, overwritten idempotently.
+
+At 100 TB the partitioned sink is the lever that makes every later read
+cheap: partitionBy(low-cardinality key) → dynamic partition pruning on
+readers filtering that key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from atlas_migration_repo_spark.catalog import load, msum
+from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def scratch_path(sf_dir: str, key: str) -> str:
+    return os.path.join(_SCRATCH, os.path.basename(sf_dir.rstrip("/")), key)
+
+
+@query("source_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with an explicit schema: parquet → CSV → read back.
+    Int/string columns round-trip exactly, so the oracle is the source table."""
+    path = scratch_path(sf_dir, "nation_csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+@query("source_json", oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with explicit schema (no inference pass)."""
+    path = scratch_path(sf_dir, "customer_json")
+    load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment").write.mode(
+        "overwrite"
+    ).json(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_msum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_quantity >= 45
+    GROUP BY l_returnflag
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet landing (the migration's 'land on S3' step run
+    locally): write partitionBy(l_returnflag), re-read, aggregate per
+    partition — verifies both data fidelity and partition-column recovery."""
+    path = scratch_path(sf_dir, "lineitem_by_flag")
+    (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("l_extendedprice")).alias("sum_price"),
+    )
