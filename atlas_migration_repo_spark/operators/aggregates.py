@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlas_migration_repo_spark.catalog import as_date, load, msum, r4
-from atlas_migration_repo_spark.oracle import sql_msum, sql_r4
+from atlas_migration_repo_spark.oracle import sql_isum, sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 
 _Q1_CUTOFF = "2001-09-02"
@@ -64,4 +64,275 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_msum('l_extendedprice')} AS total_price,
+           {sql_r4('AVG(l_quantity)')} AS avg_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           {sql_isum('l_orderkey % 7')} AS mod_sum
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-grouping aggregate: single map-side-combinable reduction —
+    at 100 TB this shuffles exactly one row per partition."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("l_extendedprice")).alias("total_price"),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(F.col("l_orderkey") % 7).alias("mod_sum"),
+    )
+
+
+@query(
+    "agg_multikey",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+           COUNT(*) AS n_rows,
+           {sql_msum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus, CAST(YEAR(l_shipdate) AS INT)
+    """,
+)
+def agg_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column grouping keys (incl. a derived key)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (expand + two-phase agg in Spark)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("agg_approx_count_distinct", tags=("approx",))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    distinct would shuffle every key. Estimator-specific values → no SQL
+    oracle (rows-only check); accuracy asserted separately in unit tests
+    against the exact count at rsd=0.05."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts")
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT l_linestatus,
+           {sql_msum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")} AS returned_price,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted,
+           {sql_msum("CASE WHEN l_quantity >= 25 THEN l_quantity ELSE 0 END")} AS bulk_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation (sum-when / count_if)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        msum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)
+        ).alias("returned_price"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        msum(
+            F.when(F.col("l_quantity") >= 25, F.col("l_quantity")).otherwise(0.0)
+        ).alias("bulk_qty"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_r4('STDDEV_SAMP(l_quantity)')} AS sd_qty,
+           {sql_r4('VAR_SAMP(l_discount)')} AS var_disc,
+           {sql_r4('CORR(l_quantity, l_extendedprice)')} AS corr_qty_price,
+           {sql_r4('COVAR_SAMP(l_quantity, l_extendedprice)')} AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments per group (merge-able accumulators → scale-safe)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r4(F.var_samp("l_discount")).alias("var_disc"),
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_r4('QUANTILE_CONT(l_extendedprice, 0.5)')} AS median_price,
+           {sql_r4('QUANTILE_CONT(l_extendedprice, 0.9)')} AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB
+    quantile_cont). At 100 TB prefer approx_percentile — kept exact here
+    because the oracle gate demands value parity."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.percentile("l_extendedprice", 0.5)).alias("median_price"),
+        r4(F.percentile("l_extendedprice", 0.9)).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey AS o_orderkey,
+           LIST(l_quantity ORDER BY l_quantity, l_linenumber) AS qtys
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted value list (deterministic: array_sort over the bag)."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    return li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+    )
+
+
+_GSET_AGGS = f"""
+           COUNT(*) AS n_rows,
+           {sql_msum('l_extendedprice')} AS sum_price
+"""
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           {_GSET_AGGS}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id disambiguation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_price")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           {_GSET_AGGS}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_price")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           {_GSET_AGGS}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_price")
     )
