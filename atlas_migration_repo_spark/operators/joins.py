@@ -1,0 +1,322 @@
+"""Join operators (SURVEY.md §2.3).
+
+Physical strategy is Catalyst/AQE's call (broadcast-hash vs shuffled-hash vs
+sort-merge); we pin it only where we know better: dimension tables (region,
+nation, supplier at fixture ratios) get explicit broadcast() hints so fact
+scans never shuffle. At 100 TB:
+- fact⋈fact equi joins shuffle both sides on the key — acceptable, and AQE
+  splits skewed partitions;
+- fact⋈dim joins must broadcast the dim (a shuffled 100 TB fact is the
+  single most expensive mistake available);
+- the as-of join is a union + per-key window — one shuffle on the key,
+  no range-explosion, state bounded by the window frame.
+
+Reference parity: reference ships no code (/root/reference/README.md:1-9);
+surface defined by SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import as_date, load, msum
+from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, o.o_orderkey
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON c_custkey = o.o_custkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: unmatched customers keep NULL order keys."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, c_custkey
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    RIGHT JOIN customer ON o.o_custkey = c_custkey
+    WHERE c_acctbal > 9000
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of join_left)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select("o_orderkey", "c_custkey")
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT COALESCE(b.k, m.k) AS nation_key, b.n_building, m.n_machinery
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_building FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9500 GROUP BY c_nationkey) b
+    FULL JOIN
+         (SELECT c_nationkey AS k, COUNT(*) AS n_machinery FROM customer
+          WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9500 GROUP BY c_nationkey) m
+      ON b.k = m.k
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two sparse per-nation aggregates."""
+
+    def side(seg: str, alias: str) -> DataFrame:
+        return (
+            load(spark, sf_dir, "customer")
+            .where((F.col("c_mktsegment") == seg) & (F.col("c_acctbal") > 9500))
+            .groupBy(F.col("c_nationkey").alias("k"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    b = side("BUILDING", "n_building")
+    m = side("MACHINERY", "n_machinery")
+    return b.join(m, b.k == m.k, "full").select(
+        F.coalesce(b.k, m.k).alias("nation_key"), "n_building", "n_machinery"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join ≡ EXISTS (emits each customer at most once, never
+    duplicates on multiple matches — the scale-safe EXISTS shape)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join ≡ NOT EXISTS: customers with no urgent order
+    (18/203/1986 rows across sf — non-vacuous at every scale)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dims (5×25)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sql_msum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     AND CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+     AND CAST(l_shipdate AS DATE) <  CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with a range residual: lines shipped within 90 days of
+    their order date. The equi conjunct keeps this a hash/sort-merge join
+    (the range is a post-join filter), so no nested-loop blowup at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ship, odate = as_date(li.l_shipdate), as_date(o.o_orderdate)
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (ship >= odate)
+        & (ship < F.date_add(odate, 90))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: the 25-row nation dim ships to every
+    executor; the customer side never shuffles. This is THE fact⋈dim shape
+    for 100 TB — asserted in tests to actually plan a BroadcastHashJoin."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_multiway",
+    oracle=f"""
+    SELECT r_name, COUNT(*) AS n_orders, {sql_msum('o_totalprice')} AS total
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way dim chain region⋈nation⋈customer⋈orders. The two tiny dims are
+    broadcast; orders⋈customer shuffles on custkey once."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), msum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b, a.c_nationkey AS nation_key
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE a.c_acctbal > 9500 AND b.c_acctbal > 9500
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: pairs of high-balance customers sharing a nation, with a
+    strict key ordering so each pair appears exactly once."""
+    base = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9500)
+        .select("c_custkey", "c_nationkey")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("cust_a"),
+        F.col("b.c_custkey").alias("cust_b"),
+        F.col("a.c_nationkey").alias("nation_key"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, c.click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's latest click at-or-before
+    the purchase instant (validated against DuckDB ASOF LEFT JOIN).
+
+    Spark has no native batch as-of, and a range join explodes at scale.
+    Implementation: tag both sides, union, and take last(click_id,
+    ignorenulls) over a per-user window ordered by (ts, side-tag) — clicks
+    sort before same-instant purchases, giving inclusive <= semantics.
+    One shuffle on user_id, O(1) state per row, no pair explosion: this is
+    the 100 TB-safe as-of shape. Clicks are pre-deduped to max event_id per
+    (user, µs instant) so ties are deterministic in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(None).cast("long").alias("purchase_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # tag 0 = click, 1 = purchase: at equal ts the click precedes, so the
+    # running last() includes same-instant clicks (ASOF's inclusive <=)
+    tagged = clicks.withColumn("tag", F.lit(0)).unionByName(
+        purchases.withColumn("tag", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select("purchase_id", "user_id", F.col("last_click").alias("click_id"))
+    )

@@ -39,9 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # ns-precision parquet timestamps (events.ts) must not hard-fail;
-        # Spark truncates to µs which matches DuckDB's µs semantics.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # Spark 4.x refuses TIMESTAMP(NANOS) parquet (PARQUET_TYPE_ILLEGAL)
+        # unless ns is surfaced as a raw long; catalog.load("events") then
+        # converts ns → µs TimestampType (floor), matching DuckDB's CAST
+        # to TIMESTAMP semantics.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
