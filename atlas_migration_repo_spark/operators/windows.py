@@ -1,0 +1,216 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Every window partitions on a real key (custkey / user_id / nation) — never a
+global ORDER BY without PARTITION BY, which would serialize onto one task at
+scale. Determinism: every orderBy carries a unique-key suffix (§5.4), so
+frames and ranks are reproducible across engines and shuffle orders.
+topk_per_group uses the row_number()<=k shape Spark ≥3.5 rewrites into
+WindowGroupLimit (per-partition heap, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.oracle import sql_r4
+from atlas_migration_repo_spark.registry import query
+
+
+@query(
+    "win_row_number",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-customer order numbering (newest first)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), "o_orderkey")
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+
+
+@query(
+    "win_rank",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(RANK()       OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           {sql_r4('PERCENT_RANK() OVER w')} AS prnk
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity)
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank with genuine ties (integer qty)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        r4(F.percent_rank().over(w)).alias("prnk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w) AS BIGINT) AS us_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event values + inter-event gap per user."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("us_since_prev"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                      OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative customer spend (decimal-exact prefix sums, §5.4 policy)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w)
+    return o.select(
+        "o_orderkey", running.cast("decimal(38,4)").cast("double").alias("running_spend")
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle=f"""
+    SELECT o_orderkey,
+           {sql_r4('''AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')} AS avg3
+    FROM orders
+    """,
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row average of order value per customer."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select("o_orderkey", r4(F.avg("o_totalprice").over(w)).alias("avg3"))
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                               RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS peers_within_500
+    FROM supplier
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric key: suppliers within 500 acctbal below."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal").rangeBetween(-500, 0)
+    return s.select("s_suppkey", F.count(F.lit(1)).over(w).alias("peers_within_500"))
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS wealth_quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing by account balance (unique-key tiebreak).
+
+    NB: deliberately a single global window — the one §2.5 operator whose
+    semantics (equal-depth global buckets) force it; at 100 TB use a
+    2-pass percentile-cutoff instead."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select("c_custkey", F.ntile(4).over(w).alias("wealth_quartile"))
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT c_custkey,
+           FIRST_VALUE(c_custkey) OVER w AS richest_in_nation,
+           LAST_VALUE(c_custkey)  OVER w AS poorest_in_nation
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an explicit full-partition frame (the
+    default frame stops at CURRENT ROW — a classic silent-wrong-answer)."""
+    c = load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        F.first("c_custkey").over(w).alias("richest_in_nation"),
+        F.last("c_custkey").over(w).alias("poorest_in_nation"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation — the row_number()<=k shape Catalyst
+    rewrites to WindowGroupLimit (per-group heap; no full partition sort
+    materialization at scale)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
