@@ -1,0 +1,389 @@
+"""Scalar function surface (SURVEY.md §2.7): string / date / timestamp /
+math / conditional / cast / hash / array / higher-order / map / JSON.
+
+All expressions are built-in pyspark.sql.functions — JVM-side, inside
+whole-stage codegen; zero Python on the data path. Cross-engine dialect
+notes baked into each oracle:
+- Spark dayofweek() is 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6.
+- double→string formatting differs between engines — never emitted.
+- transcendentals (pow/ln/log10) may differ 1 ulp between libm and JVM →
+  wrapped in round(.,4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import as_date, load, r4
+from atlas_migration_repo_spark.oracle import sql_r4
+from atlas_migration_repo_spark.registry import query
+
+
+@query(
+    "str_basic",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+           SUBSTRING(c_name, 1, 8) AS pre,
+           TRIM(CONCAT('  ', c_name, ' ')) AS trimmed,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           CONCAT(c_name, '#', c_mktsegment) AS tagged,
+           REPLACE(c_name, 'Customer', 'Cust') AS repl,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+    FROM customer
+    """,
+)
+def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substring/trim/length/concat/replace/lpad."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+    )
+
+
+@query(
+    "str_split_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+    FROM documents
+    """,
+)
+def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize: one row per whitespace-separated word."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+@query(
+    "str_regexp",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_type, '^([A-Z]+)', 1) AS first_word,
+           REGEXP_REPLACE(p_brand, '[0-9]+', '#', 'g') AS brand_shape,
+           REGEXP_MATCHES(p_type, 'BRUSHED|POLISHED') AS is_finished
+    FROM part
+    """,
+)
+def str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp extract / replace / match (patterns kept in the common
+    Java-regex ∩ RE2 subset; Spark regexp_replace is global by default,
+    DuckDB needs the 'g' flag)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_brand", r"[0-9]+", "#").alias("brand_shape"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(MONTH(o_orderdate) AS INT) AS mo,
+           CAST(DAY(o_orderdate) AS INT) AS dom,
+           CAST(QUARTER(o_orderdate) AS INT) AS qtr,
+           CAST(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+           DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS month_start,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar functions (Spark dayofweek is 1=Sunday; DuckDB's is
+    0=Sunday — oracle shifts by +1)."""
+    o = load(spark, sf_dir, "orders")
+    od = as_date(F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("yr"),
+        F.month(od).alias("mo"),
+        F.dayofmonth(od).alias("dom"),
+        F.quarter(od).alias("qtr"),
+        F.dayofweek(od).alias("dow"),
+        F.trunc(od, "month").alias("month_start"),
+        F.last_day(od).alias("month_end"),
+        F.date_add(od, 30).alias("due_date"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+    )
+
+
+@query(
+    "ts_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(HOUR(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+           CAST(MINUTE(CAST(ts AS TIMESTAMP)) AS INT) AS mi,
+           CAST(SECOND(CAST(ts AS TIMESTAMP)) AS INT) AS sec,
+           DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date
+    FROM events
+    """,
+)
+def ts_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp field extraction + hourly bucketing on µs-normalized ts."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hour("ts").alias("hr"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("sec"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
+
+
+@query(
+    "math_funcs",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           FLOOR(l_extendedprice) AS price_floor,
+           CEIL(l_extendedprice) AS price_ceil,
+           ABS(l_discount - 0.05) AS disc_dev,
+           {sql_r4('POW(l_quantity, 2)')} AS qty_sq,
+           {sql_r4('SQRT(l_extendedprice)')} AS price_sqrt,
+           {sql_r4('LN(l_extendedprice)')} AS price_ln,
+           {sql_r4('LOG10(l_extendedprice)')} AS price_log10,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/floor/ceil/abs/pow/sqrt/ln/log10/mod/sign (transcendentals
+    rounded: JVM vs libm may differ in the last ulp)."""
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 1).alias("price_r1"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        r4(F.pow("l_quantity", F.lit(2))).alias("qty_sq"),
+        r4(F.sqrt(price)).alias("price_sqrt"),
+        r4(F.ln(price)).alias("price_ln"),
+        r4(F.log10(price)).alias("price_log10"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "cond_expr",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           IF(o_orderstatus = 'F', 'done', 'open') AS state,
+           NULLIF(o_orderstatus, 'P') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_filled,
+           GREATEST(o_totalprice, 150000.0) AS at_least,
+           LEAST(o_totalprice, 150000.0) AS at_most
+    FROM orders
+    """,
+)
+def cond_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / IF / NULLIF / COALESCE / GREATEST / LEAST."""
+    o = load(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        F.when(tp > 300000, "big").when(tp > 100000, "mid").otherwise("small").alias(
+            "size_class"
+        ),
+        F.when(F.col("o_orderstatus") == "F", "done").otherwise("open").alias("state"),
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("pending")).alias("status_filled"),
+        F.greatest(tp, F.lit(150000.0)).alias("at_least"),
+        F.least(tp, F.lit(150000.0)).alias("at_most"),
+    )
+
+
+@query(
+    "cast_types",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+           CAST(o_orderkey AS DOUBLE) AS key_dbl,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST('2000-06-15' AS DATE) AS fixed_date
+    FROM orders
+    """,
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts across string/int/double/decimal/date. NB double→string is
+    deliberately absent (engine formatting differs), and Spark's double→int
+    TRUNCATES while DuckDB's ROUNDS — the oracle uses TRUNC to match."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_back"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("int").cast("bigint").alias("price_int"),
+        as_date(F.col("o_orderdate")).alias("order_date"),
+        F.lit("2000-06-15").cast("date").alias("fixed_date"),
+    )
+
+
+@query(
+    "hash_funcs",
+    oracle="""
+    SELECT doc_id, MD5(text) AS text_md5, SHA256(text) AS text_sha256
+    FROM documents
+    """,
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 / sha2-256 hex digests (the primitive under dedup_exact)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS dim,
+           embedding[1] AS first_val,
+           embedding[1:3] AS head3,
+           LIST_MAX(embedding) AS vmax,
+           LIST_MIN(embedding) AS vmin,
+           LIST_SORT(embedding[1:5]) AS head_sorted
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/slice/max/min/sort over embedding arrays (float32
+    elements compare bit-exactly across engines)."""
+    em = load(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.slice("embedding", 1, 3).alias("head3"),
+        F.array_max("embedding").alias("vmax"),
+        F.array_min("embedding").alias("vmin"),
+        F.array_sort(F.slice("embedding", 1, 5)).alias("head_sorted"),
+    )
+
+
+@query(
+    "arr_higher_order",
+    oracle=f"""
+    SELECT vec_id,
+           {sql_r4("LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE))), 'sum')")} AS l1_norm,
+           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_positive,
+           {sql_r4("LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')")} AS sq_sum
+    FROM embeddings
+    """,
+)
+def arr_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambdas: transform / filter / aggregate (L1 norm and
+    square-sum in double precision, rounded for libm-order safety)."""
+    em = load(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    return em.select(
+        "vec_id",
+        r4(
+            F.aggregate(
+                F.transform("embedding", lambda x: F.abs(dbl(x))), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("l1_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        r4(
+            F.aggregate(
+                F.transform("embedding", lambda x: dbl(x) * dbl(x)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("sq_sum"),
+    )
+
+
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS name_from_map,
+           CAST(n_regionkey AS INT) AS region_from_map,
+           2 AS map_size
+    FROM nation
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a MapType column and extract scalars back out (oracle computes
+    the equivalent scalars directly — DuckDB MAP isn't hash-comparable)."""
+    n = load(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_from_map"),
+        F.element_at(m, "region").cast("int").alias("region_from_map"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@query(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_int,
+           JSON_EXTRACT_STRING(props, '$.missing') AS absent
+    FROM events
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )
+
+
+@query(
+    "explode_pos",
+    oracle="""
+    SELECT doc_id,
+           CAST(GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) - 1 AS INT) AS pos,
+           UNNEST(STRING_SPLIT(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode with ordinality (Spark pos is 0-based; DuckDB subscripts
+    are 1-based — oracle shifts)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
