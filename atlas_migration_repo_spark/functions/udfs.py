@@ -1,0 +1,141 @@
+"""User-defined function surface (SURVEY.md §2.8).
+
+The deliberate slow path: these four operators exist to prove the Python
+extension tiers work end-to-end, each at its proper rung of the cost ladder:
+
+1. ``udf_scalar``  — row-at-a-time Python UDF (pickled per row; ~100× slower
+   than built-ins — never on a hot path, here as the compatibility tier).
+2. ``udf_pandas``  — Arrow-vectorized scalar pandas UDF (numpy over columnar
+   batches; the correct tier when Python is genuinely needed).
+3. ``udaf_grouped_pandas`` — applyInPandas grouped-map (whole group as a
+   pandas DataFrame; shuffles on the key like any agg, so it scales out).
+4. ``udtf_split``  — Python UDTF via SQL LATERAL join (row → many rows).
+
+Every UDF here is deterministic and declared so, keeping Catalyst free to
+re-order/collapse plans around them.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.registry import query
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(REPLACE(c_name, '#', '_')) AS norm_name
+    FROM customer
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Python UDF: deterministic string normalizer (oracle is the
+    equivalent SQL expression)."""
+
+    @F.udf(returnType=T.StringType(), useArrow=False)
+    def norm_name(s: str) -> str:
+        return s.replace("#", "_").lower()
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", norm_name("c_name").alias("norm_name"))
+
+
+@query(
+    "udf_pandas",
+    oracle="""
+    SELECT event_id,
+           ROUND((value - MIN(value) OVER ()) /
+                 (MAX(value) OVER () - MIN(value) OVER ()), 4) AS norm_value
+    FROM events
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: global min-max normalization. The
+    min/max are computed declaratively and broadcast-crossjoined (no
+    collect, no closure capture), then the UDF is pure numpy arithmetic."""
+
+    @F.pandas_udf(T.DoubleType())
+    def minmax(v: pd.Series, lo: pd.Series, hi: pd.Series) -> pd.Series:
+        return ((v - lo) / (hi - lo)).round(4)
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id", minmax("value", "lo", "hi").alias("norm_value")
+    )
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS value_sum,
+           ROUND(MAX(value) - MIN(value), 4) AS value_range
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF: per-user event summary via applyInPandas. Each
+    group arrives as one pandas DataFrame after a shuffle on user_id —
+    the same distribution as a built-in agg, so it scales with executors."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_sum", T.DoubleType()),
+            T.StructField("value_range", T.DoubleType()),
+        ]
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "value_sum": [float(round(v.sum(), 4))],
+                "value_range": [float(round(v.max() - v.min(), 4))],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(summarize, schema=out_schema)
+
+
+@query(
+    "udtf_split",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(text, ' ')) AS word,
+           CAST(LENGTH(UNNEST(STRING_SPLIT(text, ' '))) AS INT) AS wlen
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (row → many rows) applied with a SQL LATERAL join:
+    text → (word, wlen) tuples."""
+
+    @F.udtf(returnType="word: string, wlen: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield w, len(w)
+
+    spark.udtf.register("split_words", SplitWords)
+    load(spark, sf_dir, "documents").where(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.word, t.wlen FROM _udtf_docs d, LATERAL split_words(d.text) t"
+    )
