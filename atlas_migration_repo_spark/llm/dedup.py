@@ -1,0 +1,214 @@
+"""Deduplication operators (SURVEY.md §2.10 / north star): exact hash
+dedup, prefix-fingerprint dedup, exact n-gram Jaccard pair detection, and
+the scale path — seeded MinHash + LSH banding, and SimHash.
+
+Scale design (100 TB):
+- exact/fingerprint dedup: one hash-groupBy — embarrassingly parallel.
+- n-gram Jaccard: inverted-index self-join on shingles (pairs are generated
+  only for docs sharing a shingle, never all-pairs). At extreme scale add a
+  document-frequency cap on shingles to bound the hottest posting lists.
+- MinHash+LSH: candidates come from band-bucket joins (b×r seeded,
+  deterministic — no MinHashLSH random seeds), then exact-Jaccard verify
+  on the candidates only: the prune-then-verify shape from the distributed
+  similarity-search literature (PAPERS.md ideas, no code reused).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.oracle import sql_r4
+from atlas_migration_repo_spark.registry import query
+from atlas_migration_repo_spark.llm.text import SQL_SHINGLES, shingles, words
+
+JACCARD_TAU = 0.2
+_MERSENNE = 2147483647  # 2^31-1, modulus of the minhash permutation family
+MINHASH_K = 32  # signature length
+LSH_R = 2  # rows per band
+LSH_B = MINHASH_K // LSH_R  # 16 bands → catch prob ≥ 0.99 at jaccard 0.5
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies, MD5(text) AS text_hash
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per full-text MD5. The
+    fixture has no exact duplicates, so every group has n_copies=1 — the
+    machinery (hash → groupBy → min) is identical when copies exist, as
+    dedup_fingerprint shows on real groups."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:4], ' ')) AS prefix_hash,
+           MIN(doc_id) AS keep_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup on the first-4-words hash — genuine multi-doc
+    groups in the fixture (up to 3 copies), exercising survivor selection."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(words(), 1, 4)))
+    return d.groupBy(key.alias("prefix_hash")).agg(
+        F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, UNNEST({SQL_SHINGLES}) AS shingle FROM w),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT da, db, {sql_r4('i * 1.0 / (sa.n + sb.n - i)')} AS jaccard
+    FROM inter
+    JOIN sizes sa ON da = sa.doc_id
+    JOIN sizes sb ON db = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs: word-3-gram shingle Jaccard ≥ τ via an
+    inverted-index self-join (only docs sharing ≥1 shingle pair up)."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_TAU)
+        .select("da", "db", r4(jac).alias("jaccard"))
+    )
+
+
+@query("dedup_near", tags=("approx",))
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection — the 100 TB path.
+
+    Seeded, fully deterministic (no ml.feature.MinHashLSH randomness):
+    sig_i(doc) = min over shingles of (xxhash64(i, shingle) mod 2^31-1),
+    i < 32. Docs collide if any of 16 two-row bands match; candidates are
+    then verified with EXACT Jaccard, so output precision is 1.0 and only
+    recall is probabilistic (≥99% at jaccard 0.5, ≥1-1e-7 at 0.9).
+    Candidate generation is a groupBy on band keys — never all-pairs.
+    Rows-only gate (approximate recall); tests assert pair-set equality
+    with dedup_ngram_jaccard on the fixture."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle"))
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(_MERSENNE))).alias(
+                f"s{i}"
+            )
+            for i in range(MINHASH_K)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_", *[F.col(f"s{b * LSH_R + r}") for r in range(LSH_R)]
+                    )
+                    for b in range(LSH_B)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification of candidates only
+    sets = d.select("doc_id", F.array_distinct(shingles(words())).alias("sset"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sset"), F.col("sb.sset")))
+    union = F.size(F.col("sa.sset")) + F.size(F.col("sb.sset")) - inter
+    jac = inter * 1.0 / union
+    return (
+        cand.join(sa, F.col("da") == F.col("sa.doc_id"))
+        .join(sb, F.col("db") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_TAU)
+        .select("da", "db", r4(jac).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash", tags=("approx",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (deterministic, xxhash64 word hashes):
+    bit_j = sign(Σ_words ±1 by hash bit j). Near-dups differ in few bits;
+    at scale, candidate pairs come from exact-matching one of four 16-bit
+    chunks (pigeonhole for hamming ≤ 3) — chunks are emitted here as join
+    keys. Rows-only gate (engine-specific hash); determinism + chunk
+    consistency are unit-tested."""
+    d = load(spark, sf_dir, "documents")
+    h = F.xxhash64(F.col("word"))
+    # unrolled (shiftright needs a literal shift amount, not a Column)
+    contrib = F.array(
+        *[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for j in range(64)
+        ]
+    )
+    per_word = d.select("doc_id", F.explode(words()).alias("word")).select(
+        "doc_id", contrib.alias("c")
+    )
+    summed = per_word.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("c"),
+            F.array_repeat(F.lit(0), 64),
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("sums")
+    )
+    bits = F.transform(F.col("sums"), lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
+    # pack each 16-bit chunk into an int join key
+    chunk = lambda c0: F.aggregate(  # noqa: E731
+        F.slice(bits, c0 + 1, 16), F.lit(0), lambda acc, b: acc * 2 + b
+    )
+    return summed.select(
+        "doc_id",
+        F.concat_ws("", bits).alias("simhash_bits"),
+        chunk(0).alias("chunk0"),
+        chunk(16).alias("chunk1"),
+        chunk(32).alias("chunk2"),
+        chunk(48).alias("chunk3"),
+    )

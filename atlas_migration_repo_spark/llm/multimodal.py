@@ -1,0 +1,175 @@
+"""Multimodal-column operators (north star): opaque binary payloads with
+typed metadata, cross-modality joins, and Pandas-UDF feature extraction.
+
+Design for 100 TB of mixed media: the media itself is an opaque ``binary``
+column plus a typed metadata struct; decode / feature-extraction runs as
+``mapInPandas`` over Arrow batches, so each executor streams batches of
+(id, bytes) through Python exactly once, and everything relational stays
+JVM-side. The image/audio decoders are STUBS (decode libs are not in this
+container) with the real batching/schema plumbing tested around a
+deterministic fake.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.oracle import sql_r4
+from atlas_migration_repo_spark.registry import query
+from atlas_migration_repo_spark.llm.similarity import dot, sql_dot
+
+
+@query(
+    "multimodal_join",
+    oracle=f"""
+    SELECT e.label, d.lang,
+           COUNT(*) AS n,
+           {sql_r4('AVG(d.n_chars)')} AS avg_chars,
+           {sql_r4(f"AVG(SQRT({sql_dot('e.embedding', 'e.embedding')}))")} AS avg_l2
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY e.label, d.lang
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ↔ vector modality join (doc_id = vec_id), aggregated per
+    label×lang — the 'line up modalities by key' primitive."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.avg("n_chars")).alias("avg_chars"),
+            r4(F.avg(l2)).alias("avg_l2"),
+        )
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("head_byte", T.IntegerType()),
+        T.StructField("tail_byte", T.IntegerType()),
+        T.StructField("token_budget", T.LongType()),
+    ]
+)
+
+
+def with_binary_payload(df: DataFrame) -> DataFrame:
+    """Attach the multimodal envelope: opaque bytes + typed metadata.
+    (Here the payload is the UTF-8 text itself; for images/audio it would
+    be the raw media bytes read from object storage.)"""
+    return df.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").cast("long").alias("content_length"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per Arrow batch, pure-numpy byte features.
+    Stands in for a real decoder; the batch shape/schema contract is what
+    a CV/audio extractor would use."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len).astype("int32"),
+                "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                "tail_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                "token_budget": payloads.map(lambda b: (len(b) + 3) // 4).astype("int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS byte_len,
+           CAST(ASCII(SUBSTRING(text, 1, 1)) AS INT) AS head_byte,
+           CAST(ASCII(SUBSTRING(text, LENGTH(text), 1)) AS INT) AS tail_byte,
+           CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 4.0) AS BIGINT) AS token_budget
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the real multimodal
+    plumbing: encode → (payload, meta) envelope → mapInPandas batch
+    extractor. Oracle recomputes the same features from the text (payload
+    is ASCII here, so byte features == char features)."""
+    d = load(spark, sf_dir, "documents")
+    return with_binary_payload(d).mapInPandas(extract_features, schema=_FEATURE_SCHEMA)
+
+
+# ---- decode stubs (media libs absent in this container) ---------------------
+
+
+def decode_image(payload: bytes, mime: str) -> dict:
+    """STUB: real impl would decode to HxWxC uint8 (PIL/cv2) and emit
+    shape/channel stats. Deliberately NotImplemented — no fake pixels."""
+    raise NotImplementedError(
+        "image decode requires a codec library not present in this environment; "
+        "wire a real decoder into extract_media_features(decoder=...)"
+    )
+
+
+def decode_audio(payload: bytes, mime: str) -> dict:
+    """STUB: real impl would decode PCM frames and emit duration/rate."""
+    raise NotImplementedError(
+        "audio decode requires a codec library not present in this environment; "
+        "wire a real decoder into extract_media_features(decoder=...)"
+    )
+
+
+_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.DoubleType()),
+    ]
+)
+
+
+def extract_media_features(
+    df: DataFrame, decoder: Callable[[bytes, str], dict] | None = None
+) -> DataFrame:
+    """Generic media feature pipeline: (payload, meta) → mapInPandas with a
+    pluggable per-item decoder. ``decoder=None`` uses a deterministic fake
+    (byte-sum mod 997) so the distributed plumbing is testable without
+    codecs; production passes decode_image/decode_audio equivalents."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if decoder is None:
+                    feats.append(float(sum(payload) % 997))
+                else:
+                    feats.append(float(decoder(payload, meta["mime"])["feature"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=_MEDIA_SCHEMA)

@@ -1,0 +1,229 @@
+"""Vector similarity operators (SURVEY.md §2.10): norms, top-k cosine
+search, k-NN join, embedding near-dup pairs, and a hyperplane-LSH ANN
+variant (the 100 TB path).
+
+Determinism: dot products are sequential left-to-right double accumulation
+in BOTH engines (Spark aggregate-lambda ≡ DuckDB list_aggregate over
+list_zip), so cosines are bit-identical — no epsilon games.
+
+Scale notes:
+- brute-force top-k: crossJoin(broadcast(queries)) — linear in corpus,
+  constant per-executor memory; the right baseline when queries ≪ corpus.
+- knn_join / near-dup pairs: O(N²) pairs at fixture scale; at 100 TB swap
+  in the LSH bucketing below (prune-then-verify: only bucket-mates are
+  scored — the reference-point/LSH idea from the distributed similarity
+  literature in PAPERS.md, reimplemented from scratch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.oracle import sql_r4
+from atlas_migration_repo_spark.registry import query
+
+COSINE_TAU = 0.45  # calibrated: 7/14/144 planted-ish pairs across sf
+TOPK = 5
+N_QUERIES = 10
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential — mirrors SQL_DOT exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"LIST_AGGREGATE(LIST_TRANSFORM(LIST_ZIP({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (SQRT({sql_dot(a, a)}) * SQRT({sql_dot(b, b)})))"
+
+
+@query(
+    "embed_norm",
+    oracle=f"""
+    SELECT vec_id,
+           {sql_r4(f"SQRT({sql_dot('embedding', 'embedding')})")} AS l2_norm,
+           {sql_r4(f"CAST(embedding[1] AS DOUBLE) / SQRT({sql_dot('embedding', 'embedding')})")} AS first_unit
+    FROM embeddings
+    """,
+)
+def embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + first normalized coordinate per embedding."""
+    em = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    l2 = F.sqrt(dot(e, e))
+    return em.select(
+        "vec_id",
+        r4(l2).alias("l2_norm"),
+        r4(F.element_at(e, 1).cast("double") / l2).alias("first_unit"),
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id, {sql_cosine('q.qe', 'e.embedding')} AS cos
+      FROM q JOIN embeddings e ON e.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, {sql_r4('cos')} AS cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOPK}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a query set: broadcast the queries,
+    stream the corpus once, per-query heap via row_number≤k
+    (WindowGroupLimit). Linear scan — THE scalable exact baseline."""
+    em = load(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        em.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("embedding")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOPK)
+        .select("q_id", "vec_id", r4(F.col("cos")).alias("cosine"))
+    )
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS va, b.vec_id AS nn, a.label AS la, b.label AS lb,
+             {sql_cosine('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    )
+    SELECT va AS vec_id, nn AS nn_id, {sql_r4('cos')} AS cosine,
+           (la = lb) AS same_label
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, nn) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN join: nearest neighbor for EVERY vector (self excluded), with a
+    label-agreement flag (the classic embedding-quality probe). Brute-force
+    N² at fixture scale; sim_ann_lsh is the bucketed scale path."""
+    em = load(spark, sf_dir, "embeddings")
+    a = em.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("label").alias("la")
+    )
+    b = em.select(
+        F.col("vec_id").alias("nn"), F.col("embedding").alias("eb"), F.col("label").alias("lb")
+    )
+    scored = a.join(F.broadcast(b), F.col("va") != F.col("nn")).withColumn(
+        "cos", cosine(F.col("ea"), F.col("eb"))
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), "nn")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("nn").alias("nn_id"),
+            r4(F.col("cos")).alias("cosine"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+    )
+
+
+@query(
+    "dedup_embed",
+    oracle=f"""
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           {sql_r4(sql_cosine('a.embedding', 'b.embedding'))} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_TAU}
+    """,
+)
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ τ), each pair emitted once."""
+    em = load(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = em.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .where(cos >= COSINE_TAU)
+        .select("va", "vb", r4(cos).alias("cosine"))
+    )
+
+
+# signature width sizes the bucket count: ~log2(N / desired bucket size).
+# 6 bits → 64 buckets → ~8-30 mates per bucket at fixture scale; a 1e9-vector
+# corpus would use ~24 bits (+ multi-probe on near-zero projections).
+ANN_BITS = 6
+
+
+@query("sim_ann_lsh", tags=("approx",))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via seeded random-hyperplane LSH — the 100 TB similarity path.
+
+    Each vector gets a 12-bit signature: bit_j = sign(e · g_j) where the
+    pseudo-random hyperplane g_j has components ±1 derived from
+    xxhash64(j, i) parity (deterministic, no RNG state). Vectors sharing a
+    signature land in one bucket; 1-NN is computed only among bucket-mates
+    (prune-then-verify). Output: vec_id, bucket, ann_id, cosine — ann_id
+    NULL for singleton buckets. Rows-only gate (approximate recall by
+    design); recall vs the exact 1-NN is measured in unit tests."""
+    em = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+
+    def proj(j: int) -> Column:
+        # e · g_j with g_j[i] = ±1 from hash parity (2-arg transform lambda
+        # receives (element, index))
+        return F.aggregate(
+            F.transform(
+                e,
+                lambda x, i: x.cast("double")
+                * (F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) * 2 - 1).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.concat(*[F.when(proj(j) >= 0, "1").otherwise("0") for j in range(ANN_BITS)])
+    tagged = em.select("vec_id", "embedding", sig.alias("bucket"))
+    a = tagged.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("bucket")
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("bucket")
+    )
+    scored = a.join(b, ["bucket"]).where(F.col("va") != F.col("vb")).withColumn(
+        "cos", cosine(F.col("ea"), F.col("eb"))
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), "vb")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("vb").alias("ann_id"),
+            r4(F.col("cos")).alias("cosine"),
+        )
+    )
+    return tagged.select("vec_id", "bucket").join(best, "vec_id", "left")

@@ -1,0 +1,287 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.10 +
+north-star text ops: language-ID, quality scoring, token counting,
+fingerprinting).
+
+Everything here is built-in array/string expressions — tokenization,
+shingling, and fingerprinting run inside whole-stage codegen with NO
+shuffle until the final aggregate. At 100 TB each of these is a single
+scan + one low-cardinality aggregate (vocab- or lang-bounded), which is
+as cheap as a distributed text pass can be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.oracle import sql_r4
+from atlas_migration_repo_spark.registry import query
+
+def words() -> Column:
+    """Tokenized text column (built lazily — Column construction needs an
+    active SparkContext, so no module-level constants)."""
+    return F.split(F.col("text"), " ")
+
+# word-level 3-gram shingles, entirely array-side (no explode/shuffle)
+def shingles(words: Column) -> Column:
+    return F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+SQL_SHINGLES = (
+    "LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])"
+)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {sql_r4('AVG(n_chars)')} AS avg_chars,
+           {sql_r4("AVG(LEN(STRING_SPLIT(text, ' ')))")} AS avg_tokens,
+           CAST(COUNT(CASE WHEN LENGTH(text) = n_chars THEN 1 END) AS BIGINT) AS n_chars_valid
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats; n_chars_valid doubles as a golden check
+    (fixture guarantees n_chars == length(text))."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        r4(F.avg("n_chars")).alias("avg_chars"),
+        r4(F.avg(F.size(words()))).alias("avg_tokens"),
+        F.count_if(F.length("text") == F.col("n_chars")).alias("n_chars_valid"),
+    )
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    SELECT lang, word, COUNT(*) AS n
+    FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+    GROUP BY lang, word
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic wordcount per language (vocab-bounded output)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(words()).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_ngram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT(text, ' ')) AS word,
+             GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM (SELECT word || ' ' || LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+          FROM t)
+    WHERE bigram IS NOT NULL
+    GROUP BY bigram
+    """,
+)
+def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global bigram counts. Spark side builds bigrams array-side (zero
+    pre-aggregate shuffle); the oracle uses the lead-window formulation."""
+    d = load(spark, sf_dir, "documents")
+    bigrams = F.when(
+        F.size(words()) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words()) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words(), i), F.element_at(words(), i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+    tf  AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    df  AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+    n   AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, {sql_r4('score')} AS tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, word) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit count-based TF-IDF (not HashingTF — exact and auditable),
+    top-3 terms per document. df join is vocab-sized → broadcast."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "word", r4(F.col("score")).alias("tfidf"))
+    )
+
+
+_STOP = {
+    "de": ("der", "die", "und", "das", "ist"),
+    "en": ("the", "of", "and", "to", "in"),
+    "es": ("el", "los", "que", "una", "como"),
+    "fr": ("le", "les", "et", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _sql_hits(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in _STOP[lang])
+    return f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ({inlist})))"
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_hits('de')} AS h_de, {_sql_hits('en')} AS h_en,
+             {_sql_hits('es')} AS h_es, {_sql_hits('fr')} AS h_fr,
+             {_sql_hits('zh')} AS h_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           CAST(GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS INT) AS hits
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic family): count hits
+    against per-language stopword sets, argmax with alphabetical tie-break,
+    'und' when no evidence. Pure array expressions — no Python, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    def stop_hits(stops: tuple[str, ...]) -> Column:
+        # closure factory, NOT a default-arg lambda: a 2-parameter lambda
+        # would be misread by F.filter as its (element, index) form
+        return F.size(F.filter(words(), lambda w: w.isin(*stops)))
+
+    hits = {lang: stop_hits(stops) for lang, stops in _STOP.items()}
+    mx = F.greatest(*hits.values())
+    pred = F.when(mx == 0, "und")
+    for lang in sorted(_STOP):  # alphabetical first-match == oracle CASE order
+        pred = pred.when(hits[lang] == mx, lang)
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.otherwise("zh").alias("pred_lang"),
+        mx.cast("int").alias("hits"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, STRING_SPLIT(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(LEN(w) AS INT) AS n_tokens,
+           {sql_r4('CAST(n_chars AS DOUBLE) / LEN(w)')} AS avg_token_span,
+           {sql_r4('LEN(LIST_FILTER(w, x -> LENGTH(x) > 4)) * 1.0 / LEN(w)')} AS long_token_ratio,
+           {sql_r4('LEAST(1.0, LEN(w) / 64.0) * (LEN(LIST_FILTER(w, x -> LENGTH(x) > 4)) * 1.0 / LEN(w))')} AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count, mean token span, long-token
+    ratio, and a composite score ∈ [0,1] (length-saturating × lexical
+    richness) — the filter-stage primitive of a training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(words())
+    long_ratio = F.size(F.filter(words(), lambda x: F.length(x) > 4)) * F.lit(1.0) / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        r4(F.col("n_chars").cast("double") / n_tok).alias("avg_token_span"),
+        r4(long_ratio).alias("long_token_ratio"),
+        r4(F.least(F.lit(1.0), n_tok / F.lit(64.0)) * long_ratio).alias("quality_score"),
+    )
+
+
+@query(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS byte_pair_estimate
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex word pieces,
+    and the chars/4 budget heuristic."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(words()).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+")).cast("int").alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("byte_pair_estimate"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           LIST_SORT(LIST_TRANSFORM({SQL_SHINGLES}, s -> MD5(s)))[1:3] AS fingerprint
+    FROM t
+    WHERE LEN(w) >= 3
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: the 3 lexicographically
+    smallest MD5s over word-3-gram shingles. Near-identical docs share
+    fingerprint entries → groupable at scale without pairwise compares."""
+    d = load(spark, sf_dir, "documents").where(F.size(words()) >= 3)
+    sh = shingles(words())
+    return d.select(
+        "doc_id",
+        F.slice(F.array_sort(F.transform(sh, F.md5)), 1, 3).alias("fingerprint"),
+    )

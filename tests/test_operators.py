@@ -29,3 +29,92 @@ def test_scan_pruned_pushes_filters(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
     assert "l_extendedprice" not in plan  # column pruning held
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """dedup_near (MinHash+LSH candidates, exact verify) must recover the
+    full exact-Jaccard pair set on the fixture (planted dups are j>=0.5
+    where 16x2 banding has >=99% per-pair recall; misses here are a bug)."""
+    exact = {
+        (r["da"], r["db"]) for r in QUERIES["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    lsh = {(r["da"], r["db"]) for r in QUERIES["dedup_near"].fn(spark, SF_DIR).collect()}
+    assert lsh <= exact, f"LSH produced false positives: {lsh - exact}"
+    assert lsh == exact, f"LSH missed pairs: {exact - lsh}"
+
+
+def test_simhash_deterministic_and_discriminative(spark):
+    """Two runs agree bit-for-bit; chunk keys are consistent with the bits;
+    and the planted near-dup pairs are closer in hamming distance than
+    random pairs on average."""
+    rows1 = {r["doc_id"]: r for r in QUERIES["dedup_simhash"].fn(spark, SF_DIR).collect()}
+    rows2 = {r["doc_id"]: r for r in QUERIES["dedup_simhash"].fn(spark, SF_DIR).collect()}
+    assert {k: v["simhash_bits"] for k, v in rows1.items()} == {
+        k: v["simhash_bits"] for k, v in rows2.items()
+    }
+    some = next(iter(rows1.values()))
+    assert int(some["simhash_bits"][:16], 2) == some["chunk0"]
+    assert int(some["simhash_bits"][48:], 2) == some["chunk3"]
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(rows1[a]["simhash_bits"], rows1[b]["simhash_bits"]))
+
+    dup_pairs = [
+        (r["da"], r["db"]) for r in QUERIES["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    ]
+    assert dup_pairs, "fixture should contain planted near-dup pairs"
+    ids = sorted(rows1)[:40]
+    rand_pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    dup_avg = sum(ham(a, b) for a, b in dup_pairs) / len(dup_pairs)
+    rand_avg = sum(ham(a, b) for a, b in rand_pairs) / len(rand_pairs)
+    assert dup_avg < rand_avg / 2, (dup_avg, rand_avg)
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """Bucketed ANN must find a neighbor for a reasonable share of vectors
+    and, where it does, agree with the exact 1-NN or score close to it."""
+    exact = {r["vec_id"]: r for r in QUERIES["sim_knn_join"].fn(spark, SF_DIR).collect()}
+    ann = {r["vec_id"]: r for r in QUERIES["sim_ann_lsh"].fn(spark, SF_DIR).collect()}
+    assert set(ann) == set(exact)  # one row per vector
+    matched = [v for v in ann.values() if v["ann_id"] is not None]
+    assert len(matched) > len(ann) * 0.3, "too many singleton buckets"
+    hits = sum(1 for v in matched if exact[v["vec_id"]]["nn_id"] == v["ann_id"])
+    # ANN found-neighbor quality: cosine within 0.25 of the exact best
+    close = sum(
+        1
+        for v in matched
+        if v["cosine"] is not None
+        and exact[v["vec_id"]]["cosine"] - v["cosine"] <= 0.25
+    )
+    assert close / len(matched) > 0.8, (close, len(matched))
+    assert hits > 0  # at least some exact-best neighbors recovered
+
+
+def test_multimodal_plumbing_with_fake_decoder(spark):
+    """extract_media_features streams (payload, meta) Arrow batches through
+    a pluggable decoder; the deterministic fake verifies schema, row
+    fidelity, and per-doc feature values end-to-end."""
+    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.llm import multimodal as mm
+
+    d = load(spark, SF_DIR, "documents")
+    env = mm.with_binary_payload(d)
+    out = mm.extract_media_features(env)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == d.count()
+    src = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    for doc_id in list(src)[:20]:
+        payload = src[doc_id].encode("utf-8")
+        assert rows[doc_id]["n_bytes"] == len(payload)
+        assert rows[doc_id]["feature"] == float(sum(payload) % 997)
+
+
+def test_decode_stubs_raise():
+    from atlas_migration_repo_spark.llm import multimodal as mm
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"", "image/png")
+    with _pytest.raises(NotImplementedError):
+        mm.decode_audio(b"", "audio/wav")
