@@ -1,0 +1,165 @@
+"""Streaming window operators (SURVEY.md §2.9): tumbling, sliding, and
+session event-time windows, watermarked append, and streaming dedup.
+
+State management at scale: every aggregation below keys its state by
+(window × low-cardinality dims) or (user × session), and the watermarked
+variants bound state size by event time — the properties that keep a
+1000-executor streaming job's RocksDB stores from growing without limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import msum, r4
+from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.registry import query
+from atlas_migration_repo_spark.streaming.harness import run_to_table
+
+
+@query(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_msum('value')} AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling event-time windows per event type (availableNow
+    drain ≡ batch hourly buckets — the oracle)."""
+
+    def build(src: DataFrame) -> DataFrame:
+        return (
+            src.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value")).alias("value_sum"))
+            .select(
+                F.col("window.start").alias("window_start"), "event_type", "n", "value_sum"
+            )
+        )
+
+    return run_to_table(spark, sf_dir, "stream_tumbling", build)
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    WITH starts AS (
+      SELECT *, UNNEST([
+        TIME_BUCKET(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP)),
+        TIME_BUCKET(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTES
+      ]) AS window_start
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n, {sql_msum('value')} AS value_sum
+    FROM starts
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event lands in exactly 2
+    windows; the oracle materializes both membership rows per event)."""
+
+    def build(src: DataFrame) -> DataFrame:
+        return (
+            src.groupBy(F.window("ts", "1 hour", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value")).alias("value_sum"))
+            .select(F.col("window.start").alias("window_start"), "n", "value_sum")
+        )
+
+    return run_to_table(spark, sf_dir, "stream_sliding", build)
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 30 MINUTES
+                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_event,
+           COUNT(*) AS n_events
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap (oracle is
+    the batch gaps-and-islands formulation)."""
+
+    def build(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_event"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                "last_event",
+                "n_events",
+            )
+        )
+
+    return run_to_table(spark, sf_dir, "stream_session", build)
+
+
+@query(
+    "stream_watermark",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mts FROM events)
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           COUNT(*) AS n
+    FROM events, mx
+    GROUP BY 1, mx.mts
+    HAVING DATE_TRUNC('hour', ANY_VALUE(CAST(ts AS TIMESTAMP))) + INTERVAL 1 HOUR
+           <= mx.mts - INTERVAL 10 MINUTES
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append mode: only windows finalized by the watermark
+    (max event time - 10 min) are emitted; the trailing open window is
+    withheld. The oracle reproduces the finalization rule in batch SQL."""
+
+    def build(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"), "n")
+        )
+
+    return run_to_table(spark, sf_dir, "stream_watermark", build, output_mode="append")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: first occurrence per (user_id, event_type) within
+    the watermark; projected to the key so the result is order-independent
+    (which event arrives 'first' is a processing detail)."""
+
+    def build(src: DataFrame) -> DataFrame:
+        return (
+            src.withWatermark("ts", "1 hour")
+            .dropDuplicates(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+
+    return run_to_table(spark, sf_dir, "stream_dedup", build, output_mode="append")
