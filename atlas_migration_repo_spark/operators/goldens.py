@@ -1,0 +1,101 @@
+"""End-to-end golden queries (SURVEY.md §5.4): TPC-H-shaped multi-operator
+pipelines that exercise scan→filter→join→agg→sort→limit in one plan. These
+are the bench headliners alongside the Q1-shaped flagship.
+
+Plan shape at scale: dims broadcast, the single fact⋈fact join (orders⋈
+lineitem) shuffles on orderkey once, aggregates combine map-side, and the
+top-k is TakeOrderedAndProject — no full sorts, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import as_date, load, msum
+from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.registry import query
+
+_Q3_DATE = "1998-06-30"
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_msum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           ANY_VALUE(o_orderpriority) AS priority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '{_Q3_DATE}'
+      AND CAST(l_shipdate  AS DATE) > DATE '{_Q3_DATE}'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("bench",),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: top-10 unshipped-revenue orders for one segment."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(as_date(F.col("o_orderdate")) < _Q3_DATE)
+    li = load(spark, sf_dir, "lineitem").where(as_date(F.col("l_shipdate")) > _Q3_DATE)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", as_date(F.col("o_orderdate")).alias("order_date"))
+        .agg(
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.any_value(F.col("o_orderpriority")).alias("priority"),
+        )
+        .select("l_orderkey", "revenue", "order_date", "priority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n_name,
+           {sql_msum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("bench",),
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: revenue through same-nation suppliers per Asian
+    nation. 6-table join; only orders⋈lineitem shuffles — every dim
+    (region, nation, customer, supplier) broadcasts."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        as_date(F.col("o_orderdate")).between("1996-01-01", "1997-12-31")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )

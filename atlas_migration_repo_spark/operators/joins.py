@@ -208,6 +208,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_multiway",
+    tags=("bench",),
     oracle=f"""
     SELECT r_name, COUNT(*) AS n_orders, {sql_msum('o_totalprice')} AS total
     FROM region
@@ -264,6 +265,7 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_asof",
+    tags=("bench",),
     oracle="""
     WITH clicks AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id

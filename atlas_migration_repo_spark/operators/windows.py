@@ -84,6 +84,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "win_running_sum",
+    tags=("bench",),
     oracle="""
     SELECT o_orderkey,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
@@ -194,6 +195,7 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "topk_per_group",
+    tags=("bench",),
     oracle="""
     SELECT c_nationkey, c_custkey, c_acctbal
     FROM (SELECT c_nationkey, c_custkey, c_acctbal,

@@ -20,6 +20,7 @@ from atlas_migration_repo_spark.streaming.harness import run_to_table
 
 @query(
     "stream_tumbling",
+    tags=("bench",),
     oracle=f"""
     SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
