@@ -118,3 +118,40 @@ def test_decode_stubs_raise():
         mm.decode_image(b"", "image/png")
     with _pytest.raises(NotImplementedError):
         mm.decode_audio(b"", "audio/wav")
+
+
+def test_salesforce_connector_boundary(spark):
+    """Offline parts of the Salesforce extract boundary: SOQL generation,
+    schema mapping, disjoint partition predicates, and the gated live path."""
+    from atlas_migration_repo_spark.sources.salesforce import (
+        ObjectSpec,
+        SalesforceExtractor,
+    )
+
+    spec = ObjectSpec(
+        name="Atlas_Object__c",
+        fields=(("Id", "id"), ("Name", "string"), ("Amount__c", "currency"),
+                ("SystemModstamp", "datetime")),
+        where="IsDeleted = FALSE",
+        watermark_field="SystemModstamp",
+    )
+    assert spec.soql() == (
+        "SELECT Id, Name, Amount__c, SystemModstamp FROM Atlas_Object__c "
+        "WHERE (IsDeleted = FALSE)"
+    )
+    assert "SystemModstamp > 2024-01-01T00:00:00Z" in spec.soql(
+        since="2024-01-01T00:00:00Z"
+    )
+    assert [f.dataType.simpleString() for f in spec.spark_schema().fields] == [
+        "string", "string", "decimal(18,2)", "timestamp"
+    ]
+    preds = spec.partition_predicates(8)
+    assert len(preds) == 8
+    # every base-62 char appears in exactly one partition
+    alphabet = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    seen = [chunk[0] for p in preds for chunk in p.split("'%")[1:]]
+    assert sorted(seen) == sorted(alphabet)
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        SalesforceExtractor(spark).read(spec)

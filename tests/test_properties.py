@@ -1,0 +1,113 @@
+"""Property-based tests (SURVEY.md §5.3): algebraic invariants that must
+hold for ANY data, checked with Hypothesis over small generated frames plus
+fixture-level invariants across registered operators.
+
+These complement the oracle gate: the oracle pins exact values on one
+dataset; properties pin the algebra (idempotence, additivity, containment)
+that survives refactors and data drift.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.registry import QUERIES
+
+from conftest import SF_DIR
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # key
+        st.text(alphabet="abcd ", min_size=0, max_size=12),  # text
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),  # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+_hyp = settings(
+    max_examples=12,  # each example pays a Spark job; keep the loop tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "key int, text string, value double")
+
+
+@given(rows=_rows)
+@_hyp
+def test_distinct_idempotent(spark, rows):
+    """distinct(distinct(df)) == distinct(df) — dedup is idempotent."""
+    df = _df(spark, rows)
+    once = df.distinct()
+    assert once.count() == once.distinct().count()
+
+
+@given(rows=_rows, rows2=_rows)
+@_hyp
+def test_union_all_count_additive(spark, rows, rows2):
+    a, b = _df(spark, rows), _df(spark, rows2)
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+@given(rows=_rows, cutoff=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+@_hyp
+def test_filter_subset_of_scan(spark, rows, cutoff):
+    df = _df(spark, rows)
+    kept = df.where(F.col("value") > cutoff)
+    n_all, n_kept = df.count(), kept.count()
+    assert n_kept <= n_all
+    # complement partitions exactly
+    assert n_kept + df.where(~(F.col("value") > cutoff)).count() == n_all
+
+
+@given(rows=_rows, k=st.integers(min_value=0, max_value=10))
+@_hyp
+def test_topk_is_prefix_of_sort(spark, rows, k):
+    df = _df(spark, rows)
+    full = [r["value"] for r in df.orderBy(F.col("value").desc(), "key", "text").collect()]
+    top = [
+        r["value"]
+        for r in df.orderBy(F.col("value").desc(), "key", "text").limit(k).collect()
+    ]
+    assert top == full[:k]
+
+
+# ---- fixture-level invariants over registered operators ---------------------
+
+
+def test_dedup_survivors_unique_and_minimal(spark):
+    """Every dedup group's survivor is the min doc_id and appears once."""
+    rows = QUERIES["dedup_fingerprint"].fn(spark, SF_DIR).collect()
+    keeps = [r["keep_doc"] for r in rows]
+    assert len(keeps) == len(set(keeps))
+    assert all(r["n_copies"] >= 1 for r in rows)
+
+
+def test_topk_per_group_bounded(spark):
+    from collections import Counter
+
+    rows = QUERIES["topk_per_group"].fn(spark, SF_DIR).collect()
+    per_group = Counter(r["c_nationkey"] for r in rows)
+    assert all(n <= 3 for n in per_group.values())
+
+
+def test_jaccard_pairs_canonical_and_bounded(spark):
+    rows = QUERIES["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["da"] < r["db"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_stream_tumbling_conserves_events(spark):
+    """Window counts must sum to the table's row count (no loss, no dup)."""
+    from atlas_migration_repo_spark.catalog import load
+
+    total = load(spark, SF_DIR, "events").count()
+    windows = QUERIES["stream_tumbling"].fn(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in windows) == total
