@@ -1,0 +1,56 @@
+"""Pivot / unpivot operators — wide↔long reshaping.
+
+Pivot with an EXPLICIT value list: at scale, letting Spark infer pivot
+values costs an extra distinct-scan of the fact table; the fixed in-list
+keeps it one pass (and keeps the schema deterministic for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.registry import query
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(NULLIF(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
+           CAST(NULLIF(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O",
+           CAST(NULLIF(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: priorities × status columns (explicit value
+    list; Spark emits NULL — not 0 — for empty cells, mirrored with
+    NULLIF in the oracle)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@query(
+    "unpivot_balances",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+)
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide customer columns into (metric, value) long form."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")

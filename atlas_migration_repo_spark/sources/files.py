@@ -15,6 +15,7 @@ readers filtering that key.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,4 +92,67 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@query("source_orc", oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: parquet → ORC → read back (the second columnar
+    format of the landing layer; int/string/double survive exactly)."""
+    path = scratch_path(sf_dir, "supplier_orc")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sql_msum('l_extendedprice')} AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_totalprice > 250000
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables — the 100 TB fact⋈fact answer.
+
+    Both sides are bucketed by the join key into the warehouse; the join
+    then needs NO exchange on either side (verified in tests: zero
+    Exchange operators above the scans). At scale this turns the single
+    most expensive shuffle in the pipeline into a metadata decision made
+    once at write time."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    to, tl = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    # the in-memory catalog is per-session but spark-warehouse/ persists:
+    # drop any stale table AND its leftover location before rewriting
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (to, tl):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 250000)
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(to)
+    )
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(tl)
+    )
+    o, li = spark.table(to), spark.table(tl)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            msum(F.col("l_extendedprice")).alias("sum_price"),
+        )
     )

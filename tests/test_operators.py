@@ -155,3 +155,15 @@ def test_salesforce_connector_boundary(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         SalesforceExtractor(spark).read(spec)
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The bucketed join's final plan must contain no Exchange above the
+    bucketed scans — co-location replaces the shuffle."""
+    df = QUERIES["join_bucketed"].fn(spark, SF_DIR)
+    df.count()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    assert "Exchange hashpartitioning" not in join_part.split("HashAggregate")[-1]
+    # stronger: the join inputs read bucketed files directly
+    assert "Bucketed: true" in plan
