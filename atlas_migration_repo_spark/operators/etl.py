@@ -1,0 +1,176 @@
+"""ETL/migration composite operators: SQL entry point, partition-pruned
+reads, snapshot upsert (MERGE emulation), and salted skew joins.
+
+These are the remaining moves of the reference's migration story
+(/root/reference/README.md:3,7): land partitioned data, read it back with
+partition pruning, apply incremental changes to a snapshot, and survive
+skewed keys — each expressed so the property that matters at 100 TB
+(pruning, no full rewrite, no hot partition) is visible in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load, msum
+from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.registry import query
+from atlas_migration_repo_spark.sources.files import scratch_path
+
+
+@query(
+    "sql_entrypoint",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_msum('o_totalprice')} AS segment_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 2 (SURVEY.md §3): the same engine driven by a SQL string
+    over registered temp views — parses through Spark's ANTLR front end
+    into the identical Catalyst pipeline as the DataFrame API."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE)
+                   AS segment_value
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "scan_partition_pruned",
+    oracle=f"""
+    SELECT l_linestatus, COUNT(*) AS n, {sql_msum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_quantity >= 45 AND l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back the partitioned landing zone with a partition-key filter:
+    only the l_returnflag=R directory is listed/scanned (PartitionFilters
+    in the plan — asserted in tests). At 100 TB this is the difference
+    between touching one partition and listing the whole lake."""
+    path = scratch_path(sf_dir, "lineitem_by_flag")
+    # ensure the landing zone exists (same writer as sink_parquet_partitioned)
+    (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), msum(F.col("l_extendedprice")).alias("sum_price")
+    )
+
+
+@query(
+    "upsert_snapshot",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'P'
+    ),
+    inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+             'O' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 0
+    )
+    SELECT s.o_orderkey,
+           COALESCE(c.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+           COALESCE(c.o_totalprice, s.o_totalprice) AS o_totalprice
+    FROM orders s LEFT JOIN changes c ON s.o_orderkey = c.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM inserts
+    """,
+)
+def upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation on plain parquet (no Delta in this environment):
+    snapshot ⟕ changes applies updates; unmatched inserts are unioned.
+    The change batch here is derived deterministically from the fixture
+    (pending orders get finalized at +10% value; every 1000th key is
+    re-inserted as a new order). At scale: join shuffles on the key once;
+    with a Delta/Iceberg table this plan becomes a file-level MERGE."""
+    s = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base = load(spark, sf_dir, "orders")
+    changes = base.where(F.col("o_orderstatus") == "P").select(
+        "o_orderkey",
+        F.lit("F").alias("c_status"),
+        # raw double multiply: per-row IEEE arithmetic is bit-exact across
+        # engines, while ROUND(double, 2) is not (Spark rounds the shortest
+        # decimal repr half-up; DuckDB rounds the binary value).
+        (F.col("o_totalprice") * 1.1).alias("c_price"),
+    )
+    inserts = base.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    merged = (
+        s.join(changes, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("c_status"), F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.coalesce(F.col("c_price"), F.col("o_totalprice")).alias("o_totalprice"),
+        )
+    )
+    return merged.unionByName(inserts)
+
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "join_salted",
+    oracle=f"""
+    SELECT user_id, event_type,
+           COUNT(*) AS n,
+           {sql_msum('value')} AS value_sum,
+           ANY_VALUE(user_total) AS user_total
+    FROM events
+    JOIN (SELECT user_id AS uk, COUNT(*) AS user_total FROM events GROUP BY user_id) d
+      ON user_id = uk
+    GROUP BY user_id, event_type
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: the per-user dim is replicated across
+    SALT_BUCKETS salts and the fact side salts deterministically by
+    event_id, so one hot user spreads over 8 reducers instead of melting
+    one. Semantics identical to the unsalted join (the oracle IS the
+    unsalted formulation). At 100 TB this (or AQE skew-join) is mandatory
+    whenever key frequency is Zipfian."""
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy(F.col("user_id").alias("uk")).agg(
+        F.count(F.lit(1)).alias("user_total")
+    )
+    salted_dim = dim.crossJoin(
+        spark.range(SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+    )
+    salted_fact = ev.withColumn("salt", (F.col("event_id") % SALT_BUCKETS).cast("int"))
+    return (
+        salted_fact.join(
+            salted_dim,
+            (salted_fact.user_id == salted_dim.uk)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            msum(F.col("value")).alias("value_sum"),
+            F.any_value(F.col("user_total")).alias("user_total"),
+        )
+    )

@@ -167,3 +167,33 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in join_part.split("HashAggregate")[-1]
     # stronger: the join inputs read bucketed files directly
     assert "Bucketed: true" in plan
+
+
+def test_partition_pruned_scan_plan(spark):
+    """The partition-key filter must become a PartitionFilter (directory
+    pruning), not a data filter."""
+    df = QUERIES["scan_partition_pruned"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    assert "(l_returnflag" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_salted_join_matches_unsalted(spark):
+    """Salting must not change semantics: same rows as the plain join."""
+    from atlas_migration_repo_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    salted = {
+        (r["user_id"], r["event_type"]): (r["n"], r["user_total"])
+        for r in QUERIES["join_salted"].fn(spark, SF_DIR).collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    dim = ev.groupBy(F.col("user_id").alias("uk")).agg(F.count(F.lit(1)).alias("user_total"))
+    plain = {
+        (r["user_id"], r["event_type"]): (r["n"], r["user_total"])
+        for r in ev.join(dim, ev.user_id == dim.uk)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.any_value("user_total").alias("user_total"))
+        .collect()
+    }
+    assert salted == plain
