@@ -137,6 +137,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_BLOCK = 1024  # rows per block: blocks stay ≪ executor memory at any N
+
+
 @query(
     "sim_knn_join",
     tags=("bench",),
@@ -155,51 +158,95 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-NN join: nearest neighbor for EVERY vector (self excluded), with a
-    label-agreement flag (the classic embedding-quality probe). Brute-force
-    N² at fixture scale; sim_ann_lsh is the bucketed scale path."""
+    label-agreement flag (the classic embedding-quality probe).
+
+    Block-nested-loop with BLAS: vectors are packed into ~KNN_BLOCK-row
+    blocks, every block pair is scored in one numpy matmul inside
+    mapInPandas (Arrow batches), each pair emits its block-local best per
+    left vector, and a cheap global rank picks the winner. This is the
+    exact-kNN scale shape — O(N²/B²) tasks of dense BLAS work, no N²-row
+    Spark relation ever materialized; at 100 TB the same plan runs with
+    bigger blocks and sim_ann_lsh prunes candidates first.
+
+    Determinism: numpy float64 cosines order the candidates (argmax over a
+    contiguous matrix; ties broken by ascending vec_id), then the winning
+    pairs are re-scored with the sequential left-to-right chain `dot` so
+    the emitted cosine is bit-identical to DuckDB's list_aggregate."""
+    import math
+
+    import pandas as pd
+
     em = load(spark, sf_dir, "embeddings")
-    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    a = em.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("label").alias("la"),
-        norm.alias("na"),
+    n = em.count()
+    nblocks = max(1, math.ceil(n / KNN_BLOCK))
+    blocks = (
+        em.select("vec_id", "embedding", (F.col("vec_id") % nblocks).alias("bid"))
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("items"))
     )
+    pairs = (
+        blocks.select(F.col("bid").alias("abid"), F.col("items").alias("a_items"))
+        .crossJoin(blocks.select(F.col("bid").alias("bbid"), F.col("items").alias("b_items")))
+        .repartition(min(nblocks * nblocks, spark.sparkContext.defaultParallelism))
+    )
+
+    def best_per_block_pair(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_vid, out_cand, out_cos = [], [], []
+            for a_items, b_items in zip(pdf["a_items"], pdf["b_items"]):
+                aid = np.array([it["vec_id"] for it in a_items], dtype=np.int64)
+                bid = np.array([it["vec_id"] for it in b_items], dtype=np.int64)
+                # candidates sorted by vec_id: np.argmax takes the FIRST
+                # max, which then IS the smallest-id tiebreak
+                border = np.argsort(bid, kind="stable")
+                bid = bid[border]
+                A = np.asarray([it["embedding"] for it in a_items], dtype=np.float64)
+                B = np.asarray([it["embedding"] for it in b_items], dtype=np.float64)[border]
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                S = An @ Bn.T
+                S[aid[:, None] == bid[None, :]] = -np.inf  # exclude self
+                j = np.argmax(S, axis=1)
+                keep = ~np.isinf(S[np.arange(len(aid)), j])
+                out_vid.append(aid[keep])
+                out_cand.append(bid[j][keep])
+                out_cos.append(S[np.arange(len(aid)), j][keep])
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_vid) if out_vid else [],
+                    "cand": np.concatenate(out_cand) if out_cand else [],
+                    "cos_sel": np.concatenate(out_cos) if out_cos else [],
+                }
+            )
+
+    partials = pairs.mapInPandas(
+        best_per_block_pair, schema="vec_id long, cand long, cos_sel double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sel").desc(), "cand")
+    winners = (
+        partials.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cand").alias("nn_id"))
+    )
+    # exact re-score of the N winning pairs only: chain-dot cosine is
+    # bit-identical to the DuckDB oracle's list_aggregate formulation
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    a = em.select("vec_id", F.col("embedding").alias("ea"), F.col("label").alias("la"), norm.alias("na"))
     b = em.select(
-        F.col("vec_id").alias("nn"),
+        F.col("vec_id").alias("nn_id"),
         F.col("embedding").alias("eb"),
         F.col("label").alias("lb"),
         norm.alias("nb"),
     )
-    # norms precomputed per side; each unordered pair is scored ONCE
-    # (va < nn) and mirrored afterwards — half the N² dot products. The
-    # embeddings are projected away before the mirror/window so only
-    # (ids, labels, cos) ride through the rank shuffle.
-    half = (
-        a.join(F.broadcast(b), F.col("va") < F.col("nn"))
-        .withColumn("cos", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
-        .select("va", "nn", "la", "lb", "cos")
-        # persisted: both union branches read the scored pairs; without it
-        # Spark re-executes the join and doubles the dot-product work
-        .persist()
-    )
-    scored = half.unionByName(
-        half.select(
-            F.col("nn").alias("va"),
-            F.col("va").alias("nn"),
-            F.col("lb").alias("la"),
-            F.col("la").alias("lb"),
-            "cos",
-        )
-    )
-    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), "nn")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        winners.join(F.broadcast(a), "vec_id")
+        .join(F.broadcast(b), "nn_id")
         .select(
-            F.col("va").alias("vec_id"),
-            F.col("nn").alias("nn_id"),
-            r4(F.col("cos")).alias("cosine"),
+            "vec_id",
+            "nn_id",
+            r4(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
             (F.col("la") == F.col("lb")).alias("same_label"),
         )
     )

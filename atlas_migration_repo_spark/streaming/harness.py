@@ -51,15 +51,26 @@ def run_to_table(
 ) -> DataFrame:
     """Drain the built stream into a memory sink and return it as a batch
     DataFrame. Sink names are namespaced per scale factor so the same
-    query can run against several fixtures in one session."""
+    query can run against several fixtures in one session.
+
+    The shuffle-partition count is pinned low for the stream's lifetime:
+    stateful operators create one state-store instance per shuffle
+    partition at first start, and at micro-batch scale the per-instance
+    bookkeeping (not data volume) dominates. A real deployment sizes this
+    to state volume instead."""
     sink = f"{name}_{re.sub(r'[^0-9a-zA-Z]', '_', sf_dir.rsplit('/', 1)[-1])}"
-    q = (
-        build(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            build(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
