@@ -169,9 +169,12 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigger blocks and sim_ann_lsh prunes candidates first.
 
     Determinism: numpy float64 cosines order the candidates (argmax over a
-    contiguous matrix; ties broken by ascending vec_id), then the winning
-    pairs are re-scored with the sequential left-to-right chain `dot` so
-    the emitted cosine is bit-identical to DuckDB's list_aggregate."""
+    contiguous matrix; ties broken by ascending vec_id); the block-local
+    best pair is then re-scored with a sequential left-to-right Python-
+    float accumulation — IEEE double chain, bit-identical to both the
+    Spark `dot` chain and DuckDB's list_aggregate — so the emitted cosine
+    hashes exactly. The exact re-score is O(N·K) scalar dots (winners
+    only), negligible next to the O(N²) BLAS selection."""
     import math
 
     import pandas as pd
@@ -180,9 +183,9 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = em.count()
     nblocks = max(1, math.ceil(n / KNN_BLOCK))
     blocks = (
-        em.select("vec_id", "embedding", (F.col("vec_id") % nblocks).alias("bid"))
+        em.select("vec_id", "embedding", "label", (F.col("vec_id") % nblocks).alias("bid"))
         .groupBy("bid")
-        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("items"))
+        .agg(F.collect_list(F.struct("vec_id", "embedding", "label")).alias("items"))
     )
     pairs = (
         blocks.select(F.col("bid").alias("abid"), F.col("items").alias("a_items"))
@@ -190,11 +193,22 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(min(nblocks * nblocks, spark.sparkContext.defaultParallelism))
     )
 
+    def chain_cos(x, y, ny):
+        # sequential left-assoc IEEE accumulation == Spark chain `dot` ==
+        # DuckDB list_aggregate; Python floats ARE C doubles
+        s = 0.0
+        nx = 0.0
+        for i in range(len(x)):
+            xi, yi = float(x[i]), float(y[i])
+            s += xi * yi
+            nx += xi * xi
+        return s / (math.sqrt(nx) * ny)
+
     def best_per_block_pair(batches):
         import numpy as np
 
         for pdf in batches:
-            out_vid, out_cand, out_cos = [], [], []
+            out = {k: [] for k in ("vec_id", "cand", "cos_sel", "cos_exact", "same_label")}
             for a_items, b_items in zip(pdf["a_items"], pdf["b_items"]):
                 aid = np.array([it["vec_id"] for it in a_items], dtype=np.int64)
                 bid = np.array([it["vec_id"] for it in b_items], dtype=np.int64)
@@ -204,50 +218,38 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bid = bid[border]
                 A = np.asarray([it["embedding"] for it in a_items], dtype=np.float64)
                 B = np.asarray([it["embedding"] for it in b_items], dtype=np.float64)[border]
+                la = np.array([it["label"] for it in a_items])
+                lb = np.array([it["label"] for it in b_items])[border]
                 An = A / np.linalg.norm(A, axis=1, keepdims=True)
                 Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
                 S = An @ Bn.T
                 S[aid[:, None] == bid[None, :]] = -np.inf  # exclude self
+                # exact chain norms of candidates, computed once per block
+                bnorm = [math.sqrt(chain_cos(v, v, 1.0)) for v in B]
                 j = np.argmax(S, axis=1)
-                keep = ~np.isinf(S[np.arange(len(aid)), j])
-                out_vid.append(aid[keep])
-                out_cand.append(bid[j][keep])
-                out_cos.append(S[np.arange(len(aid)), j][keep])
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_vid) if out_vid else [],
-                    "cand": np.concatenate(out_cand) if out_cand else [],
-                    "cos_sel": np.concatenate(out_cos) if out_cos else [],
-                }
-            )
+                for i, ji in enumerate(j):
+                    if np.isinf(S[i, ji]):
+                        continue  # block held only self
+                    out["vec_id"].append(int(aid[i]))
+                    out["cand"].append(int(bid[ji]))
+                    out["cos_sel"].append(float(S[i, ji]))
+                    out["cos_exact"].append(chain_cos(A[i], B[ji], bnorm[ji]))
+                    out["same_label"].append(bool(la[i] == lb[ji]))
+            yield pd.DataFrame(out)
 
     partials = pairs.mapInPandas(
-        best_per_block_pair, schema="vec_id long, cand long, cos_sel double"
+        best_per_block_pair,
+        schema="vec_id long, cand long, cos_sel double, cos_exact double, same_label boolean",
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos_sel").desc(), "cand")
-    winners = (
+    return (
         partials.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cand").alias("nn_id"))
-    )
-    # exact re-score of the N winning pairs only: chain-dot cosine is
-    # bit-identical to the DuckDB oracle's list_aggregate formulation
-    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    a = em.select("vec_id", F.col("embedding").alias("ea"), F.col("label").alias("la"), norm.alias("na"))
-    b = em.select(
-        F.col("vec_id").alias("nn_id"),
-        F.col("embedding").alias("eb"),
-        F.col("label").alias("lb"),
-        norm.alias("nb"),
-    )
-    return (
-        winners.join(F.broadcast(a), "vec_id")
-        .join(F.broadcast(b), "nn_id")
         .select(
             "vec_id",
-            "nn_id",
-            r4(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
-            (F.col("la") == F.col("lb")).alias("same_label"),
+            F.col("cand").alias("nn_id"),
+            r4(F.col("cos_exact")).alias("cosine"),
+            "same_label",
         )
     )
 

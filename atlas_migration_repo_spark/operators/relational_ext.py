@@ -1,0 +1,260 @@
+"""Extended relational surface: subqueries (scalar / correlated / EXISTS),
+deterministic hash sampling, time-series resample + forward-fill, and batch
+sessionization (gaps-and-islands).
+
+Subqueries run through the SQL entry point on purpose — Catalyst's
+decorrelation (RewriteCorrelatedScalarSubquery / RewriteSubquery) turns each
+into the agg+join shape we'd otherwise hand-write, which is exactly the
+SURVEY.md §4 "let the optimizer do it" posture. Hash sampling replaces
+``TABLESAMPLE``/``rand()`` (nondeterministic, unrepeatable across engines)
+with a content-addressed predicate that any engine reproduces bit-for-bit —
+at 100 TB this is also the only sampling you can resume after a failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load, msum
+from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.registry import query
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register a fixture table as a temp view and return the view name.
+    spark.sql() analyzes eagerly, so the returned DataFrame is bound to the
+    view's plan at call time — later overwrites don't leak across queries."""
+    vname = f"v_{name}"
+    load(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
+@query(
+    "subq_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above the global average price.
+    Catalyst plans the subquery as a one-row broadcast (SubqueryExec) —
+    single extra pass, no per-row re-evaluation."""
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_totalprice
+        FROM {o}
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM {o})
+        """
+    )
+
+
+@query(
+    "subq_correlated",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers richer than their nation's
+    average. Decorrelated by Catalyst into groupBy(nation)+join — O(N), not
+    O(N×nations)."""
+    c = _view(spark, sf_dir, "customer")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM {c} c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM {c} c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "subq_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS in one predicate — Catalyst rewrites to
+    left-semi ∘ left-anti joins (the §2.3 physical shapes), proving the SQL
+    and DataFrame surfaces converge on one plan."""
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, c.c_name
+        FROM {c} c
+        WHERE EXISTS (SELECT 1 FROM {o} o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM {o} o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        """
+    )
+
+
+@query(
+    "sample_hash",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_msum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample by content hash of the key (md5 first
+    nibble ∈ {0,1}), then per-status stats. Unlike TABLESAMPLE/rand() this
+    is reproducible across engines, runs, and partitionings — and the
+    predicate composes with pushdown instead of a separate sampling pass."""
+    return (
+        load(spark, sf_dir, "orders")
+        .where(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("o_totalprice")).alias("sum_price"))
+    )
+
+
+@query(
+    "ts_resample_ffill",
+    oracle="""
+    WITH pick AS (
+      SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < 5
+    ),
+    hourly AS (SELECT user_id, h, value FROM pick WHERE rn = 1),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS hour_ts
+      FROM hourly GROUP BY user_id
+    )
+    SELECT g.user_id, g.hour_ts,
+           LAST_VALUE(hr.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM grid g LEFT JOIN hourly hr
+      ON g.user_id = hr.user_id AND g.hour_ts = hr.h
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: last observed value per user per hour, on a
+    dense per-user hourly grid (sequence+explode), gaps forward-filled with
+    last(ignorenulls). The classic hypertable/rollup gap-fill operator Spark
+    lacks natively, composed from window + generator primitives. Scale: the
+    grid explode is linear in (users × hours) and partitions by user — no
+    shuffle wider than the final window."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    h = F.date_trunc("hour", F.col("ts"))
+    w_pick = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        ev.select("user_id", h.alias("h"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour_ts"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            hourly,
+            (grid.user_id == hourly.user_id) & (grid.hour_ts == hourly.h),
+            "left",
+        )
+        .select(grid.user_id, "hour_ts", "value")
+        .withColumn("value_ffill", F.last("value", ignorenulls=True).over(w_fill))
+        .select("user_id", "hour_ts", "value_ffill")
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "sessionize_batch",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                       > INTERVAL {SESSION_GAP_MIN} MINUTES
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM tagged GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           MAX(n_events) AS max_session_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after
+    SESSION_GAP_MIN minutes of inactivity; per-user session stats. Batch
+    twin of stream_session — one formulation, two execution modes. Both
+    windows partition by user_id, so the whole pipeline is a single
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # µs-exact gap (ts has sub-second precision; a seconds cast would
+    # truncate and disagree with the oracle's exact interval compare)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    tagged = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+    )
+    sessions = tagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.max("n_events").alias("max_session_events"),
+    )

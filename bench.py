@@ -31,8 +31,20 @@ def main() -> None:
     spark = get_spark(app_name="atlas-bench")
     bench = {n: qd for n, qd in QUERIES.items() if "bench" in qd.tags}
 
-    # Warmup: prime JVM, codegen, parquet footer caches — not timed.
+    # Warmup: prime JVM, codegen, parquet footer caches — plus the Python
+    # worker pool + Arrow serialization path (used by mapInPandas queries)
+    # and the Structured Streaming micro-batch machinery. Not timed: the
+    # benchmark measures steady-state throughput, which is what sustains at
+    # scale, not one-time process/JIT init.
     next(iter(bench.values())).fn(spark, sf_dir).count()
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("memory").queryName("bench_warmup")
+        .trigger(availableNow=True).start().awaitTermination()
+    )
 
     timings: dict[str, float] = {}
     for name, qd in bench.items():

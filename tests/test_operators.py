@@ -197,3 +197,55 @@ def test_salted_join_matches_unsalted(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_resample_grid_dense_and_filled(spark):
+    """The per-user hourly grid has no holes (count == span hours + 1) and
+    forward-fill leaves no NULLs (hour 0 always has an observation)."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["ts_resample_ffill"].fn(spark, SF_DIR)
+    agg = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        ((F.unix_micros(F.max("hour_ts")) - F.unix_micros(F.min("hour_ts")))
+         / 3_600_000_000 + 1).alias("span_hours"),
+        F.sum(F.col("value_ffill").isNull().cast("int")).alias("nulls"),
+    )
+    for r in agg.collect():
+        assert r["n"] == int(r["span_hours"]), r
+        assert r["nulls"] == 0, r
+
+
+def test_sessionize_conserves_events(spark):
+    """Session stats must partition the event set: per-user total_events
+    equals the raw per-user event count."""
+    from atlas_migration_repo_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: r["total_events"]
+        for r in QUERIES["sessionize_batch"].fn(spark, SF_DIR).collect()
+    }
+    raw = {
+        r["user_id"]: r["n"]
+        for r in load(spark, SF_DIR, "events").groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got == raw
+
+
+def test_subqueries_decorrelated(spark):
+    """Correlated subquery and EXISTS/NOT EXISTS plans must contain no
+    nested-loop per-row subquery execution — Catalyst rewrites them to
+    aggregate+join / semi / anti joins."""
+    plan = (
+        QUERIES["subq_correlated"].fn(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" in plan
+    plan2 = (
+        QUERIES["subq_exists"].fn(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan2 and "LeftAnti" in plan2
