@@ -334,3 +334,88 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tagged.select("vec_id", "bucket").join(best, "vec_id", "left")
+
+
+IVF_CELLS = 32  # coarse-quantizer size: ~N/cells vectors per cell
+IVF_PROBES = 4  # query-side multiprobe: search the 4 nearest cells
+
+
+@query("sim_ann_ivf", tags=("approx",))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF (inverted-file) coarse quantizer — the second 100 TB
+    similarity path next to sim_ann_lsh.
+
+    Centroids are the IVF_CELLS vectors with the smallest xxhash64(vec_id)
+    (deterministic, data-dependent, no RNG state — a seeded k-means would
+    slot in here unchanged). Every vector is *stored* in its single nearest
+    cell; every *query* probes its IVF_PROBES nearest cells, so the
+    candidate set is cells it most plausibly neighbors (multiprobe trades
+    compute for recall). Candidates meet through an equi-join on cell id —
+    a plain shuffle join that scales horizontally; per-cell lists are the
+    only state, so a 1e9-vector corpus shards by cell. Output: one row per
+    vector — its approximate 1-NN among candidates (NULL when all probe
+    cells held only the vector itself). Rows-only gate (approximate by
+    design); recall vs exact 1-NN is asserted in unit tests."""
+    import numpy as np
+
+    em = load(spark, sf_dir, "embeddings")
+    seeds = (
+        em.select("vec_id", "embedding")
+        .withColumn("hk", F.xxhash64("vec_id"))
+        .orderBy("hk", "vec_id")
+        .limit(IVF_CELLS)
+        .collect()
+    )
+    cent = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assigner(probes: int):
+        def fn(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+                S = Vn @ bc.value.T
+                near = np.argsort(-S, kind="stable", axis=1)[:, :probes]
+                rep = np.repeat(np.arange(len(pdf)), probes)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy()[rep],
+                        "cell": near.ravel().astype("int32"),
+                        "embedding": pdf["embedding"].iloc[rep].to_numpy(),
+                    }
+                )
+
+        return fn
+
+    schema = "vec_id long, cell int, embedding array<float>"
+    members = em.select("vec_id", "embedding").mapInPandas(assigner(1), schema=schema)
+    probes = em.select("vec_id", "embedding").mapInPandas(
+        assigner(IVF_PROBES), schema=schema
+    )
+    q = probes.select(
+        F.col("vec_id").alias("qid"), "cell", F.col("embedding").alias("qe")
+    )
+    m = members.select(
+        F.col("vec_id").alias("cid"), "cell", F.col("embedding").alias("ce")
+    )
+    scored = (
+        q.join(m, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("cid").alias("ann_id"),
+            r4(F.col("cos")).alias("cosine"),
+        )
+    )
+    return em.select("vec_id").join(best, "vec_id", "left")

@@ -249,3 +249,22 @@ def test_subqueries_decorrelated(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftSemi" in plan2 and "LeftAnti" in plan2
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF multiprobe ANN: every vector gets a row, nearly all find a
+    candidate, and found neighbors score close to the exact 1-NN."""
+    exact = {r["vec_id"]: r for r in QUERIES["sim_knn_join"].fn(spark, SF_DIR).collect()}
+    ann = {r["vec_id"]: r for r in QUERIES["sim_ann_ivf"].fn(spark, SF_DIR).collect()}
+    assert set(ann) == set(exact)
+    matched = [v for v in ann.values() if v["ann_id"] is not None]
+    assert len(matched) > len(ann) * 0.9, "probe cells unexpectedly empty"
+    close = sum(
+        1
+        for v in matched
+        if v["cosine"] is not None
+        and exact[v["vec_id"]]["cosine"] - v["cosine"] <= 0.25
+    )
+    assert close / len(matched) > 0.8, (close, len(matched))
+    hits = sum(1 for v in matched if exact[v["vec_id"]]["nn_id"] == v["ann_id"])
+    assert hits > 0
