@@ -387,3 +387,57 @@ def explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 1-based — oracle shifts)."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+
+
+@query(
+    "bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and,
+           o_orderkey | 15 AS b_or,
+           xor(o_orderkey, 255) AS b_xor,
+           CAST(bit_count(o_orderkey) AS INT) AS b_cnt,
+           o_orderkey << 2 AS b_shl,
+           o_orderkey >> 3 AS b_shr
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: AND/OR/XOR/popcount/shifts on integer keys."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(15)).alias("b_or"),
+        k.bitwiseXOR(F.lit(255)).alias("b_xor"),
+        F.bit_count(k).alias("b_cnt"),
+        F.shiftleft(k, 2).cast("long").alias("b_shl"),
+        F.shiftright(k, 3).cast("long").alias("b_shr"),
+    )
+
+
+@query(
+    "hist_width_bucket",
+    oracle="""
+    -- DuckDB 1.0.0 has no width_bucket; this reproduces Spark's exact
+    -- arithmetic: width = (hi-lo)/n (here exactly 50000.0), bucket =
+    -- floor(x/width)+1, clamped for out-of-range values
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE CAST(FLOOR(o_totalprice / ((600000.0 - 0) / 12)) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def hist_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via SQL-standard width_bucket — the single-pass
+    distributed histogram (map-side partial counts; one tiny shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(600000), F.lit(12)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

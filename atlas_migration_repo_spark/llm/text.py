@@ -143,7 +143,10 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(words()).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf (one row per (doc,word)): tokenizes the corpus
+    # once instead of twice, replaces countDistinct's expand with a plain
+    # count, and lets ReuseExchange share tf's shuffle across both uses
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "word")

@@ -336,3 +336,15 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_price")
     )
+
+
+@query("agg_approx_percentile", tags=("approx",))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-sketch quantiles (percentile_approx) — the 100 TB path where
+    exact percentiles would sort every group. Sketch-specific values → no
+    SQL oracle (rows-only); accuracy vs the exact percentile is asserted in
+    unit tests."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median")
+    )

@@ -187,3 +187,29 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_msum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: forecast-revenue-change — pure filter + global sum,
+    the canonical pushdown/scan-bound query. All four predicates reach the
+    parquet reader; the plan is scan → partial agg → single-row exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            as_date(F.col("l_shipdate")).between("1997-01-01", "1997-12-31")
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(msum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )

@@ -268,3 +268,19 @@ def test_ann_ivf_recall_vs_exact(spark):
     assert close / len(matched) > 0.8, (close, len(matched))
     hits = sum(1 for v in matched if exact[v["vec_id"]]["nn_id"] == v["ann_id"])
     assert hits > 0
+
+
+def test_approx_percentile_accuracy(spark):
+    """percentile_approx at accuracy=1000 must land within 2% of the exact
+    per-group median."""
+    exact = {
+        r["l_returnflag"]: r["median_price"]
+        for r in QUERIES["agg_percentile"].fn(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_median"]
+        for r in QUERIES["agg_approx_percentile"].fn(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex < 0.02, (k, approx[k], ex)
