@@ -212,3 +212,82 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk(32).alias("chunk2"),
         chunk(48).alias("chunk3"),
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION
+      SELECT db AS a, da AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lab AS (
+      SELECT a AS doc_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           (COALESCE(l.cluster_id, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the exact near-dup
+    pair graph, cluster id = min doc_id in the component, one canonical
+    doc per cluster — the operator that actually deduplicates a corpus
+    (near-dup pairs alone don't say who survives when A~B~C but A≁C).
+
+    Spark side is iterative min-label propagation: each round every node
+    takes the min label among itself and its neighbors; converges in
+    O(log diameter) rounds (near-dup components are shallow — pairs or
+    small chains). Each round is one shuffle on the edge list; state is
+    (node, label) — at 100 TB scale this is exactly GraphFrames'/
+    large-star CC shape. The DuckDB oracle computes the same components
+    via a recursive-CTE transitive closure (safe at oracle scale only)."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    edges = pairs.unionByName(
+        pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
+    ).persist()
+    lab = (
+        edges.select(F.col("da").alias("id")).distinct()
+        .withColumn("lab", F.col("id"))
+        .persist()
+    )
+    while True:
+        msgs = edges.join(lab, edges.da == lab.id).select(
+            F.col("db").alias("id"), F.col("lab")
+        )
+        new = (
+            lab.select("id", "lab").unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        lab.unpersist()
+        lab = new
+        if changed == 0:
+            break
+    d = load(spark, sf_dir, "documents")
+    out = (
+        d.select("doc_id")
+        .join(lab, d.doc_id == lab.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lab"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
+    )
+    edges.unpersist()
+    return out

@@ -71,6 +71,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.sources.files",
         "atlas_migration_repo_spark.streaming.windows",
         "atlas_migration_repo_spark.streaming.stateful",
+        "atlas_migration_repo_spark.streaming.sinks",
         "atlas_migration_repo_spark.llm.text",
         "atlas_migration_repo_spark.llm.dedup",
         "atlas_migration_repo_spark.llm.similarity",

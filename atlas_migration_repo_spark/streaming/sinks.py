@@ -1,0 +1,86 @@
+"""Streaming join + sink operators (SURVEY.md §2.9 extensions).
+
+stream-static join: the canonical enrichment pattern — an unbounded stream
+joined against a bounded dimension. Spark re-plans the static side per
+micro-batch, so dimension updates between batches are picked up for free;
+broadcasting it keeps the stream side shuffle-free.
+
+foreachBatch: the production landing pattern for sinks without a native
+streaming writer — each micro-batch arrives as a plain DataFrame, written
+here as parquet (exactly the reference's "land on S3" step, README.md:7,
+driven by a stream instead of a cron). availableNow + idempotent per-batch
+writes give exactly-once landing on retry.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.registry import query
+from atlas_migration_repo_spark.sources.files import scratch_path
+from atlas_migration_repo_spark.streaming.harness import read_events_stream, run_to_table
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, d.user_total
+    FROM events e
+    JOIN (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id) d
+      ON e.user_id = d.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ static-dim enrichment: purchases enriched with per-user
+    lifetime counts. The dim is broadcast — the stream never shuffles."""
+    static = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("uk"))
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+
+    def build(src: DataFrame) -> DataFrame:
+        return (
+            src.where(F.col("event_type") == "purchase")
+            .join(F.broadcast(static), F.col("user_id") == F.col("uk"))
+            .select("event_id", "user_id", "event_type", "user_total")
+        )
+
+    return run_to_table(spark, sf_dir, "stream_static_join", build, output_mode="append")
+
+
+@query(
+    "sink_foreachbatch",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch parquet landing: filter the stream, write each
+    micro-batch with an idempotent overwrite-by-batch, read the landing
+    zone back. The oracle is the batch equivalent of what must land."""
+    path = scratch_path(sf_dir, "events_errors_landed")
+    shutil.rmtree(path, ignore_errors=True)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite" if batch_id == 0 else "append")
+            .parquet(path)
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select("event_id", "user_id", "value")
+        .writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(path)

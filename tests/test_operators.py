@@ -284,3 +284,27 @@ def test_approx_percentile_accuracy(spark):
     assert set(exact) == set(approx)
     for k, ex in exact.items():
         assert abs(approx[k] - ex) / ex < 0.02, (k, approx[k], ex)
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """CC invariants: both ends of every near-dup pair share a cluster;
+    cluster_id is the min doc_id of its members; canonicals are exactly
+    the cluster ids."""
+    pairs = [
+        (r["da"], r["db"])
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    ]
+    clus = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in QUERIES["dedup_clusters"].fn(spark, SF_DIR).collect()
+    }
+    assert pairs, "fixture should contain near-dup pairs"
+    for a, b in pairs:
+        assert clus[a][0] == clus[b][0], (a, b, clus[a], clus[b])
+    members: dict[int, list[int]] = {}
+    for doc, (cid, _) in clus.items():
+        members.setdefault(cid, []).append(doc)
+    for cid, docs in members.items():
+        assert cid == min(docs)
+    canon = {d for d, (_, is_c) in clus.items() if is_c}
+    assert canon == set(members)
