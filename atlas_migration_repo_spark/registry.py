@@ -63,6 +63,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.operators.windows",
         "atlas_migration_repo_spark.operators.setops",
         "atlas_migration_repo_spark.operators.goldens",
+        "atlas_migration_repo_spark.operators.goldens2",
         "atlas_migration_repo_spark.operators.pivots",
         "atlas_migration_repo_spark.operators.etl",
         "atlas_migration_repo_spark.operators.relational_ext",
