@@ -127,6 +127,42 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRATA_HI = ("0", "1", "2", "3", "4", "5", "6", "7")
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('c_acctbal')} AS sum_bal
+    FROM customer
+    WHERE (c_mktsegment = 'BUILDING'
+             AND SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 1)
+                   IN {_STRATA_HI!r})
+       OR (c_mktsegment <> 'BUILDING'
+             AND SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0')
+    GROUP BY c_mktsegment
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a different hash-rate per
+    stratum (50% of BUILDING customers by md5 first nibble 0-7, 6.25% of
+    every other segment at nibble 0) — the rebalancing primitive for
+    skewed training corpora. Same content-addressed determinism as
+    sample_hash: reproducible across engines, runs, and partitionings,
+    and the predicate is a scan-level filter (no shuffle, no rand())."""
+    nib = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+    keep = (
+        (F.col("c_mktsegment") == "BUILDING") & nib.isin(*_STRATA_HI)
+    ) | ((F.col("c_mktsegment") != "BUILDING") & (nib == "0"))
+    return (
+        load(spark, sf_dir, "customer")
+        .where(keep)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("c_acctbal")).alias("sum_bal"))
+    )
+
+
 @query(
     "ts_resample_ffill",
     oracle="""

@@ -75,6 +75,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.streaming.sinks",
         "atlas_migration_repo_spark.llm.text",
         "atlas_migration_repo_spark.llm.dedup",
+        "atlas_migration_repo_spark.llm.pipeline",
         "atlas_migration_repo_spark.llm.similarity",
         "atlas_migration_repo_spark.llm.multimodal",
     ):

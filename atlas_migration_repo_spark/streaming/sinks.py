@@ -55,6 +55,53 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views matched to purchases by the same
+    user within 30 minutes. Both sides are watermarked so the join state
+    is bounded — Spark keeps only rows younger than watermark+interval
+    per side, and the equality key (user_id) makes it a shuffled
+    symmetric-hash join co-partitioned on user. The oracle is the batch
+    self-join over the same rows."""
+    def build(src: DataFrame) -> DataFrame:
+        views = (
+            src.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            src.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select("view_id", "purchase_id", "user_id")
+
+    return run_to_table(spark, sf_dir, "stream_stream_join", build, output_mode="append")
+
+
+@query(
     "sink_foreachbatch",
     oracle="""
     SELECT event_id, user_id, value
