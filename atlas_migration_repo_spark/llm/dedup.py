@@ -263,11 +263,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         msgs = edges.join(lab, edges.da == lab.id).select(
             F.col("db").alias("id"), F.col("lab")
         )
+        # localCheckpoint truncates lineage each round: without it the
+        # logical plan (and optimizer time) grows linearly per iteration
+        # and any downstream explain/recompute replays every round. On a
+        # cluster, pair with a reliable checkpoint dir if executor loss
+        # during the (short) CC loop must be survivable.
         new = (
             lab.select("id", "lab").unionByName(msgs)
             .groupBy("id")
             .agg(F.min("lab").alias("lab"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new.alias("n")

@@ -70,20 +70,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     division and MIN are bit-exact, so the equality join-back on the
     double is deterministic. Two shuffles on l_partkey; part/supplier/
     nation broadcast."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
-    mn = ps.groupBy(F.col("l_partkey").alias("mpk")).agg(
-        F.min("unit_cost").alias("min_cost")
     )
     p = load(spark, sf_dir, "part").where(
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
     )
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
+    # per-part MIN as a window over the aggregate's own partitioning —
+    # one pass, no second aggregate + self-join back (2 shuffles, not 3)
+    min_cost = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
     return (
-        ps.join(mn, (ps.l_partkey == mn.mpk) & (ps.unit_cost == mn.min_cost))
+        ps.withColumn("min_cost", min_cost)
+        .where(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -384,14 +387,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with max quarterly revenue (view +
     scalar-MAX equality). Revenues are msums → MAX and the equality are
     over identical doubles. The max is a 1-row broadcast."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem").where(
         as_date(F.col("l_shipdate")).between("1997-01-01", "1997-03-31")
     )
     rev = li.groupBy("l_suppkey").agg(msum(_rev()).alias("total_revenue"))
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load(spark, sf_dir, "supplier")
+    # global MAX as an empty-frame window: computes `rev` once instead of
+    # twice (agg + crossJoin re-derivation). The single-partition window
+    # input is one row per supplier — trivially small at any scale.
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy()))
         .where(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -456,8 +463,14 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").where(
         (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 15)
     )
-    avgq = li.groupBy(F.col("l_partkey").alias("apk")).agg(
-        F.avg("l_quantity").alias("avg_qty")
+    # semi-filter lineitem to the selected parts BEFORE the per-part avg:
+    # the avg table is then |selected parts| rows (broadcastable at any
+    # scale), not one row per part in the catalog
+    pk = p.select("p_partkey")
+    avgq = (
+        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("apk"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
     )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
