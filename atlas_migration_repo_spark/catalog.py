@@ -52,8 +52,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def r4(c: Column) -> Column:
-    """Round a double expression to 4 decimals (hash-stable float policy)."""
-    return F.round(c.cast("double"), 4)
+    """Round a double expression to 4 decimals (hash-stable float policy).
+    + 0.0 canonicalizes IEEE -0.0 to +0.0, twin of oracle.sql_r4."""
+    return F.round(c.cast("double"), 4) + F.lit(0.0)
 
 
 def msum(c: Column) -> Column:

@@ -419,3 +419,90 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return em.select("vec_id").join(best, "vec_id", "left")
+
+
+@query(
+    "embed_centroids",
+    oracle=f"""
+    SELECT label, CAST(i AS INT) AS dim, {sql_r4('AVG(v)')} AS centroid
+    FROM (SELECT label, UNNEST(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings) t
+    GROUP BY label, i
+    """,
+)
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — the training
+    primitive behind IVF coarse quantizers and k-means. posexplode →
+    groupBy(label, dim) is a single shuffle whose width is labels×dims
+    (tiny), with map-side partial averages; no vector ever crosses the
+    wire whole. Spark's posexplode is 0-based vs DuckDB's 1-based
+    generate_subscripts → +1 on the Spark side."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(r4(F.avg("v")).alias("centroid"))
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+@query("embed_kmeans")  # iterative — not SQL-expressible, rows-only check
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means on the embedding table, K=8, 3 iterations,
+    deterministic init (the K lowest vec_ids). Assignment = broadcast the
+    K centroids, squared-L2 per pair, argmin via min(struct(d2, cid))
+    (deterministic tie-break on cluster id — no window shuffle with the
+    vector attached). Update = posexplode → per-(cluster, dim) average →
+    rebuild arrays. Each iteration ends in localCheckpoint so lineage
+    (and optimizer time) stays O(1) across iterations — the same
+    truncation discipline as dedup_clusters. Returns cluster sizes +
+    within-cluster mean distance; checked by unit invariants (rows-only:
+    float averaging makes borderline assignments engine-specific, so no
+    SQL oracle)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.repartition(8, "vec_id")  # single-file parquet → parallelize
+    cent = (
+        e.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .select("cid", F.col("embedding").alias("cvec"))
+    )
+
+    def d2() -> Column:
+        diff = F.zip_with("embedding", "cvec", lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2())
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid")).alias("best"),
+                F.any_value("embedding").alias("embedding"),
+            )
+            .select("vec_id", "embedding", F.col("best.cid").alias("cid"),
+                    F.col("best.d2").alias("d2"))
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("cvec"))
+            .localCheckpoint()
+        )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            r4(F.avg(F.sqrt("d2"))).alias("mean_dist"),
+        )
+        .orderBy("cid")
+    )

@@ -127,6 +127,44 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_DAY = "CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)"
+_SQL_HOUR = "DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))"
+
+
+@query(
+    "ts_rollup_multi",
+    oracle=f"""
+    SELECT {_SQL_DAY} AS day_ts, {_SQL_HOUR} AS hour_ts,
+           CAST(GROUPING({_SQL_DAY}, {_SQL_HOUR}) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_msum('value')} AS sum_value
+    FROM events
+    GROUP BY ROLLUP ({_SQL_DAY}, {_SQL_HOUR})
+    """,
+)
+def ts_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: one pass over the event
+    stream produces hour buckets, day buckets, and the grand total
+    (ROLLUP on two date_trunc levels — the batch equivalent of a
+    continuous aggregate's hierarchy). Spark expands the grouping sets
+    map-side, so it stays a single shuffle; at scale this replaces N
+    separate per-granularity aggregation jobs."""
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day_ts"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "value",
+    )
+    return (
+        e.rollup("day_ts", "hour_ts")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            msum(F.col("value")).alias("sum_value"),
+        )
+        .select("day_ts", "hour_ts", "gid", "n_events", "sum_value")
+    )
+
+
 _STRATA_HI = ("0", "1", "2", "3", "4", "5", "6", "7")
 
 

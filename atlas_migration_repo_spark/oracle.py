@@ -31,7 +31,9 @@ def sql_msum(expr: str) -> str:
 
 
 def sql_r4(expr: str) -> str:
-    return f"ROUND(CAST(({expr}) AS DOUBLE), 4)"
+    # + 0.0 canonicalizes IEEE negative zero (DuckDB ROUND keeps the sign
+    # of a tiny negative rounded to zero; Spark doesn't) — exact otherwise
+    return f"(ROUND(CAST(({expr}) AS DOUBLE), 4) + 0.0)"
 
 
 def sql_isum(expr: str) -> str:

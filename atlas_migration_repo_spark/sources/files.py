@@ -156,3 +156,35 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum(F.col("l_extendedprice")).alias("sum_price"),
         )
     )
+
+
+@query(
+    "sink_compacted",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: rewrite the events table into a fixed
+    number of right-sized parquet files (repartition before write), then
+    aggregate the compacted copy — values must round-trip exactly. At
+    scale the partition count comes from bytes/target-file-size (or AQE's
+    coalescePartitions on the write exchange) and maxRecordsPerFile caps
+    stragglers; compaction is THE defense against the many-small-files
+    metadata tax on 100 TB object stores."""
+    path = scratch_path(sf_dir, "events_compacted")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        load(spark, sf_dir, "events")
+        .repartition(2)
+        .write.option("maxRecordsPerFile", 500000)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value")).alias("sum_value"))
+    )

@@ -308,3 +308,28 @@ def test_dedup_clusters_consistent_with_pairs(spark):
         assert cid == min(docs)
     canon = {d for d, (_, is_c) in clus.items() if is_c}
     assert canon == set(members)
+
+
+def test_embed_kmeans_invariants(spark):
+    """K-means partitions the corpus: ≤K non-empty clusters, sizes sum to
+    N, mean within-cluster distance is finite and non-negative."""
+    import duckdb
+
+    rows = QUERIES["embed_kmeans"].fn(spark, SF_DIR).collect()
+    n_vecs = duckdb.sql(
+        f"select count(*) from '{SF_DIR}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert 0 < len(rows) <= 8
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    assert all(r["mean_dist"] >= 0 for r in rows)
+
+
+def test_sink_compacted_file_count(spark):
+    """Compaction must actually bound the file count (2 part files)."""
+    import glob
+
+    from atlas_migration_repo_spark.sources.files import scratch_path
+
+    QUERIES["sink_compacted"].fn(spark, SF_DIR).collect()
+    parts = glob.glob(scratch_path(SF_DIR, "events_compacted") + "/part-*")
+    assert len(parts) == 2, parts
