@@ -441,3 +441,34 @@ def hist_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "json_variant_path",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 10
+    GROUP BY event_type
+    """,
+)
+def json_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path access: parse the JSON props column ONCE into
+    the binary VARIANT encoding, then extract typed paths with
+    variant_get — repeated-path access without per-row string re-parsing
+    (the columnar-JSON posture; get_json_object re-parses per call).
+    Oracle is DuckDB's json_extract over the same rows."""
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.withColumn("k", k)
+        .where(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

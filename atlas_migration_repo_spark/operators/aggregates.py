@@ -348,3 +348,30 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median")
     )
+
+
+@query("agg_hll_mergeable")  # sketches are engine-specific — rows-only check
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Spark 4 Apache DataSketches HLL): build
+    one HLL sketch of distinct customers per nation, then MERGE the
+    binary sketches up to region level with hll_union_agg — no re-scan
+    of the base data. This is the two-level-aggregation contract that
+    makes approx-distinct composable at 100 TB (daily sketches → monthly
+    rollups, per-partition sketches → global). Sketch bytes differ per
+    engine, so the check is rows-only + a unit-test accuracy bound vs
+    exact distinct counts."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    return (
+        per_nation.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
+        )
+        .orderBy("r_name")
+    )

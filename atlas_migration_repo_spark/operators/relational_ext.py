@@ -332,3 +332,39 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("total_events"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+@query(
+    "fuzzy_match_names",
+    oracle="""
+    SELECT a.c_custkey AS ca, b.c_custkey AS cb,
+           CAST(LEVENSHTEIN(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 2
+    """,
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: customer pairs in the same
+    nation whose names are ≤2 edits apart — the fuzzy-join primitive of
+    a migration dedup step. The blocking key (nationkey) bounds the
+    candidate pairs to within-block O(b²) instead of corpus-wide N²; at
+    scale the block key would be a phonetic/prefix bucket. Levenshtein
+    runs JVM-side in both engines — integers, no float policy needed."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a = c.select(
+        F.col("c_custkey").alias("ca"),
+        F.col("c_name").alias("na"),
+        F.col("c_nationkey").alias("ka"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cb"),
+        F.col("c_name").alias("nb"),
+        F.col("c_nationkey").alias("kb"),
+    )
+    dist = F.levenshtein(F.col("na"), F.col("nb"))
+    return (
+        a.join(b, (F.col("ka") == F.col("kb")) & (F.col("ca") < F.col("cb")))
+        .where(dist <= 2)
+        .select("ca", "cb", dist.cast("int").alias("dist"))
+    )

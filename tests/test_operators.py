@@ -333,3 +333,25 @@ def test_sink_compacted_file_count(spark):
     QUERIES["sink_compacted"].fn(spark, SF_DIR).collect()
     parts = glob.glob(scratch_path(SF_DIR, "events_compacted") + "/part-*")
     assert len(parts) == 2, parts
+
+
+def test_hll_mergeable_accuracy(spark):
+    """Region-level HLL union estimates must be within 5% of the exact
+    distinct customer counts."""
+    import duckdb
+
+    approx = {
+        r["r_name"]: r["approx_customers"]
+        for r in QUERIES["agg_hll_mergeable"].fn(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duckdb.sql(f"""
+        SELECT r_name, COUNT(DISTINCT c_custkey)
+        FROM '{SF_DIR}/customer.parquet' c
+        JOIN '{SF_DIR}/nation.parquet' n ON c_nationkey = n_nationkey
+        JOIN '{SF_DIR}/region.parquet' r ON n_regionkey = r_regionkey
+        GROUP BY r_name""").fetchall()
+    )
+    assert set(approx) == set(exact)
+    for name, ex in exact.items():
+        assert abs(approx[name] - ex) / ex < 0.05, (name, approx[name], ex)
