@@ -95,3 +95,97 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.join(F.broadcast(canon), kept.doc_id == F.col("cid"), "left_semi")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "decontaminate_corpus",
+    oracle="""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  UNNEST(list_transform(generate_series(1, LEN(w) - 2),
+                         i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS shingle
+           FROM w),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    dirty AS (SELECT DISTINCT doc_id FROM sh
+              WHERE shingle IN (SELECT shingle FROM bench))
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 50 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    ORDER BY d.doc_id
+    """,
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: remove every training doc that shares a
+    word-3-gram with the held-out set (doc_id % 50 == 0 stands in for the
+    eval benchmark). The benchmark's shingle set is DISTINCT-projected and
+    broadcast; contamination is a semi join on shingle, removal a final
+    anti join — at 100 TB the corpus is only ever streamed through two
+    hash probes, never self-joined. The planted near-dups make the
+    contaminated set non-trivial."""
+    from atlas_migration_repo_spark.llm.text import shingles, words
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
+    )
+    bench_sh = (
+        sh.where(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    dirty = (
+        sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.where(F.col("doc_id") % 50 != 0)
+        .join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+PACK_BUDGET = 512
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents),
+    c AS (SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok AS prev
+          FROM t)
+    SELECT CAST(FLOOR(prev / {PACK_BUDGET}.0) AS INT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM c
+    GROUP BY CAST(FLOOR(prev / {PACK_BUDGET}.0) AS INT)
+    ORDER BY bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in doc_id order) to fixed
+    token-budget bins by prefix-sum — bin = floor(tokens-before / budget),
+    the streaming-friendly relaxation of greedy first-fit (a doc may
+    straddle a boundary; trainers truncate or wrap). One global-order
+    window here; at scale the order key becomes (shard, doc_id) so each
+    shard packs independently and the window never leaves its partition.
+    Token counts are integers — exact in both engines."""
+    from atlas_migration_repo_spark.llm.text import words
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select("doc_id", F.size(words()).alias("n_tok")).withColumn(
+        "prev", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return (
+        c.groupBy(
+            F.floor(F.col("prev") / F.lit(float(PACK_BUDGET))).cast("int").alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .orderBy("bin_id")
+    )

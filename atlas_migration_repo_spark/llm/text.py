@@ -289,3 +289,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.slice(F.array_sort(F.transform(sh, F.md5)), 1, 3).alias("fingerprint"),
     )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM t WHERE LEN(w) >= 3)
+    SELECT doc_id,
+           CAST(LEN(sh) AS INT) AS n_ngrams,
+           CAST(LEN(list_distinct(sh)) AS INT) AS n_unique,
+           {sql_r4('1.0 - LEN(list_distinct(sh)) * 1.0 / LEN(sh)')} AS rep_ratio
+    FROM s
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score: fraction of word-3-grams that are
+    repeats (1 - unique/total) — the boilerplate/spam signal used to
+    drop template-generated text from training corpora. Pure array
+    expressions per row; no shuffle at any scale."""
+    d = load(spark, sf_dir, "documents").where(F.size(words()) >= 3)
+    sh = shingles(words())
+    n = F.size(sh)
+    u = F.size(F.array_distinct(sh))
+    return d.select(
+        "doc_id",
+        n.alias("n_ngrams"),
+        u.alias("n_unique"),
+        r4(F.lit(1.0) - u * F.lit(1.0) / n).alias("rep_ratio"),
+    )
