@@ -10,7 +10,7 @@ skewed keys — each expressed so the property that matters at 100 TB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from atlas_migration_repo_spark.catalog import load, msum
@@ -173,4 +173,93 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum(F.col("value")).alias("value_sum"),
             F.any_value(F.col("user_total")).alias("user_total"),
         )
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice <> n.o_totalprice THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    GROUP BY 1
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: classify every key across
+    two table versions as insert / delete / update / unchanged via one
+    FULL OUTER join + null/value comparison — the change feed a
+    migration emits when the source has no transaction log (the
+    reference's Salesforce→S3 sync case). Snapshots are derived
+    deterministically from the fixture (modulo-key membership, +10%
+    price bump on every 3rd key). The join shuffles both sides on the
+    key once; at scale the diff is incremental per partition-date."""
+    o = load(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("ok"), F.col("o_totalprice").alias("op")
+    )
+    new = o.where(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("nk"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("np"),
+    )
+    change = (
+        F.when(F.col("ok").isNull(), "insert")
+        .when(F.col("nk").isNull(), "delete")
+        .when(F.col("op") != F.col("np"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, F.col("ok") == F.col("nk"), "full")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS valid_to,
+           value,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) IS NULL AS is_current
+    FROM events
+    WHERE user_id < 10 AND event_type = 'signup'
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change stream into
+    validity intervals — each record is valid [its ts, next ts) per key,
+    open-ended (is_current) on the latest. One window per key with a
+    unique tiebreak; the warehouse-history primitive every migration
+    backfill needs. Scale: partitions by user key, no global sort."""
+    e = load(spark, sf_dir, "events").where(
+        (F.col("user_id") < 10) & (F.col("event_type") == "signup")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "value",
+        nxt.isNull().alias("is_current"),
     )

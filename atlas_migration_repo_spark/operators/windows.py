@@ -216,3 +216,24 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey,
+           {sql_r4("CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)")} AS cd
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist: fraction of partition rows with value ≤ current —
+    value-based, so ties share a result and no key tiebreak is needed
+    (the ORDER BY only shapes the frame, not the output order)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        r4(F.cume_dist().over(w)).alias("cd"),
+    )
