@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import load, msum
+from atlas_migration_repo_spark.catalog import as_date, load, msum
 from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.files import scratch_path
@@ -262,4 +262,109 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         "value",
         nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "dq_checks",
+    oracle="""
+    SELECT 'orders_rows' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    """,
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration validation suite in one DataFrame: row counts, null
+    keys, domain violations, referential orphans (anti joins), duplicate
+    primary keys — the checks a Salesforce→S3 sync runs before
+    switching reads over. Each check is a scan or anti-join aggregate;
+    the union is a plan of independent branches Spark runs in one job.
+    All counts — exact in both engines."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check_name"), "violations"
+        )
+
+    dup_pk = (
+        o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("cnt")).where(F.col("cnt") > 1)
+    )
+    return (
+        one("orders_rows", o)
+        .unionByName(one("orders_null_custkey", o.where(F.col("o_custkey").isNull())))
+        .unionByName(
+            one("orders_nonpositive_price", o.where(F.col("o_totalprice") <= 0))
+        )
+        .unionByName(
+            one(
+                "orders_orphan_custkey",
+                o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+            )
+        )
+        .unionByName(one("orders_duplicate_pk", dup_pk))
+        .unionByName(
+            one(
+                "lineitem_orphan_orderkey",
+                li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+            )
+        )
+    )
+
+
+@query(
+    "extract_incremental",
+    oracle="""
+    WITH landed AS (
+      SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-01-01'
+    ),
+    hwm AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS w FROM landed)
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+    FROM orders, hwm
+    WHERE CAST(o_orderdate AS DATE) > w
+    ORDER BY o_orderkey
+    """,
+)
+def extract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental extraction: the already-landed zone's
+    MAX(modstamp) (here: order date, standing in for Salesforce
+    SystemModstamp) becomes the lower bound of the next pull — only
+    strictly-newer rows move. The watermark is a 1-row broadcast; the
+    predicate pushes to the source scan, so each sync reads just the
+    tail. This plus cdc_snapshot_diff and upsert_snapshot is the full
+    incremental-sync loop the reference schedules with Airflow."""
+    o = load(spark, sf_dir, "orders")
+    landed = o.where(as_date(F.col("o_orderdate")) < "2001-01-01")
+    hwm = landed.agg(F.max(as_date(F.col("o_orderdate"))).alias("w"))
+    return (
+        o.crossJoin(F.broadcast(hwm))
+        .where(as_date(F.col("o_orderdate")) > F.col("w"))
+        .select(
+            "o_orderkey",
+            as_date(F.col("o_orderdate")).alias("order_date"),
+            "o_totalprice",
+        )
+        .orderBy("o_orderkey")
     )

@@ -188,3 +188,38 @@ def sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value")).alias("sum_value"))
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 13 THEN NULL
+                ELSE n_regionkey * 100 END AS extended_code
+    FROM nation
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches of the same logical
+    table — an old batch missing a column and a new batch carrying it —
+    unified by mergeSchema=true; the missing column null-fills. This is
+    the source-added-a-field migration case: no rewrite of landed data,
+    the reader reconciles. At scale prefer declared schemas + explicit
+    evolution over per-query footer merging (mergeSchema scans every
+    file's footer)."""
+    n = load(spark, sf_dir, "nation")
+    base = scratch_path(sf_dir, "nation_evolved")
+    shutil.rmtree(base, ignore_errors=True)
+    old = n.where(F.col("n_nationkey") < 13).select("n_nationkey", "n_name")
+    new = n.where(F.col("n_nationkey") >= 13).select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_regionkey") * 100).alias("extended_code"),
+    )
+    old.write.parquet(os.path.join(base, "batch=0"))
+    new.write.parquet(os.path.join(base, "batch=1"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base)
+        .select("n_nationkey", "n_name", "extended_code")
+    )
