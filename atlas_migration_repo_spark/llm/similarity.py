@@ -506,3 +506,73 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# quantization error expression shared by the Spark query and its oracle —
+# both sides evaluate the IDENTICAL expression tree left-to-right, so the
+# per-element doubles (and the sequential-fold MAE) are bit-identical.
+_SQL_QERR = (
+    "ABS(CAST(x AS DOUBLE) - (mn + ROUND((CAST(x AS DOUBLE) - mn)"
+    " / (mx - mn) * 255, 0) * (mx - mn) / 255))"
+)
+
+
+@query(
+    "embed_quantize",
+    oracle=f"""
+    WITH s AS (
+      SELECT MIN(LIST_MIN(embedding)) AS mn, MAX(LIST_MAX(embedding)) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           LIST_TRANSFORM(embedding,
+             x -> CAST(ROUND((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255, 0)
+                       AS INT)) AS q,
+           {sql_r4(f"LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> {_SQL_QERR}), 'sum') / 64.0")}
+             AS mae
+    FROM embeddings, s
+    """,
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8-style quantization of the embedding column: global
+    [min,max] → 0..255 codes, plus per-vector reconstruction MAE. This is
+    the memory-compression path that makes billion-vector ANN fit — 4×
+    smaller than float32, and the quantized codes broadcast/cached where
+    raw vectors couldn't. The [mn,mx] stats are one columnar pass
+    (array_min/max per row, then a 2-scalar global agg broadcast back);
+    quantize/dequantize are per-element expressions with no shuffle.
+    Min/max are exact (order-independent), every arithmetic step is the
+    same IEEE expression tree in both engines, and the MAE fold is
+    sequential in both (aggregate-lambda ≡ list_aggregate 'sum'), so the
+    oracle match is exact — no epsilon."""
+    e = load(spark, sf_dir, "embeddings")
+    stats = e.agg(
+        F.min(F.array_min("embedding")).alias("mn"),
+        F.max(F.array_max("embedding")).alias("mx"),
+    )
+    mn, mx = F.col("mn"), F.col("mx")
+
+    def qerr(x: Column) -> Column:
+        xd = x.cast("double")
+        return F.abs(
+            xd - (mn + F.round((xd - mn) / (mx - mn) * 255, 0) * (mx - mn) / 255)
+        )
+
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round((x.cast("double") - mn) / (mx - mn) * 255, 0).cast(
+                    "int"
+                ),
+            ).alias("q"),
+            r4(
+                F.aggregate(
+                    F.transform("embedding", qerr), F.lit(0.0), lambda a, x: a + x
+                )
+                / F.lit(64.0)
+            ).alias("mae"),
+        )
+    )

@@ -1,0 +1,261 @@
+"""Event-analytics and migration-audit composites.
+
+The reference's capability contract is a Salesforce→S3 migration pipeline
+(`/root/reference/README.md:3-9`); a migrated events/orders corpus is only
+useful if the downstream analytics run on it, and the migration itself needs
+an audit primitive. This module supplies both families:
+
+- product analytics over the events stream (funnel, cohort retention,
+  outage-gap detection, z-score anomaly flags), and
+- row-hash reconciliation — the anti-entropy check that proves source and
+  landed target agree after a sync.
+
+Everything is declarative DataFrame ops: each query is one or two shuffles
+on its natural key (user_id / event_type / primary key), aggregates are
+map-side-combined, and the only joins are either broadcast (tiny stats
+sides) or PK-to-PK equi-joins that a bucketed 100 TB layout would make
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.oracle import sql_r4
+from atlas_migration_repo_spark.registry import query
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+           CAST(COUNT(CASE WHEN t_signup < t_view THEN 1 END) AS BIGINT)
+             AS n_signup_then_view,
+           CAST(COUNT(CASE WHEN t_signup < t_view AND t_view < t_purchase
+                           THEN 1 END) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel signup→view→purchase: a user converts a stage
+    only if the first occurrence of each step respects the order. One
+    shuffle (by user_id) with map-side combine on the conditional MINs,
+    then a scalar roll-up — at 100 TB this is the cheapest funnel shape
+    (no per-event window, no self-join)."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(step: str):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count_if(F.col("t_signup") < F.col("t_view")).alias("n_signup_then_view"),
+        F.count_if(
+            (F.col("t_signup") < F.col("t_view"))
+            & (F.col("t_view") < F.col("t_purchase"))
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+    ),
+    c AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM d
+    )
+    SELECT cohort_day,
+           CAST(FLOOR(DATE_DIFF('day', cohort_day, day) / 7.0) AS INT)
+             AS offset_week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c
+    GROUP BY cohort_day, offset_week
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    distinct in each subsequent week. The cohort day comes from a window
+    MIN over the same user_id partitioning the final aggregate shuffles
+    on, so AQE coalesces the two exchanges; output is cohort×week sized —
+    trivially collectable at any input scale."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day"))
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
+    return (
+        d.withColumn("cohort_day", cohort)
+        .withColumn(
+            "offset_week",
+            F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7.0).cast("int"),
+        )
+        .groupBy("cohort_day", "offset_week")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+GAP_HOURS = 6
+
+
+@query(
+    "ts_gap_detect",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+           (EPOCH_US(ts) - EPOCH_US(prev_ts)) // 1000000 AS gap_seconds
+    FROM o
+    WHERE EPOCH_US(ts) - EPOCH_US(prev_ts) > {GAP_HOURS * 3600 * 1_000_000}
+    """,
+)
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry-gap detection: per-user consecutive-event gaps longer
+    than GAP_HOURS — the missing-data / outage primitive of a migration
+    cutover check. One window shuffle on user_id; the gap arithmetic is
+    exact integer microseconds (µs-truncated ns timestamps, see
+    catalog.load), so both engines agree bit-for-bit."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", prev)
+        .withColumn("gap_us", gap_us)
+        .where(F.col("gap_us") > GAP_HOURS * 3600 * 1_000_000)
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            F.expr("gap_us div 1000000").alias("gap_seconds"),
+        )
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           {sql_r4('(e.value - s.mu) / s.sigma')} AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ABS({sql_r4('(e.value - s.mu) / s.sigma')}) > 2.5
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flags: per-event-type mean/stddev (5 groups →
+    broadcast back onto the stream), rows beyond 2.5σ. The filter
+    compares the ROUNDED z on both sides so the threshold sits on the
+    same 4-decimal grid in both engines (raw double stats drift ~1e-12
+    between summation orders — harmless after rounding, fatal at an
+    unrounded boundary)."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = r4((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )
+
+
+def _rowhash(custkey: str = "c_custkey", name: str = "c_name", nk: str = "c_nationkey"):
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col(custkey).cast("string"),
+            F.col(name),
+            F.col(nk).cast("string"),
+        )
+    )
+
+
+_SQL_ROWHASH = (
+    "MD5(CONCAT_WS('|', CAST(c_custkey AS VARCHAR), c_name,"
+    " CAST(c_nationkey AS VARCHAR)))"
+)
+
+
+@query(
+    "reconcile_rowhash",
+    oracle=f"""
+    WITH src AS (
+      SELECT c_custkey, {_SQL_ROWHASH} AS h FROM customer
+    ),
+    tgt0 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 97 = 0 THEN c_name || '_X' ELSE c_name END
+               AS c_name,
+             c_nationkey
+      FROM customer WHERE c_custkey % 101 <> 0
+    ),
+    tgt AS (SELECT c_custkey, {_SQL_ROWHASH} AS h FROM tgt0)
+    SELECT src.c_custkey,
+           CASE WHEN tgt.c_custkey IS NULL THEN 'missing_target'
+                ELSE 'hash_mismatch' END AS status
+    FROM src LEFT JOIN tgt USING (c_custkey)
+    WHERE tgt.c_custkey IS NULL OR src.h <> tgt.h
+    """,
+)
+def reconcile_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation: MD5 row-hashes of source vs target
+    snapshots compared by primary key; emits dropped and silently-mutated
+    rows. The target is derived in-query with deterministic faults
+    (every 101st key dropped, every 97th name mutated) so the check has
+    known positives at every SF. Hashing is per-row codegen; the PK join
+    is the only shuffle — on a bucketed-by-PK 100 TB layout it is
+    co-located and shuffle-free, which is what makes whole-table
+    reconciliation tractable."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    src = c.select("c_custkey", _rowhash().alias("h"))
+    tgt = (
+        c.where(F.col("c_custkey") % 101 != 0)
+        .withColumn(
+            "c_name",
+            F.when(
+                F.col("c_custkey") % 97 == 0, F.concat(F.col("c_name"), F.lit("_X"))
+            ).otherwise(F.col("c_name")),
+        )
+        .select("c_custkey", _rowhash().alias("h_t"))
+    )
+    return (
+        src.join(tgt, "c_custkey", "left")
+        .where(F.col("h_t").isNull() | (F.col("h") != F.col("h_t")))
+        .select(
+            "c_custkey",
+            F.when(F.col("h_t").isNull(), "missing_target")
+            .otherwise("hash_mismatch")
+            .alias("status"),
+        )
+    )

@@ -237,3 +237,38 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         r4(F.cume_dist().over(w)).alias("cd"),
     )
+
+
+@query(
+    "win_percent_rank_nth",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderkey,
+           {sql_r4("PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)")} AS pr,
+           NTH_VALUE(o_totalprice, 2) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_highest
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+def win_percent_rank_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank ((rank-1)/(n-1): value-based, tie-stable like
+    cume_dist) paired with nth_value over an explicit full-partition
+    frame — the 2nd-highest price per priority on every row. The frame
+    must be UNBOUNDED..UNBOUNDED in both engines: the default frame stops
+    at CURRENT ROW, where nth_value(…, 2) would be NULL for the first
+    row of each partition."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w_pr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w_nth = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        r4(F.percent_rank().over(w_pr)).alias("pr"),
+        F.nth_value("o_totalprice", 2).over(w_nth).alias("second_highest"),
+    )
