@@ -296,3 +296,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+CHUNK_WORDS = 8
+
+
+@query(
+    "dedup_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    e AS (
+      SELECT doc_id, UNNEST(LIST_TRANSFORM(
+               GENERATE_SERIES(0, CAST(CEIL(LEN(w) / {CHUNK_WORDS}.0) AS INT) - 1),
+               i -> STRUCT_PACK(
+                 idx := i,
+                 h := MD5(ARRAY_TO_STRING(
+                        LIST_SLICE(w, i * {CHUNK_WORDS} + 1,
+                                      i * {CHUNK_WORDS} + {CHUNK_WORDS}), ' '))))) AS s
+      FROM t
+    ),
+    c AS (SELECT doc_id, CAST(s.idx AS INT) AS chunk_idx, s.h AS chunk_hash FROM e),
+    d AS (SELECT chunk_hash FROM c GROUP BY chunk_hash
+          HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT c.doc_id, c.chunk_idx, c.chunk_hash
+    FROM c JOIN d USING (chunk_hash)
+    """,
+)
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup: split each document into fixed CHUNK_WORDS-word
+    chunks, hash them, and emit every chunk whose hash appears in ≥2
+    distinct documents — the removal list for boilerplate/near-dup spans
+    that document-level dedup misses. Chunking is array expressions in
+    codegen; the only shuffles are the hash groupBy and the semi-join
+    back, both on the chunk hash (uniformly distributed — no skew). At
+    100 TB the duplicated-hash side is a tiny fraction of chunks, so the
+    final join broadcasts."""
+    d = load(spark, sf_dir, "documents")
+    w = words()
+    n_chunks = F.ceil(F.size(w) / float(CHUNK_WORDS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
+        ),
+    )
+    c = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_hash"))
+    dup = (
+        c.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("chunk_hash")
+    )
+    return c.join(dup, "chunk_hash").select("doc_id", "chunk_idx", "chunk_hash")

@@ -318,3 +318,47 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("n_unique"),
         r4(F.lit(1.0) - u * F.lit(1.0) / n).alias("rep_ratio"),
     )
+
+
+@query(
+    "text_zipf",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    r AS (
+      SELECT word, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank,
+             MAX(freq) OVER () AS max_freq
+      FROM wc
+    )
+    SELECT CAST(rank AS INT) AS rank, word, freq,
+           {sql_r4('freq * rank * 1.0 / max_freq')} AS zipf_c
+    FROM r WHERE rank <= 30
+    """,
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile: top-30 tokens with rank·freq/max_freq
+    — flat zipf_c ≈ Zipfian corpus, a distribution-drift check for
+    corpus ingestion. The vocab-sized aggregate is one shuffle; the
+    ranking window runs on the tiny vocab table in a single partition."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "word")
+    return (
+        wc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("max_freq", F.max("freq").over(Window.partitionBy()))
+        .where(F.col("rank") <= 30)
+        .select(
+            "rank",
+            "word",
+            "freq",
+            r4(F.col("freq") * F.col("rank") * 1.0 / F.col("max_freq")).alias("zipf_c"),
+        )
+    )

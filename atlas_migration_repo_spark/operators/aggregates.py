@@ -375,3 +375,56 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "agg_median_mode",
+    oracle=f"""
+    WITH med AS (
+      SELECT o_orderpriority, {sql_r4('MEDIAN(o_totalprice)')} AS med_price
+      FROM orders GROUP BY o_orderpriority
+    ),
+    m AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    mr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY n DESC, o_orderstatus) AS rn
+      FROM m
+    )
+    SELECT med.o_orderpriority, med.med_price,
+           mr.o_orderstatus AS mode_status, mr.n AS mode_n
+    FROM med JOIN mr USING (o_orderpriority)
+    WHERE mr.rn = 1
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated 50th percentile) and deterministic mode
+    per order priority. The mode is computed as count-desc/value-asc
+    row_number — NOT the built-in mode(), whose tie-breaking is
+    engine-specific — so both engines agree on every tie. Both aggregates
+    shuffle on the same 5-value key and the final join is a broadcast of
+    5 rows."""
+    o = load(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        r4(F.median("o_totalprice")).alias("med_price")
+    )
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), "o_orderstatus"
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+    return med.join(F.broadcast(mode), "o_orderpriority")

@@ -259,3 +259,42 @@ def reconcile_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "basket_pairs",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs co-occurring in ≥
+    BASKET_MIN_SUPPORT orders (the candidate-generation step of frequent
+    itemsets). The self-join key is the order key, so pair expansion is
+    bounded by order size squared (≤ ~50 pairs/order — never corpus-
+    quadratic), and the pair-count aggregate map-side combines before its
+    shuffle. At 100 TB the distinct() and the self-join share one
+    hash-partitioning on l_orderkey, which AQE reuses."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= BASKET_MIN_SUPPORT)
+    )

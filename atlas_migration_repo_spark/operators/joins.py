@@ -322,3 +322,61 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tag") == 1)
         .select("purchase_id", "user_id", F.col("last_click").alias("click_id"))
     )
+
+
+RANGE_WIN_US = 600 * 1_000_000  # 10-minute pairing window
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    SELECT a.event_id AS ea, b.event_id AS eb,
+           EPOCH_US(CAST(b.ts AS TIMESTAMP)) - EPOCH_US(CAST(a.ts AS TIMESTAMP))
+             AS delta_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+    WHERE ABS(EPOCH_US(CAST(b.ts AS TIMESTAMP))
+              - EPOCH_US(CAST(a.ts AS TIMESTAMP))) <= {RANGE_WIN_US}
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (interval) self-join — event pairs from the same user within
+    10 minutes — executed as a BINNED equi-join: one side keeps its time
+    bucket ⌊t/W⌋, the other explodes to {b-1, b, b+1}, the join key is
+    (user, bucket), and the exact |Δt| ≤ W predicate filters after.
+    Each qualifying pair matches exactly one candidate bucket, so no
+    dedup pass is needed. The oracle states the same semantics as the
+    naive theta join; the binned plan is the one that scales — a theta
+    join is BroadcastNestedLoop (quadratic), the binned form is a plain
+    hash join whose per-bucket fan-out is bounded by event density, and
+    bucket arithmetic is exact integer µs (`div`), immune to double
+    rounding at bucket edges."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("t_us")
+    )
+    a = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("ea"),
+        F.col("t_us").alias("ta"),
+        F.expr(f"t_us div {RANGE_WIN_US}").alias("bucket"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("eb"),
+        F.col("t_us").alias("tb"),
+        F.explode(
+            F.array(
+                F.expr(f"t_us div {RANGE_WIN_US} - 1"),
+                F.expr(f"t_us div {RANGE_WIN_US}"),
+                F.expr(f"t_us div {RANGE_WIN_US} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        a.join(b, ["u", "bucket"])
+        .where(
+            (F.col("ea") < F.col("eb"))
+            & (F.abs(F.col("tb") - F.col("ta")) <= RANGE_WIN_US)
+        )
+        .select("ea", "eb", (F.col("tb") - F.col("ta")).alias("delta_us"))
+    )
