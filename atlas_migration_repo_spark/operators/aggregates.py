@@ -428,3 +428,26 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return med.join(F.broadcast(mode), "o_orderpriority")
+
+
+@query(
+    "agg_corr",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_r4('CORR(l_quantity, l_extendedprice)')} AS corr_qty_price,
+           {sql_r4('COVAR_SAMP(l_quantity, l_extendedprice)')} AS covar_qty_price,
+           {sql_r4('STDDEV_SAMP(l_extendedprice)')} AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation, sample
+    covariance, and stddev — single-pass, order-independent-up-to-ulp
+    accumulators in both engines (drift ~1e-12 relative, far inside the
+    4-decimal rounding grid; see SURVEY.md §5.4 float policy)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
+        r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+    )

@@ -368,3 +368,55 @@ def extract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01' AS m
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '2001-08-01'
+    ),
+    rev AS (
+      SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+             COUNT(*) AS n_orders,
+             {sql_msum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month,
+           CAST(COALESCE(rev.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(rev.revenue, 0.0) AS DOUBLE) AS revenue
+    FROM months LEFT JOIN rev ON months.m = rev.m
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): generate the full 1995-01…2001-08
+    month calendar recursively, then left-join monthly order revenue so
+    empty months still appear — the calendar-dimension pattern without a
+    physical calendar table. The recursion materializes ~80 rows on the
+    driver side of the plan; the revenue aggregate is the only real
+    shuffle, and the calendar joins broadcast."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01' AS m
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < DATE '2001-08-01'
+        ),
+        rev AS (
+          SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+                 COUNT(*) AS n_orders,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE)
+                   AS revenue
+          FROM v_orders_rec GROUP BY 1
+        )
+        SELECT months.m AS month,
+               COALESCE(rev.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               COALESCE(rev.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        """
+    )

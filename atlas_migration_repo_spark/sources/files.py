@@ -223,3 +223,83 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
         .select("n_nationkey", "n_name", "extended_code")
     )
+
+
+@query(
+    "source_json_corrupt",
+    oracle=f"""
+    SELECT CAST(COUNT(CASE WHEN c_custkey % 50 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+           CAST(COUNT(CASE WHEN c_custkey % 50 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+           {sql_msum('CASE WHEN c_custkey % 50 <> 0 THEN c_acctbal END')} AS good_acctbal
+    FROM customer
+    """,
+)
+def source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on JSON ingest: every 50th record is
+    corrupted before landing; the PERMISSIVE reader null-fills those rows
+    and captures the raw line in a corrupt-record column, and the query
+    audits good/corrupt counts plus a checksum over the surviving rows.
+    This is the quarantine pattern for a production extract — bad records
+    are counted and kept inspectable, never silently dropped, and the
+    stream keeps flowing."""
+    c = load(spark, sf_dir, "customer")
+    path = scratch_path(sf_dir, "customer_json_corrupt")
+    line = F.when(
+        F.col("c_custkey") % 50 == 0,
+        F.concat(F.lit("{broken::"), F.col("c_custkey").cast("string")),
+    ).otherwise(F.to_json(F.struct("c_custkey", "c_name", "c_acctbal")))
+    c.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt").alias("n_corrupt"),
+        msum(F.col("c_acctbal")).alias("good_acctbal"),
+    )
+
+
+@query(
+    "join_dpp",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_msum('value')} AS value_sum
+    FROM events
+    WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-03'
+    GROUP BY event_type
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: events landed partitioned by day, then
+    joined to a small filtered day dimension — Spark injects the dim's
+    day values as a runtime partition filter on the fact scan, so only
+    3 of 30 day-partitions are read (the star-schema scan-killer at
+    100 TB; verified by plan assertion in tests). The fixture's earliest
+    day is 2024-01-01, so the oracle's static 3-day predicate matches
+    the dim exactly."""
+    path = scratch_path(sf_dir, "events_by_day")
+    ev = load(spark, sf_dir, "events")
+    ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.range(30)
+        .select(F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("day"))
+        .where(F.col("day") <= "2024-01-03")
+    )
+    return (
+        fact.join(dim, "day")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value")).alias("value_sum"))
+    )

@@ -164,3 +164,25 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_to_table(spark, sf_dir, "stream_dedup", build, output_mode="append")
+
+
+@query(
+    "stream_global_agg",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_msum('value')} AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unwindowed streaming aggregate in complete output mode — the
+    running-totals dashboard shape. State is one row per event_type (5
+    keys), updated incrementally per micro-batch; the availableNow drain
+    must equal the batch GROUP BY exactly (decimal money-sum state is
+    order-independent, so parity is exact, not approximate)."""
+
+    def build(src: DataFrame) -> DataFrame:
+        return src.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), msum(F.col("value")).alias("value_sum")
+        )
+
+    return run_to_table(spark, sf_dir, "stream_global_agg", build)

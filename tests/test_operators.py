@@ -454,3 +454,20 @@ def test_dedup_chunks_cross_doc_only(spark):
     for r in rows:
         docs_per_hash.setdefault(r["chunk_hash"], set()).add(r["doc_id"])
     assert all(len(d) >= 2 for d in docs_per_hash.values())
+
+
+def test_join_dpp_prunes_partitions(spark):
+    """The day-partitioned fact scan must carry a dynamic pruning
+    expression fed by the dim subquery — only the dim's 3 days are read."""
+    df = QUERIES["join_dpp"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+
+
+def test_recursive_cte_full_calendar(spark):
+    """The recursive month calendar spans 1995-01..2001-08 inclusive (80
+    months) with no gaps, and months with orders carry positive revenue."""
+    rows = QUERIES["sql_recursive_cte"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 80
+    assert all(r["n_orders"] >= 0 and r["revenue"] >= 0.0 for r in rows)
+    assert sum(r["n_orders"] for r in rows) > 0
