@@ -362,3 +362,53 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("freq") * F.col("rank") * 1.0 / F.col("max_freq")).alias("zipf_c"),
         )
     )
+
+
+_EMAIL_RE = "[a-z0-9#]+@[a-z.]+"
+_PHONE_RE = "555-[0-9]+"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH notes AS (
+      SELECT c_custkey,
+             'contact ' || LOWER(c_name) || '@example.com or ' ||
+             LOWER(c_name) || '@corp.net phone 555-' ||
+             CAST(c_custkey AS VARCHAR) AS note
+      FROM customer
+    )
+    SELECT c_custkey,
+           REGEXP_REPLACE(REGEXP_REPLACE(note, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(LEN(REGEXP_EXTRACT_ALL(note, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(note, '{_PHONE_RE}')) AS INT) AS n_phones
+    FROM notes
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrubbing step a training-data (or CCPA/GDPR
+    migration) pipeline runs before text leaves the trust boundary:
+    regex-mask emails and phone-like tokens, and count what was masked
+    per record for the audit log. The fixture corpus carries no PII, so
+    the note column is synthesized deterministically from customer rows;
+    the redaction itself is regexp_replace in whole-stage codegen — a
+    pure scan at any scale. Patterns are shared verbatim with the oracle
+    (ASCII-only, identical in Java and RE2 regex dialects)."""
+    c = load(spark, sf_dir, "customer")
+    note = F.concat(
+        F.lit("contact "),
+        F.lower("c_name"),
+        F.lit("@example.com or "),
+        F.lower("c_name"),
+        F.lit("@corp.net phone 555-"),
+        F.col("c_custkey").cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(note, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count(note, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(note, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+    )

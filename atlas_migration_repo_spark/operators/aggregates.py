@@ -451,3 +451,36 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
         r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
     )
+
+
+SALT_BUCKETS = 16
+
+
+@query(
+    "agg_two_stage_salted",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {sql_msum('value')} AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via explicit two-stage salting: stage 1 groups
+    by (key, salt) so a skewed key's rows spread over SALT_BUCKETS
+    reducers; stage 2 merges the partials. The decimal partial sums stay
+    decimal until the final merge, so the result is bit-identical to the
+    single-stage msum (exact, order-independent) — the oracle is the
+    plain GROUP BY. This is the manual fallback when AQE's skew handling
+    can't kick in (e.g. a single giant group rather than a skewed join)."""
+    ev = load(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(30,8)")).alias("ps"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("ps").cast("decimal(38,4)").cast("double").alias("value_sum"),
+    )

@@ -298,3 +298,68 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= BASKET_MIN_SUPPORT)
     )
+
+
+EWMA_ALPHA = 0.3
+# NOT `1 - EWMA_ALPHA`: the float subtraction yields 0.7000000000000001,
+# a different double than the 0.7 literal the oracle SQL parses — one ulp
+# that surfaces as r4 boundary flips at sf0.1. Both engines must parse the
+# same decimal literal.
+EWMA_BETA = 0.7
+EWMA_LOOKBACK = 20
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id, value,
+             ARRAY_AGG(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING AND CURRENT ROW
+             ) AS vals
+      FROM events
+    )
+    SELECT user_id, event_id,
+           FLOOR(LIST_REDUCE(vals, (acc, x) -> 0.3 * x + 0.7 * acc)
+                 * 10000 + 0.5) / 10000.0 AS ewma
+    FROM v
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over a trailing
+    EWMA_LOOKBACK-sample frame per user (acc ← α·x + (1−α)·acc, seeded
+    with the oldest frame value). The bounded frame is what makes this
+    scale: state per row is ≤20 values regardless of history length
+    (an unbounded EWMA window would be O(n²) memory in partition size).
+    Both engines fold the identical value sequence left-to-right with
+    the identical expression, so raw results are bit-equal — but the
+    final rounding must ALSO be the shared FLOOR(x*1e4+0.5)/1e4 form:
+    folded 2-decimal inputs land within an ulp of exact .00005 ties,
+    where Spark's decimal-repr HALF_UP and DuckDB's scale-in-double
+    ROUND disagree (20/100k rows at sf0.1). An identical IEEE expression
+    tree can't disagree."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_LOOKBACK - 1), Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.expr("slice(vals, 2, size(vals) - 1)"),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(EWMA_BETA) * acc,
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("vals", vals)
+        .select(
+            "user_id",
+            "event_id",
+            (F.floor(ewma * 10000 + 0.5).cast("double") / F.lit(10000.0)).alias(
+                "ewma"
+            ),
+        )
+    )

@@ -380,3 +380,43 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ea", "eb", (F.col("tb") - F.col("ta")).alias("delta_us"))
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_custkey % 7, 0) AS k, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(c_custkey % 7, 0) AS k, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    )
+    SELECT a.k, a.n_orders, b.n_cust
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` ≡ IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing, so the NULL bucket survives
+    the join — the semantics audits need when a nullable business key
+    partitions both sides. NULLs are synthesized via NULLIF (the fixture
+    has none). Still a hash join: Spark plans `<=>` as an equi-join on a
+    null-wrapped key, not a nested loop — same shuffle shape as `=`."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    a = (
+        o.select(F.expr("NULLIF(o_custkey % 7, 0)").alias("ka"))
+        .groupBy("ka")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b = (
+        c.select(F.expr("NULLIF(c_custkey % 7, 0)").alias("kb"))
+        .groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return (
+        a.join(b, a["ka"].eqNullSafe(b["kb"]))
+        .select(F.col("ka").alias("k"), "n_orders", "n_cust")
+    )
