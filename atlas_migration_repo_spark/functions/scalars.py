@@ -472,3 +472,43 @@ def json_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "func_try_safe",
+    oracle=f"""
+    SELECT CAST(COUNT(CASE WHEN l_discount = 0 THEN 1 END) AS BIGINT)
+             AS n_zero_div,
+           {sql_r4('SUM(CASE WHEN l_discount <> 0 THEN 1.0 END)')} AS n_divided,
+           CAST(COUNT(CASE WHEN l_linenumber % 2 = 0 THEN 1 END) AS BIGINT)
+             AS n_cast_ok,
+           {sql_r4("AVG(TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN CAST(CAST(l_quantity AS INT) AS VARCHAR) ELSE l_returnflag END AS DOUBLE))")}
+             AS avg_cast_qty
+    FROM lineitem
+    """,
+)
+def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide nulls on ÷0 instead of
+    failing the job, try_cast nulls on malformed input — the semantics a
+    migration needs when dirty source fields must not kill a 100 TB
+    pass. Divide-by-zero rows are counted via the try_divide NULLs
+    themselves (l_discount==0 exists in the fixture), and a mixed
+    digits/letters column exercises try_cast (quantity is integral in
+    the fixture, so int-string round-trip is exact)."""
+    li = load(spark, sf_dir, "lineitem")
+    safe_div = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    mixed = F.when(
+        F.col("l_linenumber") % 2 == 0,
+        F.col("l_quantity").cast("int").cast("string"),
+    ).otherwise(F.col("l_returnflag"))
+    cast_qty = F.expr(
+        "TRY_CAST(CASE WHEN l_linenumber % 2 = 0 "
+        "THEN CAST(CAST(l_quantity AS INT) AS STRING) "
+        "ELSE l_returnflag END AS DOUBLE)"
+    )
+    return li.select(safe_div.alias("d"), cast_qty.alias("cq")).agg(
+        F.count_if(F.col("d").isNull()).alias("n_zero_div"),
+        r4(F.sum(F.when(F.col("d").isNotNull(), 1.0))).alias("n_divided"),
+        F.count("cq").alias("n_cast_ok"),
+        r4(F.avg("cq")).alias("avg_cast_qty"),
+    )

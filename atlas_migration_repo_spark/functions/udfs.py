@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.oracle import sql_r4
 from atlas_migration_repo_spark.registry import query
 
 
@@ -139,3 +140,31 @@ def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.word, t.wlen FROM _udtf_docs d, LATERAL split_words(d.text) t"
     )
+
+
+@query(
+    "udf_arrow_map",
+    oracle=f"""
+    SELECT p_partkey, {sql_r4('p_retailprice * 1.1')} AS adjusted
+    FROM part
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch tier below pandas UDFs — the UDF
+    receives raw pyarrow RecordBatches (no pandas conversion cost), the
+    right interface for columnar-native Python logic (tokenizers,
+    Arrow-native kernels). Arithmetic via pyarrow.compute is the same
+    IEEE double op as both engines', so parity is exact after r4."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def adjust(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("p_partkey"), pc.multiply(b.column("p_retailprice"), 1.1)],
+                ["p_partkey", "adjusted"],
+            )
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    out = p.mapInArrow(adjust, "p_partkey long, adjusted double")
+    return out.select("p_partkey", r4(F.col("adjusted")).alias("adjusted"))

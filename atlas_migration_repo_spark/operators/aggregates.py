@@ -484,3 +484,31 @@ def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("ps").cast("decimal(38,4)").cast("double").alias("value_sum"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via partitioned roaring-style bitmaps:
+    stage 1 ORs each key's bit positions into one bitmap per
+    (group, 2^15-bucket), stage 2 sums popcounts. Unlike
+    count_distinct's expand-and-dedup (which shuffles every distinct
+    value), the shuffle volume here is one ≤4 KB bitmap per bucket —
+    the mergeable exact-distinct shape that scales to 100 TB and is
+    also incrementally maintainable (bitmaps OR across days). Oracle:
+    plain COUNT(DISTINCT)."""
+    li = load(spark, sf_dir, "lineitem")
+    stage1 = li.groupBy(
+        "l_returnflag",
+        F.bitmap_bucket_number(F.col("l_partkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("l_partkey"))).alias("bm")
+    )
+    return stage1.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_parts")
+    )

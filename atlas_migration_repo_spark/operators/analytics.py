@@ -363,3 +363,70 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+@query("pagerank_nations")  # iterative float fixpoint — rows-only check
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (edge src→dst =
+    customer-nation buys from supplier-nation, weighted by line count) —
+    the iterative-fixpoint pattern on DataFrames. The edge list is built
+    once from the fact tables, aggregated to ≤625 weighted edges, and
+    localCheckpoint-ed; each of PR_ITERS iterations is a tiny
+    edges⋈ranks join + groupBy, with the per-iteration checkpoint
+    truncating lineage (same discipline as dedup_clusters/embed_kmeans —
+    without it, optimizer time grows superlinearly in iterations). At
+    real graph scale the identical loop runs partitioned by dst with the
+    rank vector shuffled, not broadcast. Rows-only: an iterated float
+    fixpoint has no SQL oracle; invariants are unit-tested."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    edges_n = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("wn")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges_n.join(ranks, edges_n.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("wn")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - PR_DAMPING) / n)
+                    + F.lit(PR_DAMPING) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ranks.join(F.broadcast(nat), ranks.node == nat.n_nationkey)
+        .select("n_name", r4(F.col("rank")).alias("rank"))
+        .orderBy("n_name")
+    )

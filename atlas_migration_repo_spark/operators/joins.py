@@ -420,3 +420,71 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a["ka"].eqNullSafe(b["kb"]))
         .select(F.col("ka").alias("k"), "n_orders", "n_cust")
     )
+
+
+ASOF_TOL_US = 3600 * 1_000_000  # 1-hour staleness bound
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           (SELECT c.click_id FROM clicks c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+              AND c.ts >= p.ts - INTERVAL 1 HOUR
+            ORDER BY c.ts DESC LIMIT 1) AS click_id
+    FROM purchases p
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: each purchase gets the
+    user's latest click at-or-before it, but only if that click is within
+    1 hour — older context is considered stale and nulls out (the market-
+    data 'max lookback' semantic). Same union + running-last shape as
+    join_asof — one shuffle, no pair explosion — except the carried state
+    is a (ts, id) struct so the tolerance check happens after the match.
+    The oracle states the semantics as a correlated top-1 subquery."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    tagged = clicks.select(
+        "user_id", "ts", F.lit(0).alias("tag"),
+        F.struct(F.col("ts").alias("cts"), "click_id").alias("c"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", F.lit(1).alias("tag"),
+            F.lit(None).cast("struct<cts:timestamp,click_id:long>").alias("c"),
+            "purchase_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_c = F.last("c", ignorenulls=True).over(w)
+    fresh = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(last_c.getField("cts"))
+    ) <= ASOF_TOL_US
+    return (
+        tagged.withColumn(
+            "click_id", F.when(fresh, last_c.getField("click_id"))
+        )
+        .where(F.col("tag") == 1)
+        .select("purchase_id", "user_id", "click_id")
+    )

@@ -471,3 +471,18 @@ def test_recursive_cte_full_calendar(spark):
     assert len(rows) == 80
     assert all(r["n_orders"] >= 0 and r["revenue"] >= 0.0 for r in rows)
     assert sum(r["n_orders"] for r in rows) > 0
+
+
+def test_pagerank_invariants(spark):
+    """Ranks form a (sub-)distribution: each >= (1-d)/N, total <= 1 and
+    close to 1 (dangling mass only), 25 nations, deterministic rerun."""
+    from atlas_migration_repo_spark.operators.analytics import PR_DAMPING
+
+    rows = {r["n_name"]: r["rank"] for r in QUERIES["pagerank_nations"].fn(spark, SF_DIR).collect()}
+    n = len(rows)
+    assert n == 25
+    total = sum(rows.values())
+    assert 0.9 <= total <= 1.0 + 1e-6, total
+    assert all(v >= (1 - PR_DAMPING) / n - 1e-9 for v in rows.values())
+    rows2 = {r["n_name"]: r["rank"] for r in QUERIES["pagerank_nations"].fn(spark, SF_DIR).collect()}
+    assert rows == rows2
