@@ -303,3 +303,66 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), msum(F.col("value")).alias("value_sum"))
     )
+
+
+PAGED_ROWS = 1000
+PAGED_PAGE_SIZE = 250
+
+
+@query(
+    "source_python_ds",
+    oracle=f"""
+    SELECT CAST(i // {PAGED_PAGE_SIZE} AS INT) AS page,
+           COUNT(*) AS n,
+           SUM((i * 37) % 1000 / 4.0) AS amount_sum
+    FROM RANGE({PAGED_ROWS}) t(i)
+    GROUP BY 1
+    """,
+)
+def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python Data Source API — the
+    idiomatic home for the reference's Salesforce extract boundary: a
+    REST-paged source becomes one InputPartition per page, so pages pull
+    in parallel across executors with no driver loop. This one emits a
+    deterministic synthetic feed (id, page, amount); a real SOQL
+    connector swaps the row generator for an HTTP page fetch and keeps
+    the exact same partition-per-page shape (amounts are exact binary
+    quarters, so the sum needs no float policy)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class PagedReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows", str(PAGED_ROWS)))
+            self.page_size = int(options.get("page_size", str(PAGED_PAGE_SIZE)))
+
+        def partitions(self):
+            n_pages = -(-self.rows // self.page_size)
+            return [InputPartition(p) for p in range(n_pages)]
+
+        def read(self, partition):
+            page = partition.value
+            start = page * self.page_size
+            for i in range(start, min(start + self.page_size, self.rows)):
+                yield (i, page, (i * 37) % 1000 / 4.0)
+
+    class PagedExtractSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "paged_extract"
+
+        def schema(self) -> str:
+            return "id bigint, page int, amount double"
+
+        def reader(self, schema) -> DataSourceReader:
+            return PagedReader(self.options)
+
+    spark.dataSource.register(PagedExtractSource)
+    feed = (
+        spark.read.format("paged_extract")
+        .option("rows", str(PAGED_ROWS))
+        .option("page_size", str(PAGED_PAGE_SIZE))
+        .load()
+    )
+    return feed.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amount_sum")
+    )

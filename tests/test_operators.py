@@ -486,3 +486,33 @@ def test_pagerank_invariants(spark):
     assert all(v >= (1 - PR_DAMPING) / n - 1e-9 for v in rows.values())
     rows2 = {r["n_name"]: r["rank"] for r in QUERIES["pagerank_nations"].fn(spark, SF_DIR).collect()}
     assert rows == rows2
+
+
+def test_transform_with_state_gated(spark):
+    """transformWithStateInPandas registers only when the protobuf runtime
+    works (this container's google.protobuf is broken — documented gap,
+    mirroring the absent spark-avro jar). When available, it must match
+    the batch per-user min/max/count."""
+    from atlas_migration_repo_spark.streaming.stateful import (
+        stream_transform_with_state,
+        tws_available,
+    )
+
+    if not tws_available():
+        assert "stream_transform_with_state" not in QUERIES
+        return
+    from atlas_migration_repo_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["value_min"], r["value_max"])
+        for r in stream_transform_with_state(spark, SF_DIR).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], r["mn"], r["mx"])
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert got == exp
