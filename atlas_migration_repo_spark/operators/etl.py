@@ -420,3 +420,65 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN rev ON months.m = rev.m
         """
     )
+
+
+@query(
+    "obs_metrics",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(CASE WHEN l_quantity >= 45 THEN 1 END) AS BIGINT)
+             AS n_large,
+           {sql_msum('l_extendedprice')} AS total_price
+    FROM lineitem
+    """,
+)
+def obs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production observability via DataFrame.observe(): row count,
+    domain-violation count, and an exact checksum ride along on the SAME
+    pass as the real work — zero extra scans, which is the only
+    affordable way to audit a 100 TB job (a separate validation query
+    would double the I/O). The observed metrics are collected from the
+    listener-side Observation and re-emitted as a 1-row DataFrame so the
+    oracle can check them exactly."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_audit")
+    audited = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity") >= 45).alias("n_large"),
+        msum(F.col("l_extendedprice")).alias("total_price"),
+    )
+    audited.write.format("noop").mode("overwrite").save()  # the "real work"
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], m["total_price"])],
+        "n_rows bigint, n_large bigint, total_price double",
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_totalprice > 300000
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args=...)): the injection-safe
+    templating surface for an orchestrated pipeline — Airflow passes the
+    threshold as a bind parameter, not string interpolation, and the plan
+    cache can reuse the parsed query across runs."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE)
+                 AS total
+        FROM v_orders_param WHERE o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 300000},
+    )

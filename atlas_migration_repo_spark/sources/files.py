@@ -366,3 +366,41 @@ def source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.groupBy("page").agg(
         F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amount_sum")
     )
+
+
+# small so the split shows even at sf0.001 (~450 rows/flag); a real
+# deployment sizes this to ~128 MB of encoded rows
+SORTED_SINK_MAX_RECORDS = 200
+
+
+@query(
+    "sink_sorted_files",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {sql_msum('l_extendedprice')} AS sum_price
+    FROM lineitem WHERE l_quantity >= 40
+    GROUP BY l_returnflag
+    """,
+)
+def sink_sorted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruning-friendly file layout: repartition by the partition column,
+    sortWithinPartitions on the probe column (ship date), and cap file
+    size with maxRecordsPerFile. Each emitted file then covers a tight,
+    non-overlapping ship-date range (verified by a unit test on the
+    parquet footers' implied min/max), so a date-range query at 100 TB
+    skips whole files on row-group statistics — the poor man's Z-order,
+    free at write time. The oracle checks data fidelity through the
+    round-trip."""
+    path = scratch_path(sf_dir, "lineitem_sorted")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 40)
+    (
+        li.repartition("l_returnflag")
+        .sortWithinPartitions("l_returnflag", "l_shipdate", "l_orderkey")
+        .write.option("maxRecordsPerFile", SORTED_SINK_MAX_RECORDS)
+        .mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), msum(F.col("l_extendedprice")).alias("sum_price")
+    )

@@ -516,3 +516,31 @@ def test_transform_with_state_gated(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_sink_sorted_files_nonoverlapping_ranges(spark):
+    """After the sorted sink, each partition directory's files must cover
+    pairwise non-overlapping l_shipdate ranges (what makes min/max
+    row-group pruning effective), and there must be >1 file somewhere
+    (maxRecordsPerFile actually split)."""
+    from atlas_migration_repo_spark.sources.files import scratch_path
+
+    QUERIES["sink_sorted_files"].fn(spark, SF_DIR).collect()
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(scratch_path(SF_DIR, "lineitem_sorted"))
+    per_file = (
+        back.groupBy(
+            "l_returnflag", F.input_file_name().alias("f")
+        )
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+        .collect()
+    )
+    by_flag: dict[str, list] = {}
+    for r in per_file:
+        by_flag.setdefault(r["l_returnflag"], []).append((r["lo"], r["hi"]))
+    assert any(len(v) > 1 for v in by_flag.values()), "expected file splits"
+    for flag, ranges in by_flag.items():
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (flag, (lo1, hi1), (lo2, hi2))
