@@ -482,3 +482,108 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 300000},
     )
+
+
+SYNC_CUTOFF = "2000-01-01"
+
+
+@query(
+    "pipeline_migration_sync",
+    oracle=f"""
+    WITH landed AS (
+      SELECT * FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '{SYNC_CUTOFF}'
+    ),
+    hwm AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS w FROM landed),
+    extracted AS (
+      SELECT o.* FROM orders o, hwm WHERE CAST(o.o_orderdate AS DATE) > hwm.w
+    ),
+    dq AS (
+      SELECT CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+               + CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM extracted
+                        GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT)
+               AS violations
+      FROM extracted
+    ),
+    applied AS (
+      SELECT * FROM landed UNION ALL SELECT * FROM extracted
+    ),
+    recon AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_mismatch
+      FROM (SELECT o_orderkey, MD5(CONCAT_WS('|', CAST(o_orderkey AS VARCHAR),
+                     CAST(o_totalprice AS VARCHAR), o_orderstatus)) AS h
+            FROM orders) s
+      FULL JOIN (SELECT o_orderkey, MD5(CONCAT_WS('|', CAST(o_orderkey AS VARCHAR),
+                     CAST(o_totalprice AS VARCHAR), o_orderstatus)) AS h
+            FROM applied) t
+        USING (o_orderkey)
+      WHERE s.h IS DISTINCT FROM t.h
+    )
+    SELECT (SELECT COUNT(*) FROM landed) AS n_landed,
+           (SELECT COUNT(*) FROM extracted) AS n_extracted,
+           (SELECT violations FROM dq) AS n_dq_violations,
+           (SELECT COUNT(*) FROM applied) AS n_applied,
+           (SELECT n_mismatch FROM recon) AS n_mismatch
+    """,
+)
+def pipeline_migration_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole scheduled sync loop as ONE verified plan:
+    landed zone → high-watermark incremental extract → DQ gate (null FKs
+    + duplicate PKs) → apply (append of the strictly-newer slice) →
+    row-hash reconciliation of applied-vs-source. Returns the run
+    summary an orchestrator (Airflow in the reference) would log; the
+    invariants n_landed + n_extracted == n_applied and n_mismatch == 0
+    are checked exactly by the oracle. Spark runs the five stages as
+    independent branches over two scans of orders (landed/extract reuse
+    one), each stage its own tiny aggregate."""
+    o = load(spark, sf_dir, "orders")
+    landed = o.where(as_date(F.col("o_orderdate")) < SYNC_CUTOFF)
+    hwm = landed.agg(F.max(as_date(F.col("o_orderdate"))).alias("w"))
+    extracted = o.crossJoin(F.broadcast(hwm)).where(
+        as_date(F.col("o_orderdate")) > F.col("w")
+    ).drop("w")
+
+    dup_pk = (
+        extracted.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    null_fk = extracted.agg(
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null")
+    )
+    applied = landed.unionByName(extracted)
+
+    def rowhash(df):
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_totalprice").cast("string"),
+                    F.col("o_orderstatus"),
+                )
+            ).alias("h"),
+        )
+
+    s, t = rowhash(o), rowhash(applied).withColumnRenamed("h", "h_t")
+    recon = (
+        s.join(t, "o_orderkey", "full")
+        .where(~F.col("h").eqNullSafe(F.col("h_t")))
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+    )
+
+    def scalar(df, col, name):
+        return df.select(F.col(col).alias(name))
+
+    return (
+        scalar(landed.agg(F.count(F.lit(1)).alias("c")), "c", "n_landed")
+        .crossJoin(scalar(extracted.agg(F.count(F.lit(1)).alias("c")), "c", "n_extracted"))
+        .crossJoin(
+            null_fk.crossJoin(dup_pk).select(
+                (F.col("n_null") + F.col("n_dup")).alias("n_dq_violations")
+            )
+        )
+        .crossJoin(scalar(applied.agg(F.count(F.lit(1)).alias("c")), "c", "n_applied"))
+        .crossJoin(recon)
+    )

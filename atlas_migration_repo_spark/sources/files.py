@@ -404,3 +404,98 @@ def sink_sorted_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"), msum(F.col("l_extendedprice")).alias("sum_price")
     )
+
+
+STREAM_PAGES = 4
+STREAM_PAGE_SIZE = 100
+
+
+@query(
+    "source_python_stream",
+    oracle=f"""
+    SELECT CAST(i // {STREAM_PAGE_SIZE} AS INT) AS page,
+           COUNT(*) AS n,
+           SUM((i * 37) % 1000 / 4.0) AS amount_sum
+    FROM RANGE({STREAM_PAGES * STREAM_PAGE_SIZE}) t(i)
+    GROUP BY 1
+    """,
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of source_python_ds: a Python Data Source
+    SimpleDataSourceStreamReader whose offset IS the page cursor — each
+    micro-batch pulls the next page, exactly the polling CDC-extract
+    loop the reference schedules (offset checkpointing gives exactly-once
+    page delivery; readBetweenOffsets replays on recovery). The feed is
+    finite here (offset stops advancing when pages are exhausted), and
+    the complete-mode aggregate over the drained stream must equal the
+    batch computation over the same id range — exact, since amounts are
+    binary quarters."""
+    import time
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    def _page_rows(p: int):
+        return [
+            (i, p, (i * 37) % 1000 / 4.0)
+            for i in range(p * STREAM_PAGE_SIZE, (p + 1) * STREAM_PAGE_SIZE)
+        ]
+
+    class FeedReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.total_pages = int(options.get("pages", str(STREAM_PAGES)))
+
+        def initialOffset(self):
+            return {"page": 0}
+
+        def read(self, start):
+            p = start["page"]
+            if p >= self.total_pages:
+                return iter([]), {"page": p}
+            return iter(_page_rows(p)), {"page": p + 1}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                [r for p in range(start["page"], end["page"]) for r in _page_rows(p)]
+            )
+
+    class PagedStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "paged_stream"
+
+        def schema(self) -> str:
+            return "id bigint, page int, amount double"
+
+        def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+            return FeedReader(self.options)
+
+    spark.dataSource.register(PagedStreamSource)
+    sink = "paged_stream_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.format("paged_stream")
+            .option("pages", str(STREAM_PAGES))
+            .load()
+            .groupBy("page")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("amount_sum"))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT SUM(n) AS t FROM {sink}").collect()
+            if rows and rows[0]["t"] == STREAM_PAGES * STREAM_PAGE_SIZE:
+                break
+            time.sleep(1)
+        else:
+            raise TimeoutError("paged stream did not drain within 90s")
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
