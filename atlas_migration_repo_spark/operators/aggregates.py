@@ -512,3 +512,23 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage1.groupBy("l_returnflag").agg(
         F.sum(F.bitmap_count("bm")).alias("n_parts")
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg, new in Spark 4 / ISO SQL:2023
+    LISTAGG ... WITHIN GROUP): the report-friendly dual of
+    collect_list+array_join, with the WITHIN GROUP order making the
+    result deterministic — unordered listagg would be shuffle-order-
+    dependent and could never hash-match."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nations")
+    )

@@ -499,3 +499,36 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@query("source_xml", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML round-trip (built into Spark 4 — no external package):
+    nation → XML documents → read back with an explicit schema (no
+    inference pass, same determinism rule as CSV/JSON ingest). XML is
+    the interchange format legacy enterprise sources actually emit, so
+    the landing layer must read it; int/string survive the text
+    round-trip exactly."""
+    path = scratch_path(sf_dir, "nation_xml")
+    (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(path)
+    )
