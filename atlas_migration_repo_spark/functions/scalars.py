@@ -512,3 +512,37 @@ def func_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("cq").alias("n_cast_ok"),
         r4(F.avg("cq")).alias("avg_cast_qty"),
     )
+
+
+@query(
+    "map_hof_funcs",
+    oracle="""
+    WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+    SELECT l_orderkey, l_linenumber, k, v
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'qty' AS k, l_quantity * 2 AS v
+      FROM src
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'disc_pct', l_discount * 100 * 2
+      FROM src
+    )
+    WHERE v > 10
+    """,
+)
+def map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a per-row metric map, double
+    every value (transform_values), drop small ones (map_filter), and
+    explode the surviving entries. The oracle computes the same entries
+    from first principles (per-key UNION ALL + predicate), so the map
+    pipeline is verified against plain relational semantics. All map ops
+    are per-row expressions — no shuffle until a downstream aggregate."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("disc_pct"), F.col("l_discount") * 100,
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v > 10)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.explode(kept).alias("k", "v")
+    )

@@ -127,3 +127,47 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct semantics): finished-order customers with no
     pending order."""
     return _buyers(spark, sf_dir, "F").subtract(_buyers(spark, sf_dir, "P"))
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT l_quantity, COUNT(*) AS n
+    FROM (
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT ALL
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    )
+    GROUP BY l_quantity
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): multiplicities subtract instead
+    of collapsing — the semantics reconciliation needs when duplicate
+    rows are legitimate (event logs). Spark plans exceptAll as a
+    count-annotated aggregate + generate, one shuffle on the value."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_quantity")
+    r = li.where(F.col("l_returnflag") == "R").select("l_quantity")
+    return a.exceptAll(r).groupBy("l_quantity").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_quantity, COUNT(*) AS n
+    FROM (
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT ALL
+      SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    )
+    GROUP BY l_quantity
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): min-of-multiplicities per
+    value — the overlap measure between two event populations."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "A").select("l_quantity")
+    r = li.where(F.col("l_returnflag") == "R").select("l_quantity")
+    return a.intersectAll(r).groupBy("l_quantity").agg(F.count(F.lit(1)).alias("n"))
