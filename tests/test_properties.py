@@ -111,3 +111,60 @@ def test_stream_tumbling_conserves_events(spark):
     total = load(spark, SF_DIR, "events").count()
     windows = QUERIES["stream_tumbling"].fn(spark, SF_DIR).collect()
     assert sum(r["n"] for r in windows) == total
+
+
+_money = st.lists(
+    st.decimals(
+        min_value=-1_000_000, max_value=1_000_000, places=2, allow_nan=False
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=_money)
+@_hyp
+def test_msum_twin_matches_duckdb_for_any_2dp_input(spark, vals):
+    """The msum/sql_msum twins must agree EXACTLY for arbitrary 2dp money
+    values — the invariant every oracle-checked SUM in the engine rests
+    on (decimal accumulation is order-independent; the 4dp rounding and
+    final double cast behave identically in both engines)."""
+    import duckdb
+
+    from atlas_migration_repo_spark.catalog import msum
+    from atlas_migration_repo_spark.oracle import sql_msum
+
+    fvals = [float(v) for v in vals]
+    got = (
+        _df(spark, [(0, "", v) for v in fvals])
+        .agg(msum(F.col("value")).alias("s"))
+        .collect()[0]["s"]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in fvals])
+    exp = con.execute(f"SELECT {sql_msum('x')} FROM t").fetchone()[0]
+    assert got == exp, (got, exp)
+
+
+@given(
+    x=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+)
+@_hyp
+def test_shared_floor_rounding_matches_duckdb(spark, x):
+    """The shared FLOOR(x*1e4+0.5)/1e4 rounding (used where engine ROUND
+    implementations diverge on exact ties — see ts_ewma) must be
+    bit-identical across engines for any double."""
+    import duckdb
+
+    got = (
+        _df(spark, [(0, "", x)])
+        .select(
+            (F.floor(F.col("value") * 10000 + 0.5).cast("double") / F.lit(10000.0)).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    exp = duckdb.connect().execute(
+        "SELECT FLOOR(? * 10000 + 0.5) / 10000.0", [x]
+    ).fetchone()[0]
+    assert got == exp, (got, exp)
