@@ -546,3 +546,27 @@ def map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber", F.explode(kept).alias("k", "v")
     )
+
+
+@query(
+    "func_inline",
+    oracle="""
+    SELECT n_nationkey, kind, code
+    FROM (
+      SELECT n_nationkey, 'self' AS kind, n_nationkey * 10 AS code FROM nation
+      UNION ALL
+      SELECT n_nationkey, 'region', n_regionkey * 100 FROM nation
+    )
+    """,
+)
+def func_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(): explode an array of structs into columns in one step —
+    the generator for nested repeated groups (line items inside an order
+    document, attachments inside a record). The struct array here is
+    built in-row, and the oracle states the same rows relationally."""
+    n = load(spark, sf_dir, "nation")
+    arr = F.array(
+        F.struct(F.lit("self").alias("kind"), (F.col("n_nationkey") * 10).alias("code")),
+        F.struct(F.lit("region").alias("kind"), (F.col("n_regionkey") * 100).alias("code")),
+    )
+    return n.select("n_nationkey", F.inline(arr))

@@ -488,3 +488,34 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tag") == 1)
         .select("purchase_id", "user_id", "click_id")
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join — top-2 customers per nation expressed as
+    a per-row subquery instead of a window. Catalyst decorrelates the
+    LATERAL + LIMIT into the same shuffle-once windowed plan as
+    topk_per_group, which is the point: the SQL surface accepts the
+    correlated formulation, the engine still runs the scalable one."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("v_nation_lat")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM v_nation_lat n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM v_customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
