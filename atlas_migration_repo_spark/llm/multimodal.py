@@ -173,3 +173,69 @@ def extract_media_features(
             )
 
     return df.mapInPandas(run, schema=_MEDIA_SCHEMA)
+
+
+FRAME_BYTES = 16
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_head", T.IntegerType()),
+    ]
+)
+
+
+@query(
+    "multimodal_framesample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(ASCII(SUBSTRING(text, i * {FRAME_BYTES} + 1, 1)) AS INT) AS frame_head
+    FROM t, UNNEST(GENERATE_SERIES(0, CAST(CEIL(n / {FRAME_BYTES}.0) AS INT) - 1,
+                                   {FRAME_STRIDE})) AS u(i)
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads: treat the binary as
+    fixed-FRAME_BYTES frames and keep every FRAME_STRIDE-th one — the
+    video keyframe-subsampling shape. The sampler is mapInPandas over
+    Arrow batches emitting (doc_id, frame_idx, frame head byte): one
+    Python pass per payload, fan-out bounded by len/stride, all
+    downstream processing back on JVM columns. A real video pipeline
+    swaps the byte-slice for a codec keyframe read at identical batch
+    shape. Payloads are ASCII text here, so the oracle recomputes frames
+    with SUBSTRING arithmetic."""
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, heads = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = -(-len(payload) // FRAME_BYTES)
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    heads.append(payload[i * FRAME_BYTES])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_head": pd.Series(heads, dtype="int32"),
+                }
+            )
+
+    return d.mapInPandas(sample, schema=_FRAME_SCHEMA)
+
+
+def resize_image(payload: bytes, mime: str, width: int, height: int) -> bytes:
+    """STUB: real impl would decode, resample to (width, height), and
+    re-encode (PIL/cv2 absent here). Deliberately NotImplemented — no
+    fake pixels; the distributed shape is extract_media_features with a
+    decoder that returns resized bytes."""
+    raise NotImplementedError(
+        "image resize requires a codec library not present in this environment; "
+        "wire a real resizer into extract_media_features(decoder=...)"
+    )

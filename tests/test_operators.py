@@ -544,3 +544,14 @@ def test_sink_sorted_files_nonoverlapping_ranges(spark):
         ranges.sort()
         for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
             assert hi1 <= lo2, (flag, (lo1, hi1), (lo2, hi2))
+
+
+def test_resize_stub_raises():
+    """The resize stub must refuse loudly (no fake pixels), same contract
+    as the decode stubs."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.llm.multimodal import resize_image
+
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"xx", "image/png", 8, 8)
