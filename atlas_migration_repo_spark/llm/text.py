@@ -412,3 +412,29 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(note, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
         F.regexp_count(note, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g') AS norm_text,
+           CAST(LEN(STRING_SPLIT(REGEXP_REPLACE(TRIM(LOWER(text)), ' +', ' ', 'g'),
+                                 ' ')) AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — lowercase, trim, collapse internal
+    whitespace — the first stage of every dedup/quality pipeline (hash
+    and shingle comparisons are only meaningful post-normalization).
+    Pure string expressions in whole-stage codegen; a Unicode NFC pass
+    would slot in here as one more JVM-side function at identical
+    cost shape."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+    )

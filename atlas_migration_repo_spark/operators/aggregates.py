@@ -532,3 +532,65 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nations")
     )
+
+
+# moment formulas shared verbatim by both engines: the power sums are exact
+# (integral quantities, decimal accumulation), so identical double
+# expression trees give bit-identical moments up to libm pow — r4 absorbs
+# that last ulp.
+_MOMENT_EXPRS = {
+    "mean_q": "s1 / n",
+    "var_q": "s2 / n - (s1 / n) * (s1 / n)",
+    "skew_q": (
+        "(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+        " / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5)"
+    ),
+    "kurt_q": (
+        "(s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+        " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+        " / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3"
+    ),
+}
+
+
+@query(
+    "agg_moments",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           {sql_r4(_MOMENT_EXPRS['mean_q'])} AS mean_q,
+           {sql_r4(_MOMENT_EXPRS['var_q'])} AS var_q,
+           {sql_r4(_MOMENT_EXPRS['skew_q'])} AS skew_q,
+           {sql_r4(_MOMENT_EXPRS['kurt_q'])} AS kurt_q
+    FROM s
+    """,
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population mean/variance/skewness/kurtosis from one-pass EXACT
+    power sums: quantities are integral, so Σx..Σx⁴ accumulate exactly in
+    decimal and merge associatively — the mergeable-moments pattern that
+    computes full distribution shape at 100 TB with map-side partials
+    and a 4-number state per group. The built-in skewness/kurtosis are
+    deliberately avoided: their bias corrections differ between engines,
+    while first-principles moments over exact sums are bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q.cast("decimal(30,8)")).cast("double").alias("s1"),
+        F.sum((q * q).cast("decimal(30,8)")).cast("double").alias("s2"),
+        F.sum((q * q * q).cast("decimal(30,8)")).cast("double").alias("s3"),
+        F.sum((q * q * q * q).cast("decimal(30,8)")).cast("double").alias("s4"),
+    )
+    return s.select(
+        "l_returnflag",
+        *[r4(F.expr(e)).alias(name) for name, e in _MOMENT_EXPRS.items()],
+    )
