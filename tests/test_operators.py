@@ -555,3 +555,36 @@ def test_resize_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         resize_image(b"xx", "image/png", 8, 8)
+
+
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin: each is
+# a deliberate 1-row scalar broadcast (watermark, scalar-subquery threshold,
+# corpus count, block pairing) — linear cost, not a quadratic join.
+_BNLJ_ALLOWED = {
+    "pipeline_migration_sync",
+    "q11_important_stock",
+    "q22_dormant_customers",
+    "sim_knn_join",
+    "text_tfidf",
+}
+
+
+def test_headline_plan_guardrails(spark):
+    """Physical-plan quality gate over the headline set (bench + TPC-H
+    goldens + pipelines): no CartesianProduct ever, and nested-loop joins
+    only where a 1-row scalar broadcast makes them linear. A regression
+    here is a 100 TB incident caught at unit-test time."""
+    import re
+
+    from atlas_migration_repo_spark.plans.inspect import physical_plan
+
+    checked = 0
+    for name, qd in sorted(QUERIES.items()):
+        if "bench" not in qd.tags and not re.match(r"^q\d+_|^pipeline_", name):
+            continue
+        plan = physical_plan(qd.fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name}: CartesianProduct"
+        if name not in _BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+        checked += 1
+    assert checked >= 30  # bench set + 22 goldens + pipelines
