@@ -38,3 +38,25 @@ def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.where(F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp")).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@query(
+    "scan_cached",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def scan_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memory tier: cache() materializes the scan into compressed
+    columnar batches on first action; every later query reads
+    InMemoryTableScan instead of parquet (verified by plan test) — the
+    right treatment for a dimension read by dozens of queries per job.
+    At cluster scale the same call distributes the cache across executor
+    storage memory with partition-level eviction."""
+    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal").cache()
+    c.count()  # materialize
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double").alias("bal"),
+    )

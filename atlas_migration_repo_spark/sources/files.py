@@ -532,3 +532,30 @@ def source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(schema)
         .load(path)
     )
+
+
+@query(
+    "sink_compressed",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n, {sql_msum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec selection at the landing layer: the same table written with
+    zstd (higher ratio, the cold-storage default) and snappy (faster,
+    the hot-path default); the query reads the zstd copy back and must
+    round-trip exactly. A unit test asserts the zstd files are smaller —
+    at 100 TB the codec choice is a double-digit storage/egress
+    percentage, chosen per table temperature."""
+    o = load(spark, sf_dir, "orders")
+    for codec in ("zstd", "snappy"):
+        (
+            o.write.mode("overwrite")
+            .option("compression", codec)
+            .parquet(scratch_path(sf_dir, f"orders_{codec}"))
+        )
+    back = spark.read.parquet(scratch_path(sf_dir, "orders_zstd"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), msum(F.col("o_totalprice")).alias("total")
+    )

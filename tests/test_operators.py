@@ -588,3 +588,70 @@ def test_headline_plan_guardrails(spark):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
         checked += 1
     assert checked >= 30  # bench set + 22 goldens + pipelines
+
+
+def test_scan_cached_hits_memory(spark):
+    """After scan_cached runs, its aggregate plan must read from the
+    in-memory columnar cache, not parquet."""
+    df = QUERIES["scan_cached"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
+def test_sink_compressed_zstd_smaller(spark):
+    """zstd output must be materially smaller than snappy on the same
+    rows (the premise of codec-per-temperature)."""
+    import os
+
+    from atlas_migration_repo_spark.sources.files import scratch_path
+
+    QUERIES["sink_compressed"].fn(spark, SF_DIR).collect()
+
+    def size(key):
+        base = scratch_path(SF_DIR, key)
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(base)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    z, s = size("orders_zstd"), size("orders_snappy")
+    assert 0 < z < s, (z, s)
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """File-source streaming with a checkpoint must deliver each record
+    exactly once across a stop/restart: half the data in run 1, the rest
+    in run 2, zero duplicate event_ids at the sink."""
+    import shutil
+
+    from atlas_migration_repo_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    src_dir, sink_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    total = ev.count()
+    ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .parquet(src_dir)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(sink_dir).count()
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src_dir)
+    run_once()
+    out = spark.read.parquet(sink_dir)
+    assert n1 < total
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
