@@ -594,3 +594,95 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         *[r4(F.expr(e)).alias(name) for name, e in _MOMENT_EXPRS.items()],
     )
+
+
+# Linear-regression aggregates from exact decimal power sums. Twin
+# expressions (same text both engines, evaluated over bit-identical
+# double inputs) — see agg_moments for why this beats the built-in
+# regr_* (engine-specific update formulas drift in the last ulps).
+# x = l_quantity (integral), y = l_discount (2dp): every power/cross
+# sum is ≤4dp-exact, so ROUND(dec, 4) before the double cast is
+# lossless and the scaled integer stays far under 2^53.
+_REGR_EXPRS = {
+    "slope": "(n * sxy - sx * sy) / (n * sxx - sx * sx)",
+    "icept": "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n",
+    "r2": "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))",
+}
+
+_REGR_SUMS = {
+    "sx": "l_quantity",
+    "sy": "l_discount",
+    "sxx": "l_quantity * l_quantity",
+    "syy": "l_discount * l_discount",
+    "sxy": "l_quantity * l_discount",
+}
+
+
+@query(
+    "agg_linreg",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {', '.join(f"CAST(ROUND(SUM(CAST(({e}) AS DECIMAL(30,8))), 4) AS DOUBLE) AS {k}" for k, e in _REGR_SUMS.items())}
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_rows,
+           {', '.join(f"{e} AS {k}" for k, e in _REGR_EXPRS.items())}
+    FROM s
+    """,
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope/intercept/R² per group from one-pass mergeable sums —
+    the regression analogue of agg_moments. At 100 TB this is a 6-number
+    state per group merged associatively map-side; no second pass over
+    the data and no engine-version-dependent covariance update order. A
+    unit test cross-checks against the built-in regr_slope/regr_r2."""
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[
+            F.round(F.sum(F.expr(e).cast("decimal(30,8)")), 4).cast("double").alias(k)
+            for k, e in _REGR_SUMS.items()
+        ],
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        *[F.expr(e).alias(k) for k, e in _REGR_EXPRS.items()],
+    )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rt,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal ASC, c_custkey ASC) AS rb
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rt = 1 THEN c_custkey END) AS top_cust,
+           MAX(CASE WHEN rt = 1 THEN c_acctbal END) AS top_bal,
+           MAX(CASE WHEN rb = 1 THEN c_custkey END) AS bot_cust,
+           MAX(CASE WHEN rb = 1 THEN c_acctbal END) AS bot_bal
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin as single-pass aggregates: max_by/min_by over a
+    (value, key) struct makes ties deterministic without a window sort.
+    At 100 TB this is the difference between a full shuffle+sort per
+    group (the oracle's ROW_NUMBER formulation) and a constant-size
+    map-side combine state — same answer, one pass, no sort."""
+    c = load(spark, sf_dir, "customer")
+    top = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", top).alias("top_cust"),
+        F.max("c_acctbal").alias("top_bal"),
+        F.min_by("c_custkey", top).alias("bot_cust"),
+        F.min("c_acctbal").alias("bot_bal"),
+    )

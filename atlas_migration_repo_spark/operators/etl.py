@@ -587,3 +587,68 @@ def pipeline_migration_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(scalar(applied.agg(F.count(F.lit(1)).alias("c")), "c", "n_applied"))
         .crossJoin(recon)
     )
+
+
+@query(
+    "merge_full",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 AS o_orderkey, 'O' AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 500 = 0
+    )
+    SELECT s.o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL THEN s.o_orderstatus
+                WHEN s.o_orderstatus = 'P' THEN 'F'
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN t.o_orderkey IS NULL THEN s.o_totalprice
+                WHEN s.o_orderstatus = 'P' THEN s.o_totalprice * 1.05
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NOT NULL
+    """,
+)
+def merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE semantics on plain parquet — all three clauses:
+    WHEN MATCHED AND src pending THEN UPDATE (finalize at +5%),
+    WHEN NOT MATCHED THEN INSERT (the re-keyed new orders),
+    WHEN NOT MATCHED BY SOURCE THEN DELETE (keys the source feed
+    dropped — here every 7th). One full outer join on the key, one
+    shuffle; with Delta/Iceberg the same plan becomes file-level MERGE
+    with deletion vectors. Complements upsert_snapshot (update+insert
+    only, left join) by exercising the delete branch."""
+    t = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base = load(spark, sf_dir, "orders")
+    src = (
+        base.where(F.col("o_orderkey") % 7 != 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .unionByName(
+            base.where(F.col("o_orderkey") % 500 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                F.col("o_totalprice"),
+            )
+        )
+    )
+    s = src.select(
+        F.col("o_orderkey").alias("s_key"),
+        F.col("o_orderstatus").alias("s_status"),
+        F.col("o_totalprice").alias("s_price"),
+    )
+    j = t.join(s, t.o_orderkey == s.s_key, "full_outer")
+    matched_missing = F.col("o_orderkey").isNull()
+    update = F.col("s_status") == "P"
+    return j.where(F.col("s_key").isNotNull()).select(
+        F.col("s_key").alias("o_orderkey"),
+        F.when(matched_missing, F.col("s_status"))
+        .when(update, F.lit("F"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(matched_missing, F.col("s_price"))
+        .when(update, F.col("s_price") * 1.05)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )

@@ -655,3 +655,51 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     assert out.count() == total
     assert out.select("event_id").distinct().count() == total
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_agg_linreg_matches_builtin(spark):
+    """First-principles OLS from power sums must agree with the built-in
+    regr_slope/regr_intercept/regr_r2 to float tolerance."""
+    from pyspark.sql import functions as F
+
+    from atlas_migration_repo_spark.catalog import load
+
+    ours = {r["l_returnflag"]: r for r in QUERIES["agg_linreg"].fn(spark, SF_DIR).collect()}
+    ref = {
+        r["l_returnflag"]: r
+        for r in load(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("regr_slope(l_discount, l_quantity)").alias("slope"),
+            F.expr("regr_intercept(l_discount, l_quantity)").alias("icept"),
+            F.expr("regr_r2(l_discount, l_quantity)").alias("r2"),
+        )
+        .collect()
+    }
+    assert set(ours) == set(ref)
+    for k in ours:
+        for c in ("slope", "icept", "r2"):
+            assert abs(ours[k][c] - ref[k][c]) < 1e-6, (k, c, ours[k][c], ref[k][c])
+
+
+def test_merge_full_clause_accounting(spark):
+    """Every MERGE branch must move the row counts it claims: deletes
+    remove exactly the %7 keys, inserts add exactly the re-keyed rows,
+    and updated rows carry the finalized status."""
+    from pyspark.sql import functions as F
+
+    from atlas_migration_repo_spark.catalog import load
+
+    out = QUERIES["merge_full"].fn(spark, SF_DIR)
+    base = load(spark, SF_DIR, "orders")
+    n_target = base.count()
+    n_deleted = base.where(F.col("o_orderkey") % 7 == 0).count()
+    n_inserted = base.where(F.col("o_orderkey") % 500 == 0).count()
+    assert out.count() == n_target - n_deleted + n_inserted
+    # delete branch: no surviving original key is divisible by 7
+    assert out.where((F.col("o_orderkey") < 20000000) & (F.col("o_orderkey") % 7 == 0)).count() == 0
+    # update branch: no pending rows remain among originals
+    assert (
+        out.where((F.col("o_orderkey") < 20000000) & (F.col("o_orderstatus") == "P")).count() == 0
+    )
+    assert out.where(F.col("o_orderkey") >= 20000000).count() == n_inserted
