@@ -189,3 +189,44 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@query(
+    "corpus_mix_weights",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (
+      SELECT source, n,
+             CAST(FLOOR(POWER(CAST(n AS DOUBLE) / CAST((SELECT SUM(n) FROM s) AS DOUBLE), 0.3)
+                        * 10000 + 0.5) AS DOUBLE) AS q
+      FROM s
+    )
+    SELECT source, n AS n_docs,
+           CAST(q AS DOUBLE) / CAST((SELECT SUM(q) FROM t) AS DOUBLE) AS mix_weight
+    FROM t
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing weights (the mT5/XLM-R α=0.3
+    recipe): sampling weight ∝ (corpus share)^α, normalized — upsamples
+    tail sources so a training run is not dominated by the largest
+    crawl. The per-source share^α is floor-quantized to the shared 4dp
+    grid before normalization so both engines normalize identical
+    integers (POWER is not guaranteed bit-identical across libms).
+
+    Scale shape: one count-agg shuffle to source granularity (a handful
+    of rows), then window normalization over that tiny set — the 100 TB
+    input collapses before any non-associative math happens."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    q = F.floor(
+        F.pow(F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 0.3) * 10000
+        + 0.5
+    ).cast("double")
+    t = s.select("source", F.col("n").alias("n_docs"), q.alias("q"))
+    return t.select(
+        "source",
+        "n_docs",
+        (F.col("q").cast("double") / F.sum("q").over(w).cast("double")).alias("mix_weight"),
+    )

@@ -438,3 +438,53 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.size(F.split(norm, " ")).alias("n_tokens"),
     )
+
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+    ug AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_total FROM tok),
+    scored AS (
+      SELECT t.doc_id,
+             FLOOR(LN(CAST(ug.cnt AS DOUBLE) / CAST(n.n_total AS DOUBLE)) * 10000 + 0.5) AS q
+      FROM tok t JOIN ug USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           (CAST(SUM(CAST(q AS DECIMAL(30,8))) AS DOUBLE) / 10000.0)
+             / CAST(COUNT(*) AS DOUBLE) AS lm_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (CCNet-style perplexity
+    filtering, reduced to its distributable core): train corpus unigram
+    probabilities in one pass, then score each document by mean token
+    log-probability. High-|logprob| docs are gibberish/outliers; the
+    score feeds the quality-filter stage of a training-data pipeline.
+
+    Scale shape: the LM itself is the vocab-sized unigram table —
+    broadcast to every executor, so scoring is scan + broadcast-join +
+    per-doc agg (one shuffle on doc_id). Per-token log-probs are
+    floor-quantized to 4dp (the shared-grid trick, see ts_ewma) so the
+    per-doc mean is an EXACT decimal sum — order-independent, hence
+    deterministic under any partitioning, which is what makes the score
+    reproducible run-to-run at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words()).alias("word"))
+    ug = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    n = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+    scored = (
+        tok.join(F.broadcast(ug), "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", F.floor(logp * 10000 + 0.5).alias("q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            (F.sum(F.col("q").cast("decimal(30,8)")).cast("double") / 10000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("lm_logprob"),
+    )

@@ -703,3 +703,45 @@ def test_merge_full_clause_accounting(spark):
         out.where((F.col("o_orderkey") < 20000000) & (F.col("o_orderstatus") == "P")).count() == 0
     )
     assert out.where(F.col("o_orderkey") >= 20000000).count() == n_inserted
+
+
+def test_corpus_mix_weights_temperature(spark):
+    """Weights must (a) sum to 1, (b) keep the size order, (c) be flatter
+    than proportional sampling — the entire point of temperature α<1."""
+    rows = QUERIES["corpus_mix_weights"].fn(spark, SF_DIR).collect()
+    tot_w = sum(r["mix_weight"] for r in rows)
+    assert abs(tot_w - 1.0) < 1e-9
+    n_total = sum(r["n_docs"] for r in rows)
+    by_size = sorted(rows, key=lambda r: r["n_docs"])
+    weights = [r["mix_weight"] for r in by_size]
+    assert weights == sorted(weights)  # order preserved
+    for r in rows:
+        share = r["n_docs"] / n_total
+        if share < 1 / len(rows):
+            assert r["mix_weight"] > share  # tail upsampled
+        elif share > 1 / len(rows):
+            assert r["mix_weight"] < share  # head downsampled
+
+
+def test_text_lm_score_flags_rare_token_docs(spark):
+    """Docs whose tokens are corpus-rare must score lower (more negative
+    mean log-prob) than docs of corpus-common tokens: the score must
+    rank a doc made of the most common words above one of the rarest."""
+    from pyspark.sql import functions as F
+
+    from atlas_migration_repo_spark.catalog import load
+
+    out = QUERIES["text_lm_score"].fn(spark, SF_DIR)
+    assert out.where(F.col("lm_logprob") >= 0).count() == 0
+    assert out.count() == load(spark, SF_DIR, "documents").count()
+    # correlation between a doc's mean token frequency and its score
+    # must be strongly positive (the score IS mean log frequency)
+    tok = load(spark, SF_DIR, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    ug = tok.groupBy("word").count()
+    mean_cnt = (
+        tok.join(ug, "word").groupBy("doc_id").agg(F.avg(F.log("count")).alias("mean_logcnt"))
+    )
+    corr = out.join(mean_cnt, "doc_id").agg(F.corr("lm_logprob", "mean_logcnt")).first()[0]
+    assert corr > 0.99
