@@ -230,3 +230,77 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("q").cast("double") / F.sum("q").over(w).cast("double")).alias("mix_weight"),
     )
+
+
+@query(
+    "chunk_sliding",
+    oracle="""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w, UNNEST(GENERATE_SERIES(1, LEN(w), 16)) AS start FROM t)
+    SELECT doc_id, CAST(start AS INT) AS chunk_start,
+           CAST(LEN(w[start:start+31]) AS INT) AS n_words,
+           MD5(ARRAY_TO_STRING(w[start:start+31], ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-word windows, stride 16): the RAG /
+    context-packing primitive where adjacent chunks overlap by half so
+    no semantic span is cut at a boundary. Start offsets come from
+    sequence(); the window slice + hash are array expressions in
+    whole-stage codegen — zero shuffles, output is ~2× input tokens by
+    construction (disjoint chunking is dedup_chunks). At 100 TB this is
+    a pure map stage that scales linearly with input splits."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", words().alias("w"))
+    s = t.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(16))).alias("start"),
+    )
+    chunk = F.slice(F.col("w"), F.col("start"), 32)
+    return s.select(
+        "doc_id",
+        F.col("start").cast("int").alias("chunk_start"),
+        F.size(chunk).cast("int").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    q AS (
+      SELECT doc_id,
+             LEAST(1.0, LEN(w) / 64.0) * (LEN(LIST_FILTER(w, x -> LENGTH(x) > 4)) * 1.0 / LEN(w)) AS score,
+             CAST(CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS DOUBLE) / 16777216.0 AS u
+      FROM t
+    )
+    SELECT doc_id, {sql_r4('score')} AS quality_score, {sql_r4('u')} AS u01
+    FROM q WHERE u < score
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep a document with
+    probability equal to its text_quality score, decided by comparing
+    the score against a content-addressed uniform draw (first 24 bits of
+    md5(doc_id) scaled to [0,1)). Unlike rand() this is reproducible
+    across runs, engines, partitionings, and retries — the property that
+    makes a 100 TB corpus sample auditable — and it is a scan-level
+    filter: no shuffle, composes with pushdown, and the acceptance test
+    is the same expression on both engines bit-for-bit."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(words())
+    long_ratio = F.size(F.filter(words(), lambda x: F.length(x) > 4)) * F.lit(1.0) / n_tok
+    score = F.least(F.lit(1.0), n_tok / F.lit(64.0)) * long_ratio
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / 16777216.0
+    )
+    return (
+        d.select("doc_id", score.alias("score"), u.alias("u"))
+        .where(F.col("u") < F.col("score"))
+        .select("doc_id", r4(F.col("score")).alias("quality_score"), r4(F.col("u")).alias("u01"))
+    )

@@ -44,6 +44,13 @@ def get_spark(
         # converts ns → µs TimestampType (floor), matching DuckDB's CAST
         # to TIMESTAMP semantics.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Runtime bloom-filter semi-join reduction: when one join side is
+        # selectively filtered, Catalyst builds a bloom filter from it and
+        # pushes might_contain onto the other side's scan — at 100 TB this
+        # prunes shuffle input by orders of magnitude. Thresholds are left
+        # at defaults (10MB creation side); tests/test_operators.py proves
+        # the injection fires by lowering them on a fixture join.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

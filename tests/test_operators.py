@@ -745,3 +745,41 @@ def test_text_lm_score_flags_rare_token_docs(spark):
     )
     corr = out.join(mean_cnt, "doc_id").agg(F.corr("lm_logprob", "mean_logcnt")).first()[0]
     assert corr > 0.99
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """With the application-side size threshold lowered to fixture scale,
+    Catalyst must inject a bloom-filter semi-join reduction (the
+    might_contain runtime filter) on the probe side of a selective
+    shuffle join — the 100 TB shuffle-pruning path session.py enables."""
+    from atlas_migration_repo_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        o = load(spark, SF_DIR, "orders").where(F.col("o_orderstatus") == "P")
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
