@@ -570,3 +570,74 @@ def func_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("region").alias("kind"), (F.col("n_regionkey") * 100).alias("code")),
     )
     return n.select("n_nationkey", F.inline(arr))
+
+
+@query(
+    "func_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(30,8))), 4) AS DOUBLE) AS charged
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def func_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (CREATE FUNCTION ... RETURN expr): business logic
+    named once in pure SQL and composed (charged() calls disc_price()).
+    Unlike Python UDFs these are inlined by the analyzer — the physical
+    plan is identical to writing the expression inline, so they run in
+    whole-stage codegen at full JVM speed; the right tool for shared
+    expression libraries at 100 TB. Oracle inlines the same expressions."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)"
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_udf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(ROUND(SUM(CAST(disc_price(l_extendedprice, l_discount) AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue,
+               CAST(ROUND(SUM(CAST(charged(l_extendedprice, l_discount, l_tax) AS DECIMAL(30,8))), 4) AS DOUBLE) AS charged
+        FROM li_udf GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "str_collation",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+                  ELSE CONCAT(UPPER(SUBSTRING(c_mktsegment, 1, 1)),
+                              LOWER(SUBSTRING(c_mktsegment, 2))) END AS tag
+      FROM customer
+    )
+    SELECT COUNT(DISTINCT tag) AS n_spellings,
+           COUNT(DISTINCT LOWER(tag)) AS n_ci_distinct,
+           CAST(SUM(CASE WHEN LOWER(tag) = 'building' THEN 1 ELSE 0 END) AS BIGINT) AS n_building_ci
+    FROM t
+    """,
+)
+def str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: case-insensitive equality and DISTINCT via
+    UTF8_LCASE, no lower() rewrites in user code. The mixed-case tag
+    column (half the rows re-cased) collapses from 10 spellings to 5
+    under the collation, and the CI comparison matches both casings.
+    Collation-aware grouping keeps pushdown/codegen intact — the oracle
+    states the same semantics with explicit LOWER()."""
+    c = load(spark, sf_dir, "customer")
+    tag = F.expr(
+        "CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment "
+        "ELSE CONCAT(UPPER(SUBSTRING(c_mktsegment, 1, 1)), LOWER(SUBSTRING(c_mktsegment, 2))) END"
+    )
+    return c.select(tag.alias("tag")).agg(
+        F.countDistinct("tag").alias("n_spellings"),
+        F.countDistinct(F.expr("COLLATE(tag, 'UTF8_LCASE')")).alias("n_ci_distinct"),
+        F.sum(F.expr("CAST(tag = 'bUiLdInG' COLLATE UTF8_LCASE AS BIGINT)")).alias(
+            "n_building_ci"
+        ),
+    )
