@@ -168,3 +168,52 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     out = p.mapInArrow(adjust, "p_partkey long, adjusted double")
     return out.select("p_partkey", r4(F.col("adjusted")).alias("adjusted"))
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF over a TABLE argument with PARTITION BY /
+    ORDER BY: the engine shuffles and sorts each user's events, streams
+    them through one Python instance in event-time order, and terminate()
+    emits the per-user summary — arbitrary ordered per-group logic (rung
+    5 of the UDF cost ladder, the batch twin of stream_stateful). At
+    100 TB this costs exactly one shuffle on the partition key plus an
+    Arrow-batched Python pass per group."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, last_value double")
+    class UserDigest:
+        def __init__(self) -> None:
+            self.user = None
+            self.n = 0
+            self.last = None
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            self.last = row["value"]
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.last
+
+    spark.udtf.register("user_digest", UserDigest)
+    load(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id"
+    ).createOrReplaceTempView("ev_udtf")
+    return spark.sql(
+        "SELECT * FROM user_digest(TABLE(ev_udtf) PARTITION BY user_id ORDER BY (ts, event_id))"
+    )

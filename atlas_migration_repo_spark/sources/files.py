@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from atlas_migration_repo_spark.catalog import load, msum
+from atlas_migration_repo_spark.catalog import as_date, load, msum
 from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
 
@@ -558,4 +558,91 @@ def sink_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(scratch_path(sf_dir, "orders_zstd"))
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), msum(F.col("o_totalprice")).alias("total")
+    )
+
+
+# Morton (Z-order) interleave of two 16-bit dimensions, unrolled to a
+# 32-term integer sum (bit i of a → bit 2i, bit i of b → bit 2i+1).
+# Dimensions are first min-max-normalized to the full 16-bit range —
+# without that, a narrow dimension contributes only low-order z bits and
+# coarse z splits degenerate to single-column clustering. All integer
+# arithmetic, exact in both engines, so the same term list is rendered
+# per dialect and hashes identically.
+def _z_terms(shift_fmt: str) -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"({shift_fmt.format(col='a_s', i=i)}) * {4 ** i}")
+        terms.append(f"({shift_fmt.format(col='b_s', i=i)}) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+def zorder_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders with both z dimensions normalized to 0..65535 and the
+    interleaved zval — shared by the zorder_cluster query and the
+    file-layout skipping test."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_custkey").alias("a"),
+        F.datediff(as_date(F.col("o_orderdate")), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("b"),
+    )
+    stats = d.agg(
+        F.min("a").alias("amin"),
+        F.max("a").alias("amax"),
+        F.min("b").alias("bmin"),
+        F.max("b").alias("bmax"),
+    )
+    n = d.crossJoin(F.broadcast(stats)).select(
+        "a",
+        "b",
+        F.expr("((a - amin) * 65535) DIV greatest(1, amax - amin)").alias("a_s"),
+        F.expr("((b - bmin) * 65535) DIV greatest(1, bmax - bmin)").alias("b_s"),
+    )
+    return n.select(
+        "a", "b", "a_s", "b_s", F.expr(_z_terms("shiftright({col}, {i}) & 1")).alias("zval")
+    )
+
+
+@query(
+    "zorder_cluster",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_custkey AS a,
+             DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS b
+      FROM orders
+    ),
+    st AS (SELECT MIN(a) AS amin, MAX(a) AS amax, MIN(b) AS bmin, MAX(b) AS bmax FROM d),
+    nr AS (
+      SELECT a, b,
+             ((a - amin) * 65535) // GREATEST(1, amax - amin) AS a_s,
+             ((b - bmin) * 65535) // GREATEST(1, bmax - bmin) AS b_s
+      FROM d CROSS JOIN st
+    ),
+    z AS (SELECT a, b, {_z_terms('({col} >> {i}) & 1')} AS zval FROM nr)
+    SELECT zval >> 24 AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(a) AS min_cust, MAX(a) AS max_cust,
+           MIN(b) AS min_day, MAX(b) AS max_day
+    FROM z GROUP BY zval >> 24
+    """,
+)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering — the OPTIMIZE ZORDER BY equivalent
+    for multi-dimensional data skipping on plain parquet: min-max
+    normalize (customer, order-day) to a common 16-bit range, interleave
+    their bits, and sort/bucket by the single z-value so BOTH dimensions
+    stay locally bounded in every file — parquet min-max footers then
+    prune scans for predicates on either column. This query groups by
+    the top-8-bit z prefix and returns each bucket's per-dim envelope;
+    the unit test writes a z-range-partitioned layout and asserts both
+    envelopes shrink. The stats pass is one tiny broadcast; the sort is
+    the only shuffle — exactly a table OPTIMIZE's cost shape at 100 TB."""
+    z = zorder_frame(spark, sf_dir)
+    return z.groupBy(F.expr("shiftright(zval, 24)").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("a").alias("min_cust"),
+        F.max("a").alias("max_cust"),
+        F.min("b").alias("min_day"),
+        F.max("b").alias("max_day"),
     )

@@ -131,3 +131,67 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(path)
+
+
+@query(
+    "stream_upsert_cdc",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: the change feed arrives in micro-batches
+    (maxFilesPerTrigger=1 over a 4-file landing zone) and foreachBatch
+    MERGEs each batch into a keyed snapshot — latest (ts, event_id) per
+    user wins. The final snapshot is the global per-key argmax, so the
+    result is independent of how the feed is batched — the invariant
+    that makes streaming upserts retry- and reorder-safe. Each merge is
+    one shuffle of |snapshot ∪ batch| on the key; on a lakehouse table
+    the same foreachBatch body becomes MERGE INTO with file pruning."""
+    import os
+
+    src = scratch_path(sf_dir, "cdc_src")
+    snap = scratch_path(sf_dir, "cdc_snapshot")
+    for p in (src, snap):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    for i in range(4):
+        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.mode("append").parquet(src)
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        s = F.max_by(
+            F.struct("event_id", "value", "ts"), F.struct("ts", "event_id")
+        ).alias("s")
+        return df.groupBy("user_id").agg(s).select("user_id", "s.*")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        upd = latest_per_user(batch_df)
+        if os.path.isdir(snap):
+            upd = latest_per_user(spark.read.parquet(snap).unionByName(upd))
+        tmp = snap + "_tmp"
+        upd.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(snap, ignore_errors=True)
+        os.rename(tmp, snap)
+
+    q = (
+        spark.readStream.schema("event_id long, user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(snap).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )

@@ -783,3 +783,34 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_bounds_both_dims(spark, tmp_path):
+    """Range-partitioning files by the interleaved z-value must confine
+    BOTH dimensions per file: with 16 z-range files, each dimension's
+    average per-file envelope must shrink well below its global span
+    (that envelope is exactly what parquet min-max footer skipping
+    prunes on)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from atlas_migration_repo_spark.sources.files import zorder_frame
+
+    d = zorder_frame(spark, SF_DIR)
+    path = str(tmp_path / "zsorted")
+    d.repartitionByRange(16, "zval").write.mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path).withColumn("f", F.col("_metadata.file_path"))
+    per_file = back.groupBy("f").agg(
+        (F.max("a") - F.min("a")).alias("span_a"),
+        (F.max("b") - F.min("b")).alias("span_b"),
+    )
+    spans = per_file.agg(F.avg("span_a").alias("sa"), F.avg("span_b").alias("sb")).first()
+    g = d.agg(
+        (F.max("a") - F.min("a")).alias("ga"), (F.max("b") - F.min("b")).alias("gb")
+    ).first()
+    # 16 z-range files ≈ 4×4 grid: each dim's envelope ≈ 1/4 of global
+    assert spans["sa"] < 0.5 * g["ga"], (spans["sa"], g["ga"])
+    assert spans["sb"] < 0.5 * g["gb"], (spans["sb"], g["gb"])
+    shutil.rmtree(path, ignore_errors=True)
