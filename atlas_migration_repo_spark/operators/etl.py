@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import as_date, load, msum
+from atlas_migration_repo_spark.catalog import as_date, load, msum, r4
 from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.files import scratch_path
@@ -651,4 +651,80 @@ def merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(update, F.col("s_price") * 1.05)
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
+    )
+
+
+@query(
+    "ivm_incremental_agg",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the materialized aggregate state is
+    NOT recomputed when a delta arrives — the delta is aggregated alone
+    and merged into the old state (count adds, decimal-exact sums add).
+    This is partial aggregation made explicit at the pipeline level: the
+    merge touches |groups| rows regardless of history size, so a 100 TB
+    base table costs nothing per increment. The oracle recomputes from
+    scratch; hash-equality proves the algebra (sums stay decimal until
+    the final 4dp round, so merge order cannot drift)."""
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("date")
+    dec = F.col("o_totalprice").cast("decimal(30,8)")
+
+    def agg_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s")
+        )
+
+    base = agg_state(o.where(as_date(F.col("o_orderdate")) < cutoff))
+    delta = agg_state(o.where(as_date(F.col("o_orderdate")) >= cutoff)).select(
+        "o_orderstatus", F.col("n").alias("dn"), F.col("s").alias("ds")
+    )
+    zero = F.lit(0).cast("decimal(30,8)")
+    merged = base.join(delta, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
+        (F.coalesce(F.col("s"), zero) + F.coalesce(F.col("ds"), zero)).alias("s"),
+    )
+    return merged.select(
+        "o_orderstatus", "n", F.round(F.col("s"), 4).cast("double").alias("total")
+    )
+
+
+@query(
+    "dq_skew_profile",
+    oracle="""
+    WITH k AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(MIN(cnt) AS BIGINT) AS min_cnt,
+           (ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0) AS avg_cnt,
+           (ROUND(CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                  / CAST(SUM(cnt) AS DOUBLE), 4) + 0.0) AS skew_ratio
+    FROM k
+    """,
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight check that decides
+    between a plain shuffle join, salting, or AQE skew handling: per-key
+    cardinality profile collapsed to one row (key count, min/max/avg
+    occupancy, and max/avg skew ratio). Two cheap aggregations; at
+    100 TB this is the profile you compute BEFORE committing to a join
+    strategy, not after a straggler appears."""
+    o = load(spark, sf_dir, "orders")
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        r4(F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_cnt"),
+        r4(
+            F.max("cnt").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("skew_ratio"),
     )

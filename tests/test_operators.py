@@ -814,3 +814,16 @@ def test_zorder_layout_bounds_both_dims(spark, tmp_path):
     assert spans["sa"] < 0.5 * g["ga"], (spans["sa"], g["ga"])
     assert spans["sb"] < 0.5 * g["gb"], (spans["sb"], g["gb"])
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivm_merge_plan_is_incremental(spark):
+    """The IVM query must aggregate base and delta separately and merge
+    with a full outer join on the group key — NOT re-aggregate the union
+    (two HashAggregate pairs + one join in the plan)."""
+    plan = (
+        QUERIES["ivm_incremental_agg"].fn(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin FullOuter" in plan or "ShuffledHashJoin FullOuter" in plan or (
+        "FullOuter" in plan
+    ), plan[:1500]
