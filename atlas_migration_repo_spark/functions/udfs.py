@@ -217,3 +217,40 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT * FROM user_digest(TABLE(ev_udtf) PARTITION BY user_id ORDER BY (ts, event_id))"
     )
+
+
+@query(
+    "udaf_grouped_arrow",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow (Spark 4): each group arrives as ONE pyarrow
+    Table with no pandas conversion — the zero-copy rung between
+    applyInPandas and JVM aggregates. Money is summed as exact integer
+    cents (2dp × 100 sits within 1e-10 of an integer, so every rounding
+    mode agrees), keeping the result independent of intra-group row
+    order — the same order-independence discipline as catalog.msum."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def digest(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)), pa.int64())
+        return pa.table(
+            {
+                "o_orderstatus": [t["o_orderstatus"][0].as_py()],
+                "n": [t.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    out = o.groupBy("o_orderstatus").applyInArrow(
+        digest, "o_orderstatus string, n long, total_cents long"
+    )
+    return out.select(
+        "o_orderstatus", "n", (F.col("total_cents").cast("double") / 100.0).alias("total")
+    )

@@ -54,3 +54,27 @@ def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("double").alias("nationkey"),
     )
     return c.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@query(
+    "pivot_transpose",
+    oracle="""
+    SELECT 'n' AS key,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'F') AS F,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'O') AS O,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'P') AS P
+    """,
+)
+def pivot_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): flip a tall per-status metric table
+    into one wide row — the report-layout twin of pivot() that needs no
+    aggregate because rows are already unique. Transpose materializes the
+    (small) frame on the driver side of the plan, so it belongs strictly
+    AFTER aggregation has collapsed 100 TB to a handful of rows."""
+    o = load(spark, sf_dir, "orders")
+    tall = (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+    return tall.transpose()
