@@ -348,3 +348,58 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("chunk_hash")
     )
     return c.join(dup, "chunk_hash").select("doc_id", "chunk_idx", "chunk_hash")
+
+
+_SWEEP_TAUS = ("0.2", "0.3", "0.5", "0.7")
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, UNNEST({SQL_SHINGLES}) AS shingle FROM w),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    j AS (SELECT i * 1.0 / (sa.n + sb.n - i) AS jac
+          FROM inter
+          JOIN sizes sa ON da = sa.doc_id
+          JOIN sizes sb ON db = sb.doc_id)
+    SELECT {', '.join(f"CAST(SUM(CASE WHEN jac >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_t{t.replace('.', '')}" for t in _SWEEP_TAUS)}
+    FROM j
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration: candidate-pair counts at several
+    Jaccard cutoffs from ONE pass over the exact pair similarities — the
+    query you run on a corpus sample before committing a τ to a 100 TB
+    MinHash dedup (each τ step changes removal volume non-linearly).
+    Costs exactly one inverted-index self-join regardless of how many
+    thresholds are swept; the comparison uses the raw IEEE ratio, which
+    is bit-identical in both engines, so counts cannot straddle a tie."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .select((F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("jac"))
+    )
+    return j.agg(
+        *[
+            F.sum(F.when(F.col("jac") >= float(t), 1).otherwise(0)).alias(
+                f"n_t{t.replace('.', '')}"
+            )
+            for t in _SWEEP_TAUS
+        ]
+    )
