@@ -641,3 +641,26 @@ def str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_building_ci"
         ),
     )
+
+
+@query(
+    "str_mask",
+    oracle="""
+    SELECT c_custkey,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             c_name || '#' || CAST(c_custkey AS VARCHAR),
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked
+    FROM customer
+    """,
+)
+def str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in mask(): shape-preserving PII masking (upper→X, lower→x,
+    digit→n, punctuation kept) — the display-layer complement of
+    text_pii_redact's detect-and-replace. One codegen'd expression, no
+    regex engine on the hot path; the oracle states the same transform
+    as chained character-class replaces."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask(F.concat_ws("#", F.col("c_name"), F.col("c_custkey"))).alias("masked"),
+    )

@@ -728,3 +728,27 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cnt").cast("double")
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "sql_identifier",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, {sql_msum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER(:param) templating (Spark 4): table and column names
+    bound as parameters instead of f-string SQL — the injection-safe way
+    a migration framework iterates one audited query shape over hundreds
+    of extracted objects. The parameter is resolved at analysis time, so
+    planning/pushdown are identical to a literal name."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("obj_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(IDENTIFIER(:col) AS DECIMAL(30,8))), 4) AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl) GROUP BY o_orderstatus
+        """,
+        args={"tbl": "obj_orders", "col": "o_totalprice"},
+    )
