@@ -488,3 +488,58 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("lm_logprob"),
     )
+
+
+@query(
+    "text_lm_bigram",
+    oracle="""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM t, UNNEST(GENERATE_SERIES(1, LEN(w)-1)) AS s(i)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS cnt2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS cnt1 FROM bg GROUP BY w1),
+    scored AS (
+      SELECT bg.doc_id,
+             FLOOR(LN(CAST(cnt2 AS DOUBLE) / CAST(cnt1 AS DOUBLE)) * 10000 + 0.5) AS q
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           (CAST(SUM(CAST(q AS DECIMAL(30,8))) AS DOUBLE) / 10000.0)
+             / CAST(COUNT(*) AS DOUBLE) AS lm_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional LM score: mean log P(w_i | w_{i-1}) per doc
+    with probabilities estimated from the corpus itself — the
+    next-fidelity step after text_lm_score's unigram model (repetitive
+    or shuffled-word gibberish scores low here even when its unigrams
+    look normal). Same scale shape: both count tables are vocab²-bounded
+    → broadcast; per-token log-probs floor-quantize to the shared 4dp
+    grid so the per-doc mean is an exact, order-independent decimal sum."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", words().alias("w"))
+    bg = t.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        F.element_at("w", F.col("i")).alias("w1"),
+        F.element_at("w", F.col("i") + 1).alias("w2"),
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    logp = F.log(F.col("cnt2").cast("double") / F.col("cnt1").cast("double"))
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select("doc_id", F.floor(logp * 10000 + 0.5).alias("q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            (F.sum(F.col("q").cast("decimal(30,8)")).cast("double") / 10000.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("lm_bigram_logprob"),
+    )
