@@ -168,3 +168,30 @@ def test_shared_floor_rounding_matches_duckdb(spark, x):
         "SELECT FLOOR(? * 10000 + 0.5) / 10000.0", [x]
     ).fetchone()[0]
     assert got == exp, (got, exp)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_interleave_bijective(spark, pairs):
+    """The Morton interleave must be a bijection on 16-bit pairs: both
+    inputs recover exactly by de-interleaving the z-value, and z is
+    monotone in each dimension with the other fixed at 0."""
+    from pyspark.sql import functions as F
+
+    from atlas_migration_repo_spark.sources.files import _z_terms
+
+    df = spark.createDataFrame(pairs, "a_s long, b_s long")
+    z = df.select("a_s", "b_s", F.expr(_z_terms("shiftright({col}, {i}) & 1")).alias("z"))
+    dec_a = " + ".join(f"((z >> {2 * i}) & 1) * {2 ** i}" for i in range(16))
+    dec_b = " + ".join(f"((z >> {2 * i + 1}) & 1) * {2 ** i}" for i in range(16))
+    out = z.select(
+        "a_s", "b_s", F.expr(dec_a).alias("da"), F.expr(dec_b).alias("db")
+    ).collect()
+    for r in out:
+        assert r["da"] == r["a_s"] and r["db"] == r["b_s"], r
