@@ -576,3 +576,53 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mae"),
         )
     )
+
+
+@query("embed_pca_power")  # iterative + driver-side eigensolve → rows-only
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus, the one-pass
+    distributed way: each partition reduces its Arrow batches to a
+    single (n, Σx, ΣxᵀX) partial — 1 + 64 + 64² numbers — partials are
+    collected (never the data), the driver forms the 64×64 covariance
+    and runs power iteration there. This is exactly treeAggregate-shaped
+    PCA: at 100 TB the shuffle carries |partitions| rows of 4k doubles,
+    and the driver solve is O(dim²) regardless of corpus size. Sign is
+    fixed (first nonzero loading positive) so output is stable;
+    iterative + float-merge order → rows-only gate, with unit-test
+    invariants (unit norm, Rayleigh quotient ≈ eigenvalue)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "sx": [x.sum(axis=0).tolist()],
+                    "sxx": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+    rows = e.mapInPandas(
+        partials, "n long, sx array<double>, sxx array<double>"
+    ).collect()
+    rows.sort(key=lambda r: (r["n"], r["sx"][0]))  # deterministic merge order
+    n = sum(r["n"] for r in rows)
+    sx = np.sum([np.array(r["sx"]) for r in rows], axis=0)
+    sxx = np.sum([np.array(r["sxx"]).reshape(64, 64) for r in rows], axis=0)
+    mu = sx / n
+    cov = sxx / n - np.outer(mu, mu)
+    v = np.ones(64) / 8.0
+    for _ in range(100):
+        v = cov @ v
+        v /= np.linalg.norm(v)
+    eigval = float(v @ cov @ v)
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    out = [(int(i), float(v[i]), eigval) for i in range(64)]
+    return spark.createDataFrame(out, "dim int, loading double, eigval double")

@@ -272,3 +272,46 @@ def win_percent_rank_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.percent_rank().over(w_pr)).alias("pr"),
         F.nth_value("o_totalprice", 2).over(w_nth).alias("second_highest"),
     )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id,
+             LIST_SORT(LIST(value) OVER (PARTITION BY user_id
+                                         ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS fr
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN LEN(fr) % 2 = 1 THEN fr[(LEN(fr) + 1) // 2]
+                ELSE (fr[LEN(fr) // 2] + fr[LEN(fr) // 2 + 1]) / 2.0 END AS moving_median
+    FROM s
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median (5-row trailing frame per user): the robust-trend
+    twin of win_moving_avg — order statistics over a window frame, which
+    neither engine exposes directly as an exact windowed aggregate, so
+    both state the identical sorted-frame midpoint formula (1-based
+    element_at ≡ DuckDB list subscripts; the even-count midpoint is one
+    IEEE add+divide, bit-exact). Frames are O(k) arrays, so cost is
+    k·rows after one shuffle on user — the same shape at any scale."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id", "user_id", F.array_sort(F.collect_list("value").over(w)).alias("fr")
+    )
+    n = F.size("fr")
+    med = F.when(
+        n % 2 == 1, F.element_at("fr", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at("fr", (n / 2).cast("int")) + F.element_at("fr", (n / 2 + 1).cast("int")))
+        / 2.0
+    )
+    return s.select("event_id", "user_id", med.alias("moving_median"))

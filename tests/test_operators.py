@@ -888,3 +888,26 @@ def test_zorder_degenerate_dimension(spark):
     rows = z.orderBy("b").collect()
     zs = [r["zval"] for r in rows]
     assert zs == sorted(zs)  # z follows b alone when a is constant
+
+
+def test_embed_pca_power_invariants(spark):
+    """The returned component must be unit-norm, sign-canonical, and its
+    eigenvalue must equal the Rayleigh quotient on the actual covariance
+    and dominate every single coordinate's variance."""
+    import numpy as np
+
+    rows = QUERIES["embed_pca_power"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    eig = rows[0]["eigval"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    nz = np.flatnonzero(np.abs(v) > 1e-12)
+    assert v[nz[0]] > 0  # canonical sign
+    from atlas_migration_repo_spark.catalog import load
+
+    x = np.vstack([r["embedding"] for r in load(spark, SF_DIR, "embeddings").collect()])
+    x = x.astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    rq = float(v @ cov @ v)
+    assert abs(rq - eig) < 1e-6 * max(1.0, abs(eig))
+    assert eig >= cov.diagonal().max() - 1e-9
