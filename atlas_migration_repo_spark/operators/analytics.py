@@ -430,3 +430,37 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", r4(F.col("rank")).alias("rank"))
         .orderBy("n_name")
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH s AS (
+      SELECT HOUR(CAST(ts AS TIMESTAMP)) AS h,
+             {sql_r4('AVG(value)')} AS seasonal
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id,
+           s.seasonal,
+           e.value - s.seasonal AS residual
+    FROM events e JOIN s ON HOUR(CAST(e.ts AS TIMESTAMP)) = s.h
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition: the hour-of-day seasonal profile
+    (24-row broadcast) subtracted from each observation — the first
+    stage of anomaly pipelines (deseasonalize, then threshold residuals;
+    ts_anomaly_zscore is the next stage). The seasonal mean is rounded
+    on the shared 4dp policy BEFORE the subtraction, so the residual is
+    one exact IEEE subtract in both engines. One aggregation to 24 rows,
+    one broadcast join back — scan-dominated at any scale."""
+    ev = load(spark, sf_dir, "events")
+    prof = ev.groupBy(F.hour("ts").alias("h")).agg(r4(F.avg("value")).alias("seasonal"))
+    return (
+        ev.join(F.broadcast(prof), F.hour("ts") == F.col("h"))
+        .select(
+            "event_id",
+            "seasonal",
+            (F.col("value") - F.col("seasonal")).alias("residual"),
+        )
+    )
