@@ -35,13 +35,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is ns-precision parquet, surfaced as int64 ns (see
         # session.py nanosAsLong). Convert to µs TimestampType: floor
         # division matches DuckDB's CAST(ts_ns AS TIMESTAMP) truncation,
         # so both engines see identical µs instants.
         # integral `div`, NOT `/`: float division of 1.7e18 ns exceeds
         # double's 53-bit mantissa and would corrupt low-order digits
+        # (dtype-gated: re-landed copies of events — e.g. a sink's output
+        # read back — already carry µs TimestampType and pass through)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -664,3 +664,42 @@ def str_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.mask(F.concat_ws("#", F.col("c_name"), F.col("c_custkey"))).alias("masked"),
     )
+
+
+@query(
+    "str_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc/' ||
+             doc_id || '?page=' || (n_chars % 7) || '&ref=home' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_EXTRACT(url, 'https://([^/]+)', 1) AS host,
+           REGEXP_EXTRACT(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+           REGEXP_EXTRACT(url, '\\?(.*)$', 1) AS query,
+           REGEXP_EXTRACT(url, 'page=([^&]*)', 1) AS page
+    FROM u
+    """,
+)
+def str_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url component extraction (HOST/PATH/QUERY and one query
+    parameter) over URLs synthesized from document metadata — the
+    canonicalization front-end of web-corpus dedup (group by host,
+    strip tracking params). parse_url is a JVM-side expression, so the
+    whole projection stays in codegen; the oracle states the same
+    components as anchored regexes."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?page="), (F.col("n_chars") % 7).cast("string"), F.lit("&ref=home"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
+    )

@@ -403,3 +403,55 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _SWEEP_TAUS
         ]
     )
+
+
+CONTAINMENT_TAU = 0.5
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, UNNEST({SQL_SHINGLES}) AS shingle FROM w),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+    SELECT da, db, {sql_r4('i * 1.0 / sa.n')} AS containment
+    FROM inter
+    JOIN sizes sa ON da = sa.doc_id
+    WHERE i * 1.0 / sa.n >= {CONTAINMENT_TAU}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-dup pairs: shingle containment C(A→B) = |A∩B|/|A|,
+    the asymmetric cousin of Jaccard that catches doc-inside-doc cases
+    (quotes, boilerplate wrappers, truncated re-crawls) where the
+    symmetric score dilutes below τ as the containing doc grows. Same
+    inverted-index self-join as dedup_ngram_jaccard — only docs sharing
+    ≥1 shingle pair up, never all-pairs — but without the `<` direction
+    filter, since C(A→B) ≠ C(B→A). At corpus scale the candidate join
+    keys on rare shingles; stop-shingle removal (drop the top-frequency
+    shingles) is the standard skew guard and drops candidates, not
+    correctness, because ubiquitous shingles carry no dedup signal."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = F.col("i") * 1.0 / F.col("sa.n")
+    return (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .where(cont >= CONTAINMENT_TAU)
+        .select("da", "db", r4(cont).alias("containment"))
+    )

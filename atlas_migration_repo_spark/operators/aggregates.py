@@ -686,3 +686,28 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("c_custkey", top).alias("bot_cust"),
         F.min("c_acctbal").alias("bot_bal"),
     )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (Spark 4.1): heavy-hitter sketch as ONE aggregate —
+    the streaming-friendly answer to 'top pages right now' that never
+    shuffles the raw keys, only fixed-size sketch state. With k = the
+    full event-type domain (5) and default maxItemsTracked=10000 the
+    sketch tracks every key exactly, so counts are exact and the oracle
+    is plain GROUP BY — which is also why there is no rank-boundary tie
+    to worry about. At true heavy-hitter scale (user_id, 10^9 keys) the
+    same call stays O(maxItemsTracked) per partition and merges
+    map-side, where GROUP BY would shuffle the full key space."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("cnt"))
+    )

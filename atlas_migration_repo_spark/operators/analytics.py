@@ -464,3 +464,148 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") - F.col("seasonal")).alias("residual"),
         )
     )
+
+
+@query(
+    "ts_downsample_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             CAST(ts AS TIMESTAMP) AS tsx, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY tsx, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY tsx DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY bucket
+    """,
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per-hour open/high/low/close bars over the event
+    stream — the canonical lossy time-series compaction (metrics rollup,
+    market bars). open/close are min_by/max_by on the composite order key
+    struct(ts, event_id), so the whole bar is ONE hash aggregation with
+    map-side partial combine — no window sort, no second shuffle; the
+    DuckDB oracle needs two ROW_NUMBER windows to say the same thing.
+    event_id breaks sub-microsecond ties identically in both engines."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+HOLT_LOOKBACK = 20  # bounded frame, same scale rationale as EWMA_LOOKBACK
+
+
+def _holt_oracle() -> str:
+    """Unrolled Holt recurrence, one NESTED SUBQUERY per step. Each step is
+    the LITERAL IEEE expression the Spark lambda evaluates, so the fold is
+    bit-equal; NULL guards make short frames a no-op past the last value.
+    Steps must be subquery layers, not one flat lateral-alias chain:
+    lateral aliases substitute TEXTUALLY, so a flat chain re-expands every
+    prior step twice per level — a 2^18-node expression tree that hangs
+    the binder. A subquery boundary materializes each step as a column
+    reference, keeping the tree linear in HOLT_LOOKBACK."""
+    a, b = HOLT_ALPHA, HOLT_BETA
+    inner = f"""
+      SELECT user_id, event_id, vals,
+             CASE WHEN LEN(vals) = 1 THEN vals[1] ELSE vals[2] END AS l,
+             CASE WHEN LEN(vals) = 1 THEN 0.0 ELSE vals[2] - vals[1] END AS b
+      FROM v
+    """
+    for i in range(3, HOLT_LOOKBACK + 1):
+        # one lateral reference per layer (nl inside nb) is safe: it only
+        # duplicates this layer's expression once, not the whole prefix
+        inner = f"""
+      SELECT user_id, event_id, vals,
+             CASE WHEN vals[{i}] IS NULL THEN l
+                  ELSE {a}*vals[{i}] + {1 - a}*(l+b) END AS nl,
+             CASE WHEN vals[{i}] IS NULL THEN b
+                  ELSE {b}*(nl-l) + {1 - b}*b END AS nb
+      FROM ({inner})
+    """
+        inner = f"SELECT user_id, event_id, vals, nl AS l, nb AS b FROM ({inner})"
+    q = "FLOOR({} * 10000 + 0.5) / 10000.0"
+    return f"""
+    WITH v AS (
+      SELECT user_id, event_id,
+             ARRAY_AGG(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN {HOLT_LOOKBACK - 1} PRECEDING AND CURRENT ROW
+             ) AS vals
+      FROM events
+    )
+    SELECT user_id, event_id,
+           {q.format('l')} AS level,
+           {q.format('b')} AS trend,
+           {q.format('(l + b)')} AS forecast
+    FROM ({inner})
+    """
+
+
+@query("ts_holt_linear", oracle=_holt_oracle())
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) per user
+    over the trailing HOLT_LOOKBACK frame; `forecast` is the one-step-ahead
+    level+trend. Like ts_ewma this is an INHERENTLY SEQUENTIAL recurrence
+    made distributable by bounding the frame: per-row state is ≤20 values,
+    so a 100 TB history still windows in O(frame) memory with one shuffle
+    on user_id. The oracle is exact because both engines fold the same
+    value list through the LITERAL same IEEE expression tree (Spark: one
+    struct-accumulator `aggregate` HOF; DuckDB: the recurrence unrolled
+    into 18 lateral-alias steps) and share the FLOOR(x·1e4+0.5)/1e4
+    quantizer — see ts_ewma's docstring for the tie analysis."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(HOLT_LOOKBACK - 1), Window.currentRow)
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+
+    def step(acc, x):
+        l_new = F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(b) * (l_new - acc["l"]) + F.lit(1 - b) * acc["b"]).alias("b"),
+        )
+
+    seed = F.struct(
+        F.element_at("vals", 2).alias("l"),
+        (F.element_at("vals", 2) - F.element_at("vals", 1)).alias("b"),
+    )
+    folded = F.aggregate(F.expr("slice(vals, 3, size(vals) - 2)"), seed, step)
+    one = F.struct(F.element_at("vals", 1).alias("l"), F.lit(0.0).alias("b"))
+    st = F.when(F.size("vals") == 1, one).otherwise(folded)
+
+    def q4(c):
+        return (F.floor(c * 10000 + 0.5).cast("double") / F.lit(10000.0))
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("vals", F.collect_list("value").over(w))
+        .withColumn("st", st)
+        .select(
+            "user_id",
+            "event_id",
+            q4(F.col("st.l")).alias("level"),
+            q4(F.col("st.b")).alias("trend"),
+            q4(F.col("st.l") + F.col("st.b")).alias("forecast"),
+        )
+    )

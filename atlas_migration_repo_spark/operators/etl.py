@@ -752,3 +752,79 @@ def sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "obj_orders", "col": "o_totalprice"},
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, {sql_msum('value')} AS total
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING COUNT(*) > 2
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the linear `|> WHERE |> AGGREGATE`
+    form of filter→aggregate→having, the readable surface for long ETL
+    chains. Pipe operators lower to exactly the same logical plan as the
+    nested SELECT, so pushdown/codegen are unchanged — this exists to
+    prove the parser surface, and its oracle is the classic spelling."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("v_events_pipe")
+    return spark.sql(
+        """
+        FROM v_events_pipe
+        |> WHERE event_type = 'purchase'
+        |> AGGREGATE COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS total
+           GROUP BY user_id
+        |> WHERE n > 2
+        """
+    )
+
+
+@query(
+    "sql_exec_immediate",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {sql_msum('value')} AS total
+    FROM events WHERE value > 100
+    GROUP BY event_type
+    """,
+)
+def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE over a session variable (Spark 4): dynamic SQL
+    composed as a string but with the VALUE still passed as a `?` bind —
+    the pattern an orchestrator uses when the query TEXT itself comes
+    from config. Session variables (DECLARE/SET VARIABLE) are the
+    engine-native parameter store; binding via USING keeps the plan
+    cacheable and injection-safe."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("v_events_exec")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_value DOUBLE")
+    spark.sql("SET VARIABLE min_value = 100.0")
+    return spark.sql(
+        "EXECUTE IMMEDIATE 'SELECT event_type, COUNT(*) AS n, "
+        "CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS total "
+        "FROM v_events_exec WHERE value > ? GROUP BY event_type' USING min_value"
+    )
+
+
+@query(
+    "sql_group_by_all",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+): every non-aggregate select item becomes
+    a grouping key — the spelling that keeps hand-written rollups in sync
+    when a dimension column is added to the SELECT list. Resolved at
+    analysis time to the explicit GROUP BY, so the plan is identical."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS total
+        FROM v_orders_gba GROUP BY ALL
+        """
+    )

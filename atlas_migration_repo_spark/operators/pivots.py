@@ -78,3 +78,30 @@ def pivot_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
     return tall.transpose()
+
+
+_DOW_COLS = ",\n           ".join(
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek: 0=Sunday..6.
+    f'CAST(COUNT(CASE WHEN DAYOFWEEK(CAST(ts AS TIMESTAMP)) = {k - 1} THEN 1 END) AS BIGINT) AS "{k}"'
+    for k in range(1, 8)
+)
+
+
+@query(
+    "stat_crosstab",
+    oracle=f"""
+    SELECT event_type AS event_type_dow,
+           {_DOW_COLS}
+    FROM events GROUP BY event_type
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.stat.crosstab: event-type × day-of-week contingency table
+    — the profiling primitive behind categorical drift checks on a landed
+    corpus. crosstab is a single hash aggregation on the pair key followed
+    by a driver-side reshape of the (tiny) distinct-pair grid, so it is
+    safe exactly when both cardinalities are small — which a contingency
+    table presumes anyway. Day-of-week numbering differs between engines
+    (Spark 1=Sunday, DuckDB 0=Sunday); the oracle shifts by one."""
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("dow", F.dayofweek("ts")).stat.crosstab("event_type", "dow")

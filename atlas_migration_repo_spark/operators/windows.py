@@ -315,3 +315,35 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 2.0
     )
     return s.select("event_id", "user_id", med.alias("moving_median"))
+
+
+@query(
+    "win_distinct_running",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(COUNT(DISTINCT user_id) OVER (PARTITION BY event_type
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_users_seen
+    FROM events
+    """,
+)
+def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — an operator Spark's SQL
+    surface lacks (COUNT(DISTINCT) OVER is unsupported), re-expressed as
+    size(collect_set(...)) over the same frame. The set lives in window
+    state, so memory is O(distinct-per-partition), fine for bounded keys
+    like users-per-event-type; for unbounded keys the HLL-sketch variant
+    (agg_hll_mergeable) is the scale path. Frame is ROWS on the unique
+    (ts, event_id) order, so both engines see identical prefixes."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias("n_users_seen"),
+    )

@@ -854,6 +854,13 @@ def test_empty_input_schema_stability(spark, tmp_path):
         "sample_weighted",
         "agg_argmax",
         "zorder_cluster",
+        "ts_seasonal_decompose",
+        "ts_downsample_ohlc",
+        "win_distinct_running",
+        "agg_approx_top_k",
+        # NB: stat_crosstab is deliberately absent — a crosstab's columns
+        # come from the data, so an empty input legitimately changes the
+        # schema; that is inherent to data-dependent pivots.
     ):
         full = QUERIES[key].fn(spark, SF_DIR)
         empty = QUERIES[key].fn(spark, empty_dir)
@@ -911,3 +918,35 @@ def test_embed_pca_power_invariants(spark):
     rq = float(v @ cov @ v)
     assert abs(rq - eig) < 1e-6 * max(1.0, abs(eig))
     assert eig >= cov.diagonal().max() - 1e-9
+
+
+def test_codegen_no_fallback_on_core_aggregates(spark):
+    """Whole-stage codegen gate: for scan→filter→project→hash-aggregate
+    queries, every HashAggregate in the EXECUTED plan must sit inside a
+    codegen stage (line prefixed `*(n)`). Spark silently falls back to
+    interpreted evaluation when a generated function exceeds the JIT/64KB
+    limits (e.g. a giant unrolled projection) — a ~5-10× slowdown that no
+    correctness test catches. AQE only finalizes stages at execution, so
+    the plan is inspected AFTER an action, never before."""
+    for key in (
+        "agg_pricing_summary",
+        "agg_conditional",
+        "filter_compound",
+        "project_expr",
+        "q6_forecast_revenue",
+    ):
+        df = QUERIES[key].fn(spark, SF_DIR)
+        # Execute THIS dataset (count() would plan a different query) so
+        # AQE finalizes its stages and codegen markers become visible.
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if plan.startswith("AdaptiveSparkPlan"):  # shuffle-free plans skip AQE
+            assert "isFinalPlan=true" in plan, f"{key}: AQE plan not finalized"
+        # AQE toString appends an "== Initial Plan ==" section whose lines
+        # never carry codegen markers; judge only the final plan.
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "*(" in plan, f"{key}: no WholeStageCodegen stage at all"
+        for line in plan.splitlines():
+            stripped = line.strip().lstrip("+-: ")
+            if stripped.startswith("HashAggregate"):
+                raise AssertionError(f"{key}: HashAggregate fell out of codegen: {line}")

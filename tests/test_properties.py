@@ -195,3 +195,52 @@ def test_zorder_interleave_bijective(spark, pairs):
     ).collect()
     for r in out:
         assert r["da"] == r["a_s"] and r["db"] == r["b_s"], r
+
+
+@given(
+    slope=st.floats(0.5, 50.0, allow_nan=False),
+    start=st.floats(-100.0, 100.0, allow_nan=False),
+    n=st.integers(3, 20),
+)
+@settings(max_examples=15, deadline=None)
+def test_holt_tracks_linear_ramp(spark, slope, start, n):
+    """On an exactly linear series the Holt recurrence must converge onto
+    the line: positive trend, forecast ahead of level, and the one-step
+    forecast within one slope-step of the true next point (its worst-case
+    transient bias; exact once the trend term has burned in)."""
+    import pandas as pd
+
+    from atlas_migration_repo_spark.operators.analytics import (
+        HOLT_LOOKBACK,
+        ts_holt_linear,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [base + pd.Timedelta(hours=i) for i in range(n)],
+            "user_id": [1] * n,
+            "event_type": ["view"] * n,
+            "value": [start + slope * i for i in range(n)],
+            "props": ["{}"] * n,
+        }
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        rows = sorted(
+            ts_holt_linear(spark, d).collect(), key=lambda r: r["event_id"]
+        )
+    assert len(rows) == n
+    last = rows[-1]
+    true_next = start + slope * n
+    assert last["trend"] > 0
+    assert last["forecast"] > last["level"]
+    assert abs(last["forecast"] - true_next) <= slope + 1e-6, (
+        last["forecast"],
+        true_next,
+    )
