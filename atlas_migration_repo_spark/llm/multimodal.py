@@ -239,3 +239,79 @@ def resize_image(payload: bytes, mime: str, width: int, height: int) -> bytes:
         "image resize requires a codec library not present in this environment; "
         "wire a real resizer into extract_media_features(decoder=...)"
     )
+
+
+AUDIO_WIN = 32  # bytes per analysis window ("samples")
+AUDIO_HOP = 16  # hop size — 50% overlap, the standard STFT framing
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("start_byte", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_audio_window",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n FROM documents),
+    w AS (
+      SELECT doc_id, text, CAST(i AS INT) AS win_idx,
+             CAST(i * {AUDIO_HOP} AS INT) AS start_byte
+      FROM t, UNNEST(GENERATE_SERIES(
+             0, CAST(FLOOR((n - {AUDIO_WIN}) / {AUDIO_HOP}.0) AS INT), 1)) u(i)
+      WHERE n >= {AUDIO_WIN}
+    )
+    SELECT doc_id, win_idx, start_byte,
+           CAST(SUM(ASCII(SUBSTRING(text, start_byte + j + 1, 1))) AS BIGINT)
+             AS energy
+    FROM w, UNNEST(GENERATE_SERIES(0, {AUDIO_WIN - 1}, 1)) v(j)
+    GROUP BY doc_id, win_idx, start_byte
+    """,
+)
+def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window framing over opaque audio payloads: AUDIO_WIN
+    'samples' per window, AUDIO_HOP hop (50% overlap) — the STFT /
+    feature-frame shape every audio pipeline starts with. Unlike
+    multimodal_framesample's disjoint strided frames, windows OVERLAP, so
+    the worker computes all window sums in one vectorized numpy pass
+    (prefix-sum difference) per payload instead of re-reading bytes —
+    O(n + windows), the pattern that matters when a window is 25 ms of
+    48 kHz float32 rather than 32 bytes. Only complete windows are
+    emitted (trailing partial dropped, docs shorter than one window emit
+    nothing). A real pipeline swaps byte-energy for mel/FFT per window at
+    identical batch shape; payloads are ASCII here so DuckDB recomputes
+    the sums with SUBSTRING arithmetic."""
+    import numpy as np
+
+    d = with_binary_payload(load(spark, sf_dir, "documents"))
+
+    def frame(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, energies = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n < AUDIO_WIN:
+                    continue
+                cs = np.concatenate(
+                    ([0], np.cumsum(np.frombuffer(payload, dtype=np.uint8), dtype=np.int64))
+                )
+                n_win = (n - AUDIO_WIN) // AUDIO_HOP + 1
+                s = np.arange(n_win, dtype=np.int64) * AUDIO_HOP
+                ids.extend([doc_id] * n_win)
+                idxs.extend(range(n_win))
+                starts.extend(s.tolist())
+                energies.extend((cs[s + AUDIO_WIN] - cs[s]).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "start_byte": pd.Series(starts, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return d.mapInPandas(frame, schema=_AUDIO_SCHEMA)
