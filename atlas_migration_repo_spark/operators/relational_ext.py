@@ -16,8 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import load, msum
-from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.catalog import load, msum, r4
+from atlas_migration_repo_spark.oracle import sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 
 
@@ -368,3 +368,112 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 2)
         .select("ca", "cb", dist.cast("int").alias("dist"))
     )
+
+
+@query(
+    "ts_interp_linear",
+    oracle=f"""
+    WITH pick AS (
+      SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < 5
+    ),
+    hourly AS (SELECT user_id, h, value FROM pick WHERE rn = 1),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS hour_ts
+      FROM hourly GROUP BY user_id
+    ),
+    j AS (
+      SELECT g.user_id, g.hour_ts, hr.value
+      FROM grid g LEFT JOIN hourly hr
+        ON g.user_id = hr.user_id AND g.hour_ts = hr.h
+    ),
+    f AS (
+      SELECT user_id, hour_ts,
+             LAST_VALUE(value IGNORE NULLS) OVER wp AS vp,
+             LAST_VALUE(CASE WHEN value IS NOT NULL THEN hour_ts END IGNORE NULLS)
+               OVER wp AS tp,
+             FIRST_VALUE(value IGNORE NULLS) OVER wn AS vn,
+             FIRST_VALUE(CASE WHEN value IS NOT NULL THEN hour_ts END IGNORE NULLS)
+               OVER wn AS tn
+      FROM j
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY user_id ORDER BY hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hour_ts,
+           FLOOR((CASE WHEN tn = tp THEN vp
+                 ELSE vp + (vn - vp) *
+                      ((EPOCH_US(hour_ts) - EPOCH_US(tp)) /
+                       CAST(EPOCH_US(tn) - EPOCH_US(tp) AS DOUBLE)) END)
+                 * 10000 + 0.5) / 10000.0 AS value_interp
+    FROM f
+    """,
+)
+def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling: the same dense per-user hourly grid
+    as ts_resample_ffill, but gaps take the time-weighted line between the
+    surrounding observations instead of repeating the last one — the
+    gap-fill that doesn't flatten trends (sensor/metric pipelines).
+    Composed from two mirror-image windows (last-non-null looking back,
+    first-non-null looking ahead) carrying (value, timestamp) pairs, then
+    one arithmetic projection; grid edges always have both neighbors
+    because the grid spans exactly [min, max] observation hours. Same
+    shuffle profile as ffill: nothing wider than the per-user window."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    h = F.date_trunc("hour", F.col("ts"))
+    w_pick = Window.partitionBy("user_id", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        ev.select("user_id", h.alias("h"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour_ts"),
+        )
+    )
+    j = grid.join(
+        hourly,
+        (grid.user_id == hourly.user_id) & (grid.hour_ts == hourly.h),
+        "left",
+    ).select(grid.user_id, "hour_ts", "value")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("value").isNotNull(), F.col("hour_ts"))
+    f = (
+        j.withColumn("vp", F.last("value", ignorenulls=True).over(wp))
+        .withColumn("tp", F.last(obs_ts, ignorenulls=True).over(wp))
+        .withColumn("vn", F.first("value", ignorenulls=True).over(wn))
+        .withColumn("tn", F.first(obs_ts, ignorenulls=True).over(wn))
+    )
+    frac = (F.unix_micros("hour_ts") - F.unix_micros("tp")) / (
+        F.unix_micros("tn") - F.unix_micros("tp")
+    ).cast("double")
+    interp = F.when(F.col("tn") == F.col("tp"), F.col("vp")).otherwise(
+        F.col("vp") + (F.col("vn") - F.col("vp")) * frac
+    )
+    # shared FLOOR(x*1e4+0.5)/1e4 quantizer, NOT r4/sql_r4: the interpolated
+    # value lands on exact .xxxx5 rounding ties (hour fractions of 2dp
+    # inputs), where Spark's repr-HALF_UP and DuckDB's binary ROUND split —
+    # an identical IEEE expression tree cannot (see ts_ewma).
+    q = F.floor(interp * 10000 + 0.5).cast("double") / F.lit(10000.0)
+    return f.select("user_id", "hour_ts", q.alias("value_interp"))

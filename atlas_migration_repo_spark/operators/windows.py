@@ -347,3 +347,36 @@ def win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.size(F.collect_set("user_id").over(w)).cast("long").alias("n_users_seen"),
     )
+
+
+@query(
+    "win_exclude_current",
+    oracle="""
+    SELECT event_id, event_type,
+           FLOOR((CAST(SUM(CAST(value AS DECIMAL(30,8))) OVER w
+                       - CAST(value AS DECIMAL(30,8)) AS DOUBLE)
+                  / (COUNT(*) OVER w - 1)) * 10000 + 0.5) / 10000.0
+             AS loo_mean
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean per group — the EXCLUDE CURRENT ROW frame Spark's
+    window surface lacks, composed as (group_sum − value) / (group_n − 1).
+    The group sum accumulates in DECIMAL(30,8), so the numerator is exact
+    and order-independent in both engines (a raw double window sum drifts
+    ~1e-12 with partition order — fatal on the 4dp rounding grid); the
+    single double division is then the identical IEEE op on identical
+    operands. LOO statistics are the building block of ablation scoring
+    and outlier-robust baselines; one unbounded window = one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    dsum = F.sum(F.col("value").cast("decimal(30,8)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    loo = (dsum - F.col("value").cast("decimal(30,8)")).cast("double") / (n - 1)
+    return ev.select(
+        "event_id",
+        "event_type",
+        (F.floor(loo * 10000 + 0.5).cast("double") / F.lit(10000.0)).alias("loo_mean"),
+    )
