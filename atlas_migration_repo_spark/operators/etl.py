@@ -828,3 +828,84 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_orders_gba GROUP BY ALL
         """
     )
+
+
+TT_ASOF_VERSION = 2  # reconstruct the snapshot as of this commit version
+
+
+@query(
+    "time_travel_asof",
+    oracle=f"""
+    WITH log AS (
+      SELECT 0 AS version, 'insert' AS op, o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT 1, 'update', o_orderkey, 'F', o_totalprice * 1.1
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                    AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      UNION ALL
+      SELECT 2, 'delete', o_orderkey, NULL, NULL
+      FROM orders WHERE o_orderpriority = '5-LOW'
+      UNION ALL
+      SELECT 3, 'update', o_orderkey, 'O', o_totalprice * 0.5
+      FROM orders WHERE o_orderstatus = 'P'
+    ),
+    snap AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC)
+                  AS rn
+      FROM log WHERE version <= {TT_ASOF_VERSION}
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_msum('o_totalprice')} AS total
+    FROM snap WHERE rn = 1 AND op <> 'delete'
+    GROUP BY o_orderstatus
+    """,
+)
+def time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel without a table format: a Delta-style commit log
+    (version, op, key, payload) reconstructed AS OF version N by taking
+    each key's latest action with version ≤ N and dropping deletes — the
+    row_number anti-entropy shape shared with scd2_history/upsert_snapshot,
+    pointed backwards in time. The log here is synthesized deterministically
+    from orders (v1 re-prices 1996 orders, v2 deletes 5-LOW, v3 — beyond
+    the read version — must be invisible). At scale the log is
+    key-partitioned parquet and the window is one shuffle on the key; a
+    real lakehouse replaces the row_number with manifest pruning, but the
+    read semantics are exactly this query."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.lit(0).alias("version"), F.lit("insert").alias("op"),
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+    )
+    v1 = (
+        o.where(
+            (as_date(F.col("o_orderdate")) >= F.lit("1996-01-01"))
+            & (as_date(F.col("o_orderdate")) < F.lit("1997-01-01"))
+        )
+        .select(
+            F.lit(1).alias("version"), F.lit("update").alias("op"),
+            "o_orderkey", F.lit("F").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+    )
+    v2 = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.lit(2).alias("version"), F.lit("delete").alias("op"),
+        "o_orderkey", F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    v3 = o.where(F.col("o_orderstatus") == "P").select(
+        F.lit(3).alias("version"), F.lit("update").alias("op"),
+        "o_orderkey", F.lit("O").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+    )
+    log = base.unionByName(v1).unionByName(v2).unionByName(v3)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    asof = (
+        log.where(F.col("version") <= TT_ASOF_VERSION)
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "delete"))
+    )
+    return asof.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), msum(F.col("o_totalprice")).alias("total")
+    )

@@ -105,3 +105,44 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark 1=Sunday, DuckDB 0=Sunday); the oracle shifts by one."""
     ev = load(spark, sf_dir, "events")
     return ev.withColumn("dow", F.dayofweek("ts")).stat.crosstab("event_type", "dow")
+
+
+def _cell(status: str) -> str:
+    from atlas_migration_repo_spark.oracle import sql_msum
+
+    n = (
+        f"CAST(NULLIF(COUNT(CASE WHEN o_orderstatus = '{status}' THEN 1 END), 0)"
+        f' AS BIGINT) AS "{status}_n"'
+    )
+    total = sql_msum(f"CASE WHEN o_orderstatus = '{status}' THEN o_totalprice END")
+    return f'{n}, {total} AS "{status}_total"'
+
+
+@query(
+    "pivot_multi_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {_cell('F')}, {_cell('O')}, {_cell('P')}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with TWO aggregates per cell (count + exact money sum):
+    Spark suffixes each pivot value with each aggregate alias, giving the
+    {status}_{metric} wide grid in ONE hash aggregation — the report
+    shape that otherwise takes two pivots and a join. Explicit value list
+    as in pivot_status (no extra distinct-scan, deterministic schema);
+    empty cells are NULL for both metrics, mirrored with NULLIF in the
+    oracle."""
+    from atlas_migration_repo_spark.catalog import msum
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+    )

@@ -950,3 +950,49 @@ def test_codegen_no_fallback_on_core_aggregates(spark):
             stripped = line.strip().lstrip("+-: ")
             if stripped.startswith("HashAggregate"):
                 raise AssertionError(f"{key}: HashAggregate fell out of codegen: {line}")
+
+
+def test_jdbc_connector_boundary(spark):
+    """Offline JDBC extraction boundary: reader options, strip completeness
+    (disjoint + covers all integers incl. out-of-bounds rows), pushdown
+    predicate composition, and the gated live path."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.jdbc import JdbcExtractor, JdbcSpec
+
+    spec = JdbcSpec(
+        url="jdbc:postgresql://example/warehouse",
+        table="orders",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=6000,
+        num_partitions=4,
+        where="o_orderstatus <> 'X'",
+    )
+    opts = spec.reader_options()
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (
+        "0", "6000", "4",
+    )
+    preds = spec.partition_predicates()
+    assert len(preds) == 4
+    # first strip is unbounded below, last unbounded above
+    assert preds[0].startswith("(o_orderkey < 1500)")
+    assert preds[-1].startswith("(o_orderkey >= 4500)")
+    # every strip carries the pushdown predicate
+    assert all("o_orderstatus <> 'X'" in p for p in preds)
+    # disjoint + complete over sample points incl. out-of-range values
+    for v in (-5, 0, 1499, 1500, 4499, 4500, 5999, 6000, 99999):
+        hits = [
+            p
+            for p in preds
+            if eval(  # strips are simple comparisons; evaluate them in python
+                p.split(") AND")[0]
+                .strip("(")
+                .replace("o_orderkey", str(v))
+                .replace("AND", "and")
+            )
+        ]
+        assert len(hits) == 1, (v, hits)
+    with _pytest.raises(NotImplementedError):
+        JdbcExtractor(spark).read(spec)
