@@ -703,3 +703,28 @@ def str_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
     )
+
+
+@query(
+    "explode_outer_nulls",
+    oracle="""
+    SELECT d.doc_id, u.long_word
+    FROM documents d
+    LEFT JOIN LATERAL (
+      SELECT UNNEST(LIST_FILTER(STRING_SPLIT(d.text, ' '),
+                                x -> LENGTH(x) > 6)) AS long_word
+    ) u ON TRUE
+    """,
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer null-preservation: docs whose filtered token array is
+    EMPTY still emit one row with NULL — the left-join-shaped generator
+    that keeps corpus coverage auditable (plain explode silently drops
+    ~20% of docs here, and at scale that loss is invisible until row
+    counts stop reconciling). The oracle states the same semantics as
+    LEFT JOIN LATERAL UNNEST."""
+    d = load(spark, sf_dir, "documents")
+    long_words = F.filter(F.split("text", " "), lambda x: F.length(x) > 6)
+    return d.select(
+        "doc_id", F.explode_outer(long_words).alias("long_word")
+    )

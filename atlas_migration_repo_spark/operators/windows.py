@@ -380,3 +380,45 @@ def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.floor(loo * 10000 + 0.5).cast("double") / F.lit(10000.0)).alias("loo_mean"),
     )
+
+
+RANGE_HOURS = 6
+
+
+@query(
+    "win_time_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE)
+             AS sum_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL {RANGE_HOURS} HOURS PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each event aggregated with everything the
+    same user did in the trailing RANGE_HOURS hours of EVENT TIME — the
+    rolling-window-by-clock semantics that a ROWS frame cannot express on
+    irregular streams. Spark has no interval RANGE literal, so the frame
+    is the equivalent integer range over unix microseconds; peer rows
+    (identical µs) land in the frame identically in both engines. Sum
+    accumulates in decimal so frame-order drift can't move the 4dp grid.
+    One shuffle on user_id; state is bounded by events-per-window, the
+    batch twin of stream_sliding's watermarked state."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RANGE_HOURS * 3600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")).over(w), 4)
+        .cast("double")
+        .alias("sum_in_window"),
+    )
