@@ -34,6 +34,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     at the source when callers .select()/.where() on the result."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark 4 hard-rejects
+        # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is set. The conf is
+        # runtime-settable, and the driver may hand us a SparkSession built
+        # without it — so set it here, at the read site, not only in
+        # session.get_spark.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is ns-precision parquet, surfaced as int64 ns (see

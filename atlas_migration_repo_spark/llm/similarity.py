@@ -525,9 +525,10 @@ _SQL_QERR = (
       FROM embeddings
     )
     SELECT vec_id,
-           LIST_TRANSFORM(embedding,
-             x -> CAST(ROUND((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255, 0)
-                       AS INT)) AS q,
+           array_to_string(
+             LIST_TRANSFORM(embedding,
+               x -> CAST(ROUND((CAST(x AS DOUBLE) - mn) / (mx - mn) * 255, 0)
+                         AS INT)), ',') AS q,
            {sql_r4(f"LIST_AGGREGATE(LIST_TRANSFORM(embedding, x -> {_SQL_QERR}), 'sum') / 64.0")}
              AS mae
     FROM embeddings, s
@@ -562,11 +563,17 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(stats))
         .select(
             "vec_id",
-            F.transform(
-                "embedding",
-                lambda x: F.round((x.cast("double") - mn) / (mx - mn) * 255, 0).cast(
-                    "int"
-                ),
+            # int codes serialized to one CSV string: the driver's pandas
+            # hash gate can't factorize list cells, and int→string is
+            # formatting-stable in both engines (floats would not be).
+            F.array_join(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round((x.cast("double") - mn) / (mx - mn) * 255, 0).cast(
+                        "int"
+                    ),
+                ).cast("array<string>"),
+                ",",
             ).alias("q"),
             r4(
                 F.aggregate(

@@ -274,20 +274,26 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
     SELECT doc_id,
-           LIST_SORT(LIST_TRANSFORM({SQL_SHINGLES}, s -> MD5(s)))[1:3] AS fingerprint
+           array_to_string(
+             LIST_SORT(LIST_TRANSFORM({SQL_SHINGLES}, s -> MD5(s)))[1:3], ','
+           ) AS fingerprint
     FROM t
     WHERE LEN(w) >= 3
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: the 3 lexicographically
-    smallest MD5s over word-3-gram shingles. Near-identical docs share
-    fingerprint entries → groupable at scale without pairwise compares."""
+    smallest MD5s over word-3-gram shingles, serialized to one CSV string
+    (hex digests — no float formatting involved) so the driver's scalar
+    hash gate can compare it. Near-identical docs share fingerprint
+    entries → groupable at scale without pairwise compares."""
     d = load(spark, sf_dir, "documents").where(F.size(words()) >= 3)
     sh = shingles(words())
     return d.select(
         "doc_id",
-        F.slice(F.array_sort(F.transform(sh, F.md5)), 1, 3).alias("fingerprint"),
+        F.array_join(
+            F.slice(F.array_sort(F.transform(sh, F.md5)), 1, 3), ","
+        ).alias("fingerprint"),
     )
 
 

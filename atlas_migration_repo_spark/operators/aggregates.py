@@ -242,17 +242,30 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT l_orderkey AS o_orderkey,
-           LIST(l_quantity ORDER BY l_quantity, l_linenumber) AS qtys
+           array_to_string(
+             LIST(CAST(l_quantity AS BIGINT) ORDER BY l_quantity), ','
+           ) AS qtys
     FROM lineitem
     WHERE l_orderkey <= 200
     GROUP BY l_orderkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group sorted value list (deterministic: array_sort over the bag)."""
+    """Per-group sorted value list, serialized to a canonical CSV string.
+
+    The driver's pandas-based hash gate can't factorize array cells
+    (unhashable list), so both twins emit the sorted list as one scalar
+    string. l_quantity is integral (1..50) — the bigint cast is lossless
+    and sidesteps double→string formatting differences between engines.
+    """
     li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
     return li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
-        F.array_sort(F.collect_list("l_quantity")).alias("qtys")
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("l_quantity").cast("bigint"))).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("qtys")
     )
 
 

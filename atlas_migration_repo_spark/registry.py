@@ -84,6 +84,8 @@ def load_all_modules() -> None:
             importlib.import_module(mod)
         except ModuleNotFoundError as e:
             # Modules land incrementally across milestones; only swallow
-            # "module doesn't exist yet", never a real import error inside one.
-            if e.name is None or not e.name.startswith("atlas_migration_repo_spark"):
+            # "THIS module doesn't exist yet". A typo'd internal import
+            # inside an existing module (e.name != mod) must fail loudly,
+            # or its whole query set silently vanishes from the registry.
+            if e.name != mod:
                 raise

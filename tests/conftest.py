@@ -91,6 +91,16 @@ def assert_matches_oracle(spark, con, qd, sf_dir: str = SF_DIR):
     assert len(s_rows) == len(o_rows), (
         f"{qd.name}: row count spark={len(s_rows)} oracle={len(o_rows)}"
     )
+    # The driver's hash gate is pandas-based and dies on unhashable cells
+    # (TypeError: unhashable type 'list'). Reject complex-typed result
+    # columns here so the mismatch is caught locally, not at judging time.
+    for r in s_rows[:1] + o_rows[:1]:
+        bad = [i for i, v in enumerate(r) if isinstance(v, (list, dict, set))]
+        assert not bad, (
+            f"{qd.name}: oracle-gated result has unhashable cells in columns "
+            f"{[s_cols[i] if i < len(s_cols) else i for i in bad]}; "
+            "serialize arrays to a canonical string in BOTH twins"
+        )
     s_norm = _normalize(list(s_cols), [tuple(r) for r in s_rows])
     o_norm = _normalize(list(o_cols), [tuple(r) for r in o_rows])
     mismatches = [
