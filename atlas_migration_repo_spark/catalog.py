@@ -34,24 +34,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     at the source when callers .select()/.where() on the result."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark 4 hard-rejects
-        # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is set. The conf is
-        # runtime-settable, and the driver may hand us a SparkSession built
-        # without it — so set it here, at the read site, not only in
-        # session.get_spark.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    try:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    except Exception as e:  # pragma: no cover - only ns-precision fixtures
+        if name == "events" and "PARQUET_TYPE_ILLEGAL" in str(e):
+            # ns-precision events.parquet: Spark 4 hard-rejects
+            # TIMESTAMP(NANOS) unless nanosAsLong surfaces it as raw int64.
+            # Runtime-settable, so this works on any caller-supplied session.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(table_path(sf_dir, name))
+        else:
+            raise
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is ns-precision parquet, surfaced as int64 ns (see
-        # session.py nanosAsLong). Convert to µs TimestampType: floor
-        # division matches DuckDB's CAST(ts_ns AS TIMESTAMP) truncation,
-        # so both engines see identical µs instants.
-        # integral `div`, NOT `/`: float division of 1.7e18 ns exceeds
-        # double's 53-bit mantissa and would corrupt low-order digits
-        # (dtype-gated: re-landed copies of events — e.g. a sink's output
-        # read back — already carry µs TimestampType and pass through)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ns fixture surfaced as int64 ns → convert to µs TIMESTAMP_NTZ
+        # (floor, matching DuckDB's ns→µs CAST truncation). Integral `div`,
+        # NOT `/`: float division of 1.7e18 ns exceeds double's 53-bit
+        # mantissa. UTC session pin makes the LTZ→NTZ hop deterministic.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    # µs fixtures land as TIMESTAMP_NTZ already — pass through untouched.
+    # NTZ (naive wall-clock) is the canonical ts type engine-wide: it is
+    # exactly DuckDB's TIMESTAMP semantics, so results collect identically
+    # regardless of the driver session's time zone. Epoch math on NTZ goes
+    # through epoch_us() below, never a bare session-TZ-dependent cast.
     return df
 
 
@@ -88,3 +95,45 @@ def msum(c: Column) -> Column:
 def as_date(c: Column) -> Column:
     """Fixture dates are midnight ms-timestamps; compare as DATE everywhere."""
     return c.cast("date")
+
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+_TRUNC_US = {
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def epoch_us(c: Column | str) -> Column:
+    """Microseconds since epoch of a naive (TIMESTAMP_NTZ) wall clock,
+    read as UTC — independent of the session time zone.
+
+    ``unix_micros`` rejects NTZ, and every cast/shim that goes through LTZ
+    (``cast('timestamp')``, ``to_utc_timestamp``) first reinterprets the
+    wall clock in the *session* zone — wrong on a driver session pinned to
+    anything but UTC (verified empirically). Field extraction on NTZ is
+    wall-clock-pure, so the epoch is assembled arithmetically:
+    days-since-epoch · 86400e6 + h·3600e6 + m·60e6 + fractional-seconds·1e6.
+    This equals DuckDB's ``EPOCH_US(ts)`` on a naive timestamp exactly.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    day = F.datediff(col.cast("date"), F.to_date(F.lit("1970-01-01"))).cast("bigint")
+    sec_us = (F.date_part(F.lit("SECOND"), col) * 1_000_000).cast("bigint")
+    return (
+        day * 86_400_000_000
+        + F.hour(col).cast("bigint") * 3_600_000_000
+        + F.minute(col).cast("bigint") * 60_000_000
+        + sec_us
+    )
+
+
+def ntz_trunc(unit: str, c: Column | str) -> Column:
+    """date_trunc twin that stays TIMESTAMP_NTZ. Spark's ``date_trunc``
+    implicitly casts NTZ input through the session zone (LTZ) and back —
+    shifting the wall clock off-UTC sessions; flooring the arithmetic epoch
+    instead is zone-pure and matches DuckDB's naive DATE_TRUNC exactly."""
+    us = _TRUNC_US[unit]
+    e = epoch_us(c)
+    return F.timestamp_add("MICROSECOND", e - (e % us), F.expr(_EPOCH_NTZ))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import as_date, load, r4
+from atlas_migration_repo_spark.catalog import as_date, load, ntz_trunc, r4
 from atlas_migration_repo_spark.oracle import sql_r4
 from atlas_migration_repo_spark.registry import query
 
@@ -141,7 +141,7 @@ def ts_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hr"),
         F.minute("ts").alias("mi"),
         F.second("ts").alias("sec"),
-        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        ntz_trunc("hour", "ts").alias("hour_bucket"),
         F.col("ts").cast("date").alias("event_date"),
     )
 

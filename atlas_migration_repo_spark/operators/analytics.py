@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.catalog import epoch_us, load, ntz_trunc, r4
 from atlas_migration_repo_spark.oracle import sql_r4
 from atlas_migration_repo_spark.registry import query
 
@@ -143,7 +143,7 @@ def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    gap_us = epoch_us("ts") - epoch_us(prev)
     return (
         ev.select("user_id", "ts", "event_id")
         .withColumn("prev_ts", prev)
@@ -498,7 +498,7 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle needs two ROW_NUMBER windows to say the same thing.
     event_id breaks sub-microsecond ties identically in both engines."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+    return ev.groupBy(ntz_trunc("hour", "ts").alias("bucket")).agg(
         F.expr("min_by(value, struct(ts, event_id))").alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),

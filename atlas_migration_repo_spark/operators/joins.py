@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import as_date, load, msum
+from atlas_migration_repo_spark.catalog import as_date, epoch_us, load, msum
 from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
 
@@ -352,7 +352,7 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket arithmetic is exact integer µs (`div`), immune to double
     rounding at bucket edges."""
     ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("t_us")
+        "user_id", "event_id", epoch_us("ts").alias("t_us")
     )
     a = ev.select(
         F.col("user_id").alias("u"),
@@ -479,7 +479,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     last_c = F.last("c", ignorenulls=True).over(w)
     fresh = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(last_c.getField("cts"))
+        epoch_us("ts") - epoch_us(last_c.getField("cts"))
     ) <= ASOF_TOL_US
     return (
         tagged.withColumn(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import load, msum, r4
+from atlas_migration_repo_spark.catalog import epoch_us, load, msum, ntz_trunc, r4
 from atlas_migration_repo_spark.oracle import sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 
@@ -150,8 +150,8 @@ def ts_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, so it stays a single shuffle; at scale this replaces N
     separate per-granularity aggregation jobs."""
     e = load(spark, sf_dir, "events").select(
-        F.date_trunc("day", F.col("ts")).alias("day_ts"),
-        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        ntz_trunc("day", "ts").alias("day_ts"),
+        ntz_trunc("hour", "ts").alias("hour_ts"),
         "value",
     )
     return (
@@ -232,7 +232,7 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid explode is linear in (users × hours) and partitions by user — no
     shuffle wider than the final window."""
     ev = load(spark, sf_dir, "events").where(F.col("user_id") < 5)
-    h = F.date_trunc("hour", F.col("ts"))
+    h = ntz_trunc("hour", "ts")
     w_pick = Window.partitionBy("user_id", "h").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -315,7 +315,7 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # µs-exact gap (ts has sub-second precision; a seconds cast would
     # truncate and disagree with the oracle's exact interval compare)
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    gap = epoch_us("ts") - epoch_us(F.lag(F.col("ts")).over(w))
     tagged = (
         ev.select("user_id", "ts", "event_id")
         .withColumn(
@@ -425,7 +425,7 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the grid spans exactly [min, max] observation hours. Same
     shuffle profile as ffill: nothing wider than the per-user window."""
     ev = load(spark, sf_dir, "events").where(F.col("user_id") < 5)
-    h = F.date_trunc("hour", F.col("ts"))
+    h = ntz_trunc("hour", "ts")
     w_pick = Window.partitionBy("user_id", "h").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -465,8 +465,8 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vn", F.first("value", ignorenulls=True).over(wn))
         .withColumn("tn", F.first(obs_ts, ignorenulls=True).over(wn))
     )
-    frac = (F.unix_micros("hour_ts") - F.unix_micros("tp")) / (
-        F.unix_micros("tn") - F.unix_micros("tp")
+    frac = (epoch_us("hour_ts") - epoch_us("tp")) / (
+        epoch_us("tn") - epoch_us("tp")
     ).cast("double")
     interp = F.when(F.col("tn") == F.col("tp"), F.col("vp")).otherwise(
         F.col("vp") + (F.col("vn") - F.col("vp")) * frac

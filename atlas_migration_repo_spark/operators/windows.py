@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.catalog import epoch_us, load, r4
 from atlas_migration_repo_spark.oracle import sql_r4
 from atlas_migration_repo_spark.registry import query
 
@@ -78,7 +78,7 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("us_since_prev"),
+        (epoch_us("ts") - epoch_us(F.lag("ts").over(w))).alias("us_since_prev"),
     )
 
 
@@ -411,7 +411,7 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-RANGE_HOURS * 3600 * 1_000_000, Window.currentRow)
     )
     return ev.select(

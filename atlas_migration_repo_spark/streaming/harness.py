@@ -19,10 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from atlas_migration_repo_spark.catalog import epoch_us
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns parquet → raw long (see session.py)
+        T.StructField("ts", T.TimestampNTZType()),  # µs parquet, naive wall-clock
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -32,14 +34,35 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events table, ts normalized to µs TimestampType
-    exactly like the batch loader (catalog.load)."""
-    src = (
+    """Streaming scan of the events table. ts stays TIMESTAMP_NTZ end-to-end,
+    exactly like the batch loader (catalog.load) — event-time windows,
+    watermarks and session windows all accept NTZ, and NTZ collects as naive
+    datetimes matching the DuckDB oracle on any driver session time zone."""
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def wm_ts(c) -> "F.Column":
+    """NTZ → LTZ hop for `withWatermark`, which requires TIMESTAMP (LTZ).
+
+    Builds the instant from the zone-pure arithmetic epoch (catalog.epoch_us)
+    so the wall clock is read as UTC on any session time zone — a bare
+    cast (or to_utc_timestamp) would reinterpret it in the session zone and
+    shift every window/session boundary off the oracle's."""
+    return F.timestamp_micros(epoch_us(c))
+
+
+def ntz_ts(c) -> "F.Column":
+    """LTZ → NTZ hop for result columns: renders the instant as its UTC
+    wall clock via epoch arithmetic (session-TZ-independent), matching the
+    naive timestamps the DuckDB oracle produces."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.timestamp_add(
+        "MICROSECOND", F.unix_micros(col), F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+    )
 
 
 def run_to_table(

@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 from atlas_migration_repo_spark.catalog import load
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.files import scratch_path
-from atlas_migration_repo_spark.streaming.harness import read_events_stream, run_to_table
+from atlas_migration_repo_spark.streaming.harness import (
+    read_events_stream,
+    run_to_table,
+    wm_ts,
+)
 
 
 @query(
@@ -78,7 +82,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("event_id").alias("view_id"),
                 F.col("user_id"),
-                F.col("ts").alias("v_ts"),
+                wm_ts("ts").alias("v_ts"),  # watermark needs LTZ
             )
             .withWatermark("v_ts", "1 hour")
         )
@@ -87,7 +91,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("event_id").alias("purchase_id"),
                 F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"),
+                wm_ts("ts").alias("p_ts"),  # watermark needs LTZ
             )
             .withWatermark("p_ts", "1 hour")
         )

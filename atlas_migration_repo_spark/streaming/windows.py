@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from atlas_migration_repo_spark.catalog import msum, r4
 from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
-from atlas_migration_repo_spark.streaming.harness import run_to_table
+from atlas_migration_repo_spark.streaming.harness import ntz_ts, run_to_table, wm_ts
 
 
 @query(
@@ -105,13 +105,14 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(src: DataFrame) -> DataFrame:
         return (
-            src.withWatermark("ts", "1 hour")
+            src.withColumn("ts", wm_ts("ts"))  # watermark needs LTZ
+            .withWatermark("ts", "1 hour")
             .groupBy(F.session_window("ts", "30 minutes"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_event"))
             .select(
                 "user_id",
-                F.col("session_window.start").alias("session_start"),
-                "last_event",
+                ntz_ts(F.col("session_window.start")).alias("session_start"),
+                ntz_ts("last_event").alias("last_event"),
                 "n_events",
             )
         )
@@ -138,10 +139,11 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(src: DataFrame) -> DataFrame:
         return (
-            src.withWatermark("ts", "10 minutes")
+            src.withColumn("ts", wm_ts("ts"))  # watermark needs LTZ
+            .withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "1 hour"))
             .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.col("window.start").alias("window_start"), "n")
+            .select(ntz_ts(F.col("window.start")).alias("window_start"), "n")
         )
 
     return run_to_table(spark, sf_dir, "stream_watermark", build, output_mode="append")
@@ -158,7 +160,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(src: DataFrame) -> DataFrame:
         return (
-            src.withWatermark("ts", "1 hour")
+            src.withColumn("ts", wm_ts("ts"))  # watermark needs LTZ
+            .withWatermark("ts", "1 hour")
             .dropDuplicates(["user_id", "event_type"])
             .select("user_id", "event_type")
         )

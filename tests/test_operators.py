@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from atlas_migration_repo_spark.catalog import epoch_us
 from atlas_migration_repo_spark.registry import QUERIES
 
 from conftest import SF_DIR
@@ -94,7 +95,7 @@ def test_multimodal_plumbing_with_fake_decoder(spark):
     """extract_media_features streams (payload, meta) Arrow batches through
     a pluggable decoder; the deterministic fake verifies schema, row
     fidelity, and per-doc feature values end-to-end."""
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
     from atlas_migration_repo_spark.llm import multimodal as mm
 
     d = load(spark, SF_DIR, "documents")
@@ -180,7 +181,7 @@ def test_partition_pruned_scan_plan(spark):
 
 def test_salted_join_matches_unsalted(spark):
     """Salting must not change semantics: same rows as the plain join."""
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
     from pyspark.sql import functions as F
 
     salted = {
@@ -207,7 +208,7 @@ def test_resample_grid_dense_and_filled(spark):
     df = QUERIES["ts_resample_ffill"].fn(spark, SF_DIR)
     agg = df.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        ((F.unix_micros(F.max("hour_ts")) - F.unix_micros(F.min("hour_ts")))
+        ((epoch_us(F.max("hour_ts")) - epoch_us(F.min("hour_ts")))
          / 3_600_000_000 + 1).alias("span_hours"),
         F.sum(F.col("value_ffill").isNull().cast("int")).alias("nulls"),
     )
@@ -219,7 +220,7 @@ def test_resample_grid_dense_and_filled(spark):
 def test_sessionize_conserves_events(spark):
     """Session stats must partition the event set: per-user total_events
     equals the raw per-user event count."""
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
     from pyspark.sql import functions as F
 
     got = {
@@ -410,8 +411,9 @@ def test_embed_quantize_codes_and_error(spark):
     rows = QUERIES["embed_quantize"].fn(spark, SF_DIR).collect()
     assert rows
     for r in rows[:50]:
-        assert len(r["q"]) == 64
-        assert all(0 <= v <= 255 for v in r["q"])
+        codes = [int(v) for v in r["q"].split(",")]  # canonical CSV string
+        assert len(codes) == 64
+        assert all(0 <= v <= 255 for v in codes)
         assert 0.0 <= r["mae"] < 0.5  # << step/2 for any sane [mn,mx] span
 
 
@@ -420,14 +422,14 @@ def test_range_binned_matches_naive(spark):
     pair set (same-user, |Δt| <= window)."""
     import itertools
 
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
     from atlas_migration_repo_spark.operators.joins import RANGE_WIN_US
 
     from pyspark.sql import functions as F
 
     ev = (
         load(spark, SF_DIR, "events")
-        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+        .select("user_id", "event_id", epoch_us("ts").alias("t"))
         .collect()
     )
     by_user: dict[int, list] = {}
@@ -501,7 +503,7 @@ def test_transform_with_state_gated(spark):
     if not tws_available():
         assert "stream_transform_with_state" not in QUERIES
         return
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
     from pyspark.sql import functions as F
 
     got = {
@@ -626,7 +628,7 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     in run 2, zero duplicate event_ids at the sink."""
     import shutil
 
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
     from pyspark.sql import functions as F
 
     src_dir, sink_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
@@ -662,7 +664,7 @@ def test_agg_linreg_matches_builtin(spark):
     regr_slope/regr_intercept/regr_r2 to float tolerance."""
     from pyspark.sql import functions as F
 
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
 
     ours = {r["l_returnflag"]: r for r in QUERIES["agg_linreg"].fn(spark, SF_DIR).collect()}
     ref = {
@@ -688,7 +690,7 @@ def test_merge_full_clause_accounting(spark):
     and updated rows carry the finalized status."""
     from pyspark.sql import functions as F
 
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
 
     out = QUERIES["merge_full"].fn(spark, SF_DIR)
     base = load(spark, SF_DIR, "orders")
@@ -729,7 +731,7 @@ def test_text_lm_score_flags_rare_token_docs(spark):
     rank a doc made of the most common words above one of the rarest."""
     from pyspark.sql import functions as F
 
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
 
     out = QUERIES["text_lm_score"].fn(spark, SF_DIR)
     assert out.where(F.col("lm_logprob") >= 0).count() == 0
@@ -752,7 +754,7 @@ def test_runtime_bloom_filter_injection(spark):
     Catalyst must inject a bloom-filter semi-join reduction (the
     might_contain runtime filter) on the probe side of a selective
     shuffle join — the 100 TB shuffle-pruning path session.py enables."""
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
     from pyspark.sql import functions as F
 
     confs = {
@@ -835,7 +837,7 @@ def test_empty_input_schema_stability(spark, tmp_path):
     alive when one partition/day/source happens to be empty."""
     import os
 
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
 
     # materialize an empty fixture: same schemas, zero rows
     empty_dir = str(tmp_path / "sf_empty")
@@ -910,7 +912,7 @@ def test_embed_pca_power_invariants(spark):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-9
     nz = np.flatnonzero(np.abs(v) > 1e-12)
     assert v[nz[0]] > 0  # canonical sign
-    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.catalog import epoch_us, load
 
     x = np.vstack([r["embedding"] for r in load(spark, SF_DIR, "embeddings").collect()])
     x = x.astype(np.float64)
