@@ -549,3 +549,62 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("lm_bigram_logprob"),
     )
+
+
+@query(
+    "text_bm25",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents),
+    tf  AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    dl  AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+    df  AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n   AS (SELECT COUNT(*) AS n_docs, AVG(LEN(STRING_SPLIT(text, ' '))) AS avgdl
+            FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             LN((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl)) AS score
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN n
+    )
+    SELECT doc_id, word, {sql_r4('score')} AS bm25
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, word) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (k1=1.2, b=0.75, Lucene-form idf), top-3
+    terms per document — the ranking-function upgrade of text_tfidf with
+    document-length normalization. Same single-tokenize scale shape as
+    tfidf: df derives from the (doc,word) tf relation so ReuseExchange
+    shares its shuffle, and both the df table (vocab-sized) and the
+    (n_docs, avgdl) scalar broadcast to the score join. Ranking compares
+    raw doubles (bit-identical in both engines); rounding happens only on
+    the emitted score."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    dl = d.select("doc_id", F.size(words()).alias("dl"))
+    n = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(words())).alias("avgdl"),
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "word", r4(F.col("score")).alias("bm25"))
+    )

@@ -998,3 +998,43 @@ def test_jdbc_connector_boundary(spark):
         assert len(hits) == 1, (v, hits)
     with _pytest.raises(NotImplementedError):
         JdbcExtractor(spark).read(spec)
+
+
+def test_skyline_is_maximal_antichain(spark):
+    """No returned point may dominate another returned point, and every
+    non-returned point must be dominated by some returned point."""
+    from atlas_migration_repo_spark.catalog import load
+
+    sky = [(r["p_retailprice"], r["p_size"]) for r in
+           QUERIES["skyline_pareto"].fn(spark, SF_DIR).collect()]
+    allp = [(r["p_retailprice"], r["p_size"]) for r in
+            load(spark, SF_DIR, "part").select("p_retailprice", "p_size").collect()]
+
+    def dominates(q, p):
+        return q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+
+    for a in sky:
+        assert not any(dominates(b, a) for b in sky if b != a), (a,)
+    sky_set = set(sky)
+    for p in allp:
+        if p not in sky_set:
+            assert any(dominates(s, p) for s in sky), (p,)
+
+
+def test_event_transitions_rows_normalize(spark):
+    """Per from_type, transition probabilities sum to ~1 and counts
+    conserve the total number of consecutive pairs (n_events - n_users)."""
+    from atlas_migration_repo_spark.catalog import load
+
+    rows = QUERIES["event_transitions"].fn(spark, SF_DIR).collect()
+    by_from: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p"]
+        total += r["n"]
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) < 1e-3, (ft, s)
+    ev = load(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users
