@@ -235,3 +235,338 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("_twap_raw")).alias("twap"),
         )
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, value,
+             LAG(value, 1) OVER w AS v1,
+             LAG(value, 2) OVER w AS v2,
+             LAG(value, 3) OVER w AS v3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id,
+           {sql_r4('CORR(value, v1)')} AS acf_1,
+           {sql_r4('CORR(value, v2)')} AS acf_2,
+           {sql_r4('CORR(value, v3)')} AS acf_3
+    FROM s GROUP BY user_id
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1/2/3 autocorrelation of the event value series — the
+    seasonality/persistence probe that picks the model order before
+    ts_ewma/ts_holt_linear smoothing. One user-partitioned window builds
+    the lags, then sample CORR per user (both engines drop null pairs).
+    Same single-shuffle profile as every per-user sequence op here; lags
+    never cross users, so partitions stream independently at any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("value", 3).over(w).alias("v3"),
+    )
+    return s.groupBy("user_id").agg(
+        r4(F.corr("value", "v1")).alias("acf_1"),
+        r4(F.corr("value", "v2")).alias("acf_2"),
+        r4(F.corr("value", "v3")).alias("acf_3"),
+    )
+
+
+@query(
+    "orders_rfm",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+    base AS (
+      SELECT o_custkey AS c_custkey,
+             DATEDIFF('day', MAX(CAST(o_orderdate AS DATE)), ANY_VALUE(anchor.mx)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS monetary
+      FROM orders, anchor GROUP BY o_custkey
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, c_custkey) AS INT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS INT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, c_custkey) AS INT) AS m_quartile
+    FROM base
+    """,
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, anchored
+    at the corpus max date so the result is reproducible), frequency, and
+    decimal-exact monetary total, each cut into quartiles (customer-key
+    tie-break makes NTILE deterministic). The aggregate runs keyed by
+    customer; the three NTILE windows then rank the *aggregated* relation.
+    At 100 TB those global sorts are the valve: swap NTILE for
+    percentile_approx cutoffs (3 numbers, broadcast) and the segmentation
+    becomes a pure map — documented here because fixture scale doesn't
+    need it."""
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    base = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(
+                F.first("mx"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "c_custkey"))
+        .cast("int")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "c_custkey"))
+        .cast("int")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "c_custkey"))
+        .cast("int")
+        .alias("m_quartile"),
+    )
+
+
+@query(
+    "abc_classification",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS rev_dec
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_dec,
+             SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec,
+             SUM(rev_dec) OVER () AS total_dec
+      FROM rev
+    )
+    SELECT l_partkey,
+           CAST(ROUND(rev_dec, 4) AS DOUBLE) AS revenue,
+           {sql_r4('CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)')} AS cum_share,
+           CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.7 THEN 'A'
+                WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    cumulative share cut at 70% / 95%. All accumulation stays decimal
+    (exact, order-independent) until the final share division, so the
+    class boundaries are bit-identical in both engines. Revenue aggregates
+    by part first (map-side combine), leaving the global cumulative window
+    on |parts| rows — and at warehouse scale the same two-tier trick as
+    skyline applies: range-partition the revenue axis and prefix-sum the
+    per-range totals."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+                "decimal(30,8)"
+            )
+        ).alias("rev_dec")
+    )
+    w_cum = Window.orderBy(F.col("rev_dec").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "rev_dec",
+        F.sum("rev_dec").over(w_cum).alias("cum_dec"),
+        F.sum("rev_dec").over(w_all).alias("total_dec"),
+    )
+    share = F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")
+    return ranked.select(
+        "l_partkey",
+        F.col("rev_dec").cast("decimal(38,4)").cast("double").alias("revenue"),
+        r4(share).alias("cum_share"),
+        F.when(share <= 0.7, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST((EPOCH_US(t_purchase) - EPOCH_US(t_signup)) // 1000000 AS BIGINT)
+             AS secs_to_convert
+    FROM f
+    WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+      AND t_purchase >= t_signup
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency per user: whole seconds from first signup to
+    first purchase (users whose first purchase predates signup are
+    excluded — they converted through another door). Conditional MINs
+    aggregate map-side in one pass over events; no window, no self-join —
+    the cheapest formulation of funnel timing and the one that scales as a
+    single keyed aggregate."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return (
+        f.where(
+            F.col("t_signup").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") >= F.col("t_signup"))
+        )
+        .select(
+            "user_id",
+            (epoch_us("t_purchase") - epoch_us("t_signup")).alias("_us"),
+        )
+        .select("user_id", F.expr("_us div 1000000").alias("secs_to_convert"))
+    )
+
+
+@query(
+    "ts_cusum",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+             CAST(ROUND(value * 10000) AS BIGINT) AS qv
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             CAST((2 * SUM(qv) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mu_u
+      FROM q GROUP BY user_id
+    ),
+    s AS (
+      SELECT q.user_id,
+             SUM(q.qv) OVER w - ROW_NUMBER() OVER w * g.mu_u AS cusum_units
+      FROM q JOIN g USING (user_id)
+      WINDOW w AS (PARTITION BY q.user_id ORDER BY q.tsx, q.event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(MAX(cusum_units) AS DOUBLE) / 10000.0 AS max_excursion,
+           CAST(MIN(cusum_units) AS DOUBLE) / 10000.0 AS min_excursion
+    FROM s GROUP BY user_id
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart per user: running sum of deviations from the
+    (4dp-quantized) per-user mean; max/min excursions are the changepoint
+    evidence a drifting series leaves behind.
+
+    Exactness is the whole game and floats cannot deliver it: Spark
+    evaluates running-frame SUMs incrementally while DuckDB uses a segment
+    tree, so double CUSUMs round in different orders and the row-count-
+    amplified drift breaks the 4dp hash at sf0.1; even an exact integer
+    numerator divided by n hits round-half ties that the engines break
+    differently (both observed). So the mean itself is quantized to the
+    value grid — mu_u = round_half_up(Σq / n) in exact 1e-4 integer units
+    ((2Σq+n) div 2n, fixture values are positive) — and every cusum is
+    pure 64-bit integer arithmetic; /1e4 at the end is exact in double.
+    One user-keyed shuffle; the per-user means broadcast (15 rows)."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 10000).cast("bigint").alias("qv"),
+    )
+    g = q.groupBy("user_id").agg(
+        F.expr("CAST((2 * SUM(qv) + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)").alias(
+            "mu_u"
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = q.join(F.broadcast(g), "user_id").select(
+        "user_id",
+        (F.sum("qv").over(w) - F.row_number().over(wr) * F.col("mu_u")).alias(
+            "cusum_units"
+        ),
+    )
+    return s.groupBy("user_id").agg(
+        (F.max("cusum_units").cast("double") / 10000.0).alias("max_excursion"),
+        (F.min("cusum_units").cast("double") / 10000.0).alias("min_excursion"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT a.o_custkey AS c,
+           a.o_orderkey AS k1, b.o_orderkey AS k2,
+           CAST(DATEDIFF('day',
+                GREATEST(CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE)),
+                LEAST(CAST(a.o_orderdate AS DATE) + INTERVAL 30 DAY,
+                      CAST(b.o_orderdate AS DATE) + INTERVAL 30 DAY)) AS INT)
+             AS overlap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE CAST(a.o_orderdate AS DATE) < CAST(b.o_orderdate AS DATE) + INTERVAL 30 DAY
+      AND CAST(b.o_orderdate AS DATE) < CAST(a.o_orderdate AS DATE) + INTERVAL 30 DAY
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of 30-day order windows of the
+    same customer that intersect, with the overlap length. The equi-key
+    (customer) carries the join — Spark hash-partitions on it and the
+    interval predicate is a cheap residual filter, so unlike a pure
+    interval join no binning is needed; per-customer order counts bound
+    the quadratic term. The orderkey inequality canonicalizes pairs."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    a = o.select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("d").alias("d1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = a.join(b, "c").where(
+        (F.col("k1") < F.col("k2"))
+        & (F.col("d1") < F.date_add(F.col("d2"), 30))
+        & (F.col("d2") < F.date_add(F.col("d1"), 30))
+    )
+    return pairs.select(
+        "c",
+        "k1",
+        "k2",
+        F.datediff(
+            F.least(F.date_add("d1", 30), F.date_add("d2", 30)),
+            F.greatest("d1", "d2"),
+        )
+        .cast("int")
+        .alias("overlap_days"),
+    )
