@@ -731,3 +731,37 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(long_words).alias("long_word")
     )
+
+
+@query(
+    "str_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           REVERSE(c_name) AS rev_name,
+           REPEAT(c_mktsegment, 2) AS seg2,
+           TRANSLATE(c_name, '#0', '_O') AS translated,
+           LEFT(c_name, 8) AS l8,
+           RIGHT(c_name, 3) AS r3,
+           SPLIT_PART(c_name, '#', 2) AS name_num,
+           CAST(LEVENSHTEIN(c_mktsegment, 'BUILDING') AS INT) AS seg_dist
+    FROM customer
+    """,
+)
+def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function batch: reverse / repeat / translate /
+    left / right / split_part / levenshtein — all JVM expressions inside
+    whole-stage codegen (the functions both engines define with identical
+    semantics; initcap/overlay are excluded because DuckDB's dialect
+    differs). Levenshtein against a constant is the fuzzy-matching
+    primitive fuzzy_match_names builds on."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.reverse(F.col("c_name")).alias("rev_name"),
+        F.repeat(F.col("c_mktsegment"), 2).alias("seg2"),
+        F.translate(F.col("c_name"), "#0", "_O").alias("translated"),
+        F.substring(F.col("c_name"), 1, 8).alias("l8"),
+        F.substring(F.col("c_name"), -3, 3).alias("r3"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("int").alias("seg_dist"),
+    )

@@ -315,3 +315,32 @@ def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(frame, schema=_AUDIO_SCHEMA)
+
+
+@query(
+    "multimodal_dedup_payload",
+    oracle="""
+    SELECT SHA256(text) AS digest,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS INT) AS n_copies
+    FROM documents
+    GROUP BY SHA256(text)
+    """,
+)
+def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact dedup over the opaque binary payload column: SHA-256 of
+    the raw bytes (not the decoded text) keys the groups, min doc_id is
+    the keeper — the modality-agnostic first pass of any media pipeline,
+    since identical files dedup without decoding. Hashing happens
+    map-side; the shuffle carries only (digest, doc_id). The oracle
+    hashes the same bytes (documents.text is the payload, UTF-8)."""
+    d = load(spark, sf_dir, "documents")
+    env = with_binary_payload(d)
+    return (
+        env.select("doc_id", F.sha2(F.col("payload"), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("int").alias("n_copies"),
+        )
+    )

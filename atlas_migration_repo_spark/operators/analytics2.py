@@ -570,3 +570,143 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("overlap_days"),
     )
+
+
+@query(
+    "rel_division",
+    oracle="""
+    WITH divisor AS (SELECT COUNT(DISTINCT p_brand) AS n_brands FROM part),
+    cand AS (
+      SELECT DISTINCT o_custkey, p_brand
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                  JOIN part ON l_partkey = p_partkey
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(COUNT(*) AS INT) AS n_brands
+    FROM cand, divisor
+    GROUP BY o_custkey, divisor.n_brands
+    HAVING COUNT(*) = divisor.n_brands
+    """,
+)
+def rel_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the 'for all' query: customers whose orders
+    span EVERY part brand in the catalog. Division reduces to counting:
+    distinct (customer, brand) pairs, then keep customers whose brand
+    count equals the divisor cardinality. The distinct pre-aggregate is
+    the scale lever (collapses the fact table to |customers|x|brands|
+    before any comparison); the divisor is one broadcast scalar. No
+    correlated subquery survives to the physical plan — this is the
+    decorrelated form by construction."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    n_brands = p.agg(F.countDistinct("p_brand").alias("n_brands"))
+    cand = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    return (
+        cand.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_brands))
+        .where(F.col("cnt") == F.col("n_brands"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("cnt").cast("int").alias("n_brands"),
+        )
+    )
+
+
+@query(
+    "ts_longest_streak",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_all,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type = 'error'
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_flag
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, COUNT(*) AS streak
+      FROM seq WHERE event_type = 'error'
+      GROUP BY user_id, rn_all - rn_flag
+    )
+    SELECT user_id, CAST(MAX(streak) AS INT) AS longest_error_streak
+    FROM islands GROUP BY user_id
+    """,
+)
+def ts_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive run of 'error' events per user — gaps-and-
+    islands: within a user's timeline, consecutive errors share the same
+    (row_number_all − row_number_among_errors) island key, so the longest
+    streak is a count-max over islands. Three window passes but ONE
+    physical sort: all windows share the (user_id | ts, event_id)
+    ordering, so Catalyst pipelines them over a single user-keyed
+    shuffle — the alerting primitive ('N failures in a row') at any
+    scale."""
+    ev = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_flag = Window.partitionBy(
+        "user_id", F.col("event_type") == "error"
+    ).orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_flag)).alias("island"),
+    ).where(F.col("event_type") == "error")
+    islands = seq.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("streak"))
+    return islands.groupBy("user_id").agg(
+        F.max("streak").cast("int").alias("longest_error_streak")
+    )
+
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN l_quantity END) AS q25,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN l_quantity END) AS q50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN l_quantity END) AS q90
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (type-1 quantiles): the value at sorted rank
+    ceil(q·n) — an actual observed element, never an interpolation (the
+    right definition for quantities and budgets that must be realizable).
+    Both twins spell out the same rank-selection rule rather than leaning
+    on engine-specific QUANTILE_DISC tie conventions, so parity is by
+    construction. At fixture scale this is a per-group sort; the
+    documented scale swap is percentile_approx, whose sketch merges
+    map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+
+    def at(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("l_quantity"),
+            )
+        )
+
+    return ranked.groupBy("l_returnflag").agg(
+        at(0.25).alias("q25"), at(0.50).alias("q50"), at(0.90).alias("q90")
+    )
