@@ -633,3 +633,87 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = -v
     out = [(int(i), float(v[i]), eigval) for i in range(64)]
     return spark.createDataFrame(out, "dim int, loading double, eigval double")
+
+
+@query(
+    "embed_dim_stats",
+    oracle=f"""
+    WITH flat AS (
+      SELECT UNNEST(embedding) AS x,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           {sql_r4('AVG(x)')} AS mean_x,
+           {sql_r4('STDDEV_SAMP(x)')} AS std_x,
+           {sql_r4('MIN(x)')} AS min_x,
+           {sql_r4('MAX(x)')} AS max_x
+    FROM flat GROUP BY dim
+    """,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution stats of the embedding matrix — the
+    normalization/whitening precursor (and the drift monitor a production
+    embedding pipeline alerts on). posexplode flattens to (dim, x) rows
+    map-side; 64 groups aggregate with partial combine, so the shuffle
+    carries 64 rows per task regardless of corpus size. AVG/STDDEV on
+    float inputs stay in the r4 drift envelope at fixture scale (same
+    policy as agg_stats)."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"), F.col("x").cast("double").alias("x")
+    )
+    return flat.groupBy("dim").agg(
+        r4(F.avg("x")).alias("mean_x"),
+        r4(F.stddev_samp("x")).alias("std_x"),
+        r4(F.min("x")).alias("min_x"),
+        r4(F.max("x")).alias("max_x"),
+    )
+
+
+@query(
+    "embed_knn_label_accuracy",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id, a.label AS la, b.label AS lb,
+             LIST_COSINE_SIMILARITY(a.embedding, b.embedding) AS cos,
+             b.vec_id AS nb
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT vec_id, la, lb
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, nb) AS rn
+            FROM pairs)
+      WHERE rn = 1
+    )
+    SELECT la AS label,
+           CAST(COUNT(*) AS INT) AS n_vectors,
+           {sql_r4('AVG(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END)')} AS knn1_accuracy
+    FROM nn GROUP BY la
+    """,
+)
+def embed_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation: leave-one-out 1-NN label accuracy per
+    class — the standard 'are these embeddings any good' probe before
+    they're trusted for dedup or retrieval. Reuses the sim_knn_join
+    brute-force kernel (block-BLAS over broadcast candidates) and reduces
+    to a 10-row accuracy table; at corpus scale the same evaluation runs
+    over the ANN index instead (sim_ann_lsh/ivf), trading exactness for
+    sub-quadratic cost. The oracle replays the full O(n²) ranking in SQL."""
+    nn = sim_knn_join(spark, sf_dir)  # vec_id, nn_id, cosine
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        nn.join(e.withColumnRenamed("label", "la"), "vec_id")
+        .join(
+            e.select(F.col("vec_id").alias("nn_id"), F.col("label").alias("lb")),
+            "nn_id",
+        )
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_vectors"),
+            r4(F.avg(F.when(F.col("la") == F.col("lb"), 1.0).otherwise(0.0))).alias(
+                "knn1_accuracy"
+            ),
+        )
+    )

@@ -710,3 +710,112 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("l_returnflag").agg(
         at(0.25).alias("q25"), at(0.50).alias("q50"), at(0.90).alias("q90")
     )
+
+
+@query(
+    "join_mark_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 300000) AS has_big_order
+    FROM customer c
+    """,
+)
+def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-flag join (the 'mark join'): every customer row survives,
+    annotated with whether a qualifying order EXISTS — the pattern behind
+    CASE WHEN EXISTS projections. Spark has no mark-join operator, so the
+    flag is built as a distinct-keys left join + null test: the distinct
+    pre-aggregate keeps the join build side to |matching customers| and
+    the left join preserves cardinality exactly (no fan-out) — semantics
+    a left_semi (drops rows) or raw left join (duplicates rows) would
+    both get wrong. The filter pushes into the orders scan."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    big = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .withColumn("m", F.lit(True))
+    )
+    return c.join(F.broadcast(big), c.c_custkey == big.k, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("m"), F.lit(False)).alias("has_big_order"),
+    )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(
+             SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,8)))
+             / SUM(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE)
+             AS qty_weighted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag: Σ(price·qty)/Σ(qty),
+    both sums accumulated in exact decimal so the quotient divides
+    bit-identical operands in both engines (price·qty is ≤4dp — inside
+    the decimal(30,8) exactness margin). The division result is decimal
+    in both engines (DuckDB decimal/decimal stays decimal), rounded to
+    4dp while still decimal, then cast — same discipline as msum. Plain
+    two-sum aggregate: partial map-side combine, one shuffle of 3 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(30,8)"))
+    den = F.sum(F.col("l_quantity").cast("decimal(30,8)"))
+    return li.groupBy("l_returnflag").agg(
+        F.round(num / den, 4).cast("double").alias("qty_weighted_price")
+    )
+
+
+@query(
+    "date_spine_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT UNNEST(GENERATE_SERIES(CAST(DATE_TRUNC('month', bounds.lo) AS DATE),
+                                    bounds.hi, INTERVAL 1 MONTH)) AS m
+      FROM bounds
+    ),
+    actual AS (
+      SELECT DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS m, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(DATE_TRUNC('month', spine.m) AS DATE) AS month,
+           CAST(COALESCE(actual.n, 0) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN actual ON DATE_TRUNC('month', spine.m) = actual.m
+    """,
+)
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification: generate every month between the
+    first and last order date and left-join the actual monthly counts, so
+    empty months surface as explicit zeros — the gap-free axis every
+    report and forecasting model needs (a GROUP BY alone silently drops
+    empty periods). The spine generates from one broadcast (min,max) row
+    via sequence+explode — rows scale with the calendar, not the data."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.trunc("lo", "month"), F.trunc("hi", "month"), F.expr("INTERVAL 1 MONTH")
+            )
+        ).alias("month")
+    )
+    actual = o.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(F.broadcast(actual), spine.month == actual.m, "left").select(
+        "month", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
+    )
