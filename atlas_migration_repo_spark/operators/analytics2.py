@@ -819,3 +819,131 @@ def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(F.broadcast(actual), spine.month == actual.m, "left").select(
         "month", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey AS c_custkey,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey,
+           NTH_VALUE(o_orderkey, 3) OVER w AS third_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full-partition frame: each customer's 2nd and
+    3rd order (by date, orderkey tiebreak), NULL when fewer exist — the
+    'what did they do next' primitive. The explicit unbounded frame
+    matters: the default frame stops at the current row and would yield
+    row-dependent answers; pinned to the full partition, every row agrees
+    and DISTINCT collapses to one row per customer. One keyed shuffle."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+            F.nth_value("o_orderkey", 3).over(w).alias("third_orderkey"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT l_returnflag,
+           BOOL_AND(l_discount <= 0.05) AS all_low_discount,
+           BOOL_OR(l_quantity >= 49) AS any_bulk,
+           CAST(COUNT(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_tax_free
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregation (every/any/count-if): universally- and
+    existentially-quantified predicates per group, the building block of
+    data-quality assertions (dq_checks composes these). Booleans fold
+    map-side to a single bit per partition — the cheapest aggregate
+    there is."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") <= 0.05).alias("all_low_discount"),
+        F.bool_or(F.col("l_quantity") >= 49).alias("any_bulk"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )
+
+
+@query(
+    "agg_regr_family",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           {sql_r4('REGR_SLOPE(l_extendedprice, l_quantity)')} AS slope,
+           {sql_r4('REGR_INTERCEPT(l_extendedprice, l_quantity)')} AS intercept,
+           {sql_r4('REGR_R2(l_extendedprice, l_quantity)')} AS r2,
+           {sql_r4('REGR_AVGX(l_extendedprice, l_quantity)')} AS avg_qty,
+           {sql_r4('REGR_AVGY(l_extendedprice, l_quantity)')} AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard REGR_* linear-regression family as built-ins
+    (slope/intercept/R²/avgs/count of price on quantity per return flag)
+    — agg_linreg derives the same fit from raw moments to prove the
+    algebra; this registers the native aggregates, which partial-merge
+    (sum/count/co-moment state) and therefore scale as one map-side
+    combine + 3-row shuffle like any other aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        r4(F.regr_slope(y, x)).alias("slope"),
+        r4(F.regr_intercept(y, x)).alias("intercept"),
+        r4(F.regr_r2(y, x)).alias("r2"),
+        r4(F.regr_avgx(y, x)).alias("avg_qty"),
+        r4(F.regr_avgy(y, x)).alias("avg_price"),
+    )
+
+
+@query(
+    "pct_change_mom",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           {sql_r4('(revenue - LAG(revenue) OVER (ORDER BY month)) * 100.0 / LAG(revenue) OVER (ORDER BY month)')} AS pct_change
+    FROM monthly
+    """,
+)
+def pct_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue percent change — the reporting staple.
+    Aggregate to months first (decimal-exact, map-side combine), then one
+    lag over the ~80-row monthly series; the first month is NULL by
+    definition. The pct divides two already-rounded doubles, so both
+    engines divide identical bits. Global window on the aggregated series
+    only — never on raw rows."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        r4((F.col("revenue") - prev) * 100.0 / prev).alias("pct_change"),
+    )
