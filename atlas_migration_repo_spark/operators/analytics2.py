@@ -947,3 +947,56 @@ def pct_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         r4((F.col("revenue") - prev) * 100.0 / prev).alias("pct_change"),
     )
+
+
+@query(
+    "agg_count_distinct_multi",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT) over different columns in one aggregate —
+    the shape that forces Spark's Expand operator (one row replicated per
+    distinct-column with a grouping id, then two-phase dedup+count).
+    Expand multiplies shuffle rows by the distinct-aggregate count, which
+    is why agg_approx_count_distinct exists as the sketch-based escape
+    hatch at 100 TB; here the exact form is the point, and the plain
+    COUNT(*) rides along without an expand branch of its own."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "win_lag_default",
+    oracle="""
+    SELECT event_id, user_id,
+           LAG(value, 2, -1.0) OVER w AS lag2_or_neg1,
+           LEAD(value, 3, 0.0) OVER w AS lead3_or_zero
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def win_lag_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead at offsets beyond 1 with explicit defaults instead of
+    NULLs at the partition edges — the form feature pipelines use so a
+    downstream model never sees missing lags. Same one-sort-per-partition
+    profile as every sequence window."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 2, -1.0).over(w).alias("lag2_or_neg1"),
+        F.lead("value", 3, 0.0).over(w).alias("lead3_or_zero"),
+    )

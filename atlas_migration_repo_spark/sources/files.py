@@ -646,3 +646,55 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b").alias("min_day"),
         F.max("b").alias("max_day"),
     )
+
+
+@query(
+    "source_text_lines",
+    oracle="""
+    SELECT ('[' || CAST(event_id AS VARCHAR) || '] ' || event_type) AS line
+    FROM events
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line source: render one line per event, land as .txt,
+    read back with spark.read.text — the log-file ingestion path (each
+    line arrives as a single `value` column for downstream regex/split
+    parsing). Line files split on newlines, so a 100 TB log directory
+    parallelizes by file and by HDFS block like any other source."""
+    path = scratch_path(sf_dir, "events_text")
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("["), F.col("event_id").cast("string"), F.lit("] "), F.col("event_type")).alias("value")
+    )
+    ev.write.mode("overwrite").text(path)
+    return spark.read.text(path).select(F.col("value").alias("line"))
+
+
+@query(
+    "sink_jsonl",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price2
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + readback with explicit schema — the interchange
+    format every downstream tokenizer/labeler pipeline accepts. Doubles
+    are rounded BEFORE serialization (JSON round-trips shortest-repr
+    doubles exactly, but the policy keeps the landed file hash-stable);
+    the filter pushes into the parquet scan before the write."""
+    path = scratch_path(sf_dir, "orders_jsonl")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice"), 2).alias("price2"),
+    )
+    o.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("price2", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
