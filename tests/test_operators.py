@@ -1038,3 +1038,67 @@ def test_event_transitions_rows_normalize(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert total == n_events - n_users
+
+
+def test_twap_bounded_by_minmax(spark):
+    """A time-weighted average must lie within [min, max] of the user's
+    observed values (it is a convex combination of them)."""
+    from atlas_migration_repo_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    twap = {r["user_id"]: r["twap"] for r in
+            QUERIES["ts_time_weighted_avg"].fn(spark, SF_DIR).collect()}
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert twap
+    for u, t in twap.items():
+        lo, hi = bounds[u]
+        assert lo - 1e-6 <= t <= hi + 1e-6, (u, t, lo, hi)
+
+
+def test_bm25_terms_occur_in_doc(spark):
+    """Every BM25 top term must actually occur in its document."""
+    from atlas_migration_repo_spark.catalog import load
+
+    texts = {r["doc_id"]: set(r["text"].split(" ")) for r in
+             load(spark, SF_DIR, "documents").collect()}
+    rows = QUERIES["text_bm25"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["word"] in texts[r["doc_id"]], (r["doc_id"], r["word"])
+        assert r["bm25"] > 0
+
+
+def test_abc_classes_partition_and_order(spark):
+    """ABC classes must cover all parts, respect the revenue ordering
+    (every A-part's cumulative share <= every C-part's), and the top
+    class must hold at most 70% + one part of revenue."""
+    rows = QUERIES["abc_classification"].fn(spark, SF_DIR).collect()
+    assert {r["abc_class"] for r in rows} <= {"A", "B", "C"}
+    by_share = sorted(rows, key=lambda r: r["cum_share"])
+    seen_b_or_c = False
+    for r in by_share:
+        if r["abc_class"] != "A":
+            seen_b_or_c = True
+        else:
+            assert not seen_b_or_c, "A-class part after a B/C part in share order"
+    a_max = max((r["cum_share"] for r in rows if r["abc_class"] == "A"), default=0.0)
+    assert a_max <= 0.7 + 1e-9
+
+
+def test_rfm_quartiles_balanced(spark):
+    """NTILE(4) must produce near-equal quartile sizes (±1) per metric."""
+    rows = QUERIES["orders_rfm"].fn(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_quartile", "f_quartile", "m_quartile"):
+        counts = {}
+        for r in rows:
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert set(counts) == {1, 2, 3, 4}
+        assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
