@@ -909,3 +909,33 @@ def time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), msum(F.col("o_totalprice")).alias("total")
     )
+
+
+@query(
+    "sql_pivot_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (Spark's ANTLR syntax, entry point 2) — the same
+    rotation pivot_status does via the DataFrame API, driven as a SQL
+    string. Pivot compiles to one conditional aggregate per cell (the
+    oracle spells that form out), so it scales exactly like a GROUP BY:
+    map-side partials, one shuffle of |groups| x |pivot values| cells."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_pvt")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus FROM v_lineitem_pvt
+        )
+        PIVOT (COUNT(*) AS cnt FOR l_linestatus IN ('F' AS F, 'O' AS O))
+        """
+    ).select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+    )
