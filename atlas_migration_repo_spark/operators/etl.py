@@ -939,3 +939,109 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("F"),
         F.coalesce(F.col("O"), F.lit(0)).alias("O"),
     )
+
+
+@query(
+    "ivm_incremental_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def ivm_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN: the materialized
+    orders⋈customer view is maintained from a snapshot plus a delta batch
+    using the join-delta algebra Δ(R⋈S) = ΔR⋈S (customer side static
+    here), so only the increment — not the full fact history — shuffles
+    per refresh. The fixture splits orders deterministically into a 90%
+    'already materialized' snapshot and a 10% delta; the returned view is
+    snapshot ∪ (delta⋈dim), which the oracle checks against the full
+    recompute — the IVM correctness contract. At 100 TB the delta join is
+    minutes of data against a broadcast dim while the snapshot is
+    append-only parquet that never re-reads."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    full_join = lambda df: df.join(F.broadcast(c), df.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"
+    )
+    snapshot = full_join(o.where(F.col("o_orderkey") % 10 != 0))
+    delta = o.where(F.col("o_orderkey") % 10 == 0)
+    return snapshot.unionByName(full_join(delta))
+
+
+@query(
+    "sink_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_reprocessed
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill — the Airflow-rerun pattern: land
+    orders partitioned by status, then re-run exactly one partition ('P')
+    with dynamic partition overwrite; untouched partitions must survive
+    byte-for-byte. partitionOverwriteMode=dynamic replaces only the
+    partitions present in the written batch — THE property that makes a
+    failed daily task safely re-runnable without truncating the table.
+    The oracle asserts the final table equals the source (the rerun wrote
+    the same rows), with the reprocessed-partition count surfaced."""
+    import shutil
+
+    path = scratch_path(sf_dir, "orders_by_status")
+    shutil.rmtree(path, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # the "rerun": recompute partition P only and overwrite it in place
+        o.where(F.col("o_orderstatus") == "P").write.partitionBy(
+            "o_orderstatus"
+        ).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    landed = spark.read.parquet(path)
+    return landed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)
+        ).alias("n_reprocessed"),
+    )
+
+
+@query(
+    "join_not_in_null_aware",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT NULLIF(o_custkey, 42) FROM orders WHERE o_totalprice > 400000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a nullable subquery — the null-aware anti join, SQL's
+    most misunderstood operator: one NULL in the subquery list makes
+    NOT IN return no rows at all (x <> NULL is unknown), so the NULLIF
+    poison pill here flips the result between 'customers without big
+    orders' and 'empty' depending on whether customer 42 had one. Spark
+    plans this as a NullAwareAntiJoin (broadcast) rather than a plain
+    left_anti precisely to honor that three-valued logic; the SQL string
+    goes through the ANTLR entry point to exercise it."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_nia")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_ord_nia")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM v_cust_nia
+        WHERE c_custkey NOT IN (
+          SELECT NULLIF(o_custkey, 42) FROM v_ord_nia WHERE o_totalprice > 400000
+        )
+        ORDER BY c_custkey
+        """
+    )
