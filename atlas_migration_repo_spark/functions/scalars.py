@@ -765,3 +765,29 @@ def str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
         F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("int").alias("seg_dist"),
     )
+
+
+@query(
+    "str_regexp_all",
+    oracle="""
+    SELECT o_orderkey,
+           ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(o_orderpriority, '[A-Z]+'), ',') AS words,
+           CAST(LEN(REGEXP_EXTRACT_ALL(CAST(o_orderkey AS VARCHAR), '[0-9]')) AS INT) AS n_digits
+    FROM orders
+    """,
+)
+def str_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every match, not just the first — serialized
+    to a canonical CSV string (the comparison gate hashes scalars, and
+    downstream consumers get a deterministic layout). Patterns stay in
+    the RE2∩Java common subset like str_regexp."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.array_join(
+            F.regexp_extract_all(F.col("o_orderpriority"), F.lit("[A-Z]+"), 0), ","
+        ).alias("words"),
+        F.size(
+            F.regexp_extract_all(F.col("o_orderkey").cast("string"), F.lit("[0-9]"), 0)
+        ).cast("int").alias("n_digits"),
+    )

@@ -1000,3 +1000,124 @@ def win_lag_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value", 2, -1.0).over(w).alias("lag2_or_neg1"),
         F.lead("value", 3, 0.0).over(w).alias("lead3_or_zero"),
     )
+
+
+@query(
+    "basket_affinity",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS both_cnt
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, both_cnt,
+           {sql_r4('both_cnt * 1.0 / n.n_orders')} AS support,
+           {sql_r4('both_cnt * 1.0 / ia.cnt')} AS confidence_a_b,
+           {sql_r4('(both_cnt * 1.0 / n.n_orders) / ((ia.cnt * 1.0 / n.n_orders) * (ib.cnt * 1.0 / n.n_orders))')} AS lift
+    FROM pair
+    JOIN item ia ON pair.part_a = ia.l_partkey
+    JOIN item ib ON pair.part_b = ib.l_partkey
+    CROSS JOIN n
+    """,
+)
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over co-purchased part pairs: support,
+    confidence(A→B) and lift — the step after basket_pairs' candidate
+    generation that turns co-occurrence counts into rankable rules (lift
+    > 1 ⇒ genuinely associated, not just popular). The pair join stays
+    keyed on the order (never corpus-quadratic); item counts are
+    vocab-sized and broadcast; every ratio divides exact integer counts,
+    so r4 parity is trivial."""
+    op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = op.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .where(F.col("both_cnt") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "both_cnt",
+            r4(F.col("both_cnt") * 1.0 / F.col("n_orders")).alias("support"),
+            r4(F.col("both_cnt") * 1.0 / F.col("cnt_a")).alias("confidence_a_b"),
+            r4(
+                (F.col("both_cnt") * 1.0 / F.col("n_orders"))
+                / (
+                    (F.col("cnt_a") * 1.0 / F.col("n_orders"))
+                    * (F.col("cnt_b") * 1.0 / F.col("n_orders"))
+                )
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+             COALESCE(LEAD(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ), TIMESTAMP '9999-12-31') AS valid_to,
+             value AS dim_value
+      FROM events WHERE user_id < 10 AND event_type = 'signup'
+    )
+    SELECT f.event_id, f.user_id, d.dim_value
+    FROM events f JOIN dim d
+      ON f.user_id = d.user_id
+     AND CAST(f.ts AS TIMESTAMP) >= d.valid_from
+     AND CAST(f.ts AS TIMESTAMP) < d.valid_to
+    WHERE f.event_type = 'purchase' AND f.user_id < 10
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact⋈dimension lookup against an SCD2 history: each
+    purchase joins the dimension version whose [valid_from, valid_to)
+    interval covers the event time — the query every warehouse runs
+    against the table scd2_history builds. The validity intervals are
+    half-open and partition each user's timeline, so exactly one version
+    matches per fact row (no fan-out). Equi-key on user carries the
+    shuffle; the interval test is a residual predicate — at 100 TB the
+    dim side is the small one and broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.where((F.col("user_id") < 10) & (F.col("event_type") == "signup"))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(w),
+                F.lit("9999-12-31 00:00:00").cast("timestamp_ntz"),
+            ).alias("valid_to"),
+            F.col("value").alias("dim_value"),
+        )
+    )
+    fact = ev.where((F.col("event_type") == "purchase") & (F.col("user_id") < 10))
+    return (
+        fact.alias("f")
+        .join(
+            F.broadcast(dim).alias("d"),
+            (F.col("f.user_id") == F.col("d.user_id"))
+            & (F.col("f.ts") >= F.col("d.valid_from"))
+            & (F.col("f.ts") < F.col("d.valid_to")),
+        )
+        .select("f.event_id", "f.user_id", "d.dim_value")
+    )
