@@ -254,3 +254,92 @@ def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderstatus", "n", (F.col("total_cents").cast("double") / 100.0).alias("total")
     )
+
+
+@query(
+    "udaf_cogrouped_pandas",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           CAST(ROUND(o.o_totalprice, 2) AS DOUBLE) AS order_total,
+           COALESCE(li.line_total, 0.0) AS line_total,
+           (li.l_orderkey IS NOT NULL) AS has_lines
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    """,
+)
+def udaf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas API: orders and lineitems co-partitioned on
+    the order key arrive as two aligned pandas frames per key-group, and
+    the Python function reconciles them (header total vs summed lines) —
+    the escape hatch for per-key logic that needs BOTH sides at once
+    (custom matching, ragged joins, order-book replay). Arrow moves each
+    cogroup in columnar batches; the shuffle is the same single
+    hash-partitioning a join would pay. The oracle is the equivalent
+    join+aggregate; per-key pandas sums are order-independent here
+    because each order has ≤7 lines (double sum exact to 2dp)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    def reconcile(key: tuple, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        total = round(float(odf["o_totalprice"].iloc[0]), 2) if len(odf) else None
+        lsum = round(float(ldf["l_extendedprice"].sum()), 2) if len(ldf) else 0.0
+        if not len(odf):  # lines without a header: not emitted (matches oracle)
+            return pd.DataFrame(
+                columns=["o_orderkey", "order_total", "line_total", "has_lines"]
+            )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "order_total": [total],
+                "line_total": [lsum],
+                "has_lines": [bool(len(ldf))],
+            }
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("order_total", T.DoubleType()),
+            T.StructField("line_total", T.DoubleType()),
+            T.StructField("has_lines", T.BooleanType()),
+        ]
+    )
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(reconcile, schema=out_schema)
+    )
+
+
+@query(
+    "udf_broadcast_lookup",
+    oracle="""
+    SELECT c_custkey, n_name AS nation_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def udf_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-variable lookup inside a vectorized UDF: the 25-row
+    nation map ships once per executor via sc.broadcast and each Arrow
+    batch maps key→name with a pandas .map — the pattern for small
+    reference data a UDF needs (tokenizer vocab, label maps) without a
+    join in the plan. The declarative twin IS the broadcast join (the
+    oracle); this registers the imperative form the API supports. At
+    scale the broadcast object must stay executor-memory-small — that is
+    the same ~200 MB budget a broadcast join gets."""
+    n = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    }
+    bc = spark.sparkContext.broadcast(n)
+
+    @F.pandas_udf(T.StringType())
+    def lookup(keys: pd.Series) -> pd.Series:
+        m = bc.value
+        return keys.map(m)
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", lookup(F.col("c_nationkey")).alias("nation_name"))

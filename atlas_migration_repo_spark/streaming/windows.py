@@ -189,3 +189,67 @@ def stream_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return run_to_table(spark, sf_dir, "stream_global_agg", build)
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH ends AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(ts AS TIMESTAMP)
+             + (CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTES
+                     ELSE INTERVAL 30 MINUTES END) AS win_end
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN MAX(win_end) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND 1 PRECEDING) IS NULL
+                    OR ts >= MAX(win_end) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                                         AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ends
+    ),
+    tagged AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM tagged GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DATA-DEPENDENT gap: an error shortens the
+    inactivity timeout to 5 minutes (fail fast), anything else keeps the
+    30-minute default — session_window accepts a Column gap expression,
+    which is the point: the state machine's timeout policy lives in the
+    query, not in code. The oracle replays Spark's exact merge rule as
+    batch interval-merging: each event owns [ts, ts+gap), and a new
+    session starts iff the event's ts reaches the running MAX of all
+    previous window ends (not just the previous event's — an earlier
+    long-gap event can bridge past a short-gap one)."""
+
+    def build(src: DataFrame) -> DataFrame:
+        gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+            F.lit("30 minutes")
+        )
+        return (
+            src.withColumn("ts", wm_ts("ts"))  # session_window state needs LTZ
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                ntz_ts(F.col("session_window.start")).alias("session_start"),
+                "n_events",
+            )
+        )
+
+    return run_to_table(spark, sf_dir, "stream_session_dynamic_gap", build)
