@@ -1121,3 +1121,171 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("f.event_id", "f.user_id", "d.dim_value")
     )
+
+
+@query(
+    "ts_bollinger_bands",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsx,
+             CAST(ROUND(value * 10000) AS BIGINT) AS qv
+      FROM events
+    ),
+    fr AS (
+      SELECT event_id, user_id,
+             SUM(qv) OVER w AS s,
+             SUM(qv * qv) OVER w AS s2,
+             COUNT(*) OVER w AS n
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsx, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST((2 * s + n) // (2 * n) AS DOUBLE) / 10000.0 AS sma,
+           {sql_r4('CAST((2 * s + n) // (2 * n) AS DOUBLE) / 10000.0 + CASE WHEN n > 1 THEN 2 * SQRT(CAST(n * s2 - s * s AS DOUBLE) / (n * (n - 1))) / 10000.0 END')} AS upper_band,
+           {sql_r4('CAST((2 * s + n) // (2 * n) AS DOUBLE) / 10000.0 - CASE WHEN n > 1 THEN 2 * SQRT(CAST(n * s2 - s * s AS DOUBLE) / (n * (n - 1))) / 10000.0 END')} AS lower_band
+    FROM fr
+    """,
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: 20-observation moving average ± 2 moving standard
+    deviations per user series — the volatility envelope on top of the
+    same framed-window machinery as win_moving_avg.
+
+    Float framed aggregates cannot hash-match across engines (sliding
+    accumulation vs segment tree evaluate in different orders, and a
+    20-element mean of 4dp values lands exactly on round-half ties), so
+    the frame carries exact integer units: values quantize to 1e-4
+    (exact — fixture values are ≤4dp and positive), the frame sums S and
+    S² are 64-bit-exact in any evaluation order, the SMA rounds half-up
+    in pure integer arithmetic ((2S+n) div 2n), and the sample stddev
+    √((nS₂−S²)/(n(n−1))) takes the square root of bit-identical doubles
+    — irrational, so the final r4 never hits a tie. One sort per user
+    partition, both aggregates share the frame."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 10000).cast("bigint").alias("qv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    fr = q.select(
+        "event_id",
+        "user_id",
+        F.sum("qv").over(w).alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    sma = F.expr("CAST((2 * s + n) div (2 * n) AS DOUBLE)") / 10000.0
+    sd = (
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+                / (F.col("n") * (F.col("n") - 1))
+            )
+            / 10000.0,
+        )
+    )
+    return fr.select(
+        "event_id",
+        "user_id",
+        sma.alias("sma"),
+        r4(sma + 2 * sd).alias("upper_band"),
+        r4(sma - 2 * sd).alias("lower_band"),
+    )
+
+
+@query(
+    "events_path_signature",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path5
+      FROM ranked WHERE rn <= 5
+      GROUP BY user_id
+    )
+    SELECT path5, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path5
+    """,
+)
+def events_path_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user's first five event types joined into an
+    ordered '>'-separated signature, counted across users — the
+    onboarding-funnel fingerprint ('view>view>signup>purchase…'). The
+    sequence materializes array-side: sort_array over (rank, type)
+    structs makes the order explicit data, not collect_list evaluation
+    order, so the path string is deterministic on any partitioning —
+    the same discipline as agg_collect_sorted. One user-keyed shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 5)
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.getField("event_type"),
+            ),
+        ).alias("path5")
+    )
+    return paths.groupBy("path5").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "outliers_iqr",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_mktsegment,
+             QUANTILE_CONT(c_acctbal, 0.25) AS q1,
+             QUANTILE_CONT(c_acctbal, 0.75) AS q3
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           {sql_r4('c.c_acctbal')} AS acctbal,
+           (c.c_acctbal < q.q1 - 1.5 * (q.q3 - q.q1)) AS low_outlier,
+           (c.c_acctbal > q.q3 + 1.5 * (q.q3 - q.q1)) AS high_outlier
+    FROM customer c JOIN q ON c.c_mktsegment = q.c_mktsegment
+    WHERE c.c_acctbal < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR c.c_acctbal > q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection: account balances beyond
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] of their market segment — the
+    quartile-based sibling of agg_mad and ts_anomaly_zscore (each robust
+    to a different failure of normality). Per-segment quartiles are 5
+    rows and broadcast back; the fence comparison is a map-side filter.
+    Exact percentile parity (Spark F.percentile == DuckDB QUANTILE_CONT)
+    is already established by agg_percentile."""
+    c = load(spark, sf_dir, "customer")
+    q = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.25).alias("q1"),
+        F.percentile("c_acctbal", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        c.join(F.broadcast(q), "c_mktsegment")
+        .where((F.col("c_acctbal") < lo) | (F.col("c_acctbal") > hi))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            r4(F.col("c_acctbal")).alias("acctbal"),
+            (F.col("c_acctbal") < lo).alias("low_outlier"),
+            (F.col("c_acctbal") > hi).alias("high_outlier"),
+        )
+    )
