@@ -791,3 +791,28 @@ def str_regexp_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("o_orderkey").cast("string"), F.lit("[0-9]"), 0)
         ).cast("int").alias("n_digits"),
     )
+
+
+@query(
+    "str_printf",
+    oracle="""
+    SELECT o_orderkey,
+           PRINTF('%s-%05d', o_orderstatus, o_orderkey) AS tag,
+           PRINTF('%.2f', ROUND(o_totalprice, 2)) AS price_str
+    FROM orders
+    """,
+)
+def str_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (format_string is Spark's printf): stable
+    key tags and fixed-point renderings — the deterministic string
+    serialization layer for export files. The float is rounded BEFORE
+    formatting so %.2f renders the same shortest-repr double in both
+    engines (printf'ing a raw double would expose binary-repr tails)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("%s-%05d", F.col("o_orderstatus"), F.col("o_orderkey")).alias(
+            "tag"
+        ),
+        F.format_string("%.2f", F.round(F.col("o_totalprice"), 2)).alias("price_str"),
+    )

@@ -698,3 +698,47 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(path)
+
+
+@query(
+    "sink_csv_quoted",
+    oracle="""
+    SELECT n_nationkey,
+           (n_name || ', officially "' || n_name || '"
+line two') AS tricky
+    FROM nation
+    """,
+)
+def sink_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip of hostile values: embedded delimiters, double
+    quotes, and newlines — the cells that corrupt naive CSV pipelines.
+    Written with quoting+escaping on (multiLine read restores embedded
+    newlines) and compared against the pre-serialization expression, so
+    the oracle certifies the round-trip is lossless, not merely that a
+    file appeared."""
+    path = scratch_path(sf_dir, "nation_csv_quoted")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.concat(
+            F.col("n_name"),
+            F.lit(', officially "'),
+            F.col("n_name"),
+            F.lit('"\nline two'),
+        ).alias("tricky"),
+    )
+    n.write.mode("overwrite").option("header", "true").option("quoteAll", "true").option(
+        "escape", '"'
+    ).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("tricky", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
