@@ -608,3 +608,35 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "word", r4(F.col("score")).alias("bm25"))
     )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ARRAY_TO_STRING((LIST_SORT(LIST(doc_id)))[1:5], ',') AS posting_head
+    FROM tok GROUP BY word
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index construction: word → document frequency + the head
+    of its sorted posting list (serialized, first 5 doc ids) — the core
+    IR structure behind keyword search and the candidate generator for
+    retrieval pipelines. Postings build as one distinct + one groupBy
+    (both map-side combining); slicing the sorted array keeps the emitted
+    row scalar-only for the hash gate. At corpus scale posting lists
+    shard by word hash, and the head-slice pattern is exactly how a
+    sampled index preview stays bounded."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words()).alias("word")).distinct()
+    return tok.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5), ","
+        ).alias("posting_head"),
+    )
