@@ -640,3 +640,50 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5), ","
         ).alias("posting_head"),
     )
+
+
+@query(
+    "text_char_trigrams",
+    oracle="""
+    WITH tri AS (
+      SELECT lang,
+             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(text) - 2, 0)),
+                                   i -> SUBSTR(text, i, 3))) AS tg
+      FROM documents
+    ),
+    counted AS (
+      SELECT lang, tg, COUNT(*) AS n
+      FROM tri GROUP BY lang, tg
+    )
+    SELECT lang, tg, n
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, tg) AS rn
+          FROM counted)
+    WHERE rn <= 10
+    """,
+)
+def text_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language profiles: the top-10 most frequent
+    3-char substrings per language — the classic n-gram-profile
+    representation language identifiers rank against (text_langid's
+    stopword heuristic is the word-level shortcut; this is the
+    character-level model it approximates). Trigrams explode array-side
+    from a sequence of offsets (no Python), counts combine map-side, and
+    the per-lang top-10 uses the WindowGroupLimit rank-filter shape."""
+    d = load(spark, sf_dir, "documents")
+    tg = d.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(0))),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("tg"),
+    )
+    counted = tg.groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "tg")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("lang", "tg", "n")
+    )

@@ -1289,3 +1289,31 @@ def outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_acctbal") > hi).alias("high_outlier"),
         )
     )
+
+
+@query(
+    "ts_hour_dow_profile",
+    oracle=f"""
+    SELECT CAST(DAYOFWEEK(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+           CAST(HOUR(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_r4('AVG(value)')} AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_hour_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heat profile: event density and mean value by (day of
+    week × hour of day) — the 7×24 seasonality matrix behind anomaly
+    baselines and capacity planning (ts_seasonal_decompose consumes the
+    hourly axis of exactly this profile). Field extraction on the naive
+    timestamp is zone-pure; 168 groups aggregate map-side. DuckDB's
+    DAYOFWEEK is 0=Sunday, Spark's dayofweek is 1=Sunday — the Spark
+    side subtracts 1 to land on the oracle's convention."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.avg("value")).alias("avg_value"),
+    )
