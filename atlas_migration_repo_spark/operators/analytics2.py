@@ -1317,3 +1317,130 @@ def ts_hour_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         r4(F.avg("value")).alias("avg_value"),
     )
+
+
+@query(
+    "agg_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           {sql_r4('-SUM((c.n * 1.0 / t.tot) * LN(c.n * 1.0 / t.tot))')} AS type_entropy,
+           CAST(COUNT(*) AS INT) AS n_types
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity profile (bots burn low-entropy signatures; the
+    same formula scores label balance in training corpora). Probabilities
+    divide exact integer counts, so both engines transform identical
+    doubles; the ≤5-term entropy sum is order-safe under r4. Two keyed
+    aggregates, the totals join back on the same partitioning."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            r4(-F.sum(p * F.log(p))).alias("type_entropy"),
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+        )
+    )
+
+
+@query(
+    "events_interarrival_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             (EPOCH_US(CAST(ts AS TIMESTAMP))
+              - LAG(EPOCH_US(CAST(ts AS TIMESTAMP))) OVER (
+                  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+              )) // 1000000 AS gap_s
+      FROM events
+    )
+    SELECT CAST(FLOOR(LOG10(gap_s + 1)) AS INT) AS log10_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution in log-decade buckets (0-9s,
+    10-99s, …): the burstiness fingerprint that chooses session gaps and
+    watermark delays empirically instead of by folklore — ts_gap_detect
+    flags the outliers, this shows the whole distribution. Gaps are
+    exact integer seconds (floored µs arithmetic); log10 of identical
+    integers buckets identically in both engines. One user-keyed window
+    then a tiny bucket aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        ((epoch_us("ts") - epoch_us(F.lag("ts").over(w)))).alias("_us")
+    ).where(F.col("_us").isNotNull()).select(F.expr("_us div 1000000").alias("gap_s"))
+    return gaps.groupBy(
+        F.floor(F.log10(F.col("gap_s") + 1)).cast("int").alias("log10_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@query(
+    "feature_zscore_normalize",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS mu_q,
+             STDDEV_SAMP(l_quantity) AS sd_q,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS mu_d,
+             STDDEV_SAMP(l_discount) AS sd_d
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           {sql_r4('(l_quantity - m.mu_q) / m.sd_q')} AS z_quantity,
+           {sql_r4('(l_discount - m.mu_d) / m.sd_d')} AS z_discount
+    FROM lineitem, m
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def feature_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature standardization (z-score) against global moments — the ML
+    preprocessing step every numeric column passes through before
+    distance-based models. Means come from exact decimal sums (the
+    ts_cusum lesson: a double AVG drifts with partitioning); the stddev's
+    ~1e-12 relative drift divides into values mid-grid, far from the r4
+    boundary. The (mu, sd) scalars broadcast; normalization is a pure map
+    over the (sampled) output rows."""
+    li = load(spark, sf_dir, "lineitem")
+    m = li.agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu_q"),
+        F.stddev_samp("l_quantity").alias("sd_q"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(30,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu_d"),
+        F.stddev_samp("l_discount").alias("sd_d"),
+    )
+    return (
+        li.where(F.col("l_orderkey") % 100 == 0)
+        .crossJoin(F.broadcast(m))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            r4((F.col("l_quantity") - F.col("mu_q")) / F.col("sd_q")).alias("z_quantity"),
+            r4((F.col("l_discount") - F.col("mu_d")) / F.col("sd_d")).alias("z_discount"),
+        )
+    )
