@@ -1444,3 +1444,138 @@ def feature_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4((F.col("l_discount") - F.col("mu_d")) / F.col("sd_d")).alias("z_discount"),
         )
     )
+
+
+@query(
+    "orders_gini_coefficient",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM spend
+    )
+    SELECT {sql_r4('2.0 * CAST(SUM(i * x) AS DOUBLE) / (ANY_VALUE(n) * CAST(SUM(x) AS DOUBLE)) - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n)')} AS gini,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the
+    whale-dependence metric (0 = egalitarian, →1 = one customer is the
+    business), computed by the rank formula G = 2Σi·xᵢ/(nΣx) − (n+1)/n
+    over spend sorted ascending (custkey tiebreak). Both Σi·x and Σx
+    accumulate in exact decimal (i is an exact integer rank), so the
+    final expression divides bit-identical operands. Spend aggregates
+    per customer first; the rank window runs on |customers| rows —
+    same two-tier valve as abc_classification if that ever dominates."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("x")
+    )
+    wr = Window.orderBy("x", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = spend.select(
+        "x",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return ranked.agg(
+        r4(
+            2.0
+            * F.sum(F.col("i") * F.col("x")).cast("double")
+            / (F.first("n") * F.sum("x").cast("double"))
+            - (F.first("n") + 1.0) / F.first("n")
+        ).alias("gini"),
+        F.first("n").cast("bigint").alias("n_customers"),
+    )
+
+
+@query(
+    "events_cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+      FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT d AS day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: first-seen date per user, new users per day,
+    and the running cumulative total — the DAU-acquisition chart. The
+    expensive step (min date per user) is one keyed aggregate; the
+    running sum windows over ~30 daily rows. Counting 'cumulative
+    distinct so far' this way (via first-seen) costs one pass instead of
+    a distinct-per-prefix blowup — the standard trick."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH endpoints AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT user_id, CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTES, -1 FROM events
+    ),
+    swept AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t, delta
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrent
+      FROM endpoints
+    )
+    SELECT CAST(MAX(concurrent) AS INT) AS peak_concurrent,
+           MIN(t) FILTER (WHERE concurrent = (SELECT MAX(concurrent) FROM swept))
+             AS first_peak_at
+    FROM swept
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep line: every event opens a 30-minute
+    activity interval; +1/−1 endpoint deltas, sorted, running-summed —
+    the max is the answer (capacity planning's favorite query). Ends sort
+    before starts at the same instant (delta −1 < +1), so touching
+    intervals don't double-count. The endpoint union is 2n narrow rows;
+    the global sweep window is the one scale concentration — the
+    documented fix is range-partitioning time and chaining per-range
+    offsets (same prefix-aggregate two-tier as skyline/ABC). Counts are
+    integers: exact in any engine."""
+    ev = load(spark, sf_dir, "events")
+    starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        F.timestamp_add("MINUTE", F.lit(30), F.col("ts")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    endpoints = starts.unionByName(ends)
+    w = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = endpoints.select("t", F.sum("delta").over(w).alias("concurrent"))
+    peak = swept.agg(F.max("concurrent").alias("pk"))
+    return (
+        swept.crossJoin(F.broadcast(peak))
+        .where(F.col("concurrent") == F.col("pk"))
+        .agg(
+            F.first("pk").cast("int").alias("peak_concurrent"),
+            F.min("t").alias("first_peak_at"),
+        )
+    )
