@@ -1102,3 +1102,33 @@ def test_rfm_quartiles_balanced(spark):
             counts[r[col]] = counts.get(r[col], 0) + 1
         assert set(counts) == {1, 2, 3, 4}
         assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
+
+
+def test_gini_bounds_and_entropy_cap(spark):
+    """Gini lies in [0,1); type entropy is capped by ln(n_types)."""
+    import math
+
+    g = QUERIES["orders_gini_coefficient"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= g["gini"] < 1.0
+    assert g["n_customers"] > 0
+    for r in QUERIES["agg_entropy"].fn(spark, SF_DIR).collect():
+        assert -1e-9 <= r["type_entropy"] <= math.log(r["n_types"]) + 1e-9
+
+
+def test_peak_concurrency_matches_naive(spark):
+    """Sweep-line peak must equal a brute-force check over all event
+    start instants (concurrency can only peak at a start point)."""
+    from atlas_migration_repo_spark.catalog import load
+
+    got = QUERIES["events_peak_concurrency"].fn(spark, SF_DIR).collect()[0]
+    rows = load(spark, SF_DIR, "events").select("ts").collect()
+    times = sorted(r["ts"] for r in rows)
+    import datetime
+
+    win = datetime.timedelta(minutes=30)
+    best = 0
+    for t in times:
+        lo = t
+        n = sum(1 for s in times if s <= lo < s + win)
+        best = max(best, n)
+    assert got["peak_concurrent"] == best
