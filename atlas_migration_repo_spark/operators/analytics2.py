@@ -1579,3 +1579,80 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t").alias("first_peak_at"),
         )
     )
+
+
+@query(
+    "join_array_contains",
+    oracle="""
+    WITH terms AS (
+      SELECT UNNEST(['scan', 'merge', 'index', 'vector', 'join']) AS term
+    )
+    SELECT t.term, CAST(COUNT(d.doc_id) AS BIGINT) AS n_docs
+    FROM terms t LEFT JOIN documents d
+      ON LIST_CONTAINS(STRING_SPLIT(d.text, ' '), t.term)
+    GROUP BY t.term
+    """,
+)
+def join_array_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership join: a small term list joined to documents on
+    array_contains over the token array — the keyword-filter primitive.
+    With a 5-row term side this plans as a broadcast nested-loop (cheap:
+    the predicate is per-row array containment); the documented scale
+    form when BOTH sides grow is explode-to-equi-join — tokens explode
+    once and the join becomes hash-partitioned on the word, which is
+    exactly text_inverted_index's layout."""
+    d = load(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [("scan",), ("merge",), ("index",), ("vector",), ("join",)], ["term"]
+    )
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    joined = F.broadcast(terms).join(
+        toks, F.array_contains(F.col("w"), F.col("term")), "left"
+    )
+    return joined.groupBy("term").agg(F.count("doc_id").alias("n_docs"))
+
+
+@query(
+    "embed_cosine_hist",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id,
+             LIST_COSINE_SIMILARITY(a.embedding, b.embedding) AS cos
+      FROM embeddings a
+      JOIN n ON TRUE
+      JOIN embeddings b ON b.vec_id = ((a.vec_id + 17) % n.cnt)
+      WHERE a.vec_id <> b.vec_id
+    )
+    SELECT CAST(FLOOR(cos * 10) AS INT) AS cos_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def embed_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-distribution profile: cosine histogram over a
+    deterministic 1-per-vector pair sample (each vector paired with
+    vec_id+17 mod n — fixed-stride sampling, no RNG, linear cost). The
+    histogram is the calibration read before choosing a dedup/ANN
+    threshold: dedup_embed's τ should sit in this distribution's tail,
+    and at corpus scale the same stride sample stays O(n) while an
+    all-pairs histogram is O(n²). Cosines are bit-identical across
+    engines (unrolled add-chain dot product), so integer decile
+    bucketing is exact."""
+    em = load(spark, sf_dir, "embeddings")
+    n = em.agg(F.count(F.lit(1)).alias("cnt"))
+    a = em.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        "embedding",
+        ((F.col("vec_id") + 17) % F.col("cnt")).alias("mate"),
+    )
+    b = em.select(F.col("vec_id").alias("mate"), F.col("embedding").alias("eb"))
+    from atlas_migration_repo_spark.llm.similarity import dot
+
+    paired = a.join(b, "mate").where(F.col("vec_id") != F.col("mate"))
+    na = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    nb = F.sqrt(dot(F.col("eb"), F.col("eb")))
+    cos = dot(F.col("embedding"), F.col("eb")) / (na * nb)
+    return paired.select(
+        F.floor(cos * 10).cast("int").alias("cos_decile")
+    ).groupBy("cos_decile").agg(F.count(F.lit(1)).alias("n_pairs"))
