@@ -1656,3 +1656,59 @@ def embed_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paired.select(
         F.floor(cos * 10).cast("int").alias("cos_decile")
     ).groupBy("cos_decile").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "join_strategy_hints",
+    oracle="""
+    SELECT o.o_orderkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 350000
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical join strategy: the MERGE hint forces a
+    sort-merge join where Catalyst would otherwise broadcast — the
+    control you reach for when the 'small' side isn't (broadcast OOM) or
+    when both sides arrive pre-sorted from bucketed storage. Semantics
+    are identical to join_inner (same oracle shape); only the physical
+    plan changes — the unit test asserts SortMergeJoin actually appears.
+    The hint system (BROADCAST / MERGE / SHUFFLE_HASH / SHUFFLE_NL) is
+    the per-query override of the session thresholds."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
+    c = load(spark, sf_dir, "customer").hint("merge")
+    return o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_mktsegment")
+
+
+@query(
+    "sample_train_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             CASE WHEN ASCII(SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) % 16 < 13
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM tagged GROUP BY split
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split by content-addressed hashing: the
+    first MD5 hex digit of the key buckets each doc 13/16 ≈ 81% train —
+    no RNG, so the split is stable across runs, engines, partitionings,
+    and reshuffles (randomSplit is none of those). This is the
+    reproducibility contract an ML data pipeline needs: membership is a
+    pure function of the key, and the same expression works as a WHERE
+    clause on any engine reading the same table."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 16
+    tagged = d.select(
+        "doc_id",
+        F.when(bucket < 13, "train").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

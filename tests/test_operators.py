@@ -1132,3 +1132,12 @@ def test_peak_concurrency_matches_naive(spark):
         n = sum(1 for s in times if s <= lo < s + win)
         best = max(best, n)
     assert got["peak_concurrent"] == best
+
+
+def test_join_strategy_hint_forces_smj(spark):
+    """The MERGE hint must produce a SortMergeJoin in the final plan."""
+    df = QUERIES["join_strategy_hints"].fn(spark, SF_DIR)
+    df.count()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
