@@ -1712,3 +1712,97 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+@query(
+    "funnel_strict_order",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS funnel_depth
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel (signup → view AFTER it → purchase AFTER
+    that): each stage's earliest qualifying time must exceed the previous
+    stage's — the semantics funnel_conversion's unordered minimums
+    cannot express (a view before signup doesn't count here). Three
+    keyed aggregates chained by broadcast joins of the tiny per-user
+    stage tables; events never self-join row-to-row, so cost stays
+    3 linear passes at any scale."""
+    ev = load(spark, sf_dir, "events")
+    t = lambda typ: F.col("event_type") == typ
+    s1 = ev.where(t("signup")).groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.join(F.broadcast(s1), "user_id")
+        .where(t("view") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.join(F.broadcast(s2), "user_id")
+        .where(t("purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_depth"),
+        )
+    )
+
+
+@query(
+    "topk_with_ties",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                 RANK() OVER (PARTITION BY c_nationkey
+                              ORDER BY ROUND(c_acctbal, 0) DESC) AS rk
+          FROM customer)
+    WHERE rk <= 3
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH ties (rank, not row_number): everyone matching the
+    k-th value qualifies — 'top 3 balances' where equal balances share
+    the podium, the WITH TIES semantics of SQL:2008 FETCH FIRST. Ranking
+    on the rounded balance manufactures real ties in the fixture; Spark
+    rewrites rank()<=k to the same WindowGroupLimit pruning as
+    topk_per_group, so the cost profile is identical — only the tie
+    semantics differ."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round(F.col("c_acctbal"), 0).desc()
+    )
+    return (
+        c.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )

@@ -199,3 +199,48 @@ def stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+@query("stream_progress_metrics", tags=("streaming",))
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: drain a watermarked hourly aggregate and
+    surface the engine's own progress telemetry — rows ingested, state
+    rows kept, and rows the watermark dropped — as a DataFrame. This is
+    the ops contract of a production stream (lag/state dashboards read
+    exactly these numbers from StreamingQueryProgress); rows-only check
+    because the metrics describe the run, not the data. State size here
+    is bounded by distinct (hour × type) keys — the watermark's job."""
+    from atlas_migration_repo_spark.streaming.harness import (
+        read_events_stream,
+        wm_ts,
+    )
+
+    sink = "stream_progress_metrics_sink"
+    q = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("ts", wm_ts("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    rows = []
+    for p in progress:
+        state = p["stateOperators"][0] if p["stateOperators"] else {}
+        rows.append(
+            (
+                int(p["batchId"]),
+                int(p["numInputRows"]),
+                int(state.get("numRowsTotal", 0)),
+                int(state.get("numRowsDroppedByWatermark", 0)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "batch_id long, input_rows long, state_rows long, late_dropped long"
+    )
