@@ -455,3 +455,38 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cont >= CONTAINMENT_TAU)
         .select("da", "db", r4(cont).alias("containment"))
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, MD5(text) AS digest, n_chars
+      FROM documents
+    )
+    SELECT digest,
+           CAST(COUNT(*) AS INT) AS n_copies,
+           CAST(MAX_BY(doc_id, n_chars * 10000000 - doc_id) AS BIGINT) AS keeper_doc_id
+    FROM scored GROUP BY digest
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with a QUALITY-based survivor policy: within each exact-hash
+    group the keeper is the highest-quality copy (longest text, lowest
+    doc_id tiebreak) — 'keep best', not 'keep first'. In a real corpus
+    duplicates differ in truncation/encoding damage, so survivor choice
+    is a quality decision; the policy is one max_by over a composite integer key (quality scaled past the\n    id range, lower id wins ties), evaluated
+    map-side inside the same single-shuffle hash-group as dedup_exact
+    (swap in any score — text_quality's composite — without changing the
+    plan shape)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("digest"), "n_chars")
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_copies"),
+            F.expr("max_by(doc_id, n_chars * 10000000 - doc_id)")
+            .cast("bigint")
+            .alias("keeper_doc_id"),
+        )
+    )

@@ -1806,3 +1806,97 @@ def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal")
     )
+
+
+@query(
+    "events_audience_jaccard",
+    oracle=f"""
+    WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM aud a JOIN aud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM aud GROUP BY event_type)
+    SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+           {sql_r4('n_both * 1.0 / (sa.n + sb.n - n_both)')} AS jaccard
+    FROM pairs JOIN sizes sa ON pairs.type_a = sa.event_type
+               JOIN sizes sb ON pairs.type_b = sb.event_type
+    """,
+)
+def events_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap Jaccard between event types: the same set-
+    similarity arithmetic the dedup family applies to shingles, lifted
+    to behavioral segments (|A∩B| / |A∪B| from two exact counts — no
+    union materialized). The distinct (type,user) relation is the only
+    shuffle; pair intersection joins on user and the 5×5 type space
+    keeps outputs tiny at any event volume."""
+    ev = load(spark, sf_dir, "events")
+    aud = ev.select("event_type", "user_id").distinct()
+    a = aud.select(F.col("event_type").alias("type_a"), "user_id")
+    b = aud.select(F.col("event_type").alias("type_b"), "user_id")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            r4(
+                F.col("n_both") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "orders_seasonality_index",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT MONTH(CAST(o_orderdate AS DATE)) AS m,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS tn, SUM(rev) AS trev, COUNT(*) AS nm FROM monthly)
+    SELECT CAST(m AS INT) AS month_of_year,
+           CAST(n AS BIGINT) AS n_orders,
+           {sql_r4('(CAST(rev AS DOUBLE) / CAST(tot.trev AS DOUBLE)) * tot.nm')} AS seasonality_index
+    FROM monthly, tot
+    """,
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's share of
+    revenue scaled by the number of distinct months, so 1.0 = perfectly
+    even and 1.3 = a 30%-over-trend month — the multiplicative factor
+    demand planning divides out before trending. All ratios divide
+    decimal-exact sums; 12 output rows from one aggregate."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month(F.col("o_orderdate").cast("date")).alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("rev"),
+    )
+    tot = monthly.agg(
+        F.sum("rev").alias("trev"), F.count(F.lit(1)).alias("nm")
+    )
+    return monthly.crossJoin(F.broadcast(tot)).select(
+        F.col("m").cast("int").alias("month_of_year"),
+        F.col("n").alias("n_orders"),
+        r4(
+            (F.col("rev").cast("double") / F.col("trev").cast("double"))
+            * F.col("nm")
+        ).alias("seasonality_index"),
+    )
