@@ -475,7 +475,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     group the keeper is the highest-quality copy (longest text, lowest
     doc_id tiebreak) — 'keep best', not 'keep first'. In a real corpus
     duplicates differ in truncation/encoding damage, so survivor choice
-    is a quality decision; the policy is one max_by over a composite integer key (quality scaled past the\n    id range, lower id wins ties), evaluated
+    is a quality decision; the policy is one max_by over a composite
+    integer key (quality scaled past the id range, lower id wins ties),
+    evaluated
     map-side inside the same single-shuffle hash-group as dedup_exact
     (swap in any score — text_quality's composite — without changing the
     plan shape)."""
