@@ -687,3 +687,65 @@ def text_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("lang", "tg", "n")
     )
+
+
+@query(
+    "text_word_pmi",
+    oracle=f"""
+    WITH tok AS (SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+                 FROM documents),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tok),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    pair AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c12
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 20
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS n_docs_both,
+           {sql_r4('LN((c12 * 1.0 * n.nd) / (ua.c * 1.0 * ub.c))')} AS pmi
+    FROM pair JOIN uni ua ON pair.w1 = ua.w
+              JOIN uni ub ON pair.w2 = ub.w
+              CROSS JOIN n
+    """,
+)
+def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between word pairs co-occurring in
+    documents (support ≥ 20): PMI = ln(P(a,b)/(P(a)P(b))) over document
+    incidence — the collocation detector that separates 'genuinely
+    paired' terms from merely frequent ones, and the statistical core of
+    phrase mining. Same doc-keyed pair join as basket_affinity (bounded
+    by per-doc vocabulary, never corpus²); unigram counts broadcast;
+    every probability divides exact integer counts so the single LN is
+    the only float op."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words()).alias("w")).distinct()
+    nd = tok.agg(F.countDistinct("doc_id").alias("nd"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    a = tok.select(F.col("doc_id").alias("k"), F.col("w").alias("w1"))
+    b = tok.select(F.col("doc_id").alias("k"), F.col("w").alias("w2"))
+    pair = (
+        a.join(b, "k")
+        .where(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= 20)
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    return (
+        pair.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("n_docs_both"),
+            r4(
+                F.log(
+                    (F.col("c12") * 1.0 * F.col("nd"))
+                    / (F.col("ca") * 1.0 * F.col("cb"))
+                )
+            ).alias("pmi"),
+        )
+    )

@@ -1900,3 +1900,49 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("nm")
         ).alias("seasonality_index"),
     )
+
+
+@query(
+    "orders_fulfillment_lag",
+    oracle=f"""
+    WITH lag AS (
+      SELECT o.o_orderkey, ANY_VALUE(o.o_orderpriority) AS priority,
+             DATEDIFF('day', ANY_VALUE(CAST(o.o_orderdate AS DATE)),
+                      MAX(CAST(l.l_shipdate AS DATE))) AS days_to_ship
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_r4('QUANTILE_CONT(days_to_ship, 0.5)')} AS p50_days,
+           {sql_r4('QUANTILE_CONT(days_to_ship, 0.9)')} AS p90_days,
+           CAST(MAX(days_to_ship) AS INT) AS max_days
+    FROM lag GROUP BY priority
+    """,
+)
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-lag SLA report: days from order placement to the LAST
+    line shipping, quantiled per order priority — the operational query
+    behind 'are URGENT orders actually faster'. The per-order max is one
+    keyed aggregate over the join (orderkey carries both sides); the
+    5-group percentile summary is free. Integer day counts make the
+    quantile interpolation exact in both engines."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lag = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(o.o_orderkey)
+        .agg(
+            F.first("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.first(F.col("o_orderdate").cast("date")),
+            ).alias("days_to_ship"),
+        )
+    )
+    return lag.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r4(F.percentile("days_to_ship", 0.5)).alias("p50_days"),
+        r4(F.percentile("days_to_ship", 0.9)).alias("p90_days"),
+        F.max("days_to_ship").cast("int").alias("max_days"),
+    )
