@@ -749,3 +749,105 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+@query(
+    "text_js_divergence",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT lang, w, COUNT(*) AS c
+      FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      GROUP BY lang, w
+    ),
+    tot AS (SELECT lang, SUM(c) AS n FROM cnt GROUP BY lang),
+    pairs AS (
+      SELECT a.lang AS la, b.lang AS lb
+      FROM (SELECT DISTINCT lang FROM documents) a
+      JOIN (SELECT DISTINCT lang FROM documents) b ON a.lang < b.lang
+    ),
+    pair_counts AS (
+      SELECT p.la, p.lb, cnt.w,
+             SUM(CASE WHEN cnt.lang = p.la THEN cnt.c ELSE 0 END) AS ca,
+             SUM(CASE WHEN cnt.lang = p.lb THEN cnt.c ELSE 0 END) AS cb
+      FROM pairs p JOIN cnt ON cnt.lang = p.la OR cnt.lang = p.lb
+      GROUP BY p.la, p.lb, cnt.w
+    ),
+    terms AS (
+      SELECT pc.la, pc.lb,
+             (pc.ca * 1.0 / ta.n) AS pa,
+             (pc.cb * 1.0 / tb.n) AS pb
+      FROM pair_counts pc
+      JOIN tot ta ON ta.lang = pc.la
+      JOIN tot tb ON tb.lang = pc.lb
+    ),
+    quantized AS (
+      SELECT la, lb,
+             CAST(FLOOR((CASE WHEN pa > 0 THEN pa * LN(2.0 * pa / (pa + pb)) ELSE 0.0 END
+                       + CASE WHEN pb > 0 THEN pb * LN(2.0 * pb / (pa + pb)) ELSE 0.0 END)
+                        * 100000000 + 0.5) AS BIGINT) AS tq
+      FROM terms
+    )
+    SELECT la AS lang_a, lb AS lang_b,
+           (CAST(SUM(CAST(tq AS DECIMAL(30,8))) AS DOUBLE) / 100000000.0) / 2.0
+             AS jsd_nats
+    FROM quantized GROUP BY la, lb
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between language unigram distributions —
+    the symmetric, bounded distribution distance corpus-mixing pipelines
+    use to measure domain gaps (corpus_mix_weights' quality signal). Per
+    word: p·ln(2p/(p+q)) + q·ln(2q/(p+q)), halved after summing. Each
+    term is computed from identical doubles in both engines (integer
+    count ratios), then floor-quantized to the 1e-8 grid so the per-pair
+    sum is an exact, order-independent decimal — the lm_score
+    discipline applied to a 500-term reduction. Pair×word counts come
+    from one conditional aggregate over a broadcast 10-row pair table;
+    nothing materializes the vocab² cross."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(words()).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("n"))
+    langs = d.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("la"))
+        .join(langs.select(F.col("lang").alias("lb")), F.col("la") < F.col("lb"))
+    )
+    pair_counts = (
+        F.broadcast(pairs)
+        .join(cnt, (cnt.lang == F.col("la")) | (cnt.lang == F.col("lb")))
+        .groupBy("la", "lb", "w")
+        .agg(
+            F.sum(F.when(F.col("lang") == F.col("la"), F.col("c")).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("lang") == F.col("lb"), F.col("c")).otherwise(0)).alias("cb"),
+        )
+    )
+    ta = tot.select(F.col("lang").alias("la"), F.col("n").alias("na"))
+    tb = tot.select(F.col("lang").alias("lb"), F.col("n").alias("nb"))
+    terms = (
+        pair_counts.join(F.broadcast(ta), "la")
+        .join(F.broadcast(tb), "lb")
+        .select(
+            "la",
+            "lb",
+            (F.col("ca") * 1.0 / F.col("na")).alias("pa"),
+            (F.col("cb") * 1.0 / F.col("nb")).alias("pb"),
+        )
+    )
+    term = (
+        F.when(F.col("pa") > 0, F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))).otherwise(0.0)
+        + F.when(F.col("pb") > 0, F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))).otherwise(0.0)
+    )
+    quantized = terms.select(
+        "la", "lb", F.floor(term * 100000000 + 0.5).cast("bigint").alias("tq")
+    )
+    return quantized.groupBy(
+        F.col("la").alias("lang_a"), F.col("lb").alias("lang_b")
+    ).agg(
+        (
+            (F.sum(F.col("tq").cast("decimal(30,8)")).cast("double") / 100000000.0)
+            / 2.0
+        ).alias("jsd_nats")
+    )

@@ -1946,3 +1946,50 @@ def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.percentile("days_to_ship", 0.9)).alias("p90_days"),
         F.max("days_to_ship").cast("int").alias("max_days"),
     )
+
+
+@query(
+    "orders_priority_mix_shift",
+    oracle=f"""
+    WITH q AS (
+      SELECT (YEAR(CAST(o_orderdate AS DATE)) * 10
+              + QUARTER(CAST(o_orderdate AS DATE))) AS yq,
+             o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT yq, o_orderpriority, n,
+             n * 1.0 / SUM(n) OVER (PARTITION BY yq) AS share
+      FROM q
+    )
+    SELECT CAST(yq AS INT) AS yq, o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           {sql_r4('share')} AS share,
+           {sql_r4('share - LAG(share) OVER (PARTITION BY o_orderpriority ORDER BY yq)')} AS share_shift
+    FROM shares
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition mix-shift: each priority's share of quarterly order
+    volume and its change versus the prior quarter — the report that
+    separates 'we grew' from 'our mix moved'. Shares divide exact
+    integer counts inside a quarter (≤5-row window); the shift lags over
+    the ~27-quarter series per priority. Aggregate-then-window again:
+    raw orders never meet a window."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    q = o.groupBy(
+        (F.year(d) * 10 + F.quarter(d)).alias("yq"), "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    share = F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("yq"))
+    shares = q.select(
+        F.col("yq").cast("int").alias("yq"), "o_orderpriority", "n", share.alias("share")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yq")
+    return shares.select(
+        "yq",
+        "o_orderpriority",
+        "n",
+        r4(F.col("share")).alias("share"),
+        r4(F.col("share") - F.lag("share").over(w)).alias("share_shift"),
+    )
