@@ -1993,3 +1993,66 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("share")).alias("share"),
         r4(F.col("share") - F.lag("share").over(w)).alias("share_shift"),
     )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT YEAR(CAST(o_orderdate AS DATE)) AS yr,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(yr AS INT) AS yr, revenue,
+           {sql_r4('(revenue - LAG(revenue) OVER (ORDER BY yr)) * 100.0 / LAG(revenue) OVER (ORDER BY yr)')} AS yoy_pct
+    FROM yearly
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth — pct_change_mom's annual sibling
+    (partial years at the range edges show up as outliers, which is why
+    both granularities belong in a report). Decimal-exact yearly sums,
+    then one lag over ~7 rows."""
+    o = load(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "yr",
+        "revenue",
+        r4((F.col("revenue") - prev) * 100.0 / prev).alias("yoy_pct"),
+    )
+
+
+@query(
+    "customer_order_span",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           MIN(CAST(o_orderdate AS DATE)) AS first_order,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order,
+           CAST(DATEDIFF('day', MIN(CAST(o_orderdate AS DATE)),
+                         MAX(CAST(o_orderdate AS DATE))) AS INT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime span: first/last order dates, active days, and
+    order count — the base table LTV and churn models join against (and
+    the batch twin of orders_rfm's recency input). One keyed aggregate,
+    min/max/count all map-side combining."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.min(d).alias("first_order"),
+        F.max(d).alias("last_order"),
+        F.datediff(F.max(d), F.min(d)).cast("int").alias("active_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
