@@ -44,6 +44,42 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert lsh == exact, f"LSH missed pairs: {exact - lsh}"
 
 
+def test_dedup_embed_lsh_matches_brute_force(spark):
+    """dedup_embed (LSH-bucketed candidates, exact chain-dot verify) must
+    recover the full brute-force cosine>=tau pair set: precision 1.0 by
+    construction (candidates are exact-verified), recall 1.0 measured on
+    every fixture for the chosen band/probe parameters — a miss here means
+    the multiprobe margin broke and is a bug."""
+    import numpy as np
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows])
+    v = np.array([r[1] for r in rows], dtype=np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    s = vn @ vn.T
+    iu = np.triu_indices(len(v), 1)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*iu)
+        if s[i, j] >= 0.45
+    }
+    lsh = {(r["va"], r["vb"]) for r in QUERIES["dedup_embed"].fn(spark, SF_DIR).collect()}
+    assert lsh - exact == set() or all(
+        # BLAS vs chain-dot summation can disagree only within float ulp of
+        # the threshold; anything further out is a real false positive
+        abs(s[np.where(ids == a)[0][0], np.where(ids == b)[0][0]] - 0.45) < 1e-9
+        for a, b in lsh - exact
+    ), f"false positives: {lsh - exact}"
+    assert exact - lsh == set(), f"LSH missed pairs: {exact - lsh}"
+
+
 def test_simhash_deterministic_and_discriminative(spark):
     """Two runs agree bit-for-bit; chunk keys are consistent with the bits;
     and the planted near-dup pairs are closer in hamming distance than
