@@ -5,8 +5,8 @@ the scale path — seeded MinHash + LSH banding, and SimHash.
 Scale design (100 TB):
 - exact/fingerprint dedup: one hash-groupBy — embarrassingly parallel.
 - n-gram Jaccard: inverted-index self-join on shingles (pairs are generated
-  only for docs sharing a shingle, never all-pairs). At extreme scale add a
-  document-frequency cap on shingles to bound the hottest posting lists.
+  only for docs sharing a shingle, never all-pairs), with the SHINGLE_DF_CAP
+  stop-shingle guard bounding the hottest posting lists.
 - MinHash+LSH: candidates come from band-bucket joins (b×r seeded,
   deterministic — no MinHashLSH random seeds), then exact-Jaccard verify
   on the candidates only: the prune-then-verify shape from the distributed
@@ -24,6 +24,15 @@ from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.llm.text import SQL_SHINGLES, shingles, words
 
 JACCARD_TAU = 0.2
+# Stop-shingle guard for the inverted-index self-join: shingles appearing in
+# >= SHINGLE_DF_CAP documents are dropped from candidate generation (a
+# shingle with document frequency df produces O(df^2) join output on ONE
+# shuffle key, so one boilerplate phrase melts a reducer at corpus scale).
+# Ubiquitous shingles carry no dedup signal; production sets the cap to the
+# posting-list length the cluster tolerates (10^3-10^4). Fixture max df is
+# 25, so the default cap leaves every fixture result byte-identical to the
+# uncapped oracle.
+SHINGLE_DF_CAP = 1000
 _MERSENNE = 2147483647  # 2^31-1, modulus of the minhash permutation family
 MINHASH_K = 32  # signature length
 LSH_R = 2  # rows per band
@@ -84,16 +93,37 @@ _JACCARD_ORACLE = f"""
 """
 
 
+def _shingle_posting_list(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Exploded (doc_id, shingle) inverted index with the stop-shingle df
+    cap applied: shingles present in >= cap documents are semi-joined OUT
+    before any self-join, bounding the hottest posting list (and thus the
+    worst shuffle key) to cap·(cap-1)/2 candidate pairs. Per-doc shingle
+    counts for Jaccard/containment denominators must come from the UNCAPPED
+    explode — only candidate generation is capped."""
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
+    )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") < cap)
+        .select("shingle")
+    )
+    return sh.join(rare, "shingle", "left_semi")
+
+
 @query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pairs: word-3-gram shingle Jaccard ≥ τ via an
-    inverted-index self-join (only docs sharing ≥1 shingle pair up)."""
+    inverted-index self-join (only docs sharing ≥1 shingle pair up), with
+    the SHINGLE_DF_CAP stop-shingle guard bounding the hottest join key."""
     d = load(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    capped = _shingle_posting_list(d)
+    a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
@@ -377,11 +407,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash dedup (each τ step changes removal volume non-linearly).
     Costs exactly one inverted-index self-join regardless of how many
     thresholds are swept; the comparison uses the raw IEEE ratio, which
-    is bit-identical in both engines, so counts cannot straddle a tie."""
+    is bit-identical in both engines, so counts cannot straddle a tie.
+    The self-join input carries the SHINGLE_DF_CAP stop-shingle guard."""
     d = load(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    capped = _shingle_posting_list(d)
+    a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(
             b,
@@ -430,16 +462,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric score dilutes below τ as the containing doc grows. Same
     inverted-index self-join as dedup_ngram_jaccard — only docs sharing
     ≥1 shingle pair up, never all-pairs — but without the `<` direction
-    filter, since C(A→B) ≠ C(B→A). At corpus scale the candidate join
-    keys on rare shingles; stop-shingle removal (drop the top-frequency
-    shingles) is the standard skew guard and drops candidates, not
-    correctness, because ubiquitous shingles carry no dedup signal."""
+    filter, since C(A→B) ≠ C(B→A). The SHINGLE_DF_CAP stop-shingle guard
+    bounds the hottest posting list; dropping ubiquitous shingles costs
+    candidates, not correctness, because they carry no dedup signal."""
     d = load(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    capped = _shingle_posting_list(d)
+    a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(
             b,

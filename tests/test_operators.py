@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from atlas_migration_repo_spark.catalog import epoch_us
 from atlas_migration_repo_spark.registry import QUERIES
 
@@ -42,6 +44,34 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     lsh = {(r["da"], r["db"]) for r in QUERIES["dedup_near"].fn(spark, SF_DIR).collect()}
     assert lsh <= exact, f"LSH produced false positives: {lsh - exact}"
     assert lsh == exact, f"LSH missed pairs: {exact - lsh}"
+
+
+def test_shingle_df_cap_excludes_hot_shingle(spark):
+    """The inverted-index kernel must drop shingles whose document
+    frequency reaches the cap: a synthetic boilerplate shingle shared by
+    100 docs (df=100, would alone produce 4950 candidate pairs on one join
+    key) is excluded at cap=50, while a rare shingle shared by 2 docs
+    survives — converting the docstring's stop-shingle claim into code."""
+    from atlas_migration_repo_spark.llm.dedup import _shingle_posting_list
+
+    hot = "spam spam spam"  # one 3-gram shingle per doc
+    docs = [(i, hot) for i in range(100)] + [
+        (100, "rare pair marker"),
+        (101, "rare pair marker"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = _shingle_posting_list(d, cap=1000)
+    capped = _shingle_posting_list(d, cap=50)
+    assert uncapped.where("shingle = 'spam spam spam'").count() == 100
+    assert capped.where("shingle = 'spam spam spam'").count() == 0
+    assert capped.where("shingle = 'rare pair marker'").count() == 2
+    # candidate volume drop: self-join pairs go from 4950+1 to 1
+    c = capped.alias("a").join(
+        capped.alias("b"),
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert c.count() == 1
 
 
 def test_dedup_embed_lsh_matches_brute_force(spark):
