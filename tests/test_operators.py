@@ -46,6 +46,21 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert lsh == exact, f"LSH missed pairs: {exact - lsh}"
 
 
+def test_driver_sample_prefix_spans_families():
+    """The first 50 registry entries are what the driver hash-verifies;
+    every prefix name must resolve and the prefix must span all operator
+    families (one stale name would silently shrink driver coverage)."""
+    from atlas_migration_repo_spark.registry import _DRIVER_SAMPLE_PREFIX, QUERIES
+
+    missing = [n for n in _DRIVER_SAMPLE_PREFIX if n not in QUERIES]
+    assert missing == [], f"prefix names not in registry: {missing}"
+    first = list(QUERIES)[: len(_DRIVER_SAMPLE_PREFIX)]
+    assert first == list(_DRIVER_SAMPLE_PREFIX)
+    fams = {QUERIES[n].fn.__module__.rsplit(".", 1)[-1] for n in first}
+    mods = {qd.fn.__module__.rsplit(".", 1)[-1] for qd in QUERIES.values()}
+    assert fams == mods, f"families missing from driver sample: {mods - fams}"
+
+
 def test_shingle_df_cap_excludes_hot_shingle(spark):
     """The inverted-index kernel must drop shingles whose document
     frequency reaches the cap: a synthetic boilerplate shingle shared by
