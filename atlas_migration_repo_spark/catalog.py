@@ -49,10 +49,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ns fixture surfaced as int64 ns → convert to µs TIMESTAMP_NTZ
         # (floor, matching DuckDB's ns→µs CAST truncation). Integral `div`,
         # NOT `/`: float division of 1.7e18 ns exceeds double's 53-bit
-        # mantissa. UTC session pin makes the LTZ→NTZ hop deterministic.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # mantissa. timestamp_add on an NTZ epoch literal is zone-pure, so
+        # no session-timeZone mutation is needed (timestamp_micros +
+        # cast('timestamp_ntz') would round-trip through the session zone).
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            "ts",
+            F.timestamp_add(
+                "MICROSECOND",
+                F.expr("ts div 1000"),
+                F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"),
+            ),
         )
     # µs fixtures land as TIMESTAMP_NTZ already — pass through untouched.
     # NTZ (naive wall-clock) is the canonical ts type engine-wide: it is

@@ -489,16 +489,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dedup_keep_best survivor key: fixed-width decimal strings compare exactly
+# like the lexicographic tuple (n_chars DESC-last, doc_id ASC) under MAX_BY
+# in BOTH engines (DuckDB's max_by takes no struct keys, and an integer
+# composite like n_chars*K - doc_id silently inverts the tiebreak once
+# doc_id >= K). Valid for doc_id <= 1e18 and n_chars < 1e19 — the full
+# realistic range of both fields.
+_KEEP_BEST_KEY = (
+    "LPAD(CAST(n_chars AS {t}), 19, '0') || "
+    "LPAD(CAST(1000000000000000000 - doc_id AS {t}), 19, '0')"
+)
+
+
 @query(
     "dedup_keep_best",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT doc_id, MD5(text) AS digest, n_chars
       FROM documents
     )
     SELECT digest,
            CAST(COUNT(*) AS INT) AS n_copies,
-           CAST(MAX_BY(doc_id, n_chars * 10000000 - doc_id) AS BIGINT) AS keeper_doc_id
+           CAST(MAX_BY(doc_id, {_KEEP_BEST_KEY.format(t='VARCHAR')}) AS BIGINT)
+             AS keeper_doc_id
     FROM scored GROUP BY digest
     """,
 )
@@ -507,19 +520,18 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     group the keeper is the highest-quality copy (longest text, lowest
     doc_id tiebreak) — 'keep best', not 'keep first'. In a real corpus
     duplicates differ in truncation/encoding damage, so survivor choice
-    is a quality decision; the policy is one max_by over a composite
-    integer key (quality scaled past the id range, lower id wins ties),
-    evaluated
-    map-side inside the same single-shuffle hash-group as dedup_exact
-    (swap in any score — text_quality's composite — without changing the
-    plan shape)."""
+    is a quality decision; the policy is one max_by over a fixed-width
+    string sort key (see _KEEP_BEST_KEY — exact lexicographic tuple
+    semantics, no integer-overflow inversion), evaluated map-side inside
+    the same single-shuffle hash-group as dedup_exact (swap in any
+    score — text_quality's composite — without changing the plan shape)."""
     d = load(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.md5("text").alias("digest"), "n_chars")
         .groupBy("digest")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_copies"),
-            F.expr("max_by(doc_id, n_chars * 10000000 - doc_id)")
+            F.expr(f"max_by(doc_id, {_KEEP_BEST_KEY.format(t='string')})")
             .cast("bigint")
             .alias("keeper_doc_id"),
         )

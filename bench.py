@@ -62,6 +62,9 @@ def main() -> None:
                 "metric": "headline_queries_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                # methodology marker so cross-round consumers can detect the
+                # round-2 switch from single-run to best-of-2 programmatically
+                "timing": "best-of-2",
                 "queries": timings,
                 "sf": sf,
             }

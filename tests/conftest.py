@@ -3,9 +3,10 @@
 ``assert_matches_oracle`` replicates the driver's correctness gate
 (__spark_entry__.py docstring): same row count, same column names, and
 order-insensitive exact value equality between the PySpark DataFrame and
-the DuckDB oracle SQL over the same parquet files. Tests default to
-sf0.001 for speed; set SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 to replay
-the gate at the driver's scale factor before declaring a query.
+the DuckDB oracle SQL over the same parquet files. Tests default to the
+DRIVER'S scale factor (sf0.01) so a green local run always means
+driver-scale green; set SPARK_GRAFT_TEST_SF=/root/testdata/sf0.001 for a
+faster inner loop while iterating on one operator.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from atlas_migration_repo_spark.catalog import TABLES, table_path
 from atlas_migration_repo_spark.registry import load_all_modules
 from atlas_migration_repo_spark.session import get_spark
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 load_all_modules()
 

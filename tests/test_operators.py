@@ -46,6 +46,59 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert lsh == exact, f"LSH missed pairs: {exact - lsh}"
 
 
+def test_ns_fixture_load_is_zone_pure(spark, tmp_path):
+    """Loading an ns-precision events.parquet must yield µs TIMESTAMP_NTZ
+    wall clocks WITHOUT mutating the caller session's time zone, and the
+    result must be identical on any session zone (the old path pinned
+    spark.sql.session.timeZone=UTC as a side effect)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from atlas_migration_repo_spark.catalog import load
+
+    ns = 1_700_000_000_123_456_789  # ...123456789 ns → floor to ...123456 µs
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([ns], pa.timestamp("ns")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"), store_schema=False)
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = load(spark, str(tmp_path), "events").collect()[0]
+            assert spark.conf.get("spark.sql.session.timeZone") == tz  # no mutation
+            assert row["ts"].isoformat() == "2023-11-14T22:13:20.123456"
+        df = load(spark, str(tmp_path), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_keep_best_key_survives_large_doc_ids(spark):
+    """The keep-best survivor key must implement 'longest text wins, lowest
+    doc_id breaks ties' for doc_ids far past 1e7 (the old integer composite
+    key n_chars*1e7-doc_id inverted the policy there)."""
+    from atlas_migration_repo_spark.llm.dedup import _KEEP_BEST_KEY
+
+    rows = [
+        (50_000_001, 100),  # same length, higher id — must lose the tie
+        (50_000_000, 100),  # same length, lowest id — keeper
+        (49_999_999, 99),  # shorter — must lose despite lowest id
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = d.agg(
+        F.expr(f"max_by(doc_id, {_KEEP_BEST_KEY.format(t='string')})").alias("k")
+    ).collect()[0]["k"]
+    assert got == 50_000_000
+
+
 def test_salesforce_staging_roundtrip(spark, tmp_path):
     """End-to-end Bulk-API staging path: a CSV export directory (simulating
     Bulk API 2.0 job results) read back through SalesforceExtractor with an
