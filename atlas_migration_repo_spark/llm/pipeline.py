@@ -304,3 +304,53 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("u") < F.col("score"))
         .select("doc_id", r4(F.col("score")).alias("quality_score"), r4(F.col("u")).alias("u01"))
     )
+
+
+TOKEN_BUDGET_SHARE = 0.9
+
+
+@query(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH t AS (SELECT lang, LEN(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    l AS (SELECT lang, CAST(SUM(t) AS BIGINT) AS tokens FROM t GROUP BY lang),
+    tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS total FROM l)
+    SELECT lang, tokens,
+           {sql_r4('tokens / total')} AS share,
+           {sql_r4('CAST(SUM(tokens) OVER (ORDER BY tokens DESC, lang) AS DOUBLE) / total')}
+             AS cum_share,
+           ({sql_r4('CAST(SUM(tokens) OVER (ORDER BY tokens DESC, lang) AS DOUBLE) / total')}
+             <= {TOKEN_BUDGET_SHARE}) AS in_budget
+    FROM l, tot
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token accounting: per-language token totals, corpus
+    share, cumulative share in descending-volume order, and an in-budget
+    flag marking the languages that fit a TOKEN_BUDGET_SHARE cap — the
+    planning query behind 'which sources/languages make the training mix
+    and which get upsampled'. Token counts are integers, so every number
+    before the final division is EXACT and order-independent; both
+    engines then divide the same bigint by the same double and compare
+    the r4-rounded result, so the flag cannot straddle. The global-order
+    window runs over #languages rows (broadcast-scale state), never over
+    documents; the heavy lifting is one map-side-combined groupBy(lang)."""
+    d = load(spark, sf_dir, "documents")
+    by_lang = (
+        d.select("lang", F.size(words()).alias("t"))
+        .groupBy("lang")
+        .agg(F.sum("t").alias("tokens"))
+    )
+    total = by_lang.agg(F.sum("tokens").cast("double").alias("total"))
+    w = Window.orderBy(F.col("tokens").desc(), "lang")
+    cum_share = r4(F.sum("tokens").over(w).cast("double") / F.col("total"))
+    return (
+        by_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "tokens",
+            r4(F.col("tokens") / F.col("total")).alias("share"),
+            cum_share.alias("cum_share"),
+            (cum_share <= TOKEN_BUDGET_SHARE).alias("in_budget"),
+        )
+    )

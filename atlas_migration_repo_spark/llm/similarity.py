@@ -761,6 +761,135 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_DIST_TO_CENT = (
+    "SQRT(LIST_AGGREGATE(LIST_TRANSFORM(LIST_ZIP(e.embedding, c.cvec), "
+    "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])), 'sum'))"
+)
+
+
+@query(
+    "embed_outlier_zscore",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, UNNEST(embedding) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS (SELECT label, pos, {sql_r4('AVG(v)')} AS m FROM flat GROUP BY label, pos),
+    cvec AS (SELECT label, LIST(m ORDER BY pos) AS cvec FROM cent GROUP BY label),
+    d AS (
+      SELECT e.vec_id, e.label, {_SQL_DIST_TO_CENT} AS dist
+      FROM embeddings e JOIN cvec c USING (label)
+    ),
+    s AS (SELECT label, AVG(dist) AS mu, STDDEV_SAMP(dist) AS sd FROM d GROUP BY label)
+    SELECT d.vec_id, d.label, {sql_r4('dist')} AS dist,
+           {sql_r4('(dist - mu) / sd')} AS z,
+           ({sql_r4('(dist - mu) / sd')} >= 2.0) AS is_outlier
+    FROM d JOIN s USING (label)
+    """,
+)
+def embed_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier scores — the mislabeled/corrupted-sample
+    probe a training pipeline runs before trusting a labeled corpus: L2
+    distance to the label centroid, z-scored within the label, outlier
+    flag at z ≥ 2.
+
+    Plan: one posexplode shuffle builds the (label × dim) centroids (tiny
+    — labels·dims rows, map-side partial averages); centroids re-assemble
+    into arrays and BROADCAST back, so the distance pass is a scan-side
+    zip_with fold with no per-row shuffle; per-label moment stats (10
+    rows) broadcast the same way. At 100 TB: two broadcast joins against
+    O(labels) state and a single corpus scan.
+
+    Determinism: centroids are r4-rounded on both sides BEFORE the
+    distance fold (AVG is shuffle-order-dependent; the rounded grid is
+    not), the fold itself is the sequential left-to-right chain shared
+    with `dot`, and the outlier flag compares the r4-ROUNDED z so both
+    engines branch on the identical double."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: r4(s["m"])).alias("cvec"))
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cvec",
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    d = e.join(F.broadcast(cent), "label").select("vec_id", "label", dist.alias("dist"))
+    stats = d.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_samp("dist").alias("sd")
+    )
+    z = r4((F.col("dist") - F.col("mu")) / F.col("sd"))
+    return (
+        d.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            r4(F.col("dist")).alias("dist"),
+            z.alias("z"),
+            (z >= 2.0).alias("is_outlier"),
+        )
+    )
+
+
+PAIR_SAMPLE_MOD = 25  # id-sample stride: keeps ~N/25 vectors, (N/25)²/2 pairs
+
+
+@query(
+    "sim_pair_sample_stats",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {PAIR_SAMPLE_MOD} = 0
+    ),
+    pairs AS (
+      SELECT {sql_cosine('a.embedding', 'b.embedding')} AS cos
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(ROUND(cos * 10) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {sql_r4('MIN(cos)')} AS min_cos,
+           {sql_r4('MAX(cos)')} AS max_cos
+    FROM pairs GROUP BY 1
+    """,
+)
+def sim_pair_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution on a deterministic id-stride sample —
+    the query that calibrates a dedup/ANN threshold τ before committing a
+    100 TB run (the embedding twin of dedup_threshold_sweep). Sampling
+    vectors (not pairs) keeps the quadratic confined: stride s → (N/s)²/2
+    scored pairs, tuned so the sample fits one broadcast; the full corpus
+    is never pair-joined. Histogram bucket = round(cos·10): both engines
+    round the bit-identical chain-dot double half-away-from-zero, so
+    bucket edges cannot straddle."""
+    em = load(spark, sf_dir, "embeddings")
+    s = em.where(F.col("vec_id") % PAIR_SAMPLE_MOD == 0).select("vec_id", "embedding")
+    a = s.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .select(cos.alias("cos"))
+    )
+    return pairs.groupBy(
+        F.round(F.col("cos") * 10).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        r4(F.min("cos")).alias("min_cos"),
+        r4(F.max("cos")).alias("max_cos"),
+    )
+
+
 @query(
     "embed_knn_label_accuracy",
     oracle=f"""
