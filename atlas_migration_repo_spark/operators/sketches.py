@@ -1,0 +1,213 @@
+"""Mergeable frequency/membership sketches (SURVEY.md §2 extras next to
+agg_hll_mergeable): Count-Min and Bloom, built DETERMINISTICALLY so both
+engines construct bit-identical sketches and the oracles are exact — no
+engine-specific RNG or hash (md5-arithmetic hashing, the same
+content-addressed scheme as pipeline.sample_weighted).
+
+Scale shape — why sketches at 100 TB: both structures are tiny (KB),
+order-independent, and mergeable by bucket-wise add/or, so they build in
+ONE map-side-combined groupBy whose shuffle carries sketch-width rows per
+task regardless of corpus size; per-partition partials merge associatively
+exactly like HLL. The sketch then broadcasts wherever the full key set
+could not (frequency guards, join-pruning membership filters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.registry import query
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 64  # buckets per row
+BLOOM_BITS = 65536
+BLOOM_HASHES = 3
+
+
+def _h(j: Column | int, key: Column, mod: int) -> Column:
+    """Deterministic bucket hash: first 24 bits of md5("<j>:<key>") mod
+    `mod` — engine-agnostic arithmetic (DuckDB twin: '0x'||SUBSTRING cast)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(j) if isinstance(j, int) else j, key)), 1, 6), 16, 10)
+        .cast("bigint") % mod
+    ).cast("int")
+
+
+def _sql_h(j: str, key: str, mod: int) -> str:
+    return (
+        f"CAST(CAST('0x' || SUBSTRING(MD5({j} || ':' || {key}), 1, 6) AS BIGINT) "
+        f"% {mod} AS INT)"
+    )
+
+
+@query(
+    "sketch_countmin",
+    oracle=f"""
+    WITH e AS (
+      SELECT j, {_sql_h('j', 'l_partkey', CMS_WIDTH)} AS bucket
+      FROM lineitem, UNNEST([0, 1, 2, 3]) t(j)
+    )
+    SELECT CAST(j AS INT) AS j, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY 1, 2
+    """,
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of l_partkey frequencies: CMS_DEPTH×CMS_WIDTH
+    counters, one row per (hash row j, bucket). The build is explode(d
+    rows) → groupBy(j, bucket) — one shuffle of ≤ d·w rows per task
+    thanks to map-side partial counts; merging two corpora's sketches is
+    bucket-wise addition of these tables."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    e = li.select(
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
+        "l_partkey",
+    )
+    return (
+        e.select("j", _h(F.col("j"), F.col("l_partkey"), CMS_WIDTH).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+CMS_PROBE_MOD = 97  # deterministic probe-key sample stride
+
+
+@query(
+    "sketch_countmin_estimate",
+    oracle=f"""
+    WITH sk AS (
+      SELECT j, {_sql_h('j', 'l_partkey', CMS_WIDTH)} AS bucket,
+             COUNT(*) AS n
+      FROM lineitem, UNNEST([0, 1, 2, 3]) t(j)
+      GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT l_partkey AS key, COUNT(*) AS true_n
+      FROM lineitem WHERE l_partkey % {CMS_PROBE_MOD} = 0
+      GROUP BY 1
+    )
+    SELECT p.key, CAST(p.true_n AS BIGINT) AS true_n,
+           CAST(MIN(sk.n) AS BIGINT) AS cms_est,
+           (MIN(sk.n) > p.true_n) AS overestimated
+    FROM probe p
+    JOIN sk ON sk.bucket = {_sql_h('sk.j', 'p.key', CMS_WIDTH)}
+    GROUP BY p.key, p.true_n
+    """,
+)
+def sketch_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-frequency estimates from the Count-Min sketch for a
+    deterministic probe-key sample, next to the true counts — est(key) =
+    min over hash rows of the key's bucket counter, the CMS guarantee
+    being est ≥ true (never under). The probe join is sketch-vs-keys:
+    d·w counter rows broadcast against the probe list, the corpus itself
+    is scanned once for the truth column only."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    sk = sketch_countmin(spark, sf_dir)
+    probe = (
+        li.where(F.col("l_partkey") % CMS_PROBE_MOD == 0)
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    joined = probe.join(
+        F.broadcast(sk),
+        F.col("bucket") == _h(F.col("j"), F.col("key"), CMS_WIDTH),
+    )
+    return joined.groupBy("key", "true_n").agg(
+        F.min("n").alias("cms_est"),
+        (F.min("n") > F.col("true_n")).alias("overestimated"),
+    )
+
+
+@query(
+    "sketch_bloom",
+    oracle=f"""
+    WITH bits AS (
+      SELECT DISTINCT {_sql_h('j', 'o_custkey', BLOOM_BITS)} AS bit_pos
+      FROM orders, UNNEST([0, 1, 2]) t(j)
+    )
+    SELECT bit_pos FROM bits
+    """,
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over the orders customer set: BLOOM_HASHES md5-derived
+    bit positions per key, emitted as the distinct set-bit table (the
+    sketch itself — BLOOM_BITS wide, OR-mergeable across corpora). Build
+    is explode(k) → distinct on ≤ m values: one shuffle bounded by the
+    filter width, not the key count."""
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    e = o.select(
+        F.explode(F.array(*[F.lit(j) for j in range(BLOOM_HASHES)])).alias("j"),
+        "o_custkey",
+    )
+    return e.select(
+        _h(F.col("j"), F.col("o_custkey"), BLOOM_BITS).alias("bit_pos")
+    ).distinct()
+
+
+BLOOM_PROBE_N = 40  # probe ids 1..N
+# first half probes in-domain custkeys (id*37); second half probes keys far
+# past any fixture's custkey range (id*1000003) — guaranteed absent, so the
+# probe set always exercises both membership outcomes at every scale factor
+_SQL_PROBE_KEY = f"CASE WHEN id <= {BLOOM_PROBE_N // 2} THEN id * 37 ELSE id * 1000003 END"
+
+
+@query(
+    "sketch_bloom_probe",
+    oracle=f"""
+    WITH bits AS (
+      SELECT DISTINCT {_sql_h('j', 'o_custkey', BLOOM_BITS)} AS bit_pos
+      FROM orders, UNNEST([0, 1, 2]) t(j)
+    ),
+    probe AS (
+      SELECT {_SQL_PROBE_KEY} AS key
+      FROM (SELECT UNNEST(GENERATE_SERIES(1, {BLOOM_PROBE_N})) AS id)
+    ),
+    ph AS (
+      SELECT key, {_sql_h('j', 'key', BLOOM_BITS)} AS bp
+      FROM probe, UNNEST([0, 1, 2]) t(j)
+    ),
+    hits AS (
+      SELECT ph.key, COUNT(b.bit_pos) = {BLOOM_HASHES} AS bloom_hit
+      FROM ph LEFT JOIN bits b ON b.bit_pos = ph.bp
+      GROUP BY ph.key
+    )
+    SELECT h.key, h.bloom_hit, (p.key IS NOT NULL) AS present
+    FROM hits h
+    LEFT JOIN (SELECT DISTINCT o_custkey AS key FROM orders) p USING (key)
+    """,
+)
+def sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership probes for a fixed arithmetic key set (half
+    in-domain custkeys, half guaranteed-absent): bloom_hit is true iff
+    all BLOOM_HASHES bit positions are set, next to ground truth. The
+    Bloom contract — no false negatives, bounded false positives — is
+    what lets the sketch broadcast as a join pre-filter where the full
+    key set couldn't; the probe plan joins the probe list against the
+    ≤ m-row bit table, touching orders only for the truth column."""
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    bits = sketch_bloom(spark, sf_dir)
+    probe = spark.range(1, BLOOM_PROBE_N + 1).select(
+        F.expr(_SQL_PROBE_KEY).alias("key")
+    )
+    pe = probe.select(
+        "key",
+        F.explode(F.array(*[F.lit(j) for j in range(BLOOM_HASHES)])).alias("j"),
+    )
+    hits = (
+        pe.join(
+            F.broadcast(bits),
+            F.col("bit_pos") == _h(F.col("j"), F.col("key"), BLOOM_BITS),
+            "left",
+        )
+        .groupBy("key")
+        .agg((F.count("bit_pos") == BLOOM_HASHES).alias("bloom_hit"))
+    )
+    present = o.select(F.col("o_custkey").alias("key")).distinct().withColumn(
+        "present", F.lit(True)
+    )
+    return (
+        hits.join(F.broadcast(present), "key", "left")
+        .select("key", "bloom_hit", F.coalesce("present", F.lit(False)).alias("present"))
+    )

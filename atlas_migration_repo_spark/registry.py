@@ -129,6 +129,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.operators.relational_ext",
         "atlas_migration_repo_spark.operators.analytics",
         "atlas_migration_repo_spark.operators.analytics2",
+        "atlas_migration_repo_spark.operators.sketches",
         "atlas_migration_repo_spark.functions.scalars",
         "atlas_migration_repo_spark.functions.udfs",
         "atlas_migration_repo_spark.sources.files",

@@ -46,6 +46,18 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert lsh == exact, f"LSH missed pairs: {exact - lsh}"
 
 
+def test_sketch_guarantees(spark):
+    """The sketch contracts that make them usable as pre-filters: CMS
+    never underestimates any probed frequency, and the Bloom filter has
+    zero false negatives (every present key must hit)."""
+    cms = QUERIES["sketch_countmin_estimate"].fn(spark, SF_DIR).collect()
+    assert cms, "probe sample unexpectedly empty"
+    assert all(r["cms_est"] >= r["true_n"] for r in cms)
+    bloom = QUERIES["sketch_bloom_probe"].fn(spark, SF_DIR).collect()
+    assert all(r["bloom_hit"] for r in bloom if r["present"]), "Bloom false negative"
+    assert any(r["present"] for r in bloom) and any(not r["present"] for r in bloom)
+
+
 def test_ns_fixture_load_is_zone_pure(spark, tmp_path):
     """Loading an ns-precision events.parquet must yield µs TIMESTAMP_NTZ
     wall clocks WITHOUT mutating the caller session's time zone, and the
