@@ -536,3 +536,54 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keeper_doc_id"),
         )
     )
+
+
+INCR_MOD = 10  # doc_id % INCR_MOD == INCR_REM simulates the incoming batch
+INCR_REM = 7
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id, MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:4], ' ')) AS fp
+      FROM documents WHERE doc_id % {INCR_MOD} = {INCR_REM}
+    ),
+    corpus AS (
+      SELECT MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:4], ' ')) AS fp,
+             MIN(doc_id) AS dup_of
+      FROM documents WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+      GROUP BY fp
+    )
+    SELECT b.doc_id, c.dup_of, (c.dup_of IS NULL) AS is_new
+    FROM batch b LEFT JOIN corpus c USING (fp)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a continuously-crawled corpus
+    actually runs: an incoming batch (simulated as doc_id % 10 == 7) is
+    checked against the EXISTING corpus only, never against itself and
+    never all-at-once re-clustered. Each incoming doc gets the earliest
+    existing duplicate (by first-4-words fingerprint, the dedup_fingerprint
+    key) or is_new=true.
+
+    Scale: the corpus side reduces to (fingerprint, min doc_id) — one
+    hash-groupBy producing a table with one row per DISTINCT fingerprint,
+    joined to the batch on the hash key. Batch ≪ corpus, so the join
+    broadcasts the batch in practice (AQE decides here); the corpus scan
+    itself is the only full pass, and in production that side is a
+    maintained fingerprint index, not a rescan."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(words(), 1, 4))).alias("fp")
+    incoming = F.col("doc_id") % INCR_MOD == INCR_REM
+    batch = d.where(incoming).select("doc_id", fp)
+    corpus = (
+        d.where(~incoming)
+        .select("doc_id", fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        batch.join(corpus, "fp", "left")
+        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new"))
+    )

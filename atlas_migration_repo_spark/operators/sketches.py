@@ -211,3 +211,64 @@ def sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.join(F.broadcast(present), "key", "left")
         .select("key", "bloom_hit", F.coalesce("present", F.lit(False)).alias("present"))
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by return flag, with the probe side PRE-FILTERED
+    through a Bloom sketch of the urgent orderkey set before the exact
+    join — the sketch family applied inside a real plan, mirroring the
+    engine-level runtime bloom filters session.py enables.
+
+    Why this shape at 100 TB: the urgent KEY LIST can be too large to
+    broadcast, but its Bloom table is ≤ BLOOM_BITS rows regardless of key
+    count, so membership checks ride three scan-side broadcast left-semi
+    joins (no shuffle of the big side, no explode) and only surviving rows
+    — true matches plus a bounded false-positive trickle — reach the
+    exact join that removes the trickle. No false negatives ⇒ the result
+    is IDENTICAL to the unfiltered join, which is exactly what the plain
+    SQL oracle asserts."""
+    from atlas_migration_repo_spark.catalog import msum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bits = (
+        urgent.select(
+            F.explode(F.array(*[F.lit(j) for j in range(BLOOM_HASHES)])).alias("j"),
+            "o_orderkey",
+        )
+        .select(_h(F.col("j"), F.col("o_orderkey"), BLOOM_BITS).alias("bit_pos"))
+        .distinct()
+    )
+    pref = li
+    for j in range(BLOOM_HASHES):
+        pref = pref.withColumn(f"bp{j}", _h(j, F.col("l_orderkey"), BLOOM_BITS)).join(
+            F.broadcast(bits.withColumnRenamed("bit_pos", f"bp{j}")),
+            f"bp{j}",
+            "left_semi",
+        )
+    return (
+        pref.join(urgent, pref.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
