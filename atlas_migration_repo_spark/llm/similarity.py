@@ -761,6 +761,88 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_EMBED_PAIRS = f"""
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= {COSINE_TAU}
+"""
+
+
+@query(
+    "embed_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_SQL_EMBED_PAIRS}),
+    edges AS (
+      SELECT va AS a, vb AS b FROM pairs
+      UNION
+      SELECT vb AS a, va AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    lab AS (
+      SELECT a AS vec_id, LEAST(MIN(b), a) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT e.vec_id,
+           COALESCE(l.cluster_id, e.vec_id) AS cluster_id,
+           (COALESCE(l.cluster_id, e.vec_id) = e.vec_id) AS is_canonical
+    FROM embeddings e LEFT JOIN lab l ON e.vec_id = l.vec_id
+    """,
+)
+def embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters: connected components over the
+    embedding-cosine near-dup pair graph (dedup_embed's LSH-pruned pairs),
+    cluster id = min vec_id, one canonical vector per cluster — the
+    operator that actually deduplicates an embedding corpus when A~B~C
+    but A≁C. Same iterative min-label propagation as the text-side
+    dedup_clusters (one edge-list shuffle per round, localCheckpoint
+    lineage truncation, O(log diameter) rounds); the DuckDB oracle
+    replays the components via a recursive-CTE transitive closure over
+    the exact pair set, which equals the LSH pair set at recall 1.0."""
+    pairs = dedup_embed(spark, sf_dir).select("va", "vb")
+    edges = pairs.unionByName(
+        pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
+    ).persist()
+    lab = (
+        edges.select(F.col("va").alias("id")).distinct()
+        .withColumn("lab", F.col("id"))
+        .persist()
+    )
+    while True:
+        msgs = edges.join(lab, edges.va == lab.id).select(
+            F.col("vb").alias("id"), F.col("lab")
+        )
+        new = (
+            lab.select("id", "lab").unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        lab.unpersist()
+        lab = new
+        if changed == 0:
+            break
+    em = load(spark, sf_dir, "embeddings").select("vec_id")
+    out = (
+        em.join(lab, em.vec_id == lab.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("lab"), F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col("vec_id"))
+    )
+    edges.unpersist()
+    return out
+
+
 _SQL_DIST_TO_CENT = (
     "SQRT(LIST_AGGREGATE(LIST_TRANSFORM(LIST_ZIP(e.embedding, c.cvec), "
     "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])), 'sum'))"

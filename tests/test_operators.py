@@ -46,6 +46,30 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
     assert lsh == exact, f"LSH missed pairs: {exact - lsh}"
 
 
+def test_scale_sensitive_plan_shapes(spark):
+    """Physical-plan regression guards for this round's scale fixes: the
+    LSH rewrite of dedup_embed must never fall back to a broadcast
+    nested-loop over the corpus, the shingle kernel must carry its df-cap
+    semi-join, and the Bloom-prefiltered join must run its membership
+    checks as broadcast left-semi joins."""
+    plan = (
+        QUERIES["dedup_embed"].fn(spark, SF_DIR)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, "dedup_embed regressed to all-pairs"
+    plan = (
+        QUERIES["dedup_ngram_jaccard"].fn(spark, SF_DIR)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, "shingle df-cap semi-join missing from plan"
+    plan = (
+        QUERIES["join_bloom_prefilter"].fn(spark, SF_DIR)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert plan.count("LeftSemi") >= 3, "bloom membership checks not semi-joins"
+    assert "BroadcastHashJoin" in plan
+
+
 def test_sketch_guarantees(spark):
     """The sketch contracts that make them usable as pre-filters: CMS
     never underestimates any probed frequency, and the Bloom filter has
