@@ -72,9 +72,9 @@ _DRIVER_SAMPLE_PREFIX = (
     "udf_pandas",
     "udaf_grouped_pandas",
     "udtf_split",
+    "sketch_countmin",
     "stream_tumbling",
     "stream_session",
-    "stream_watermark",
     "stream_stateful",
     "stream_static_join",
     "text_tfidf",
