@@ -344,3 +344,123 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_copies"),
         )
     )
+
+
+PPM_W, PPM_H = 4, 8  # synthetic image dims: 4x8 RGB, one md5 digest per row
+
+
+def synth_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 PPM payload for a doc: row r's 12 pixel bytes are
+    the first 12 bytes of md5("<doc_id>:<r>") — content-addressed, no RNG,
+    and recomputable by the SQL oracle byte-for-byte."""
+    import hashlib
+
+    header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
+    rows = b"".join(
+        hashlib.md5(f"{doc_id}:{r}".encode()).digest()[: PPM_W * 3]
+        for r in range(PPM_H)
+    )
+    return header + rows
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL image decode, pure stdlib+numpy — no codec library: parse the
+    P6 header (magic, dims, maxval), reshape the raster to HxWx3 uint8,
+    return dims + per-channel means. This is the working proof of the
+    decoder injection point that decode_image/decode_audio stub out for
+    formats that genuinely need external codecs."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = 4 whitespace-separated tokens: magic, width, height, maxval
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then the raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(payload[i : i + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+    return {
+        "width": w,
+        "height": h,
+        "mean_r": float(px[:, :, 0].mean()),
+        "mean_g": float(px[:, :, 1].mean()),
+        "mean_b": float(px[:, :, 2].mean()),
+    }
+
+
+_PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+@query(
+    "multimodal_decode_ppm",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, j,
+             CAST('0x' || SUBSTRING(MD5(doc_id || ':' || r), 2 * j + 1, 2) AS INT) AS b
+      FROM documents,
+           UNNEST(GENERATE_SERIES(0, {PPM_H - 1})) t(r),
+           UNNEST(GENERATE_SERIES(0, {PPM_W * 3 - 1})) u(j)
+    )
+    SELECT doc_id,
+           CAST({PPM_W} AS INT) AS width,
+           CAST({PPM_H} AS INT) AS height,
+           {sql_r4('AVG(CASE WHEN j % 3 = 0 THEN b END)')} AS mean_r,
+           {sql_r4('AVG(CASE WHEN j % 3 = 1 THEN b END)')} AS mean_g,
+           {sql_r4('AVG(CASE WHEN j % 3 = 2 THEN b END)')} AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image decode through the multimodal plumbing: a
+    deterministic P6 PPM payload per document (md5-derived pixels) rides
+    the (payload, meta) envelope into mapInPandas, where decode_ppm —
+    actual header parsing + raster reshape, stdlib+numpy only — emits
+    dimensions and per-channel means. Proves the decoder injection point
+    with a real codec path; formats needing external libraries stay
+    honestly stubbed (decode_image/decode_audio). Channel means are exact
+    integer sums / 32 in both engines, so the oracle (which recomputes the
+    same md5 pixel bytes with hex arithmetic) matches on r4."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _PPM_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                feats = decode_ppm(synth_ppm(int(doc_id)))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(feats["width"])
+                out["height"].append(feats["height"])
+                # raw means here; the HALF_UP rounding happens JVM-side in
+                # r4 below (Python's round() banks to even and these means
+                # are exact /32 ties, so it would split from DuckDB)
+                out["mean_r"].append(feats["mean_r"])
+                out["mean_g"].append(feats["mean_g"])
+                out["mean_b"].append(feats["mean_b"])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(run, schema=_PPM_SCHEMA).select(
+        "doc_id",
+        "width",
+        "height",
+        r4(F.col("mean_r")).alias("mean_r"),
+        r4(F.col("mean_g")).alias("mean_g"),
+        r4(F.col("mean_b")).alias("mean_b"),
+    )
