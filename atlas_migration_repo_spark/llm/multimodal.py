@@ -5,9 +5,11 @@ Design for 100 TB of mixed media: the media itself is an opaque ``binary``
 column plus a typed metadata struct; decode / feature-extraction runs as
 ``mapInPandas`` over Arrow batches, so each executor streams batches of
 (id, bytes) through Python exactly once, and everything relational stays
-JVM-side. The image/audio decoders are STUBS (decode libs are not in this
-container) with the real batching/schema plumbing tested around a
-deterministic fake.
+JVM-side. Two REAL decoders prove the path end-to-end with zero external
+libs — P6 PPM image decode (header + raster parse, decode_ppm) and PCM16
+WAV audio decode (RIFF container via stdlib wave, decode_wav) — while
+formats that genuinely need codec libraries (JPEG/MP3/video) stay as
+honest STUBS around the same batching/schema plumbing.
 """
 
 from __future__ import annotations
@@ -463,4 +465,114 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("mean_r")).alias("mean_r"),
         r4(F.col("mean_g")).alias("mean_g"),
         r4(F.col("mean_b")).alias("mean_b"),
+    )
+
+
+WAV_RATE = 8000
+WAV_SAMPLES = 16  # two md5 digests' bytes = 16 little-endian int16 frames
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic PCM16 mono WAV payload: the frames are the bytes of
+    md5("<doc_id>:0") ++ md5("<doc_id>:1") — content-addressed like
+    synth_ppm, recomputable by the SQL oracle."""
+    import hashlib
+    import io
+    import wave
+
+    raw = (
+        hashlib.md5(f"{doc_id}:0".encode()).digest()
+        + hashlib.md5(f"{doc_id}:1".encode()).digest()
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(raw)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode, pure stdlib+numpy: RIFF/WAVE container parse via
+    the wave module, PCM16 frames to int64 samples, exact
+    sum-of-squares energy. The working audio twin of decode_ppm."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate, n = w.getframerate(), w.getnframes()
+        data = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
+    return {
+        "rate": rate,
+        "n_samples": n,
+        "duration_ms": n * 1000.0 / rate,
+        "energy": int((data * data).sum()),
+    }
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_decode_wav",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST('0x' || SUBSTRING(MD5(doc_id || ':' || (k // 8)),
+                                    4 * (k % 8) + 1, 2) AS BIGINT)
+             + 256 * CAST('0x' || SUBSTRING(MD5(doc_id || ':' || (k // 8)),
+                                            4 * (k % 8) + 3, 2) AS BIGINT) AS v
+      FROM documents, UNNEST(GENERATE_SERIES(0, {WAV_SAMPLES - 1})) t(k)
+    ),
+    sig AS (
+      SELECT doc_id, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS x FROM s
+    )
+    SELECT doc_id,
+           CAST({WAV_RATE} AS INT) AS rate,
+           CAST({WAV_SAMPLES} AS INT) AS n_samples,
+           {sql_r4(f'{WAV_SAMPLES} * 1000.0 / {WAV_RATE}')} AS duration_ms,
+           CAST(SUM(x * x) AS BIGINT) AS energy
+    FROM sig GROUP BY doc_id
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode through the multimodal plumbing:
+    deterministic PCM16 WAV payloads (md5-derived samples) are parsed by
+    the stdlib wave module inside mapInPandas — actual RIFF container
+    decode, not a stub — emitting rate, frame count, duration, and exact
+    integer sum-of-squares energy. The oracle reconstructs the identical
+    little-endian int16 samples with hex arithmetic, so every output
+    column is exact (energy is a bigint; duration is one shared literal
+    division)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _WAV_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                feats = decode_wav(synth_wav(int(doc_id)))
+                out["doc_id"].append(int(doc_id))
+                out["rate"].append(feats["rate"])
+                out["n_samples"].append(feats["n_samples"])
+                out["duration_ms"].append(feats["duration_ms"])
+                out["energy"].append(feats["energy"])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(run, schema=_WAV_SCHEMA).select(
+        "doc_id",
+        "rate",
+        "n_samples",
+        r4(F.col("duration_ms")).alias("duration_ms"),
+        "energy",
     )
