@@ -244,3 +244,55 @@ def test_holt_tracks_linear_ramp(spark, slope, start, n):
         last["forecast"],
         true_next,
     )
+
+
+@given(st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_ppm_synth_decode_roundtrip(doc_id):
+    """decode_ppm must invert synth_ppm for any doc_id: dims match the
+    constants and channel means equal the direct mean over the generated
+    md5 pixel bytes (pure Python — no Spark session involved)."""
+    import hashlib
+
+    from atlas_migration_repo_spark.llm.multimodal import (
+        PPM_H,
+        PPM_W,
+        decode_ppm,
+        synth_ppm,
+    )
+
+    feats = decode_ppm(synth_ppm(doc_id))
+    assert (feats["width"], feats["height"]) == (PPM_W, PPM_H)
+    raw = b"".join(
+        hashlib.md5(f"{doc_id}:{r}".encode()).digest()[: PPM_W * 3]
+        for r in range(PPM_H)
+    )
+    for c, key in enumerate(("mean_r", "mean_g", "mean_b")):
+        expect = sum(raw[c::3]) / (PPM_W * PPM_H)
+        assert feats[key] == expect
+
+
+@given(st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_wav_synth_decode_roundtrip(doc_id):
+    """decode_wav must invert synth_wav: rate/frames from the RIFF header,
+    energy equal to the direct int16 sum of squares."""
+    import hashlib
+    import struct
+
+    from atlas_migration_repo_spark.llm.multimodal import (
+        WAV_RATE,
+        WAV_SAMPLES,
+        decode_wav,
+        synth_wav,
+    )
+
+    feats = decode_wav(synth_wav(doc_id))
+    assert feats["rate"] == WAV_RATE
+    assert feats["n_samples"] == WAV_SAMPLES
+    raw = (
+        hashlib.md5(f"{doc_id}:0".encode()).digest()
+        + hashlib.md5(f"{doc_id}:1".encode()).digest()
+    )
+    samples = struct.unpack(f"<{WAV_SAMPLES}h", raw)
+    assert feats["energy"] == sum(s * s for s in samples)
