@@ -609,3 +609,77 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             q4(F.col("st.l") + F.col("st.b")).alias("forecast"),
         )
     )
+
+
+_TOUCH_TYPES = ("view", "click")
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN EPOCH_US(ts) END IGNORE NULLS)
+               OVER w AS touch_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(touch_type, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)
+             AS attributed_value,
+           {sql_r4("AVG((EPOCH_US(ts) - touch_us) / 60000000.0)")} AS avg_min_to_convert
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: every purchase is credited to the user's
+    most recent preceding view/click (or 'none'), aggregated to credited
+    purchase counts, exact decimal value, and mean minutes-to-convert —
+    the marketing-pipeline twin of the funnel operators.
+
+    One window over (user, time) computes the carried-forward last touch
+    with LAST_VALUE IGNORE NULLS on a frame ending 1 PRECEDING (a
+    purchase can't attribute to itself); the shuffle is a single
+    partition-by-user sort shared with every other per-user window op.
+    Event times ride as zone-pure epoch micros, deterministic tiebreak
+    (ts, event_id), so both engines pick the identical touch row."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*_TOUCH_TYPES)
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, epoch_us("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    from atlas_migration_repo_spark.catalog import msum
+
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            msum(F.col("value")).alias("attributed_value"),
+            r4(
+                F.avg((epoch_us("ts") - F.col("touch_us")) / 60000000.0)
+            ).alias("avg_min_to_convert"),
+        )
+    )

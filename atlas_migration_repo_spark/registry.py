@@ -52,7 +52,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "win_running_sum",
     "topk_per_group",
     "sort_multi",
-    "set_intersect",
+    "graph_triangles",
     "q3_shipping_priority",
     "q9_product_profit",
     "pivot_status",
@@ -130,6 +130,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.operators.analytics",
         "atlas_migration_repo_spark.operators.analytics2",
         "atlas_migration_repo_spark.operators.sketches",
+        "atlas_migration_repo_spark.operators.graph",
         "atlas_migration_repo_spark.functions.scalars",
         "atlas_migration_repo_spark.functions.udfs",
         "atlas_migration_repo_spark.sources.files",
