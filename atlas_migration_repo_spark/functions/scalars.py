@@ -816,3 +816,77 @@ def str_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.format_string("%.2f", F.round(F.col("o_totalprice"), 2)).alias("price_str"),
     )
+
+
+@query(
+    "variant_funcs",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           {sql_r4("AVG(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))")} AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: props parses once
+    into the binary variant encoding (parse_json) and fields extract with
+    variant_get — the engine's answer to open-schema JSON columns at
+    scale, where VARIANT's shredded binary layout skips per-row text
+    re-parsing and (on sources that support it) pushes field access into
+    the scan. Aggregated per event type so the oracle (classic JSON text
+    extraction — DuckDB has no variant) checks exact counts/extrema plus
+    the r4 mean of extracted ints."""
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            r4(F.avg("k")).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "xml_funcs",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(30,8)), 2) AS DOUBLE) AS total
+    FROM orders
+    """,
+)
+def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest round-trip (Spark 4 from_xml): each order renders to an
+    XML record — the format legacy extract feeds often arrive in — and is
+    parsed back through a declared schema, proving the schema-on-read XML
+    path without an external fixture. Money rides as a 2dp-formatted
+    string, re-parsed and decimal-rounded, so the oracle (the same
+    decimal rounding of the source column) is exact; the render+parse is
+    per-row expression work in the scan stage, no shuffle at all."""
+    o = load(spark, sf_dir, "orders")
+    xml = o.select(
+        F.format_string(
+            "<order><key>%d</key><status>%s</status><total>%.2f</total></order>",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice").cast("decimal(30,8)"), 2).cast("double"),
+        ).alias("record")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "record", "key BIGINT, status STRING, total DOUBLE"
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.key").alias("o_orderkey"),
+        F.col("r.status").alias("o_orderstatus"),
+        F.col("r.total").alias("total"),
+    )
