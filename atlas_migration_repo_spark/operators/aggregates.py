@@ -724,3 +724,56 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("cnt"))
     )
+
+
+HIST_BINS = 20
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle=f"""
+    WITH s AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / {HIST_BINS}))
+                        AS INT), {HIST_BINS - 1}) AS bin,
+             mn, mx
+      FROM lineitem, s
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_r4(f'ANY_VALUE(mn) + bin * (ANY_VALUE(mx) - ANY_VALUE(mn)) / {HIST_BINS}')}
+             AS bin_lo
+    FROM b GROUP BY bin
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice — the data-profiling
+    primitive behind every column-statistics page. Two passes, both
+    1-shuffle: a 2-scalar min/max agg broadcasts back, then each row maps
+    to floor((x-min)/width) (top edge clamped into the last bin) and a
+    map-side-combined count per bin reduces ≤ HIST_BINS rows per task.
+    Bin ids are integer arithmetic on the identical IEEE doubles in both
+    engines — floor/least cannot straddle — and bin_lo re-derives from
+    the same min/max, r4-rounded."""
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / HIST_BINS
+    binned = li.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin"),
+        "mn",
+        "mx",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(
+            F.any_value("mn")
+            + F.col("bin") * (F.any_value("mx") - F.any_value("mn")) / HIST_BINS
+        ).alias("bin_lo"),
+    )

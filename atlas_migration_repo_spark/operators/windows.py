@@ -422,3 +422,43 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_in_window"),
     )
+
+
+@query(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,8))) OVER w, 4) AS DOUBLE)
+             AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval window frame: per user, the count and exact decimal
+    sum of events in the trailing hour of EVENT TIME (range frame over
+    the zone-pure epoch-micros ordering key, 3.6e9 µs back) — the rolling
+    rate-limit / trailing-exposure primitive that row frames cannot
+    express when events are irregularly spaced. One shuffle on user_id
+    shared with every other per-user window; the range frame evaluates
+    with a sliding two-pointer over each partition's sort, O(n) per key.
+    Decimal accumulation makes the windowed sum order-exact, so both
+    engines agree without an epsilon."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(30,8)"))
+        .over(w)
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("value_last_hour"),
+    )
