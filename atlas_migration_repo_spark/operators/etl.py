@@ -1045,3 +1045,42 @@ def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "keygen_surrogate",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey,
+             MD5('ord:' || o_orderkey || ':' || o_custkey) AS sk
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_keys,
+           (COUNT(*) = COUNT(DISTINCT sk)) AS collision_free,
+           MIN(sk) AS min_key
+    FROM k
+    """,
+)
+def keygen_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed SURROGATE KEY generation + collision audit — the
+    warehouse-load primitive that replaces sequence generators: the key is
+    a hash of the qualified natural key ('ord:' namespace prefix so keys
+    from different source objects can never collide on raw value reuse).
+    Hash keys beat row_number/monotonically_increasing_id at scale — no
+    global sort, no coordination, stable under re-runs, partition count
+    changes, and retries (the same row always gets the same key — loads
+    become idempotent). The audit aggregate proves injectivity on this
+    corpus; both engines compute identical md5 hex so the oracle is
+    exact."""
+    o = load(spark, sf_dir, "orders")
+    sk = F.md5(
+        F.concat_ws(":", F.lit("ord"), F.col("o_orderkey"), F.col("o_custkey"))
+    )
+    keyed = o.select(sk.alias("sk"))
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("sk").alias("n_keys"),
+        (F.count(F.lit(1)) == F.count_distinct("sk")).alias("collision_free"),
+        F.min("sk").alias("min_key"),
+    )
