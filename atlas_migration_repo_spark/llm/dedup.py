@@ -587,3 +587,183 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.join(corpus, "fp", "left")
         .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new"))
     )
+
+
+SPAN_W = 8  # words per dedup span; production tunes 50-100 (Lee et al. use 50 tokens)
+
+_SPANS_RANKED_SQL = f"""
+    w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    tok AS (SELECT doc_id, UNNEST(ws) AS word,
+                   GENERATE_SUBSCRIPTS(ws, 1) - 1 AS pos
+            FROM w),
+    spans AS (
+      SELECT doc_id, CAST(FLOOR(pos / {SPAN_W}) AS INT) AS chunk_idx,
+             STRING_AGG(word, ' ' ORDER BY pos) AS span
+      FROM tok GROUP BY doc_id, CAST(FLOOR(pos / {SPAN_W}) AS INT)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(span)
+                                   ORDER BY doc_id, chunk_idx) AS rn
+      FROM spans
+    )
+"""
+
+
+@query(
+    "dedup_spans",
+    oracle=f"""
+    WITH {_SPANS_RANKED_SQL}
+    SELECT doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+           STRING_AGG(span, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1)
+             AS text_kept
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN removal — the corpus-level substring dedup a
+    training pipeline runs after document dedup (the practical Spark shape
+    of suffix-array exact-substring dedup: fixed SPAN_W-word chunks, first
+    global occurrence kept, later occurrences cut from their documents;
+    boilerplate shared across near-dup docs disappears even when whole-doc
+    dedup keeps both docs).
+
+    Plan: span construction is entirely array-side (sequence+slice on the
+    split words — no explode shuffle to build spans); the global
+    first-occurrence choice is a groupBy(md5(span)).min(struct(doc_id,
+    chunk_idx)) — map-side combine makes a boilerplate span that occurs
+    10^6 times cost one partial per task, NOT a 10^6-row window sort on
+    one reducer (the skew trap a PARTITION BY hash ROW_NUMBER would hit) —
+    and keeper flags return via an equi-join on the hash, linear in
+    occurrences. Reconstruction is one groupBy(doc_id) re-assembling kept
+    spans in chunk order. Total: three well-keyed shuffles, no broadcast
+    of anything corpus-sized.
+
+    Determinism: the keeper is the (doc_id, chunk_idx)-least occurrence —
+    a total order, so both engines pick the identical survivor set."""
+    d = load(spark, sf_dir, "documents")
+    ws = words()
+    nspans = F.ceil(F.size(ws) / SPAN_W).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), nspans - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * SPAN_W + 1, SPAN_W)),
+    )
+    sp = d.select("doc_id", F.posexplode(spans_arr).alias("chunk_idx", "span")).withColumn(
+        "h", F.md5("span")
+    )
+    keep = sp.groupBy("h").agg(F.min(F.struct("doc_id", "chunk_idx")).alias("k"))
+    marked = sp.join(keep, "h").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("k.doc_id")) & (F.col("chunk_idx") == F.col("k.chunk_idx")),
+    )
+    kept_spans = F.array_sort(
+        F.collect_list(F.when(F.col("kept"), F.struct("chunk_idx", "span")))
+    )
+    n_kept = F.count(F.when(F.col("kept"), F.lit(1)))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            n_kept.alias("n_kept"),
+            F.concat_ws(
+                " ", F.transform(kept_spans, lambda s: s["span"])
+            ).alias("_txt"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("_txt")).alias("text_kept"),
+        )
+    )
+
+
+@query(
+    "corpus_dedup_stages",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)
+    ),
+    s2 AS (
+      SELECT MIN(d.doc_id) AS doc_id
+      FROM documents d JOIN s1 USING (doc_id)
+      GROUP BY MD5(ARRAY_TO_STRING(STRING_SPLIT(d.text, ' ')[1:4], ' '))
+    ),
+    w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w
+          FROM documents JOIN s2 USING (doc_id)),
+    sh AS (SELECT DISTINCT doc_id, UNNEST({SQL_SHINGLES}) AS shingle FROM w),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    dead AS (
+      SELECT DISTINCT db AS doc_id FROM inter
+      JOIN sizes sa ON da = sa.doc_id
+      JOIN sizes sb ON db = sb.doc_id
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_TAU}
+    ),
+    s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dead))
+    SELECT * FROM (
+      SELECT 0 AS stage, 'raw' AS name, COUNT(*) AS n_docs FROM documents
+      UNION ALL SELECT 1, 'exact', COUNT(*) FROM s1
+      UNION ALL SELECT 2, 'fingerprint', COUNT(*) FROM s2
+      UNION ALL SELECT 3, 'near_jaccard', COUNT(*) FROM s3
+    )
+    """,
+)
+def corpus_dedup_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup FUNNEL report a corpus pipeline publishes: documents
+    surviving each successive stage — raw → exact full-text dedup →
+    first-4-words fingerprint dedup → near-dup removal (a doc is removed
+    when it Jaccard-matches a lower-id survivor at τ). Stages compose:
+    each runs only on the previous stage's survivors, exactly as the
+    production pipeline chains them cheapest-first so the expensive
+    near-dup stage sees the smallest corpus.
+
+    Scale: stages 1-2 are hash-groupBys; stage 3 reuses the capped
+    inverted-index kernel (_shingle_posting_list) on the shrunken survivor
+    set; the four counts are scalar aggregates unioned driver-free. The
+    greedy lower-id-wins removal is deterministic (no cluster iteration
+    needed for a count report)."""
+    d = load(spark, sf_dir, "documents")
+    n_raw = d.select(F.lit(0).alias("stage"), F.lit("raw").alias("name"), F.count(F.lit(1)).alias("n_docs"))
+
+    s1 = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    d1 = d.join(s1, "doc_id", "left_semi")
+    n_exact = d1.select(F.lit(1).alias("stage"), F.lit("exact").alias("name"), F.count(F.lit(1)).alias("n_docs"))
+
+    fp = F.md5(F.concat_ws(" ", F.slice(words(), 1, 4)))
+    s2 = d1.groupBy(fp).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    d2 = d.join(s2, "doc_id", "left_semi")
+    n_fp = d2.select(F.lit(2).alias("stage"), F.lit("fingerprint").alias("name"), F.count(F.lit(1)).alias("n_docs"))
+
+    sh = d2.select(
+        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") < SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(rare, "shingle", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    dead = (
+        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_TAU)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(dead, "doc_id", "left_anti")
+    n_near = s3.select(F.lit(3).alias("stage"), F.lit("near_jaccard").alias("name"), F.count(F.lit(1)).alias("n_docs"))
+
+    return n_raw.unionByName(n_exact).unionByName(n_fp).unionByName(n_near)

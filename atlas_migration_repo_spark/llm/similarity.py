@@ -1018,3 +1018,48 @@ def embed_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+RANGE_TAU = 0.3  # radius for range search: cosine >= tau
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES})
+    SELECT q.q_id, e.vec_id, {sql_r4(sql_cosine('q.qe', 'e.embedding'))} AS cosine
+    FROM q JOIN embeddings e ON e.vec_id != q.q_id
+    WHERE {sql_cosine('q.qe', 'e.embedding')} >= {RANGE_TAU}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: every corpus vector within cosine ≥ τ of each
+    query vector — the other half of the vector-search API next to top-k
+    (retrieval wants top-k; dedup and recall evaluation want ALL matches in
+    a radius). Same scalable shape as sim_cosine_topk: broadcast the query
+    set, stream the corpus once, norms precomputed per side so each pair
+    costs one dot; no window needed at all — the radius predicate filters
+    scan-side, so selective radii never materialize a ranking. At 100 TB
+    the LSH/IVF bucket index (sim_ann_lsh / sim_ann_ivf) generates the
+    candidate stream and this exact filter verifies it (prune-then-verify).
+
+    Determinism: the τ comparison happens on the UNROUNDED chain-dot
+    cosine, bit-identical in both engines, so boundary pairs cannot
+    disagree; r4 rounds only the reported value."""
+    em = load(spark, sf_dir, "embeddings")
+    em = em.repartition(spark.sparkContext.defaultParallelism)
+    q = em.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
+    en = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    cos = dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("en"))
+    return (
+        em.withColumn("en", en)
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= RANGE_TAU)
+        .select("q_id", "vec_id", r4(F.col("cos")).alias("cosine"))
+    )

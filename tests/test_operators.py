@@ -1449,3 +1449,56 @@ def test_join_strategy_hint_forces_smj(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_dedup_spans_semantics(spark):
+    """Span dedup invariants: keeper totals conserve spans (every span hash
+    keeps exactly its first occurrence); duplicated spans actually get cut
+    somewhere (the fingerprint-dup docs share 8-word prefixes); and a doc
+    with no cuts reconstructs to its original text verbatim."""
+    from atlas_migration_repo_spark.catalog import load
+
+    out = QUERIES["dedup_spans"].fn(spark, SF_DIR)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = {r["doc_id"]: r["text"] for r in load(spark, SF_DIR, "documents").collect()}
+    assert set(rows) == set(docs)
+    n_cut = sum(r["n_spans"] - r["n_kept"] for r in rows.values())
+    assert n_cut > 0, "fixture has fingerprint dups; some span must be cut"
+    for did, r in rows.items():
+        assert 0 <= r["n_kept"] <= r["n_spans"]
+        if r["n_kept"] == r["n_spans"]:
+            assert r["text_kept"] == docs[did]
+        if r["n_kept"] == 0:
+            assert r["text_kept"] is None
+
+
+def test_corpus_dedup_stages_monotone(spark):
+    """The funnel can only shrink, starts at the raw count, and the exact
+    stage equals the distinct-text count."""
+    from atlas_migration_repo_spark.catalog import load
+
+    rows = sorted(
+        QUERIES["corpus_dedup_stages"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["name"] for r in rows] == ["raw", "exact", "fingerprint", "near_jaccard"]
+    counts = [r["n_docs"] for r in rows]
+    assert counts[0] == load(spark, SF_DIR, "documents").count()
+    assert counts == sorted(counts, reverse=True)
+    assert counts[3] >= 1
+
+
+def test_sim_range_search_consistent_with_topk(spark):
+    """Every top-k hit with cosine >= tau must appear in the range result,
+    and every range hit must be >= tau (precision 1.0 by construction)."""
+    from atlas_migration_repo_spark.llm.similarity import RANGE_TAU
+
+    rng = {
+        (r["q_id"], r["vec_id"]): r["cosine"]
+        for r in QUERIES["sim_range_search"].fn(spark, SF_DIR).collect()
+    }
+    assert all(c >= RANGE_TAU - 1e-4 for c in rng.values())
+    topk = QUERIES["sim_cosine_topk"].fn(spark, SF_DIR).collect()
+    for r in topk:
+        if r["cosine"] >= RANGE_TAU:
+            assert (r["q_id"], r["vec_id"]) in rng
