@@ -1502,3 +1502,19 @@ def test_sim_range_search_consistent_with_topk(spark):
     for r in topk:
         if r["cosine"] >= RANGE_TAU:
             assert (r["q_id"], r["vec_id"]) in rng
+
+
+def test_new_dedup_ops_plan_guardrails(spark):
+    """dedup_spans and corpus_dedup_stages must stay cartesian-free and
+    nested-loop-free (their shuffles are all hash-keyed equi-joins);
+    sim_range_search is allowed exactly one broadcast nested loop — the
+    10-row query side, same contract as sim_cosine_topk."""
+    from atlas_migration_repo_spark.plans.inspect import physical_plan
+
+    for name in ("dedup_spans", "corpus_dedup_stages"):
+        plan = physical_plan(QUERIES[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = physical_plan(QUERIES["sim_range_search"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
