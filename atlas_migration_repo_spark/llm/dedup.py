@@ -642,12 +642,18 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the keeper is the (doc_id, chunk_idx)-least occurrence —
     a total order, so both engines pick the identical survivor set."""
-    d = load(spark, sf_dir, "documents")
+    return span_dedup(load(spark, sf_dir, "documents"), SPAN_W)
+
+
+def span_dedup(d: DataFrame, span_w: int) -> DataFrame:
+    """Span-dedup kernel over any (doc_id, text) frame — factored out so
+    property tests can drive it with generated corpora (hypothesis model
+    check in tests/test_properties.py) and pipelines can compose it."""
     ws = words()
-    nspans = F.ceil(F.size(ws) / SPAN_W).cast("int")
+    nspans = F.ceil(F.size(ws) / span_w).cast("int")
     spans_arr = F.transform(
         F.sequence(F.lit(0), nspans - 1),
-        lambda i: F.concat_ws(" ", F.slice(ws, i * SPAN_W + 1, SPAN_W)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * span_w + 1, span_w)),
     )
     sp = d.select("doc_id", F.posexplode(spans_arr).alias("chunk_idx", "span")).withColumn(
         "h", F.md5("span")

@@ -296,3 +296,37 @@ def test_wav_synth_decode_roundtrip(doc_id):
     )
     samples = struct.unpack(f"<{WAV_SAMPLES}h", raw)
     assert feats["energy"] == sum(s * s for s in samples)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcdef")), min_size=1, max_size=20),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_hyp
+def test_span_dedup_matches_python_model(spark, docs):
+    """The distributed span-dedup kernel must agree exactly with a
+    sequential first-occurrence-wins model for ANY corpus (3-word spans;
+    single-letter words so generated docs collide often)."""
+    from atlas_migration_repo_spark.llm.dedup import span_dedup
+
+    texts = [" ".join(w) for w in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in span_dedup(df, 3).collect()}
+    seen: set[str] = set()
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        spans = [" ".join(ws[j : j + 3]) for j in range(0, len(ws), 3)]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        r = got[i]
+        assert r["n_spans"] == len(spans)
+        assert r["n_kept"] == len(kept)
+        assert r["text_kept"] == (" ".join(kept) if kept else None)
