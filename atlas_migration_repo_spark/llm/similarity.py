@@ -1063,3 +1063,93 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos") >= RANGE_TAU)
         .select("q_id", "vec_id", r4(F.col("cos")).alias("cosine"))
     )
+
+
+TRUNC_DIMS = (8, 16, 32, 64)
+
+
+def _sql_dot_d(a: str, b: str, d: int) -> str:
+    return (
+        f"LIST_AGGREGATE(LIST_TRANSFORM(LIST_ZIP({a}[1:{d}], {b}[1:{d}]), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    )
+
+
+def _sql_cos_d(a: str, b: str, d: int) -> str:
+    return (
+        f"({_sql_dot_d(a, b, d)} / "
+        f"(SQRT({_sql_dot_d(a, a, d)}) * SQRT({_sql_dot_d(b, b, d)})))"
+    )
+
+
+@query(
+    "embed_truncation_fidelity",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {PAIR_SAMPLE_MOD} = 0
+    ),
+    pairs AS (
+      SELECT a.embedding AS ea, b.embedding AS eb
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {sql_r4('AVG(err)')} AS mean_abs_cos_err,
+           {sql_r4('MAX(err)')} AS max_abs_cos_err
+    FROM (
+      {' UNION ALL '.join(
+        f"SELECT {d} AS dim, ABS({_sql_cos_d('ea', 'eb', d)} - "
+        f"{_sql_cos_d('ea', 'eb', 64)}) AS err FROM pairs"
+        for d in TRUNC_DIMS
+      )}
+    ) GROUP BY dim
+    """,
+)
+def embed_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation fidelity report (the Matryoshka-style sizing
+    probe): for each prefix length d, how far does cosine computed on the
+    first d coordinates drift from the full-64-dim cosine, over the same
+    deterministic id-stride pair sample sim_pair_sample_stats uses. This
+    is the measurement that decides how many dimensions the 100 TB ANN
+    index can store/broadcast — truncating 64→16 quarters index memory
+    and bandwidth IF the cosine error stays below the dedup/retrieval
+    margin, and this query reports exactly that error envelope.
+
+    Plan: the stride sample keeps the quadratic confined ((N/25)²/2 pairs,
+    broadcast-joined); per-dim cosines are prefix sums of the SAME chain
+    dot — evaluated columnar per pair, no extra scan per dim (Spark
+    explodes a literal dim array; DuckDB unions the four prefix
+    expressions). Aggregation is a 4-group map-side-combined shuffle.
+
+    Determinism: every per-pair double is the identical left-to-right
+    chain in both engines; AVG over the sample stays in the r4 drift
+    envelope (same policy as embed_dim_stats)."""
+    em = load(spark, sf_dir, "embeddings")
+    s = em.where(F.col("vec_id") % PAIR_SAMPLE_MOD == 0).select("vec_id", "embedding")
+    a = s.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+
+    def cos_d(d: int):
+        return dot(F.col("ea"), F.col("eb"), d) / (
+            F.sqrt(dot(F.col("ea"), F.col("ea"), d))
+            * F.sqrt(dot(F.col("eb"), F.col("eb"), d))
+        )
+
+    pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+    errs = pairs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.abs(cos_d(d) - cos_d(64)).alias("err"),
+                    )
+                    for d in TRUNC_DIMS
+                ]
+            )
+        ).alias("e")
+    ).select("e.dim", "e.err")
+    return errs.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        r4(F.avg("err")).alias("mean_abs_cos_err"),
+        r4(F.max("err")).alias("max_abs_cos_err"),
+    )
