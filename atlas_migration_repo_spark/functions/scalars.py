@@ -890,3 +890,32 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.status").alias("o_orderstatus"),
         F.col("r.total").alias("total"),
     )
+
+
+@query(
+    "arr_exists_forall",
+    oracle="""
+    SELECT vec_id,
+           LEN(LIST_FILTER(embedding, x -> CAST(x AS DOUBLE) < 0)) > 0 AS has_neg,
+           LEN(LIST_FILTER(embedding,
+               x -> NOT (ABS(CAST(x AS DOUBLE)) < 1.0))) = 0 AS all_unit,
+           CAST(LEN(LIST_FILTER(embedding, x -> CAST(x AS DOUBLE) < 0)) AS INT)
+             AS n_neg
+    FROM embeddings
+    """,
+)
+def arr_exists_forall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array quantifier predicates — `exists` (∃) and `forall` (∀) lambdas
+    plus a filtered count, the complement of transform/aggregate in
+    arr_higher_order. All three evaluate scan-side per row with no
+    shuffle; DuckDB spells the quantifiers as LIST_FILTER length tests
+    (semantically identical on non-null elements, which the embedding
+    fixture guarantees)."""
+    e = load(spark, sf_dir, "embeddings")
+    neg = lambda x: x.cast("double") < 0  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.exists("embedding", neg).alias("has_neg"),
+        F.forall("embedding", lambda x: F.abs(x.cast("double")) < 1.0).alias("all_unit"),
+        F.size(F.filter("embedding", neg)).alias("n_neg"),
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from atlas_migration_repo_spark.catalog import as_date, load, msum, r4
-from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.oracle import sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.files import scratch_path
 
@@ -1083,4 +1083,38 @@ def keygen_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("sk").alias("n_keys"),
         (F.count(F.lit(1)) == F.count_distinct("sk")).alias("collision_free"),
         F.min("sk").alias("min_key"),
+    )
+
+
+@query(
+    "sql_lateral_alias",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net,
+           ROUND(ROUND(l_extendedprice * (1 - l_discount), 4) * (1 + l_tax), 4)
+             AS gross,
+           ROUND(ROUND(ROUND(l_extendedprice * (1 - l_discount), 4) * (1 + l_tax), 4)
+                 - ROUND(l_extendedprice * (1 - l_discount), 4), 4) AS tax_amount
+    FROM lineitem WHERE l_quantity >= 49
+    """,
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT item referencing a
+    sibling alias defined earlier in the same list — `net` feeds `gross`
+    feeds `tax_amount` — the spelling that keeps derived-measure chains
+    single-sourced instead of copy-pasting the base expression three
+    times. Resolved at analysis time into the nested expressions (the
+    plan is identical to writing them out), so there is no runtime cost
+    and pushdown/codegen are unaffected. Each link is rounded to 4dp on
+    BOTH sides so the chained doubles stay bit-identical; the DuckDB
+    oracle writes the expansion explicitly — same expression tree."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_lca")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice * (1 - l_discount), 4) AS net,
+               ROUND(net * (1 + l_tax), 4) AS gross,
+               ROUND(gross - net, 4) AS tax_amount
+        FROM v_li_lca WHERE l_quantity >= 49
+        """
     )
