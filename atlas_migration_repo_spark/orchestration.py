@@ -155,3 +155,64 @@ def _validate(spec: dict) -> None:
     if seen != len(ids):
         raise ValueError("dependency cycle in DAG spec")
     json.dumps(spec)  # must be pure data
+
+
+def demo_atlas_objects() -> tuple[ObjectSpec, ...]:
+    """The canonical demo object set for the migration DAG: one watermarked
+    CDC object, one filtered full-refresh object, one small full-refresh
+    lookup — the three extract shapes a real migration mixes."""
+    return (
+        ObjectSpec(
+            name="Atlas_Order__c",
+            fields=(
+                ("Id", "id"),
+                ("Name", "string"),
+                ("Amount__c", "currency"),
+                ("Status__c", "picklist"),
+                ("SystemModstamp", "datetime"),
+            ),
+            watermark_field="SystemModstamp",
+        ),
+        ObjectSpec(
+            name="Atlas_Customer__c",
+            fields=(
+                ("Id", "id"),
+                ("Name", "string"),
+                ("Region__c", "picklist"),
+                ("IsDeleted", "boolean"),
+            ),
+            where="IsDeleted = false",
+        ),
+        ObjectSpec(
+            name="Atlas_Region__c",
+            fields=(("Id", "id"), ("Name", "string")),
+        ),
+    )
+
+
+def main(argv: Sequence[str] | None = None) -> None:
+    """CLI: print the declarative migration DAG spec as JSON.
+
+    Usage: python -m atlas_migration_repo_spark.orchestration \
+               [--dag-id ID] [--sink ROOT] [--schedule CRON] [--partitions N]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--dag-id", default="atlas_migration")
+    ap.add_argument("--sink", default="s3a://example-bucket/atlas")
+    ap.add_argument("--schedule", default="@daily")
+    ap.add_argument("--partitions", type=int, default=8)
+    args = ap.parse_args(argv)
+    spec = dag_spec(
+        args.dag_id,
+        demo_atlas_objects(),
+        SinkSpec(root=args.sink, partition_by=("load_date",)),
+        schedule=args.schedule,
+        extract_partitions=args.partitions,
+    )
+    print(json.dumps(spec, indent=2))
+
+
+if __name__ == "__main__":
+    main()

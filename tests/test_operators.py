@@ -1518,3 +1518,23 @@ def test_new_dedup_ops_plan_guardrails(spark):
     plan = physical_plan(QUERIES["sim_range_search"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_orchestration_cli_emits_valid_spec(capsys):
+    """The DAG-spec CLI must print one self-contained JSON document whose
+    demo objects cover all three extract shapes (watermarked incremental,
+    filtered full refresh, plain full refresh)."""
+    import json
+
+    from atlas_migration_repo_spark.orchestration import main
+
+    main(["--dag-id", "t_dag", "--sink", "s3a://unit/atlas", "--partitions", "4"])
+    spec = json.loads(capsys.readouterr().out)
+    assert spec["dag_id"] == "t_dag"
+    extracts = [t for t in spec["tasks"] if t["kind"] == "extract"]
+    assert sorted(t["incremental"] for t in extracts) == [False, False, True]
+    assert any("WHERE (IsDeleted = false)" in t["soql"] for t in extracts)
+    assert all(len(t["partition_predicates"]) == 4 for t in extracts)
+    loads = [t for t in spec["tasks"] if t["kind"] == "load"]
+    assert all(t["sink_path"].startswith("s3a://unit/atlas/") for t in loads)
+    assert {"append", "overwrite"} == {t["mode"] for t in loads}
