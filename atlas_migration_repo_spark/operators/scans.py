@@ -60,3 +60,34 @@ def scan_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double").alias("bal"),
     )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance scan via Spark's hidden `_metadata` struct (file
+    sources expose path/name/size/mod-time without extra I/O) — the
+    lineage audit a migration runs to prove which physical files produced
+    which rows. Selecting `_metadata.file_name` costs nothing at the
+    reader (constant per split, no shuffle); the per-file row counts +
+    key ranges reduce map-side. The fixture is one file per table, so the
+    portable oracle pins n_files=1 plus the exact row/key envelope; the
+    file-NAME itself is environment-bound and asserted in a unit test
+    (tests/test_operators.py::test_scan_file_metadata_names) instead."""
+    from atlas_migration_repo_spark.catalog import table_path
+
+    o = spark.read.parquet(table_path(sf_dir, "orders"))
+    return o.agg(
+        F.countDistinct(F.col("_metadata.file_name")).alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -1538,3 +1538,18 @@ def test_orchestration_cli_emits_valid_spec(capsys):
     loads = [t for t in spec["tasks"] if t["kind"] == "load"]
     assert all(t["sink_path"].startswith("s3a://unit/atlas/") for t in loads)
     assert {"append", "overwrite"} == {t["mode"] for t in loads}
+
+
+def test_scan_file_metadata_names(spark):
+    """The _metadata file name must be the physical fixture file, and the
+    per-file grouping must partition the row count exactly."""
+    from atlas_migration_repo_spark.catalog import table_path
+
+    o = spark.read.parquet(table_path(SF_DIR, "orders"))
+    per_file = (
+        o.groupBy(F.col("_metadata.file_name").alias("f"))
+        .count()
+        .collect()
+    )
+    assert [r["f"] for r in per_file] == ["orders.parquet"]
+    assert sum(r["count"] for r in per_file) == o.count()
