@@ -354,3 +354,78 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum_share <= TOKEN_BUDGET_SHARE).alias("in_budget"),
         )
     )
+
+
+CONTAM_TAU = 0.1  # flag docs whose shingle-overlap fraction reaches 10%
+
+
+@query(
+    "contamination_report",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  UNNEST(list_transform(generate_series(1, LEN(w) - 2),
+                         i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS shingle
+           FROM w),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    scored AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(CASE WHEN b.shingle IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_contaminated
+      FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id % 50 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           ROUND(n_contaminated * 1.0 / n_shingles, 4) AS contamination,
+           (n_contaminated * 1.0 / n_shingles >= {CONTAM_TAU}) AS flagged
+    FROM scored
+    """,
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED benchmark-contamination report — the practical form of
+    decontamination: instead of dropping any doc sharing one shingle with
+    the eval set (decontaminate_corpus's binary rule, which over-removes
+    at corpus scale where common phrases collide constantly), score each
+    training doc by the FRACTION of its distinct word-3-grams that appear
+    in the benchmark, and flag at a tunable threshold. This is the knob a
+    pipeline actually ships: sweep τ, eyeball the flagged tail, then cut.
+
+    Scale: identical probe shape to decontaminate_corpus — the benchmark
+    shingle set is distinct-projected and broadcast; the corpus streams
+    through one hash probe and one doc-keyed count aggregate. Nothing is
+    ever self-joined; the report is linear in corpus shingles.
+
+    Determinism: counts are integers; the fraction is one IEEE division
+    evaluated identically in both engines, compared against τ UNROUNDED
+    on both sides so boundary docs cannot disagree."""
+    from atlas_migration_repo_spark.llm.text import shingles, words
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
+    )
+    bench_sh = (
+        sh.where(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("in_bench", F.lit(1))
+    )
+    frac = F.col("n_contaminated") * F.lit(1.0) / F.col("n_shingles")
+    return (
+        sh.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("in_bench").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(frac, 4).alias("contamination"),
+            (frac >= CONTAM_TAU).alias("flagged"),
+        )
+    )

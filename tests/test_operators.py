@@ -1553,3 +1553,18 @@ def test_scan_file_metadata_names(spark):
     )
     assert [r["f"] for r in per_file] == ["orders.parquet"]
     assert sum(r["count"] for r in per_file) == o.count()
+
+
+def test_contamination_report_consistent_with_decontaminate(spark):
+    """A doc survives binary decontamination exactly when its graded
+    contamination count is zero — the two operators must agree."""
+    clean = {
+        r["doc_id"]
+        for r in QUERIES["decontaminate_corpus"].fn(spark, SF_DIR).collect()
+    }
+    report = QUERIES["contamination_report"].fn(spark, SF_DIR).collect()
+    zero = {r["doc_id"] for r in report if r["n_contaminated"] == 0}
+    assert zero == clean
+    flagged = [r for r in report if r["flagged"]]
+    for r in flagged:
+        assert r["contamination"] >= 0.1 - 1e-9
