@@ -1568,3 +1568,18 @@ def test_contamination_report_consistent_with_decontaminate(spark):
     flagged = [r for r in report if r["flagged"]]
     for r in flagged:
         assert r["contamination"] >= 0.1 - 1e-9
+
+
+def test_sim_ann_recall_eval_floors(spark):
+    """The eval op must report both methods over every vector, the gap on
+    misses must be non-negative (the exact neighbor is by definition at
+    least as close) and bounded, and IVF-multiprobe must dominate plain
+    LSH buckets at this fixture's noise-floor cosines — the ranking the
+    op exists to surface."""
+    rows = {r["method"]: r for r in QUERIES["sim_ann_recall_eval"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for m, r in rows.items():
+        assert 0.0 < r["recall_at_1"] <= 1.0, (m, r["recall_at_1"])
+        if r["mean_cos_gap_on_miss"] is not None:
+            assert -1e-9 <= r["mean_cos_gap_on_miss"] <= 0.5, m
+    assert rows["ivf"]["recall_at_1"] > rows["lsh"]["recall_at_1"]
