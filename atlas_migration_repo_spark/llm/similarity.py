@@ -356,17 +356,56 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verify on candidates only — identical expression to the oracle
-    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    ea = em.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), norm.alias("na"))
-    eb = em.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), norm.alias("nb"))
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (
-        cand.join(ea, "va")
-        .join(eb, "vb")
-        .where(cos >= COSINE_TAU)
-        .select("va", "vb", r4(cos).alias("cosine"))
-    )
+    # two-stage verify (the sim_knn_join policy): a vectorized BLAS cosine
+    # PRE-filters candidates at τ-1e-9 — float64 matmul agrees with the
+    # sequential chain to ~1e-15 relative, so nothing the chain would keep
+    # is dropped — then the few survivors are re-scored with the EXACT
+    # left-to-right chain dot, which alone decides τ and supplies the
+    # emitted value. Output is therefore bit-identical to evaluating the
+    # oracle expression on every candidate, at BLAS speed per batch.
+    ea = em.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    eb = em.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    paired = cand.join(ea, "va").join(eb, "vb")
+
+    def verify(batches):
+        import math
+
+        def chain_cos(x, y):
+            s = nx = ny = 0.0
+            for i in range(len(x)):
+                xi, yi = float(x[i]), float(y[i])
+                s += xi * yi
+                nx += xi * xi
+                ny += yi * yi
+            return s / (math.sqrt(nx) * math.sqrt(ny))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(list(pdf["ea"]), dtype=np.float64)
+            B = np.asarray(list(pdf["eb"]), dtype=np.float64)
+            blas = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            keep = blas >= COSINE_TAU - 1e-9
+            out = {"va": [], "vb": [], "cosine": []}
+            for va, vb, x, y in zip(
+                pdf["va"].to_numpy()[keep],
+                pdf["vb"].to_numpy()[keep],
+                A[keep],
+                B[keep],
+            ):
+                c = chain_cos(x, y)
+                if c >= COSINE_TAU:
+                    out["va"].append(int(va))
+                    out["vb"].append(int(vb))
+                    out["cosine"].append(c)
+            yield pd.DataFrame(out)
+
+    raw = paired.mapInPandas(verify, "va long, vb long, cosine double")
+    # r4 applied Spark-side so rounding semantics (half away from zero)
+    # match the oracle's ROUND exactly — Python round() is banker's
+    return raw.select("va", "vb", r4(F.col("cosine")).alias("cosine"))
 
 
 # signature width sizes the bucket count: ~log2(N / desired bucket size).
