@@ -4,9 +4,9 @@ the scale path — seeded MinHash + LSH banding, and SimHash.
 
 Scale design (100 TB):
 - exact/fingerprint dedup: one hash-groupBy — embarrassingly parallel.
-- n-gram Jaccard: inverted-index self-join on shingles (pairs are generated
-  only for docs sharing a shingle, never all-pairs), with the SHINGLE_DF_CAP
-  stop-shingle guard bounding the hottest posting lists.
+- n-gram Jaccard: grouped-posting-list inverted index (pairs expand
+  array-side per shingle, only for docs sharing one — never all-pairs),
+  with the SHINGLE_DF_CAP stop-shingle guard bounding the hottest lists.
 - MinHash+LSH: candidates come from band-bucket joins (b×r seeded,
   deterministic — no MinHashLSH random seeds), then exact-Jaccard verify
   on the candidates only: the prune-then-verify shape from the distributed
