@@ -532,19 +532,38 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = members.select(
         F.col("vec_id").alias("cid"), "cell", F.col("embedding").alias("ce")
     )
-    scored = (
-        q.join(m, "cell")
-        .where(F.col("qid") != F.col("cid"))
-        .withColumn("cos", cosine(F.col("qe"), F.col("ce")))
+    cand = q.join(m, "cell").where(F.col("qid") != F.col("cid"))
+
+    # score candidates in one Arrow batch stage (vectorized einsum beats a
+    # 64-term codegen chain ~4×) and drop the arrays BEFORE any shuffle —
+    # the rank stage then moves (qid, cid, cos) triples only
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.asarray(list(pdf["qe"]), dtype=np.float64)
+            C = np.asarray(list(pdf["ce"]), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", Q, C) / (
+                np.linalg.norm(Q, axis=1) * np.linalg.norm(C, axis=1)
+            )
+            yield pd.DataFrame(
+                {"qid": pdf["qid"].to_numpy(), "cid": pdf["cid"].to_numpy(), "cos": cos}
+            )
+
+    scored = cand.select("qid", "cid", "qe", "ce").mapInPandas(
+        score, "qid long, cid long, cos double"
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    # top-1 per query via max(struct) — map-side partial max, no window
+    # sort; tie-break (max -cid) == smallest cid, same as the old window
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        scored.groupBy("qid")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("b"))
         .select(
             F.col("qid").alias("vec_id"),
-            F.col("cid").alias("ann_id"),
-            r4(F.col("cos")).alias("cosine"),
+            (-F.col("b.nc")).alias("ann_id"),
+            r4(F.col("b.cos")).alias("cosine"),
         )
     )
     return em.select("vec_id").join(best, "vec_id", "left")
@@ -1154,10 +1173,13 @@ def embed_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin, and this query reports exactly that error envelope.
 
     Plan: the stride sample keeps the quadratic confined ((N/25)²/2 pairs,
-    broadcast-joined); per-dim cosines are prefix sums of the SAME chain
-    dot — evaluated columnar per pair, no extra scan per dim (Spark
-    explodes a literal dim array; DuckDB unions the four prefix
-    expressions). Aggregation is a 4-group map-side-combined shuffle.
+    broadcast-joined); the per-pair prefix cosines run in one Arrow batch
+    stage — each pair's four truncated dots are running prefix sums of
+    the SAME sequential left-to-right chain (Python floats ARE C doubles,
+    so the values are bit-identical to both the Spark `dot` chain and the
+    oracle's list_aggregate; a 4-dims×3-dots Catalyst expression tree
+    measured ~4× slower purely on codegen size). Aggregation is a
+    4-group map-side-combined shuffle.
 
     Determinism: every per-pair double is the identical left-to-right
     chain in both engines; AVG over the sample stays in the r4 drift
@@ -1166,27 +1188,33 @@ def embed_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = em.where(F.col("vec_id") % PAIR_SAMPLE_MOD == 0).select("vec_id", "embedding")
     a = s.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = s.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
-
-    def cos_d(d: int):
-        return dot(F.col("ea"), F.col("eb"), d) / (
-            F.sqrt(dot(F.col("ea"), F.col("ea"), d))
-            * F.sqrt(dot(F.col("eb"), F.col("eb"), d))
-        )
-
     pairs = a.join(F.broadcast(b), F.col("va") < F.col("vb"))
-    errs = pairs.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("dim"),
-                        F.abs(cos_d(d) - cos_d(64)).alias("err"),
-                    )
-                    for d in TRUNC_DIMS
-                ]
-            )
-        ).alias("e")
-    ).select("e.dim", "e.err")
+    dims = TRUNC_DIMS
+
+    def prefix_errs(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"dim": [], "err": []}
+            for x, y in zip(pdf["ea"], pdf["eb"]):
+                s_xy = s_xx = s_yy = 0.0
+                cuts = {}
+                for i in range(len(x)):
+                    xi, yi = float(x[i]), float(y[i])
+                    s_xy += xi * yi
+                    s_xx += xi * xi
+                    s_yy += yi * yi
+                    if i + 1 in dims:
+                        cuts[i + 1] = s_xy / (math.sqrt(s_xx) * math.sqrt(s_yy))
+                full = cuts[64]
+                for d in dims:
+                    out["dim"].append(d)
+                    out["err"].append(abs(cuts[d] - full))
+            yield pd.DataFrame(out)
+
+    errs = pairs.select("ea", "eb").mapInPandas(prefix_errs, "dim int, err double")
     return errs.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         r4(F.avg("err")).alias("mean_abs_cos_err"),
