@@ -449,17 +449,37 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = tagged.select(
         F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("bucket")
     )
-    scored = a.join(b, ["bucket"]).where(F.col("va") != F.col("vb")).withColumn(
-        "cos", cosine(F.col("ea"), F.col("eb"))
+    cand = a.join(b, ["bucket"]).where(F.col("va") != F.col("vb"))
+
+    # einsum-scored in Arrow batches, arrays dropped pre-shuffle, top-1 via
+    # map-side max(struct) — same stage shape as sim_ann_ivf; tie-break
+    # (max -vb) == smallest vb, matching the old window's (cos desc, vb)
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(list(pdf["ea"]), dtype=np.float64)
+            B = np.asarray(list(pdf["eb"]), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", A, B) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {"va": pdf["va"].to_numpy(), "vb": pdf["vb"].to_numpy(), "cos": cos}
+            )
+
+    scored = cand.select("va", "vb", "ea", "eb").mapInPandas(
+        score, "va long, vb long, cos double"
     )
-    w = Window.partitionBy("va").orderBy(F.col("cos").desc(), "vb")
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        scored.groupBy("va")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("vb")).alias("nv"))).alias("b"))
         .select(
             F.col("va").alias("vec_id"),
-            F.col("vb").alias("ann_id"),
-            r4(F.col("cos")).alias("cosine"),
+            (-F.col("b.nv")).alias("ann_id"),
+            r4(F.col("b.cos")).alias("cosine"),
         )
     )
     return tagged.select("vec_id", "bucket").join(best, "vec_id", "left")
