@@ -126,10 +126,23 @@ def _pair_intersections(d: DataFrame) -> DataFrame:
     work and a wide join in place of one bounded explode (measured ~25%
     off the family's sf0.1 wall). i is exact: each shared
     shingle contributes its pair exactly once (posting lists are
-    distinct-per-doc)."""
-    capped = _shingle_posting_list(d)
-    lists = capped.groupBy("shingle").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    distinct-per-doc).
+
+    The SHINGLE_DF_CAP stop-shingle guard folds into the SAME
+    aggregation (`size(ds) < cap` post-filter) instead of the separate
+    df-count + semi-join round trip `_shingle_posting_list` uses — one
+    shuffle where that shape needs three, byte-identical survivors. The
+    trade: a hot shingle's full posting list materializes transiently on
+    its reducer before the filter drops it (8 bytes × df — fine through
+    df ~10⁷); a corpus where single shingles exceed that switches back
+    to the semi-join pre-filter, which never collects the hot list."""
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
+    )
+    lists = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") < SHINGLE_DF_CAP)
     )
     ds = F.col("ds")
     pairs = F.flatten(
