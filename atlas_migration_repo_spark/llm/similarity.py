@@ -1286,3 +1286,63 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+DRIFT_MOD = 2  # A/B split: even vs odd vec_id stand in for old/new snapshots
+
+
+@query(
+    "embed_centroid_drift",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, vec_id % {DRIFT_MOD} AS half, UNNEST(embedding) AS v,
+             GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, half, pos, {sql_r4('AVG(v)')} AS m
+      FROM flat GROUP BY label, half, pos
+    ),
+    joined AS (
+      SELECT a.label, a.pos, a.m AS ma, b.m AS mb
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           {sql_r4('SQRT(SUM((ma - mb) * (ma - mb)))')} AS centroid_l2_drift,
+           {sql_r4('MAX(ABS(ma - mb))')} AS max_dim_drift
+    FROM joined GROUP BY label
+    """,
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid DRIFT between two corpus halves (even/odd vec_id
+    stand in for consecutive embedding-model snapshots) — the monitor a
+    production pipeline alerts on before mixing embeddings from two model
+    versions in one ANN index: centroid L2 shift plus the worst single
+    dimension. Plan: one posexplode shuffle to (label × half × dim)
+    partial averages (tiny, map-side combined), a self-join on the rounded
+    centroid grid (labels × dims rows — broadcast-scale), and a
+    labels-wide final aggregate.
+
+    Determinism: per-dimension centroids are r4-rounded BEFORE the drift
+    arithmetic in BOTH engines (AVG is order-dependent; the rounded grid
+    is not — the embed_outlier_zscore policy), so the L2 sum over 64
+    exact-grid doubles stays in the r4 envelope."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label",
+        (F.col("vec_id") % DRIFT_MOD).alias("half"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select("label", "half", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = flat.groupBy("label", "half", "pos").agg(r4(F.avg("v")).alias("m"))
+    a = cent.where(F.col("half") == 0).select("label", "pos", F.col("m").alias("ma"))
+    b = cent.where(F.col("half") == 1).select("label", "pos", F.col("m").alias("mb"))
+    d = F.col("ma") - F.col("mb")
+    return (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            r4(F.sqrt(F.sum(d * d))).alias("centroid_l2_drift"),
+            r4(F.max(F.abs(d))).alias("max_dim_drift"),
+        )
+    )
