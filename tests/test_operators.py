@@ -49,9 +49,10 @@ def test_minhash_lsh_matches_exact_jaccard(spark):
 def test_scale_sensitive_plan_shapes(spark):
     """Physical-plan regression guards for this round's scale fixes: the
     LSH rewrite of dedup_embed must never fall back to a broadcast
-    nested-loop over the corpus, the shingle kernel must carry its df-cap
-    semi-join, and the Bloom-prefiltered join must run its membership
-    checks as broadcast left-semi joins."""
+    nested-loop over the corpus, the shingle kernel must carry its
+    stop-shingle df cap (a size(ds) filter on the grouped posting lists
+    since the fold-into-aggregation rework), and the Bloom-prefiltered
+    join must run its membership checks as broadcast left-semi joins."""
     plan = (
         QUERIES["dedup_embed"].fn(spark, SF_DIR)._jdf.queryExecution()
         .executedPlan().toString()
@@ -61,7 +62,11 @@ def test_scale_sensitive_plan_shapes(spark):
         QUERIES["dedup_ngram_jaccard"].fn(spark, SF_DIR)._jdf.queryExecution()
         .executedPlan().toString()
     )
-    assert "LeftSemi" in plan, "shingle df-cap semi-join missing from plan"
+    import re
+
+    assert re.search(r"size\(ds#\d+[^)]*\) < 1000", plan), (
+        "shingle df-cap filter missing from plan"
+    )
     plan = (
         QUERIES["join_bloom_prefilter"].fn(spark, SF_DIR)._jdf.queryExecution()
         .executedPlan().toString()
