@@ -1123,24 +1123,47 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stream and this exact filter verifies it (prune-then-verify).
 
     Determinism: the τ comparison happens on the UNROUNDED chain-dot
-    cosine, bit-identical in both engines, so boundary pairs cannot
-    disagree; r4 rounds only the reported value."""
+    cosine — computed as the same sequential left-to-right IEEE chain in
+    an Arrow batch stage (Python floats ARE C doubles, bit-identical to
+    the Spark `dot` chain and the oracle's list_aggregate; the unrolled
+    Catalyst chain paid ~2 s of codegen fixed cost per run for the same
+    values) — so boundary pairs cannot disagree; r4 (applied Spark-side,
+    half away from zero like the oracle's ROUND) rounds only the
+    reported value."""
+    import math
+
     em = load(spark, sf_dir, "embeddings")
     em = em.repartition(spark.sparkContext.defaultParallelism)
     q = em.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    en = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    cos = dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("en"))
-    return (
-        em.withColumn("en", en)
-        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos", cos)
-        .where(F.col("cos") >= RANGE_TAU)
-        .select("q_id", "vec_id", r4(F.col("cos")).alias("cosine"))
+    paired = em.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+
+    def chain_filter(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"q_id": [], "vec_id": [], "cos": []}
+            for qid, vid, x, y in zip(
+                pdf["q_id"], pdf["vec_id"], pdf["qe"], pdf["embedding"]
+            ):
+                s = nx = ny = 0.0
+                for i in range(len(x)):
+                    xi, yi = float(x[i]), float(y[i])
+                    s += xi * yi
+                    nx += xi * xi
+                    ny += yi * yi
+                c = s / (math.sqrt(nx) * math.sqrt(ny))
+                if c >= RANGE_TAU:
+                    out["q_id"].append(int(qid))
+                    out["vec_id"].append(int(vid))
+                    out["cos"].append(c)
+            yield pd.DataFrame(out)
+
+    raw = paired.select("q_id", "vec_id", "qe", "embedding").mapInPandas(
+        chain_filter, "q_id long, vec_id long, cos double"
     )
+    return raw.select("q_id", "vec_id", r4(F.col("cos")).alias("cosine"))
 
 
 TRUNC_DIMS = (8, 16, 32, 64)
