@@ -2056,3 +2056,54 @@ def customer_order_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.max(d), F.min(d)).cast("int").alias("active_days"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice
+                                   ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median
+    FROM cum WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED median price per return flag — the robust center
+    a pricing pipeline wants when a row's quantity makes it count that
+    many times (the plain median over rows answers a different question).
+    Spelled as the textbook cumulative-weight window: sort each group by
+    value, running SUM(weight), pick the smallest value whose cumulative
+    weight reaches half the group total.
+
+    Scale: one window sort per group (the shared §2.5 exchange) plus a
+    groups-wide min — no per-value explode, no second pass. Determinism:
+    quantities are small integers, so every cumulative weight is an exact
+    double integer and tw/2 is exact (.0/.5); peer rows of a tied value
+    may accumulate in any order, but the LAST peer always carries the
+    full through-value total, so the minimal qualifying VALUE is
+    engine-independent even though per-row cumulative numbers are not."""
+    li = load(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(w_cum).alias("cw"),
+        F.sum("l_quantity").over(w_all).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )
