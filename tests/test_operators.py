@@ -1588,3 +1588,26 @@ def test_sim_ann_recall_eval_floors(spark):
         if r["mean_cos_gap_on_miss"] is not None:
             assert -1e-9 <= r["mean_cos_gap_on_miss"] <= 0.5, m
     assert rows["ivf"]["recall_at_1"] > rows["lsh"]["recall_at_1"]
+
+
+def test_headline_shuffle_budgets(spark):
+    """PLANS.md calls every shuffle counter 'a budget we defend' — defend
+    it here: the headline aggregates and broadcast-chain goldens must
+    keep exactly one shuffle exchange (their final aggregate), and the
+    window headliners one (their shared sort)."""
+    from atlas_migration_repo_spark.plans.inspect import exchange_count, physical_plan
+
+    budgets = {
+        "agg_pricing_summary": 1,
+        "q3_shipping_priority": 2,  # agg + TakeOrdered boundary
+        "q5_local_supplier": 1,
+        "q7_nation_trade": 1,
+        "q9_product_profit": 1,
+        "q18_large_orders": 2,  # semi-join build + final agg
+        "win_running_sum": 1,
+        "topk_per_group": 1,
+    }
+    for name, budget in budgets.items():
+        plan = physical_plan(QUERIES[name].fn(spark, SF_DIR))
+        got = exchange_count(plan)
+        assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
