@@ -1090,31 +1090,53 @@ def keygen_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_lateral_alias",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 4) AS net,
-           ROUND(ROUND(l_extendedprice * (1 - l_discount), 4) * (1 + l_tax), 4)
-             AS gross,
-           ROUND(ROUND(ROUND(l_extendedprice * (1 - l_discount), 4) * (1 + l_tax), 4)
-                 - ROUND(l_extendedprice * (1 - l_discount), 4), 4) AS tax_amount
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                AS DECIMAL(18,4)) AS DOUBLE) AS net,
+           CAST(CAST(ROUND(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                           AS DECIMAL(18,4))
+                           * (1 + CAST(l_tax AS DECIMAL(4,2))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS gross,
+           CAST(CAST(ROUND(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                           AS DECIMAL(18,4))
+                           * (1 + CAST(l_tax AS DECIMAL(4,2))), 4)
+                AS DECIMAL(18,4))
+                - CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                  AS DECIMAL(18,4)) AS DOUBLE) AS tax_amount
     FROM lineitem WHERE l_quantity >= 49
     """,
 )
 def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral column aliases (Spark 3.4+): a SELECT item referencing a
-    sibling alias defined earlier in the same list — `net` feeds `gross`
-    feeds `tax_amount` — the spelling that keeps derived-measure chains
-    single-sourced instead of copy-pasting the base expression three
-    times. Resolved at analysis time into the nested expressions (the
-    plan is identical to writing them out), so there is no runtime cost
-    and pushdown/codegen are unaffected. Each link is rounded to 4dp on
-    BOTH sides so the chained doubles stay bit-identical; the DuckDB
-    oracle writes the expansion explicitly — same expression tree."""
+    sibling alias defined earlier in the same list — `net_d` feeds
+    `gross_d` feeds `tax_amount` — the spelling that keeps derived-measure
+    chains single-sourced instead of copy-pasting the base expression.
+    Resolved at analysis time into the nested expressions (the plan is
+    identical to writing them out), so there is no runtime cost and
+    pushdown/codegen are unaffected.
+
+    Float policy: every link computes in EXACT decimal — the 2dp×2dp
+    product is an exact 4dp value, the 4dp×2dp product an exact 6dp value
+    whose ROUND-to-4dp tie resolves half-away-from-zero identically in
+    both engines (a double ROUND here diverges on .00005 ties at sf0.1 —
+    the exact trap catalog.msum exists for); only the final output casts
+    to double. The DuckDB oracle writes the same decimal expansion
+    explicitly."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_lca")
     return spark.sql(
         """
         SELECT l_orderkey, l_linenumber,
-               ROUND(l_extendedprice * (1 - l_discount), 4) AS net,
-               ROUND(net * (1 + l_tax), 4) AS gross,
-               ROUND(gross - net, 4) AS tax_amount
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 AS DECIMAL(18,4)) AS net_d,
+               CAST(ROUND(net_d * (1 + CAST(l_tax AS DECIMAL(4,2))), 4)
+                 AS DECIMAL(18,4)) AS gross_d,
+               CAST(net_d AS DOUBLE) AS net,
+               CAST(gross_d AS DOUBLE) AS gross,
+               CAST(gross_d - net_d AS DOUBLE) AS tax_amount
         FROM v_li_lca WHERE l_quantity >= 49
         """
-    )
+    ).drop("net_d", "gross_d")
