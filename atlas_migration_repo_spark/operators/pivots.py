@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.catalog import as_date, load
 from atlas_migration_repo_spark.registry import query
 
 
@@ -145,4 +145,34 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             msum(F.col("o_totalprice")).alias("total"),
         )
+    )
+
+
+@query(
+    "pivot_dynamic",
+    oracle="""
+    SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+           NULLIF(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS F,
+           NULLIF(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS O,
+           NULLIF(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS P
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with INFERRED values — the no-value-list spelling for when
+    the category domain isn't known at write time. Spark runs a distinct
+    pass over the pivot column first (bounded by
+    spark.sql.pivotMaxValues, 10k default — the guard that keeps an
+    unexpectedly-wide domain from minting 10⁶ columns), sorts the values,
+    and plans the same single-shuffle pivot aggregate pivot_status runs
+    with its explicit list. At 100 TB the inference pass is one
+    map-side-combined distinct over the scan; pin the list explicitly
+    (pivot_status) when the domain is contractual. Inferred values sort
+    ascending → columns F, O, P — deterministic given a fixed domain;
+    empty cells are NULL (not 0), mirrored with NULLIF in the oracle."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year(as_date(F.col("o_orderdate"))).cast("int").alias("order_year"))
+        .pivot("o_orderstatus")
+        .agg(F.count(F.lit(1)))
     )
