@@ -2107,3 +2107,69 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("v").alias("weighted_median"))
     )
+
+
+@query(
+    "events_pattern_sequence",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LENGTH(seq) AS BIGINT) AS seq_len,
+           MD5(seq) AS seq_md5,
+           CAST(LEN(regexp_extract_all(seq, 'v+p')) AS BIGINT)
+             AS n_view_runs_to_purchase,
+           CAST(regexp_matches(seq, 's.*p') AS INT) AS signup_converted
+    FROM seqs
+    """,
+)
+def events_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern matching: each user's full
+    event history becomes an ordered one-char-per-event string (the five
+    fixture event types have distinct initials), then regular expressions
+    count behavioural motifs — non-overlapping view-run→purchase matches
+    ('v+p', leftmost-greedy in both Java regex and DuckDB's RE2) and a
+    signup→eventual-purchase conversion flag ('s.*p').
+
+    The sequence materializes array-side — sort_array over (µs, event_id,
+    char) structs, then a transform projection — so the string is
+    deterministic data on any partitioning, the same discipline as
+    events_path_signature. One user-keyed shuffle; per-user state is the
+    user's own history, which is the irreducible cost of sequence pattern
+    matching (at corpus scale, sessionize first — sessionize_batch — and
+    match per session to bound it). The result ships md5(seq) rather than
+    the sequence itself so row width stays O(1) regardless of history
+    length."""
+    ev = load(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            epoch_us("ts").alias("t"),
+                            F.col("event_id").alias("e"),
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("ch"),
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.md5("seq").alias("seq_md5"),
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit("v+p"), F.lit(0)))
+        .cast("long")
+        .alias("n_view_runs_to_purchase"),
+        F.regexp_like(F.col("seq"), F.lit("s.*p")).cast("int").alias(
+            "signup_converted"
+        ),
+    )

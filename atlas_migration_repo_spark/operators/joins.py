@@ -519,3 +519,102 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, n.click_id, n.delta_us
+    FROM purchases p LEFT JOIN LATERAL (
+      SELECT c.click_id,
+             ABS(EPOCH_US(c.ts) - EPOCH_US(p.ts)) AS delta_us
+      FROM clicks c WHERE c.user_id = p.user_id
+      ORDER BY ABS(EPOCH_US(c.ts) - EPOCH_US(p.ts)), c.ts
+      LIMIT 1
+    ) n ON TRUE
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour as-of join: for every purchase, the user's click
+    CLOSEST in time in either direction (|Δt| minimized; the earlier
+    click wins a distance tie, matching the oracle's ORDER BY abs, ts).
+
+    join_asof gives the backward ('latest at-or-before') variant; this is
+    the bidirectional one pandas calls merge_asof(direction='nearest') —
+    DuckDB's ASOF JOIN is backward-only, so the oracle states the
+    semantics as a LATERAL argmin instead.
+
+    Plan shape: same union + per-user window as join_asof — the backward
+    candidate is last(click, ignorenulls) over (ts, tag) ascending, the
+    forward candidate first(click, ignorenulls) over the mirrored frame —
+    then a scalar CASE picks the nearer. Two window passes over ONE
+    user-keyed shuffle (ascending and descending order share the hash
+    partitioning; AQE reuses the exchange), O(1) state per row, zero pair
+    explosion: a lateral/theta formulation would be a quadratic
+    BroadcastNestedLoop, this stays linear at any scale. Clicks pre-dedupe
+    to max event_id per (user, µs) so ties are deterministic in both
+    engines; arithmetic is exact integer µs."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            epoch_us("ts").alias("t_us"),
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        epoch_us("ts").alias("t_us"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # tag 0 = click, 1 = purchase: ascending (t_us, tag) puts same-instant
+    # clicks BEFORE the purchase row, so the backward pass is inclusive
+    # (Δ=0 lands there; the forward frame never needs same-instant rows).
+    tagged = clicks.withColumn("tag", F.lit(0)).unionByName(
+        purchases.withColumn("tag", F.lit(1))
+    )
+    click_ev = F.when(
+        F.col("tag") == 0, F.struct(F.col("t_us"), F.col("click_id"))
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t_us"), F.desc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = (
+        tagged.withColumn("prev", F.last(click_ev, ignorenulls=True).over(w_back))
+        .withColumn("nxt", F.last(click_ev, ignorenulls=True).over(w_fwd))
+        .where(F.col("tag") == 1)
+    )
+    d_prev = F.col("t_us") - F.col("prev.t_us")
+    d_next = F.col("nxt.t_us") - F.col("t_us")
+    prev_wins = F.col("prev").isNotNull() & (
+        F.col("nxt").isNull() | (d_prev <= d_next)
+    )
+    return cand.select(
+        "purchase_id",
+        "user_id",
+        F.when(prev_wins, F.col("prev.click_id"))
+        .otherwise(F.col("nxt.click_id"))
+        .alias("click_id"),
+        F.when(prev_wins, d_prev).otherwise(d_next).alias("delta_us"),
+    )

@@ -142,6 +142,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.llm.pipeline",
         "atlas_migration_repo_spark.llm.similarity",
         "atlas_migration_repo_spark.llm.multimodal",
+        "atlas_migration_repo_spark.llm.tokenizer",
     ):
         try:
             importlib.import_module(mod)

@@ -1611,3 +1611,52 @@ def test_headline_shuffle_budgets(spark):
         plan = physical_plan(QUERIES[name].fn(spark, SF_DIR))
         got = exchange_count(plan)
         assert got <= budget, f"{name}: {got} exchanges, budget {budget}"
+
+
+def test_bpe_apply_merge_greedy_left(spark):
+    """The merge fold must implement the standard greedy left-to-right
+    scan with skip-after-merge: rule (a,a) on 'aaa' gives [aa, a] and on
+    'aaaa' gives [aa, aa] (never a re-merge of a just-emitted token as
+    the right-hand side within the same round)."""
+    from atlas_migration_repo_spark.llm.tokenizer import _apply_merge
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["b", "a", "a", "b"],)],
+        "syms ARRAY<STRING>",
+    )
+    got = [r[0] for r in df.select(_apply_merge(F.col("syms"), "a", "a")).collect()]
+    assert got == [["aa", "a"], ["aa", "aa"], ["b", "aa", "b"]]
+
+
+def test_bpe_known_merges(spark):
+    """Exact merge sequence on the classic hand-checkable corpus
+    (low*5, lower*2, newest*3, widest*1 — pair counts verifiable on
+    paper): lo(7), low(7), es(4), est(4), with count-desc then
+    lexicographic tie-breaks."""
+    from atlas_migration_repo_spark.llm.tokenizer import _word_freq, train_bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 3 + ["widest"])
+    docs = spark.createDataFrame([(text,)], "text STRING")
+    merges, wf = train_bpe(_word_freq(docs), n_merges=4)
+    assert merges == [("l", "o", 7), ("lo", "w", 7), ("e", "s", 4), ("es", "t", 4)]
+    segs = {r["word"]: r["syms"] for r in wf.collect()}
+    assert segs["low"] == ["low"]
+    assert segs["newest"] == ["n", "e", "w", "est"]
+    assert segs["widest"] == ["w", "i", "d", "est"]
+
+
+def test_bpe_encode_invariants(spark):
+    """Subword count is bounded by words below and characters above, and
+    every document of the fixture is encoded exactly once."""
+    import duckdb
+
+    from atlas_migration_repo_spark.catalog import table_path
+
+    rows = QUERIES["tokenizer_bpe_encode"].fn(spark, SF_DIR).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{table_path(SF_DIR, 'documents')}')"
+    ).fetchone()[0]
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["n_words"] <= r["n_tokens_bpe"] <= r["n_word_chars"], r
+        assert r["chars_per_token"] >= 1.0
