@@ -556,13 +556,14 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: same union + per-user window as join_asof — the backward
     candidate is last(click, ignorenulls) over (ts, tag) ascending, the
     forward candidate first(click, ignorenulls) over the mirrored frame —
-    then a scalar CASE picks the nearer. Two window passes over ONE
-    user-keyed shuffle (ascending and descending order share the hash
-    partitioning; AQE reuses the exchange), O(1) state per row, zero pair
-    explosion: a lateral/theta formulation would be a quadratic
-    BroadcastNestedLoop, this stays linear at any scale. Clicks pre-dedupe
-    to max event_id per (user, µs) so ties are deterministic in both
-    engines; arithmetic is exact integer µs."""
+    then a scalar CASE picks the nearer. Exactly two exchanges end to end
+    (guarded in tests): the click-dedup aggregate on (user, instant), then
+    one user-keyed window exchange that BOTH directional passes share —
+    the descending pass adds only a re-sort, not a re-shuffle. O(1) state
+    per row, zero pair explosion: a lateral/theta formulation would be a
+    quadratic BroadcastNestedLoop, this stays linear at any scale. Clicks
+    pre-dedupe to max event_id per (user, µs) so ties are deterministic in
+    both engines; arithmetic is exact integer µs."""
     ev = load(spark, sf_dir, "events")
     clicks = (
         ev.where(F.col("event_type") == "click")

@@ -1660,3 +1660,41 @@ def test_bpe_encode_invariants(spark):
     for r in rows:
         assert r["n_words"] <= r["n_tokens_bpe"] <= r["n_word_chars"], r
         assert r["chars_per_token"] >= 1.0
+
+
+def test_asof_nearest_never_farther_than_backward(spark):
+    """join_asof_nearest must dominate join_asof: wherever the backward
+    join found a click, the nearest join must pick one at most that far
+    away (and agree exactly when no later click is closer)."""
+    back = {
+        r["purchase_id"]: r["click_id"]
+        for r in QUERIES["join_asof"].fn(spark, SF_DIR).collect()
+        if r["click_id"] is not None
+    }
+    near = {
+        r["purchase_id"]: (r["click_id"], r["delta_us"])
+        for r in QUERIES["join_asof_nearest"].fn(spark, SF_DIR).collect()
+    }
+    ev = {
+        r["event_id"]: r["t"]
+        for r in QUERIES["join_asof"]
+        .fn(spark, SF_DIR)
+        .sparkSession.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", epoch_us("ts").alias("t"))
+        .collect()
+    }
+    assert set(back) <= set(k for k, v in near.items() if v[0] is not None)
+    for pid, back_click in back.items():
+        back_delta = abs(ev[pid] - ev[back_click])
+        assert near[pid][1] <= back_delta, (pid, near[pid], back_delta)
+
+
+def test_asof_nearest_plan_shape(spark):
+    """The docstring's linearity claim, defended: two exchanges total
+    (click-dedup aggregate + one shared window exchange) and two sorts
+    (ascending and descending passes) — no nested-loop join anywhere."""
+    from atlas_migration_repo_spark.plans.inspect import exchange_count, physical_plan
+
+    plan = physical_plan(QUERIES["join_asof_nearest"].fn(spark, SF_DIR))
+    assert exchange_count(plan) <= 2, plan
+    assert "BroadcastNestedLoop" not in plan
