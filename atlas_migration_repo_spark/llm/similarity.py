@@ -20,8 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import load, r4
-from atlas_migration_repo_spark.oracle import sql_r4
+from atlas_migration_repo_spark.catalog import load, msum, r4
+from atlas_migration_repo_spark.oracle import sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 
 COSINE_TAU = 0.45  # calibrated: 7/14/144 planted-ish pairs across sf
@@ -1369,3 +1369,69 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.max(F.abs(d))).alias("max_dim_drift"),
         )
     )
+
+
+MAXSIM_Q_TOKENS = 8  # query "token" vectors forming the multi-vector query
+MAXSIM_DOC_VECS = 8  # corpus vectors grouped per pseudo-document
+
+
+@query(
+    "sim_maxsim",
+    tags=("llm",),
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {MAXSIM_Q_TOKENS}
+    ),
+    d AS (
+      SELECT vec_id // {MAXSIM_DOC_VECS} AS doc, embedding FROM embeddings
+      WHERE vec_id >= {MAXSIM_Q_TOKENS}
+    ),
+    mx AS (
+      SELECT d.doc, q.q_id, MAX({{cos}}) AS m
+      FROM d, q GROUP BY d.doc, q.q_id
+    )
+    SELECT doc, {{msum}} AS maxsim FROM mx GROUP BY doc
+    """.format(
+        cos=sql_cosine("q.qe", "d.embedding"), msum=sql_msum("m")
+    ),
+)
+def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: the query is a
+    SET of token vectors, each document a SET of vectors, and the score is
+    Σ over query tokens of the max cosine against any document vector —
+    the multi-vector scoring model, re-expressed relationally. The fixture
+    has one vector per row, so pseudo-documents are formed by grouping
+    MAXSIM_DOC_VECS consecutive vec_ids; the first MAXSIM_Q_TOKENS vectors
+    form the query token set.
+
+    Plan: broadcast the Q-token query set (Q ≪ corpus, the defining
+    asymmetry of late interaction), ONE corpus scan scoring Q cosines per
+    vector via the codegen'd unrolled dot, per-(doc, token) MAX — doubles
+    are bit-identical across engines by dot's fixed summation order, so
+    MAX is engine-stable — then a per-doc decimal-accumulated sum (the
+    msum/sql_msum twins) immune to shuffle-order drift. Two doc-keyed
+    aggregate shuffles over vocabulary-sized data; at 100 TB the scan
+    shards horizontally and the score never materializes a pair relation
+    wider than Q × corpus rows."""
+    em = load(spark, sf_dir, "embeddings")
+    em = em.repartition(spark.sparkContext.defaultParallelism)
+    q = em.where(F.col("vec_id") < MAXSIM_Q_TOKENS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+    )
+    d = em.where(F.col("vec_id") >= MAXSIM_Q_TOKENS).select(
+        F.expr(f"vec_id div {MAXSIM_DOC_VECS}").alias("doc"),
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("en"),
+    )
+    mx = (
+        d.join(F.broadcast(q))
+        .withColumn(
+            "cos", dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("en"))
+        )
+        .groupBy("doc", "q_id")
+        .agg(F.max("cos").alias("m"))
+    )
+    return mx.groupBy("doc").agg(msum(F.col("m")).alias("maxsim"))

