@@ -36,6 +36,9 @@ KEYS = (
     "pack_sequences",
     "decontaminate_corpus",
     "contamination_report",
+    "sim_maxsim",
+    "tokenizer_bpe_merges",
+    "tokenizer_bpe_encode",
 )
 
 

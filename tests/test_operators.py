@@ -1713,3 +1713,46 @@ def test_maxsim_bounds_and_self_retrieval(spark):
     # doc 1 (vec_ids 8-15) is the first full pseudo-doc; no special claim
     # beyond finiteness — the real check is the exact oracle parity test.
     assert scores[0] == scores[0]  # no NaNs survive the decimal sum
+
+
+def test_lineage_spec_covers_every_field():
+    """Column lineage must have exactly one record per declared field,
+    with the connector's own type mapping (never a hand-maintained copy),
+    and dataset edges whose task ids exist in the DAG spec."""
+    import json
+
+    from atlas_migration_repo_spark.orchestration import (
+        SinkSpec,
+        dag_spec,
+        demo_atlas_objects,
+        lineage_spec,
+    )
+
+    objs = demo_atlas_objects()
+    sink = SinkSpec(root="s3a://example-bucket/atlas")
+    lin = lineage_spec(objs, sink)
+    dag = dag_spec("atlas_migration", objs, sink)
+    task_ids = {t["task_id"] for t in dag["tasks"]}
+
+    assert len(lin["columns"]) == sum(len(o.fields) for o in objs)
+    assert len(lin["datasets"]) == len(objs)
+    for ds in lin["datasets"]:
+        assert set(ds["via"]) <= task_ids, ds
+    by_source = {c["source"]: c for c in lin["columns"]}
+    amount = by_source["salesforce://Atlas_Order__c.Amount__c"]
+    assert amount["source_type"] == "currency"
+    assert amount["target_type"] == "decimal(18,2)"
+    assert amount["target"] == "s3a://example-bucket/atlas/atlas_order__c/Amount__c"
+    json.dumps(lin)  # pure data
+
+
+def test_orchestration_cli_lineage_flag(capsys):
+    """--lineage prints the lineage spec as valid JSON on stdout."""
+    import json
+
+    from atlas_migration_repo_spark.orchestration import main
+
+    main(["--lineage"])
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"datasets", "columns"}
+    assert out["columns"]
