@@ -188,9 +188,11 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the trainer's final word table IS the encoder — each
     distinct word already carries its merged segmentation, so encoding is
-    re-tokenize + broadcast vocabulary join + per-doc sum. The corpus is
-    touched twice total (train word-count, encode join); merges never
-    re-run over documents.
+    re-tokenize + vocabulary join + per-doc sum. The join strategy is
+    left to AQE: a 32k-entry vocabulary broadcasts, a 10⁷-word table (at
+    the edge of broadcast memory) falls back to a shuffled hash join —
+    either way vocab ≪ corpus and the corpus is touched twice total
+    (train word-count, encode join); merges never re-run over documents.
     """
     docs = load(spark, sf_dir, "documents")
     _, wf = train_bpe(_word_freq(docs))
@@ -203,7 +205,7 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).where(F.length("word") > 0)
     return (
-        tokens.join(F.broadcast(vocab), "word")
+        tokens.join(vocab, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
