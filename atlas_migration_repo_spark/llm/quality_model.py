@@ -1,0 +1,166 @@
+"""Trainable corpus quality classifier: distributed logistic regression.
+
+The LLM family's quality stage so far is heuristic (text_quality's
+composite score); production corpus pipelines train a lightweight
+classifier (the fastText-style quality filter) instead. This module
+implements that stage's training loop Spark-first: full-batch gradient
+descent where each step is ONE distributed aggregation over the feature
+table — the classic treeAggregate shape (map-side partial sums, tiny
+final reduce) that scales to any corpus size, with the weight vector (4
+doubles) living on the driver because it is the algorithm's sequential
+state, not data.
+
+Determinism at any topology: per-row gradient/loss terms are doubles
+(deterministic expressions), each term is cast to DECIMAL(38,18) before
+summing, and decimal aggregation is exact and order-independent — so the
+learned weights are bit-identical under any shuffle-partition count or
+executor layout (the same msum discipline catalog.msum documents, at
+higher scale). Both queries are iterative, hence rows-only under the
+driver gate, with loss-descent and score-consistency invariants in
+tests/test_operators.py.
+
+Demo task: predict lang == 'en' from length statistics. On the synthetic
+fixture the label is (by construction) nearly independent of the
+features, so the model converges toward the base rate — which is exactly
+what the loss-curve query makes visible: cross-entropy falls from ln 2
+at w = 0 toward the label entropy. The machinery, not the fixture AUC,
+is the deliverable; a real pipeline swaps in discriminative features
+(stopword ratios, LM perplexity, n-gram hits) with zero plan changes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.registry import query
+
+LOGREG_STEPS = 12
+LOGREG_LR = 1.5
+_EPS = 1e-12
+
+
+def _features(d: DataFrame) -> DataFrame:
+    """doc_id, binary label, and 3 length-statistic features (+bias)."""
+    n_words = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.log1p(F.col("n_chars")).alias("x1"),
+        F.log1p(n_words).alias("x2"),
+        (F.col("n_chars") / n_words).alias("x3"),
+    )
+
+
+def _prob(w: list[float]) -> Column:
+    """σ(w·x) as a literal-weight column expression, clamped for log."""
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.greatest(F.least(p, F.lit(1.0 - _EPS)), F.lit(_EPS))
+
+
+def _dsum(c: Column) -> Column:
+    """Order-independent sum: per-row round to DECIMAL(38,18), exact add."""
+    return F.sum(c.cast("decimal(38,18)"))
+
+
+def _standardize(feat: DataFrame) -> DataFrame:
+    """Z-score each feature with globally-computed moments (one decimal-
+    accumulated pass → deterministic literals), the standard conditioning
+    step that lets one learning rate fit all features. At corpus scale
+    this is a single map-side-combined aggregation."""
+    names = ("x1", "x2", "x3")
+    row = feat.agg(
+        *[_dsum(F.col(x)).alias(f"s_{x}") for x in names],
+        *[_dsum(F.col(x) * F.col(x)).alias(f"q_{x}") for x in names],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = float(row["n"])
+    cols = [F.col("doc_id"), F.col("y")]
+    for x in names:
+        mean = float(row[f"s_{x}"]) / n
+        var = max(float(row[f"q_{x}"]) / n - mean * mean, _EPS)
+        cols.append(((F.col(x) - F.lit(mean)) / F.lit(math.sqrt(var))).alias(x))
+    return feat.select(*cols)
+
+
+def train_logreg(
+    feat: DataFrame, steps: int = LOGREG_STEPS, lr: float = LOGREG_LR
+) -> list[tuple[int, float, list[float]]]:
+    """Full-batch GD; returns [(step, mean_loss_before_step, w_after)].
+
+    Each step is one aggregation job: 4 decimal gradient sums + the
+    decimal loss sum + a count. n is constant but re-counted inside the
+    same agg (free) to keep the step a single pass.
+    """
+    w = [0.0, 0.0, 0.0, 0.0]
+    history: list[tuple[int, float, list[float]]] = []
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for step in range(1, steps + 1):
+        p = _prob(w)
+        err = p - F.col("y")
+        loss = -(
+            F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+        )
+        row = feat.agg(
+            *[_dsum(err * x).alias(f"g{k}") for k, x in enumerate(xs)],
+            _dsum(loss).alias("l"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = float(row["n"])
+        w = [w[k] - lr * float(row[f"g{k}"]) / n for k in range(4)]
+        history.append((step, float(row["l"]) / n, list(w)))
+    return history
+
+
+@query("quality_logreg_train", tags=("llm",))
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training curve: per-step mean cross-entropy (measured before
+    the step's update) and the weight vector after it. Deterministic on
+    any partitioning (decimal-accumulated gradients), so the whole loss
+    curve is replayable bit-for-bit."""
+    feat = _standardize(_features(load(spark, sf_dir, "documents"))).persist()
+    try:
+        hist = train_logreg(feat)
+    finally:
+        feat.unpersist()
+    rows = [(s, l, w[0], w[1], w[2], w[3]) for s, l, w in hist]
+    return spark.createDataFrame(
+        rows,
+        "step INT, mean_loss DOUBLE, w_bias DOUBLE, w_log_chars DOUBLE, "
+        "w_log_words DOUBLE, w_avg_span DOUBLE",
+    )
+
+
+@query("quality_logreg_score", tags=("llm",))
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained filter to every document: probability, the
+    accept/reject decision at the 0.5 threshold, and whether it matched
+    the label. Scoring is a pure literal-weight projection — one corpus
+    scan, no shuffle, embarrassingly parallel at any scale."""
+    feat = _standardize(_features(load(spark, sf_dir, "documents"))).persist()
+    try:
+        w = train_logreg(feat)[-1][2]
+        p = _prob(w)
+        return feat.select(
+            "doc_id",
+            F.col("y").cast("int").alias("label"),
+            r4(p).alias("score"),
+            (p >= 0.5).alias("accepted"),
+            ((p >= 0.5) == (F.col("y") == 1.0)).alias("correct"),
+        )
+    finally:
+        feat.unpersist()
+
+
+def expected_initial_loss() -> float:
+    """ln 2 — the w=0 cross-entropy, used by the descent invariant test."""
+    return math.log(2.0)

@@ -143,6 +143,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.llm.similarity",
         "atlas_migration_repo_spark.llm.multimodal",
         "atlas_migration_repo_spark.llm.tokenizer",
+        "atlas_migration_repo_spark.llm.quality_model",
     ):
         try:
             importlib.import_module(mod)

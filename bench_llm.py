@@ -39,6 +39,7 @@ KEYS = (
     "sim_maxsim",
     "tokenizer_bpe_merges",
     "tokenizer_bpe_encode",
+    "quality_logreg_score",
 )
 
 

@@ -1756,3 +1756,34 @@ def test_orchestration_cli_lineage_flag(capsys):
     out = json.loads(capsys.readouterr().out)
     assert set(out) == {"datasets", "columns"}
     assert out["columns"]
+
+
+def test_logreg_loss_descends(spark):
+    """The training curve must start at the w=0 cross-entropy (ln 2,
+    measured before the first update) and be strictly decreasing — the
+    gradient-descent sanity invariant that holds regardless of how
+    learnable the fixture label is."""
+    import math
+
+    rows = sorted(
+        QUERIES["quality_logreg_train"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["step"],
+    )
+    assert math.isclose(rows[0]["mean_loss"], math.log(2.0), rel_tol=1e-9)
+    losses = [r["mean_loss"] for r in rows]
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
+
+
+def test_logreg_score_consistent_with_weights(spark):
+    """Scores must be probabilities, decisions must follow the 0.5
+    threshold, and overall accuracy can't be worse than always
+    rejecting (the base-rate floor a filter must clear)."""
+    rows = QUERIES["quality_logreg_score"].fn(spark, SF_DIR).collect()
+    assert rows
+    n_pos = sum(r["label"] for r in rows)
+    base = max(n_pos, len(rows) - n_pos) / len(rows)
+    acc = sum(r["correct"] for r in rows) / len(rows)
+    for r in rows:
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["accepted"] == (r["score"] >= 0.5)
+    assert acc >= base - 1e-9, (acc, base)
