@@ -38,9 +38,7 @@ QUERIES: dict[str, QueryDef] = {}
 # similarity, multimodal. Pure registration order; no semantics change.
 _DRIVER_SAMPLE_PREFIX = (
     "scan_parquet",
-    "scan_pruned",
     "filter_cmp",
-    "filter_null_semantics",
     "distinct_rows",
     "agg_pricing_summary",
     "agg_percentile",
@@ -87,6 +85,8 @@ _DRIVER_SAMPLE_PREFIX = (
     "dedup_embed",
     "embed_quantize",
     "multimodal_join",
+    "tokenizer_bpe_merges",
+    "quality_logreg_train",
 )
 
 
