@@ -1140,3 +1140,72 @@ def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_li_lca WHERE l_quantity >= 49
         """
     ).drop("net_d", "gross_d")
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM qi GROUP BY 1, 2, 3
+    ),
+    sens AS (
+      SELECT c_nationkey, c_mktsegment, bal_bucket,
+             CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS n_sensitive
+      FROM qi JOIN orders o ON o.o_custkey = qi.c_custkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT cls.c_nationkey, cls.c_mktsegment, cls.bal_bucket,
+           cls.class_size,
+           COALESCE(sens.n_sensitive, 0) AS n_sensitive,
+           (cls.class_size >= 5) AS k_anonymous,
+           (COALESCE(sens.n_sensitive, 0) >= 3) AS l_diverse
+    FROM cls LEFT JOIN sens USING (c_nationkey, c_mktsegment, bal_bucket)
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for the landed dataset: k-anonymity and l-diversity
+    over the quasi-identifier tuple (nation, market segment, 2000-unit
+    balance bucket) with order priority as the sensitive attribute — the
+    re-identification check a migration compliance review runs before
+    publishing extracts (complements text_pii_redact, which handles
+    free-text identifiers).
+
+    Plan shape: class sizes come from the customer table alone (c_custkey
+    is unique, so no join inflates the count) and sensitive-value
+    diversity from a (QI, priority) projection deduplicated BEFORE the
+    per-class count — two QI-keyed aggregations and one customer⋈orders
+    equi-join, deliberately avoiding a multi-COUNT(DISTINCT) single
+    aggregate whose Expand duplicates every joined row. The final stitch
+    joins two QI-sized aggregates. Bucket arithmetic is FLOOR on an exact
+    2-decimal balance — no rounding ties for either engine."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    qik = ["c_nationkey", "c_mktsegment", "bal_bucket"]
+    qi = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_bucket"),
+    )
+    cls = qi.groupBy(*qik).agg(F.count(F.lit(1)).alias("class_size"))
+    sens = (
+        qi.join(orders, qi.c_custkey == orders.o_custkey)
+        .select(*qik, "o_orderpriority")
+        .distinct()
+        .groupBy(*qik)
+        .agg(F.count(F.lit(1)).alias("n_sens"))
+    )
+    return cls.join(sens, qik, "left").select(
+        *qik,
+        "class_size",
+        F.coalesce(F.col("n_sens"), F.lit(0)).alias("n_sensitive"),
+        (F.col("class_size") >= 5).alias("k_anonymous"),
+        (F.coalesce(F.col("n_sens"), F.lit(0)) >= 3).alias("l_diverse"),
+    )
