@@ -1,0 +1,114 @@
+"""Public façade: the one object a user of the reference pipeline needs.
+
+The reference promises "migrate ATLAS objects … using Pyspark"
+(/root/reference/README.md:3); the engine's internals are a registry of
+351 named queries plus connector/orchestration modules. `AtlasEngine`
+stitches them into a product-shaped API so switching from the reference
+is one import:
+
+    from atlas_migration_repo_spark.api import AtlasEngine
+
+    eng = AtlasEngine(sf_dir="/data/atlas")       # builds/reuses a session
+    eng.table("orders")                            # DataFrame over parquet
+    eng.sql("SELECT COUNT(*) FROM lineitem")       # views auto-registered
+    eng.run("agg_pricing_summary")                 # any registered query
+    eng.migrate(objects, sink_root="s3a://b/atlas")  # DAG + lineage specs
+    eng.write(df, "/out/t", partition_by=("dt",))  # partitioned landing
+
+Everything delegates to the tested layers (catalog / registry /
+orchestration / sources.cloud); the façade adds no logic of its own
+beyond lazy view registration, so it cannot drift from them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from atlas_migration_repo_spark import orchestration
+from atlas_migration_repo_spark.catalog import TABLES, load
+from atlas_migration_repo_spark.registry import QUERIES, load_all_modules
+from atlas_migration_repo_spark.session import get_spark
+from atlas_migration_repo_spark.sources.salesforce import ObjectSpec
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+class AtlasEngine:
+    """Session + catalog + query registry behind one object."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        sf_dir: str = DEFAULT_SF_DIR,
+        app_name: str = "atlas-engine",
+    ) -> None:
+        self.spark = spark or get_spark(app_name=app_name)
+        self.sf_dir = sf_dir
+        self._views_registered = False
+        load_all_modules()
+
+    # -- catalog ---------------------------------------------------------
+    def tables(self) -> tuple[str, ...]:
+        return TABLES
+
+    def table(self, name: str) -> DataFrame:
+        return load(self.spark, self.sf_dir, name)
+
+    # -- ad-hoc SQL ------------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        """Run SQL with every catalog table available as a view (registered
+        once per engine, lazily — a façade convenience; the underlying
+        scans still prune and push down through the views)."""
+        if not self._views_registered:
+            for t in TABLES:
+                self.table(t).createOrReplaceTempView(t)
+            self._views_registered = True
+        return self.spark.sql(statement)
+
+    # -- registered queries ----------------------------------------------
+    def queries(self) -> list[str]:
+        return list(QUERIES)
+
+    def run(self, name: str) -> DataFrame:
+        if name not in QUERIES:
+            raise KeyError(f"unknown query {name!r}; see .queries()")
+        return QUERIES[name].fn(self.spark, self.sf_dir)
+
+    def oracle(self, name: str) -> str | None:
+        """The DuckDB oracle SQL a query is verified against (None for the
+        rows-only approximate/iterative ops)."""
+        if name not in QUERIES:
+            raise KeyError(f"unknown query {name!r}; see .queries()")
+        return QUERIES[name].oracle
+
+    # -- migration -------------------------------------------------------
+    def migrate(
+        self,
+        objects: Sequence[ObjectSpec],
+        sink_root: str,
+        schedule: str = "@daily",
+        dag_id: str = "atlas_migration",
+    ) -> dict:
+        """The offline migration bundle: the declarative Airflow-shaped DAG
+        spec plus column-level lineage for the same objects and sink."""
+        sink = orchestration.SinkSpec(root=sink_root)
+        return {
+            "dag": orchestration.dag_spec(dag_id, objects, sink, schedule=schedule),
+            "lineage": orchestration.lineage_spec(objects, sink),
+        }
+
+    # -- landing ---------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: Sequence[str] = (),
+        mode: str = "overwrite",
+        fmt: str = "parquet",
+    ) -> None:
+        w = df.write.mode(mode).format(fmt)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)

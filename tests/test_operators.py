@@ -1787,3 +1787,28 @@ def test_logreg_score_consistent_with_weights(spark):
         assert 0.0 <= r["score"] <= 1.0
         assert r["accepted"] == (r["score"] >= 0.5)
     assert acc >= base - 1e-9, (acc, base)
+
+
+def test_atlas_engine_facade(spark, tmp_path):
+    """The public façade must delegate faithfully: tables load, SQL sees
+    auto-registered views, run() matches the registry, migrate() bundles
+    DAG + lineage for the same objects, and write() round-trips a
+    partitioned landing."""
+    from atlas_migration_repo_spark.api import AtlasEngine
+    from atlas_migration_repo_spark.orchestration import demo_atlas_objects
+
+    eng = AtlasEngine(spark=spark, sf_dir=SF_DIR)
+    assert "lineitem" in eng.tables()
+    n = eng.table("region").count()
+    assert n == eng.sql("SELECT COUNT(*) AS n FROM region").collect()[0]["n"]
+    assert eng.run("agg_pricing_summary").columns == QUERIES[
+        "agg_pricing_summary"
+    ].fn(spark, SF_DIR).columns
+    assert eng.oracle("agg_pricing_summary") and eng.oracle("dedup_near") is None
+    bundle = eng.migrate(demo_atlas_objects(), sink_root="s3a://example-bucket/atlas")
+    assert {t["task_id"] for t in bundle["dag"]["tasks"]} >= {
+        ds["via"][0] for ds in bundle["lineage"]["datasets"]
+    }
+    out = str(tmp_path / "landed")
+    eng.write(eng.table("nation"), out, partition_by=("n_regionkey",))
+    assert spark.read.parquet(out).count() == eng.table("nation").count()
