@@ -619,3 +619,103 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("click_id"),
         F.when(prev_wins, d_prev).otherwise(d_next).alias("delta_us"),
     )
+
+
+ALLEN_WIN_US = 600 * 1_000_000  # start-to-start pairing window (10 min)
+
+# One CASE text shared verbatim by the Spark plan (F.expr) and the DuckDB
+# oracle, so the 13-relation classification cannot drift between engines.
+# First the four disjoint/touching cases, then the nine proper-intersection
+# cells keyed by sign(sa-sb) x sign(ea-eb).
+_ALLEN_CASE = """
+CASE
+  WHEN ea < sb THEN 'precedes'
+  WHEN ea = sb THEN 'meets'
+  WHEN eb < sa THEN 'preceded_by'
+  WHEN eb = sa THEN 'met_by'
+  WHEN sa < sb AND ea < eb THEN 'overlaps'
+  WHEN sa < sb AND ea = eb THEN 'finished_by'
+  WHEN sa < sb AND ea > eb THEN 'contains'
+  WHEN sa = sb AND ea < eb THEN 'starts'
+  WHEN sa = sb AND ea = eb THEN 'equals'
+  WHEN sa = sb AND ea > eb THEN 'started_by'
+  WHEN sa > sb AND ea < eb THEN 'during'
+  WHEN sa > sb AND ea = eb THEN 'finishes'
+  ELSE 'overlapped_by'
+END
+"""
+
+
+@query(
+    "join_interval_allen",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             EPOCH_US(CAST(ts AS TIMESTAMP)) AS s,
+             EPOCH_US(CAST(ts AS TIMESTAMP))
+               + CAST(FLOOR(value * 1000000) AS BIGINT) AS e
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+      WHERE ABS(a.s - b.s) <= {ALLEN_WIN_US}
+    )
+    SELECT {_ALLEN_CASE} AS relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def join_interval_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over event intervals: classify every
+    same-user pair whose starts fall within 10 minutes into one of the 13
+    temporal relations (precedes/meets/overlaps/starts/during/finishes,
+    their inverses, and equals) and count each relation — the full
+    temporal-join vocabulary, not just 'overlaps' (join_interval_overlap).
+
+    Each event's interval is [ts, ts + value seconds], with the duration
+    in exact integer µs (FLOOR of the IEEE product — identical in both
+    engines) so every boundary comparison is integer equality, immune to
+    float edges. The CASE text is one shared string between the Spark
+    plan and the oracle.
+
+    Plan: the oracle states the naive theta self-join; the executed plan
+    is the binned equi-join of join_range_binned — bucket ⌊s/W⌋ on one
+    side, explode to {{b-1, b, b+1}} on the other, equi-join on (user,
+    bucket), exact |Δs| ≤ W filter after. Linear in qualifying pairs at
+    any scale; the classification itself is a scalar CASE, free."""
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("s"),
+        (epoch_us("ts") + F.floor(F.col("value") * 1_000_000).cast("long")).alias("e"),
+    )
+    a = iv.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("ia"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        (F.col("s") / ALLEN_WIN_US).cast("long").alias("bucket"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("ib"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        F.explode(
+            F.array(
+                (F.col("s") / ALLEN_WIN_US).cast("long") - 1,
+                (F.col("s") / ALLEN_WIN_US).cast("long"),
+                (F.col("s") / ALLEN_WIN_US).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    pairs = a.join(b, ["u", "bucket"]).where(
+        (F.col("ia") < F.col("ib"))
+        & (F.abs(F.col("sa") - F.col("sb")) <= ALLEN_WIN_US)
+    )
+    return (
+        pairs.select(F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
