@@ -2173,3 +2173,106 @@ def events_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "signup_converted"
         ),
     )
+
+
+@query(
+    "orders_survival_km",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS t1
+      FROM orders GROUP BY 1
+    ),
+    seconds AS (
+      SELECT o.o_custkey, MIN(CAST(o.o_orderdate AS DATE)) AS t2
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      WHERE CAST(o.o_orderdate AS DATE) > f.t1
+      GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    obs AS (
+      SELECT CASE WHEN s.t2 IS NULL
+                  THEN DATE_DIFF('day', f.t1, (SELECT h FROM horizon))
+                  ELSE DATE_DIFF('day', f.t1, s.t2) END AS dur,
+             CASE WHEN s.t2 IS NULL THEN 0 ELSE 1 END AS ev
+      FROM firsts f LEFT JOIN seconds s USING (o_custkey)
+    ),
+    risk AS (
+      SELECT dur, SUM(ev) AS d, COUNT(*) AS c FROM obs GROUP BY dur
+    ),
+    ordered AS (
+      SELECT dur, d, SUM(c) OVER (ORDER BY dur DESC) AS n_risk FROM risk
+    ),
+    km AS (
+      SELECT dur, d, n_risk,
+             EXP(SUM(CASE WHEN d > 0 AND d < n_risk
+                          THEN LN(1 - CAST(d AS DOUBLE) / n_risk)
+                          ELSE 0.0 END)
+                 OVER (ORDER BY dur)) AS s
+      FROM ordered
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           ROUND(s, 4) AS survival
+    FROM km WHERE d > 0 AND d < n_risk
+    """,
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for repeat purchase: time from a
+    customer's first order to their second (right-censored at the data
+    horizon for one-time buyers), S(t) = Π over event times ≤ t of
+    (1 − dᵢ/nᵢ) — the retention curve with censoring handled correctly,
+    which a naive 'median gap' analysis gets wrong.
+
+    The estimator collapses to per-duration (events, at-risk) counts:
+    risk sets come from ONE reverse-cumulative window over the
+    duration-grouped table (distinct durations, so no ordering ties) and
+    the product via exp·Σ·ln over the forward window — two window passes
+    over a duration-cardinality relation, after two customer-keyed
+    aggregations; nothing scales with order count beyond the first
+    groupBy. Terms where d = n (everyone events, S hits exact 0) are
+    excluded from output in BOTH engines so no ln(0) NULL/−inf dialect
+    divergence exists; survival rounds at 4dp absorbing any last-ulp
+    ln/exp libm difference."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("od").alias("t1"))
+    seconds = (
+        o.join(firsts, "o_custkey")
+        .where(F.col("od") > F.col("t1"))
+        .groupBy("o_custkey")
+        .agg(F.min("od").alias("t2"))
+    )
+    horizon = o.agg(F.max("od").alias("h"))
+    obs = (
+        firsts.join(seconds, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("t2").isNull(), F.datediff("h", "t1"))
+            .otherwise(F.datediff("t2", "t1"))
+            .alias("dur"),
+            F.when(F.col("t2").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    risk = obs.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_fwd = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ordered = risk.withColumn("n_risk", F.sum("c").over(w_rev))
+    term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    km = ordered.withColumn("s", F.exp(F.sum(term).over(w_fwd)))
+    return km.where((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).select(
+        F.col("dur").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        r4(F.col("s")).alias("survival"),
+    )

@@ -1812,3 +1812,20 @@ def test_atlas_engine_facade(spark, tmp_path):
     out = str(tmp_path / "landed")
     eng.write(eng.table("nation"), out, partition_by=("n_regionkey",))
     assert spark.read.parquet(out).count() == eng.table("nation").count()
+
+
+def test_km_survival_monotone(spark):
+    """The Kaplan-Meier curve must be strictly within (0, 1] and
+    non-increasing in duration, with at-risk counts non-increasing too."""
+    rows = sorted(
+        QUERIES["orders_survival_km"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    s_prev, n_prev = 1.0 + 1e-9, float("inf")
+    for r in rows:
+        assert 0.0 < r["survival"] <= 1.0
+        assert r["survival"] <= s_prev + 1e-9
+        assert r["n_risk"] <= n_prev
+        assert 0 < r["n_events"] < r["n_risk"]
+        s_prev, n_prev = r["survival"], r["n_risk"]
