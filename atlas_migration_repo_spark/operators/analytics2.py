@@ -2276,3 +2276,73 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("n_events"),
         r4(F.col("s")).alias("survival"),
     )
+
+
+@query(
+    "events_entropy_rate",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id, event_type AS prev,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev, nxt, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM steps WHERE nxt IS NOT NULL GROUP BY prev, nxt
+    ),
+    marg AS (
+      SELECT prev, SUM(n) AS n_prev FROM pairs GROUP BY prev
+    ),
+    tot AS (SELECT SUM(n) AS n_all FROM pairs)
+    SELECT p.prev AS state,
+           CAST(m.n_prev AS BIGINT) AS n_transitions,
+           ROUND(-SUM((p.n / m.n_prev) * LN(p.n / m.n_prev)), 4)
+             AS conditional_entropy,
+           ROUND((m.n_prev / (SELECT n_all FROM tot))
+                 * -SUM((p.n / m.n_prev) * LN(p.n / m.n_prev)), 4)
+             AS weighted_contribution
+    FROM pairs p JOIN marg m USING (prev)
+    GROUP BY p.prev, m.n_prev
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate of the behavioural process, by state: the
+    conditional next-event entropy H(next | prev) per state and its
+    contribution weighted by the state's empirical frequency — summing
+    the last column gives the chain's empirical entropy rate, the
+    predictability number behind event_transitions' raw matrix.
+
+    All probabilities are ratios of transition counts (5×5 state space),
+    so after the one user-keyed LEAD window and a pair count, everything
+    is a 25-row computation; r4 absorbs libm ln ulp differences. The
+    LEAD shares the same (ts, event_id) total order as the other
+    sequence operators."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    pairs = steps.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    marg = pairs.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+    n_all = pairs.agg(F.sum("n").alias("n_all"))
+    p = F.col("n") / F.col("n_prev")
+    ent = (-F.sum(p * F.log(p))).alias("h")
+    per_state = (
+        pairs.join(marg, "prev")
+        .groupBy("prev", "n_prev")
+        .agg(ent)
+        .crossJoin(F.broadcast(n_all))
+    )
+    return per_state.select(
+        F.col("prev").alias("state"),
+        F.col("n_prev").cast("long").alias("n_transitions"),
+        r4(F.col("h")).alias("conditional_entropy"),
+        r4((F.col("n_prev") / F.col("n_all")) * F.col("h")).alias(
+            "weighted_contribution"
+        ),
+    )

@@ -1209,3 +1209,59 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("class_size") >= 5).alias("k_anonymous"),
         (F.coalesce(F.col("n_sens"), F.lit(0)) >= 3).alias("l_diverse"),
     )
+
+
+@query(
+    "dq_benford_firstdigit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS DOUBLE) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT SUM(n) AS n_all FROM obs)
+    SELECT CAST(d AS INT) AS first_digit,
+           CAST(n AS BIGINT) AS n_observed,
+           ROUND(n / (SELECT n_all FROM tot), 4) AS p_observed,
+           ROUND(LOG10(1.0 + 1.0 / d), 4) AS p_benford,
+           ROUND(POW(n / (SELECT n_all FROM tot) - LOG10(1.0 + 1.0 / d), 2)
+                 / LOG10(1.0 + 1.0 / d), 4) AS chi2_term
+    FROM obs ORDER BY d
+    """,
+)
+def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance for order totals — the classic
+    fabricated-data screen a migration DQ review runs on money columns:
+    observed first-digit frequencies vs Benford's log10(1 + 1/d), with
+    the per-digit χ² term (summing it gives the test statistic against
+    the 9-digit Benford distribution).
+
+    The digit comes from integer truncation then string head — exact in
+    both engines (no float formatting involved) — and everything after
+    the single groupBy is a 9-row computation. One shuffle; at 100 TB
+    this is a map-side-combined count per digit, nothing more. Note the
+    fixture's totalprice is uniform-ish, so NON-conformance is the
+    expected result — the operator reports, it does not assert."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("n_all"))
+    p_obs = F.col("n") / F.col("n_all")
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("int").alias("first_digit"),
+            F.col("n").cast("long").alias("n_observed"),
+            r4(p_obs).alias("p_observed"),
+            r4(p_ben).alias("p_benford"),
+            r4(F.pow(p_obs - p_ben, 2) / p_ben).alias("chi2_term"),
+        )
+    )
