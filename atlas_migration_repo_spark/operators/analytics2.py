@@ -2346,3 +2346,65 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_contribution"
         ),
     )
+
+
+@query(
+    "stat_chi2_independence",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT seg, pri, CAST(COUNT(*) AS DOUBLE) AS obs
+      FROM joined GROUP BY seg, pri
+    ),
+    rows_ AS (SELECT seg, SUM(obs) AS r FROM cells GROUP BY seg),
+    cols_ AS (SELECT pri, SUM(obs) AS c FROM cells GROUP BY pri),
+    tot AS (SELECT SUM(obs) AS n FROM cells)
+    SELECT cells.seg, cells.pri,
+           CAST(obs AS BIGINT) AS n_observed,
+           ROUND(r * c / (SELECT n FROM tot), 4) AS n_expected,
+           ROUND(POW(obs - r * c / (SELECT n FROM tot), 2)
+                 / (r * c / (SELECT n FROM tot)), 4) AS chi2_term
+    FROM cells JOIN rows_ USING (seg) JOIN cols_ USING (pri)
+    """,
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between market segment and order
+    priority: per contingency cell the observed count, the
+    independence-expected count (row·col/n), and the χ² term — summing
+    the last column against a χ²₍(R−1)(C−1)₎ table answers 'does segment
+    drive priority?', the categorical drift/association check to pair
+    with dq_ks_drift's continuous one.
+
+    After the fact⋈dim join (broadcastable dim at scale) everything is a
+    5×5-cell computation: marginals are re-aggregations of the cells,
+    not of the data, and expected counts are exact integer-count
+    products in double, identical in both engines; r4 on the ratio
+    terms."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    rows_ = cells.groupBy("seg").agg(F.sum("obs").alias("r"))
+    cols_ = cells.groupBy("pri").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("r") * F.col("c") / F.col("n")
+    return (
+        cells.join(F.broadcast(rows_), "seg")
+        .join(F.broadcast(cols_), "pri")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "pri",
+            F.col("obs").cast("long").alias("n_observed"),
+            r4(exp).alias("n_expected"),
+            r4(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2_term"),
+        )
+    )

@@ -1265,3 +1265,83 @@ def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.pow(p_obs - p_ben, 2) / p_ben).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "dq_ks_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                  THEN 1 ELSE 0 END AS ga
+      FROM orders
+    ),
+    per_v AS (
+      SELECT v, SUM(ga) AS na, SUM(1 - ga) AS nb FROM tagged GROUP BY v
+    ),
+    tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM per_v),
+    cum AS (
+      SELECT v,
+             SUM(na) OVER (ORDER BY v) / (SELECT CAST(ta AS DOUBLE) FROM tot)
+               AS fa,
+             SUM(nb) OVER (ORDER BY v) / (SELECT CAST(tb AS DOUBLE) FROM tot)
+               AS fb
+      FROM per_v
+    )
+    SELECT ROUND(MAX(ABS(fa - fb)), 4) AS d_stat,
+           MIN(CASE WHEN ABS(fa - fb) = (SELECT MAX(ABS(fa - fb)) FROM cum)
+                    THEN v END) AS v_at_max,
+           (SELECT CAST(ta AS BIGINT) FROM tot) AS n_early,
+           (SELECT CAST(tb AS BIGINT) FROM tot) AS n_late
+    FROM cum
+    """,
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift check: D = sup |F_early − F_late|
+    between order totals before and after 1998 — the distribution-drift
+    monitor a long-running migration or training-data pipeline runs on
+    every money/measure column (the scalar sibling of
+    embed_centroid_drift).
+
+    Exactness: the empirical CDFs are integer-count ratios (IEEE division
+    of exact integers — bit-identical in both engines), so the argmax
+    location needs no tolerance; the supremum value rounds at 4dp. Shape:
+    one groupBy on distinct values, one ordered cumulative window over
+    the distinct-value relation, then a global max — the window is the
+    inherent sequential structure of a CDF (at 100 TB, run per partition
+    key — e.g. per segment — to bound the sort)."""
+    o = load(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+        .cast("int")
+        .alias("ga"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("ga").alias("na"), F.sum(1 - F.col("ga")).alias("nb")
+    )
+    tot = per_v.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        per_v.withColumn("ca", F.sum("na").over(w))
+        .withColumn("cb", F.sum("nb").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            (F.col("ca") / F.col("ta").cast("double")).alias("fa"),
+            (F.col("cb") / F.col("tb").cast("double")).alias("fb"),
+            "ta",
+            "tb",
+        )
+    )
+    diff = F.abs(F.col("fa") - F.col("fb"))
+    dmax = cum.agg(F.max(diff).alias("dmax"))
+    return (
+        cum.crossJoin(F.broadcast(dmax))
+        .agg(
+            r4(F.first("dmax")).alias("d_stat"),
+            F.min(F.when(diff == F.col("dmax"), F.col("v"))).alias("v_at_max"),
+            F.first("ta").cast("long").alias("n_early"),
+            F.first("tb").cast("long").alias("n_late"),
+        )
+    )
