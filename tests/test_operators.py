@@ -1829,3 +1829,40 @@ def test_km_survival_monotone(spark):
         assert r["n_risk"] <= n_prev
         assert 0 < r["n_events"] < r["n_risk"]
         s_prev, n_prev = r["survival"], r["n_risk"]
+
+
+def test_allen_relations_partition_pairs(spark):
+    """The 13-relation CASE must classify every qualifying pair exactly
+    once: relation counts sum to the naive windowed pair count, and only
+    valid Allen relation names appear."""
+    from atlas_migration_repo_spark.operators.joins import ALLEN_WIN_US
+
+    rows = QUERIES["join_interval_allen"].fn(spark, SF_DIR).collect()
+    valid = {
+        "precedes", "meets", "overlaps", "finished_by", "contains", "starts",
+        "equals", "started_by", "during", "finishes", "overlapped_by",
+        "met_by", "preceded_by",
+    }
+    assert {r["relation"] for r in rows} <= valid
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id", epoch_us("ts").alias("s")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    naive = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_id") < F.col("b.event_id"))
+               & (F.abs(F.col("a.s") - F.col("b.s")) <= ALLEN_WIN_US))
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == naive
+
+
+def test_benford_terms_consistent(spark):
+    """Digits are 1-9, observed probabilities sum to 1, and Benford
+    probabilities sum to 1 (both at the 4dp grid)."""
+    rows = QUERIES["dq_benford_firstdigit"].fn(spark, SF_DIR).collect()
+    digits = sorted(r["first_digit"] for r in rows)
+    assert digits == sorted(set(digits)) and set(digits) <= set(range(1, 10))
+    assert abs(sum(r["p_observed"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["p_benford"] for r in rows if r["first_digit"] in range(1, 10))
+               - sum(__import__("math").log10(1 + 1 / d) for d in digits)) < 1e-3
