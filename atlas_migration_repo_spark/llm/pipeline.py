@@ -429,3 +429,53 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac >= CONTAM_TAU).alias("flagged"),
         )
     )
+
+
+HASH_DIM = 8  # feature-hashing output dimensionality
+
+
+@query(
+    "features_hash_trick",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id,
+             (STRPOS('0123456789abcdef',
+                     SUBSTR(MD5('feat:' || event_type), 1, 1)) - 1) % {HASH_DIM}
+               AS bucket,
+             2 * ((STRPOS('0123456789abcdef',
+                          SUBSTR(MD5('feat:' || event_type), 2, 1)) - 1) % 2) - 1
+               AS sgn
+      FROM events
+    )
+    SELECT user_id, CAST(bucket AS INT) AS bucket,
+           CAST(SUM(sgn) AS BIGINT) AS feat_value
+    FROM h GROUP BY user_id, bucket
+    """,
+)
+def features_hash_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (signed feature hashing): project each user's
+    categorical event counts into a fixed HASH_DIM-dimensional space via
+    a content hash of the feature name, with a second independent hash
+    bit choosing the sign so colliding features cancel in expectation —
+    the standard unbounded-vocabulary featurizer for downstream models
+    (pairs with quality_logreg_train, whose feature space is fixed).
+
+    Engine parity without relying on any engine's native hash: bucket and
+    sign derive from md5 hex nibbles mapped through a STRPOS/instr table —
+    identical strings → identical integers in Spark and DuckDB. Shape:
+    pure per-row projection then one (user, bucket) count aggregation —
+    map-side combined, no vocabulary state at any corpus size (that
+    statelessness is the point of the trick)."""
+    nib = "0123456789abcdef"
+    bucket = (
+        F.expr(f"instr('{nib}', substring(md5('feat:' || event_type), 1, 1))") - 1
+    ) % HASH_DIM
+    sgn = 2 * (
+        (F.expr(f"instr('{nib}', substring(md5('feat:' || event_type), 2, 1))") - 1) % 2
+    ) - 1
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", bucket.cast("int").alias("bucket"), sgn.alias("sgn"))
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("feat_value"))
+    )

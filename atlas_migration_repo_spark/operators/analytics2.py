@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import epoch_us, load, r4
-from atlas_migration_repo_spark.oracle import sql_r4
+from atlas_migration_repo_spark.catalog import epoch_us, load, msum, r4
+from atlas_migration_repo_spark.oracle import sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 
 
@@ -2407,4 +2407,97 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(exp).alias("n_expected"),
             r4(F.pow(F.col("obs") - exp, 2) / exp).alias("chi2_term"),
         )
+    )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS od
+      FROM orders
+    ),
+    c AS (
+      SELECT o_custkey, o_totalprice, od,
+             MIN(od) OVER (PARTITION BY o_custkey) AS first_od
+      FROM o
+    ),
+    m AS (
+      SELECT CAST(STRFTIME(first_od, '%Y-%m') AS VARCHAR) AS cohort_month,
+             CAST(FLOOR(DATE_DIFF('day', first_od, od) / 30.0) AS INT)
+               AS offset_30d,
+             o_custkey, o_totalprice
+      FROM c
+    ),
+    cohorts AS (
+      SELECT cohort_month, CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+               AS cohort_size
+      FROM m GROUP BY cohort_month
+    ),
+    rev AS (
+      SELECT cohort_month, offset_30d,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS period_dec
+      FROM m GROUP BY cohort_month, offset_30d
+    ),
+    cum AS (
+      SELECT cohort_month, offset_30d, period_dec,
+             SUM(period_dec) OVER (PARTITION BY cohort_month
+                                   ORDER BY offset_30d) AS cum_dec
+      FROM rev
+    )
+    SELECT cum.cohort_month, cum.offset_30d, cohorts.cohort_size,
+           ROUND(CAST(cum.period_dec AS DOUBLE), 4) AS period_revenue,
+           ((2 * CAST(cum.cum_dec * 10000 AS BIGINT) + cohorts.cohort_size)
+            // (2 * cohorts.cohort_size)) / 10000.0 AS ltv_per_customer
+    FROM cum JOIN cohorts USING (cohort_month)
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated per 30-day offset since each customer's
+    first order, normalized to LTV per cohort member — the growth
+    analysis that pairs with retention_cohort's headcount view.
+
+    Float policy (the per-row double-ROUND tie trap, see
+    sql_lateral_alias): revenue accumulates in exact DECIMAL through the
+    running window, and the per-customer normalization — whose quotient
+    DOES land on .00005 ties at sf0.1 — rounds half-away-from-zero in
+    INTEGER cents-x-100 arithmetic ((2C + n) div 2n), bit-identical in
+    both engines; doubles appear only in the output projection. Shape:
+    one customer-keyed window, one (cohort, offset) aggregation, then
+    cohort-cardinality windows and joins."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("od")
+    )
+    w_first = Window.partitionBy("o_custkey")
+    m = o.select(
+        F.date_format(F.min("od").over(w_first), "yyyy-MM").alias("cohort_month"),
+        F.floor(
+            F.datediff("od", F.min("od").over(w_first)) / 30.0
+        ).cast("int").alias("offset_30d"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    cohorts = m.groupBy("cohort_month").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    rev = m.groupBy("cohort_month", "offset_30d").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("period_dec")
+    )
+    w_cum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("offset_30d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_dec", F.sum("period_dec").over(w_cum))
+    q = F.expr(
+        "(2 * CAST(cum_dec * 10000 AS BIGINT) + cohort_size)"
+        " div (2 * cohort_size)"
+    )
+    return cum.join(cohorts, "cohort_month").select(
+        "cohort_month",
+        "offset_30d",
+        "cohort_size",
+        F.round(F.col("period_dec").cast("double"), 4).alias("period_revenue"),
+        (q / F.lit(10000.0)).alias("ltv_per_customer"),
     )
