@@ -32,7 +32,21 @@ from atlas_migration_repo_spark.registry import QUERIES, load_all_modules
 from atlas_migration_repo_spark.session import get_spark
 from atlas_migration_repo_spark.sources.salesforce import ObjectSpec
 
-DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+def _default_sf_dir() -> str:
+    """Resolve the data directory from $ATLAS_SF_DIR; no silent machine-local
+    default — a facade that points new users at a path that only exists on
+    one harness is worse than an explicit error."""
+    import os
+
+    sf_dir = os.environ.get("ATLAS_SF_DIR")
+    if not sf_dir:
+        raise ValueError(
+            "AtlasEngine needs a data directory: pass sf_dir=... or set "
+            "$ATLAS_SF_DIR to a directory of <table>.parquet files"
+        )
+    if not os.path.isdir(sf_dir):
+        raise FileNotFoundError(f"$ATLAS_SF_DIR={sf_dir!r} is not a directory")
+    return sf_dir
 
 
 class AtlasEngine:
@@ -41,11 +55,11 @@ class AtlasEngine:
     def __init__(
         self,
         spark: SparkSession | None = None,
-        sf_dir: str = DEFAULT_SF_DIR,
+        sf_dir: str | None = None,
         app_name: str = "atlas-engine",
     ) -> None:
         self.spark = spark or get_spark(app_name=app_name)
-        self.sf_dir = sf_dir
+        self.sf_dir = sf_dir if sf_dir is not None else _default_sf_dir()
         self._views_registered = False
         load_all_modules()
 

@@ -247,41 +247,79 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", tags=("approx",))
+# SimHash bit family: bit j of a word's 64-bit hash is bit (j mod 4) of the
+# (j div 4)-th hex digit of MD5(word). MD5 is bit-identical in Spark and
+# DuckDB, which makes the whole SimHash exactly SQL-expressible — the reason
+# this query is oracle-gated rather than rows-only. (Production would swap
+# the family to xxhash64 for scan speed; SimHash semantics are invariant to
+# which deterministic 64-bit family indexes the bits.)
+def _simhash_oracle() -> str:
+    bcols = ",\n    ".join(
+        f"((STRPOS('0123456789abcdef', SUBSTRING(h, {j // 4 + 1}, 1)) - 1) "
+        f">> {j % 4}) & 1 AS b{j}"
+        for j in range(64)
+    )
+    scols = ",\n    ".join(f"SUM(b{j}) AS s{j}" for j in range(64))
+    bits = " || ".join(f"(CASE WHEN 2*s{j} > n THEN '1' ELSE '0' END)" for j in range(64))
+    chunks = ",\n   ".join(
+        "CAST(("
+        + " + ".join(
+            f"(CASE WHEN 2*s{c0 + i} > n THEN 1 ELSE 0 END) * {1 << (15 - i)}"
+            for i in range(16)
+        )
+        + f") AS BIGINT) AS chunk{c0 // 16}"
+        for c0 in (0, 16, 32, 48)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, MD5(word) AS h
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+    ),
+    b AS (SELECT doc_id, {bcols} FROM w),
+    s AS (SELECT doc_id, COUNT(*) AS n, {scols} FROM b GROUP BY doc_id)
+    SELECT doc_id, {bits} AS simhash_bits,
+   {chunks}
+    FROM s
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (deterministic, xxhash64 word hashes):
-    bit_j = sign(Σ_words ±1 by hash bit j). Near-dups differ in few bits;
-    at scale, candidate pairs come from exact-matching one of four 16-bit
-    chunks (pigeonhole for hamming ≤ 3) — chunks are emitted here as join
-    keys. Rows-only gate (engine-specific hash); determinism + chunk
-    consistency are unit-tested."""
+    """64-bit SimHash per document (deterministic, MD5-derived bit family —
+    see _simhash_oracle): bit_j = sign(Σ_words ±1 by hash bit j), i.e.
+    bit_j = 1 iff 2·S_j > N where S_j counts words whose hash bit j is set.
+    Near-dups differ in few bits; at scale, candidate pairs come from
+    exact-matching one of four 16-bit chunks (pigeonhole for hamming ≤ 3) —
+    chunks are emitted here as join keys.
+
+    Plan: explode → 64 narrow integer partial sums in ONE hash aggregate
+    (map-side combine; shuffle carries 64 ints per doc, not word lists) —
+    strictly leaner than collecting per-word contribution arrays. Exactly
+    SQL-expressible, so the oracle gate is the full rows+schema+hash check."""
     d = load(spark, sf_dir, "documents")
-    h = F.xxhash64(F.col("word"))
-    # unrolled (shiftright needs a literal shift amount, not a Column)
-    contrib = F.array(
-        *[
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for j in range(64)
-        ]
-    )
+    hx = F.md5(F.col("word"))
+    # 16 hex-digit values; bit j = (digit[j div 4] >> (j mod 4)) & 1
+    dv = [F.conv(F.substring(hx, p + 1, 1), 16, 10).cast("int") for p in range(16)]
+    wbits = [
+        F.shiftright(dv[j // 4], j % 4).bitwiseAND(F.lit(1)).alias(f"b{j}")
+        for j in range(64)
+    ]
     per_word = d.select("doc_id", F.explode(words()).alias("word")).select(
-        "doc_id", contrib.alias("c")
+        "doc_id", *wbits
     )
-    summed = per_word.groupBy("doc_id").agg(
-        F.aggregate(
-            F.collect_list("c"),
-            F.array_repeat(F.lit(0), 64),
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("sums")
+    s = per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(64)],
     )
-    bits = F.transform(F.col("sums"), lambda s: F.when(s > 0, F.lit(1)).otherwise(F.lit(0)))
-    # pack each 16-bit chunk into an int join key
-    chunk = lambda c0: F.aggregate(  # noqa: E731
-        F.slice(bits, c0 + 1, 16), F.lit(0), lambda acc, b: acc * 2 + b
-    )
-    return summed.select(
+    out_bit = [
+        F.when(2 * F.col(f"s{j}") > F.col("n"), 1).otherwise(0) for j in range(64)
+    ]
+    chunk = lambda c0: sum(  # noqa: E731
+        (out_bit[c0 + i] * F.lit(1 << (15 - i)) for i in range(16)), F.lit(0)
+    ).cast("long")
+    return s.select(
         "doc_id",
-        F.concat_ws("", bits).alias("simhash_bits"),
+        F.concat(*[b.cast("string") for b in out_bit]).alias("simhash_bits"),
         chunk(0).alias("chunk0"),
         chunk(16).alias("chunk1"),
         chunk(32).alias("chunk2"),

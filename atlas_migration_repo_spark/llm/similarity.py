@@ -1388,12 +1388,13 @@ MAXSIM_DOC_VECS = 8  # corpus vectors grouped per pseudo-document
       WHERE vec_id >= {MAXSIM_Q_TOKENS}
     ),
     mx AS (
-      SELECT d.doc, q.q_id, MAX({{cos}}) AS m
+      SELECT d.doc, q.q_id, {{rmax}} AS m
       FROM d, q GROUP BY d.doc, q.q_id
     )
     SELECT doc, {{msum}} AS maxsim FROM mx GROUP BY doc
     """.format(
-        cos=sql_cosine("q.qe", "d.embedding"), msum=sql_msum("m")
+        rmax=sql_r4("MAX({cos})".format(cos=sql_cosine("q.qe", "d.embedding"))),
+        msum=sql_msum("m"),
     ),
 )
 def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,6 +1433,9 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos", dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("en"))
         )
         .groupBy("doc", "q_id")
-        .agg(F.max("cos").alias("m"))
+        # r4 before the decimal sum: msum's tie-safety contract (catalog.py)
+        # only holds for ≤6dp-exact inputs, and a raw cosine max is an
+        # arbitrary double — round to the 4dp grid on both engines first.
+        .agg(r4(F.max("cos")).alias("m"))
     )
     return mx.groupBy("doc").agg(msum(F.col("m")).alias("maxsim"))
