@@ -584,6 +584,22 @@ def test_ann_ivf_recall_vs_exact(spark):
     assert hits > 0
 
 
+def test_sim_knn_ann_recall_and_exact_rescore(spark):
+    """The composed ANN→exact path (VERDICT r3 weak-fix): recall@1 vs the
+    exact sim_knn_join must be ≥ 0.95, every vector must get an answer,
+    and wherever ANN found the true neighbor the emitted cosine must be
+    bit-identical to the exact scorer's (same chain-dot float policy)."""
+    exact = {r["vec_id"]: r for r in QUERIES["sim_knn_join"].fn(spark, SF_DIR).collect()}
+    ann = {r["vec_id"]: r for r in QUERIES["sim_knn_ann"].fn(spark, SF_DIR).collect()}
+    assert set(ann) == set(exact), "ANN must answer for every vector"
+    hits = [v for v, r in exact.items() if ann[v]["nn_id"] == r["nn_id"]]
+    recall = len(hits) / len(exact)
+    assert recall >= 0.95, f"recall@1 {recall:.3f} < 0.95"
+    for v in hits:
+        assert ann[v]["cosine"] == exact[v]["cosine"], v
+        assert ann[v]["same_label"] == exact[v]["same_label"], v
+
+
 def test_approx_percentile_accuracy(spark):
     """percentile_approx at accuracy=1000 must land within 2% of the exact
     per-group median."""
