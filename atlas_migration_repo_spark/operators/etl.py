@@ -654,6 +654,138 @@ def merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_TS0 = 1700000000000  # epoch-millis base for synthetic commitTimestamps
+
+
+@query(
+    "pipeline_cdc_merge",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 3 THEN 'F' ELSE o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN o_orderkey % 100 = 3 THEN
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       * CAST(1.20 AS DECIMAL(3,2)) AS DOUBLE)
+                WHEN o_orderkey % 10 = 3 THEN
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                       * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+    FROM base WHERE o_orderkey % 10 <> 9
+    UNION ALL
+    SELECT o_orderkey + 30000000 AS o_orderkey, 'O' AS o_orderstatus,
+           o_totalprice
+    FROM base WHERE o_orderkey % 10 = 6
+    """,
+)
+def pipeline_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salesforce CDC replay — the actual incremental "migrate ATLAS
+    objects" flow [/root/reference/README.md:3]: synthesize Change-Data-
+    Capture events in the public ChangeEventHeader envelope (changeType /
+    recordIds / commitTimestamp — sources/salesforce.py::cdc_event_schema),
+    STAGE them as JSON lines (the Bulk/CDC landing step run locally), then
+    consume the staged files: explicit-schema read → latest-event-per-key
+    (commitTimestamp wins — one key carries TWO updates to prove it) →
+    three-way MERGE into the base snapshot (CREATE inserts, UPDATE
+    replaces fields, DELETE drops).
+
+    Event mix (deterministic, derived from orders so the oracle can
+    recompute final state from the base table alone): keys %10==3 get an
+    UPDATE to status F at +10% (keys %100==3 get a SECOND, later update to
+    +20% — latest-wins must pick it); keys %10==6 spawn a CREATE at key
+    +30000000; keys %10==9 get a DELETE. Prices move through DECIMAL and
+    cast to double only at the edge (the 4dp-tie float policy).
+
+    Scale: the staged read is schema-declared JSON (splittable, no
+    inference pass); latest-per-key is one WindowGroupLimit shuffle over
+    the DELTA only (events, not history); the merge is one full-outer
+    shuffle join base⋈delta — identical cost shape to merge_full, but fed
+    from a real staged CDC feed instead of a snapshot diff."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def envelope(df: DataFrame, op: str, ts_off: int) -> DataFrame:
+        return df.select(
+            F.struct(
+                F.lit(op).alias("changeType"),
+                F.lit("Order__c").alias("entityName"),
+                F.array(F.concat(F.lit("ORD"), k.cast("string"))).alias("recordIds"),
+                (F.lit(_CDC_TS0 + ts_off) + k).alias("commitTimestamp"),
+            ).alias("ChangeEventHeader"),
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+
+    upd1 = base.where(k % 10 == 3).select(
+        "o_orderkey",
+        F.lit("F").alias("o_orderstatus"),
+        (price_dec * F.expr("CAST(1.10 AS DECIMAL(3,2))")).cast("double")
+        .alias("o_totalprice"),
+    )
+    upd2 = base.where(k % 100 == 3).select(
+        "o_orderkey",
+        F.lit("F").alias("o_orderstatus"),
+        (price_dec * F.expr("CAST(1.20 AS DECIMAL(3,2))")).cast("double")
+        .alias("o_totalprice"),
+    )
+    created = base.where(k % 10 == 6).select(
+        (k + 30000000).alias("o_orderkey"),
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    deleted = base.where(k % 10 == 9).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    events = (
+        envelope(upd1, "UPDATE", 0)
+        .unionByName(envelope(upd2, "UPDATE", 1_000_000_000))
+        .unionByName(envelope(created, "CREATE", 0))
+        .unionByName(envelope(deleted, "DELETE", 0))
+    )
+    stage = scratch_path(sf_dir, "cdc_orders_json")
+    events.write.mode("overwrite").json(stage)
+
+    from atlas_migration_repo_spark.sources.salesforce import cdc_event_schema
+    from pyspark.sql import types as T
+
+    schema = cdc_event_schema(
+        [
+            ("o_orderkey", T.LongType()),
+            ("o_orderstatus", T.StringType()),
+            ("o_totalprice", T.DoubleType()),
+        ]
+    )
+    staged = spark.read.schema(schema).json(stage)
+    ev = staged.select(
+        F.col("ChangeEventHeader.changeType").alias("op"),
+        F.col("ChangeEventHeader.commitTimestamp").alias("ts"),
+        F.col("o_orderkey").alias("e_key"),
+        F.col("o_orderstatus").alias("e_status"),
+        F.col("o_totalprice").alias("e_price"),
+    )
+    w = Window.partitionBy("e_key").orderBy(F.desc("ts"))
+    latest = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    j = base.join(latest, base.o_orderkey == latest.e_key, "full_outer")
+    return j.where(
+        # drop deletes; keep base rows with no event and any CREATE/UPDATE
+        F.coalesce(F.col("op"), F.lit("-")) != "DELETE"
+    ).select(
+        F.coalesce(F.col("e_key"), F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("op").isin("UPDATE", "CREATE"), F.col("e_status"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("op").isin("UPDATE", "CREATE"), F.col("e_price"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+
+
 @query(
     "ivm_incremental_agg",
     oracle=f"""

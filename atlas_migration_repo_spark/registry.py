@@ -36,57 +36,75 @@ QUERIES: dict[str, QueryDef] = {}
 # aggregates, joins, windows, set ops, goldens, pivots, sources, ETL,
 # subqueries, analytics, scalars, UDFs, streaming, text, dedup, pipeline,
 # similarity, multimodal. Pure registration order; no semantics change.
+# Round-4 rotation (VERDICT r3 "next" #4): ~20 fixed family representatives
+# stay every round; the other ~30 slots rotate to registry keys the driver
+# has NOT hash-verified in any prior round (r1∪r2∪r3 covered 91 keys), so
+# successive driver CORRECTNESS artifacts cumulatively cover the registry.
 _DRIVER_SAMPLE_PREFIX = (
+    # -- fixed family representatives (driver-green in r1-r3) -------------
     "scan_parquet",
     "filter_cmp",
-    "distinct_rows",
     "agg_pricing_summary",
-    "agg_percentile",
     "agg_grouping_sets",
     "join_inner",
-    "join_anti",
     "join_asof",
     "win_row_number",
-    "win_running_sum",
     "topk_per_group",
     "sort_multi",
-    "graph_triangles",
     "q3_shipping_priority",
-    "q9_product_profit",
     "pivot_status",
-    "unpivot_balances",
     "source_csv",
     "sink_parquet_partitioned",
-    "join_bucketed",
-    "upsert_snapshot",
     "scd2_history",
     "subq_correlated",
-    "funnel_conversion",
-    "retention_cohort",
-    "skyline_pareto",
     "str_regexp",
-    "date_funcs",
-    "arr_higher_order",
     "udf_pandas",
-    "udaf_grouped_pandas",
-    "udtf_split",
-    "sketch_countmin",
     "stream_tumbling",
-    "stream_session",
-    "stream_stateful",
-    "stream_static_join",
     "text_tfidf",
-    "text_langid",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_near",
-    "pipeline_corpus_clean",
-    "sim_cosine_topk",
-    "dedup_embed",
-    "embed_quantize",
-    "multimodal_join",
-    "tokenizer_bpe_merges",
-    "quality_logreg_train",
+    # -- new in round 4 (oracle-gated) ------------------------------------
+    "time_travel_versioned",
+    "pipeline_cdc_merge",
+    "dedup_simhash",
+    # -- rotation: oracle-verified keys unseen by the driver in r1-r3 -----
+    "win_rank",
+    "win_time_range_frame",
+    "set_intersect",
+    "limit_topk",
+    "q5_local_supplier",
+    "q7_nation_trade",
+    "q10_returned_items",
+    "q18_large_orders",
+    "pivot_multi_agg",
+    "source_json",
+    "source_orc",
+    "merge_full",
+    "time_travel_asof",
+    "cdc_snapshot_diff",
+    "sql_recursive_cte",
+    "ts_resample_ffill",
+    "sessionize_batch",
+    "ts_anomaly_zscore",
+    "agg_weighted_median",
+    "sketch_bloom",
+    "str_split_explode",
+    "udaf_cogrouped_pandas",
+    "stream_sliding",
+    "stream_stream_join",
+    "text_bm25",
+    "sim_knn_join",
+    "multimodal_decode_ppm",
+    # -- past the ~50-entry driver window: family reps whose modules have
+    #    no unseen oracle keys (keeps the family-span invariant), plus the
+    #    new rows-only round-4 entries (advisor: rows-only goes AFTER
+    #    oracle-verified entries, never displacing them in the sample) ----
+    "graph_triangles",
+    "stream_stateful",
+    "tokenizer_bpe_encode",
+    "quality_logreg_score",
+    "pack_sequences",
+    "dedup_containment",
+    "sim_knn_ann",
 )
 
 
@@ -134,6 +152,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.functions.scalars",
         "atlas_migration_repo_spark.functions.udfs",
         "atlas_migration_repo_spark.sources.files",
+        "atlas_migration_repo_spark.sources.table_log",
         "atlas_migration_repo_spark.streaming.windows",
         "atlas_migration_repo_spark.streaming.stateful",
         "atlas_migration_repo_spark.streaming.sinks",

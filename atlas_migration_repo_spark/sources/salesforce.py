@@ -106,3 +106,28 @@ class SalesforceExtractor:
             "no live Salesforce connectivity in this environment: configure "
             "jdbc_url (SOQL-over-JDBC bridge) or staging_dir (Bulk API CSV export)"
         )
+
+
+# -- Change Data Capture envelope (public CDC event shape) -------------------
+# A Salesforce CDC event is a JSON payload whose ChangeEventHeader carries
+# changeType (CREATE/UPDATE/DELETE/UNDELETE), recordIds, commitTimestamp
+# (epoch millis) and entityName; changed fields ride at the top level next
+# to the header. The staged-replay pipeline (operators/etl.py::
+# pipeline_cdc_merge) synthesizes and consumes exactly this envelope.
+
+def cdc_event_schema(fields: "list[tuple[str, T.DataType]]") -> T.StructType:
+    """Explicit read schema for staged CDC JSON: the ChangeEventHeader
+    struct plus the entity's changed-field columns (no inference — core
+    ingest paths always declare schemas)."""
+    header = T.StructType(
+        [
+            T.StructField("changeType", T.StringType()),
+            T.StructField("entityName", T.StringType()),
+            T.StructField("recordIds", T.ArrayType(T.StringType())),
+            T.StructField("commitTimestamp", T.LongType()),
+        ]
+    )
+    return T.StructType(
+        [T.StructField("ChangeEventHeader", header)]
+        + [T.StructField(name, dtype, True) for name, dtype in fields]
+    )

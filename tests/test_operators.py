@@ -1882,3 +1882,66 @@ def test_benford_terms_consistent(spark):
     assert abs(sum(r["p_observed"] for r in rows) - 1.0) < 1e-3
     assert abs(sum(r["p_benford"] for r in rows if r["first_digit"] in range(1, 10))
                - sum(__import__("math").log10(1 + 1 / d) for d in digits)) < 1e-3
+
+
+def test_table_log_crash_consistency(spark, tmp_path):
+    """Torn writes must be invisible: readers trust only ^\\d{20}\\.json$
+    commit files, orphan staged parquet is unreferenced until vacuum, and
+    time travel survives logical deletes."""
+    import json
+    import os
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    root = str(tmp_path / "t")
+    t = TableLog(root)
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    v0 = t.append(df.where(F.col("id") < 60), partition_by=["k"])
+    v1 = t.append(df.where(F.col("id") >= 60), partition_by=["k"])
+    assert (v0, v1) == (0, 1)
+    assert t.read(spark).count() == 100
+    assert t.read(spark, version=0).count() == 60
+
+    # simulate a crashed writer: torn tmp commit + orphan staged data file
+    torn = os.path.join(root, "_log", ".tmp.deadbeef")
+    with open(torn, "w") as fh:
+        fh.write('{"add": {"path": "gar')  # truncated mid-JSON
+    bad_name = os.path.join(root, "_log", "not-a-version.json")
+    with open(bad_name, "w") as fh:
+        fh.write(json.dumps({"add": {"path": "nope.parquet"}}))
+    orphan_dir = os.path.join(root, "data", "s-orphan")
+    df.limit(5).write.mode("overwrite").parquet(orphan_dir)
+    assert t.versions() == [0, 1]
+    assert t.read(spark).count() == 100  # unchanged by any torn state
+
+    # logical delete keeps history readable; log-level pruning works
+    t.delete_where(lambda pv: pv.get("k") == "0")
+    assert t.read(spark).where(F.col("k") == 0).count() == 0
+    assert t.read(spark, version=1).count() == 100  # time travel intact
+    pruned = t.read(spark, version=1, partition_filter=lambda pv: pv["k"] == "1")
+    assert pruned.select("k").distinct().collect() == [spark.sql("SELECT 1 k").collect()[0]]
+
+    # vacuum reclaims ONLY unreferenced files (the orphan), never history
+    deleted = t.vacuum()
+    assert all(p.startswith("s-orphan") for p in deleted) and deleted
+    assert t.read(spark, version=0).count() == 60
+
+
+def test_table_log_put_if_absent(spark, tmp_path):
+    """The commit primitive must not clobber an existing version: a file
+    pre-created at the next version number forces the writer to take the
+    one after (optimistic concurrency via os.link EEXIST)."""
+    import os
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(spark.range(10).select("id"))
+    # squat on version 1 the way a concurrent winner would
+    with open(os.path.join(str(tmp_path / "t"), "_log", f"{1:020d}.json"), "w") as fh:
+        fh.write('{"commitInfo": {"operation": "SQUAT"}}\n')
+    v = t.append(spark.range(5).select("id"))
+    assert v == 2
+    assert t.read(spark, version=2).count() == 15
