@@ -1945,3 +1945,104 @@ def test_table_log_put_if_absent(spark, tmp_path):
     v = t.append(spark.range(5).select("id"))
     assert v == 2
     assert t.read(spark, version=2).count() == 15
+
+
+def test_stream_ttl_eviction_mechanisms(spark):
+    """The TTL session operator must exercise all three state-eviction
+    paths over the chunked replay: 'timeout' (event-time timer fired —
+    proving state is bounded by gap-active keys, not keys ever seen),
+    'gap' (in-batch session break), and 'flush' (end-of-stream sentinel).
+    Totals must reconcile with the events table."""
+    from atlas_migration_repo_spark.streaming.stateful import (
+        stream_stateful_ttl_full,
+    )
+
+    rows = stream_stateful_ttl_full(spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by[r["closed_by"]] = by.get(r["closed_by"], 0) + 1
+    assert by.get("timeout", 0) > 0, f"no timer evictions fired: {by}"
+    assert by.get("gap", 0) > 0, by
+    assert by.get("flush", 0) > 0, by
+    n_events = sum(r["n_events"] for r in rows)
+    from atlas_migration_repo_spark.catalog import load
+
+    assert n_events == load(spark, SF_DIR, "events").count()
+    # sessions respect the gap invariant
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+
+
+def test_skew_salting_and_aqe_on_zipf_key(spark):
+    """SCALING.md §3 on actually-skewed data: a Zipf-ish key where one hot
+    key owns ~50% of rows. Asserts (1) the salted shuffle's worst
+    partition carries a small fraction of what the unsalted shuffle's
+    does (straggler-free histogram), (2) the two-stage salted aggregate
+    returns exactly the plain aggregate's rows, and (3) AQE's skew-join
+    splitter actually kicks in (skew=true in the executed plan) when two
+    skewed fact sides sort-merge-join."""
+    n, salt_buckets = 200_000, 16
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 997).alias("key"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+
+    un = (
+        df.repartition(32, "key")
+        .select(F.spark_partition_id().alias("p"))
+        .groupBy("p").count().agg(F.max("count")).collect()[0][0]
+    )
+    salted = df.withColumn("salt", (F.col("id") % salt_buckets).cast("int"))
+    sa = (
+        salted.repartition(32, "key", "salt")
+        .select(F.spark_partition_id().alias("p"))
+        .groupBy("p").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert un >= n * 0.45, f"hot key should dominate one partition: {un}"
+    assert sa < un / 4, f"salting must flatten the histogram: {sa} vs {un}"
+
+    # two-stage salted aggregate == plain aggregate, exactly
+    plain = {
+        r["key"]: (r["n"], r["s"])
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(30,8)")).alias("s"))
+        .collect()
+    }
+    two_stage = {
+        r["key"]: (r["n"], r["s"])
+        for r in salted.groupBy("key", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum(F.col("v").cast("decimal(30,8)")).alias("ps"))
+        .groupBy("key")
+        .agg(F.sum("pn").alias("n"), F.sum("ps").alias("s"))
+        .collect()
+    }
+    assert plain == two_stage
+
+    # AQE skew-join split on the executed plan
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # dim side must not broadcast (disabled above) so the skewed fact
+        # side sort-merge-joins; no downstream operator may require the
+        # join's output partitioning or AQE refuses to split
+        other = spark.range(997).select(
+            F.col("id").alias("key"), F.lit(1).alias("w")
+        )
+        j = df.join(other, "key")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skewed join:\n{plan[:2000]}"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
