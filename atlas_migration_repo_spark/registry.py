@@ -105,6 +105,8 @@ _DRIVER_SAMPLE_PREFIX = (
     "pack_sequences",
     "dedup_containment",
     "sim_knn_ann",
+    "source_avro",
+    "stream_stateful_ttl",
 )
 
 
@@ -153,6 +155,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.functions.udfs",
         "atlas_migration_repo_spark.sources.files",
         "atlas_migration_repo_spark.sources.table_log",
+        "atlas_migration_repo_spark.sources.avro",
         "atlas_migration_repo_spark.streaming.windows",
         "atlas_migration_repo_spark.streaming.stateful",
         "atlas_migration_repo_spark.streaming.sinks",

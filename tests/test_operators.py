@@ -2046,3 +2046,50 @@ def test_skew_salting_and_aqe_on_zipf_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_avro_container_format(spark):
+    """Pure-spec Avro container invariants: nullable union roundtrip,
+    deflate codec, and torn-block detection via the sync marker."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.avro import (
+        _container_bytes,
+        avro_schema_for,
+        parse_container,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("d", T.DoubleType(), True),
+            T.StructField("b", T.BooleanType(), True),
+        ]
+    )
+    rows = [(1, "héllo", 1.5, True), (2, None, None, False), (-3, "", -0.0, None)]
+    avsc = avro_schema_for(schema)
+    for codec in ("null", "deflate"):
+        data = _container_bytes(avsc, rows, codec)
+        avsc2, back = parse_container(data)
+        assert back == rows
+        assert avsc2["fields"][0]["type"] == "long"  # non-nullable: bare type
+        assert avsc2["fields"][1]["type"] == ["null", "string"]
+    # flip a byte inside the block payload region -> sync check must trip
+    data = bytearray(_container_bytes(avsc, rows, "null"))
+    data[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with _pytest.raises(AssertionError, match="torn block"):
+        parse_container(bytes(data))
+
+
+def test_cbo_stats_recorded_and_used(spark):
+    """ANALYZE must land rowCount statistics in the catalog, and the
+    CBO-planned 3-way join must broadcast both analyzed dimension sides."""
+    df = QUERIES["stats_cbo_join"].fn(spark, SF_DIR)
+    suffix = SF_DIR.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED cbo_nation_{suffix}").collect()
+    stats = [r["data_type"] for r in desc if r["col_name"] == "Statistics"]
+    assert stats and "25 rows" in stats[0], stats
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
