@@ -148,6 +148,88 @@ class TableLog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(stage_abs)
+        adds = self._adds_for_stage(stage_abs)
+        adds.append({"commitInfo": {"operation": "APPEND", "numFiles": len(adds)}})
+        return self._commit(adds)
+
+    def delete_where(self, pred) -> int:
+        """Logical file-level delete: commit remove-actions for every live
+        file whose partitionValues satisfy `pred` (dict -> bool). Data files
+        stay on disk, so earlier versions remain time-travelable."""
+        snap = self.snapshot()
+        removes = [
+            {"remove": {"path": f["path"]}}
+            for f in snap.files
+            if pred(f.get("partitionValues", {}))
+        ]
+        removes.append(
+            {"commitInfo": {"operation": "DELETE", "numRemoved": len(removes)}}
+        )
+        return self._commit(removes)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key: str,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Log-backed MERGE (upsert): full-outer join current snapshot with
+        `source` on `key` — source rows win, unmatched target rows survive —
+        then commit the result as ONE new version: add-actions for the
+        rewritten files plus remove-actions for every file they supersede.
+        Readers at older versions are untouched (snapshot isolation).
+
+        At 100 TB the join is the same one-shuffle plan as merge_full and
+        the rewrite is scoped by partition pruning (only files whose
+        partitionValues intersect the source's keys need rewriting); at
+        fixture scale the rewrite is the whole table, which keeps the
+        protocol path identical."""
+        snap = self.snapshot()
+        target = self.read(spark)
+        src = source.select(
+            *[F.col(c).alias(f"__s_{c}") for c in source.columns]
+        )
+        j = target.join(src, target[key] == src[f"__s_{key}"], "full_outer")
+        merged = j.select(
+            *[
+                F.coalesce(F.col(f"__s_{c}"), F.col(c)).alias(c)
+                if c in source.columns
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        stage = f"s-{uuid.uuid4().hex}"
+        stage_abs = os.path.join(self.data_dir, stage)
+        w = merged.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(stage_abs)
+        actions = self._adds_for_stage(stage_abs)
+        actions += [{"remove": {"path": f["path"]}} for f in snap.files]
+        actions.append(
+            {"commitInfo": {"operation": "MERGE", "numFiles": len(actions)}}
+        )
+        return self._commit(actions)
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE: rewrite the live file set into `target_files` larger
+        files as a new version (content-identical — remove-for-add swap).
+        Small-file compaction is what keeps scan task counts sane after
+        many incremental commits; history stays readable until vacuum."""
+        snap = self.snapshot()
+        df = self.read(spark).coalesce(target_files)
+        stage = f"s-{uuid.uuid4().hex}"
+        stage_abs = os.path.join(self.data_dir, stage)
+        df.write.mode("overwrite").parquet(stage_abs)
+        actions = self._adds_for_stage(stage_abs)
+        actions += [{"remove": {"path": f["path"]}} for f in snap.files]
+        actions.append(
+            {"commitInfo": {"operation": "OPTIMIZE", "numFiles": len(actions)}}
+        )
+        return self._commit(actions)
+
+    def _adds_for_stage(self, stage_abs: str) -> list[dict]:
         adds = []
         for dirpath, _dirs, names in os.walk(stage_abs):
             for name in sorted(names):
@@ -168,23 +250,7 @@ class TableLog:
                         }
                     }
                 )
-        adds.append({"commitInfo": {"operation": "APPEND", "numFiles": len(adds)}})
-        return self._commit(adds)
-
-    def delete_where(self, pred) -> int:
-        """Logical file-level delete: commit remove-actions for every live
-        file whose partitionValues satisfy `pred` (dict -> bool). Data files
-        stay on disk, so earlier versions remain time-travelable."""
-        snap = self.snapshot()
-        removes = [
-            {"remove": {"path": f["path"]}}
-            for f in snap.files
-            if pred(f.get("partitionValues", {}))
-        ]
-        removes.append(
-            {"commitInfo": {"operation": "DELETE", "numRemoved": len(removes)}}
-        )
-        return self._commit(removes)
+        return adds
 
     def vacuum(self) -> list[str]:
         """Physically delete data files no committed version references
@@ -243,6 +309,83 @@ class TableLog:
 _CUT1 = "1997-01-01"  # v0: orders strictly before
 _CUT2 = "1999-01-01"  # v1: append [CUT1, CUT2)
 _DROP_YEAR = 1996  # v2: logical delete of files with o_year < 1996
+
+
+@query(
+    "merge_versioned",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 1 THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 4 = 1 THEN
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 40000000, 'O', o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 7
+    )
+    SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+             AS total
+    FROM orders
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+             AS total
+    FROM merged
+    """,
+)
+def merge_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE on the log-backed table (the transactional complement of
+    merge_full's plain-parquet emulation): v0 = orders snapshot; one
+    TableLog.merge commits updates (keys %4==1: finalize at +5%) and
+    inserts (keys %1000==7 re-keyed) as v1 — add-actions for the
+    rewritten files, remove-actions for the superseded ones, atomically.
+    The result reads BOTH versions and aggregates, proving snapshot
+    isolation: v0 still returns the pre-merge totals after v1 commits.
+    Prices move through DECIMAL (4dp-tie float policy)."""
+    import shutil
+
+    root = scratch_path(sf_dir, "orders_merge_tlog")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TableLog(root)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.append(orders)
+    k = F.col("o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    src = (
+        orders.where(k % 4 == 1)
+        .select(
+            "o_orderkey",
+            F.lit("F").alias("o_orderstatus"),
+            (price_dec * F.expr("CAST(1.05 AS DECIMAL(3,2))"))
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(k % 1000 == 7).select(
+                (k + 40000000).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    t.merge(spark, src, key="o_orderkey")
+    outs = []
+    for v in (0, 1):
+        agg = t.read(spark, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(
+            agg.select(F.lit(v).cast("long").alias("version"), "n_rows", "total")
+        )
+    return outs[0].unionByName(outs[1])
 
 
 @query(

@@ -2093,3 +2093,24 @@ def test_cbo_stats_recorded_and_used(spark):
     assert stats and "25 rows" in stats[0], stats
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+
+
+def test_table_log_compaction(spark, tmp_path):
+    """OPTIMIZE: many small files -> few large ones as a new version,
+    content byte-identical, history intact, vacuum keeps every referenced
+    file."""
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    df = spark.range(1000).select("id", (F.col("id") % 7).alias("k"))
+    for lo in range(0, 1000, 250):  # 4 commits -> >=4 files
+        t.append(df.where((F.col("id") >= lo) & (F.col("id") < lo + 250)).repartition(3))
+    before = t.snapshot()
+    assert len(before.files) >= 8
+    v = t.compact(spark, target_files=1)
+    after = t.snapshot()
+    assert len(after.files) == 1
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(1000))
+    # pre-compaction version still readable (snapshot isolation)
+    assert t.read(spark, version=v - 1).count() == 1000
+    assert t.vacuum() == []  # nothing unreferenced: history preserved
