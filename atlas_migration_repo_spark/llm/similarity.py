@@ -1394,11 +1394,13 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hyperplane-LSH buckets, IVF multiprobe) against the exact block-BLAS
     1-NN, plus the mean cosine gap where they disagree — the acceptance
     gate a pipeline runs before swapping brute force for an index at
-    corpus scale. One row per method. On this fixture the report is
-    decision-grade: at noise-floor cosines the 64-bucket LSH rarely holds
-    the true 1-NN (recall@1 ~0.05, gap ~0.16) while IVF-multiprobe reaches
-    ~0.45 at a ~0.06 gap — the measured reason a pipeline would pick the
-    IVF index here and reserve hyperplane LSH for high-τ dedup.
+    corpus scale. One row per method, including the composed
+    ivf_kmeans_exact_rescore path (sim_knn_ann). On this fixture the
+    report is decision-grade: at noise-floor cosines the 64-bucket LSH
+    rarely holds the true 1-NN (recall@1 ~0.05, gap ~0.16), IVF-multiprobe
+    reaches ~0.45 at a ~0.06 gap, and the composed k-means-refined
+    wide-probe path clears 0.95 — the measured ladder a pipeline climbs
+    from cheap pruning to the declared production path.
 
     Scale: the exact side is the expensive input (inherently quadratic —
     at production scale this eval runs on a held-out sample, which is
@@ -1408,8 +1410,18 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim_knn_join(spark, sf_dir).select(
         "vec_id", F.col("nn_id").alias("true_nn"), F.col("cosine").alias("true_cos")
     )
+
+    def knn_ann_adapter(s, d):
+        return sim_knn_ann(s, d).select(
+            "vec_id", F.col("nn_id").alias("ann_id"), "cosine"
+        )
+
     out = []
-    for method, fn in (("lsh", sim_ann_lsh), ("ivf", sim_ann_ivf)):
+    for method, fn in (
+        ("lsh", sim_ann_lsh),
+        ("ivf", sim_ann_ivf),
+        ("ivf_kmeans_exact_rescore", knn_ann_adapter),  # the declared path
+    ):
         ann = fn(spark, sf_dir).select(
             "vec_id", F.col("ann_id"), F.col("cosine").alias("ann_cos")
         )
@@ -1431,7 +1443,7 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("mean_cos_gap_on_miss"),
             )
         )
-    return out[0].unionByName(out[1])
+    return out[0].unionByName(out[1]).unionByName(out[2])
 
 
 DRIFT_MOD = 2  # A/B split: even vs odd vec_id stand in for old/new snapshots

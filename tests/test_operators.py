@@ -1598,12 +1598,14 @@ def test_sim_ann_recall_eval_floors(spark):
     LSH buckets at this fixture's noise-floor cosines — the ranking the
     op exists to surface."""
     rows = {r["method"]: r for r in QUERIES["sim_ann_recall_eval"].fn(spark, SF_DIR).collect()}
-    assert set(rows) == {"lsh", "ivf"}
+    assert set(rows) == {"lsh", "ivf", "ivf_kmeans_exact_rescore"}
     for m, r in rows.items():
         assert 0.0 < r["recall_at_1"] <= 1.0, (m, r["recall_at_1"])
         if r["mean_cos_gap_on_miss"] is not None:
             assert -1e-9 <= r["mean_cos_gap_on_miss"] <= 0.5, m
     assert rows["ivf"]["recall_at_1"] > rows["lsh"]["recall_at_1"]
+    # the composed production path tops the ladder and clears its gate
+    assert rows["ivf_kmeans_exact_rescore"]["recall_at_1"] >= 0.95
 
 
 def test_headline_shuffle_budgets(spark):
