@@ -576,3 +576,96 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("duration_ms")).alias("duration_ms"),
         "energy",
     )
+
+
+RESIZE_W, RESIZE_H = 2, 4  # nearest-neighbor target dims (half scale)
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor image resize, stdlib+numpy only: decode the
+    P6 raster, select source pixel (floor(y*H/out_h), floor(x*W/out_w))
+    for every target pixel, re-encode as P6. This replaces the gated
+    resize_image stub for the format the repo can genuinely decode;
+    codec formats (JPEG) still require an external library."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1
+    w, h, maxval = tokens
+    px = np.frombuffer(payload[i : i + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    out = px[ys][:, xs]
+    header = f"P6\n{out_w} {out_h}\n{maxval}\n".encode()
+    return header + out.tobytes()
+
+
+@query(
+    "multimodal_resize_ppm",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, j,
+             CAST('0x' || SUBSTRING(MD5(doc_id || ':' || r), 2 * j + 1, 2) AS INT) AS b
+      FROM documents,
+           UNNEST(GENERATE_SERIES(0, {PPM_H - 1})) t(r),
+           UNNEST(GENERATE_SERIES(0, {PPM_W * 3 - 1})) u(j)
+      WHERE r % {PPM_H // RESIZE_H} = 0
+        AND (j // 3) % {PPM_W // RESIZE_W} = 0
+    )
+    SELECT doc_id,
+           CAST({RESIZE_W} AS INT) AS width,
+           CAST({RESIZE_H} AS INT) AS height,
+           {{r}} AS mean_r, {{g}} AS mean_g, {{b}} AS mean_b
+    FROM px GROUP BY doc_id
+    """.format(
+        r=sql_r4("AVG(CASE WHEN j % 3 = 0 THEN b END)"),
+        g=sql_r4("AVG(CASE WHEN j % 3 = 1 THEN b END)"),
+        b=sql_r4("AVG(CASE WHEN j % 3 = 2 THEN b END)"),
+    ),
+)
+def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the multimodal plumbing: synth P6 payload
+    → nearest-neighbor resample to {RESIZE_W}x{RESIZE_H} (resize_ppm:
+    decode, integer-index select, re-encode) → decode the RESIZED bytes →
+    per-channel means. The oracle recomputes the identical selected-pixel
+    set from the md5 byte construction with hex arithmetic, so the whole
+    decode→resize→re-encode→decode chain is hash-verified — the working
+    proof for the resize injection point that the JPEG stub gates.
+
+    Scale shape: one mapInPandas stage over (doc_id), Arrow-batched; at
+    100 TB payloads ride a binary column and the same stage shards by
+    row-group — no shuffle until the final means (none here: per-doc)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _PPM_SCHEMA.fields}
+            for doc_id in pdf["doc_id"]:
+                resized = resize_ppm(synth_ppm(int(doc_id)), RESIZE_W, RESIZE_H)
+                feats = decode_ppm(resized)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(feats["width"])
+                out["height"].append(feats["height"])
+                out["mean_r"].append(feats["mean_r"])
+                out["mean_g"].append(feats["mean_g"])
+                out["mean_b"].append(feats["mean_b"])
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(run, schema=_PPM_SCHEMA).select(
+        "doc_id",
+        "width",
+        "height",
+        r4(F.col("mean_r")).alias("mean_r"),
+        r4(F.col("mean_g")).alias("mean_g"),
+        r4(F.col("mean_b")).alias("mean_b"),
+    )
