@@ -1508,6 +1508,15 @@ def stats_cbo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
     for t in ("supplier", "nation", "region"):
         name = f"cbo_{t}_{suffix}"
+        # the in-memory catalog is per-session but spark-warehouse/
+        # persists: a location orphaned by a previous session blocks
+        # saveAsTable even in overwrite mode — drop both halves first
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
         load(spark, sf_dir, t).write.mode("overwrite").saveAsTable(name)
         spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
         names[t] = name
