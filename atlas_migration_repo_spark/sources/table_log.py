@@ -135,13 +135,46 @@ class TableLog:
                 live.pop(a["remove"]["path"], None)
         return Snapshot(version=v, files=list(live.values()))
 
+    # -- constraints ------------------------------------------------------
+    def set_constraints(self, *exprs: str) -> int:
+        """Commit CHECK constraints (SQL boolean expressions) as table
+        metadata. Every later write validates its INCOMING rows against
+        them distributedly (one filter-count per constraint — map-side,
+        no shuffle) and refuses to commit on violation: the invariant can
+        never enter the table, which is the transactional half of data
+        quality that a post-hoc DQ job cannot give."""
+        meta = {
+            "metaData": {"constraints": list(exprs)},
+            "commitInfo": {"operation": "SET CONSTRAINTS"},
+        }
+        return self._commit([{k: v} for k, v in meta.items()])
+
+    def constraints(self) -> list[str]:
+        try:
+            _, acts = self._actions()
+        except FileNotFoundError:
+            return []
+        out: list[str] = []
+        for a in acts:
+            if "metaData" in a and "constraints" in a["metaData"]:
+                out = a["metaData"]["constraints"]  # latest wins
+        return out
+
+    def _check(self, df: DataFrame) -> None:
+        for expr in self.constraints():
+            bad = df.where(~F.expr(expr)).limit(1).count()
+            if bad:
+                raise ValueError(f"CHECK constraint violated, commit refused: {expr}")
+
     # -- writers ----------------------------------------------------------
     def append(
         self, df: DataFrame, partition_by: list[str] | None = None
     ) -> int:
         """Stage `df` as parquet under data/ and commit add-actions for the
         written files. With partition_by, files land in key=value dirs and
-        the partition values are recorded in the log (pruning metadata)."""
+        the partition values are recorded in the log (pruning metadata).
+        CHECK constraints (set_constraints) validate before commit."""
+        self._check(df)
         stage = f"s-{uuid.uuid4().hex}"
         stage_abs = os.path.join(self.data_dir, stage)
         w = df.write.mode("overwrite")
@@ -151,6 +184,40 @@ class TableLog:
         adds = self._adds_for_stage(stage_abs)
         adds.append({"commitInfo": {"operation": "APPEND", "numFiles": len(adds)}})
         return self._commit(adds)
+
+    def changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed: rows ADDED in versions (from_version, to_version]
+        — the files new commits added, read directly (no diffing scan of
+        the whole table). The downstream-sync primitive: a consumer keeps
+        its last-seen version and incrementally pulls what changed, which
+        at 100 TB costs the delta, never the history."""
+        vs = self.versions()
+        hi = vs[-1] if to_version is None else to_version
+        added: list[str] = []
+        for v in vs:
+            if v <= from_version or v > hi:
+                continue
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "add" in a:
+                        added.append(a["add"]["path"])
+        if not added:
+            raise ValueError(
+                f"no added files in ({from_version}, {hi}] of {self.log_dir}"
+            )
+        groups: dict[str, list[str]] = {}
+        for p in added:
+            groups.setdefault(p.split(os.sep, 1)[0], []).append(
+                os.path.join(self.data_dir, p)
+            )
+        parts = [
+            spark.read.option("basePath", os.path.join(self.data_dir, seg)).parquet(*ps)
+            for seg, ps in sorted(groups.items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def delete_where(self, pred) -> int:
         """Logical file-level delete: commit remove-actions for every live
@@ -441,3 +508,40 @@ def time_travel_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "table_log_changes",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_CUT1} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{_CUT2} 00:00:00'
+    """,
+)
+def table_log_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change feed off the commit log: build a two-commit
+    table (v0 = orders before {CUT1}, v1 = append [{CUT1}, {CUT2})) and
+    pull changes SINCE v0 — exactly the files v1 added, read directly
+    from the log without scanning or diffing v0's data. The oracle is the
+    defining predicate of the appended slice. This is the downstream-sync
+    primitive: consumers track their last-seen version and pay for the
+    delta only."""
+    import shutil
+
+    root = scratch_path(sf_dir, "orders_changes_tlog")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TableLog(root)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t.append(orders.where(F.col("o_orderdate") < _CUT1))
+    t.append(
+        orders.where(
+            (F.col("o_orderdate") >= _CUT1) & (F.col("o_orderdate") < _CUT2)
+        )
+    )
+    return t.changes(spark, from_version=0).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )

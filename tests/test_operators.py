@@ -2116,3 +2116,24 @@ def test_table_log_compaction(spark, tmp_path):
     # pre-compaction version still readable (snapshot isolation)
     assert t.read(spark, version=v - 1).count() == 1000
     assert t.vacuum() == []  # nothing unreferenced: history preserved
+
+
+def test_table_log_check_constraints(spark, tmp_path):
+    """CHECK constraints gate commits: a violating append must refuse to
+    commit (version count unchanged, no new files), a clean append passes,
+    and constraints survive in the log as metaData."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    t.set_constraints("v >= 0", "k IS NOT NULL")
+    good = spark.range(10).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    t.append(good)
+    vs_before = t.versions()
+    bad = spark.range(3).select(F.col("id").alias("k"), F.lit(-5.0).alias("v"))
+    with _pytest.raises(ValueError, match="CHECK constraint violated"):
+        t.append(bad)
+    assert t.versions() == vs_before  # refused commit left no version
+    assert t.read(spark).count() == 10
+    assert t.constraints() == ["v >= 0", "k IS NOT NULL"]
