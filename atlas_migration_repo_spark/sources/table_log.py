@@ -545,3 +545,142 @@ def table_log_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("o_totalprice")).alias("total"),
     )
+
+
+@query(
+    "stream_table_log",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT2} 00:00:00'
+    """,
+)
+def stream_table_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM the commit log: a partition-based Python DataSourceStreamReader
+    whose offset IS the table version — latestOffset() polls the log,
+    partitions() maps each newly-added file to one InputPartition, and
+    read() opens that parquet file WITH PYARROW ON THE EXECUTOR, so data
+    never flows through the driver (the scale-correct half of the Python
+    Data Source API, vs the driver-side Simple reader). Offsets commit per
+    micro-batch → exactly-once file delivery; a consumer that crashes
+    replays only uncommitted versions. This is the streaming consumer of
+    TableLog.changes: subscribe to a table, not a directory.
+
+    The fixture table gets three commits (orders sliced by date); the
+    drained stream's global (count, exact decimal sum) must equal the
+    batch aggregate over the union predicate — the oracle."""
+    import shutil
+    import time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    root = scratch_path(sf_dir, "orders_stream_tlog")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TableLog(root)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    mid = "1996-01-01"
+    t.append(orders.where(F.col("o_orderdate") < mid).drop("o_orderdate"))
+    t.append(
+        orders.where((F.col("o_orderdate") >= mid) & (F.col("o_orderdate") < _CUT1))
+        .drop("o_orderdate")
+    )
+    t.append(
+        orders.where((F.col("o_orderdate") >= _CUT1) & (F.col("o_orderdate") < _CUT2))
+        .drop("o_orderdate")
+    )
+
+    class FilePartition(InputPartition):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class LogStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.root = options["path"]
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def latestOffset(self):
+            from atlas_migration_repo_spark.sources.table_log import TableLog as TL
+
+            vs = TL(self.root).versions()
+            return {"version": vs[-1] if vs else -1}
+
+        def partitions(self, start, end):
+            import json as _json
+            import os as _os
+
+            paths = []
+            log_dir = _os.path.join(self.root, "_log")
+            for v in range(start["version"] + 1, end["version"] + 1):
+                f = _os.path.join(log_dir, f"{v:020d}.json")
+                if not _os.path.exists(f):
+                    continue
+                with open(f) as fh:
+                    for line in fh:
+                        a = _json.loads(line)
+                        if "add" in a:
+                            paths.append(
+                                _os.path.join(self.root, "data", a["add"]["path"])
+                            )
+            return [FilePartition(p) for p in paths]
+
+        def read(self, partition):
+            # executor-side parquet scan of exactly one committed file
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path, columns=["o_orderkey", "o_totalprice"])
+            for k, p in zip(
+                tbl.column("o_orderkey").to_pylist(),
+                tbl.column("o_totalprice").to_pylist(),
+            ):
+                yield (k, p)
+
+        def commit(self, end):
+            pass
+
+    class TableLogSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "table_log_stream"
+
+        def schema(self) -> str:
+            return "o_orderkey bigint, o_totalprice double"
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            return LogStreamReader(self.options)
+
+    spark.dataSource.register(TableLogSource)
+    sink = "tlog_stream_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.format("table_log_stream")
+            .option("path", root)
+            .load()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        expected = t.read(spark).count()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.table(sink).collect()
+            if got and got[0]["n_rows"] == expected:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
