@@ -368,7 +368,12 @@ class TableLog:
             spark.read.option("basePath", os.path.join(self.data_dir, seg)).parquet(*ps)
             for seg, ps in sorted(groups.items())
         ]
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        # allowMissingColumns = additive schema evolution: commits written
+        # before a column existed surface NULL for it (the mergeSchema
+        # semantics of the table formats this log models)
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
 
 
 # -- registered query ----------------------------------------------------

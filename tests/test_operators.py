@@ -2137,3 +2137,23 @@ def test_table_log_check_constraints(spark, tmp_path):
     assert t.versions() == vs_before  # refused commit left no version
     assert t.read(spark).count() == 10
     assert t.constraints() == ["v >= 0", "k IS NOT NULL"]
+
+
+def test_table_log_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: rows committed before a column existed
+    read back with NULL for it; old versions keep their own schema."""
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+    t.append(
+        spark.range(5, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("score")
+        )
+    )
+    latest = t.read(spark)
+    assert set(latest.columns) == {"k", "score"}
+    rows = {r["k"]: r["score"] for r in latest.collect()}
+    assert all(rows[k] is None for k in range(5))
+    assert all(rows[k] == k * 2.0 for k in range(5, 10))
+    assert t.read(spark, version=0).columns == ["k"]
