@@ -1539,3 +1539,126 @@ def stats_cbo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", prev_reorder)
+
+
+@query(
+    "pipeline_lakehouse_sync",
+    oracle="""
+    WITH initial AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 3 THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 3 THEN
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM initial
+      UNION ALL
+      SELECT o_orderkey + 50000000, 'O', o_totalprice
+      FROM initial WHERE o_orderkey % 1000 = 11
+    )
+    SELECT (SELECT COUNT(*) FROM initial) AS n_staged,
+           (SELECT COUNT(*) FROM initial) AS n_initial,
+           (SELECT COUNT(*) FROM final) AS n_final,
+           (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                    AS DECIMAL(38,4)) AS DOUBLE) FROM final) AS total_final
+    """,
+)
+def pipeline_lakehouse_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composite — the reference's actual migration flow
+    [/root/reference/README.md:3-9] built ONLY from this round's
+    transactional pieces, end to end:
+
+    1. EXTRACT: the orders slice lands as a Salesforce Bulk-API-shaped
+       CSV staging dir and is read back through SalesforceExtractor with
+       an explicit ObjectSpec schema (the offline half of the connector).
+    2. LOAD: the staged rows enter a TableLog guarded by CHECK
+       constraints (a violating feed can never commit).
+    3. SYNC: a CDC-style delta (updates %10==3 at +10%, re-keyed inserts
+       %1000==11) MERGEs as one atomic version — snapshot isolation keeps
+       the initial version readable throughout.
+    4. SERVE: the final snapshot aggregates with the exact decimal
+       policy; counts at each stage prove no row was lost or invented.
+
+    The oracle recomputes every stage from the base table's defining
+    predicates, so the whole chain — CSV type fidelity, constraint gate,
+    log commit, merge arithmetic — is hash-verified as one unit."""
+    import shutil
+
+    from atlas_migration_repo_spark.sources.salesforce import (
+        ObjectSpec,
+        SalesforceExtractor,
+    )
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    # 1. extract: Bulk-API CSV staging
+    staging = scratch_path(sf_dir, "lakehouse_sync_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < "1997-01-01")
+        .select(
+            F.col("o_orderkey").alias("Id"),
+            F.col("o_orderstatus").alias("Status__c"),
+            F.col("o_totalprice").alias("TotalPrice__c"),
+        )
+        .coalesce(2)
+        .write.option("header", "true")
+        .csv(f"{staging}/Atlas_Order__c")
+    )
+    spec = ObjectSpec(
+        name="Atlas_Order__c",
+        fields=(("Id", "long"), ("Status__c", "string"), ("TotalPrice__c", "double")),
+    )
+    staged = SalesforceExtractor(spark, staging_dir=staging).read(spec).select(
+        F.col("Id").alias("o_orderkey"),
+        F.col("Status__c").alias("o_orderstatus"),
+        F.col("TotalPrice__c").alias("o_totalprice"),
+    )
+
+    # 2. load into a constraint-guarded table log
+    root = scratch_path(sf_dir, "lakehouse_sync_tlog")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TableLog(root)
+    t.set_constraints("o_totalprice >= 0", "o_orderkey IS NOT NULL")
+    v_initial = t.append(staged)
+
+    # 3. CDC delta merged as one atomic version
+    k = F.col("o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    delta = (
+        staged.where(k % 10 == 3)
+        .select(
+            "o_orderkey",
+            F.lit("F").alias("o_orderstatus"),
+            (price_dec * F.expr("CAST(1.10 AS DECIMAL(3,2))"))
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            staged.where(k % 1000 == 11).select(
+                (k + 50000000).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    t.merge(spark, delta, key="o_orderkey")
+
+    # 4. serve: per-stage counts + exact final aggregate
+    n_staged = staged.count()
+    n_initial = t.read(spark, version=v_initial).count()
+    final = t.read(spark)
+    return final.agg(
+        F.count(F.lit(1)).alias("n_final"),
+        msum(F.col("o_totalprice")).alias("total_final"),
+    ).select(
+        F.lit(n_staged).alias("n_staged"),
+        F.lit(n_initial).alias("n_initial"),
+        F.col("n_final"),
+        F.col("total_final"),
+    )
