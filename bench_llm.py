@@ -40,6 +40,8 @@ KEYS = (
     "tokenizer_bpe_merges",
     "tokenizer_bpe_encode",
     "quality_logreg_score",
+    "sim_knn_ann",
+    "multimodal_resize_ppm",
 )
 
 
@@ -58,7 +60,8 @@ def main() -> None:
     for _ in range(2):  # best-of-2 steady state, same policy as bench.py
         for k in KEYS:
             t0 = time.perf_counter()
-            QUERIES[k].fn(spark, sf_dir).count()
+            # noop sink: full plan incl. final projection, nothing driver-side
+            QUERIES[k].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             timings[k] = min(timings.get(k, dt), dt)
     print(
@@ -67,7 +70,7 @@ def main() -> None:
                 "metric": "llm_family_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "timing": "best-of-2",
+                "timing": "best-of-2-noop-sink",
                 "queries": timings,
                 "sf": sf,
             }
