@@ -107,6 +107,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "sim_knn_ann",
     "source_avro",
     "stream_stateful_ttl",
+    "geo_haversine_pairs",
 )
 
 
@@ -151,6 +152,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.operators.analytics2",
         "atlas_migration_repo_spark.operators.sketches",
         "atlas_migration_repo_spark.operators.graph",
+        "atlas_migration_repo_spark.operators.geo",
         "atlas_migration_repo_spark.functions.scalars",
         "atlas_migration_repo_spark.functions.udfs",
         "atlas_migration_repo_spark.sources.files",
