@@ -286,9 +286,18 @@ class TableLog:
         many incremental commits; history stays readable until vacuum."""
         snap = self.snapshot()
         df = self.read(spark).coalesce(target_files)
+        # preserve the partition layout: compacted files must keep their
+        # partitionValues or later partition-level deletes/pruning would
+        # silently skip them
+        pvcols = sorted(
+            {k for f in snap.files for k in f.get("partitionValues", {})}
+        )
         stage = f"s-{uuid.uuid4().hex}"
         stage_abs = os.path.join(self.data_dir, stage)
-        df.write.mode("overwrite").parquet(stage_abs)
+        w = df.write.mode("overwrite")
+        if pvcols:
+            w = w.partitionBy(*pvcols)
+        w.parquet(stage_abs)
         actions = self._adds_for_stage(stage_abs)
         actions += [{"remove": {"path": f["path"]}} for f in snap.files]
         actions.append(

@@ -2157,3 +2157,50 @@ def test_table_log_schema_evolution(spark, tmp_path):
     assert all(rows[k] is None for k in range(5))
     assert all(rows[k] == k * 2.0 for k in range(5, 10))
     assert t.read(spark, version=0).columns == ["k"]
+
+
+def test_table_log_model_based_random_ops(spark, tmp_path):
+    """Model-based check of the commit protocol: a seeded random sequence
+    of append / partition-delete / compact ops, mirrored in a plain
+    in-memory model; after the run EVERY committed version's read() must
+    equal the model's expected id-set at that version (time travel over
+    arbitrary histories, not just the hand-built fixtures)."""
+    import random
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    rng = random.Random(42)
+    t = TableLog(str(tmp_path / "t"))
+    next_id = 0
+    live: set[int] = set()  # current expected ids
+    history: dict[int, set[int]] = {}  # version -> expected ids
+
+    def df_for(ids):
+        return spark.createDataFrame(
+            [(i, i % 3) for i in sorted(ids)], "id long, k long"
+        )
+
+    for _ in range(12):
+        op = rng.choice(["append", "append", "delete", "compact"])
+        if op == "append":
+            batch = set(range(next_id, next_id + rng.randint(5, 40)))
+            next_id = max(batch) + 1
+            v = t.append(df_for(batch), partition_by=["k"])
+            live |= batch
+        elif op == "delete":
+            if not live:
+                continue
+            parity = rng.randint(0, 2)
+            v = t.delete_where(lambda pv, p=parity: pv.get("k") == str(p))
+            live = {i for i in live if i % 3 != parity}
+        else:
+            if not live:
+                continue
+            v = t.compact(spark, target_files=2)
+        history[v] = set(live)
+
+    for v, expected in history.items():
+        if not expected:
+            continue  # empty snapshots raise by contract
+        got = {r["id"] for r in t.read(spark, version=v).select("id").collect()}
+        assert got == expected, f"version {v}: {len(got)} vs {len(expected)}"
