@@ -1593,3 +1593,137 @@ def sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(r4(F.max("cos")).alias("m"))
     )
     return mx.groupBy("doc").agg(msum(F.col("m")).alias("maxsim"))
+
+
+PQ_M = 8  # subspaces (64-d -> 8 blocks of 8 dims)
+PQ_K = 16  # codes per subspace -> 4 bits/block, 8 bytes -> 4 bytes per vector
+PQ_ITERS = 8
+
+
+def _pq_train(spark: SparkSession, em: DataFrame, iters: int):
+    """Train PQ codebooks: per subspace an independent k-means in 8-d.
+    Same treeAggregate shape as _kmeans_refine — each pass emits per-batch
+    partial (sum, count) for every (subspace, code) cell; driver state is
+    the M×K×(D/M) codebook tensor (tiny). Init: the PQ_K vectors with the
+    smallest xxhash64(vec_id), split into blocks (deterministic, no RNG)."""
+    import numpy as np
+
+    seeds = (
+        em.select("vec_id", "embedding")
+        .withColumn("hk", F.xxhash64("vec_id"))
+        .orderBy("hk", "vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    d = len(seeds[0]["embedding"])
+    sub = d // PQ_M
+    cb = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
+    cb = cb.reshape(PQ_K, PQ_M, sub).transpose(1, 0, 2).copy()  # M x K x sub
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cb)
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            C = bc.value  # M x K x sub
+            S = np.zeros_like(C)
+            n = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+                B = V.reshape(len(V), PQ_M, sub)
+                for m in range(PQ_M):
+                    d2 = ((B[:, m, None, :] - C[m][None, :, :]) ** 2).sum(-1)
+                    a = d2.argmin(1)
+                    for k in np.unique(a):
+                        S[m, k] += B[a == k, m].sum(0)
+                        n[m, k] += int((a == k).sum())
+            yield pd.DataFrame(
+                {
+                    "m": np.repeat(np.arange(PQ_M, dtype=np.int32), PQ_K),
+                    "k": np.tile(np.arange(PQ_K, dtype=np.int32), PQ_M),
+                    "cnt": n.ravel(),
+                    "vsum": list(S.reshape(PQ_M * PQ_K, sub)),
+                }
+            )
+
+        rows = (
+            em.select("embedding")
+            .mapInPandas(partials, "m int, k int, cnt long, vsum array<double>")
+            .collect()
+        )
+        S = np.zeros_like(cb)
+        n = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+        for r in rows:
+            S[r["m"], r["k"]] += np.asarray(r["vsum"])
+            n[r["m"], r["k"]] += r["cnt"]
+        nz = n > 0
+        newc = cb.copy()
+        newc[nz] = S[nz] / n[nz][:, None]
+        cb = newc
+    return cb
+
+
+@query("embed_pq", tags=("approx", "llm"))
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the vector-compression half of a production
+    ANN index (IVF-PQ): 64-d float vectors compress to PQ_M 4-bit codes
+    (64× smaller than float32) by running an independent k-means per
+    8-dim subspace. Training is PQ_ITERS treeAggregate-shaped passes
+    (codebook-sized driver state); encoding is one Arrow-batch pass
+    emitting per-label count + mean reconstruction MSE. Rows-only gate
+    (k-means); unit invariants: codes in range, trained codebooks beat
+    the untrained init's distortion, determinism.
+
+    At 100 TB: codebooks are KBs and broadcast; encoding is a single scan;
+    the compressed codes make billion-vector candidate scoring
+    memory-resident — the standard IVF-PQ memory story."""
+    import numpy as np
+
+    em = load(spark, sf_dir, "embeddings")
+    cb = _pq_train(spark, em, PQ_ITERS)
+    bc = spark.sparkContext.broadcast(cb)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = bc.value
+        sub = C.shape[2]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            B = V.reshape(len(V), PQ_M, sub)
+            codes = np.zeros((len(V), PQ_M), dtype=np.int32)
+            recon = np.zeros_like(B)
+            for m in range(PQ_M):
+                d2 = ((B[:, m, None, :] - C[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = d2.argmin(1)
+                recon[:, m] = C[m][codes[:, m]]
+            mse = ((B - recon) ** 2).mean(axis=(1, 2))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "label": pdf["label"].to_numpy(),
+                    "codes": list(codes),
+                    "mse": mse,
+                }
+            )
+
+    enc = em.select("vec_id", "label", "embedding").mapInPandas(
+        encode, "vec_id long, label int, codes array<int>, mse double"
+    )
+    return (
+        enc.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            r4(F.avg("mse")).alias("mean_mse"),
+            F.min(F.array_min("codes")).alias("code_min"),
+            F.max(F.array_max("codes")).alias("code_max"),
+        )
+        .orderBy("label")
+    )

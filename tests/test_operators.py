@@ -2204,3 +2204,39 @@ def test_table_log_model_based_random_ops(spark, tmp_path):
             continue  # empty snapshots raise by contract
         got = {r["id"] for r in t.read(spark, version=v).select("id").collect()}
         assert got == expected, f"version {v}: {len(got)} vs {len(expected)}"
+
+
+def test_embed_pq_invariants(spark):
+    """PQ codebook training must help: trained codebooks' mean distortion
+    strictly below the untrained init's; codes stay in [0, PQ_K);
+    deterministic across runs."""
+    from atlas_migration_repo_spark.llm import similarity as S
+
+    rows = {r["label"]: r for r in QUERIES["embed_pq"].fn(spark, SF_DIR).collect()}
+    assert rows, "no labels"
+    for r in rows.values():
+        assert 0 <= r["code_min"] and r["code_max"] < S.PQ_K
+        assert r["mean_mse"] > 0
+    rows2 = {r["label"]: r for r in QUERIES["embed_pq"].fn(spark, SF_DIR).collect()}
+    assert {k: v["mean_mse"] for k, v in rows.items()} == {
+        k: v["mean_mse"] for k, v in rows2.items()
+    }
+    # training helps: compare overall distortion vs the untrained init
+    import numpy as np
+
+    from atlas_migration_repo_spark.catalog import load
+
+    em = load(spark, SF_DIR, "embeddings")
+    V = np.asarray([r["embedding"] for r in em.select("embedding").collect()], dtype=np.float64)
+    B = V.reshape(len(V), S.PQ_M, V.shape[1] // S.PQ_M)
+
+    def dist(cb):
+        tot = 0.0
+        for m in range(S.PQ_M):
+            d2 = ((B[:, m, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+            tot += d2.min(1).mean()
+        return tot
+
+    cb0 = S._pq_train(spark, em, 0)
+    cbN = S._pq_train(spark, em, S.PQ_ITERS)
+    assert dist(cbN) < dist(cb0) * 0.9, (dist(cbN), dist(cb0))
