@@ -2240,3 +2240,49 @@ def test_embed_pq_invariants(spark):
     cb0 = S._pq_train(spark, em, 0)
     cbN = S._pq_train(spark, em, S.PQ_ITERS)
     assert dist(cbN) < dist(cb0) * 0.9, (dist(cbN), dist(cb0))
+
+
+def test_table_log_data_skipping_prunes_files(spark, tmp_path):
+    """Log-stats skipping must cut the candidate file set using ONLY the
+    commit log (footer stats harvested at write time), and a file without
+    stats must be kept, never skipped."""
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    for lo in range(0, 1000, 100):  # 10 disjoint key slices, one file each
+        t.append(
+            spark.range(lo, lo + 100)
+            .select(F.col("id"), (F.col("id") * 2).alias("v"))
+            .coalesce(1)
+        )
+    all_files = t.snapshot().files
+    assert len(all_files) >= 10
+    assert all(f["stats"]["minValues"]["id"] is not None for f in all_files)
+    hit = t.files_in_range("id", 250, 349)
+    assert 1 <= len(hit) <= 2, [f["stats"]["minValues"] for f in hit]
+    got = sorted(r["id"] for r in t.read_range(spark, "id", 250, 349).collect())
+    assert got == list(range(250, 350))
+    # a statless file is conservative: always kept
+    import json
+    import os
+
+    log_dir = os.path.join(str(tmp_path / "t"), "_log")
+    acts = [{"add": {"path": "s-x/manual.parquet", "partitionValues": {}, "size": 1}}]
+    spark.range(5000, 5010).select(F.col("id"), F.col("id").alias("v")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path / "t"), "data", "s-man"))
+    part = next(
+        p
+        for p in os.listdir(os.path.join(str(tmp_path / "t"), "data", "s-man"))
+        if p.endswith(".parquet")
+    )
+    os.makedirs(os.path.join(str(tmp_path / "t"), "data", "s-x"), exist_ok=True)
+    os.rename(
+        os.path.join(str(tmp_path / "t"), "data", "s-man", part),
+        os.path.join(str(tmp_path / "t"), "data", "s-x", "manual.parquet"),
+    )
+    with open(os.path.join(log_dir, f"{len(t.versions()):020d}.json"), "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    kept = t.files_in_range("id", 0, 10)
+    assert any(f["path"] == "s-x/manual.parquet" for f in kept)
