@@ -110,6 +110,14 @@ class TableLog:
         finally:
             os.unlink(tmp)
 
+    def _checkpoints(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.log_dir):
+            m = re.match(r"^(\d{20})\.checkpoint\.json$", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
     def _actions(self, version: int | None = None) -> tuple[int, list[dict]]:
         vs = self.versions()
         if not vs:
@@ -117,13 +125,47 @@ class TableLog:
         v = vs[-1] if version is None else version
         if v not in vs:
             raise ValueError(f"version {v} not in committed versions {vs}")
+        # start from the newest checkpoint at or below v: replay cost is
+        # O(actions since checkpoint), not O(all commits ever)
         acts: list[dict] = []
+        start = -1
+        cps = [c for c in self._checkpoints() if c <= v]
+        if cps:
+            start = cps[-1]
+            with open(
+                os.path.join(self.log_dir, f"{start:020d}.checkpoint.json")
+            ) as fh:
+                acts.extend(json.loads(line) for line in fh if line.strip())
         for ver in vs:
-            if ver > v:
-                break
+            if ver <= start or ver > v:
+                continue
             with open(os.path.join(self.log_dir, f"{ver:020d}.json")) as fh:
                 acts.extend(json.loads(line) for line in fh if line.strip())
         return v, acts
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Write a checkpoint of the resolved state (live add actions +
+        latest constraints metaData) at `version` (default: latest).
+        Readers start from the newest checkpoint ≤ their target, so log
+        replay stays O(actions-since-checkpoint) no matter how many
+        commits the table has accumulated — the public Delta checkpoint
+        idea, JSON-shaped. Written via the same tmp+rename discipline as
+        commits (a torn checkpoint is ignored: readers fall back to the
+        previous one or the full log)."""
+        v = self.versions()[-1] if version is None else version
+        snap = self.snapshot(v)
+        acts: list[dict] = [{"add": f} for f in snap.files]
+        cons = self.constraints()
+        if cons:
+            acts.append({"metaData": {"constraints": cons}})
+        tmp = os.path.join(self.log_dir, f".tmp.cp.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            for a in acts:
+                fh.write(json.dumps(a, sort_keys=True) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.log_dir, f"{v:020d}.checkpoint.json"))
+        return v
 
     def snapshot(self, version: int | None = None) -> Snapshot:
         v, acts = self._actions(version)
@@ -399,14 +441,38 @@ class TableLog:
         df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
         return df.where((F.col(column) >= lo) & (F.col(column) <= hi))
 
-    def vacuum(self) -> list[str]:
-        """Physically delete data files no committed version references
-        (orphans from crashed writers). Files referenced by ANY version are
-        kept — time travel stays intact."""
-        _, acts = self._actions()
-        referenced = {
-            a["add"]["path"] for a in acts if "add" in a
-        }
+    def vacuum(self, retain_versions: int | None = None) -> list[str]:
+        """Physically delete unreferenced data files.
+
+        Default (retain_versions=None): only orphans from crashed writers
+        — files referenced by ANY committed version are kept, so all time
+        travel stays intact. With retain_versions=N: keep files needed by
+        the newest N versions; files referenced ONLY by older versions are
+        reclaimed and those versions stop being readable (their commit
+        files are removed so a later read fails loudly instead of
+        half-resolving). A checkpoint is written first so the trimmed log
+        still resolves without the deleted history."""
+        vs = self.versions()
+        if retain_versions is not None and len(vs) > retain_versions:
+            keep_vs = vs[-retain_versions:]
+            # checkpoint the OLDEST retained version first: after the older
+            # commit files are trimmed, it is the resolution base for every
+            # retained version
+            self.checkpoint(version=keep_vs[0])
+            referenced = set()
+            for v in keep_vs:
+                for f in self.snapshot(v).files:
+                    referenced.add(f["path"])
+            for v in vs[: len(vs) - retain_versions]:
+                os.unlink(os.path.join(self.log_dir, f"{v:020d}.json"))
+            for c in self._checkpoints():
+                if c < keep_vs[0]:
+                    os.unlink(
+                        os.path.join(self.log_dir, f"{c:020d}.checkpoint.json")
+                    )
+        else:
+            _, acts = self._actions()
+            referenced = {a["add"]["path"] for a in acts if "add" in a}
         deleted = []
         for dirpath, _dirs, names in os.walk(self.data_dir):
             for name in names:

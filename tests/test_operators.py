@@ -2286,3 +2286,65 @@ def test_table_log_data_skipping_prunes_files(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     kept = t.files_in_range("id", 0, 10)
     assert any(f["path"] == "s-x/manual.parquet" for f in kept)
+
+
+def test_table_log_checkpoint_and_retention_vacuum(spark, tmp_path):
+    """Checkpoints must make log replay start from the resolved state
+    (identical reads before/after), and retention vacuum must reclaim
+    files only older versions referenced while keeping every retained
+    version readable — and failing LOUDLY for trimmed ones."""
+    import os
+
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    root = str(tmp_path / "t")
+    t = TableLog(root)
+    t.set_constraints("id >= 0")
+    for lo in range(0, 600, 100):
+        t.append(spark.range(lo, lo + 100).select("id").coalesce(1))
+    latest = t.versions()[-1]
+    before = sorted(r["id"] for r in t.read(spark).collect())
+
+    cp_v = t.checkpoint()
+    assert cp_v == latest
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before
+    assert t.constraints() == ["id >= 0"]  # metaData survives the checkpoint
+    # time travel below the checkpoint still resolves (full log intact)
+    assert t.read(spark, version=t.versions()[2]).count() == 200
+
+    # overwrite-style churn so old files become reclaimable
+    t.compact(spark, target_files=1)
+    n_before = len(
+        [
+            f
+            for d, _sub, names in os.walk(os.path.join(root, "data"))
+            for f in names
+            if f.endswith(".parquet")
+        ]
+    )
+    # retain 2: the pre-compaction version stays live, so its files are
+    # still referenced and NOTHING may be reclaimed
+    assert t.vacuum(retain_versions=2) == []
+    assert t.read(spark, version=t.versions()[0]).count() == 600
+    # retain 1: only the compacted file is referenced -> originals reclaimed
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted, "retention vacuum reclaimed nothing"
+    kept = t.versions()
+    assert len(kept) == 1
+    # retained versions fully readable
+    for v in kept:
+        assert t.read(spark, version=v).count() == 600
+    # trimmed versions fail loudly
+    with _pytest.raises(ValueError, match="not in committed versions"):
+        t.read(spark, version=1)
+    n_after = len(
+        [
+            f
+            for d, _sub, names in os.walk(os.path.join(root, "data"))
+            for f in names
+            if f.endswith(".parquet")
+        ]
+    )
+    assert n_after < n_before
