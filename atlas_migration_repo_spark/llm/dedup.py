@@ -831,3 +831,53 @@ def corpus_dedup_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_near = s3.select(F.lit(3).alias("stage"), F.lit("near_jaccard").alias("name"), F.count(F.lit(1)).alias("n_docs"))
 
     return n_raw.unionByName(n_exact).unionByName(n_fp).unionByName(n_near)
+
+
+def _simhash_pairs_oracle() -> str:
+    base = _simhash_oracle()
+    joins = " OR ".join(f"a.chunk{i} = b.chunk{i}" for i in range(4))
+    ham = " + ".join(f"BIT_COUNT(XOR(a.chunk{i}, b.chunk{i}))" for i in range(4))
+    return f"""
+    WITH sh AS ({base})
+    SELECT a.doc_id AS da, b.doc_id AS db, CAST(({ham}) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND ({joins})
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate PAIRS — the second half of the SimHash pipeline:
+    documents colliding on ANY of the four 16-bit chunks (the pigeonhole
+    guarantee: hamming ≤ 3 implies at least one chunk matches) paired up
+    with their exact hamming distance, computed as Σ bit_count(xor) over
+    the chunk ints in BOTH engines — exactly SQL-expressible, so the
+    whole hash→band→candidate→distance chain is oracle-gated.
+
+    Plan: four chunk equi-joins UNIONed then distinct — the banding
+    shape; never an all-pairs comparison (a random chunk collides at
+    2^-16, so candidates ≈ 4·N²/2^16 ≪ N²). At corpus scale each band
+    join shuffles on its chunk value; a hot chunk (boilerplate) is a
+    salting case like any hot key."""
+    h = dedup_simhash(spark, sf_dir).select("doc_id", "chunk0", "chunk1", "chunk2", "chunk3")
+    h = h.localCheckpoint()  # 4 self-joins: compute the hashes once
+    cand = None
+    for i in range(4):
+        a = h.select(
+            F.col("doc_id").alias("da"), *[F.col(f"chunk{j}").alias(f"a{j}") for j in range(4)]
+        )
+        b = h.select(
+            F.col("doc_id").alias("db"), *[F.col(f"chunk{j}").alias(f"b{j}") for j in range(4)]
+        )
+        p = a.join(b, (F.col(f"a{i}") == F.col(f"b{i}")) & (F.col("da") < F.col("db")))
+        cand = p if cand is None else cand.unionByName(p)
+    ham = sum(
+        (
+            F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+            for j in range(4)
+        ),
+        F.lit(0),
+    )
+    return (
+        cand.select("da", "db", ham.cast("int").alias("hamming"))
+        .distinct()
+    )

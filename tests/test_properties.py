@@ -330,3 +330,53 @@ def test_span_dedup_matches_python_model(spark, docs):
         assert r["n_spans"] == len(spans)
         assert r["n_kept"] == len(kept)
         assert r["text_kept"] == (" ".join(kept) if kept else None)
+
+
+# -- Avro codec properties (pure Python — no Spark job per example) ----------
+
+_avro_row = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),  # long
+    st.one_of(st.none(), st.text(max_size=40)),  # nullable string (any unicode)
+    st.one_of(
+        st.none(),
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+    ),  # nullable double incl. NaN/Inf
+    st.one_of(st.none(), st.booleans()),
+    st.one_of(st.none(), st.binary(max_size=24)),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_avro_row, max_size=50), st.sampled_from(["null", "deflate"]))
+def test_avro_codec_roundtrip_property(rows, codec):
+    """The spec-level Avro container codec must round-trip ANY row set —
+    full unicode, NaN/±Inf doubles, empty bytes, nulls in every union —
+    under both codecs, bit-for-bit."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from atlas_migration_repo_spark.sources.avro import (
+        _container_bytes,
+        avro_schema_for,
+        parse_container,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("d", T.DoubleType(), True),
+            T.StructField("b", T.BooleanType(), True),
+            T.StructField("raw", T.BinaryType(), True),
+        ]
+    )
+    data = _container_bytes(avro_schema_for(schema), rows, codec)
+    _avsc, back = parse_container(data)
+    assert len(back) == len(rows)
+    for got, want in zip(back, rows):
+        for g, w in zip(got, want):
+            if isinstance(w, float) and math.isnan(w):
+                assert isinstance(g, float) and math.isnan(g)
+            else:
+                assert g == w, (g, w)
