@@ -2348,3 +2348,40 @@ def test_table_log_checkpoint_and_retention_vacuum(spark, tmp_path):
         ]
     )
     assert n_after < n_before
+
+
+def test_table_log_concurrent_writers_race(spark, tmp_path):
+    """Optimistic concurrency under a REAL race: 4 threads each commit 4
+    appends against one table. Every commit must win a unique version
+    (os.link put-if-absent), no append may be lost or duplicated, and the
+    final read must hold exactly the union of all batches."""
+    import threading
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    root = str(tmp_path / "t")
+    TableLog(root)  # create dirs once
+    errors = []
+
+    def writer(tid: int):
+        try:
+            t = TableLog(root)  # own handle, like a separate process
+            for j in range(4):
+                lo = (tid * 4 + j) * 100
+                t.append(
+                    spark.range(lo, lo + 100).select("id").coalesce(1)
+                )
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = TableLog(root)
+    vs = t.versions()
+    assert vs == list(range(16)), vs  # 16 commits, dense unique versions
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == list(range(1600)), (len(got), got[:5], got[-5:])
