@@ -12,7 +12,10 @@ is not in-repo) — for scaling ratios and Spark↔DuckDB parity that is
 irrelevant: both engines read the same files.
 
 Usage: python tools/gen_fixtures.py [SF] [OUTDIR]
-       (defaults: SF=1.0, OUTDIR=.scratch/sf1)
+       (defaults: SF=1.0, OUTDIR=.scratch/fixtures/sf1 — fixtures must NOT
+       live at .scratch/<basename> itself: queries run against a fixture
+       dir write their scratch output to .scratch/<basename(sf_dir)>/,
+       which would collide with the fixture files)
 """
 
 from __future__ import annotations
@@ -158,6 +161,6 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
 if __name__ == "__main__":
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    default = os.path.join(repo, ".scratch", f"sf{sf:g}".replace("sf1", "sf1"))
+    default = os.path.join(repo, ".scratch", "fixtures", f"sf{sf:g}")
     outdir = sys.argv[2] if len(sys.argv) > 2 else default
     generate(sf, outdir)
