@@ -1784,3 +1784,128 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+IVFPQ_RERANK = 4  # per-(query, cell) ADC shortlist width fed to exact rerank
+
+
+@query("sim_ann_ivfpq", tags=("approx", "llm"))
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production-canonical billion-vector index, composed
+    from the repo's pieces: IVF cells prune candidates (shared cached
+    k-means quantizer), members are stored as 4-byte PQ codes
+    (embed_pq's codebooks), candidate scoring is ASYMMETRIC-DISTANCE
+    (full-precision query against PQ-reconstructed members — the ADC
+    trick that keeps a 1e9-vector corpus in RAM), each (query, cell)
+    keeps an IVFPQ_RERANK-deep ADC shortlist, and the pooled shortlist
+    reranks EXACTLY from full-precision vectors. Output schema and float
+    policy match sim_knn_join; recall vs exact is unit-asserted with the
+    honest PQ-on-random-data floor (ADC is a lossy ranker — rerank width
+    buys recall back, the standard IVF-PQ dial).
+
+    Memory story at 100 TB: member arrays appear ONLY in codebook
+    training and the final rerank join (|shortlist| rows); everything
+    between moves 4-byte codes."""
+    import numpy as np
+
+    em = load(spark, sf_dir, "embeddings")
+    members, probed = _ivf_assignments(
+        spark, em, KNN_PROBES, refine_iters=KNN_KMEANS_ITERS, cache_key=sf_dir
+    )
+    cb = _pq_train(spark, em, PQ_ITERS)
+    bcb = spark.sparkContext.broadcast(cb)
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = bcb.value
+        sub = C.shape[2]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            B = V.reshape(len(V), PQ_M, sub)
+            codes = np.zeros((len(V), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                d2 = ((B[:, m, None, :] - C[m][None, :, :]) ** 2).sum(-1)
+                codes[:, m] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": pdf["cell"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = members.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+    mb = coded.groupBy("cell").agg(
+        F.collect_list(F.struct("vec_id", "codes")).alias("m_items")
+    )
+    qb = probed.groupBy("cell").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("q_items")
+    )
+
+    def cell_adc_shortlist(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = bcb.value  # M x K x sub
+        sub = C.shape[2]
+        for pdf in batches:
+            out = {"qid": [], "cid": []}
+            for q_items, m_items in zip(pdf["q_items"], pdf["m_items"]):
+                qid = np.array([it["vec_id"] for it in q_items], dtype=np.int64)
+                mid = np.array([it["vec_id"] for it in m_items], dtype=np.int64)
+                codes = np.asarray([it["codes"] for it in m_items], dtype=np.int64)
+                # reconstruct members from codes: gather per subspace
+                recon = np.concatenate(
+                    [C[m][codes[:, m]] for m in range(PQ_M)], axis=1
+                )
+                recon /= np.maximum(np.linalg.norm(recon, axis=1, keepdims=True), 1e-12)
+                Q = np.asarray([it["embedding"] for it in q_items], dtype=np.float64)
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                S = Qn @ recon.T  # ADC scores
+                S[qid[:, None] == mid[None, :]] = -np.inf
+                top = np.argsort(-S, kind="stable", axis=1)[:, :IVFPQ_RERANK]
+                for i in range(len(qid)):
+                    for j in top[i]:
+                        if not np.isinf(S[i, j]):
+                            out["qid"].append(int(qid[i]))
+                            out["cid"].append(int(mid[j]))
+            yield pd.DataFrame(out)
+
+    shortlist = (
+        qb.join(mb, "cell")
+        .repartition(spark.sparkContext.defaultParallelism, "cell")
+        .mapInPandas(cell_adc_shortlist, "qid long, cid long")
+        .distinct()
+    )
+    # exact rerank of the pooled shortlist only: full-precision arrays
+    # re-enter here, on |shortlist| rows — never on the candidate volume
+    ea = em.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    eb = em.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    rer = (
+        shortlist.join(ea, "qid")
+        .join(eb, "cid")
+        .mapInPandas(_einsum_score, "qid long, cid long, cos double")
+        .groupBy("qid")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("b"))
+        .select(F.col("qid").alias("vec_id"), (-F.col("b.nc")).alias("nn_id"))
+    )
+    la = em.select("vec_id", F.col("embedding").alias("ea"), F.col("label").alias("la"))
+    lb = em.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("lb"),
+    )
+    return (
+        rer.join(la, "vec_id")
+        .join(lb, "nn_id")
+        .select(
+            "vec_id",
+            "nn_id",
+            r4(cosine(F.col("ea"), F.col("eb"))).alias("cosine"),
+            (F.col("la") == F.col("lb")).alias("same_label"),
+        )
+    )

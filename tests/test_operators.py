@@ -2385,3 +2385,21 @@ def test_table_log_concurrent_writers_race(spark, tmp_path):
     assert vs == list(range(16)), vs  # 16 commits, dense unique versions
     got = sorted(r["id"] for r in t.read(spark).collect())
     assert got == list(range(1600)), (len(got), got[:5], got[-5:])
+
+
+def test_sim_ann_ivfpq_recall_ladder(spark):
+    """IVF-PQ sits where the theory puts it: below the full-precision
+    composed path (ADC is a lossy ranker) but well above chance, with
+    every vector answered and the exact-rerank float policy intact
+    (cosines bit-match sim_knn_join wherever the true NN was found)."""
+    exact = {r["vec_id"]: r for r in QUERIES["sim_knn_join"].fn(spark, SF_DIR).collect()}
+    pq = {r["vec_id"]: r for r in QUERIES["sim_ann_ivfpq"].fn(spark, SF_DIR).collect()}
+    assert set(pq) == set(exact)
+    hits = [v for v, r in exact.items() if pq[v]["nn_id"] == r["nn_id"]]
+    recall = len(hits) / len(exact)
+    assert recall >= 0.75, f"IVF-PQ recall {recall:.3f} below floor"
+    for v in hits:
+        assert pq[v]["cosine"] == exact[v]["cosine"], v
+    ann = {r["vec_id"]: r for r in QUERIES["sim_knn_ann"].fn(spark, SF_DIR).collect()}
+    ann_recall = sum(1 for v, r in exact.items() if ann[v]["nn_id"] == r["nn_id"]) / len(exact)
+    assert ann_recall >= recall, "full-precision path must not lose to PQ"
