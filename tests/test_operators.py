@@ -2403,3 +2403,34 @@ def test_sim_ann_ivfpq_recall_ladder(spark):
     ann = {r["vec_id"]: r for r in QUERIES["sim_knn_ann"].fn(spark, SF_DIR).collect()}
     ann_recall = sum(1 for v, r in exact.items() if ann[v]["nn_id"] == r["nn_id"]) / len(exact)
     assert ann_recall >= recall, "full-precision path must not lose to PQ"
+
+
+def test_kafka_stream_options_surface():
+    """Kafka connector boundary: valid configs serialize to the exact
+    option keys the kafka source consumes; invalid ones fail loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.cloud import kafka_stream_options
+
+    opts = kafka_stream_options(
+        "broker1:9092,broker2:9092",
+        "atlas.orders.cdc",
+        starting_offsets={"atlas.orders.cdc": {"0": 100, "1": -2}},
+        group_id_prefix="atlas-migration",
+        max_offsets_per_trigger=500_000,
+    )
+    assert opts["kafka.bootstrap.servers"].startswith("broker1")
+    assert opts["subscribe"] == "atlas.orders.cdc"
+    assert json.loads(opts["startingOffsets"]) == {
+        "atlas.orders.cdc": {"0": 100, "1": -2}
+    }
+    assert opts["maxOffsetsPerTrigger"] == "500000"
+    assert opts["failOnDataLoss"] == "true"
+    with _pytest.raises(ValueError):
+        kafka_stream_options("", "t")
+    with _pytest.raises(ValueError):
+        kafka_stream_options("b:9092", "t", starting_offsets="yesterday")
+    with _pytest.raises(ValueError):
+        kafka_stream_options("b:9092", "t", max_offsets_per_trigger=0)
