@@ -124,11 +124,14 @@ def kafka_stream_options(
     }
     if starting_offsets is not None:
         if isinstance(starting_offsets, dict):
+            # Kafka's startingOffsets JSON keys partitions by STRING; the
+            # offset value must be validated regardless of key type
+            # (-1 latest, -2 earliest, >=0 absolute)
             bad = [
                 (t, p)
                 for t, ps in starting_offsets.items()
                 for p in ps
-                if not isinstance(p, str) and int(ps[p]) < -2
+                if int(ps[p]) < -2
             ]
             if bad:
                 raise ValueError(f"offsets must be >= -2 (earliest): {bad}")

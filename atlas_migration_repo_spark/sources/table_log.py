@@ -19,13 +19,38 @@ Layout (one directory per table):
                               (20-digit zero-padded, like the public
                               Delta protocol's _delta_log)
 
-Commit protocol (single filesystem; maps 1:1 to conditional-PUT on object
-stores):
+Commit protocol:
 1. stage data files under data/ (invisible — readers only trust the log),
 2. write the commit's actions to _log/.tmp.<uuid>,
-3. publish with os.link(tmp, <v>.json) — link fails with EEXIST if any
-   concurrent writer took version v first (put-if-absent), giving
-   optimistic concurrency; rename would silently clobber.
+3. publish via the LogStore's put-if-absent primitive — publication fails
+   if any concurrent writer took version v first, giving optimistic
+   concurrency; a clobbering write would silently lose commits.
+
+The publish step is a SEAM (`LogStore`), because put-if-absent is the one
+operation whose implementation is storage-specific:
+- `PosixLinkLogStore` (default): os.link(tmp, <v>.json) — atomic and
+  natively conditional on POSIX filesystems.
+- `CoordinatedPutLogStore`: for rename-less, last-writer-wins stores
+  (S3 plain PUT — the reference's declared landing zone). Models the
+  public Delta S3 commit protocol (S3DynamoDBLogStore): win an external
+  put-if-absent CLAIM for the version first (DynamoDB conditional write
+  in production; an O_EXCL claim file standing in for the external
+  coordinator here), then copy the commit to a durable per-claim staging
+  object, plain-PUT the commit object (safe to clobber: only the claim
+  owner writes it), and mark the claim complete. A writer that crashes
+  mid-publish leaves a claimed-but-incomplete version; any later
+  writer/reader RECOVERS it by re-copying from the staging object
+  recorded in the claim (idempotent — one owner, one content).
+Both impls pass the same 4-writers × 4-appends race test: dense
+versions, no commit lost.
+
+Conflict detection: version-number races are resolved by retrying at the
+next version, but a retried commit that carries REMOVE actions re-checks
+its premise — if a concurrent winner already removed any of the same
+files (two merges, delete racing compact, ...), blindly retrying would
+double-apply the rewrite, so the commit raises
+ConcurrentModificationError instead (the Delta conflict-checker rule;
+concurrent blind APPENDs are the provably-safe case and always retry).
 
 Crash consistency: a writer dying at any step leaves either (a) orphan
 staged data files — never referenced by a committed version, invisible,
@@ -60,6 +85,144 @@ from atlas_migration_repo_spark.sources.files import scratch_path
 _VERSION_RE = re.compile(r"^(\d{20})\.json$")
 
 
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit invalidated this commit's premise (a file this
+    commit removes was already removed by the race winner). Retrying
+    blindly would double-apply a rewrite or resurrect deleted data, so the
+    writer must re-read the table and redo its operation."""
+
+
+class LogStore:
+    """Put-if-absent seam for publishing commit files (see module
+    docstring). `publish` must atomically make `target` exist with `tmp`'s
+    content iff no committed file exists at `target`, returning False
+    (without clobbering) when a concurrent writer won."""
+
+    def publish(self, tmp: str, target: str) -> bool:
+        raise NotImplementedError
+
+    def recover(self, log_dir: str) -> None:
+        """Finish any crashed writer's half-published commits so the log
+        has no claimed-but-missing versions. No-op for stores whose
+        publish is single-step-atomic."""
+
+
+class PosixLinkLogStore(LogStore):
+    """os.link put-if-absent — atomic on POSIX filesystems (EEXIST when a
+    concurrent writer took the version). NOT valid on object stores,
+    which have no hard links; use CoordinatedPutLogStore there."""
+
+    def publish(self, tmp: str, target: str) -> bool:
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+
+
+class CoordinatedPutLogStore(LogStore):
+    """Put-if-absent for rename-less, last-writer-wins stores (S3 plain
+    PUT). The commit object itself is written with a CLOBBERING write —
+    the only kind such stores have — made safe by first winning an
+    external put-if-absent claim for the version (the public Delta
+    S3DynamoDBLogStore design; the external coordinator is modeled by an
+    O_EXCL file in a separate _claims/ dir, standing in for a DynamoDB
+    conditional write — swap `_claim` to target the real coordinator and
+    nothing else changes).
+
+    Publish steps (crash-recoverable at every boundary):
+    1. claim <v> (conditional create; lose ⇒ return False after
+       recovering the winner's commit if they crashed),
+    2. copy tmp → staging object named in the claim (durable source of
+       truth for recovery),
+    3. plain-PUT target (only the claim owner ever writes it),
+    4. mark the claim complete.
+    A crash after 1 leaves a claim whose staging object is missing —
+    recoverable only by expiring the claim (lease timeout) since no
+    content was ever durably published; a crash after 2 or 3 is finished
+    idempotently by `recover` (re-copy staging → target)."""
+
+    def __init__(self, lease_ms: int = 15_000) -> None:
+        self.lease_ms = lease_ms
+
+    def _claims_dir(self, log_dir: str) -> str:
+        d = os.path.join(log_dir, "_claims")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def publish(self, tmp: str, target: str) -> bool:
+        import time
+
+        log_dir = os.path.dirname(target)
+        version_name = os.path.basename(target)
+        claim = os.path.join(self._claims_dir(log_dir), version_name + ".claim")
+        staged = os.path.join(
+            self._claims_dir(log_dir), version_name + ".staged"
+        )
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            self._recover_one(claim, staged, target)
+            return False
+        with os.fdopen(fd, "w") as fh:
+            json.dump(
+                {"staged": os.path.basename(staged), "complete": False,
+                 "ts_ms": int(time.time() * 1000)},
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        # durable staging copy, then the last-writer-wins PUT of the
+        # commit object (we own the claim, so nobody else writes target)
+        with open(tmp, "rb") as src, open(staged, "wb") as dst:
+            dst.write(src.read())
+            dst.flush()
+            os.fsync(dst.fileno())
+        with open(tmp, "rb") as src, open(target, "wb") as dst:
+            dst.write(src.read())
+            dst.flush()
+            os.fsync(dst.fileno())
+        with open(claim, "w") as fh:
+            json.dump({"staged": os.path.basename(staged), "complete": True}, fh)
+        return True
+
+    def _recover_one(self, claim: str, staged: str, target: str) -> None:
+        """Finish a crashed owner's publish: if the staging object exists
+        but the commit object doesn't, re-copy it (idempotent — only the
+        claim owner's content was ever staged). A claim with NO staging
+        object after the lease expires is a pre-stage crash: nothing was
+        published, so the claim is expired to unblock the version."""
+        import time
+
+        if os.path.exists(target):
+            return
+        if os.path.exists(staged):
+            with open(staged, "rb") as src, open(target, "wb") as dst:
+                dst.write(src.read())
+                dst.flush()
+                os.fsync(dst.fileno())
+            return
+        try:
+            with open(claim) as fh:
+                meta = json.load(fh)
+        except (OSError, ValueError):
+            return
+        if int(time.time() * 1000) - meta.get("ts_ms", 0) > self.lease_ms:
+            os.unlink(claim)  # expired pre-stage crash; version reusable
+
+    def recover(self, log_dir: str) -> None:
+        claims = self._claims_dir(log_dir)
+        for name in os.listdir(claims):
+            if not name.endswith(".claim"):
+                continue
+            base = name[: -len(".claim")]
+            self._recover_one(
+                os.path.join(claims, name),
+                os.path.join(claims, base + ".staged"),
+                os.path.join(log_dir, base),
+            )
+
+
 @dataclass
 class Snapshot:
     """Resolved state of the table at one version."""
@@ -72,12 +235,14 @@ class Snapshot:
 
 
 class TableLog:
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, store: LogStore | None = None) -> None:
         self.root = root
+        self.store = store if store is not None else PosixLinkLogStore()
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        self.store.recover(self.log_dir)
 
     # -- log primitives ---------------------------------------------------
     def versions(self) -> list[int]:
@@ -89,8 +254,14 @@ class TableLog:
         return sorted(out)
 
     def _commit(self, actions: list[dict]) -> int:
-        """Atomically publish `actions` as the next version (put-if-absent:
-        os.link fails EEXIST if a concurrent writer won the version race)."""
+        """Atomically publish `actions` as the next version through the
+        LogStore's put-if-absent. Losing the version race retries at the
+        next version — but a retried commit that REMOVES files first
+        re-resolves the snapshot and raises ConcurrentModificationError
+        if any of its removed files is no longer live (a concurrent
+        merge/delete/compact already superseded it; blindly retrying
+        would double-apply the rewrite). Blind appends always retry."""
+        removed = {a["remove"]["path"] for a in actions if "remove" in a}
         tmp = os.path.join(self.log_dir, f".tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             for a in actions:
@@ -98,15 +269,31 @@ class TableLog:
             fh.flush()
             os.fsync(fh.fileno())
         try:
+            lost_race = False
+            last_v = -1
             while True:
                 vs = self.versions()
                 v = (vs[-1] + 1) if vs else 0
+                if lost_race and v == last_v:
+                    # race winner still mid-publish (coordinated stores):
+                    # back off until their commit object appears
+                    import time
+
+                    time.sleep(0.005)
+                last_v = v
+                if lost_race and removed:
+                    live = {f["path"] for f in self.snapshot().files}
+                    gone = sorted(removed - live)
+                    if gone:
+                        raise ConcurrentModificationError(
+                            "concurrent commit already removed "
+                            f"{gone[:3]}{'...' if len(gone) > 3 else ''}; "
+                            "re-read the table and redo the operation"
+                        )
                 target = os.path.join(self.log_dir, f"{v:020d}.json")
-                try:
-                    os.link(tmp, target)
+                if self.store.publish(tmp, target):
                     return v
-                except FileExistsError:
-                    continue  # lost the race; retry at the next version
+                lost_race = True  # retry at the next version
         finally:
             os.unlink(tmp)
 
@@ -294,6 +481,9 @@ class TableLog:
         partitionValues intersect the source's keys need rewriting); at
         fixture scale the rewrite is the whole table, which keeps the
         protocol path identical."""
+        # CHECK constraints gate every write path: a violating CDC delta
+        # must not be able to enter via MERGE any more than via APPEND
+        self._check(source)
         snap = self.snapshot()
         target = self.read(spark)
         src = source.select(
@@ -471,8 +661,23 @@ class TableLog:
                         os.path.join(self.log_dir, f"{c:020d}.checkpoint.json")
                     )
         else:
-            _, acts = self._actions()
-            referenced = {a["add"]["path"] for a in acts if "add" in a}
+            # Build the referenced set from EVERY committed commit file
+            # (plus surviving checkpoints) directly — NOT from _actions(),
+            # which replays from the newest checkpoint and so would miss
+            # files that were added and removed before it, deleting data
+            # still referenced by older committed (readable) versions.
+            referenced = set()
+            names = [f"{v:020d}.json" for v in vs] + [
+                f"{c:020d}.checkpoint.json" for c in self._checkpoints()
+            ]
+            for name in names:
+                with open(os.path.join(self.log_dir, name)) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        a = json.loads(line)
+                        if "add" in a:
+                            referenced.add(a["add"]["path"])
         deleted = []
         for dirpath, _dirs, names in os.walk(self.data_dir):
             for name in names:

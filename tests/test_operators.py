@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from atlas_migration_repo_spark.catalog import epoch_us
@@ -2350,22 +2351,33 @@ def test_table_log_checkpoint_and_retention_vacuum(spark, tmp_path):
     assert n_after < n_before
 
 
-def test_table_log_concurrent_writers_race(spark, tmp_path):
+@pytest.mark.parametrize("store_name", ["posix_link", "coordinated_put"])
+def test_table_log_concurrent_writers_race(spark, tmp_path, store_name):
     """Optimistic concurrency under a REAL race: 4 threads each commit 4
-    appends against one table. Every commit must win a unique version
-    (os.link put-if-absent), no append may be lost or duplicated, and the
-    final read must hold exactly the union of all batches."""
+    appends against one table. Every commit must win a unique version,
+    no append may be lost or duplicated, and the final read must hold
+    exactly the union of all batches — for BOTH LogStore impls: the
+    POSIX os.link one and the coordinated-put one that never relies on
+    link/rename atomicity (the rename-less object-store protocol)."""
     import threading
 
-    from atlas_migration_repo_spark.sources.table_log import TableLog
+    from atlas_migration_repo_spark.sources.table_log import (
+        CoordinatedPutLogStore,
+        PosixLinkLogStore,
+        TableLog,
+    )
 
+    mk = {
+        "posix_link": PosixLinkLogStore,
+        "coordinated_put": CoordinatedPutLogStore,
+    }[store_name]
     root = str(tmp_path / "t")
-    TableLog(root)  # create dirs once
+    TableLog(root, store=mk())  # create dirs once
     errors = []
 
     def writer(tid: int):
         try:
-            t = TableLog(root)  # own handle, like a separate process
+            t = TableLog(root, store=mk())  # own handle + own store state
             for j in range(4):
                 lo = (tid * 4 + j) * 100
                 t.append(
@@ -2380,11 +2392,137 @@ def test_table_log_concurrent_writers_race(spark, tmp_path):
     for th in threads:
         th.join()
     assert not errors, errors
-    t = TableLog(root)
+    t = TableLog(root, store=mk())
     vs = t.versions()
     assert vs == list(range(16)), vs  # 16 commits, dense unique versions
     got = sorted(r["id"] for r in t.read(spark).collect())
     assert got == list(range(1600)), (len(got), got[:5], got[-5:])
+
+
+def test_coordinated_store_crash_recovery(spark, tmp_path):
+    """CoordinatedPutLogStore crash windows: a writer dying after staging
+    but before the commit PUT leaves a claimed version whose content is
+    durably staged — the next TableLog open must finish the publish
+    (version readable, no loss). A writer dying BEFORE staging leaves an
+    empty claim — after the lease expires the version must become
+    claimable again instead of wedging the log forever."""
+    import json as _json
+    import os
+
+    from atlas_migration_repo_spark.sources.table_log import (
+        CoordinatedPutLogStore,
+        TableLog,
+    )
+
+    root = str(tmp_path / "t")
+    t = TableLog(root, store=CoordinatedPutLogStore())
+    t.append(spark.range(10).select("id").coalesce(1))
+
+    # crash window A: claim + staged exist, commit object missing
+    log_dir = t.log_dir
+    claims = os.path.join(log_dir, "_claims")
+    target_name = f"{1:020d}.json"
+    actions = [{"commitInfo": {"operation": "APPEND"}}]  # content irrelevant
+    staged = os.path.join(claims, target_name + ".staged")
+    with open(staged, "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    with open(os.path.join(claims, target_name + ".claim"), "w") as fh:
+        _json.dump({"staged": target_name + ".staged", "complete": False,
+                    "ts_ms": 0}, fh)
+    t2 = TableLog(root, store=CoordinatedPutLogStore())  # triggers recover()
+    assert 1 in t2.versions()  # half-published commit finished, not lost
+    # and the log keeps accepting commits past the recovered version
+    t2.append(spark.range(5).select("id").coalesce(1))
+    assert t2.versions() == [0, 1, 2]
+
+    # crash window B: claim only, nothing staged — expires after the lease
+    dead = f"{3:020d}.json"
+    with open(os.path.join(claims, dead + ".claim"), "w") as fh:
+        _json.dump({"staged": dead + ".staged", "complete": False, "ts_ms": 0}, fh)
+    t3 = TableLog(root, store=CoordinatedPutLogStore(lease_ms=0))
+    t3.append(spark.range(5).select("id").coalesce(1))  # must not wedge
+    assert t3.versions() == [0, 1, 2, 3]
+
+
+def test_table_log_vacuum_keeps_all_committed_history(spark, tmp_path):
+    """Default vacuum() must never delete a file referenced by ANY
+    committed version — including files added and then superseded BEFORE
+    a checkpoint (regression: the referenced set used to be built from a
+    checkpoint-based replay, silently reclaiming pre-checkpoint history
+    that was still committed and readable)."""
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    for lo in range(0, 600, 100):
+        t.append(spark.range(lo, lo + 100).select("id").coalesce(1))
+    t.compact(spark, target_files=1)  # supersedes all 6 original files
+    t.checkpoint()  # checkpoint AFTER the churn: live set = 1 file
+    assert t.vacuum() == []  # nothing reclaimed: v0..v5 still committed
+    for v in range(6):  # every pre-compaction version still readable
+        assert t.read(spark, version=v).count() == (v + 1) * 100
+
+
+def test_table_log_merge_respects_constraints(spark, tmp_path):
+    """CHECK constraints must gate MERGE exactly like APPEND: a violating
+    CDC delta refuses to commit (no new version), a clean one merges."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    t.set_constraints("v >= 0")
+    t.append(spark.range(10).select(F.col("id").alias("k"), F.lit(1.0).alias("v")))
+    vs_before = t.versions()
+    bad = spark.range(3).select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+    with _pytest.raises(ValueError, match="CHECK constraint violated"):
+        t.merge(spark, bad, key="k")
+    assert t.versions() == vs_before
+    good = spark.range(3).select(F.col("id").alias("k"), F.lit(9.0).alias("v"))
+    t.merge(spark, good, key="k")
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows[0] == 9.0 and rows[5] == 1.0
+
+
+def test_table_log_conflicting_remove_raises(spark, tmp_path):
+    """Logical-conflict detection: a remove-carrying commit that loses
+    the version race to a writer who removed the SAME file must raise
+    ConcurrentModificationError instead of blindly retrying (two merges /
+    delete racing compact would double-apply). Blind appends still retry."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.table_log import (
+        ConcurrentModificationError,
+        TableLog,
+    )
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(spark.range(10).select("id").coalesce(1), partition_by=None)
+    victim = t.snapshot().files[0]["path"]
+
+    real_publish = t.store.publish
+    state = {"raced": False}
+
+    def racing_publish(tmp, target):
+        if not state["raced"]:
+            state["raced"] = True
+            # the concurrent winner removes the same file at this version
+            with open(target, "w") as fh:
+                fh.write(_json.dumps({"remove": {"path": victim}}) + "\n")
+            return False
+        return real_publish(tmp, target)
+
+    t.store.publish = racing_publish
+    with _pytest.raises(ConcurrentModificationError, match="already removed"):
+        t.delete_where(lambda pv: True)
+    # an APPEND racing the same winner is safe and must retry through
+    state["raced"] = False
+    v = t.append(spark.range(5).select("id").coalesce(1))
+    assert v == t.versions()[-1]
+    assert os.path.exists(os.path.join(t.log_dir, f"{v:020d}.json"))
 
 
 def test_sim_ann_ivfpq_recall_ladder(spark):
