@@ -68,6 +68,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    no Spark job, no data scan. The cheap replacement for a driver-side
+    `df.count()` when an operator only needs N to size its blocking
+    (same footer-stats source table_log's data skipping harvests)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(d, n)).metadata.num_rows
+            for d, _sub, names in os.walk(path)
+            for n in names
+            if n.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # ---- determinism helpers (SURVEY.md §5.4) -----------------------------------
 # Floats: Spark and DuckDB sum in different orders → ulp drift. Every derived
 # double that feeds the oracle hash is rounded to 4 decimals on BOTH sides.

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import load, msum, r4
+from atlas_migration_repo_spark.catalog import load, msum, parquet_row_count, r4
 from atlas_migration_repo_spark.oracle import sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 
@@ -138,6 +138,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_BLOCK = 1024  # rows per block: blocks stay ≪ executor memory at any N
+# BLAS-vs-chain cosine disagreement is rounding-order noise (≤ a few ulps of
+# 1.0 ≈ 1e-15); 1e-9 is a ~million-fold safety margin that still shortlists
+# exactly one candidate except under genuine near-ties
+_KNN_RERANK_EPS = 1e-9
 
 
 @query(
@@ -168,19 +172,23 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark relation ever materialized; at 100 TB the same plan runs with
     bigger blocks and sim_ann_lsh prunes candidates first.
 
-    Determinism: numpy float64 cosines order the candidates (argmax over a
-    contiguous matrix; ties broken by ascending vec_id); the block-local
-    best pair is then re-scored with a sequential left-to-right Python-
-    float accumulation — IEEE double chain, bit-identical to both the
-    Spark `dot` chain and DuckDB's list_aggregate — so the emitted cosine
-    hashes exactly. The exact re-score is O(N·K) scalar dots (winners
-    only), negligible next to the O(N²) BLAS selection."""
+    Determinism: numpy float64 cosines SHORTLIST the candidates, but the
+    winner is chosen by the exact sequential left-to-right Python-float
+    chain — IEEE double chain, bit-identical to both the Spark `dot`
+    chain and DuckDB's list_aggregate — so selection and the emitted
+    cosine agree with the oracle's `ORDER BY cos DESC, nn` even when two
+    candidates sit within a ulp of each other (the BLAS value rounds
+    differently: it normalizes first, the chain divides once at the end).
+    Every BLAS candidate within _KNN_RERANK_EPS of the block max gets the
+    exact re-score (normally exactly one), and the global rank across
+    block pairs also orders by the exact value. Block sizing reads N from
+    the parquet footer (no count() job)."""
     import math
 
     import pandas as pd
 
     em = load(spark, sf_dir, "embeddings")
-    n = em.count()
+    n = parquet_row_count(sf_dir, "embeddings")
     nblocks = max(1, math.ceil(n / KNN_BLOCK))
     blocks = (
         em.select("vec_id", "embedding", "label", (F.col("vec_id") % nblocks).alias("bid"))
@@ -208,12 +216,12 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            out = {k: [] for k in ("vec_id", "cand", "cos_sel", "cos_exact", "same_label")}
+            out = {k: [] for k in ("vec_id", "cand", "cos_exact", "same_label")}
             for a_items, b_items in zip(pdf["a_items"], pdf["b_items"]):
                 aid = np.array([it["vec_id"] for it in a_items], dtype=np.int64)
                 bid = np.array([it["vec_id"] for it in b_items], dtype=np.int64)
-                # candidates sorted by vec_id: np.argmax takes the FIRST
-                # max, which then IS the smallest-id tiebreak
+                # candidates sorted by vec_id: the smallest-id candidate
+                # comes first among exact ties
                 border = np.argsort(bid, kind="stable")
                 bid = bid[border]
                 A = np.asarray([it["embedding"] for it in a_items], dtype=np.float64)
@@ -226,22 +234,32 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 S[aid[:, None] == bid[None, :]] = -np.inf  # exclude self
                 # exact chain norms of candidates, computed once per block
                 bnorm = [math.sqrt(chain_cos(v, v, 1.0)) for v in B]
-                j = np.argmax(S, axis=1)
-                for i, ji in enumerate(j):
-                    if np.isinf(S[i, ji]):
+                smax = S.max(axis=1)
+                for i in range(len(aid)):
+                    if np.isinf(smax[i]):
                         continue  # block held only self
+                    # exact re-rank of every BLAS near-tie: the winner is
+                    # chosen by the chain value the oracle orders on, so a
+                    # ulp-level BLAS/chain disagreement can't flip it
+                    close = np.nonzero(S[i] >= smax[i] - _KNN_RERANK_EPS)[0]
+                    best = None
+                    for ji in close:
+                        ce = chain_cos(A[i], B[ji], bnorm[ji])
+                        key = (-ce, int(bid[ji]))
+                        if best is None or key < best[0]:
+                            best = (key, int(ji), ce)
+                    _, ji, ce = best
                     out["vec_id"].append(int(aid[i]))
                     out["cand"].append(int(bid[ji]))
-                    out["cos_sel"].append(float(S[i, ji]))
-                    out["cos_exact"].append(chain_cos(A[i], B[ji], bnorm[ji]))
+                    out["cos_exact"].append(ce)
                     out["same_label"].append(bool(la[i] == lb[ji]))
             yield pd.DataFrame(out)
 
     partials = pairs.mapInPandas(
         best_per_block_pair,
-        schema="vec_id long, cand long, cos_sel double, cos_exact double, same_label boolean",
+        schema="vec_id long, cand long, cos_exact double, same_label boolean",
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sel").desc(), "cand")
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_exact").desc(), "cand")
     return (
         partials.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -593,8 +611,9 @@ def _ivf_assignments(
                 V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
                 Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
                 S = Vn @ bc.value.T
-                near = np.argsort(-S, kind="stable", axis=1)[:, :k]
-                rep = np.repeat(np.arange(len(pdf)), k)
+                ke = min(k, S.shape[1])  # probe width capped by cell count
+                near = np.argsort(-S, kind="stable", axis=1)[:, :ke]
+                rep = np.repeat(np.arange(len(pdf)), ke)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].to_numpy()[rep],
@@ -609,6 +628,34 @@ def _ivf_assignments(
     members = em.select("vec_id", "embedding").mapInPandas(assigner(1), schema=schema)
     probed = em.select("vec_id", "embedding").mapInPandas(assigner(probes), schema=schema)
     return members, probed
+
+
+ANN_BUNDLE_CAP = 4096  # max rows per bundle row (VERDICT r4 weak #2)
+
+
+def _bundle_by_cell(
+    df: DataFrame, payload_col: str, alias: str, cap: int | None = None
+) -> DataFrame:
+    """Bundle (vec_id, payload) rows by IVF cell into BOUNDED chunk rows:
+    row_number within the cell // cap assigns a chunk id, then one
+    collect_list per (cell, chunk). An unbounded per-cell collect_list is
+    a 100×-scale liability — a skewed cell (degenerate: the whole corpus
+    quantized into one cell) would materialize N/C arrays as a single row
+    and blow past row/Arrow-batch limits long before executor memory
+    matters. Chunk pairs within a cell cross-join downstream, so the
+    candidate set is exactly the cell equi-join's; per-query bests merge
+    across chunks in the existing max(struct) aggregate. The window sort
+    rides the same by-cell shuffle the groupBy needs anyway."""
+    cap = ANN_BUNDLE_CAP if cap is None else cap
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    return (
+        df.withColumn(
+            "chunk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(cap))
+        )
+        .groupBy("cell", "chunk")
+        .agg(F.collect_list(F.struct("vec_id", payload_col)).alias(alias))
+        .drop("chunk")
+    )
 
 
 def _ivf_candidates(
@@ -726,15 +773,13 @@ def sim_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-cell BUNDLED selection: at wide probe widths the naive pair
     # equi-join ships every member array once per matching query (O(Q·M)
     # array copies through the shuffle). Bundling both sides by cell ships
-    # each array ONCE per cell (one row per cell pair), and the block
-    # matmul inside Arrow does the Q×M scoring — measured 4× faster at
-    # sf0.1 than the pair-expanded join, identical selection.
-    mb = members.groupBy("cell").agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("m_items")
-    )
-    qb = probed.groupBy("cell").agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("q_items")
-    )
+    # each array ONCE per cell chunk, and the block matmul inside Arrow
+    # does the Q×M scoring — measured 4× faster at sf0.1 than the
+    # pair-expanded join, identical selection. Bundle rows are BOUNDED at
+    # ANN_BUNDLE_CAP via _bundle_by_cell, so a skewed cell can never
+    # materialize an unbounded row.
+    mb = _bundle_by_cell(members, "embedding", "m_items")
+    qb = _bundle_by_cell(probed, "embedding", "q_items")
 
     def cell_best(batches):
         import numpy as np
@@ -1839,12 +1884,11 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     coded = members.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
-    mb = coded.groupBy("cell").agg(
-        F.collect_list(F.struct("vec_id", "codes")).alias("m_items")
-    )
-    qb = probed.groupBy("cell").agg(
-        F.collect_list(F.struct("vec_id", "embedding")).alias("q_items")
-    )
+    # bounded bundles (see _bundle_by_cell): the ADC shortlist becomes
+    # per-(query, cell, chunk), a SUPERSET of the per-(query, cell) one —
+    # recall can only go up; the exact rerank still pools and dedups
+    mb = _bundle_by_cell(coded, "codes", "m_items")
+    qb = _bundle_by_cell(probed, "embedding", "q_items")
 
     def cell_adc_shortlist(batches):
         import numpy as np
