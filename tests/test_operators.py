@@ -1097,6 +1097,124 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
+def test_kafka_shaped_restart_exactly_once(spark, tmp_path):
+    """The Kafka-shaped source must deliver each record exactly once
+    across a checkpointed stop/produce/restart: half the records in run
+    1, stop, append the rest to the live partition segments, resume from
+    the SAME checkpoint — zero duplicates, zero loss (the consumer
+    contract kafka_stream_options documents)."""
+    import time
+
+    from atlas_migration_repo_spark.sources.kafka_shaped import (
+        FileTopic,
+        register_kafka_shaped_source,
+    )
+
+    root, sink_dir, ckpt = (
+        str(tmp_path / "topic"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    topic = FileTopic(root)
+    ids = list(range(200))
+    for p in range(2):
+        topic.produce(
+            p, [{"key": str(i), "value": {"event_id": i}} for i in ids[:100] if i % 2 == p]
+        )
+    register_kafka_shaped_source(spark)
+
+    def run_until(n_expected):
+        q = (
+            spark.readStream.format("kafka_shaped")
+            .option("path", root)
+            .option("topic", "t")
+            .load()
+            .select("partition", "offset", F.get_json_object("value", "$.event_id").cast("long").alias("event_id"))
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        n = -1
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(sink_dir).count()
+            except Exception:
+                n = 0
+            if n >= n_expected:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        return n
+
+    assert run_until(100) == 100
+    for p in range(2):
+        topic.produce(
+            p, [{"key": str(i), "value": {"event_id": i}} for i in ids[100:] if i % 2 == p]
+        )
+    assert run_until(200) == 200
+    out = spark.read.parquet(sink_dir)
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200  # exactly once
+    # per-partition offsets are dense 0..99
+    offs = {
+        r["partition"]: r["n"]
+        for r in out.groupBy("partition").agg(
+            F.countDistinct("offset").alias("n")
+        ).collect()
+    }
+    assert offs == {0: 100, 1: 100}
+
+
+def test_kafka_shaped_starting_offsets(spark, tmp_path):
+    """startingOffsets semantics: an absolute per-partition offset skips
+    exactly that many records; -1 (latest) starts past existing data."""
+    import time
+
+    from atlas_migration_repo_spark.sources.kafka_shaped import (
+        FileTopic,
+        register_kafka_shaped_source,
+    )
+
+    root = str(tmp_path / "topic")
+    topic = FileTopic(root)
+    topic.produce(0, [{"key": str(i), "value": {"i": i}} for i in range(10)])
+    register_kafka_shaped_source(spark)
+
+    def drain(starting, n_expected, name):
+        q = (
+            spark.readStream.format("kafka_shaped")
+            .option("path", root)
+            .option("topic", "t")
+            .option("startingOffsets", starting)
+            .load()
+            .select("offset")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if spark.table(name).count() >= n_expected:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        return sorted(r["offset"] for r in spark.table(name).collect())
+
+    import json as _json
+
+    got = drain(_json.dumps({"t": {"0": 6}}), 4, "ks_abs")
+    assert got == [6, 7, 8, 9], got
+    got = drain("latest", 0, "ks_latest")
+    assert got == [], got
+
+
 def test_agg_linreg_matches_builtin(spark):
     """First-principles OLS from power sums must agree with the built-in
     regr_slope/regr_intercept/regr_r2 to float tolerance."""
