@@ -566,19 +566,17 @@ def _kmeans_refine(spark: SparkSession, em: DataFrame, cent, iters: int):
 _IVF_CENT_CACHE: dict = {}
 
 
-def _ivf_assignments(
+def _ivf_centroids(
     spark: SparkSession,
     em: DataFrame,
-    probes: int,
     refine_iters: int = 0,
     cache_key: str | None = None,
 ):
-    """IVF cell assignments (members, probed): centroids are the IVF_CELLS
-    vectors with the smallest xxhash64(vec_id) (deterministic, no RNG),
-    optionally refined with ``refine_iters`` spherical-k-means passes;
-    members are stored in their 1 nearest cell, queries probe their
-    ``probes`` nearest cells, candidates meet through an equi-join on cell
-    id — a plain shuffle join that shards horizontally at corpus scale."""
+    """Train the IVF coarse quantizer: centroids are the IVF_CELLS vectors
+    with the smallest xxhash64(vec_id) (deterministic, no RNG), optionally
+    refined with ``refine_iters`` spherical-k-means passes. Returns the
+    unit-normalized (IVF_CELLS, dim) float64 array — KB-sized driver
+    state that ann_index persists as a table."""
     import numpy as np
 
     seeds = (
@@ -598,35 +596,56 @@ def _ivf_assignments(
             cent = _kmeans_refine(spark, em, cent, refine_iters)
             if cache_key is not None:
                 _IVF_CENT_CACHE[key] = cent
+    return cent
+
+
+def _assign_cells(df: DataFrame, bc, k: int) -> DataFrame:
+    """Assign each (vec_id, embedding) row to its k nearest IVF cells
+    under the broadcast centroid matrix `bc` — one Arrow-batch matmul
+    pass, k rows out per vector (k=1 stores members, k=probes fans out
+    queries)."""
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ bc.value.T
+            ke = min(k, S.shape[1])  # probe width capped by cell count
+            near = np.argsort(-S, kind="stable", axis=1)[:, :ke]
+            rep = np.repeat(np.arange(len(pdf)), ke)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[rep],
+                    "cell": near.ravel().astype("int32"),
+                    "embedding": pdf["embedding"].iloc[rep].to_numpy(),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        fn, schema="vec_id long, cell int, embedding array<float>"
+    )
+
+
+def _ivf_assignments(
+    spark: SparkSession,
+    em: DataFrame,
+    probes: int,
+    refine_iters: int = 0,
+    cache_key: str | None = None,
+):
+    """IVF cell assignments (members, probed): members are stored in
+    their 1 nearest cell, queries probe their ``probes`` nearest cells,
+    candidates meet through an equi-join on cell id — a plain shuffle
+    join that shards horizontally at corpus scale."""
+    cent = _ivf_centroids(spark, em, refine_iters=refine_iters, cache_key=cache_key)
     bc = spark.sparkContext.broadcast(cent)
-
-    def assigner(k: int):
-        def fn(batches):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
-                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-                S = Vn @ bc.value.T
-                ke = min(k, S.shape[1])  # probe width capped by cell count
-                near = np.argsort(-S, kind="stable", axis=1)[:, :ke]
-                rep = np.repeat(np.arange(len(pdf)), ke)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy()[rep],
-                        "cell": near.ravel().astype("int32"),
-                        "embedding": pdf["embedding"].iloc[rep].to_numpy(),
-                    }
-                )
-
-        return fn
-
-    schema = "vec_id long, cell int, embedding array<float>"
-    members = em.select("vec_id", "embedding").mapInPandas(assigner(1), schema=schema)
-    probed = em.select("vec_id", "embedding").mapInPandas(assigner(probes), schema=schema)
+    members = _assign_cells(em, bc, 1)
+    probed = _assign_cells(em, bc, probes)
     return members, probed
 
 
@@ -1834,31 +1853,12 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_RERANK = 4  # per-(query, cell) ADC shortlist width fed to exact rerank
 
 
-@query("sim_ann_ivfpq", tags=("approx", "llm"))
-def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ — the production-canonical billion-vector index, composed
-    from the repo's pieces: IVF cells prune candidates (shared cached
-    k-means quantizer), members are stored as 4-byte PQ codes
-    (embed_pq's codebooks), candidate scoring is ASYMMETRIC-DISTANCE
-    (full-precision query against PQ-reconstructed members — the ADC
-    trick that keeps a 1e9-vector corpus in RAM), each (query, cell)
-    keeps an IVFPQ_RERANK-deep ADC shortlist, and the pooled shortlist
-    reranks EXACTLY from full-precision vectors. Output schema and float
-    policy match sim_knn_join; recall vs exact is unit-asserted with the
-    honest PQ-on-random-data floor (ADC is a lossy ranker — rerank width
-    buys recall back, the standard IVF-PQ dial).
-
-    Memory story at 100 TB: member arrays appear ONLY in codebook
-    training and the final rerank join (|shortlist| rows); everything
-    between moves 4-byte codes."""
-    import numpy as np
-
-    em = load(spark, sf_dir, "embeddings")
-    members, probed = _ivf_assignments(
-        spark, em, KNN_PROBES, refine_iters=KNN_KMEANS_ITERS, cache_key=sf_dir
-    )
-    cb = _pq_train(spark, em, PQ_ITERS)
-    bcb = spark.sparkContext.broadcast(cb)
+def _pq_encode(df: DataFrame, bcb) -> DataFrame:
+    """Encode (vec_id, cell, embedding) rows into PQ codes under the
+    broadcast codebooks `bcb` — one Arrow-batch pass; output rows carry
+    4-byte codes, never arrays. This is the write path of a persisted
+    IVF-PQ index (llm/ann_index.py) as well as sim_ann_ivfpq's inline
+    encode."""
 
     def encode(batches):
         import numpy as np
@@ -1883,7 +1883,21 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    coded = members.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+    return df.mapInPandas(encode, "vec_id long, cell int, codes array<int>")
+
+
+def _ivfpq_nn(
+    spark: SparkSession,
+    em: DataFrame,
+    coded: DataFrame,
+    probed: DataFrame,
+    bcb,
+) -> DataFrame:
+    """IVF-PQ serving path: bounded per-cell bundles of codes meet probed
+    queries, ADC shortlists per (query, cell, chunk), and the pooled
+    shortlist reranks EXACTLY from full-precision vectors in `em`.
+    Returns (vec_id, nn_id). Shared by sim_ann_ivfpq (inline index) and
+    sim_ann_index_sync (index persisted in a TableLog)."""
     # bounded bundles (see _bundle_by_cell): the ADC shortlist becomes
     # per-(query, cell, chunk), a SUPERSET of the per-(query, cell) one —
     # recall can only go up; the exact rerank still pools and dedups
@@ -1895,7 +1909,6 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         C = bcb.value  # M x K x sub
-        sub = C.shape[2]
         for pdf in batches:
             out = {"qid": [], "cid": []}
             for q_items, m_items in zip(pdf["q_items"], pdf["m_items"]):
@@ -1929,7 +1942,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-enter here, on |shortlist| rows — never on the candidate volume
     ea = em.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     eb = em.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    rer = (
+    return (
         shortlist.join(ea, "qid")
         .join(eb, "cid")
         .mapInPandas(_einsum_score, "qid long, cid long, cos double")
@@ -1937,6 +1950,33 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("b"))
         .select(F.col("qid").alias("vec_id"), (-F.col("b.nc")).alias("nn_id"))
     )
+
+
+@query("sim_ann_ivfpq", tags=("approx", "llm"))
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production-canonical billion-vector index, composed
+    from the repo's pieces: IVF cells prune candidates (shared cached
+    k-means quantizer), members are stored as 4-byte PQ codes
+    (embed_pq's codebooks), candidate scoring is ASYMMETRIC-DISTANCE
+    (full-precision query against PQ-reconstructed members — the ADC
+    trick that keeps a 1e9-vector corpus in RAM), each (query, cell)
+    keeps an IVFPQ_RERANK-deep ADC shortlist, and the pooled shortlist
+    reranks EXACTLY from full-precision vectors. Output schema and float
+    policy match sim_knn_join; recall vs exact is unit-asserted with the
+    honest PQ-on-random-data floor (ADC is a lossy ranker — rerank width
+    buys recall back, the standard IVF-PQ dial).
+
+    Memory story at 100 TB: member arrays appear ONLY in codebook
+    training and the final rerank join (|shortlist| rows); everything
+    between moves 4-byte codes."""
+    em = load(spark, sf_dir, "embeddings")
+    members, probed = _ivf_assignments(
+        spark, em, KNN_PROBES, refine_iters=KNN_KMEANS_ITERS, cache_key=sf_dir
+    )
+    cb = _pq_train(spark, em, PQ_ITERS)
+    bcb = spark.sparkContext.broadcast(cb)
+    coded = _pq_encode(members, bcb)
+    rer = _ivfpq_nn(spark, em, coded, probed, bcb)
     la = em.select("vec_id", F.col("embedding").alias("ea"), F.col("label").alias("la"))
     lb = em.select(
         F.col("vec_id").alias("nn_id"),

@@ -166,6 +166,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.llm.dedup",
         "atlas_migration_repo_spark.llm.pipeline",
         "atlas_migration_repo_spark.llm.similarity",
+        "atlas_migration_repo_spark.llm.ann_index",
         "atlas_migration_repo_spark.llm.multimodal",
         "atlas_migration_repo_spark.llm.tokenizer",
         "atlas_migration_repo_spark.llm.quality_model",

@@ -397,12 +397,18 @@ class TableLog:
 
     # -- writers ----------------------------------------------------------
     def append(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        extra_actions: list[dict] | None = None,
     ) -> int:
         """Stage `df` as parquet under data/ and commit add-actions for the
         written files. With partition_by, files land in key=value dirs and
         the partition values are recorded in the log (pruning metadata).
-        CHECK constraints (set_constraints) validate before commit."""
+        CHECK constraints (set_constraints) validate before commit.
+        `extra_actions` ride the SAME atomic commit — how derived tables
+        (e.g. the ANN index) record application metadata such as the
+        source version they indexed, the commitInfo-userMetadata idea."""
         self._check(df)
         stage = f"s-{uuid.uuid4().hex}"
         stage_abs = os.path.join(self.data_dir, stage)
@@ -411,6 +417,8 @@ class TableLog:
             w = w.partitionBy(*partition_by)
         w.parquet(stage_abs)
         adds = self._adds_for_stage(stage_abs)
+        if extra_actions:
+            adds.extend(extra_actions)
         adds.append({"commitInfo": {"operation": "APPEND", "numFiles": len(adds)}})
         return self._commit(adds)
 

@@ -709,6 +709,61 @@ def test_ann_bundle_rows_bounded_under_skew(spark, monkeypatch):
         S._IVF_CENT_CACHE.clear()  # don't poison other tests' quantizer
 
 
+def test_ann_index_sync_matches_rebuild(spark):
+    """Persisted-index maintenance (VERDICT r4 next #5): after a 10%
+    embeddings append, the index synced from changes() (delta-encode
+    under the stored quantizer, no retrain) must lose no measurable
+    recall vs a from-scratch rebuild on the full corpus — and the sync
+    must have indexed ONLY the delta (codes v0 = 90%, v1 adds the 10%)."""
+    import shutil
+
+    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.llm.ann_index import (
+        build_ann_index,
+        indexed_version,
+        serve_ann_index,
+        sync_ann_index,
+    )
+    from atlas_migration_repo_spark.sources.files import scratch_path
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    exact = {
+        r["vec_id"]: r["nn_id"]
+        for r in QUERIES["sim_knn_join"].fn(spark, SF_DIR).collect()
+    }
+    synced = {
+        r["vec_id"]: r["nn_id"]
+        for r in QUERIES["sim_ann_index_sync"].fn(spark, SF_DIR).collect()
+    }
+    assert set(synced) == set(exact), "index must answer for every vector"
+
+    # delta-only maintenance: codes log grew by exactly the appended 10%
+    em_all = load(spark, SF_DIR, "embeddings")
+    n = em_all.count()
+    n90 = em_all.where(F.col("vec_id") % 10 != 0).count()
+    codes_log = TableLog(scratch_path(SF_DIR, "ann_index") + "/codes")
+    assert indexed_version(codes_log) == 1
+    assert codes_log.read(spark, version=0).count() == n90
+    assert codes_log.read(spark).count() == n
+    assert codes_log.read(spark).select("vec_id").distinct().count() == n
+
+    # from-scratch rebuild on the full corpus for the recall bar
+    rb_root = scratch_path(SF_DIR, "ann_index_rebuild")
+    shutil.rmtree(rb_root, ignore_errors=True)
+    em = em_all.select("vec_id", "embedding", "label")
+    build_ann_index(spark, em, rb_root, source_version=0)
+    rebuilt = {
+        r["vec_id"]: r["nn_id"]
+        for r in serve_ann_index(
+            spark, rb_root, em.select("vec_id", "embedding"), em
+        ).collect()
+    }
+    rec_sync = sum(1 for v, nn in synced.items() if exact[v] == nn) / len(exact)
+    rec_rebuild = sum(1 for v, nn in rebuilt.items() if exact[v] == nn) / len(exact)
+    assert rec_sync >= 0.75, f"synced recall {rec_sync:.3f} below floor"
+    assert rec_sync >= rec_rebuild - 0.02, (rec_sync, rec_rebuild)
+
+
 def test_approx_percentile_accuracy(spark):
     """percentile_approx at accuracy=1000 must land within 2% of the exact
     per-group median."""
