@@ -345,6 +345,14 @@ class TableLog:
         cons = self.constraints()
         if cons:
             acts.append({"metaData": {"constraints": cons}})
+        cmap, ctypes = self._column_meta(v)
+        md = {}
+        if cmap:
+            md["columnMapping"] = cmap
+        if ctypes:
+            md["columnTypes"] = ctypes
+        if md:
+            acts.append({"metaData": md})
         tmp = os.path.join(self.log_dir, f".tmp.cp.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             for a in acts:
@@ -395,6 +403,118 @@ class TableLog:
             if bad:
                 raise ValueError(f"CHECK constraint violated, commit refused: {expr}")
 
+    # -- column mapping (rename / widen without rewrites) ------------------
+    # The public Delta columnMapping idea: data files keep their PHYSICAL
+    # column names forever; a rename or type-widening is a metaData-only
+    # commit that changes how readers surface them. Zero data rewritten,
+    # and time travel below the boundary sees the old schema because the
+    # mapping is resolved from actions AT the read version.
+
+    _WIDEN_OK = {
+        ("int", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("float", "double"),
+    }
+
+    def _column_meta(self, version: int | None = None) -> tuple[dict, dict]:
+        """(physical→logical renames, physical→widened-type) as of
+        `version` — latest metaData of each kind wins, same resolution
+        rule as constraints."""
+        try:
+            _, acts = self._actions(version)
+        except FileNotFoundError:
+            return {}, {}
+        cmap: dict = {}
+        ctypes: dict = {}
+        for a in acts:
+            md = a.get("metaData", {})
+            if "columnMapping" in md:
+                cmap = md["columnMapping"]
+            if "columnTypes" in md:
+                ctypes = md["columnTypes"]
+        return cmap, ctypes
+
+    def _physical_name(self, logical: str, cmap: dict | None = None) -> str:
+        if cmap is None:
+            cmap, _ = self._column_meta()
+        for phys, log in cmap.items():
+            if log == logical:
+                return phys
+        return logical
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column as a metaData-only commit (no file touched).
+        Appends after the rename accept the NEW logical name and stage
+        under the stable physical name; reads at older versions still
+        surface the old name. Partition columns are not renameable (their
+        physical names are baked into key=value paths)."""
+        cmap, ctypes = self._column_meta()
+        for f in self.snapshot().files:
+            if old in f.get("partitionValues", {}):
+                raise ValueError(f"cannot rename partition column {old!r}")
+        phys = self._physical_name(old, cmap)
+        cmap = {**cmap, phys: new}
+        return self._commit(
+            [
+                {"metaData": {"columnMapping": cmap}},
+                {"commitInfo": {"operation": "RENAME COLUMN", "from": old, "to": new}},
+            ]
+        )
+
+    def widen_column(self, logical: str, new_type: str, from_type: str) -> int:
+        """Widen a column's type (int→bigint, float→double, ...) as a
+        metaData-only commit. Readers cast each file's physical column up
+        to the widened type before the union; existing narrow files stay
+        valid forever (lossless widenings only)."""
+        if (from_type, new_type) not in self._WIDEN_OK:
+            raise ValueError(
+                f"unsupported widening {from_type} -> {new_type}; "
+                f"lossless pairs: {sorted(self._WIDEN_OK)}"
+            )
+        cmap, ctypes = self._column_meta()
+        phys = self._physical_name(logical, cmap)
+        ctypes = {**ctypes, phys: new_type}
+        return self._commit(
+            [
+                {"metaData": {"columnTypes": ctypes}},
+                {
+                    "commitInfo": {
+                        "operation": "WIDEN COLUMN",
+                        "column": logical,
+                        "to": new_type,
+                    }
+                },
+            ]
+        )
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Writer half of column mapping: incoming logical columns rename
+        to their stable physical names (and widened columns cast to the
+        widened type, so every file at or above the boundary already
+        carries it)."""
+        cmap, ctypes = self._column_meta()
+        for phys, logical in cmap.items():
+            if logical in df.columns and phys != logical:
+                df = df.withColumnRenamed(logical, phys)
+        for phys, typ in ctypes.items():
+            if phys in df.columns:
+                df = df.withColumn(phys, F.col(phys).cast(typ))
+        return df
+
+    def _apply_mapping(self, df: DataFrame, version: int | None = None) -> DataFrame:
+        """Reader half: cast widened physical columns up, then surface
+        logical names — both resolved AT `version` (time travel below a
+        rename sees the old schema)."""
+        cmap, ctypes = self._column_meta(version)
+        for phys, typ in ctypes.items():
+            if phys in df.columns:
+                df = df.withColumn(phys, F.col(phys).cast(typ))
+        for phys, logical in cmap.items():
+            if phys in df.columns and phys != logical:
+                df = df.withColumnRenamed(phys, logical)
+        return df
+
     # -- writers ----------------------------------------------------------
     def append(
         self,
@@ -410,6 +530,7 @@ class TableLog:
         (e.g. the ANN index) record application metadata such as the
         source version they indexed, the commitInfo-userMetadata idea."""
         self._check(df)
+        df = self._to_physical(df)
         stage = f"s-{uuid.uuid4().hex}"
         stage_abs = os.path.join(self.data_dir, stage)
         w = df.write.mode("overwrite")
@@ -454,7 +575,8 @@ class TableLog:
             spark.read.option("basePath", os.path.join(self.data_dir, seg)).parquet(*ps)
             for seg, ps in sorted(groups.items())
         ]
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+        return self._apply_mapping(df, hi)
 
     def delete_where(self, pred) -> int:
         """Logical file-level delete: commit remove-actions for every live
@@ -508,7 +630,7 @@ class TableLog:
         )
         stage = f"s-{uuid.uuid4().hex}"
         stage_abs = os.path.join(self.data_dir, stage)
-        w = merged.write.mode("overwrite")
+        w = self._to_physical(merged).write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(stage_abs)
@@ -534,7 +656,7 @@ class TableLog:
         )
         stage = f"s-{uuid.uuid4().hex}"
         stage_abs = os.path.join(self.data_dir, stage)
-        w = df.write.mode("overwrite")
+        w = self._to_physical(df).write.mode("overwrite")
         if pvcols:
             w = w.partitionBy(*pvcols)
         w.parquet(stage_abs)
@@ -608,12 +730,15 @@ class TableLog:
     def files_in_range(self, column: str, lo, hi, version: int | None = None):
         """Log-side data skipping: live files whose [min,max] envelope for
         `column` intersects [lo, hi]. Files without stats are kept
-        (skipping is an optimization, never a filter)."""
+        (skipping is an optimization, never a filter). `column` is the
+        LOGICAL name; stats are keyed by the physical name files carry."""
+        cmap, _ = self._column_meta(version)
+        phys = self._physical_name(column, cmap)
         out = []
         for f in self.snapshot(version).files:
             st = f.get("stats") or {}
-            fmin = (st.get("minValues") or {}).get(column)
-            fmax = (st.get("maxValues") or {}).get(column)
+            fmin = (st.get("minValues") or {}).get(phys)
+            fmax = (st.get("maxValues") or {}).get(phys)
             if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
                 out.append(f)
         return out
@@ -636,7 +761,10 @@ class TableLog:
             spark.read.option("basePath", os.path.join(self.data_dir, seg)).parquet(*ps)
             for seg, ps in sorted(groups.items())
         ]
-        df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+        df = self._apply_mapping(
+            reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts),
+            version,
+        )
         return df.where((F.col(column) >= lo) & (F.col(column) <= hi))
 
     def vacuum(self, retain_versions: int | None = None) -> list[str]:
@@ -729,10 +857,12 @@ class TableLog:
         ]
         # allowMissingColumns = additive schema evolution: commits written
         # before a column existed surface NULL for it (the mergeSchema
-        # semantics of the table formats this log models)
-        return reduce(
+        # semantics of the table formats this log models); the column
+        # mapping then surfaces renames/widenings AS OF the read version
+        df = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+        return self._apply_mapping(df, version)
 
 
 # -- registered query ----------------------------------------------------
@@ -1048,6 +1178,74 @@ def stream_table_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@query(
+    "table_log_rename_travel",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total,
+           CAST(SUM(o_orderkey % 100) AS BIGINT) AS prio_sum
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT1} 00:00:00'
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total,
+           CAST(SUM(o_orderkey % 100) AS BIGINT) AS prio_sum
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT2} 00:00:00'
+    UNION ALL
+    SELECT 4 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total,
+           CAST(SUM(o_orderkey % 100) AS BIGINT) AS prio_sum
+    FROM orders
+    """,
+)
+def table_log_rename_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column evolution BEYOND additive (VERDICT r4 missing #6), the
+    public Delta columnMapping idea: v0 = orders slice; v1 RENAMES
+    o_totalprice → price_usd (metaData-only — zero files rewritten);
+    v2 appends under the new name (staged under the stable physical
+    name); v3 WIDENS o_prio int → bigint (metaData-only); v4
+    appends rows already carrying bigint priorities. The result reads
+    v0, v2 and v4 — crossing both boundaries — and aggregates the price
+    column under whatever LOGICAL name that version surfaces, so the
+    hash-checked oracle pins: rename invisibility below the boundary,
+    old-file readability above it, and lossless type widening across
+    mixed-width files."""
+    import shutil
+
+    root = scratch_path(sf_dir, "orders_rename_tlog")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TableLog(root)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 100).cast("int").alias("o_prio"),
+        "o_orderdate",
+    )
+    t.append(orders.where(F.col("o_orderdate") < _CUT1).drop("o_orderdate"))
+    t.rename_column("o_totalprice", "price_usd")
+    t.append(
+        orders.where(
+            (F.col("o_orderdate") >= _CUT1) & (F.col("o_orderdate") < _CUT2)
+        )
+        .drop("o_orderdate")
+        .withColumnRenamed("o_totalprice", "price_usd")
+    )
+    t.widen_column("o_prio", "bigint", from_type="int")
+    t.append(
+        orders.where(F.col("o_orderdate") >= _CUT2)
+        .drop("o_orderdate")
+        .withColumnRenamed("o_totalprice", "price_usd")
+        .withColumn("o_prio", F.col("o_prio").cast("bigint"))
+    )
+    outs = []
+    for v in (0, 2, 4):
+        df = t.read(spark, version=v)
+        price = "o_totalprice" if v == 0 else "price_usd"
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col(price)).alias("total"),
+            F.sum("o_prio").cast("bigint").alias("prio_sum"),
+        )
+        outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total", "prio_sum"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
 
 
 @query(

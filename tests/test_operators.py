@@ -2441,6 +2441,64 @@ def test_table_log_schema_evolution(spark, tmp_path):
     assert t.read(spark, version=0).columns == ["k"]
 
 
+def test_table_log_column_mapping_rename_widen(spark, tmp_path):
+    """columnMapping evolution: a rename is metaData-only (physical file
+    schema untouched, old versions surface the old name), appends after
+    the rename stage under the stable physical name, widening casts
+    narrow files up while old versions keep the narrow type, checkpoints
+    preserve the mapping, and illegal operations refuse loudly."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1).cast("int").alias("v"))
+    )
+    t.rename_column("v", "val")
+    t.append(
+        spark.range(5, 10).select(
+            F.col("id").alias("k"), F.lit(2).cast("int").alias("val")
+        )
+    )
+    assert set(t.read(spark, version=0).columns) == {"k", "v"}  # time travel
+    latest = t.read(spark)
+    assert set(latest.columns) == {"k", "val"}
+    assert latest.count() == 10
+    assert latest.agg(F.sum("val")).collect()[0][0] == 15
+    # the post-rename commit's files carry the PHYSICAL name
+    newest_file = t.snapshot().files[-1]["path"]
+    names = pq.ParquetFile(os.path.join(t.data_dir, newest_file)).schema_arrow.names
+    assert "v" in names and "val" not in names, names
+
+    t.widen_column("val", "bigint", from_type="int")
+    t.append(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), F.lit(3).cast("bigint").alias("val")
+        )
+    )
+    assert dict(t.read(spark).dtypes)["val"] == "bigint"
+    assert t.read(spark).agg(F.sum("val")).collect()[0][0] == 21
+    assert dict(t.read(spark, version=2).dtypes)["val"] == "int"  # pre-widen
+
+    t.checkpoint()  # mapping must survive checkpoint-based resolution
+    assert set(t.read(spark).columns) == {"k", "val"}
+    assert dict(t.read(spark).dtypes)["val"] == "bigint"
+
+    with _pytest.raises(ValueError, match="unsupported widening"):
+        t.widen_column("val", "int", from_type="bigint")
+    tp = TableLog(str(tmp_path / "tp"))
+    tp.append(
+        spark.range(4).select(F.col("id").alias("k"), (F.col("id") % 2).alias("p")),
+        partition_by=["p"],
+    )
+    with _pytest.raises(ValueError, match="partition column"):
+        tp.rename_column("p", "bucket")
+
+
 def test_table_log_model_based_random_ops(spark, tmp_path):
     """Model-based check of the commit protocol: a seeded random sequence
     of append / partition-delete / compact ops, mirrored in a plain
