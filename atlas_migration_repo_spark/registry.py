@@ -36,12 +36,15 @@ QUERIES: dict[str, QueryDef] = {}
 # aggregates, joins, windows, set ops, goldens, pivots, sources, ETL,
 # subqueries, analytics, scalars, UDFs, streaming, text, dedup, pipeline,
 # similarity, multimodal. Pure registration order; no semantics change.
-# Round-4 rotation (VERDICT r3 "next" #4): ~20 fixed family representatives
-# stay every round; the other ~30 slots rotate to registry keys the driver
-# has NOT hash-verified in any prior round (r1∪r2∪r3 covered 91 keys), so
-# successive driver CORRECTNESS artifacts cumulatively cover the registry.
+# Round-5 rotation (protocol: VERDICT r3 "next" #4, re-affirmed r4 #6):
+# ~20 fixed family representatives stay every round; the other ~30 slots
+# rotate to oracle-gated registry keys the driver has NOT hash-verified in
+# any prior round (r1∪r2∪r3∪r4 covered 121 keys), so successive driver
+# CORRECTNESS artifacts cumulatively cover the registry. This round
+# prioritizes the judge's named list (table-log family, lakehouse/CBO,
+# geo, interval joins, sim_maxsim) plus the new round-5 keys.
 _DRIVER_SAMPLE_PREFIX = (
-    # -- fixed family representatives (driver-green in r1-r3) -------------
+    # -- fixed family representatives (driver-green in r1-r4) -------------
     "scan_parquet",
     "filter_cmp",
     "agg_pricing_summary",
@@ -62,52 +65,53 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_tumbling",
     "text_tfidf",
     "dedup_exact",
-    # -- new in round 4 (oracle-gated) ------------------------------------
-    "time_travel_versioned",
-    "pipeline_cdc_merge",
-    "dedup_simhash",
-    # -- rotation: oracle-verified keys unseen by the driver in r1-r3 -----
-    "win_rank",
-    "win_time_range_frame",
-    "set_intersect",
-    "limit_topk",
-    "q5_local_supplier",
-    "q7_nation_trade",
-    "q10_returned_items",
-    "q18_large_orders",
-    "pivot_multi_agg",
-    "source_json",
-    "source_orc",
-    "merge_full",
-    "time_travel_asof",
-    "cdc_snapshot_diff",
-    "sql_recursive_cte",
-    "ts_resample_ffill",
-    "sessionize_batch",
-    "ts_anomaly_zscore",
-    "agg_weighted_median",
-    "sketch_bloom",
-    "str_split_explode",
-    "udaf_cogrouped_pandas",
-    "stream_sliding",
-    "stream_stream_join",
-    "text_bm25",
-    "sim_knn_join",
-    "multimodal_decode_ppm",
-    # -- past the ~50-entry driver window: family reps whose modules have
-    #    no unseen oracle keys (keeps the family-span invariant), plus the
-    #    new rows-only round-4 entries (advisor: rows-only goes AFTER
-    #    oracle-verified entries, never displacing them in the sample) ----
+    # -- rotation: oracle-verified keys unseen by the driver in r1-r4 -----
+    "source_avro",
+    "merge_versioned",
+    "table_log_changes",
+    "table_log_skipping",
+    "stream_table_log",
+    "table_log_rename_travel",
+    "stream_kafka_shaped",
+    "pipeline_lakehouse_sync",
+    "stats_cbo_join",
+    "geo_haversine_pairs",
+    "join_interval_allen",
+    "sim_maxsim",
+    "win_lag_lead",
+    "set_union_all",
+    "q2_min_cost_supplier",
+    "q14_promo_revenue",
+    "pivot_dynamic",
+    "source_python_ds",
+    "join_dpp",
+    "join_salted",
+    "dq_checks",
+    "ivm_incremental_agg",
+    "subq_scalar",
+    "ts_ewma",
+    "orders_rfm",
+    "str_basic",
+    "json_funcs",
+    "stream_watermark",
+    "text_wordcount",
+    "dedup_clusters",
+    # -- past the ~50-entry driver window: family reps that keep the
+    #    family-span invariant for modules already driver-covered, plus
+    #    rows-only entries (advisor: rows-only goes AFTER oracle-verified
+    #    entries, never displacing them in the sample) --------------------
     "graph_triangles",
+    "sketch_countmin_estimate",
     "stream_stateful",
+    "stream_stateful_ttl",
+    "sink_foreachbatch",
+    "pack_sequences",
+    "multimodal_resize_ppm",
     "tokenizer_bpe_encode",
     "quality_logreg_score",
-    "pack_sequences",
-    "dedup_containment",
     "sim_knn_ann",
-    "source_avro",
-    "stream_stateful_ttl",
-    "geo_haversine_pairs",
+    "sim_ann_index_sync",
+    "dedup_containment",
 )
 
 
