@@ -92,6 +92,12 @@ class ConcurrentModificationError(RuntimeError):
     writer must re-read the table and redo its operation."""
 
 
+class _TxnAlreadyApplied(RuntimeError):
+    """Raised inside the commit retry loop when a racing writer already
+    committed this (appId, version) transaction — the caller's write is a
+    duplicate and must become a no-op, not a second commit."""
+
+
 class LogStore:
     """Put-if-absent seam for publishing commit files (see module
     docstring). `publish` must atomically make `target` exist with `tmp`'s
@@ -262,6 +268,7 @@ class TableLog:
         merge/delete/compact already superseded it; blindly retrying
         would double-apply the rewrite). Blind appends always retry."""
         removed = {a["remove"]["path"] for a in actions if "remove" in a}
+        txns = [a["txn"] for a in actions if "txn" in a]
         tmp = os.path.join(self.log_dir, f".tmp.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             for a in actions:
@@ -290,6 +297,11 @@ class TableLog:
                             f"{gone[:3]}{'...' if len(gone) > 3 else ''}; "
                             "re-read the table and redo the operation"
                         )
+                if lost_race and txns:
+                    for t in txns:
+                        last = self.txn_version(t["appId"])
+                        if last is not None and int(t["version"]) <= last:
+                            raise _TxnAlreadyApplied(t["appId"])
                 target = os.path.join(self.log_dir, f"{v:020d}.json")
                 if self.store.publish(tmp, target):
                     return v
@@ -353,6 +365,16 @@ class TableLog:
             md["columnTypes"] = ctypes
         if md:
             acts.append({"metaData": md})
+        # per-app txn high-water marks survive log trimming, or replayed
+        # streaming batches would double-write after a retention vacuum
+        _, all_acts = self._actions(v)
+        best: dict[str, int] = {}
+        for a in all_acts:
+            t = a.get("txn")
+            if t and int(t["version"]) > best.get(t["appId"], -1):
+                best[t["appId"]] = int(t["version"])
+        for app, tv in sorted(best.items()):
+            acts.append({"txn": {"appId": app, "version": tv}})
         tmp = os.path.join(self.log_dir, f".tmp.cp.{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             for a in acts:
@@ -543,6 +565,51 @@ class TableLog:
         adds.append({"commitInfo": {"operation": "APPEND", "numFiles": len(adds)}})
         return self._commit(adds)
 
+    # -- idempotent writer transactions (the Delta `txn` action) ----------
+    def txn_version(self, app_id: str) -> int | None:
+        """Highest transaction version recorded for `app_id`, or None.
+        Resolved from the log like constraints (checkpoints preserve the
+        high-water mark per app)."""
+        try:
+            _, acts = self._actions()
+        except FileNotFoundError:
+            return None
+        best = None
+        for a in acts:
+            t = a.get("txn")
+            if t and t.get("appId") == app_id:
+                v = int(t["version"])
+                best = v if best is None or v > best else best
+        return best
+
+    def append_txn(
+        self,
+        df: DataFrame,
+        app_id: str,
+        txn_version: int,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Idempotent append for exactly-once streaming sinks: the commit
+        carries a {"txn": {appId, version}} action, and an append whose
+        (app_id, version) is at or below the recorded high-water mark is
+        a NO-OP returning None — so a foreachBatch sink that replays a
+        micro-batch after a crash (same batchId) cannot double-write.
+        The version race re-checks the mark before retrying, closing the
+        two-writers-replay-one-batch window."""
+        last = self.txn_version(app_id)
+        if last is not None and txn_version <= last:
+            return None
+        try:
+            return self.append(
+                df,
+                partition_by=partition_by,
+                extra_actions=[
+                    {"txn": {"appId": app_id, "version": int(txn_version)}}
+                ],
+            )
+        except _TxnAlreadyApplied:
+            return None
+
     def changes(
         self, spark: SparkSession, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -641,13 +708,31 @@ class TableLog:
         )
         return self._commit(actions)
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 1,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE: rewrite the live file set into `target_files` larger
         files as a new version (content-identical — remove-for-add swap).
         Small-file compaction is what keeps scan task counts sane after
-        many incremental commits; history stays readable until vacuum."""
+        many incremental commits; history stays readable until vacuum.
+
+        With `cluster_by`, the rewrite RANGE-CLUSTERS rows (the OPTIMIZE
+        ZORDER BY idea): repartitionByRange + sortWithinPartitions gives
+        each output file a disjoint key envelope, so the footer min/max
+        stats harvested into the add-actions make `read_range` prune to
+        ~1/target_files of the files — compaction and skipping compose
+        instead of compaction destroying clustering."""
         snap = self.snapshot()
-        df = self.read(spark).coalesce(target_files)
+        df = self.read(spark)
+        if cluster_by:
+            df = df.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.coalesce(target_files)
         # preserve the partition layout: compacted files must keep their
         # partitionValues or later partition-level deletes/pruning would
         # silently skip them

@@ -138,6 +138,55 @@ def sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_tablelog_txn",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events WHERE event_type IN ('purchase', 'error')
+    GROUP BY event_type
+    """,
+)
+def sink_tablelog_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → transactional table, exactly-once by construction:
+    each micro-batch lands via TableLog.append_txn with the batchId as
+    the txn version, so a replayed batch (sink crash after write, before
+    offset commit — simulated here by literally calling the landing
+    function twice per batch) is a NO-OP instead of a duplicate. This is
+    the Delta `txn`-action idempotent-sink pattern, the strongest landing
+    guarantee foreachBatch can give; the oracle checks both total rows
+    AND distinct event ids, which catches any double-write."""
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    root = scratch_path(sf_dir, "events_txn_landed")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TableLog(root)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("event_id", "event_type", "value")
+        t.append_txn(batch, "events_landing", batch_id)
+        # simulate the crash-replay: the SAME batch delivered again must
+        # be suppressed by the recorded txn version
+        t.append_txn(batch, "events_landing", batch_id)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type").isin("purchase", "error"))
+        .writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        t.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+        )
+    )
+
+
+@query(
     "stream_upsert_cdc",
     oracle="""
     WITH ranked AS (

@@ -2499,6 +2499,78 @@ def test_table_log_column_mapping_rename_widen(spark, tmp_path):
         tp.rename_column("p", "bucket")
 
 
+def test_table_log_txn_idempotent_appends(spark, tmp_path):
+    """The Delta txn action: append_txn commits carry (appId, version);
+    replaying an already-recorded batch is a NO-OP (exactly-once
+    foreachBatch sinks), apps are independent, a version race against a
+    writer that committed the same txn becomes a no-op instead of a
+    duplicate, and checkpoints preserve the high-water mark across a
+    retention vacuum."""
+    import json as _json
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    assert t.append_txn(spark.range(0, 10).select("id"), "app", 0) == 0
+    assert t.append_txn(spark.range(10, 20).select("id"), "app", 1) == 1
+    assert t.append_txn(spark.range(10, 20).select("id"), "app", 1) is None
+    assert t.append_txn(spark.range(10, 20).select("id"), "app", 0) is None
+    assert t.read(spark).count() == 20  # replays did not double-write
+    assert t.txn_version("app") == 1
+    assert t.txn_version("other") is None
+    assert t.append_txn(spark.range(20, 25).select("id"), "other", 0) is not None
+
+    # race: a concurrent writer commits the SAME (app, 2) at our version
+    real_publish = t.store.publish
+    state = {"raced": False}
+
+    def racing_publish(tmp, target):
+        if not state["raced"]:
+            state["raced"] = True
+            with open(target, "w") as fh:
+                fh.write(_json.dumps({"txn": {"appId": "app", "version": 2}}) + "\n")
+            return False
+        return real_publish(tmp, target)
+
+    t.store.publish = racing_publish
+    n_before = t.read(spark).count()
+    assert t.append_txn(spark.range(5).select("id"), "app", 2) is None
+    t.store.publish = real_publish
+    assert t.read(spark).count() == n_before  # duplicate batch suppressed
+
+    # retention vacuum writes a checkpoint that must carry the txn marks
+    t.vacuum(retain_versions=1)
+    assert t.txn_version("app") == 2
+    assert t.append_txn(spark.range(5).select("id"), "app", 2) is None
+
+
+def test_table_log_compact_cluster_by_preserves_skipping(spark, tmp_path):
+    """OPTIMIZE with cluster_by must leave the compacted files with
+    DISJOINT key envelopes (range clustering), so log-stats skipping
+    keeps pruning after compaction — vs the interleaved input where
+    every file intersects every range. Content stays identical."""
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    for r in range(8):  # each commit spans the WHOLE key range
+        t.append(
+            spark.range(1000).where(F.col("id") % 8 == r).coalesce(1)
+        )
+    assert len(t.files_in_range("id", 100, 149)) == 8  # no pruning possible
+    t.compact(spark, target_files=4, cluster_by=["id"])
+    files = t.snapshot().files
+    assert len(files) == 4
+    spans = sorted(
+        (f["stats"]["minValues"]["id"], f["stats"]["maxValues"]["id"]) for f in files
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans  # disjoint envelopes
+    hit = t.files_in_range("id", 100, 149)
+    assert len(hit) == 1, [f["stats"]["minValues"]["id"] for f in hit]
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == list(range(1000))
+
+
 def test_table_log_model_based_random_ops(spark, tmp_path):
     """Model-based check of the commit protocol: a seeded random sequence
     of append / partition-delete / compact ops, mirrored in a plain
@@ -2911,3 +2983,7 @@ def test_kafka_stream_options_surface():
         kafka_stream_options("b:9092", "t", starting_offsets="yesterday")
     with _pytest.raises(ValueError):
         kafka_stream_options("b:9092", "t", max_offsets_per_trigger=0)
+    # offsets below -2 must be rejected for STRING partition keys too —
+    # the form Kafka's startingOffsets JSON actually uses (ADVICE r4)
+    with _pytest.raises(ValueError, match="offsets must be >= -2"):
+        kafka_stream_options("b:9092", "t", starting_offsets={"t": {"0": -5}})
