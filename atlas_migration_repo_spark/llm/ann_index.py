@@ -154,6 +154,34 @@ def sync_ann_index(spark: SparkSession, em_log: TableLog, index_root: str) -> in
     return delta.count()
 
 
+def compact_ann_index(spark: SparkSession, em_log: TableLog, index_root: str) -> int:
+    """Drop index entries whose vectors were DELETED from the embeddings
+    table (changes() carries adds; deletes surface here): rewrite codes
+    as codes ⋉ live vec_ids — one semi join on the 4-byte-code table,
+    never touching arrays — committed as a merge-style remove+add swap,
+    so older index versions stay time-travelable. Stale entries are
+    harmless for correctness even before compaction (the exact rerank
+    inner-joins the live table, so deleted ids can't be emitted); they
+    only waste shortlist slots, which is why this is a periodic OPTIMIZE,
+    not a sync-path step. Returns rows dropped."""
+    _, _, codes_log = _logs(index_root)
+    coded = codes_log.read(spark)
+    live = em_log.read(spark).select("vec_id")
+    kept = coded.join(live, "vec_id", "left_semi")
+    n_before = coded.count()
+    n_after = kept.count()
+    if n_after == n_before:
+        return 0
+    iv = indexed_version(codes_log)
+    snap = codes_log.snapshot()
+    codes_log.append(
+        kept,
+        extra_actions=[{"metaData": {"ann_indexed_version": iv}}]
+        + [{"remove": {"path": f["path"]}} for f in snap.files],
+    )
+    return n_before - n_after
+
+
 def serve_ann_index(
     spark: SparkSession,
     index_root: str,

@@ -764,6 +764,45 @@ def test_ann_index_sync_matches_rebuild(spark):
     assert rec_sync >= rec_rebuild - 0.02, (rec_sync, rec_rebuild)
 
 
+def test_ann_index_compact_drops_deleted(spark, tmp_path):
+    """Index OPTIMIZE after table deletes: compact_ann_index must drop
+    exactly the de-listed vectors' codes (semi join on the code table),
+    keep every live entry, and the served neighbors must never reference
+    a deleted vector — while results for live vectors keep flowing."""
+    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.llm.ann_index import (
+        build_ann_index,
+        compact_ann_index,
+        serve_ann_index,
+    )
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    em_all = (
+        load(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("b", (F.col("vec_id") % 5).cast("int"))
+    )
+    em_log = TableLog(str(tmp_path / "em"))
+    em_log.append(em_all, partition_by=["b"])
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, em_log.read(spark), idx, source_version=0)
+    n_total = em_all.count()
+    n_deleted = em_all.where(F.col("b") == 0).count()
+    em_log.delete_where(lambda pv: pv.get("b") == "0")
+
+    assert compact_ann_index(spark, em_log, idx) == n_deleted
+    codes = TableLog(idx + "/codes").read(spark)
+    assert codes.count() == n_total - n_deleted
+    assert codes.where(F.col("vec_id") % 5 == 0).count() == 0
+    assert compact_ann_index(spark, em_log, idx) == 0  # idempotent
+
+    em = em_log.read(spark)
+    served = serve_ann_index(spark, idx, em.select("vec_id", "embedding"), em)
+    rows = served.collect()
+    assert len(rows) == n_total - n_deleted
+    assert all(r["nn_id"] % 5 != 0 for r in rows)
+
+
 def test_approx_percentile_accuracy(spark):
     """percentile_approx at accuracy=1000 must land within 2% of the exact
     per-group median."""
