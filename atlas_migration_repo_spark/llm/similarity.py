@@ -234,21 +234,30 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 S[aid[:, None] == bid[None, :]] = -np.inf  # exclude self
                 # exact chain norms of candidates, computed once per block
                 bnorm = [math.sqrt(chain_cos(v, v, 1.0)) for v in B]
-                smax = S.max(axis=1)
+                jmax = S.argmax(1)
+                smax = S[np.arange(len(aid)), jmax]
+                # exact re-rank of every BLAS near-tie: the winner is
+                # chosen by the chain value the oracle orders on, so a
+                # ulp-level BLAS/chain disagreement can't flip it. The
+                # tie test is one vectorized comparison; the fast path
+                # (no tie — virtually every row) re-scores only the
+                # argmax, so the re-rank costs nothing when it can't
+                # change the answer.
+                tied = (S >= (smax[:, None] - _KNN_RERANK_EPS)).sum(1) > 1
                 for i in range(len(aid)):
                     if np.isinf(smax[i]):
                         continue  # block held only self
-                    # exact re-rank of every BLAS near-tie: the winner is
-                    # chosen by the chain value the oracle orders on, so a
-                    # ulp-level BLAS/chain disagreement can't flip it
-                    close = np.nonzero(S[i] >= smax[i] - _KNN_RERANK_EPS)[0]
-                    best = None
-                    for ji in close:
+                    if tied[i]:
+                        best = None
+                        for ji in np.nonzero(S[i] >= smax[i] - _KNN_RERANK_EPS)[0]:
+                            ce = chain_cos(A[i], B[ji], bnorm[ji])
+                            key = (-ce, int(bid[ji]))
+                            if best is None or key < best[0]:
+                                best = (key, int(ji), ce)
+                        _, ji, ce = best
+                    else:
+                        ji = int(jmax[i])
                         ce = chain_cos(A[i], B[ji], bnorm[ji])
-                        key = (-ce, int(bid[ji]))
-                        if best is None or key < best[0]:
-                            best = (key, int(ji), ce)
-                    _, ji, ce = best
                     out["vec_id"].append(int(aid[i]))
                     out["cand"].append(int(bid[ji]))
                     out["cos_exact"].append(ce)
