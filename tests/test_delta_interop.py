@@ -1,0 +1,223 @@
+"""Protocol-fidelity tests for the Delta Lake interop layer
+(sources/delta_interop.py) — behaviors the oracle-parity gate can't see:
+checkpoint replay, tombstone reconciliation, log-over-layout trust,
+URL-encoded paths, null partition values, conversion guards."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import urllib.parse
+
+import pytest
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.sources.delta_interop import (
+    checkpoint_delta,
+    convert_tablelog_to_delta,
+    delta_live_files,
+    read_delta,
+    write_delta,
+)
+from atlas_migration_repo_spark.sources.files import scratch_path
+from atlas_migration_repo_spark.sources.table_log import TableLog
+
+from conftest import SF_DIR
+
+
+def _fresh(key: str) -> str:
+    root = scratch_path(SF_DIR, key)
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def test_checkpoint_carries_state_without_json_history(spark):
+    """After checkpoint_delta, the pre-checkpoint JSON commits are
+    REDUNDANT: deleting them must not change the read (the V1 parquet
+    checkpoint + later commits reconstruct the state) — the property that
+    makes log replay O(commits-since-checkpoint) at scale."""
+    root = _fresh("t_delta_cp_prop")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.col("n_nationkey") < 10), root)
+    write_delta(
+        nat.where((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        root,
+        mode="append",
+    )
+    cp_v = checkpoint_delta(root)
+    assert cp_v == 1
+    write_delta(nat.where(F.col("n_nationkey") >= 20), root, mode="append")
+    log = os.path.join(root, "_delta_log")
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    got = sorted(r["n_nationkey"] for r in read_delta(spark, root).collect())
+    assert got == list(range(25))
+
+
+def test_overwrite_tombstones_and_time_travel(spark):
+    """Overwrite emits remove actions for every previously-live file: the
+    latest read sees only the new data, while a version-pinned read still
+    resolves the tombstoned files."""
+    root = _fresh("t_delta_tomb")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.col("n_nationkey") < 5), root)
+    write_delta(nat.where(F.col("n_nationkey") >= 20), root, mode="overwrite")
+    latest = sorted(r["n_nationkey"] for r in read_delta(spark, root).collect())
+    assert latest == [20, 21, 22, 23, 24]
+    v0 = sorted(r["n_nationkey"] for r in read_delta(spark, root, version=0).collect())
+    assert v0 == [0, 1, 2, 3, 4]
+    # the log records the removes explicitly
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json")) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    assert any("remove" in a for a in acts)
+
+
+def test_partition_values_come_from_log_not_layout(spark):
+    """A Delta table need not use hive-style dirs: move the data files to
+    bare names at the table root, rewrite the log's add paths, and the
+    reader must still reconstruct the partition column from
+    partitionValues — proving the log, not the directory layout, is the
+    source of truth."""
+    root = _fresh("t_delta_flat")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    write_delta(nat, root, partition_by=["n_regionkey"])
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    with open(log) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    for i, a in enumerate(acts):
+        if "add" not in a:
+            continue
+        old_rel = urllib.parse.unquote(a["add"]["path"])
+        flat = f"flat-{i}.parquet"
+        os.rename(os.path.join(root, old_rel), os.path.join(root, flat))
+        a["add"]["path"] = flat
+    for d in list(os.listdir(root)):
+        if d.startswith("n_regionkey="):
+            shutil.rmtree(os.path.join(root, d))
+    with open(log, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    got = read_delta(spark, root)
+    assert got.schema["n_regionkey"].dataType.typeName() in ("integer", "long")
+    back = {(r["n_nationkey"], r["n_regionkey"]) for r in got.collect()}
+    want = {(r["n_nationkey"], r["n_regionkey"]) for r in nat.collect()}
+    assert back == want
+
+
+def test_partition_pruning_prunes_in_the_log(spark):
+    """delta_live_files with partition_eq must shrink the file list before
+    any scan (metadata pruning), and the pruned read returns exactly the
+    matching rows."""
+    root = _fresh("t_delta_prune")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_regionkey")
+    write_delta(nat, root, partition_by=["n_regionkey"])
+    all_files = delta_live_files(root)
+    one = delta_live_files(root, partition_eq={"n_regionkey": 2})
+    assert 0 < len(one) < len(all_files)
+    rows = read_delta(spark, root, partition_eq={"n_regionkey": 2}).collect()
+    assert {r["n_regionkey"] for r in rows} == {2}
+    assert len(rows) == 5
+
+
+def test_url_encoded_paths_round_trip(spark):
+    """Log paths are URL-encoded per the protocol: a data file whose name
+    contains a space must be written quoted and resolved unquoted."""
+    root = _fresh("t_delta_urlenc")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat, root)
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    with open(log) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    renamed = False
+    for a in acts:
+        if "add" in a and not renamed:
+            old_rel = urllib.parse.unquote(a["add"]["path"])
+            new_rel = "with space " + os.path.basename(old_rel)
+            os.rename(os.path.join(root, old_rel), os.path.join(root, new_rel))
+            a["add"]["path"] = urllib.parse.quote(new_rel)
+            assert "%20" in a["add"]["path"]
+            renamed = True
+    assert renamed
+    with open(log, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    assert read_delta(spark, root).count() == 25
+
+
+def test_null_partition_value(spark):
+    """A null partition key lands in __HIVE_DEFAULT_PARTITION__ on disk
+    but must be recorded as null in partitionValues and read back as
+    null."""
+    root = _fresh("t_delta_nullpart")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], ["id", "k"]
+    )
+    write_delta(df, root, partition_by=["k"])
+    adds = delta_live_files(root)
+    assert any((a["partitionValues"] or {}).get("k") is None for a in adds)
+    got = {r["id"]: r["k"] for r in read_delta(spark, root).collect()}
+    assert got == {1: "a", 2: None, 3: "b"}
+
+
+def test_add_stats_are_delta_json_strings(spark):
+    """add.stats must be a JSON STRING (protocol shape) carrying
+    numRecords and the min/max envelope."""
+    root = _fresh("t_delta_stats")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat, root)
+    adds = delta_live_files(root)
+    total = 0
+    for a in adds:
+        st = json.loads(a["stats"])
+        total += st["numRecords"]
+        assert "minValues" in st and "maxValues" in st
+    assert total == 25
+
+
+def test_convert_preserves_history_and_constraints(spark):
+    """convert_tablelog_to_delta maps every TableLog version to a Delta
+    commit over the same files (zero copy — no new parquet files appear)
+    and lands CHECK constraints in metaData.configuration the way Delta
+    stores them."""
+    root = _fresh("t_delta_convert")
+    t = TableLog(root)
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    t.set_constraints("n_nationkey >= 0")
+    t.append(nat.where(F.col("n_nationkey") < 10))
+    t.append(nat.where(F.col("n_nationkey") >= 10))
+    files_before = {
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(os.path.join(root, "data"))
+        for n in ns
+    }
+    convert_tablelog_to_delta(spark, t)
+    files_after = {
+        os.path.join(dp, n)
+        for dp, _, ns in os.walk(os.path.join(root, "data"))
+        for n in ns
+    }
+    assert files_before == files_after  # zero copy
+    from atlas_migration_repo_spark.sources.delta_interop import _replay
+
+    for v, expect in ((1, 10), (2, 25)):
+        assert read_delta(spark, root, version=v).count() == expect
+    _, meta, _ = _replay(root)
+    assert any(
+        k.startswith("delta.constraints.") and "n_nationkey" in v
+        for k, v in (meta.get("configuration") or {}).items()
+    )
+
+
+def test_convert_refuses_column_mapped_tables(spark):
+    """Rename/widen history needs Delta columnMapping, which the interop
+    does not write — it must refuse loudly rather than emit a log real
+    Delta readers would misread."""
+    root = _fresh("t_delta_convert_cmap")
+    t = TableLog(root)
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    t.append(nat)
+    t.rename_column("n_name", "nation_name")
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        convert_tablelog_to_delta(spark, t)
