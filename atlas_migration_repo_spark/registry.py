@@ -91,6 +91,8 @@ _DRIVER_SAMPLE_PREFIX = (
     "subq_scalar",
     "ts_ewma",
     "orders_rfm",
+    "delta_time_travel",
+    "delta_partition_pruning",
     "str_basic",
     "json_funcs",
     "stream_watermark",
