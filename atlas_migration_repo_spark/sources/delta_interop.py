@@ -671,6 +671,158 @@ def delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_stream",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over a DELTA table: offset = Delta version,
+    each micro-batch's partitions are the add-action files of the new
+    commits (read executor-side with pyarrow — data never crosses the
+    driver), and a commit containing remove actions fails the stream,
+    Delta's own default for non-append changes. Three append commits of
+    orders slices drain into a memory sink whose global aggregate must
+    equal the batch oracle."""
+    import time as _time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    root = scratch_path(sf_dir, "orders_delta_stream")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    mid = "1996-01-01"
+    write_delta(orders.where(F.col("o_orderdate") < mid).drop("o_orderdate"), root)
+    write_delta(
+        orders.where((F.col("o_orderdate") >= mid) & (F.col("o_orderdate") < _TT_CUT))
+        .drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+    write_delta(
+        orders.where(
+            (F.col("o_orderdate") >= _TT_CUT) & (F.col("o_orderdate") < "1999-01-01")
+        ).drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+
+    class FilePartition(InputPartition):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class DeltaStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.root = options["path"]
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def latestOffset(self):
+            from atlas_migration_repo_spark.sources.delta_interop import (
+                _committed_versions,
+                _log_dir,
+            )
+
+            vs = _committed_versions(_log_dir(self.root))
+            return {"version": vs[-1] if vs else -1}
+
+        def partitions(self, start, end):
+            import json as _json
+            import os as _os
+            import urllib.parse as _up
+
+            paths = []
+            log_dir = _os.path.join(self.root, "_delta_log")
+            for v in range(start["version"] + 1, end["version"] + 1):
+                f = _os.path.join(log_dir, f"{v:020d}.json")
+                if not _os.path.exists(f):
+                    continue
+                with open(f) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        a = _json.loads(line)
+                        if "remove" in a:
+                            raise RuntimeError(
+                                f"delta_stream: version {v} is not append-only "
+                                "(remove action found); restart from a fresh "
+                                "starting version or handle changes explicitly"
+                            )
+                        if "add" in a:
+                            paths.append(
+                                _os.path.join(
+                                    self.root, _up.unquote(a["add"]["path"])
+                                )
+                            )
+            return [FilePartition(p) for p in paths]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                partition.path, columns=["o_orderkey", "o_totalprice"]
+            )
+            yield from zip(
+                tbl.column("o_orderkey").to_pylist(),
+                tbl.column("o_totalprice").to_pylist(),
+            )
+
+        def commit(self, end):
+            pass
+
+    class DeltaStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "delta_log_stream"
+
+        def schema(self) -> str:
+            return "o_orderkey bigint, o_totalprice double"
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            return DeltaStreamReader(self.options)
+
+    spark.dataSource.register(DeltaStreamSource)
+    sink = "delta_stream_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.format("delta_log_stream")
+            .option("path", root)
+            .load()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        expected = read_delta(spark, root).count()
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = spark.table(sink).collect()
+            if got and got[0]["n_rows"] == expected:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
+
+
+@query(
     "delta_convert_tablelog",
     oracle=f"""
     SELECT 0 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
