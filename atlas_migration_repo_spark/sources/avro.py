@@ -9,10 +9,11 @@ scratch in stdlib Python — the same honest-fallback pattern as the PPM/
 WAV multimodal decoders.
 
 Scope: the scalar types a tabular CDC feed uses — null, boolean, int,
-long, float, double, string, bytes, and records of those, with
-``["null", T]`` unions for nullability. Codec: null (uncompressed) and
-deflate (zlib). Complex nesting (maps/arrays/enums) is out of scope here;
-a cluster with the spark-avro jar reads the same files natively.
+long, float, double, string, bytes — plus nested records, arrays, maps
+and fixed (the complex shapes Iceberg manifest files are made of;
+consumed by sources/iceberg_interop.py), with ``["null", T]`` unions for
+nullability. Codec: null (uncompressed) and deflate (zlib). A cluster
+with the spark-avro jar reads the same files natively.
 
 Scale posture: WRITE is per-partition (each Spark partition streams one
 .avro part file — no driver materialization); READ distributes whole
@@ -100,6 +101,41 @@ def _enc_value(t, v) -> bytes:
         if v is None:
             return _zz(0)
         return _zz(1) + _enc_value(t[1], v)
+    if isinstance(t, dict):
+        # Complex types (needed by Iceberg manifest files, which are Avro
+        # with nested records/arrays/maps — iceberg_interop.py):
+        kind = t["type"]
+        if kind == "record":
+            # record value = dict keyed by field name; encoding is the
+            # concatenation of field encodings in schema order
+            return b"".join(
+                _enc_value(f["type"], (v or {}).get(f["name"])) for f in t["fields"]
+            )
+        if kind == "array":
+            # blocks: positive count, items..., zero terminator
+            out = bytearray()
+            items = list(v or [])
+            if items:
+                out += _zz(len(items))
+                for it in items:
+                    out += _enc_value(t["items"], it)
+            out += _zz(0)
+            return bytes(out)
+        if kind == "map":
+            out = bytearray()
+            pairs = list((v or {}).items())
+            if pairs:
+                out += _zz(len(pairs))
+                for k, mv in pairs:
+                    out += _enc_value("string", k) + _enc_value(t["values"], mv)
+            out += _zz(0)
+            return bytes(out)
+        if kind == "fixed":
+            raw = bytes(v)
+            if len(raw) != t["size"]:
+                raise ValueError(f"fixed({t['size']}) got {len(raw)} bytes")
+            return raw
+        return _enc_value(kind, v)  # {"type": "long", ...} annotation form
     if t in ("int", "long"):
         return _zz(int(v))
     if t == "boolean":
@@ -119,6 +155,38 @@ def _enc_value(t, v) -> bytes:
 def _dec_value(t, buf: io.BytesIO):
     if isinstance(t, list):
         return None if _read_zz(buf) == 0 else _dec_value(t[1], buf)
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind == "record":
+            return {
+                f["name"]: _dec_value(f["type"], buf) for f in t["fields"]
+            }
+        if kind == "array":
+            out = []
+            while True:
+                n = _read_zz(buf)
+                if n == 0:
+                    return out
+                if n < 0:  # block with byte-size prefix (spec-legal)
+                    _read_zz(buf)
+                    n = -n
+                for _ in range(n):
+                    out.append(_dec_value(t["items"], buf))
+        if kind == "map":
+            out = {}
+            while True:
+                n = _read_zz(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    _read_zz(buf)
+                    n = -n
+                for _ in range(n):
+                    k = _dec_value("string", buf)
+                    out[k] = _dec_value(t["values"], buf)
+        if kind == "fixed":
+            return buf.read(t["size"])
+        return _dec_value(kind, buf)
     if t in ("int", "long"):
         return _read_zz(buf)
     if t == "boolean":

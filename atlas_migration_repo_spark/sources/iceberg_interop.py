@@ -1,0 +1,655 @@
+"""Apache Iceberg format interop — read/write the OPEN Iceberg table
+format (spec v2) without the iceberg-spark jar (SURVEY.md §2.1 lakehouse
+boundary, the sibling of delta_interop.py).
+
+A table is: immutable parquet data files + a `metadata/` tree —
+`vN.metadata.json` (schemas with field-ids, partition specs, snapshot
+list) + `version-hint.text` (HadoopCatalog convention), where each
+snapshot points at a MANIFEST LIST (an Avro file of manifest summaries)
+and each manifest (Avro again) lists data files with status, typed
+partition values, and counts. All Avro here is written/read by this
+repo's own public-spec codec (`sources/avro.py`, extended with the
+nested records/arrays/maps manifests require); field-ids ride the Avro
+schema as `field-id` annotations the way Iceberg writes them.
+
+Scale story (100 TB): metadata is hierarchical exactly so planning never
+lists storage — the manifest LIST is O(#manifests) and carries per-
+manifest partition summaries, so partition pruning drops whole manifests
+before opening them; a pruned manifest is O(#files-in-it). The data read
+is one Spark scan of the surviving file list; partition columns are
+re-attached from manifest partition structs via the same broadcast
+`_metadata.file_path` join the Delta reader uses (layout never trusted —
+Iceberg data files are not required to be hive-laid-out).
+
+Honest boundary: the consumer verified here is this module's own reader
+(no pyiceberg/jar in the env to cross-check); the layout, field-ids and
+avro encodings follow the published spec (iceberg.apache.org/spec/).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from atlas_migration_repo_spark.catalog import load, msum
+from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.registry import query
+from atlas_migration_repo_spark.sources.avro import _container_bytes, parse_container
+from atlas_migration_repo_spark.sources.files import scratch_path
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Spark type <-> Iceberg primitive type names (spec §Schemas)
+_SPARK_TO_ICE = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+    T.BinaryType: "binary",
+}
+_ICE_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "date": T.DateType(),
+    "timestamptz": T.TimestampType(),
+    "timestamp": T.TimestampNTZType(),
+    "binary": T.BinaryType(),
+}
+# partition-value avro branch per Iceberg type
+_ICE_TO_AVRO = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+}
+
+
+def _ice_schema(schema: T.StructType) -> list[dict]:
+    """Spark StructType → Iceberg schema fields with stable field-ids
+    (1-based, in column order — the ids all other metadata refers to)."""
+    out = []
+    for i, f in enumerate(schema.fields, start=1):
+        for st, it in _SPARK_TO_ICE.items():
+            if isinstance(f.dataType, st):
+                out.append(
+                    {"id": i, "name": f.name, "required": False, "type": it}
+                )
+                break
+        else:
+            raise TypeError(f"unsupported Spark type for Iceberg: {f.dataType}")
+    return out
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _current_metadata(path: str) -> tuple[int, dict] | None:
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    if not os.path.exists(hint):
+        return None
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as fh:
+        return v, json.load(fh)
+
+
+# -- manifest avro schemas (field-ids per spec §Manifests) -------------------
+def _partition_avro_type(part_fields: list[dict]) -> dict:
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", _ICE_TO_AVRO[pf["ice_type"]]],
+                "field-id": pf["field_id"],
+            }
+            for pf in part_fields
+        ],
+    }
+
+
+def _manifest_entry_schema(part_fields: list[dict]) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": _partition_avro_type(part_fields), "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"], "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+            "field-id": 507,
+        },
+    ],
+}
+
+
+def _write_avro_file(path: str, avsc: dict, rows: list[tuple]) -> int:
+    data = _container_bytes(avsc, rows)
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.rename(tmp, path)
+    return len(data)
+
+
+def _encode_part_value(v: str | None, ice_type: str):
+    if v is None:
+        return None
+    return {
+        "boolean": lambda s: s == "true",
+        "int": int,
+        "long": int,
+        "float": float,
+        "double": float,
+        "string": str,
+    }[ice_type](v)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+def write_iceberg(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Commit `df` to an Iceberg v2 table at `path` as a new snapshot.
+
+    Data files stage through one Spark parquet write; each commit writes
+    one manifest (ADDED entries with typed partition values), a manifest
+    list (append: prior manifests carried forward; overwrite: only the
+    new manifest — the snapshot's manifest list fully defines its
+    content), and a new vN.metadata.json + version-hint. Returns the new
+    snapshot id."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    partition_by = list(partition_by or [])
+    cur = _current_metadata(path)
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    if cur is not None:
+        _, meta = cur
+        if partition_by != [
+            pf["name"] for pf in meta["partition-specs"][0]["fields"]
+        ]:
+            raise ValueError("partition_by must match the table's partition spec")
+        schema_fields = meta["schemas"][0]["fields"]
+    else:
+        schema_fields = _ice_schema(df.schema)
+    by_name = {f["name"]: f for f in schema_fields}
+    part_fields = [
+        {
+            "name": c,
+            "field_id": 1000 + i,
+            "source_id": by_name[c]["id"],
+            "ice_type": by_name[c]["type"],
+        }
+        for i, c in enumerate(partition_by)
+    ]
+
+    # stage data files
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
+
+    import pyarrow.parquet as pq
+    import urllib.parse as up
+
+    entries: list[tuple] = []
+    seq = (cur[1]["last-sequence-number"] + 1) if cur else 1
+    snap_id = int(time.time() * 1000) * 1000 + seq  # unique, monotonic
+    added_rows = 0
+    try:
+        for dirpath, _dirs, names in os.walk(stage):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                reldir = os.path.relpath(dirpath, stage)
+                pvals: dict[str, object] = {}
+                parts = [] if reldir == "." else reldir.split(os.sep)
+                for part in parts:
+                    if "=" in part:
+                        k, v = part.split("=", 1)
+                        raw = None if v == _HIVE_NULL else up.unquote(v)
+                        pf = next(p for p in part_fields if p["name"] == k)
+                        pvals[k] = _encode_part_value(raw, pf["ice_type"])
+                dest = os.path.join(
+                    path, "data", f"{uuid.uuid4().hex}.parquet"
+                )
+                os.rename(src, dest)
+                nrec = pq.ParquetFile(dest).metadata.num_rows
+                added_rows += nrec
+                entries.append(
+                    (
+                        1,  # status ADDED
+                        snap_id,
+                        seq,
+                        seq,
+                        {
+                            "content": 0,
+                            "file_path": dest,
+                            "file_format": "PARQUET",
+                            "partition": pvals,
+                            "record_count": nrec,
+                            "file_size_in_bytes": os.path.getsize(dest),
+                        },
+                    )
+                )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # one manifest per commit
+    man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    man_len = _write_avro_file(
+        man_path, _manifest_entry_schema(part_fields), entries
+    )
+
+    # per-manifest partition summaries → manifest-list-level pruning
+    summaries = []
+    for pf in part_fields:
+        vals = [
+            e[4]["partition"].get(pf["name"])
+            for e in entries
+            if e[4]["partition"].get(pf["name"]) is not None
+        ]
+        nulls = any(e[4]["partition"].get(pf["name"]) is None for e in entries)
+        lo = min(vals) if vals else None
+        hi = max(vals) if vals else None
+        enc = lambda x: None if x is None else json.dumps(x).encode()
+        summaries.append(
+            {
+                "contains_null": nulls,
+                "contains_nan": None,
+                "lower_bound": enc(lo),
+                "upper_bound": enc(hi),
+            }
+        )
+    new_manifest_row = (
+        man_path,
+        man_len,
+        0,
+        0,  # content: data
+        seq,
+        seq,
+        snap_id,
+        len(entries),
+        0,
+        0,
+        added_rows,
+        0,
+        0,
+        summaries or None,
+    )
+    prior_manifests: list[tuple] = []
+    if cur is not None and mode == "append":
+        _, meta = cur
+        cur_snap = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        _, prior = parse_container(
+            open(cur_snap["manifest-list"], "rb").read()
+        )
+        prior_manifests = prior
+    mlist_path = os.path.join(
+        _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    _write_avro_file(
+        mlist_path, _MANIFEST_FILE_SCHEMA, [new_manifest_row] + prior_manifests
+    )
+
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "append" if mode == "append" else "overwrite"},
+        "schema-id": 0,
+    }
+    if cur is None:
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": max(f["id"] for f in schema_fields),
+            "schemas": [
+                {"type": "struct", "schema-id": 0, "fields": schema_fields}
+            ],
+            "current-schema-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": pf["name"],
+                            "transform": "identity",
+                            "source-id": pf["source_id"],
+                            "field-id": pf["field_id"],
+                        }
+                        for pf in part_fields
+                    ],
+                }
+            ],
+            "default-spec-id": 0,
+            "last-partition-id": max(
+                [pf["field_id"] for pf in part_fields], default=999
+            ),
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": {},
+            "snapshots": [snapshot],
+            "current-snapshot-id": snap_id,
+            "snapshot-log": [
+                {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+            ],
+            "metadata-log": [],
+        }
+        v = 1
+    else:
+        v, meta = cur
+        meta = json.loads(json.dumps(meta))
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta["snapshots"].append(snapshot)
+        meta["current-snapshot-id"] = snap_id
+        meta["snapshot-log"].append(
+            {"snapshot-id": snap_id, "timestamp-ms": now_ms}
+        )
+        meta["metadata-log"].append(
+            {
+                "timestamp-ms": now_ms,
+                "metadata-file": os.path.join(
+                    _meta_dir(path), f"v{v}.metadata.json"
+                ),
+            }
+        )
+        v += 1
+    mpath = os.path.join(_meta_dir(path), f"v{v}.metadata.json")
+    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.rename(tmp, mpath)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.rename(tmp, hint)
+    return snap_id
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+def iceberg_live_files(
+    path: str,
+    snapshot_id: int | None = None,
+    partition_eq: dict | None = None,
+) -> tuple[dict, list[dict]]:
+    """(metadata, live data_file dicts) at a snapshot, pruned
+    hierarchically: manifest-list partition summaries drop whole
+    manifests, then per-file partition values drop files — both BEFORE
+    any parquet listing, the Iceberg planning model."""
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    _, meta = cur
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    _, manifests = parse_container(open(snap["manifest-list"], "rb").read())
+    spec = {
+        pf["name"]: i
+        for i, pf in enumerate(meta["partition-specs"][0]["fields"])
+    }
+    want = dict(partition_eq or {})
+    files: list[dict] = []
+    for m in manifests:
+        summaries = m[13]
+        if want and summaries:
+            skip = False
+            for name, idx in spec.items():
+                if name not in want or idx >= len(summaries):
+                    continue
+                s = summaries[idx]
+                v = want[name]
+                if v is None:
+                    if not s["contains_null"]:
+                        skip = True
+                    continue
+                lo = s["lower_bound"] and json.loads(s["lower_bound"])
+                hi = s["upper_bound"] and json.loads(s["upper_bound"])
+                if lo is not None and hi is not None and not (lo <= v <= hi):
+                    skip = True
+            if skip:
+                continue  # whole manifest pruned from its summary
+        _, entries = parse_container(open(m[0], "rb").read())
+        for e in entries:
+            status, data_file = e[0], e[4]
+            if status == 2:  # DELETED
+                continue
+            pv = data_file["partition"] or {}
+            if want and any(pv.get(k) != v for k, v in want.items()):
+                continue
+            files.append(data_file)
+    return meta, files
+
+
+def read_iceberg(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    partition_eq: dict | None = None,
+) -> DataFrame:
+    """Read an Iceberg v2 table: resolve the snapshot's manifests, scan
+    the live parquet files in ONE Spark read, and re-attach partition
+    columns from the manifests' typed partition structs via a broadcast
+    `_metadata.file_path` join. `snapshot_id` pins time travel."""
+    meta, files = iceberg_live_files(path, snapshot_id, partition_eq)
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    pcols = [pf["name"] for pf in meta["partition-specs"][0]["fields"]]
+    full = T.StructType(
+        [
+            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
+            for f in schema_fields
+        ]
+    )
+    if not files:
+        return spark.createDataFrame([], full)
+    data_schema = T.StructType([f for f in full.fields if f.name not in pcols])
+    df = spark.read.schema(data_schema).parquet(*[f["file_path"] for f in files])
+    if not pcols:
+        return df.select(*[f.name for f in full.fields])
+    pv_rows = [
+        (
+            os.path.abspath(f["file_path"]),
+            *[
+                None
+                if (f["partition"] or {}).get(c) is None
+                else str((f["partition"] or {}).get(c))
+                for c in pcols
+            ],
+        )
+        for f in files
+    ]
+    pv_schema = T.StructType(
+        [T.StructField("__file_uri", T.StringType())]
+        + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+    )
+    pv_df = spark.createDataFrame(pv_rows, pv_schema)
+    out = df.withColumn(
+        "__file_uri",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+    ).join(F.broadcast(pv_df), "__file_uri")
+    ptypes = {f.name: f.dataType for f in full.fields}
+    for c in pcols:
+        out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
+    return out.select(*[f.name for f in full.fields])
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+@query(
+    "iceberg_roundtrip",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 write → metadata/manifest replay → read. The whole
+    metadata tree (vN.metadata.json, manifest list avro, manifest avro)
+    is produced and consumed by this repo's own public-spec codecs."""
+    root = scratch_path(sf_dir, "orders_iceberg")
+    shutil.rmtree(root, ignore_errors=True)
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_iceberg(df, root)
+    return read_iceberg(spark, root)
+
+
+@query(
+    "iceberg_partition_pruning",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def iceberg_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical metadata pruning: manifest-list partition summaries
+    drop manifests, per-file partition values drop files — the scan's
+    input is only the 1-URGENT files, decided entirely in metadata."""
+    root = scratch_path(sf_dir, "orders_iceberg_part")
+    shutil.rmtree(root, ignore_errors=True)
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    write_iceberg(df, root, partition_by=["o_orderpriority"])
+    pruned = read_iceberg(
+        spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_TT_CUT = "1997-01-01"
+
+
+@query(
+    "iceberg_time_travel",
+    oracle=f"""
+    SELECT 0 AS snap, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_CUT} 00:00:00'
+    UNION ALL
+    SELECT 1 AS snap, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    UNION ALL
+    SELECT 2 AS snap, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: append commit carries prior manifests
+    forward in its manifest list; overwrite's manifest list replaces
+    them. Reading each snapshot-id reproduces each committed state."""
+    root = scratch_path(sf_dir, "orders_iceberg_tt")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    s0 = write_iceberg(orders.where(F.col("o_orderdate") < _TT_CUT), root)
+    s1 = write_iceberg(
+        orders.where(F.col("o_orderdate") >= _TT_CUT), root, mode="append"
+    )
+    s2 = write_iceberg(
+        orders.where(F.col("o_orderstatus") == "F"), root, mode="overwrite"
+    )
+    outs = []
+    for i, sid in enumerate((s0, s1, s2)):
+        agg = read_iceberg(spark, root, snapshot_id=sid).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(i).alias("snap"), "n_rows", "total"))
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -1,0 +1,213 @@
+"""Protocol-fidelity tests for the Iceberg interop layer
+(sources/iceberg_interop.py) and the nested-avro codec extension that
+powers its manifests."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from atlas_migration_repo_spark.catalog import load
+from atlas_migration_repo_spark.sources.avro import (
+    _container_bytes,
+    parse_container,
+)
+from atlas_migration_repo_spark.sources.files import scratch_path
+from atlas_migration_repo_spark.sources.iceberg_interop import (
+    _meta_dir,
+    iceberg_live_files,
+    read_iceberg,
+    write_iceberg,
+)
+
+from conftest import SF_DIR
+
+
+def _fresh(key: str) -> str:
+    root = scratch_path(SF_DIR, key)
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def test_nested_avro_round_trip():
+    """The codec extension must round-trip records containing nested
+    records, arrays, maps, null-unions and fixed — the exact shapes
+    Iceberg manifest files use."""
+    avsc = {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {
+                "name": "rec",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [
+                        {"name": "a", "type": "long"},
+                        {"name": "b", "type": ["null", "string"]},
+                    ],
+                },
+            },
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {
+                "name": "fx",
+                "type": {"type": "fixed", "name": "f8", "size": 8},
+            },
+            {
+                "name": "maybe_arr",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "s",
+                            "fields": [
+                                {"name": "x", "type": ["null", "bytes"]}
+                            ],
+                        },
+                    },
+                ],
+            },
+        ],
+    }
+    rows = [
+        (
+            {"a": 7, "b": "hi"},
+            [1, 2, 3],
+            {"k1": 10, "k2": -5},
+            b"12345678",
+            [{"x": b"\x00\x01"}, {"x": None}],
+        ),
+        ({"a": -1, "b": None}, [], {}, b"abcdefgh", None),
+    ]
+    back_schema, back_rows = parse_container(_container_bytes(avsc, rows))
+    assert back_schema == avsc
+    assert back_rows[0][0] == {"a": 7, "b": "hi"}
+    assert back_rows[0][1] == [1, 2, 3]
+    assert back_rows[0][2] == {"k1": 10, "k2": -5}
+    assert back_rows[0][3] == b"12345678"
+    assert back_rows[0][4] == [{"x": b"\x00\x01"}, {"x": None}]
+    assert back_rows[1] == ({"a": -1, "b": None}, [], {}, b"abcdefgh", None)
+
+
+def test_manifest_avro_carries_field_ids(spark):
+    """Iceberg requires field-id annotations in manifest avro schemas —
+    the ids are how readers map columns across schema evolution."""
+    root = _fresh("t_ice_fieldids")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_iceberg(nat, root)
+    avros = [
+        os.path.join(_meta_dir(root), n)
+        for n in os.listdir(_meta_dir(root))
+        if n.endswith(".avro")
+    ]
+    assert len(avros) == 2  # one manifest + one manifest list
+    for p in avros:
+        schema, _rows = parse_container(open(p, "rb").read())
+        assert all("field-id" in f for f in schema["fields"]), p
+    mlist = [p for p in avros if os.path.basename(p).startswith("snap-")][0]
+    schema, _ = parse_container(open(mlist, "rb").read())
+    ids = {f["name"]: f["field-id"] for f in schema["fields"]}
+    assert ids["manifest_path"] == 500 and ids["added_snapshot_id"] == 503
+
+
+def test_manifest_list_pruning_skips_unopened_manifests(spark):
+    """Partition pruning must act at the MANIFEST LIST level: with two
+    commits covering disjoint partition ranges, a partition_eq inside
+    one range must never open the other commit's manifest — proven by
+    deleting that manifest from disk and still reading correctly."""
+    root = _fresh("t_ice_mprune")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    write_iceberg(
+        nat.where(F.col("n_regionkey") < 2), root, partition_by=["n_regionkey"]
+    )
+    write_iceberg(
+        nat.where(F.col("n_regionkey") >= 2),
+        root,
+        partition_by=["n_regionkey"],
+        mode="append",
+    )
+    manifests = sorted(
+        os.path.join(_meta_dir(root), n)
+        for n in os.listdir(_meta_dir(root))
+        if n.endswith("-m0.avro")
+    )
+    assert len(manifests) == 2
+    # find which manifest holds the >=2 range and delete the other
+    for p in manifests:
+        _, entries = parse_container(open(p, "rb").read())
+        regions = {e[4]["partition"]["n_regionkey"] for e in entries}
+        if regions <= {0, 1}:
+            os.unlink(p)
+            break
+    else:
+        raise AssertionError("no low-range manifest found")
+    _, files = iceberg_live_files(root, partition_eq={"n_regionkey": 3})
+    assert files  # resolved without touching the deleted manifest
+    rows = read_iceberg(
+        spark, root, partition_eq={"n_regionkey": 3}
+    ).collect()
+    assert {r["n_regionkey"] for r in rows} == {3}
+    assert len(rows) == 5
+
+
+def test_overwrite_snapshot_isolation(spark):
+    """Overwrite's manifest list replaces prior manifests; the previous
+    snapshot id still resolves the old state (time travel)."""
+    root = _fresh("t_ice_overwrite")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    s0 = write_iceberg(nat.where(F.col("n_nationkey") < 5), root)
+    s1 = write_iceberg(
+        nat.where(F.col("n_nationkey") >= 20), root, mode="overwrite"
+    )
+    latest = sorted(
+        r["n_nationkey"] for r in read_iceberg(spark, root).collect()
+    )
+    assert latest == [20, 21, 22, 23, 24]
+    old = sorted(
+        r["n_nationkey"]
+        for r in read_iceberg(spark, root, snapshot_id=s0).collect()
+    )
+    assert old == [0, 1, 2, 3, 4]
+    assert s1 != s0
+
+
+def test_metadata_versions_and_hint(spark):
+    """Each commit writes a new vN.metadata.json, bumps version-hint,
+    and logs the prior metadata file in metadata-log."""
+    root = _fresh("t_ice_vhint")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_iceberg(nat.where(F.col("n_nationkey") < 10), root)
+    write_iceberg(
+        nat.where(F.col("n_nationkey") >= 10), root, mode="append"
+    )
+    with open(os.path.join(_meta_dir(root), "version-hint.text")) as fh:
+        assert fh.read().strip() == "2"
+    with open(os.path.join(_meta_dir(root), "v2.metadata.json")) as fh:
+        meta = json.load(fh)
+    assert meta["format-version"] == 2
+    assert len(meta["snapshots"]) == 2
+    assert len(meta["metadata-log"]) == 1
+    assert meta["metadata-log"][0]["metadata-file"].endswith("v1.metadata.json")
+    # both metadata versions remain on disk (older readers keep working)
+    assert os.path.exists(os.path.join(_meta_dir(root), "v1.metadata.json"))
+
+
+def test_null_partition_value_round_trip(spark):
+    """A null partition key must be typed-null in the manifest partition
+    struct and read back as null."""
+    root = _fresh("t_ice_nullpart")
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "b")], ["id", "k"])
+    write_iceberg(df, root, partition_by=["k"])
+    _, files = iceberg_live_files(root)
+    assert any((f["partition"] or {}).get("k") is None for f in files)
+    got = {r["id"]: r["k"] for r in read_iceberg(spark, root).collect()}
+    assert got == {1: "a", 2: None, 3: "b"}
+    nulls = read_iceberg(spark, root, partition_eq={"k": None}).collect()
+    assert [r["id"] for r in nulls] == [2]
