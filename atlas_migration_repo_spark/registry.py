@@ -93,6 +93,8 @@ _DRIVER_SAMPLE_PREFIX = (
     "orders_rfm",
     "delta_time_travel",
     "delta_partition_pruning",
+    "iceberg_time_travel",
+    "delta_stream",
     "str_basic",
     "json_funcs",
     "stream_watermark",
