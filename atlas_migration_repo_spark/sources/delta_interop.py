@@ -452,6 +452,66 @@ def read_delta(
     return out.select(*[f.name for f in schema.fields])
 
 
+def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
+    """Delta VACUUM: delete data files that are not live in any retained
+    version. Default (None) removes only files referenced by NO committed
+    version (crashed-writer orphans) — every tombstoned-but-historical
+    file stays readable for time travel. With retain_versions=N, files
+    live only in versions older than the newest N are reclaimed and the
+    stale commit JSONs are dropped after a checkpoint of the oldest
+    retained version (replay stays resolvable), so older time travel
+    fails loudly rather than half-resolving — the same contract as
+    TableLog.vacuum. Returns deleted relative paths."""
+    log_dir = _log_dir(path)
+    vs = _committed_versions(log_dir)
+    if not vs:
+        return []
+    if retain_versions is not None and len(vs) > retain_versions:
+        keep = vs[-retain_versions:]
+        checkpoint_delta(path, keep[0])
+        referenced: set[str] = set()
+        for v in keep:
+            for a in delta_live_files(path, v):
+                referenced.add(urllib.parse.unquote(a["path"]))
+        for v in vs[: len(vs) - retain_versions]:
+            os.unlink(os.path.join(log_dir, f"{v:020d}.json"))
+        for n in list(os.listdir(log_dir)):
+            if n.endswith(".checkpoint.parquet") and int(n[:20]) < keep[0]:
+                os.unlink(os.path.join(log_dir, n))
+    else:
+        # referenced by ANY committed version: walk every commit/checkpoint
+        # add action directly (never the replayed tail — the TableLog
+        # vacuum lesson: post-checkpoint replay forgets removed-then-
+        # checkpointed history)
+        referenced = set()
+        for n in os.listdir(log_dir):
+            if n.endswith(".json") and n[:20].isdigit():
+                with open(os.path.join(log_dir, n)) as fh:
+                    for line in fh:
+                        if line.strip():
+                            a = json.loads(line)
+                            if "add" in a:
+                                referenced.add(
+                                    urllib.parse.unquote(a["add"]["path"])
+                                )
+            elif n.endswith(".checkpoint.parquet"):
+                for a in _checkpoint_actions(os.path.join(log_dir, n)):
+                    if "add" in a:
+                        referenced.add(urllib.parse.unquote(a["add"]["path"]))
+    deleted = []
+    for dirpath, _dirs, names in os.walk(path):
+        if "_delta_log" in dirpath:
+            continue
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, n), path)
+            if rel not in referenced:
+                os.unlink(os.path.join(dirpath, n))
+                deleted.append(rel)
+    return deleted
+
+
 # ---------------------------------------------------------------------------
 # zero-copy conversion from the engine's TableLog
 # ---------------------------------------------------------------------------

@@ -472,7 +472,13 @@ def iceberg_live_files(
         raise FileNotFoundError(f"no Iceberg metadata under {path}")
     _, meta = cur
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
-    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == sid), None
+    )
+    if snap is None:
+        raise ValueError(
+            f"snapshot {sid} is not in table metadata (expired or unknown)"
+        )
     _, manifests = parse_container(open(snap["manifest-list"], "rb").read())
     spec = {
         pf["name"]: i
@@ -561,6 +567,68 @@ def read_iceberg(
     for c in pcols:
         out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
     return out.select(*[f.name for f in full.fields])
+
+
+def expire_snapshots(path: str, retain: int) -> dict:
+    """Iceberg snapshot expiry: keep the newest `retain` snapshots, drop
+    the rest from table metadata, then delete manifest lists, manifests
+    and DATA FILES reachable only from expired snapshots (reachability
+    is computed over the retained set first — a file shared with any
+    retained snapshot survives). Writes a new vN.metadata.json so the
+    expiry is itself a metadata commit. Returns counts of deleted
+    objects."""
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    v, meta = cur
+    snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    if len(snaps) <= retain:
+        return {"snapshots": 0, "manifests": 0, "data_files": 0}
+    keep = snaps[-retain:]
+    drop = snaps[: len(snaps) - retain]
+
+    def _reach(snapshots):
+        mans, files = set(), set()
+        for s in snapshots:
+            _, manifests = parse_container(open(s["manifest-list"], "rb").read())
+            for m in manifests:
+                mans.add(m[0])
+                _, entries = parse_container(open(m[0], "rb").read())
+                for e in entries:
+                    if e[0] != 2:
+                        files.add(e[4]["file_path"])
+        return mans, files
+
+    keep_mans, keep_files = _reach(keep)
+    drop_mans, drop_files = _reach(drop)
+    n_man = n_dat = 0
+    for m in drop_mans - keep_mans:
+        os.unlink(m)
+        n_man += 1
+    for f in drop_files - keep_files:
+        os.unlink(f)
+        n_dat += 1
+    for s in drop:
+        os.unlink(s["manifest-list"])
+    keep_ids = {s["snapshot-id"] for s in keep}
+    meta = json.loads(json.dumps(meta))
+    meta["snapshots"] = [s for s in meta["snapshots"] if s["snapshot-id"] in keep_ids]
+    meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids
+    ]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    v += 1
+    mpath = os.path.join(_meta_dir(path), f"v{v}.metadata.json")
+    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.rename(tmp, mpath)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.rename(tmp, hint)
+    return {"snapshots": len(drop), "manifests": n_man, "data_files": n_dat}
 
 
 # ---------------------------------------------------------------------------

@@ -210,6 +210,44 @@ def test_convert_preserves_history_and_constraints(spark):
     )
 
 
+def test_vacuum_default_keeps_all_history(spark):
+    """Default vacuum removes only crashed-writer orphans; every file
+    referenced by ANY committed version survives, so time travel across
+    an overwrite still works afterwards."""
+    from atlas_migration_repo_spark.sources.delta_interop import vacuum_delta
+
+    root = _fresh("t_delta_vac0")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.col("n_nationkey") < 5), root)
+    write_delta(nat.where(F.col("n_nationkey") >= 20), root, mode="overwrite")
+    orphan = os.path.join(root, "part-orphan.snappy.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    deleted = vacuum_delta(root)
+    assert deleted == ["part-orphan.snappy.parquet"]
+    assert read_delta(spark, root, version=0).count() == 5
+    assert read_delta(spark, root).count() == 5
+
+
+def test_vacuum_retention_reclaims_and_fails_loudly(spark):
+    """vacuum(retain_versions=1) after an overwrite reclaims the
+    superseded files, keeps the latest version readable (checkpoint
+    base), and makes reads of trimmed versions fail loudly."""
+    from atlas_migration_repo_spark.sources.delta_interop import vacuum_delta
+
+    root = _fresh("t_delta_vac1")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.col("n_nationkey") < 5), root)
+    write_delta(nat.where(F.col("n_nationkey") >= 20), root, mode="overwrite")
+    deleted = vacuum_delta(root, retain_versions=1)
+    assert deleted  # v0-only files reclaimed
+    assert sorted(
+        r["n_nationkey"] for r in read_delta(spark, root).collect()
+    ) == [20, 21, 22, 23, 24]
+    with pytest.raises((FileNotFoundError, ValueError)):
+        read_delta(spark, root, version=0).count()
+
+
 def test_convert_refuses_column_mapped_tables(spark):
     """Rename/widen history needs Delta columnMapping, which the interop
     does not write — it must refuse loudly rather than emit a log real

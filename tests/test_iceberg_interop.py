@@ -199,6 +199,36 @@ def test_metadata_versions_and_hint(spark):
     assert os.path.exists(os.path.join(_meta_dir(root), "v1.metadata.json"))
 
 
+def test_expire_snapshots_reclaims_unshared_files_only(spark):
+    """expire_snapshots(retain=1) after append+overwrite drops the two
+    old snapshots, deletes manifests/data files reachable ONLY from
+    them, keeps everything the retained snapshot needs, and makes
+    expired-snapshot reads fail loudly."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        expire_snapshots,
+    )
+
+    root = _fresh("t_ice_expire")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    s0 = write_iceberg(nat.where(F.col("n_nationkey") < 5), root)
+    write_iceberg(
+        nat.where(F.col("n_nationkey").between(5, 19)), root, mode="append"
+    )
+    write_iceberg(
+        nat.where(F.col("n_nationkey") >= 20), root, mode="overwrite"
+    )
+    res = expire_snapshots(root, retain=1)
+    assert res["snapshots"] == 2
+    assert res["data_files"] > 0  # v0/v1 files were unshared with v2
+    assert sorted(
+        r["n_nationkey"] for r in read_iceberg(spark, root).collect()
+    ) == [20, 21, 22, 23, 24]
+    with _pytest.raises(ValueError, match="expired or unknown"):
+        read_iceberg(spark, root, snapshot_id=s0)
+
+
 def test_null_partition_value_round_trip(spark):
     """A null partition key must be typed-null in the manifest partition
     struct and read back as null."""
