@@ -284,6 +284,25 @@ def write_delta(
                 }
             }
         )
+    elif df.schema.json() != prev_meta["schemaString"]:
+        # additive schema evolution (Delta mergeSchema): new columns may
+        # be appended; dropping or retyping an existing column is refused
+        prev_schema = T.StructType.fromJson(json.loads(prev_meta["schemaString"]))
+        prev_fields = {f.name: f.dataType for f in prev_schema.fields}
+        new_fields = {f.name: f.dataType for f in df.schema.fields}
+        for name_, dt in prev_fields.items():
+            if name_ not in new_fields or new_fields[name_] != dt:
+                raise ValueError(
+                    f"schema evolution on {name_!r} is not additive "
+                    "(missing or retyped); only new columns may be appended"
+                )
+        merged = T.StructType(
+            prev_schema.fields
+            + [f for f in df.schema.fields if f.name not in prev_fields]
+        )
+        new_meta = dict(prev_meta)
+        new_meta["schemaString"] = merged.json()
+        actions.append({"metaData": new_meta})
     if mode == "overwrite":
         for a in prev_adds:
             actions.append(
@@ -727,6 +746,37 @@ def delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     checkpoint_delta(root)
     write_delta(cust.where(F.col("c_custkey") % 4 == 3), root, mode="append")
+    return read_delta(spark, root)
+
+
+@query(
+    "delta_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+    FROM customer
+    """,
+)
+def delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the Delta log (mergeSchema): v0
+    lands (key, name), v1 appends rows that also carry c_acctbal and
+    commits a widened metaData schemaString. The read resolves the
+    MERGED schema — v0 files return null for the new column; dropping
+    or retyping a column refuses loudly (unit-tested)."""
+    root = scratch_path(sf_dir, "customer_delta_evol")
+    shutil.rmtree(root, ignore_errors=True)
+    cust = load(spark, sf_dir, "customer")
+    write_delta(
+        cust.where(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name"),
+        root,
+    )
+    write_delta(
+        cust.where(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_name", "c_acctbal"
+        ),
+        root,
+        mode="append",
+    )
     return read_delta(spark, root)
 
 

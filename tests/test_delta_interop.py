@@ -210,6 +210,27 @@ def test_convert_preserves_history_and_constraints(spark):
     )
 
 
+def test_schema_evolution_refuses_non_additive(spark):
+    """Dropping or retyping an existing column on append must refuse —
+    only new columns may appear (Delta mergeSchema semantics)."""
+    root = _fresh("t_delta_evol_guard")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat, root)
+    with pytest.raises(ValueError, match="not additive"):
+        write_delta(
+            nat.select("n_nationkey"), root, mode="append"
+        )  # dropped n_name
+    with pytest.raises(ValueError, match="not additive"):
+        write_delta(
+            nat.select(
+                F.col("n_nationkey").cast("string").alias("n_nationkey"),
+                "n_name",
+            ),
+            root,
+            mode="append",
+        )  # retyped
+
+
 def test_vacuum_default_keeps_all_history(spark):
     """Default vacuum removes only crashed-writer orphans; every file
     referenced by ANY committed version survives, so time travel across
