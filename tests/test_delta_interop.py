@@ -269,6 +269,58 @@ def test_vacuum_retention_reclaims_and_fails_loudly(spark):
         read_delta(spark, root, version=0).count()
 
 
+def test_delta_log_model_random_commit_sequences(spark):
+    """Model-based check of the log reconciliation: replay random
+    sequences of overwrite/append commits (disjoint key slices of
+    nation) against an in-memory model; EVERY version's read must equal
+    the model's state at that version — the property the protocol's
+    add/remove rules exist to guarantee."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    all_keys = list(range(25))
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["overwrite", "append"]),
+                st.integers(min_value=0, max_value=4),  # slice id (mod 5)
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        seed=st.integers(min_value=0, max_value=7),
+    )
+    def run(ops, seed):
+        root = _fresh(f"t_delta_model_{seed}")
+        model: list[set] = []  # expected key set per version
+        state: set = set()
+        for mode, sl in ops:
+            keys = {k for k in all_keys if k % 5 == sl}
+            if mode == "append":
+                keys = keys - state  # appends stay disjoint (no dup rows)
+            df = nat.where(
+                F.col("n_nationkey").isin(*keys) if keys else F.lit(False)
+            )
+            state = set(keys) if mode == "overwrite" else state | keys
+            write_delta(df, root, mode=mode)
+            model.append(set(state))
+        for v, expect in enumerate(model):
+            got = {
+                r["n_nationkey"]
+                for r in read_delta(spark, root, version=v).collect()
+            }
+            assert got == expect, (v, got, expect)
+
+    run()
+
+
 def test_convert_refuses_column_mapped_tables(spark):
     """Rename/widen history needs Delta columnMapping, which the interop
     does not write — it must refuse loudly rather than emit a log real
