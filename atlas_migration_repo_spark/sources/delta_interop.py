@@ -423,6 +423,24 @@ def delta_live_files(
     return adds
 
 
+def delta_files_in_range(
+    path: str, column: str, lo, hi, version: int | None = None
+) -> list[dict]:
+    """Stats-based data skipping from the LOG: live files whose
+    [minValues, maxValues] envelope for `column` intersects [lo, hi].
+    Files without stats are kept (skipping is an optimization, never a
+    filter) — the same contract as TableLog.files_in_range, driven by
+    the Delta stats strings every add action carries."""
+    out = []
+    for a in delta_live_files(path, version):
+        st = json.loads(a.get("stats") or "{}")
+        fmin = (st.get("minValues") or {}).get(column)
+        fmax = (st.get("maxValues") or {}).get(column)
+        if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
+            out.append(a)
+    return out
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -686,6 +704,30 @@ def delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_delta_range(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Skip-aware range read: prune files from LOG STATISTICS (no
+    listing, no footer reads), scan only the survivors, then apply the
+    exact predicate — skipping narrows, the predicate decides."""
+    v, meta, _ = _replay(path, version)
+    files = delta_files_in_range(path, column, lo, hi, v)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(path, urllib.parse.unquote(a["path"])) for a in files]
+    return (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .where(F.col(column).between(F.lit(lo), F.lit(hi)))
+    )
+
+
 _TT_CUT = "1997-01-01"
 
 
@@ -747,6 +789,42 @@ def delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint_delta(root)
     write_delta(cust.where(F.col("c_custkey") % 4 == 3), root, mode="append")
     return read_delta(spark, root)
+
+
+@query(
+    "delta_stats_skipping",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+    """,
+)
+def delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping from the DELTA log's stats strings: orders land
+    range-clustered on o_orderdate (repartitionByRange → tight per-file
+    envelopes), a year-long range read prunes files from log metadata
+    alone (a unit test asserts the pruned set is a strict subset), and
+    the exact predicate decides the survivors' rows."""
+    root = scratch_path(sf_dir, "orders_delta_skip")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    write_delta(orders, root)
+    got = read_delta_range(
+        spark,
+        root,
+        "o_orderdate",
+        "1996-01-01 00:00:00",
+        "1996-12-31 23:59:59",
+    )
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
 
 
 @query(

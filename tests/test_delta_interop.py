@@ -269,6 +269,45 @@ def test_vacuum_retention_reclaims_and_fails_loudly(spark):
         read_delta(spark, root, version=0).count()
 
 
+def test_stats_skipping_prunes_strict_subset(spark):
+    """delta_files_in_range must prune to a strict subset of live files
+    for a narrow range over range-clustered data, keep files without
+    stats, and never drop a file whose envelope intersects."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delta_files_in_range,
+        read_delta_range,
+    )
+
+    root = _fresh("t_delta_skip")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    write_delta(orders, root)
+    all_files = delta_live_files(root)
+    lo, hi = "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+    pruned = delta_files_in_range(root, "o_orderdate", lo, hi)
+    assert 0 < len(pruned) < len(all_files)
+    got = read_delta_range(spark, root, "o_orderdate", lo, hi)
+    want = read_delta(spark, root).where(
+        F.col("o_orderdate").between(lo, hi)
+    )
+    assert got.count() == want.count() > 0
+    # a statless file must be KEPT (skipping is never a filter)
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    with open(log) as fh:
+        acts = [json.loads(l) for l in fh if l.strip()]
+    for a in acts:
+        if "add" in a:
+            a["add"].pop("stats", None)
+            break
+    with open(log, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    assert len(delta_files_in_range(root, "o_orderdate", lo, hi)) >= len(pruned)
+
+
 def test_delta_log_model_random_commit_sequences(spark):
     """Model-based check of the log reconciliation: replay random
     sequences of overwrite/append commits (disjoint key slices of
