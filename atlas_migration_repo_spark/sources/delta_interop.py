@@ -652,6 +652,65 @@ def convert_tablelog_to_delta(spark: SparkSession, tlog: TableLog) -> int:
     return vs[-1]
 
 
+def adopt_delta_as_tablelog(path: str) -> TableLog:
+    """The REVERSE migration: adopt a foreign Delta table as a TableLog,
+    zero-copy and history-preserving — every Delta commit becomes a
+    TableLog version over the SAME data files (paths recorded relative
+    to the TableLog data root via `..`, since Delta keeps files at the
+    table root), stats strings become stats dicts, partitionValues carry
+    over. The adopted table then gets everything the TableLog ecosystem
+    offers on its own history: time travel, `changes()` CDC, constraint
+    gating of future writes, streaming subscription. Refuses a root that
+    already has a TableLog log (never clobbers history)."""
+    log_dir = _log_dir(path)
+    vs = _committed_versions(log_dir)
+    if not vs:
+        raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    tlog_log = os.path.join(path, "_log")
+    if os.path.isdir(tlog_log) and os.listdir(tlog_log):
+        raise FileExistsError(f"{tlog_log} already holds a TableLog log")
+    t = TableLog(path)
+    for v in vs:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            dacts = [json.loads(line) for line in fh if line.strip()]
+        tacts: list[dict] = []
+        for a in dacts:
+            if "add" in a:
+                add = a["add"]
+                rel = urllib.parse.unquote(add["path"])
+                tacts.append(
+                    {
+                        "add": {
+                            # data files stay where Delta put them (table
+                            # root); TableLog paths resolve under data/
+                            "path": os.path.join("..", rel),
+                            "partitionValues": add.get("partitionValues") or {},
+                            "size": add.get("size", 0),
+                            "stats": json.loads(add.get("stats") or "{}"),
+                        }
+                    }
+                )
+            elif "remove" in a:
+                tacts.append(
+                    {
+                        "remove": {
+                            "path": os.path.join(
+                                "..", urllib.parse.unquote(a["remove"]["path"])
+                            )
+                        }
+                    }
+                )
+        if not tacts:
+            tacts.append({"commitInfo": {"operation": "ADOPT.EMPTY"}})
+        committed = t._commit(tacts)
+        if committed != v:
+            raise RuntimeError(
+                f"adoption version drift: delta v{v} landed as tablelog "
+                f"v{committed}"
+            )
+    return t
+
+
 # ---------------------------------------------------------------------------
 # registered queries (each rebuilds its fixture idempotently per call)
 # ---------------------------------------------------------------------------
@@ -1008,6 +1067,57 @@ def delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@query(
+    "delta_adopt_tablelog",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_CUT} 00:00:00'
+    UNION ALL
+    SELECT 1 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_TT_CUT} 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def delta_adopt_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reverse migration: a foreign DELTA table (two commits) is
+    adopted zero-copy as a TableLog — same files, full history — and
+    then served by TABLELOG machinery: version time travel for v0/v1
+    and the incremental `changes()` CDC feed for the v1 delta (the
+    version=2 output row). A user migrating INTO this engine keeps
+    their Delta history and gains the log's CDC/constraints/streaming."""
+    root = scratch_path(sf_dir, "orders_delta_adopt")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    write_delta(orders.where(F.col("o_orderdate") < _TT_CUT), root)
+    write_delta(
+        orders.where(
+            (F.col("o_orderdate") >= _TT_CUT) & (F.col("o_orderdate") < "1999-01-01")
+        ),
+        root,
+        mode="append",
+    )
+    t = adopt_delta_as_tablelog(root)
+    outs = []
+    for v in (0, 1):
+        agg = t.read(spark, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
+    cdc = t.changes(spark, from_version=0).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+    outs.append(cdc.select(F.lit(2).alias("version"), "n_rows", "total"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
 
 
 @query(

@@ -269,6 +269,50 @@ def test_vacuum_retention_reclaims_and_fails_loudly(spark):
         read_delta(spark, root, version=0).count()
 
 
+def test_adopt_then_append_mixes_layouts(spark):
+    """An adopted Delta table keeps living as a TableLog: a post-adopt
+    TableLog.append commits v-next under data/ while the adopted files
+    stay at the Delta root, and one read unions both layouts. Adoption
+    refuses to clobber an existing TableLog log."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        adopt_delta_as_tablelog,
+    )
+
+    root = _fresh("t_delta_adopt_mix")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.col("n_nationkey") < 10), root)
+    t = adopt_delta_as_tablelog(root)
+    assert t.versions() == [0]
+    t.append(nat.where(F.col("n_nationkey") >= 10))
+    got = sorted(r["n_nationkey"] for r in t.read(spark).collect())
+    assert got == list(range(25))
+    v0 = sorted(r["n_nationkey"] for r in t.read(spark, version=0).collect())
+    assert v0 == list(range(10))
+    with pytest.raises(FileExistsError):
+        adopt_delta_as_tablelog(root)
+
+
+def test_adopt_partitioned_delta_recovers_partition_column(spark):
+    """Adopting a hive-laid-out partitioned Delta table must surface the
+    partition column through TableLog.read (per-segment basePath)."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        adopt_delta_as_tablelog,
+    )
+
+    root = _fresh("t_delta_adopt_part")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    write_delta(nat, root, partition_by=["n_regionkey"])
+    t = adopt_delta_as_tablelog(root)
+    got = {(r["n_nationkey"], r["n_regionkey"]) for r in t.read(spark).collect()}
+    want = {(r["n_nationkey"], r["n_regionkey"]) for r in nat.collect()}
+    assert got == want
+    # log-level partition pruning works on the adopted partitionValues
+    pruned = t.read(
+        spark, partition_filter=lambda pv: pv.get("n_regionkey") == "2"
+    )
+    assert {r["n_regionkey"] for r in pruned.collect()} == {2}
+
+
 def test_stats_skipping_prunes_strict_subset(spark):
     """delta_files_in_range must prune to a strict subset of live files
     for a narrow range over range-clustered data, keep files without
