@@ -238,13 +238,40 @@ def write_iceberg(
     os.makedirs(_meta_dir(path), exist_ok=True)
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
+    evolved = False
     if cur is not None:
         _, meta = cur
         if partition_by != [
             pf["name"] for pf in meta["partition-specs"][0]["fields"]
         ]:
             raise ValueError("partition_by must match the table's partition spec")
-        schema_fields = meta["schemas"][0]["fields"]
+        schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        incoming = {f["name"]: f["type"] for f in _ice_schema(df.schema)}
+        existing = {f["name"]: f["type"] for f in schema_fields}
+        for name_, t_ in existing.items():
+            if name_ not in incoming or incoming[name_] != t_:
+                raise ValueError(
+                    f"schema evolution on {name_!r} is not additive "
+                    "(missing or retyped); only new columns may be appended"
+                )
+        new_names = [n for n in incoming if n not in existing]
+        if new_names:
+            # Iceberg-native evolution: new columns take fresh field-ids
+            # above last-column-id; a NEW schema entry (bumped schema-id)
+            # is appended — old schemas stay, snapshots keep theirs
+            evolved = True
+            next_id = meta["last-column-id"] + 1
+            schema_fields = list(schema_fields)
+            for n in new_names:
+                schema_fields.append(
+                    {
+                        "id": next_id,
+                        "name": n,
+                        "required": False,
+                        "type": incoming[n],
+                    }
+                )
+                next_id += 1
     else:
         schema_fields = _ice_schema(df.schema)
     by_name = {f["name"]: f for f in schema_fields}
@@ -428,6 +455,14 @@ def write_iceberg(
         meta = json.loads(json.dumps(meta))
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
+        if evolved:
+            new_sid = len(meta["schemas"])
+            meta["schemas"].append(
+                {"type": "struct", "schema-id": new_sid, "fields": schema_fields}
+            )
+            meta["current-schema-id"] = new_sid
+            meta["last-column-id"] = max(f["id"] for f in schema_fields)
+        snapshot["schema-id"] = meta["current-schema-id"]
         meta["snapshots"].append(snapshot)
         meta["current-snapshot-id"] = snap_id
         meta["snapshot-log"].append(
@@ -526,9 +561,14 @@ def read_iceberg(
     """Read an Iceberg v2 table: resolve the snapshot's manifests, scan
     the live parquet files in ONE Spark read, and re-attach partition
     columns from the manifests' typed partition structs via a broadcast
-    `_metadata.file_path` join. `snapshot_id` pins time travel."""
+    `_metadata.file_path` join. `snapshot_id` pins time travel and reads
+    with THAT snapshot's schema-id (old snapshots keep their narrower
+    schema after evolution, per the spec)."""
     meta, files = iceberg_live_files(path, snapshot_id, partition_eq)
-    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    schema_id = snap.get("schema-id", meta["current-schema-id"])
+    schema_fields = meta["schemas"][schema_id]["fields"]
     pcols = [pf["name"] for pf in meta["partition-specs"][0]["fields"]]
     full = T.StructType(
         [
@@ -679,6 +719,38 @@ def iceberg_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("o_totalprice")).alias("total"),
     )
+
+
+@query(
+    "iceberg_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END AS c_acctbal
+    FROM customer
+    """,
+)
+def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-native schema evolution: the evolving append allocates
+    fresh field-ids above last-column-id and commits a NEW schema entry
+    with a bumped schema-id (old schemas stay in metadata; each snapshot
+    records the schema-id it was written under, so time travel reads
+    narrow). The current read resolves the widened schema with nulls
+    for files that predate the new column."""
+    root = scratch_path(sf_dir, "customer_iceberg_evol")
+    shutil.rmtree(root, ignore_errors=True)
+    cust = load(spark, sf_dir, "customer")
+    write_iceberg(
+        cust.where(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name"),
+        root,
+    )
+    write_iceberg(
+        cust.where(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_name", "c_acctbal"
+        ),
+        root,
+        mode="append",
+    )
+    return read_iceberg(spark, root)
 
 
 _TT_CUT = "1997-01-01"

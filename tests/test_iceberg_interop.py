@@ -229,6 +229,44 @@ def test_expire_snapshots_reclaims_unshared_files_only(spark):
         read_iceberg(spark, root, snapshot_id=s0)
 
 
+def test_schema_evolution_field_ids_and_snapshot_schema(spark):
+    """Evolution must allocate fresh field-ids above last-column-id,
+    append a new schema entry (keeping the old), stamp the new snapshot
+    with the new schema-id, and keep time travel reading NARROW for
+    pre-evolution snapshots. Non-additive changes refuse."""
+    import pytest as _pytest
+
+    root = _fresh("t_ice_evol")
+    nat = load(spark, SF_DIR, "nation")
+    s0 = write_iceberg(nat.select("n_nationkey", "n_name"), root)
+    write_iceberg(
+        nat.select("n_nationkey", "n_name", "n_regionkey"),
+        root,
+        mode="append",
+    )
+    _, meta = __import__(
+        "atlas_migration_repo_spark.sources.iceberg_interop",
+        fromlist=["_current_metadata"],
+    )._current_metadata(root)
+    assert len(meta["schemas"]) == 2
+    assert meta["current-schema-id"] == 1
+    new_field = [
+        f for f in meta["schemas"][1]["fields"] if f["name"] == "n_regionkey"
+    ][0]
+    assert new_field["id"] == meta["last-column-id"] == 3
+    assert meta["snapshots"][0]["schema-id"] == 0
+    assert meta["snapshots"][1]["schema-id"] == 1
+    # time travel to s0 reads the narrow schema
+    old = read_iceberg(spark, root, snapshot_id=s0)
+    assert old.columns == ["n_nationkey", "n_name"]
+    # current read widens; nulls rows double (append duplicated keys)
+    cur = read_iceberg(spark, root)
+    assert cur.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    assert cur.where(F.col("n_regionkey").isNull()).count() == 25
+    with _pytest.raises(ValueError, match="not additive"):
+        write_iceberg(nat.select("n_nationkey"), root, mode="append")
+
+
 def test_null_partition_value_round_trip(spark):
     """A null partition key must be typed-null in the manifest partition
     struct and read back as null."""
