@@ -129,6 +129,23 @@ def _partition_avro_type(part_fields: list[dict]) -> dict:
     }
 
 
+def _bounds_map(name: str, kid: int, vid: int) -> dict:
+    """Iceberg's avro shape for map<int, binary>: an array of key/value
+    records with logicalType map (avro maps require string keys)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ],
+        },
+    }
+
+
 def _manifest_entry_schema(part_fields: list[dict]) -> dict:
     data_file = {
         "type": "record",
@@ -140,6 +157,16 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
             {"name": "partition", "type": _partition_avro_type(part_fields), "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": ["null", _bounds_map("k126_v127", 126, 127)],
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _bounds_map("k129_v130", 129, 130)],
+                "field-id": 128,
+            },
         ],
     }
     return {
@@ -190,6 +217,109 @@ _MANIFEST_FILE_SCHEMA = {
         },
     ],
 }
+
+
+def _ice_encode_bound(ice_type: str, v) -> bytes:
+    """Iceberg binary single-value serialization (spec appendix D):
+    little-endian fixed-width numerics, UTF-8 strings, micros/days for
+    temporals."""
+    import datetime as _dt
+    import struct as _struct
+
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "int":
+        return _struct.pack("<i", int(v))
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    if ice_type == "float":
+        return _struct.pack("<f", float(v))
+    if ice_type == "double":
+        return _struct.pack("<d", float(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "date":
+        if isinstance(v, _dt.date):
+            v = (v - _dt.date(1970, 1, 1)).days
+        return _struct.pack("<i", int(v))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            v = int((v - epoch).total_seconds() * 1_000_000)
+        return _struct.pack("<q", int(v))
+    raise TypeError(f"no single-value serialization for {ice_type}")
+
+
+def _ice_decode_bound(ice_type: str, b: bytes):
+    import datetime as _dt
+    import struct as _struct
+
+    if ice_type == "boolean":
+        return b == b"\x01"
+    if ice_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8")
+    if ice_type == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=_struct.unpack("<i", b)[0]
+        )
+    if ice_type in ("timestamp", "timestamptz"):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=_struct.unpack("<q", b)[0]
+        )
+    raise TypeError(f"no single-value serialization for {ice_type}")
+
+
+def _file_bounds(file_path: str, fields: list[dict]) -> tuple[list, list]:
+    """Per-file typed column bounds from the parquet FOOTER (no data
+    scan), encoded with the spec's single-value serialization and keyed
+    by field-id — the lower_bounds/upper_bounds of the data_file."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(file_path).metadata
+    except Exception:
+        return [], []
+    by_name = {f["name"]: f for f in fields}
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if name not in by_name:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    lowers, uppers = [], []
+    for name in mins:
+        f = by_name[name]
+        try:
+            lowers.append(
+                {"key": f["id"], "value": _ice_encode_bound(f["type"], mins[name])}
+            )
+            uppers.append(
+                {"key": f["id"], "value": _ice_encode_bound(f["type"], maxs[name])}
+            )
+        except TypeError:
+            continue
+    return lowers, uppers
 
 
 def _write_avro_file(path: str, avsc: dict, rows: list[tuple]) -> int:
@@ -320,6 +450,7 @@ def write_iceberg(
                 os.rename(src, dest)
                 nrec = pq.ParquetFile(dest).metadata.num_rows
                 added_rows += nrec
+                lowers, uppers = _file_bounds(dest, schema_fields)
                 entries.append(
                     (
                         1,  # status ADDED
@@ -333,6 +464,8 @@ def write_iceberg(
                             "partition": pvals,
                             "record_count": nrec,
                             "file_size_in_bytes": os.path.getsize(dest),
+                            "lower_bounds": lowers or None,
+                            "upper_bounds": uppers or None,
                         },
                     )
                 )
@@ -552,6 +685,66 @@ def iceberg_live_files(
     return meta, files
 
 
+def iceberg_files_in_range(
+    path: str, column: str, lo, hi, snapshot_id: int | None = None
+) -> tuple[dict, list[dict]]:
+    """Data skipping from MANIFEST bounds: live files whose
+    [lower_bounds, upper_bounds] envelope for `column` (keyed by
+    field-id, spec single-value binary encoding) intersects [lo, hi].
+    Files without bounds are kept — skipping narrows, never filters."""
+    meta, files = iceberg_live_files(path, snapshot_id)
+    fld = next(
+        f
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+        if f["name"] == column
+    )
+    fid, typ = fld["id"], fld["type"]
+
+    def _bound(raw, key_id):
+        if not raw:
+            return None
+        for kv in raw:
+            if kv["key"] == key_id:
+                return _ice_decode_bound(typ, kv["value"])
+        return None
+
+    out = []
+    for f in files:
+        fmin = _bound(f.get("lower_bounds"), fid)
+        fmax = _bound(f.get("upper_bounds"), fid)
+        if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
+            out.append(f)
+    return meta, out
+
+
+def read_iceberg_range(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Skip-aware range read: prune files from manifest bounds, scan
+    only the survivors, apply the exact predicate. Unpartitioned tables
+    only (partition columns are not materialized in data files)."""
+    meta, files = iceberg_files_in_range(path, column, lo, hi, snapshot_id)
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    full = T.StructType(
+        [
+            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
+            for f in schema_fields
+        ]
+    )
+    if not files:
+        return spark.createDataFrame([], full)
+    return (
+        spark.read.schema(full)
+        .parquet(*[f["file_path"] for f in files])
+        .where(F.col(column).between(F.lit(lo), F.lit(hi)))
+    )
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -716,6 +909,45 @@ def iceberg_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
     )
     return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "iceberg_stats_skipping",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+    """,
+)
+def iceberg_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping from MANIFEST column bounds: orders land
+    range-clustered on o_orderdate, every data_file carries
+    field-id-keyed lower/upper bounds in the spec's binary single-value
+    encoding, and a year-long range read prunes files from manifest
+    metadata alone before the exact predicate runs (strict-subset
+    pruning unit-asserted)."""
+    import datetime as _dt
+
+    root = scratch_path(sf_dir, "orders_iceberg_skip")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    write_iceberg(orders, root)
+    got = read_iceberg_range(
+        spark,
+        root,
+        "o_orderdate",
+        _dt.datetime(1996, 1, 1),
+        _dt.datetime(1996, 12, 31, 23, 59, 59),
+    )
+    return got.agg(
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("o_totalprice")).alias("total"),
     )

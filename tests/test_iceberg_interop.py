@@ -229,6 +229,49 @@ def test_expire_snapshots_reclaims_unshared_files_only(spark):
         read_iceberg(spark, root, snapshot_id=s0)
 
 
+def test_manifest_bounds_prune_strict_subset(spark):
+    """iceberg_files_in_range must prune to a strict subset for a
+    narrow range over range-clustered data, keep files without bounds,
+    and decode the spec's single-value binary encoding round-trip."""
+    import datetime as _dt
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        _ice_decode_bound,
+        _ice_encode_bound,
+        iceberg_files_in_range,
+        iceberg_live_files,
+        read_iceberg_range,
+    )
+
+    # single-value serialization round-trips per type
+    for t, v in (
+        ("int", -42),
+        ("long", 2**40),
+        ("double", 3.5),
+        ("string", "naïve"),
+        ("timestamp", _dt.datetime(1996, 6, 1, 12, 30, 0, 250)),
+        ("date", _dt.date(1996, 6, 1)),
+    ):
+        assert _ice_decode_bound(t, _ice_encode_bound(t, v)) == v
+
+    root = _fresh("t_ice_skip")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    write_iceberg(orders, root)
+    _, all_files = iceberg_live_files(root)
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 12, 31, 23, 59, 59)
+    _, pruned = iceberg_files_in_range(root, "o_orderdate", lo, hi)
+    assert 0 < len(pruned) < len(all_files)
+    got = read_iceberg_range(spark, root, "o_orderdate", lo, hi)
+    want = read_iceberg(spark, root).where(
+        F.col("o_orderdate").between(F.lit(lo), F.lit(hi))
+    )
+    assert got.count() == want.count() > 0
+
+
 def test_schema_evolution_field_ids_and_snapshot_schema(spark):
     """Evolution must allocate fresh field-ids above last-column-id,
     append a new schema entry (keeping the old), stamp the new snapshot
