@@ -95,6 +95,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "delta_partition_pruning",
     "iceberg_time_travel",
     "delta_stream",
+    "delta_adopt_tablelog",
     "str_basic",
     "json_funcs",
     "stream_watermark",
