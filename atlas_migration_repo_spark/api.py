@@ -126,3 +126,42 @@ class AtlasEngine:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.save(path)
+
+    # -- lakehouse formats (no jars; sources/delta_interop, iceberg_interop)
+    def read_delta(self, path: str, version: int | None = None) -> DataFrame:
+        """Read a Delta-format table via the pure-Python log reader
+        (time travel with `version`)."""
+        from atlas_migration_repo_spark.sources.delta_interop import read_delta
+
+        return read_delta(self.spark, path, version=version)
+
+    def write_delta(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: Sequence[str] = (),
+        mode: str = "overwrite",
+    ) -> int:
+        from atlas_migration_repo_spark.sources.delta_interop import write_delta
+
+        return write_delta(df, path, partition_by=list(partition_by), mode=mode)
+
+    def read_iceberg(
+        self, path: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read an Iceberg v2 table via the pure-Python metadata/manifest
+        reader (time travel with `snapshot_id`)."""
+        from atlas_migration_repo_spark.sources.iceberg_interop import read_iceberg
+
+        return read_iceberg(self.spark, path, snapshot_id=snapshot_id)
+
+    def write_iceberg(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: Sequence[str] = (),
+        mode: str = "overwrite",
+    ) -> int:
+        from atlas_migration_repo_spark.sources.iceberg_interop import write_iceberg
+
+        return write_iceberg(df, path, partition_by=list(partition_by), mode=mode)
