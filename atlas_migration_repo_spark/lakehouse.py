@@ -1,0 +1,249 @@
+"""Operational CLI over lakehouse tables — the DESCRIBE / HISTORY /
+FILES triple for any table this engine can read, format auto-detected:
+
+    python -m atlas_migration_repo_spark.lakehouse describe <path>
+    python -m atlas_migration_repo_spark.lakehouse history  <path>
+    python -m atlas_migration_repo_spark.lakehouse files    <path>
+
+Formats: Delta (`_delta_log/`), Iceberg v2 (`metadata/version-hint.text`),
+and the engine's own TableLog (`_log/`). Pure metadata reads — no Spark
+session, no data scan; output is one JSON document on stdout (stderr
+stays clean for piping). This is the operator-facing half of the interop
+modules: a user migrating from the reference's Databricks/S3 stack keeps
+their `DESCRIBE HISTORY` muscle memory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def detect_format(path: str) -> str:
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        return "delta"
+    if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
+        return "iceberg"
+    if os.path.isdir(os.path.join(path, "_log")):
+        return "tablelog"
+    raise FileNotFoundError(
+        f"no _delta_log/, metadata/version-hint.text or _log/ under {path}"
+    )
+
+
+# -- delta -------------------------------------------------------------------
+def _delta_describe(path: str) -> dict:
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _replay,
+        delta_live_files,
+    )
+
+    v, meta, _ = _replay(path)
+    files = delta_live_files(path)
+    return {
+        "format": "delta",
+        "version": v,
+        "schema": json.loads(meta["schemaString"]),
+        "partition_columns": meta.get("partitionColumns") or [],
+        "configuration": meta.get("configuration") or {},
+        "num_files": len(files),
+        "size_bytes": sum(f.get("size", 0) for f in files),
+        "num_records": sum(
+            json.loads(f.get("stats") or "{}").get("numRecords", 0) for f in files
+        ),
+    }
+
+
+def _delta_history(path: str) -> list[dict]:
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _committed_versions,
+        _log_dir,
+    )
+
+    out = []
+    log_dir = _log_dir(path)
+    for v in _committed_versions(log_dir):
+        adds = removes = 0
+        info: dict = {}
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    adds += 1
+                elif "remove" in a:
+                    removes += 1
+                elif "commitInfo" in a:
+                    info = a["commitInfo"]
+        out.append(
+            {
+                "version": v,
+                "operation": info.get("operation"),
+                "timestamp": info.get("timestamp"),
+                "num_added_files": adds,
+                "num_removed_files": removes,
+            }
+        )
+    return out
+
+
+def _delta_files(path: str) -> list[dict]:
+    from atlas_migration_repo_spark.sources.delta_interop import delta_live_files
+
+    return [
+        {
+            "path": f["path"],
+            "size": f.get("size"),
+            "partition_values": f.get("partitionValues") or {},
+            "stats": json.loads(f.get("stats") or "{}"),
+        }
+        for f in delta_live_files(path)
+    ]
+
+
+# -- iceberg -----------------------------------------------------------------
+def _iceberg_describe(path: str) -> dict:
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        _current_metadata,
+        iceberg_live_files,
+    )
+
+    _, meta = _current_metadata(path)
+    _, files = iceberg_live_files(path)
+    return {
+        "format": "iceberg",
+        "format_version": meta["format-version"],
+        "table_uuid": meta["table-uuid"],
+        "current_snapshot_id": meta["current-snapshot-id"],
+        "schema": meta["schemas"][meta["current-schema-id"]],
+        "partition_columns": [
+            pf["name"] for pf in meta["partition-specs"][0]["fields"]
+        ],
+        "num_files": len(files),
+        "size_bytes": sum(f.get("file_size_in_bytes", 0) for f in files),
+        "num_records": sum(f.get("record_count", 0) for f in files),
+    }
+
+
+def _iceberg_history(path: str) -> list[dict]:
+    from atlas_migration_repo_spark.sources.iceberg_interop import _current_metadata
+
+    _, meta = _current_metadata(path)
+    return [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "sequence_number": s["sequence-number"],
+            "timestamp_ms": s["timestamp-ms"],
+            "operation": (s.get("summary") or {}).get("operation"),
+            "schema_id": s.get("schema-id"),
+        }
+        for s in sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+    ]
+
+
+def _iceberg_files(path: str) -> list[dict]:
+    from atlas_migration_repo_spark.sources.iceberg_interop import iceberg_live_files
+
+    _, files = iceberg_live_files(path)
+    return [
+        {
+            "path": f["file_path"],
+            "size": f.get("file_size_in_bytes"),
+            "records": f.get("record_count"),
+            "partition_values": f.get("partition") or {},
+        }
+        for f in files
+    ]
+
+
+# -- tablelog ----------------------------------------------------------------
+def _tablelog_describe(path: str) -> dict:
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(path)
+    snap = t.snapshot()
+    return {
+        "format": "tablelog",
+        "version": snap.version,
+        "constraints": t.constraints(),
+        "num_files": len(snap.files),
+        "size_bytes": sum(f.get("size", 0) for f in snap.files),
+    }
+
+
+def _tablelog_history(path: str) -> list[dict]:
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(path)
+    out = []
+    for v in t.versions():
+        adds = removes = 0
+        info: dict = {}
+        with open(os.path.join(t.log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    adds += 1
+                elif "remove" in a:
+                    removes += 1
+                elif "commitInfo" in a:
+                    info = a["commitInfo"]
+        out.append(
+            {
+                "version": v,
+                "operation": info.get("operation"),
+                "num_added_files": adds,
+                "num_removed_files": removes,
+            }
+        )
+    return out
+
+
+def _tablelog_files(path: str) -> list[dict]:
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    return [
+        {
+            "path": f["path"],
+            "size": f.get("size"),
+            "partition_values": f.get("partitionValues") or {},
+            "stats": f.get("stats") or {},
+        }
+        for f in TableLog(path).snapshot().files
+    ]
+
+
+_DISPATCH = {
+    ("delta", "describe"): _delta_describe,
+    ("delta", "history"): _delta_history,
+    ("delta", "files"): _delta_files,
+    ("iceberg", "describe"): _iceberg_describe,
+    ("iceberg", "history"): _iceberg_history,
+    ("iceberg", "files"): _iceberg_files,
+    ("tablelog", "describe"): _tablelog_describe,
+    ("tablelog", "history"): _tablelog_history,
+    ("tablelog", "files"): _tablelog_files,
+}
+
+
+def run(command: str, path: str) -> dict | list:
+    if command not in ("describe", "history", "files"):
+        raise ValueError(f"unknown command {command!r}")
+    return _DISPATCH[(detect_format(path), command)](path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    print(json.dumps(run(argv[0], argv[1]), indent=1, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

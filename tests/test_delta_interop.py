@@ -269,6 +269,34 @@ def test_vacuum_retention_reclaims_and_fails_loudly(spark):
         read_delta(spark, root, version=0).count()
 
 
+def test_lakehouse_cli_all_formats(spark):
+    """The operational CLI must auto-detect delta/iceberg/tablelog and
+    answer describe/history/files from metadata alone."""
+    from atlas_migration_repo_spark.lakehouse import detect_format, run
+    from atlas_migration_repo_spark.sources.iceberg_interop import write_iceberg
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    d = _fresh("t_cli_delta")
+    write_delta(nat, d)
+    write_delta(nat.limit(5), d, mode="append")
+    i = _fresh("t_cli_ice")
+    write_iceberg(nat, i)
+    t = _fresh("t_cli_tlog")
+    TableLog(t).append(nat)
+    assert detect_format(d) == "delta"
+    assert detect_format(i) == "iceberg"
+    assert detect_format(t) == "tablelog"
+    desc = run("describe", d)
+    assert desc["version"] == 1 and desc["num_records"] == 30
+    assert [h["version"] for h in run("history", d)] == [0, 1]
+    assert run("describe", i)["num_records"] == 25
+    assert len(run("history", i)) == 1
+    assert run("describe", t)["num_files"] == len(run("files", t)) > 0
+    with pytest.raises(ValueError, match="unknown command"):
+        run("drop", d)
+
+
 def test_adopt_then_append_mixes_layouts(spark):
     """An adopted Delta table keeps living as a TableLog: a post-adopt
     TableLog.append commits v-next under data/ while the adopted files
