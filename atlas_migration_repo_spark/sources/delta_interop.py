@@ -51,6 +51,11 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+class ConcurrentDeltaWriteError(RuntimeError):
+    """A racing commit invalidated this write's remove-set (Delta's
+    ConcurrentDeleteDeleteException family); re-read and redo."""
+
+
 # ---------------------------------------------------------------------------
 # log primitives
 # ---------------------------------------------------------------------------
@@ -69,12 +74,17 @@ def _committed_versions(log_dir: str) -> list[int]:
 
 
 def _publish_commit(log_dir: str, actions: list[dict], version: int) -> int:
-    """Publish `actions` as commit `version` via put-if-absent (the same
-    LogStore discipline as TableLog._commit; interop commits are
-    single-writer in this repo, but losing a race retries at the next
-    version rather than corrupting the log)."""
+    """Publish `actions` as the next commit via put-if-absent — Delta's
+    optimistic concurrency. Losing the version race retries at the next
+    number, but a retried commit that carries REMOVE actions re-resolves
+    the snapshot first and raises ConcurrentDeltaWriteError if any of
+    its removed files is no longer live (a concurrent overwrite already
+    superseded it — blind retry would tombstone files it never read).
+    Blind appends, the provably-safe case, always retry."""
     os.makedirs(log_dir, exist_ok=True)
     store = PosixLinkLogStore()
+    removed = {a["remove"]["path"] for a in actions if "remove" in a}
+    table_root = os.path.dirname(log_dir)
     tmp = os.path.join(log_dir, f".tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         for a in actions:
@@ -82,11 +92,23 @@ def _publish_commit(log_dir: str, actions: list[dict], version: int) -> int:
         fh.flush()
         os.fsync(fh.fileno())
     try:
+        lost_race = False
         while True:
+            if lost_race and removed:
+                live = {a["path"] for a in delta_live_files(table_root)}
+                gone = sorted(removed - live)
+                if gone:
+                    raise ConcurrentDeltaWriteError(
+                        f"concurrent commit already removed {gone[:3]}"
+                        f"{'...' if len(gone) > 3 else ''}; re-read the "
+                        "table and redo the operation"
+                    )
             target = os.path.join(log_dir, f"{version:020d}.json")
             if store.publish(tmp, target):
                 return version
-            version += 1
+            lost_race = True
+            vs = _committed_versions(log_dir)
+            version = (vs[-1] + 1) if vs else version + 1
     finally:
         os.unlink(tmp)
 

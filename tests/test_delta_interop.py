@@ -269,6 +269,56 @@ def test_vacuum_retention_reclaims_and_fails_loudly(spark):
         read_delta(spark, root, version=0).count()
 
 
+def test_concurrent_append_race_dense_versions(spark):
+    """Four writer threads appending concurrently must land on DENSE
+    distinct versions with no commit lost (the put-if-absent retry), and
+    the final table holds every writer's rows exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = _fresh("t_delta_race")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.lit(False)), root)  # v0 establishes metaData
+    slices = [nat.where(F.col("n_nationkey") % 4 == m) for m in range(4)]
+
+    def _go(df):
+        return write_delta(df, root, mode="append")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = sorted(ex.map(_go, slices))
+    assert versions == [1, 2, 3, 4]
+    got = sorted(r["n_nationkey"] for r in read_delta(spark, root).collect())
+    assert got == list(range(25))
+
+
+def test_concurrent_overwrite_race_fails_loudly(spark):
+    """A remove-carrying commit that loses the race to another remove of
+    the same files must raise rather than double-tombstone (Delta's
+    conflict rule). Simulated deterministically: stage two overwrites
+    from the same snapshot, publish one, then publish the second at a
+    colliding version."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        ConcurrentDeltaWriteError,
+        _log_dir,
+        _publish_commit,
+        delta_live_files,
+    )
+
+    root = _fresh("t_delta_race_rm")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.col("n_nationkey") < 5), root)
+    doomed = [a["path"] for a in delta_live_files(root)]
+    removes = [
+        {"remove": {"path": p, "deletionTimestamp": 1, "dataChange": True}}
+        for p in doomed
+    ]
+    # writer A wins version 1 with the removes
+    _publish_commit(_log_dir(root), removes, 1)
+    # writer B staged the same removes against the v0 snapshot and now
+    # tries to publish at the (already-taken) version 1 → conflict
+    with pytest.raises(ConcurrentDeltaWriteError, match="re-read"):
+        _publish_commit(_log_dir(root), removes, 1)
+
+
 def test_lakehouse_cli_all_formats(spark):
     """The operational CLI must auto-detect delta/iceberg/tablelog and
     answer describe/history/files from metadata alone."""
