@@ -511,6 +511,112 @@ def read_delta(
     return out.select(*[f.name for f in schema.fields])
 
 
+def merge_delta(
+    spark: SparkSession, path: str, source: DataFrame, key: str
+) -> int:
+    """MERGE INTO the Delta table: source rows update matches by `key`
+    and insert non-matches, as ONE atomic commit. File-granular
+    selective rewrite — only data files that actually CONTAIN a matched
+    key are rewritten (found via a `_metadata.file_path` semi-join, one
+    scan); untouched files stay exactly as they are, which at 100 TB is
+    the difference between rewriting gigabytes and rewriting the lake.
+    The commit removes the affected files and adds their merged
+    replacements plus the inserts; a racing writer that superseded any
+    affected file trips the ConcurrentDeltaWriteError conflict check."""
+    v, meta, _ = _replay(path)
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            "merge_delta supports unpartitioned tables (partition-aware "
+            "merge goes through TableLog.merge)"
+        )
+    adds_live = delta_live_files(path, v)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    abs_of = {
+        a["path"]: os.path.join(path, urllib.parse.unquote(a["path"]))
+        for a in adds_live
+    }
+    base = (
+        spark.read.schema(schema)
+        .parquet(*abs_of.values())
+        .withColumn(
+            "__file",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+    )
+    skeys = source.select(F.col(key).alias("__k")).distinct()
+    touched = {
+        r["__file"]
+        for r in base.join(skeys, base[key] == skeys["__k"], "semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    }  # file-count-sized, never row-scale
+    touched_rel = [p for p, ap in abs_of.items() if os.path.abspath(ap) in touched]
+    cols = [f.name for f in schema.fields]
+    if touched_rel:
+        affected = spark.read.schema(schema).parquet(
+            *[abs_of[p] for p in touched_rel]
+        )
+    else:
+        affected = spark.createDataFrame([], schema)
+    merged = (
+        affected.alias("t")
+        .join(source.alias("s"), on=key, how="full")
+        .select(
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                if c != key
+                else F.col(key)
+                for c in cols
+            ]
+        )
+    )
+    now_ms = int(time.time() * 1000)
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").parquet(stage)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "MERGE",
+                "operationParameters": {"predicate": key},
+            }
+        }
+    ]
+    for p in touched_rel:
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    try:
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            dest = os.path.join(path, f"part-{uuid.uuid4().hex}.snappy.parquet")
+            os.rename(os.path.join(stage, name), dest)
+            actions.append(
+                {
+                    "add": {
+                        "path": urllib.parse.quote(os.path.relpath(dest, path)),
+                        "partitionValues": {},
+                        "size": os.path.getsize(dest),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "stats": _delta_stats(dest),
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    vs = _committed_versions(_log_dir(path))
+    return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
+
+
 def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
     """Delta VACUUM: delete data files that are not live in any retained
     version. Default (None) removes only files referenced by NO committed
@@ -870,6 +976,81 @@ def delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint_delta(root)
     write_delta(cust.where(F.col("c_custkey") % 4 == 3), root, mode="append")
     return read_delta(spark, root)
+
+
+@query(
+    "delta_merge",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 1 THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 4 = 1 THEN
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 40000000, 'O', o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 7
+    )
+    SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+             AS total
+    FROM orders
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+             AS total
+    FROM merged
+    """,
+)
+def delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the Delta protocol (the TableLog.merge twin,
+    same semantics and oracle as merge_versioned): v0 = orders landed
+    range-clustered on o_orderkey across 8 files; one merge_delta
+    commits updates (keys %4==1 finalize at +5%) and inserts (keys
+    %1000==7 re-keyed) — rewriting ONLY the files that contain matched
+    keys (a unit test asserts untouched files survive byte-identical).
+    Reading both versions proves snapshot isolation."""
+    root = scratch_path(sf_dir, "orders_delta_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+    )
+    write_delta(orders, root)
+    k = F.col("o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    src = (
+        orders.where(k % 4 == 1)
+        .select(
+            "o_orderkey",
+            F.lit("F").alias("o_orderstatus"),
+            (price_dec * F.expr("CAST(1.05 AS DECIMAL(3,2))"))
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(k % 1000 == 7).select(
+                (k + 40000000).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    merge_delta(spark, root, src, key="o_orderkey")
+    outs = []
+    for v in (0, 1):
+        agg = read_delta(spark, root, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(
+            agg.select(F.lit(v).cast("long").alias("version"), "n_rows", "total")
+        )
+    return outs[0].unionByName(outs[1])
 
 
 @query(

@@ -269,6 +269,51 @@ def test_vacuum_retention_reclaims_and_fails_loudly(spark):
         read_delta(spark, root, version=0).count()
 
 
+def test_merge_rewrites_only_touched_files(spark):
+    """merge_delta must rewrite ONLY the files containing matched keys:
+    with orders range-clustered across 8 files and a source touching a
+    narrow key range, the untouched files' add-actions must survive the
+    merge commit verbatim (same path — zero rewrite), and the merged
+    state must equal update+insert semantics."""
+    from atlas_migration_repo_spark.sources.delta_interop import merge_delta
+
+    root = _fresh("t_delta_merge_sel")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+    )
+    write_delta(orders, root)
+    before = {a["path"] for a in delta_live_files(root)}
+    lo_keys = [
+        r["o_orderkey"]
+        for r in orders.orderBy("o_orderkey").limit(20).collect()
+    ]
+    src = (
+        orders.where(F.col("o_orderkey").isin(lo_keys[:10]))
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(99999999, "N", 2.0)],
+                "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+            )
+        )
+    )
+    merge_delta(spark, root, src, key="o_orderkey")
+    after = {a["path"] for a in delta_live_files(root)}
+    survivors = before & after
+    assert len(survivors) >= 6  # only the low-range file(s) rewritten
+    assert len(before - after) >= 1
+    got = read_delta(spark, root)
+    assert got.where(F.col("o_orderstatus") == "X").count() == 10
+    assert got.where(F.col("o_orderkey") == 99999999).count() == 1
+    assert got.count() == orders.count() + 1
+
+
 def test_concurrent_append_race_dense_versions(spark):
     """Four writer threads appending concurrently must land on DENSE
     distinct versions with no commit lost (the put-if-absent retry), and
