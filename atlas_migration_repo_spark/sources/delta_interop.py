@@ -617,6 +617,98 @@ def merge_delta(
     return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
 
 
+def delete_delta_range(
+    spark: SparkSession, path: str, column: str, lo, hi
+) -> int:
+    """DELETE FROM WHERE column BETWEEN lo AND hi, as one atomic commit
+    with stats-driven three-way file handling: files whose [min,max]
+    envelope lies ENTIRELY inside the range are tombstoned WITHOUT being
+    read (a metadata-only delete); files that merely overlap the
+    boundary are rewritten without their matching rows; disjoint files
+    are untouched. On a 100 TB range-clustered table a retention delete
+    is then almost entirely metadata work — only the two boundary files
+    pay a rewrite."""
+    v, meta, _ = _replay(path)
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            "delete_delta_range supports unpartitioned tables "
+            "(partition-level deletes go through TableLog.delete_where)"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    drop_whole: list[dict] = []
+    rewrite: list[dict] = []
+    for a in delta_live_files(path, v):
+        st = json.loads(a.get("stats") or "{}")
+        fmin = (st.get("minValues") or {}).get(column)
+        fmax = (st.get("maxValues") or {}).get(column)
+        if fmin is None or fmax is None:
+            rewrite.append(a)  # no stats → must read it
+        elif fmin >= lo and fmax <= hi:
+            drop_whole.append(a)  # fully inside → metadata-only delete
+        elif fmax >= lo and fmin <= hi:
+            rewrite.append(a)  # boundary overlap → rewrite survivors
+        # else: disjoint → untouched
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {
+                    "predicate": f"{column} BETWEEN {lo!r} AND {hi!r}"
+                },
+            }
+        }
+    ]
+    for a in drop_whole + rewrite:
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    if rewrite:
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(
+                *[
+                    os.path.join(path, urllib.parse.unquote(a["path"]))
+                    for a in rewrite
+                ]
+            )
+            .where(~F.col(column).between(F.lit(lo), F.lit(hi)))
+        )
+        stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+        survivors.write.mode("overwrite").parquet(stage)
+        try:
+            for name in sorted(os.listdir(stage)):
+                if not name.endswith(".parquet"):
+                    continue
+                dest = os.path.join(
+                    path, f"part-{uuid.uuid4().hex}.snappy.parquet"
+                )
+                os.rename(os.path.join(stage, name), dest)
+                actions.append(
+                    {
+                        "add": {
+                            "path": urllib.parse.quote(os.path.relpath(dest, path)),
+                            "partitionValues": {},
+                            "size": os.path.getsize(dest),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                            "stats": _delta_stats(dest),
+                        }
+                    }
+                )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+    vs = _committed_versions(_log_dir(path))
+    return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
+
+
 def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
     """Delta VACUUM: delete data files that are not live in any retained
     version. Default (None) removes only files referenced by NO committed
@@ -1087,6 +1179,46 @@ def delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("o_totalprice")).alias("total"),
     )
+
+
+@query(
+    "delta_delete_range",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    UNION ALL
+    SELECT 1 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       OR o_orderdate > TIMESTAMP '1996-12-31 23:59:59'
+    """,
+)
+def delta_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range DELETE through the Delta protocol: orders land
+    range-clustered on o_orderdate, then the 1996 year is deleted —
+    interior files tombstone from STATS alone (never read), boundary
+    files rewrite their survivors, disjoint files stay (the three-way
+    split is unit-asserted). v0 still reads the full table (snapshot
+    isolation)."""
+    root = scratch_path(sf_dir, "orders_delta_del")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    write_delta(orders, root)
+    delete_delta_range(
+        spark, root, "o_orderdate", "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+    )
+    outs = []
+    for v in (0, 1):
+        agg = read_delta(spark, root, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
+    return outs[0].unionByName(outs[1])
 
 
 @query(

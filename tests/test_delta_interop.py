@@ -269,6 +269,45 @@ def test_vacuum_retention_reclaims_and_fails_loudly(spark):
         read_delta(spark, root, version=0).count()
 
 
+def test_delete_range_three_way_file_split(spark):
+    """delete_delta_range must tombstone fully-covered files WITHOUT
+    rewriting them (no replacement adds for them), rewrite only
+    boundary-overlap files, and leave disjoint files verbatim."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+    )
+
+    root = _fresh("t_delta_del3")
+    # 32 range files so the deleted year fully covers interior files
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(32, "o_orderdate")
+    )
+    write_delta(orders, root)
+    before = {a["path"] for a in delta_live_files(root)}
+    lo, hi = "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+    delete_delta_range(spark, root, "o_orderdate", lo, hi)
+    after = {a["path"] for a in delta_live_files(root)}
+    untouched = before & after
+    removed = before - after
+    new = after - before
+    assert untouched and removed  # disjoint files stayed; covered files left
+    # interior files tombstoned without replacement: more files removed
+    # than new files added (boundary rewrites only)
+    assert len(new) < len(removed)
+    got = read_delta(spark, root)
+    assert got.where(F.col("o_orderdate").between(lo, hi)).count() == 0
+    want = (
+        load(spark, SF_DIR, "orders")
+        .where(~F.col("o_orderdate").between(lo, hi))
+        .count()
+    )
+    assert got.count() == want
+    # v0 unchanged (snapshot isolation)
+    assert read_delta(spark, root, version=0).count() == orders.count()
+
+
 def test_merge_rewrites_only_touched_files(spark):
     """merge_delta must rewrite ONLY the files containing matched keys:
     with orders range-clustered across 8 files and a source touching a
