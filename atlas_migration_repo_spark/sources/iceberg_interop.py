@@ -864,6 +864,181 @@ def expire_snapshots(path: str, retain: int) -> dict:
     return {"snapshots": len(drop), "manifests": n_man, "data_files": n_dat}
 
 
+def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
+    """UniForm-style dual publish (the public Delta Universal Format
+    idea): give an existing DELTA table an ICEBERG metadata tree over
+    the SAME data files — one copy of the data, two protocol front
+    doors. The current Delta snapshot becomes Iceberg snapshot 1: one
+    manifest whose entries carry the Delta adds' partition values
+    (typed), record counts and, where the Delta stats allow, field-id
+    bounds. Refuses if an Iceberg metadata tree already exists. Returns
+    the snapshot id."""
+    import urllib.parse as up
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _replay as _delta_replay,
+        delta_live_files,
+    )
+
+    if os.path.exists(os.path.join(_meta_dir(path), "version-hint.text")):
+        raise FileExistsError(f"{_meta_dir(path)} already holds Iceberg metadata")
+    _, dmeta, _ = _delta_replay(path)
+    adds = delta_live_files(path)
+    spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
+    schema_fields = _ice_schema(spark_schema)
+    by_name = {f["name"]: f for f in schema_fields}
+    pcols = dmeta.get("partitionColumns") or []
+    part_fields = [
+        {
+            "name": c,
+            "field_id": 1000 + i,
+            "source_id": by_name[c]["id"],
+            "ice_type": by_name[c]["type"],
+        }
+        for i, c in enumerate(pcols)
+    ]
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    seq = 1
+    snap_id = int(time.time() * 1000) * 1000 + seq
+    entries: list[tuple] = []
+    added_rows = 0
+    for a in adds:
+        st = json.loads(a.get("stats") or "{}")
+        nrec = int(st.get("numRecords", 0))
+        added_rows += nrec
+        pv = {
+            c: _encode_part_value(
+                (a.get("partitionValues") or {}).get(c),
+                by_name[c]["type"],
+            )
+            for c in pcols
+        }
+        lowers, uppers = [], []
+        for name, lo in (st.get("minValues") or {}).items():
+            f = by_name.get(name)
+            hi = (st.get("maxValues") or {}).get(name)
+            if f is None or hi is None:
+                continue
+            # Delta stats hold JSON-native values; encode only when the
+            # python type matches the iceberg type (timestamps are
+            # stringified in our stats and are skipped here — bounds are
+            # an optimization, never required)
+            ok = (
+                f["type"] in ("int", "long")
+                and isinstance(lo, int)
+                or f["type"] in ("float", "double")
+                and isinstance(lo, (int, float))
+                or f["type"] == "string"
+                and isinstance(lo, str)
+            )
+            if not ok:
+                continue
+            lowers.append(
+                {"key": f["id"], "value": _ice_encode_bound(f["type"], lo)}
+            )
+            uppers.append(
+                {"key": f["id"], "value": _ice_encode_bound(f["type"], hi)}
+            )
+        entries.append(
+            (
+                1,
+                snap_id,
+                seq,
+                seq,
+                {
+                    "content": 0,
+                    "file_path": os.path.join(path, up.unquote(a["path"])),
+                    "file_format": "PARQUET",
+                    "partition": pv,
+                    "record_count": nrec,
+                    "file_size_in_bytes": a.get("size", 0),
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
+                },
+            )
+        )
+    man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    man_len = _write_avro_file(
+        man_path, _manifest_entry_schema(part_fields), entries
+    )
+    new_manifest_row = (
+        man_path,
+        man_len,
+        0,
+        0,
+        seq,
+        seq,
+        snap_id,
+        len(entries),
+        0,
+        0,
+        added_rows,
+        0,
+        0,
+        None,
+    )
+    mlist_path = os.path.join(
+        _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    _write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, [new_manifest_row])
+    now_ms = int(time.time() * 1000)
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": path,
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": max(f["id"] for f in schema_fields),
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": schema_fields}],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": pf["name"],
+                        "transform": "identity",
+                        "source-id": pf["source_id"],
+                        "field-id": pf["field_id"],
+                    }
+                    for pf in part_fields
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "last-partition-id": max(
+            [pf["field_id"] for pf in part_fields], default=999
+        ),
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {"write.metadata.converted-from": "delta"},
+        "snapshots": [
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": mlist_path,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "current-snapshot-id": snap_id,
+        "snapshot-log": [{"snapshot-id": snap_id, "timestamp-ms": now_ms}],
+        "metadata-log": [],
+    }
+    mpath = os.path.join(_meta_dir(path), "v1.metadata.json")
+    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.rename(tmp, mpath)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write("1")
+    os.rename(tmp, hint)
+    return snap_id
+
+
 # ---------------------------------------------------------------------------
 # registered queries
 # ---------------------------------------------------------------------------
@@ -912,6 +1087,53 @@ def iceberg_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("o_totalprice")).alias("total"),
     )
+
+
+@query(
+    "lakehouse_uniform",
+    oracle=f"""
+    SELECT 'delta' AS reader, o_orderstatus,
+           COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'iceberg' AS reader, o_orderstatus,
+           COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm dual publish: ONE copy of partitioned data files carries
+    BOTH a `_delta_log` and an Iceberg metadata tree; the same
+    partition-pruned aggregate is answered through each protocol's
+    reader and must agree (and match the oracle) — a migrating user
+    serves Delta and Iceberg clients from the same storage."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        read_delta,
+        write_delta,
+    )
+
+    root = scratch_path(sf_dir, "orders_uniform")
+    shutil.rmtree(root, ignore_errors=True)
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    write_delta(df, root, partition_by=["o_orderpriority"])
+    publish_iceberg_metadata_from_delta(spark, root)
+    outs = []
+    for reader, fn in (
+        ("delta", lambda: read_delta(spark, root, partition_eq={"o_orderpriority": "1-URGENT"})),
+        ("iceberg", lambda: read_iceberg(spark, root, partition_eq={"o_orderpriority": "1-URGENT"})),
+    ):
+        outs.append(
+            fn()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .select(F.lit(reader).alias("reader"), "o_orderstatus", "n_rows", "total")
+        )
+    return outs[0].unionByName(outs[1])
 
 
 @query(
