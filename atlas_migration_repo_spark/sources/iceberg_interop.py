@@ -219,6 +219,49 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
+def _parse_partition_term(term: str, by_name: dict | None) -> dict:
+    """Parse a partition_by term: bare column → identity; `year(col)` /
+    `month(col)` → hidden-partition transform (spec ordinals from 1970,
+    int-typed partition values; the source column stays in data files)."""
+    import re as _re
+
+    m = _re.fullmatch(r"(year|month)\((\w+)\)", term)
+    if m:
+        tr, src = m.group(1), m.group(2)
+        return {
+            "name": f"{src}_{tr}",
+            "transform": tr,
+            "source": src,
+            "source_id": by_name[src]["id"] if by_name else None,
+            "ice_type": "int",
+            "hidden": True,
+        }
+    return {
+        "name": term,
+        "transform": "identity",
+        "source": term,
+        "source_id": by_name[term]["id"] if by_name else None,
+        "ice_type": by_name[term]["type"] if by_name else None,
+        "hidden": False,
+    }
+
+
+def transform_value(transform: str, v):
+    """Compute a transform-space partition value for pruning: year →
+    years from 1970, month → months from 1970, identity → unchanged."""
+    import datetime as _dt
+
+    if transform == "identity":
+        return v
+    if isinstance(v, str):
+        v = _dt.datetime.fromisoformat(v)
+    if transform == "year":
+        return v.year - 1970
+    if transform == "month":
+        return (v.year - 1970) * 12 + v.month - 1
+    raise ValueError(f"unknown transform {transform!r}")
+
+
 def _ice_encode_bound(ice_type: str, v) -> bytes:
     """Iceberg binary single-value serialization (spec appendix D):
     little-endian fixed-width numerics, UTF-8 strings, micros/days for
@@ -371,9 +414,15 @@ def write_iceberg(
     evolved = False
     if cur is not None:
         _, meta = cur
-        if partition_by != [
-            pf["name"] for pf in meta["partition-specs"][0]["fields"]
-        ]:
+        want_spec = [
+            (d["name"], d["transform"])
+            for d in (_parse_partition_term(t, None) for t in partition_by)
+        ]
+        have_spec = [
+            (pf["name"], pf["transform"])
+            for pf in meta["partition-specs"][0]["fields"]
+        ]
+        if want_spec != have_spec:
             raise ValueError("partition_by must match the table's partition spec")
         schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
         incoming = {f["name"]: f["type"] for f in _ice_schema(df.schema)}
@@ -405,21 +454,35 @@ def write_iceberg(
     else:
         schema_fields = _ice_schema(df.schema)
     by_name = {f["name"]: f for f in schema_fields}
-    part_fields = [
-        {
-            "name": c,
-            "field_id": 1000 + i,
-            "source_id": by_name[c]["id"],
-            "ice_type": by_name[c]["type"],
-        }
-        for i, c in enumerate(partition_by)
-    ]
+    part_fields = []
+    for i, term in enumerate(partition_by):
+        d = _parse_partition_term(term, by_name)
+        d["field_id"] = 1000 + i
+        part_fields.append(d)
 
-    # stage data files
+    # stage data files — hidden-partition transforms derive their dir
+    # column on the fly (year/month ordinals from 1970, per the spec);
+    # the SOURCE column stays in the data files, the derived column
+    # exists only as directory layout + log metadata
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
+    staged_df = df
+    for pf in part_fields:
+        if pf["transform"] == "year":
+            staged_df = staged_df.withColumn(
+                pf["name"], (F.year(pf["source"]) - F.lit(1970)).cast("int")
+            )
+        elif pf["transform"] == "month":
+            staged_df = staged_df.withColumn(
+                pf["name"],
+                (
+                    (F.year(pf["source"]) - F.lit(1970)) * 12
+                    + F.month(pf["source"])
+                    - F.lit(1)
+                ).cast("int"),
+            )
+    w = staged_df.write.mode("overwrite")
+    if part_fields:
+        w = w.partitionBy(*[pf["name"] for pf in part_fields])
     w.parquet(stage)
 
     import pyarrow.parquet as pq
@@ -560,7 +623,7 @@ def write_iceberg(
                     "fields": [
                         {
                             "name": pf["name"],
-                            "transform": "identity",
+                            "transform": pf["transform"],
                             "source-id": pf["source_id"],
                             "field-id": pf["field_id"],
                         }
@@ -762,7 +825,14 @@ def read_iceberg(
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
     schema_id = snap.get("schema-id", meta["current-schema-id"])
     schema_fields = meta["schemas"][schema_id]["fields"]
-    pcols = [pf["name"] for pf in meta["partition-specs"][0]["fields"]]
+    # only IDENTITY partition columns are reattached from metadata;
+    # hidden-transform fields (year/month) exist only as layout + log
+    # metadata — their SOURCE columns live in the data files themselves
+    pcols = [
+        pf["name"]
+        for pf in meta["partition-specs"][0]["fields"]
+        if pf.get("transform", "identity") == "identity"
+    ]
     full = T.StructType(
         [
             T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
@@ -1170,6 +1240,38 @@ def iceberg_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dt.datetime(1996, 12, 31, 23, 59, 59),
     )
     return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "iceberg_hidden_partitioning",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE YEAR(o_orderdate) = 1996
+    """,
+)
+def iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN partitioning — the Iceberg feature hive layouts lack:
+    orders partition by `year(o_orderdate)` without any user-visible
+    year column (the transform ordinal lives only in layout + log
+    metadata; o_orderdate itself stays in the data files). A query for
+    one year prunes to that year's files entirely in metadata and needs
+    no knowledge of the layout."""
+    root = scratch_path(sf_dir, "orders_iceberg_hidden")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    write_iceberg(orders, root, partition_by=["year(o_orderdate)"])
+    pruned = read_iceberg(
+        spark,
+        root,
+        partition_eq={"o_orderdate_year": transform_value("year", "1996-01-01")},
+    )
+    return pruned.agg(
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("o_totalprice")).alias("total"),
     )

@@ -310,6 +310,47 @@ def test_schema_evolution_field_ids_and_snapshot_schema(spark):
         write_iceberg(nat.select("n_nationkey"), root, mode="append")
 
 
+def test_hidden_partitioning_is_hidden(spark):
+    """year(col) partitioning must NOT surface a partition column in the
+    table schema or reads; the transform + ordinal live only in the
+    spec/manifests, prune file lists in metadata, and the source column
+    reads back intact from the data files."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        _current_metadata,
+        iceberg_live_files,
+        transform_value,
+    )
+
+    root = _fresh("t_ice_hidden")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    write_iceberg(orders, root, partition_by=["year(o_orderdate)"])
+    _, meta = _current_metadata(root)
+    spec = meta["partition-specs"][0]["fields"]
+    assert spec[0]["transform"] == "year"
+    assert spec[0]["name"] == "o_orderdate_year"
+    assert all(
+        f["name"] != "o_orderdate_year"
+        for f in meta["schemas"][0]["fields"]
+    )  # hidden: not a table column
+    got = read_iceberg(spark, root)
+    assert got.columns == ["o_orderkey", "o_totalprice", "o_orderdate"]
+    assert got.count() == orders.count()
+    # metadata pruning in transform space
+    _, all_files = iceberg_live_files(root)
+    pv = transform_value("year", "1996-06-15")
+    _, pruned = iceberg_live_files(root, partition_eq={"o_orderdate_year": pv})
+    assert 0 < len(pruned) < len(all_files)
+    rows = read_iceberg(
+        spark, root, partition_eq={"o_orderdate_year": pv}
+    )
+    years = {r[0] for r in rows.select(F.year("o_orderdate")).distinct().collect()}
+    assert years == {1996}
+    assert transform_value("year", "1996-01-01") == 26
+    assert transform_value("month", "1970-02-01") == 1
+
+
 def test_null_partition_value_round_trip(spark):
     """A null partition key must be typed-null in the manifest partition
     struct and read back as null."""
