@@ -310,6 +310,44 @@ def test_schema_evolution_field_ids_and_snapshot_schema(spark):
         write_iceberg(nat.select("n_nationkey"), root, mode="append")
 
 
+def test_bucket_transform_spec_exact(spark):
+    """The bucket transform must use murmur3 seed 0 over the spec's
+    single-value serialization (published vectors asserted), place every
+    row in its computed bucket, and prune point lookups to a strict
+    file subset."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        _bucket_of,
+        iceberg_live_files,
+        murmur3_32,
+        transform_value,
+    )
+
+    # spec test vectors (iceberg.apache.org/spec appendix B)
+    assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_32(b"iceberg") == 1210000089
+
+    root = _fresh("t_ice_bucket")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_iceberg(nat, root, partition_by=["bucket(4, n_nationkey)"])
+    _, all_files = iceberg_live_files(root)
+    # every row sits in the bucket its key hashes to
+    for b in range(4):
+        rows = read_iceberg(
+            spark, root, partition_eq={"n_nationkey_bucket": b}
+        ).collect()
+        assert all(_bucket_of(r["n_nationkey"], 4) == b for r in rows)
+    # point lookup prunes files
+    pv = transform_value("bucket[4]", 17)
+    _, pruned = iceberg_live_files(root, partition_eq={"n_nationkey_bucket": pv})
+    assert 0 < len(pruned) < len(all_files)
+    got = read_iceberg(
+        spark, root, partition_eq={"n_nationkey_bucket": pv}
+    ).where(F.col("n_nationkey") == 17)
+    assert got.count() == 1
+    # hidden: no bucket column in the read schema
+    assert read_iceberg(spark, root).columns == ["n_nationkey", "n_name"]
+
+
 def test_hidden_partitioning_is_hidden(spark):
     """year(col) partitioning must NOT surface a partition column in the
     table schema or reads; the transform + ordinal live only in the
