@@ -578,7 +578,14 @@ def write_iceberg(
                     def _b(s):
                         import pandas as pd
 
-                        return pd.Series(_bucket_long_np(s.to_numpy(), nb_))
+                        # null keys → null partition value (NaN through
+                        # the int64 view would bucket garbage silently)
+                        na = s.isna()
+                        out = pd.Series(
+                            _bucket_long_np(s.fillna(0).to_numpy("int64"), nb_)
+                        )
+                        out[na.to_numpy()] = None
+                        return out
 
                     return _b
 
