@@ -812,8 +812,17 @@ def convert_tablelog_to_delta(spark: SparkSession, tlog: TableLog) -> int:
             pcols = sorted(f["partitionValues"])
             break
     for v in vs:
-        with open(os.path.join(tlog.log_dir, f"{v:020d}.json")) as fh:
-            tacts = [json.loads(line) for line in fh if line.strip()]
+        if v == vs[0]:
+            # the FIRST surviving version seeds from the RESOLVED
+            # snapshot, not its commit JSON: a retention-trimmed log's
+            # oldest JSON references only its own delta, while files
+            # added by trimmed history live on via the TableLog
+            # checkpoint — replaying the JSON alone would silently drop
+            # them from the converted table
+            tacts = [{"add": dict(f)} for f in tlog.snapshot(v).files]
+        else:
+            with open(os.path.join(tlog.log_dir, f"{v:020d}.json")) as fh:
+                tacts = [json.loads(line) for line in fh if line.strip()]
         dacts: list[dict] = [
             {
                 "commitInfo": {
@@ -869,6 +878,7 @@ def convert_tablelog_to_delta(spark: SparkSession, tlog: TableLog) -> int:
                     }
                 )
         _publish_commit(delta_log, dacts, v)
+    _finish_convert(tlog.root, vs[0])
     return vs[-1]
 
 
@@ -929,6 +939,15 @@ def adopt_delta_as_tablelog(path: str) -> TableLog:
                 f"v{committed}"
             )
     return t
+
+
+def _finish_convert(path: str, first_version: int) -> None:
+    """A converted log whose history starts above version 0 (the source
+    TableLog was retention-trimmed) needs a checkpoint base at its first
+    surviving version — real Delta readers refuse a log that neither
+    starts at 0 nor has a checkpoint to replay from."""
+    if first_version > 0:
+        checkpoint_delta(path, first_version)
 
 
 # ---------------------------------------------------------------------------

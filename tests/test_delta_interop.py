@@ -566,6 +566,33 @@ def test_delta_log_model_random_commit_sequences(spark):
     run()
 
 
+def test_convert_trimmed_tablelog_gets_checkpoint_base(spark):
+    """Converting a retention-trimmed TableLog (history starts above 0)
+    must write a Delta checkpoint at the first surviving version — a
+    log that neither starts at 0 nor has a checkpoint is unreadable by
+    real Delta readers."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        convert_tablelog_to_delta,
+    )
+
+    root = _fresh("t_delta_convert_trim")
+    t = TableLog(root)
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    t.append(nat.where(F.col("n_nationkey") < 5))
+    t.append(nat.where(F.col("n_nationkey").between(5, 14)))
+    t.append(nat.where(F.col("n_nationkey") >= 15))
+    t.vacuum(retain_versions=2)  # v0 trimmed: history now starts at 1
+    assert t.versions()[0] == 1
+    convert_tablelog_to_delta(spark, t)
+    log = os.path.join(root, "_delta_log")
+    assert any(n.endswith(".checkpoint.parquet") for n in os.listdir(log))
+    # the converted table reads without a v0 commit file, INCLUDING the
+    # files added by trimmed history (live via the first snapshot seed)
+    assert read_delta(spark, root).count() == 25
+    assert read_delta(spark, root, version=1).count() == 15
+    assert read_delta(spark, root).count() == t.read(spark).count()
+
+
 def test_convert_refuses_column_mapped_tables(spark):
     """Rename/widen history needs Delta columnMapping, which the interop
     does not write — it must refuse loudly rather than emit a log real
