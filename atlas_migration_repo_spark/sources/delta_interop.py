@@ -900,43 +900,52 @@ def adopt_delta_as_tablelog(path: str) -> TableLog:
     if os.path.isdir(tlog_log) and os.listdir(tlog_log):
         raise FileExistsError(f"{tlog_log} already holds a TableLog log")
     t = TableLog(path)
-    for v in vs:
-        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
-            dacts = [json.loads(line) for line in fh if line.strip()]
-        tacts: list[dict] = []
-        for a in dacts:
-            if "add" in a:
-                add = a["add"]
-                rel = urllib.parse.unquote(add["path"])
-                tacts.append(
-                    {
-                        "add": {
-                            # data files stay where Delta put them (table
-                            # root); TableLog paths resolve under data/
-                            "path": os.path.join("..", rel),
-                            "partitionValues": add.get("partitionValues") or {},
-                            "size": add.get("size", 0),
-                            "stats": json.loads(add.get("stats") or "{}"),
+
+    def _as_tablelog_add(add: dict) -> dict:
+        rel = urllib.parse.unquote(add["path"])
+        return {
+            "add": {
+                # data files stay where Delta put them (table root);
+                # TableLog paths resolve under data/
+                "path": os.path.join("..", rel),
+                "partitionValues": add.get("partitionValues") or {},
+                "size": add.get("size", 0),
+                "stats": json.loads(add.get("stats") or "{}"),
+            }
+        }
+
+    for i, v in enumerate(vs):
+        if i == 0:
+            # the first surviving Delta version seeds from the RESOLVED
+            # state (checkpoint-backed): its JSON alone misses files
+            # that trimmed history added — same rule as the forward
+            # conversion
+            tacts = [_as_tablelog_add(a) for a in delta_live_files(path, v)]
+        else:
+            with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+                dacts = [json.loads(line) for line in fh if line.strip()]
+            tacts = []
+            for a in dacts:
+                if "add" in a:
+                    tacts.append(_as_tablelog_add(a["add"]))
+                elif "remove" in a:
+                    tacts.append(
+                        {
+                            "remove": {
+                                "path": os.path.join(
+                                    "..",
+                                    urllib.parse.unquote(a["remove"]["path"]),
+                                )
+                            }
                         }
-                    }
-                )
-            elif "remove" in a:
-                tacts.append(
-                    {
-                        "remove": {
-                            "path": os.path.join(
-                                "..", urllib.parse.unquote(a["remove"]["path"])
-                            )
-                        }
-                    }
-                )
+                    )
         if not tacts:
             tacts.append({"commitInfo": {"operation": "ADOPT.EMPTY"}})
         committed = t._commit(tacts)
-        if committed != v:
+        if committed != i:
             raise RuntimeError(
                 f"adoption version drift: delta v{v} landed as tablelog "
-                f"v{committed}"
+                f"v{committed}, expected {i}"
             )
     return t
 

@@ -454,6 +454,33 @@ def test_adopt_then_append_mixes_layouts(spark):
         adopt_delta_as_tablelog(root)
 
 
+def test_adopt_trimmed_delta_keeps_checkpointed_files(spark):
+    """Adopting a Delta table whose history was retention-trimmed
+    (oldest JSONs gone, state carried by the checkpoint) must seed the
+    first TableLog version from the RESOLVED state — not the oldest
+    surviving JSON, which would silently drop trimmed-history files."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        adopt_delta_as_tablelog,
+        vacuum_delta,
+    )
+
+    root = _fresh("t_delta_adopt_trim")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.col("n_nationkey") < 5), root)
+    write_delta(
+        nat.where(F.col("n_nationkey").between(5, 14)), root, mode="append"
+    )
+    write_delta(nat.where(F.col("n_nationkey") >= 15), root, mode="append")
+    vacuum_delta(root, retain_versions=2)  # v0 JSON trimmed
+    t = adopt_delta_as_tablelog(root)
+    assert t.versions() == [0, 1]
+    got = sorted(r["n_nationkey"] for r in t.read(spark).collect())
+    assert got == list(range(25))  # v0's 5 rows survived the adoption
+    assert sorted(
+        r["n_nationkey"] for r in t.read(spark, version=0).collect()
+    ) == list(range(15))
+
+
 def test_adopt_partitioned_delta_recovers_partition_column(spark):
     """Adopting a hive-laid-out partitioned Delta table must surface the
     partition column through TableLog.read (per-segment basePath)."""
