@@ -165,3 +165,29 @@ class AtlasEngine:
         from atlas_migration_repo_spark.sources.iceberg_interop import write_iceberg
 
         return write_iceberg(df, path, partition_by=list(partition_by), mode=mode)
+
+    def convert_to_delta(self, tablelog_root: str) -> int:
+        """Zero-copy, history-preserving CONVERT of a TableLog table to
+        the Delta format (same files, a `_delta_log` beside `_log`)."""
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            convert_tablelog_to_delta,
+        )
+        from atlas_migration_repo_spark.sources.table_log import TableLog
+
+        return convert_tablelog_to_delta(self.spark, TableLog(tablelog_root))
+
+    def adopt_delta(self, path: str):
+        """Adopt a foreign Delta table as a TableLog, zero-copy with its
+        history — the reverse migration. Returns the TableLog."""
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            adopt_delta_as_tablelog,
+        )
+
+        return adopt_delta_as_tablelog(path)
+
+    def describe_table(self, path: str):
+        """Format-auto-detected describe (delta/iceberg/tablelog) from
+        metadata alone — the CLI's `describe` as a library call."""
+        from atlas_migration_repo_spark.lakehouse import run
+
+        return run("describe", path)
