@@ -114,6 +114,47 @@ def _current_metadata(path: str) -> tuple[int, dict] | None:
 
 
 # -- manifest avro schemas (field-ids per spec §Manifests) -------------------
+def _publish_metadata(path: str, v: int, meta: dict) -> None:
+    """Write vN.metadata.json + version-hint.text atomically (tmp +
+    rename) — the HadoopCatalog commit convention."""
+    mpath = os.path.join(_meta_dir(path), f"v{v}.metadata.json")
+    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.rename(tmp, mpath)
+    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    tmp = hint + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.rename(tmp, hint)
+
+
+def _append_snapshot_commit(
+    path: str, cur: tuple[int, dict], snapshot: dict, seq: int
+) -> None:
+    """Append `snapshot` to an EXISTING table's metadata and publish the
+    next vN.metadata.json — the shared tail of every non-initial commit
+    (append/overwrite/delete/replace)."""
+    v, meta = cur
+    meta = json.loads(json.dumps(meta))
+    now_ms = snapshot["timestamp-ms"]
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    snapshot.setdefault("schema-id", meta["current-schema-id"])
+    meta["snapshots"].append(snapshot)
+    meta["current-snapshot-id"] = snapshot["snapshot-id"]
+    meta["snapshot-log"].append(
+        {"snapshot-id": snapshot["snapshot-id"], "timestamp-ms": now_ms}
+    )
+    meta["metadata-log"].append(
+        {
+            "timestamp-ms": now_ms,
+            "metadata-file": os.path.join(_meta_dir(path), f"v{v}.metadata.json"),
+        }
+    )
+    _publish_metadata(path, v + 1, meta)
+
+
 def _partition_avro_type(part_fields: list[dict]) -> dict:
     return {
         "type": "record",
@@ -166,6 +207,11 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                 "name": "upper_bounds",
                 "type": ["null", _bounds_map("k129_v130", 129, 130)],
                 "field-id": 128,
+            },
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
             },
         ],
     }
@@ -802,31 +848,26 @@ def write_iceberg(
             }
         )
         v += 1
-    mpath = os.path.join(_meta_dir(path), f"v{v}.metadata.json")
-    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=1)
-    os.rename(tmp, mpath)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.rename(tmp, hint)
+    _publish_metadata(path, v, meta)
     return snap_id
 
 
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------
-def iceberg_live_files(
+def iceberg_live_state(
     path: str,
     snapshot_id: int | None = None,
     partition_eq: dict | None = None,
-) -> tuple[dict, list[dict]]:
-    """(metadata, live data_file dicts) at a snapshot, pruned
-    hierarchically: manifest-list partition summaries drop whole
-    manifests, then per-file partition values drop files — both BEFORE
-    any parquet listing, the Iceberg planning model."""
+) -> tuple[dict, list[dict], list[dict]]:
+    """(metadata, live data entries, live DELETE-file entries) at a
+    snapshot, pruned hierarchically: manifest-list partition summaries
+    drop whole DATA manifests, then per-file partition values drop files
+    — both BEFORE any parquet listing, the Iceberg planning model. Each
+    entry is {"data_file": <struct>, "seq": <data sequence number>};
+    delete entries (manifest content=1, spec v2 row-level deletes) are
+    never partition-pruned — a positional delete can reference any file
+    and is applied by file-path join at read time."""
     cur = _current_metadata(path)
     if cur is None:
         raise FileNotFoundError(f"no Iceberg metadata under {path}")
@@ -845,10 +886,12 @@ def iceberg_live_files(
         for i, pf in enumerate(meta["partition-specs"][0]["fields"])
     }
     want = dict(partition_eq or {})
-    files: list[dict] = []
+    datas: list[dict] = []
+    deletes: list[dict] = []
     for m in manifests:
+        is_delete_manifest = m[3] == 1
         summaries = m[13]
-        if want and summaries:
+        if want and summaries and not is_delete_manifest:
             skip = False
             for name, idx in spec.items():
                 if name not in want or idx >= len(summaries):
@@ -870,11 +913,27 @@ def iceberg_live_files(
             status, data_file = e[0], e[4]
             if status == 2:  # DELETED
                 continue
+            seq = e[2] if e[2] is not None else m[4]
+            if is_delete_manifest:
+                deletes.append({"data_file": data_file, "seq": seq})
+                continue
             pv = data_file["partition"] or {}
             if want and any(pv.get(k) != v for k, v in want.items()):
                 continue
-            files.append(data_file)
-    return meta, files
+            datas.append({"data_file": data_file, "seq": seq})
+    return meta, datas, deletes
+
+
+def iceberg_live_files(
+    path: str,
+    snapshot_id: int | None = None,
+    partition_eq: dict | None = None,
+) -> tuple[dict, list[dict]]:
+    """(metadata, live data_file dicts) at a snapshot — the data half of
+    iceberg_live_state (delete files, if any, are ignored here; readers
+    that must honor row-level deletes use the full state)."""
+    meta, datas, _ = iceberg_live_state(path, snapshot_id, partition_eq)
+    return meta, [d["data_file"] for d in datas]
 
 
 def iceberg_files_in_range(
@@ -930,11 +989,21 @@ def read_iceberg_range(
     )
     if not files:
         return spark.createDataFrame([], full)
-    return (
+    df = (
         spark.read.schema(full)
         .parquet(*[f["file_path"] for f in files])
         .where(F.col(column).between(F.lit(lo), F.lit(hi)))
     )
+    _, datas, dels = iceberg_live_state(path, snapshot_id)
+    if dels:
+        keep = {os.path.abspath(f["file_path"]) for f in files}
+        kept = [
+            d
+            for d in datas
+            if os.path.abspath(d["data_file"]["file_path"]) in keep
+        ]
+        df = _apply_row_deletes(spark, df, kept, dels, schema_fields)
+    return df.select(*[f.name for f in full.fields])
 
 
 def read_iceberg(
@@ -948,8 +1017,10 @@ def read_iceberg(
     columns from the manifests' typed partition structs via a broadcast
     `_metadata.file_path` join. `snapshot_id` pins time travel and reads
     with THAT snapshot's schema-id (old snapshots keep their narrower
-    schema after evolution, per the spec)."""
-    meta, files = iceberg_live_files(path, snapshot_id, partition_eq)
+    schema after evolution, per the spec). Row-level DELETE FILES in the
+    snapshot (v2 merge-on-read) are subtracted via _apply_row_deletes."""
+    meta, datas, dels = iceberg_live_state(path, snapshot_id, partition_eq)
+    files = [d["data_file"] for d in datas]
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
     schema_id = snap.get("schema-id", meta["current-schema-id"])
@@ -972,6 +1043,8 @@ def read_iceberg(
         return spark.createDataFrame([], full)
     data_schema = T.StructType([f for f in full.fields if f.name not in pcols])
     df = spark.read.schema(data_schema).parquet(*[f["file_path"] for f in files])
+    if dels:
+        df = _apply_row_deletes(spark, df, datas, dels, schema_fields)
     if not pcols:
         return df.select(*[f.name for f in full.fields])
     pv_rows = [
@@ -999,6 +1072,285 @@ def read_iceberg(
     for c in pcols:
         out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
     return out.select(*[f.name for f in full.fields])
+
+
+def _apply_row_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    datas: list[dict],
+    deletes: list[dict],
+    schema_fields: list[dict],
+) -> DataFrame:
+    """Apply Iceberg v2 row-level deletes to a data scan, as relational
+    plans: POSITIONAL delete files (content=1, rows of (file_path, pos))
+    anti-join on (normalized file uri, `_metadata.row_index`) for data
+    files with data_seq <= delete_seq; EQUALITY delete files (content=2,
+    rows of key columns named by equality_ids) anti-join on the keys for
+    data files with data_seq < delete_seq — the spec's sequence-number
+    visibility rules, so rows appended AFTER a delete always survive it.
+    Delete sets are file-list/tombstone-sized next to the data, so both
+    anti-joins broadcast; at larger delete volumes Spark's AQE would
+    shuffle them instead — same plan shape, no driver loop either way."""
+    pos = [d for d in deletes if d["data_file"].get("content") == 1]
+    eqs = [d for d in deletes if d["data_file"].get("content") == 2]
+    # _metadata is a scan-relation pseudo-column: both derived columns
+    # must be captured BEFORE any join projects the relation away
+    df = df.withColumn(
+        "__ice_uri",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+    )
+    if pos:
+        df = df.withColumn("__ice_pos", F.col("_metadata.row_index"))
+    seq_rows = [
+        (os.path.abspath(d["data_file"]["file_path"]), int(d["seq"]))
+        for d in datas
+    ]
+    seq_df = spark.createDataFrame(
+        seq_rows,
+        T.StructType(
+            [
+                T.StructField("__ice_uri", T.StringType()),
+                T.StructField("__data_seq", T.LongType()),
+            ]
+        ),
+    )
+    df = df.join(F.broadcast(seq_df), "__ice_uri")
+    if pos:
+        by_seq: dict[int, list[str]] = {}
+        for d in pos:
+            by_seq.setdefault(int(d["seq"]), []).append(
+                d["data_file"]["file_path"]
+            )
+        dschema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType()),
+                T.StructField("pos", T.LongType()),
+            ]
+        )
+        dels = None
+        for s, paths in sorted(by_seq.items()):
+            one = (
+                spark.read.schema(dschema)
+                .parquet(*paths)
+                .withColumn("__del_seq", F.lit(s).cast("long"))
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        cond = (
+            (df["__ice_uri"] == dels["file_path"])
+            & (df["__ice_pos"] == dels["pos"])
+            & (df["__data_seq"] <= dels["__del_seq"])
+        )
+        df = df.join(F.broadcast(dels), cond, "left_anti").drop("__ice_pos")
+    by_id = {f["id"]: f["name"] for f in schema_fields}
+    for d in eqs:
+        ids = d["data_file"].get("equality_ids") or []
+        cols = [by_id[i] for i in ids]
+        kdf = spark.read.parquet(d["data_file"]["file_path"]).select(*cols)
+        cond = reduce(
+            lambda a, b: a & b, [df[c].eqNullSafe(kdf[c]) for c in cols]
+        ) & (df["__data_seq"] < F.lit(int(d["seq"])))
+        df = df.join(F.broadcast(kdf), cond, "left_anti")
+    return df.drop("__ice_uri", "__data_seq")
+
+
+def _commit_delete_snapshot(
+    path: str, del_df: DataFrame, content: int, equality_ids: list[int] | None
+) -> int:
+    """Shared commit tail for row-level deletes: stage `del_df` as
+    parquet DELETE FILES (content=1 positional / 2 equality), wrap them
+    in ONE delete manifest (manifest_file.content=1), carry every prior
+    manifest forward, and append a `delete` snapshot. Returns the new
+    snapshot id (or the current one if the delete matched nothing —
+    empty commits are elided)."""
+    import pyarrow.parquet as pq
+
+    cur = _current_metadata(path)
+    v, meta = cur
+    seq = meta["last-sequence-number"] + 1
+    snap_id = int(time.time() * 1000) * 1000 + seq
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    del_df.write.mode("overwrite").parquet(stage)
+    entries: list[tuple] = []
+    n_del = 0
+    try:
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(stage, name)
+            nrec = pq.ParquetFile(src).metadata.num_rows
+            if nrec == 0:
+                continue
+            dest = os.path.join(
+                path, "data", f"{uuid.uuid4().hex}-deletes.parquet"
+            )
+            os.rename(src, dest)
+            n_del += nrec
+            entries.append(
+                (
+                    1,  # status ADDED
+                    snap_id,
+                    seq,
+                    seq,
+                    {
+                        "content": content,
+                        "file_path": dest,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": nrec,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": equality_ids,
+                    },
+                )
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    if not entries:
+        return meta["current-snapshot-id"]
+    man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    man_len = _write_avro_file(man_path, _manifest_entry_schema([]), entries)
+    del_manifest_row = (
+        man_path,
+        man_len,
+        0,
+        1,  # content: DELETES
+        seq,
+        seq,
+        snap_id,
+        len(entries),
+        0,
+        0,
+        n_del,
+        0,
+        0,
+        None,
+    )
+    cur_snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, prior = parse_container(open(cur_snap["manifest-list"], "rb").read())
+    mlist_path = os.path.join(
+        _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    _write_avro_file(
+        mlist_path, _MANIFEST_FILE_SCHEMA, [del_manifest_row] + list(prior)
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+        "schema-id": meta["current-schema-id"],
+    }
+    _append_snapshot_commit(path, cur, snapshot, seq)
+    return snap_id
+
+
+def delete_iceberg_where(
+    spark: SparkSession, path: str, column: str, lo, hi
+) -> int:
+    """Iceberg v2 MERGE-ON-READ range delete: instead of rewriting data
+    files (copy-on-write), commit POSITIONAL DELETE FILES — parquet rows
+    of (file_path, pos), sorted per spec — that tombstone individual
+    rows; readers subtract them with an anti-join. Candidate files are
+    pruned from MANIFEST column bounds first (a file disjoint from
+    [lo, hi] is never scanned), then one Spark scan of the candidates
+    finds matches via `_metadata.row_index`. The whole delete is
+    metadata + a tombstone-sized write — no data file is rewritten,
+    which is the point of MOR on 100 TB. Unpartitioned tables (the
+    writer's partition values aren't threaded through delete manifests
+    here)."""
+    meta, datas, _ = iceberg_live_state(path)
+    if meta["partition-specs"][0]["fields"]:
+        raise NotImplementedError(
+            "row-level deletes support unpartitioned tables only"
+        )
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    fld = next(f for f in schema_fields if f["name"] == column)
+    fid, typ = fld["id"], fld["type"]
+
+    def _bound(raw, key_id):
+        if not raw:
+            return None
+        for kv in raw:
+            if kv["key"] == key_id:
+                return _ice_decode_bound(typ, kv["value"])
+        return None
+
+    cands = []
+    for d in datas:
+        f = d["data_file"]
+        fmin = _bound(f.get("lower_bounds"), fid)
+        fmax = _bound(f.get("upper_bounds"), fid)
+        if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
+            cands.append(f)
+    if not cands:
+        return meta["current-snapshot-id"]
+    full = T.StructType(
+        [
+            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
+            for f in schema_fields
+        ]
+    )
+    hits = (
+        spark.read.schema(full)
+        .parquet(*[f["file_path"] for f in cands])
+        .where(F.col(column).between(F.lit(lo), F.lit(hi)))
+        .select(
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+                "file_path"
+            ),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .repartitionByRange(4, "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+    )
+    return _commit_delete_snapshot(path, hits, content=1, equality_ids=None)
+
+
+def delete_iceberg_eq(
+    spark: SparkSession, path: str, keys: DataFrame, on: list[str]
+) -> int:
+    """Iceberg v2 EQUALITY delete: commit a delete file holding key
+    tuples (columns `on`, declared via equality_ids as the spec
+    requires); at read time every data file with data_seq < delete_seq
+    anti-joins the keys away. The delete never scans the table AT ALL —
+    it is O(keys) regardless of table size, the cheapest possible
+    row-level delete (CDC retractions, GDPR erasure by key)."""
+    meta, _, _ = iceberg_live_state(path)
+    if meta["partition-specs"][0]["fields"]:
+        raise NotImplementedError(
+            "row-level deletes support unpartitioned tables only"
+        )
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    by_name = {f["name"]: f["id"] for f in schema_fields}
+    ids = [by_name[c] for c in on]
+    return _commit_delete_snapshot(
+        path, keys.select(*on).distinct(), content=2, equality_ids=ids
+    )
+
+
+def rewrite_iceberg(spark: SparkSession, path: str) -> int:
+    """Compaction / delete materialization (Iceberg's
+    rewrite_data_files): read the current snapshot WITH row-level
+    deletes applied and commit the result as an overwrite snapshot whose
+    manifest list holds only the new data manifest — delete files drop
+    out of the live state (older snapshots keep them until
+    expire_snapshots reclaims). Identity partitioning only."""
+    meta, _, _ = iceberg_live_state(path)
+    pb = []
+    for pf in meta["partition-specs"][0]["fields"]:
+        if pf["transform"] != "identity":
+            raise NotImplementedError(
+                "rewrite supports identity partitioning only"
+            )
+        pb.append(pf["name"])
+    df = read_iceberg(spark, path)
+    return write_iceberg(df, path, partition_by=pb or None, mode="overwrite")
 
 
 def expire_snapshots(path: str, retain: int) -> dict:
@@ -1049,17 +1401,7 @@ def expire_snapshots(path: str, retain: int) -> dict:
         e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids
     ]
     meta["last-updated-ms"] = int(time.time() * 1000)
-    v += 1
-    mpath = os.path.join(_meta_dir(path), f"v{v}.metadata.json")
-    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=1)
-    os.rename(tmp, mpath)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write(str(v))
-    os.rename(tmp, hint)
+    _publish_metadata(path, v + 1, meta)
     return {"snapshots": len(drop), "manifests": n_man, "data_files": n_dat}
 
 
@@ -1514,3 +1856,118 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(agg.select(F.lit(i).alias("snap"), "n_rows", "total"))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "iceberg_delete_mor",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    UNION ALL
+    SELECT 1 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       OR o_orderdate > TIMESTAMP '1996-12-31 23:59:59'
+    """,
+)
+def iceberg_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ range delete through the Iceberg v2 protocol:
+    orders land range-clustered on o_orderdate, then the 1996 year is
+    deleted as POSITIONAL DELETE FILES — no data file is rewritten
+    (unit-asserted); the reader subtracts tombstones with a broadcast
+    anti-join on (file uri, row position). The pre-delete snapshot still
+    reads the full table (snapshot isolation) — the MOR sibling of
+    `delta_delete_range`'s copy-on-write."""
+    import datetime as _dt
+
+    root = scratch_path(sf_dir, "orders_iceberg_mordel")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    s0 = write_iceberg(orders, root)
+    delete_iceberg_where(
+        spark,
+        root,
+        "o_orderdate",
+        _dt.datetime(1996, 1, 1),
+        _dt.datetime(1996, 12, 31, 23, 59, 59),
+    )
+    outs = []
+    for v, sid in ((0, s0), (1, None)):
+        agg = read_iceberg(spark, root, snapshot_id=sid).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
+    return outs[0].unionByName(outs[1])
+
+
+@query(
+    "iceberg_delete_eq",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('c_acctbal')} AS total
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def iceberg_delete_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY delete through the Iceberg v2 protocol: one delete file
+    holding the key tuple ('BUILDING'), declared via equality_ids —
+    O(keys) to commit regardless of table size (the table is never
+    scanned), subtracted at read with a broadcast anti-join on the key.
+    Sequence visibility is strict-less: rows appended AFTER the delete
+    with the same key survive it (unit-asserted)."""
+    root = scratch_path(sf_dir, "customer_iceberg_eqdel")
+    shutil.rmtree(root, ignore_errors=True)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    write_iceberg(cust, root)
+    keys = spark.createDataFrame([("BUILDING",)], "c_mktsegment string")
+    delete_iceberg_eq(spark, root, keys, ["c_mktsegment"])
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("c_acctbal")).alias("total"),
+    )
+
+
+@query(
+    "iceberg_rewrite_mor",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       OR o_orderdate > TIMESTAMP '1996-12-31 23:59:59'
+    """,
+)
+def iceberg_rewrite_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_data_files after a MOR delete: the accumulated positional
+    tombstones are materialized into compacted data files and the new
+    snapshot's live state carries ZERO delete files (unit-asserted) —
+    the maintenance step that keeps read-side anti-join cost bounded as
+    deletes accumulate. The rewritten table must still answer exactly
+    the post-delete oracle."""
+    import datetime as _dt
+
+    root = scratch_path(sf_dir, "orders_iceberg_rewrite")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    write_iceberg(orders, root)
+    delete_iceberg_where(
+        spark,
+        root,
+        "o_orderdate",
+        _dt.datetime(1996, 1, 1),
+        _dt.datetime(1996, 12, 31, 23, 59, 59),
+    )
+    rewrite_iceberg(spark, root)
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )

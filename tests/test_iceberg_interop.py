@@ -401,3 +401,189 @@ def test_null_partition_value_round_trip(spark):
     assert got == {1: "a", 2: None, 3: "b"}
     nulls = read_iceberg(spark, root, partition_eq={"k": None}).collect()
     assert [r["id"] for r in nulls] == [2]
+
+
+def test_mor_delete_rewrites_no_data_files(spark):
+    """A positional (merge-on-read) delete must leave every data file in
+    place — only tombstone files are added (content=1, in a content=1
+    manifest) — and the read subtracts exactly the deleted rows."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        iceberg_live_state,
+    )
+
+    root = _fresh("ut_ice_mor_nodata")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(4, "o_orderdate")
+    )
+    write_iceberg(orders, root)
+    _, datas0, dels0 = iceberg_live_state(root)
+    assert dels0 == []
+    before = {d["data_file"]["file_path"] for d in datas0}
+    delete_iceberg_where(
+        spark,
+        root,
+        "o_orderdate",
+        __import__("datetime").datetime(1996, 1, 1),
+        __import__("datetime").datetime(1996, 12, 31, 23, 59, 59),
+    )
+    _, datas1, dels1 = iceberg_live_state(root)
+    after = {d["data_file"]["file_path"] for d in datas1}
+    assert after == before, "MOR delete must not rewrite any data file"
+    assert dels1 and all(
+        d["data_file"]["content"] == 1 for d in dels1
+    ), "delete files must be positional (content=1)"
+    got = read_iceberg(spark, root).where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    assert got.count() == 0
+
+
+def test_positional_delete_files_sorted(spark):
+    """Rows inside each positional delete file must be sorted by
+    (file_path, pos) — the spec's requirement for delete files."""
+    import pyarrow.parquet as pq
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        iceberg_live_state,
+    )
+
+    root = _fresh("ut_ice_mor_sorted")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartition(4)  # NOT clustered: every file is a candidate
+    )
+    write_iceberg(orders, root)
+    delete_iceberg_where(
+        spark,
+        root,
+        "o_orderdate",
+        __import__("datetime").datetime(1996, 1, 1),
+        __import__("datetime").datetime(1996, 12, 31, 23, 59, 59),
+    )
+    _, _, dels = iceberg_live_state(root)
+    assert dels
+    for d in dels:
+        t = pq.read_table(d["data_file"]["file_path"])
+        rows = list(zip(t.column("file_path").to_pylist(), t.column("pos").to_pylist()))
+        assert rows == sorted(rows), "delete file rows must be sorted"
+
+
+def test_positional_delete_sequence_visibility(spark):
+    """Spec rule: a positional delete applies only to data files with
+    data_seq <= delete_seq. Rows appended AFTER the delete — even inside
+    the deleted range — must survive."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+    )
+
+    root = _fresh("ut_ice_mor_seqvis")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    in_96 = orders.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    n_96 = in_96.count()
+    assert n_96 > 0
+    write_iceberg(orders, root)
+    delete_iceberg_where(
+        spark,
+        root,
+        "o_orderdate",
+        __import__("datetime").datetime(1996, 1, 1),
+        __import__("datetime").datetime(1996, 12, 31, 23, 59, 59),
+    )
+    # re-append the 1996 rows AFTER the delete: higher data_seq
+    write_iceberg(in_96, root, mode="append")
+    got = (
+        read_iceberg(spark, root)
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .count()
+    )
+    assert got == n_96, "rows appended after the delete must survive it"
+
+
+def test_equality_delete_strict_sequence(spark):
+    """Spec rule: an equality delete applies only to data files with
+    data_seq STRICTLY LESS than the delete's. Same-key rows appended
+    after the delete survive; the original rows are gone."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_eq,
+    )
+
+    root = _fresh("ut_ice_eq_strict")
+    cust = load(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    bld = cust.where(F.col("c_mktsegment") == "BUILDING")
+    n_bld = bld.count()
+    assert n_bld > 0
+    write_iceberg(cust, root)
+    keys = spark.createDataFrame([("BUILDING",)], "c_mktsegment string")
+    delete_iceberg_eq(spark, root, keys, ["c_mktsegment"])
+    assert (
+        read_iceberg(spark, root)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .count()
+        == 0
+    )
+    write_iceberg(bld, root, mode="append")
+    got = (
+        read_iceberg(spark, root)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .count()
+    )
+    assert got == n_bld, "same-key rows appended after the eq delete survive"
+
+
+def test_rewrite_materializes_deletes(spark):
+    """rewrite_iceberg compacts tombstones away: the new live state has
+    ZERO delete files and identical content; the pre-rewrite snapshot
+    still reads THROUGH its delete files (history intact); expiry then
+    reclaims the orphaned tombstones."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        expire_snapshots,
+        iceberg_live_state,
+        rewrite_iceberg,
+    )
+
+    root = _fresh("ut_ice_rewrite")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(4, "o_orderdate")
+    )
+    write_iceberg(orders, root)
+    sid_del = delete_iceberg_where(
+        spark,
+        root,
+        "o_orderdate",
+        __import__("datetime").datetime(1996, 1, 1),
+        __import__("datetime").datetime(1996, 12, 31, 23, 59, 59),
+    )
+    n_after_del = read_iceberg(spark, root).count()
+    del_files = [
+        d["data_file"]["file_path"]
+        for d in iceberg_live_state(root)[2]
+    ]
+    assert del_files
+    rewrite_iceberg(spark, root)
+    meta, datas, dels = iceberg_live_state(root)
+    assert dels == [], "rewrite must leave no live delete files"
+    assert read_iceberg(spark, root).count() == n_after_del
+    # pre-rewrite snapshot still applies its tombstones
+    assert read_iceberg(spark, root, snapshot_id=sid_del).count() == n_after_del
+    # expiry down to the rewritten snapshot reclaims the delete files
+    expire_snapshots(root, retain=1)
+    assert all(not os.path.exists(p) for p in del_files)
