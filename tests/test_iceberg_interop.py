@@ -587,3 +587,47 @@ def test_rewrite_materializes_deletes(spark):
     # expiry down to the rewritten snapshot reclaims the delete files
     expire_snapshots(root, retain=1)
     assert all(not os.path.exists(p) for p in del_files)
+
+
+def test_merge_is_one_snapshot_and_rewrites_nothing(spark):
+    """merge_iceberg must commit exactly ONE new snapshot (atomic MERGE),
+    leave every pre-merge data file live and byte-identical (O(source)
+    cost), and express the update purely as an equality-delete +
+    new data files in that snapshot's manifests."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        iceberg_live_state,
+        merge_iceberg,
+    )
+
+    root = _fresh("ut_ice_merge_atomic")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(4, "o_orderkey")
+    )
+    write_iceberg(orders, root)
+    meta0, datas0, _ = iceberg_live_state(root)
+    sizes0 = {
+        d["data_file"]["file_path"]: os.path.getsize(d["data_file"]["file_path"])
+        for d in datas0
+    }
+    n_snap0 = len(meta0["snapshots"])
+    src = orders.where(F.col("o_orderkey") % 7 == 3).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    n_src = src.count()
+    merge_iceberg(spark, root, src, on=["o_orderkey"])
+    meta1, datas1, dels1 = iceberg_live_state(root)
+    assert len(meta1["snapshots"]) == n_snap0 + 1, "merge must be one snapshot"
+    live1 = {d["data_file"]["file_path"] for d in datas1}
+    assert set(sizes0) <= live1, "pre-merge data files must stay live"
+    for p, sz in sizes0.items():
+        assert os.path.getsize(p) == sz, "pre-merge files must be untouched"
+    assert dels1 and all(d["data_file"]["content"] == 2 for d in dels1)
+    got = read_iceberg(spark, root)
+    assert got.where(F.col("o_orderstatus") == "X").count() == n_src
+    assert got.count() == orders.count()
+    # keys are unique post-merge (upsert, not append)
+    assert (
+        got.groupBy("o_orderkey").count().where(F.col("count") > 1).count() == 0
+    )
