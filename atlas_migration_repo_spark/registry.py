@@ -94,6 +94,8 @@ _DRIVER_SAMPLE_PREFIX = (
     "delta_time_travel",
     "delta_partition_pruning",
     "iceberg_time_travel",
+    "iceberg_delete_mor",
+    "iceberg_merge_mor",
     "delta_stream",
     "delta_adopt_tablelog",
     "str_basic",
