@@ -208,11 +208,55 @@ def _delta_stats(file_path: str) -> str:
     return json.dumps(st, sort_keys=True)
 
 
+def _cdf_enabled(meta: dict | None) -> bool:
+    return bool(meta) and (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+
+
+def _stage_cdc_files(
+    path: str, cdf: DataFrame, now_ms: int
+) -> list[dict]:
+    """Stage a change-data frame (data columns + _change_type) as
+    parquet under `_change_data/` and return the protocol's `cdc`
+    actions (dataChange=false — CDC files are derived, not table data)."""
+    cdc_dir = os.path.join(path, "_change_data")
+    os.makedirs(cdc_dir, exist_ok=True)
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    cdf.write.mode("overwrite").parquet(stage)
+    import pyarrow.parquet as pq
+
+    actions: list[dict] = []
+    try:
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(stage, name)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            dest = os.path.join(cdc_dir, f"cdc-{uuid.uuid4().hex}.snappy.parquet")
+            os.rename(src, dest)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": urllib.parse.quote(os.path.relpath(dest, path)),
+                        "partitionValues": {},
+                        "size": os.path.getsize(dest),
+                        "dataChange": False,
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return actions
+
+
 def write_delta(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    configuration: dict | None = None,
 ) -> int:
     """Write `df` as a commit to a Delta-format table at `path`.
 
@@ -301,7 +345,7 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": dict(configuration or {}),
                     "createdTime": now_ms,
                 }
             }
@@ -572,6 +616,30 @@ def merge_delta(
         )
     )
     now_ms = int(time.time() * 1000)
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(meta):
+        # change data feed for MERGE: matched keys emit pre+post images,
+        # unmatched source keys emit inserts — computed from the same
+        # affected/source join the rewrite already pays for
+        t = affected.withColumn("__t", F.lit(1)).alias("t")
+        s = source.withColumn("__s", F.lit(1)).alias("s")
+        j = t.join(s, on=key, how="full")
+        both = j.where(F.col("__t").isNotNull() & F.col("__s").isNotNull())
+        pre = both.select(
+            F.col(key), *[F.col(f"t.{c}") for c in cols if c != key]
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        post = both.select(
+            F.col(key), *[F.col(f"s.{c}") for c in cols if c != key]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        ins = (
+            j.where(F.col("__t").isNull())
+            .select(F.col(key), *[F.col(f"s.{c}") for c in cols if c != key])
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        cdf = pre.unionByName(post).unionByName(ins).select(
+            *cols, "_change_type"
+        )
+        cdc_actions = _stage_cdc_files(path, cdf, now_ms)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
     merged.write.mode("overwrite").parquet(stage)
     actions: list[dict] = [
@@ -583,6 +651,7 @@ def merge_delta(
             }
         }
     ]
+    actions.extend(cdc_actions)
     for p in touched_rel:
         actions.append(
             {
@@ -660,6 +729,23 @@ def delete_delta_range(
             }
         }
     ]
+    if _cdf_enabled(meta) and (drop_whole or rewrite):
+        # CDF delete images: whole-file tombstones contribute every row,
+        # boundary files only their matching rows. Reading the tombstoned
+        # files is the documented price of CDF on DELETE (without CDF the
+        # whole-file path stays metadata-only).
+        deleted = (
+            spark.read.schema(schema)
+            .parquet(
+                *[
+                    os.path.join(path, urllib.parse.unquote(a["path"]))
+                    for a in drop_whole + rewrite
+                ]
+            )
+            .where(F.col(column).between(F.lit(lo), F.lit(hi)))
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        actions.extend(_stage_cdc_files(path, deleted, now_ms))
     for a in drop_whole + rewrite:
         actions.append(
             {
@@ -709,6 +795,81 @@ def delete_delta_range(
     return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
 
 
+def read_delta_cdf(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Delta CHANGE DATA FEED: row-level changes between two versions,
+    each row tagged `_change_type` (insert / update_preimage /
+    update_postimage / delete) + `_commit_version`. Per the protocol's
+    reconciliation rules: a commit carrying `cdc` actions is represented
+    ONLY by its change files; a pure-append commit derives inserts from
+    its add actions (no cdc written for appends — the common case stays
+    write-cheap); a data-changing remove without cdc refuses loudly (the
+    table wasn't CDF-enabled when that commit ran). One Spark scan per
+    version over change/add files — CDC volume scales with the CHANGES,
+    never the table, which is what makes downstream incremental syncs
+    O(delta) at 100 TB."""
+    log_dir = _log_dir(path)
+    vs = _committed_versions(log_dir)
+    if to_version is None:
+        to_version = vs[-1]
+    _, meta, _ = _replay(path, to_version)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    cdc_schema = T.StructType(
+        schema.fields + [T.StructField("_change_type", T.StringType())]
+    )
+    out_schema = T.StructType(
+        cdc_schema.fields + [T.StructField("_commit_version", T.LongType())]
+    )
+    frames: list[DataFrame] = []
+    for v in vs:
+        if v < from_version or v > to_version:
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            acts = [json.loads(line) for line in fh if line.strip()]
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        adds = [
+            a["add"] for a in acts if "add" in a and a["add"].get("dataChange")
+        ]
+        removes = [
+            a["remove"]
+            for a in acts
+            if "remove" in a and a["remove"].get("dataChange")
+        ]
+        if cdc:
+            df = spark.read.schema(cdc_schema).parquet(
+                *[
+                    os.path.join(path, urllib.parse.unquote(c["path"]))
+                    for c in cdc
+                ]
+            )
+        elif removes:
+            raise ValueError(
+                f"version {v} contains data-changing removes but no change "
+                "data (change data feed was not enabled for that commit)"
+            )
+        elif adds:
+            df = (
+                spark.read.schema(schema)
+                .parquet(
+                    *[
+                        os.path.join(path, urllib.parse.unquote(a["path"]))
+                        for a in adds
+                    ]
+                )
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        else:
+            continue  # metadata-only commit
+        frames.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
+    if not frames:
+        return spark.createDataFrame([], out_schema)
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
 def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
     """Delta VACUUM: delete data files that are not live in any retained
     version. Default (None) removes only files referenced by NO committed
@@ -735,6 +896,19 @@ def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
         for n in list(os.listdir(log_dir)):
             if n.endswith(".checkpoint.parquet") and int(n[:20]) < keep[0]:
                 os.unlink(os.path.join(log_dir, n))
+        # change-data files of RETAINED commits stay readable; cdc of
+        # dropped commits loses its reference here and is reclaimed below
+        for v in keep:
+            jf = os.path.join(log_dir, f"{v:020d}.json")
+            if os.path.exists(jf):
+                with open(jf) as fh:
+                    for line in fh:
+                        if line.strip():
+                            a = json.loads(line)
+                            if "cdc" in a:
+                                referenced.add(
+                                    urllib.parse.unquote(a["cdc"]["path"])
+                                )
     else:
         # referenced by ANY committed version: walk every commit/checkpoint
         # add action directly (never the replayed tail — the TableLog
@@ -750,6 +924,10 @@ def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
                             if "add" in a:
                                 referenced.add(
                                     urllib.parse.unquote(a["add"]["path"])
+                                )
+                            elif "cdc" in a:
+                                referenced.add(
+                                    urllib.parse.unquote(a["cdc"]["path"])
                                 )
             elif n.endswith(".checkpoint.parquet"):
                 for a in _checkpoint_actions(os.path.join(log_dir, n)):
@@ -1521,3 +1699,107 @@ def delta_convert_tablelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "delta_cdf",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, 'F' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 4 = 1
+    ), ins AS (
+      SELECT o_orderkey + 40000000 AS o_orderkey, 'O' AS o_orderstatus,
+             o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 1000 = 7
+    ), merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 1 THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_orderkey % 4 = 1 THEN
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+      FROM orders
+      UNION ALL
+      SELECT * FROM ins
+    )
+    SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+    FROM orders
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'update_preimage', COUNT(*),
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'update_postimage', COUNT(*),
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+    FROM upd
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'insert', COUNT(*),
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+    FROM ins
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+    FROM merged
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1996-12-31 23:59:59'
+    """,
+)
+def delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED through the Delta protocol: a CDF-enabled table
+    (delta.enableChangeDataFeed=true) takes an initial load, a MERGE
+    (pre+post images + inserts as `cdc` actions under _change_data/),
+    and a range DELETE (delete images); read_delta_cdf(0) replays every
+    version's row-level changes — appends derive inserts from add
+    actions without writing any change file. The per-(version, type)
+    aggregate must reproduce the oracle's CTE reconstruction of each
+    change set."""
+    root = scratch_path(sf_dir, "orders_delta_cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderkey")
+    )
+    write_delta(
+        orders, root, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    k = F.col("o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    src = (
+        orders.where(k % 4 == 1)
+        .select(
+            "o_orderkey",
+            F.lit("F").alias("o_orderstatus"),
+            (price_dec * F.expr("CAST(1.05 AS DECIMAL(3,2))"))
+            .cast("double")
+            .alias("o_totalprice"),
+            "o_orderdate",
+        )
+        .unionByName(
+            orders.where(k % 1000 == 7).select(
+                (k + 40000000).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                "o_totalprice",
+                "o_orderdate",
+            )
+        )
+    )
+    merge_delta(spark, root, src, key="o_orderkey")
+    delete_delta_range(
+        spark, root, "o_orderdate", "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+    )
+    return (
+        read_delta_cdf(spark, root, 0)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+    )

@@ -631,3 +631,149 @@ def test_convert_refuses_column_mapped_tables(spark):
     t.rename_column("n_name", "nation_name")
     with pytest.raises(NotImplementedError, match="columnMapping"):
         convert_tablelog_to_delta(spark, t)
+
+
+def test_cdf_appends_write_no_change_files(spark):
+    """Appends on a CDF-enabled table must NOT write change files —
+    inserts derive from the add actions at read time, so the common
+    write path stays exactly as cheap as without CDF."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        read_delta_cdf,
+        write_delta,
+    )
+
+    root = _fresh("t_delta_cdf_append")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    a = orders.where(F.col("o_orderkey") % 2 == 0)
+    b = orders.where(F.col("o_orderkey") % 2 == 1)
+    write_delta(a, root, configuration={"delta.enableChangeDataFeed": "true"})
+    write_delta(b, root, mode="append")
+    assert not os.path.isdir(os.path.join(root, "_change_data")) or not os.listdir(
+        os.path.join(root, "_change_data")
+    )
+    cdf = read_delta_cdf(spark, root, 0)
+    assert cdf.where(F.col("_change_type") != "insert").count() == 0
+    assert cdf.count() == orders.count()
+    per_v = {
+        r["_commit_version"]: r["n"]
+        for r in cdf.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_v == {0: a.count(), 1: b.count()}
+
+
+def test_cdf_merge_images_and_volume(spark):
+    """MERGE change data must contain exactly the touched rows (pre+post
+    per matched key, one insert per new key) — CDC volume scales with
+    the delta, not the table — and cdc actions are dataChange=false."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _log_dir,
+        merge_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    root = _fresh("t_delta_cdf_merge")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_delta(
+        orders, root, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    upd = orders.where(F.col("o_orderkey") % 10 == 1).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    new = orders.where(F.col("o_orderkey") % 500 == 3).select(
+        (F.col("o_orderkey") + 90000000).alias("o_orderkey"),
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    v = merge_delta(spark, root, upd.unionByName(new), key="o_orderkey")
+    cdf = read_delta_cdf(spark, root, v, v)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in cdf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_upd, n_new = upd.count(), new.count()
+    assert counts == {
+        "update_preimage": n_upd,
+        "update_postimage": n_upd,
+        "insert": n_new,
+    }
+    # post images carry the new value; pre images the old
+    assert (
+        cdf.where(
+            (F.col("_change_type") == "update_postimage")
+            & (F.col("o_orderstatus") != "X")
+        ).count()
+        == 0
+    )
+    assert (
+        cdf.where(
+            (F.col("_change_type") == "update_preimage")
+            & (F.col("o_orderstatus") == "X")
+        ).count()
+        == 0
+    )
+    with open(os.path.join(_log_dir(root), f"{v:020d}.json")) as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    cdc = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc and all(c["dataChange"] is False for c in cdc)
+    assert all(c["path"].startswith("_change_data") for c in cdc)
+
+
+def test_cdf_disabled_delete_refuses(spark):
+    """Without CDF enabled, a data-changing remove has no change data:
+    read_delta_cdf must refuse that commit loudly, never fabricate."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    root = _fresh("t_delta_cdf_off")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_delta(orders, root)  # CDF not enabled
+    delete_delta_range(spark, root, "o_orderkey", 1, 500)
+    with _pytest.raises(ValueError, match="no change data"):
+        read_delta_cdf(spark, root, 0).count()
+
+
+def test_cdf_vacuum_keeps_retained_change_data(spark):
+    """vacuum(retain_versions=N) must keep change files of retained
+    commits readable and reclaim those of dropped commits."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        merge_delta,
+        read_delta_cdf,
+        vacuum_delta,
+        write_delta,
+    )
+
+    root = _fresh("t_delta_cdf_vac")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_delta(
+        orders, root, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    for m in (3, 4):  # two merge commits, each with change data
+        merge_delta(
+            spark,
+            root,
+            orders.where(F.col("o_orderkey") % 10 == m).withColumn(
+                "o_orderstatus", F.lit(f"M{m}")
+            ),
+            key="o_orderkey",
+        )
+    cdc_before = set(os.listdir(os.path.join(root, "_change_data")))
+    assert len(cdc_before) >= 2
+    n_v2 = read_delta_cdf(spark, root, 2, 2).count()
+    vacuum_delta(root, retain_versions=1)  # keep only the last merge
+    cdc_after = set(os.listdir(os.path.join(root, "_change_data")))
+    assert cdc_after < cdc_before, "dropped commits' change data reclaimed"
+    assert read_delta_cdf(spark, root, 2, 2).count() == n_v2
