@@ -1803,3 +1803,220 @@ def delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum(F.col("o_totalprice")).alias("total"),
         )
     )
+
+
+@query(
+    "stream_delta_cdf",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1
+    ), ins AS (
+      SELECT o_orderkey + 40000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 7
+    )
+    SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+           COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE) AS total
+    FROM orders
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'update_preimage', COUNT(*),
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'update_postimage', COUNT(*),
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+    FROM upd
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'insert', COUNT(*),
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DECIMAL(38,4)) AS DOUBLE)
+    FROM ins
+    """,
+)
+def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over the CHANGE DATA FEED: offset = Delta
+    version; a micro-batch's partitions are the version's `cdc` files
+    (or its add files as derived inserts), read executor-side with
+    pyarrow — the streaming twin of read_delta_cdf and the pattern a
+    downstream incremental materializer runs forever: consume pre/post
+    images, never re-scan the table. A CDF-covered MERGE streams
+    cleanly where plain delta_stream must fail on the remove actions."""
+    import time as _time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    root = scratch_path(sf_dir, "orders_delta_cdf_stream")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+    )
+    write_delta(
+        orders, root, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    k = F.col("o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    src = (
+        orders.where(k % 4 == 1)
+        .select(
+            "o_orderkey",
+            F.lit("F").alias("o_orderstatus"),
+            (price_dec * F.expr("CAST(1.05 AS DECIMAL(3,2))"))
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(k % 1000 == 7).select(
+                (k + 40000000).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    merge_delta(spark, root, src, key="o_orderkey")
+
+    class CdfPartition(InputPartition):
+        def __init__(self, path: str, version: int, kind: str) -> None:
+            self.path = path
+            self.version = version
+            self.kind = kind
+
+    class CdfStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.root = options["path"]
+
+        def initialOffset(self):
+            return {"version": -1}
+
+        def latestOffset(self):
+            from atlas_migration_repo_spark.sources.delta_interop import (
+                _committed_versions,
+                _log_dir,
+            )
+
+            vs = _committed_versions(_log_dir(self.root))
+            return {"version": vs[-1] if vs else -1}
+
+        def partitions(self, start, end):
+            import json as _json
+            import os as _os
+            import urllib.parse as _up
+
+            parts = []
+            log_dir = _os.path.join(self.root, "_delta_log")
+            for v in range(start["version"] + 1, end["version"] + 1):
+                f = _os.path.join(log_dir, f"{v:020d}.json")
+                if not _os.path.exists(f):
+                    continue
+                cdc, adds, removes = [], [], []
+                with open(f) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        a = _json.loads(line)
+                        if "cdc" in a:
+                            cdc.append(a["cdc"]["path"])
+                        elif "add" in a and a["add"].get("dataChange"):
+                            adds.append(a["add"]["path"])
+                        elif "remove" in a and a["remove"].get("dataChange"):
+                            removes.append(a["remove"]["path"])
+                if cdc:
+                    parts.extend(
+                        CdfPartition(
+                            _os.path.join(self.root, _up.unquote(p)), v, "cdc"
+                        )
+                        for p in cdc
+                    )
+                elif removes:
+                    raise RuntimeError(
+                        f"stream_delta_cdf: version {v} has data-changing "
+                        "removes but no change data (CDF was not enabled)"
+                    )
+                else:
+                    parts.extend(
+                        CdfPartition(
+                            _os.path.join(self.root, _up.unquote(p)), v, "insert"
+                        )
+                        for p in adds
+                    )
+            return parts
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            if partition.kind == "cdc":
+                tbl = pq.read_table(
+                    partition.path,
+                    columns=["o_orderkey", "o_totalprice", "_change_type"],
+                )
+                types = tbl.column("_change_type").to_pylist()
+            else:
+                tbl = pq.read_table(
+                    partition.path, columns=["o_orderkey", "o_totalprice"]
+                )
+                types = ["insert"] * tbl.num_rows
+            yield from zip(
+                tbl.column("o_orderkey").to_pylist(),
+                tbl.column("o_totalprice").to_pylist(),
+                types,
+                [partition.version] * tbl.num_rows,
+            )
+
+        def commit(self, end):
+            pass
+
+    class CdfStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "delta_cdf_stream"
+
+        def schema(self) -> str:
+            return (
+                "o_orderkey bigint, o_totalprice double, "
+                "_change_type string, _commit_version bigint"
+            )
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            return CdfStreamReader(self.options)
+
+    spark.dataSource.register(CdfStreamSource)
+    sink = "delta_cdf_stream_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(
+        ".", "_"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.format("delta_cdf_stream")
+            .option("path", root)
+            .load()
+            .groupBy("_commit_version", "_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        expected = read_delta_cdf(spark, root, 0).count()
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = spark.table(sink).agg(F.sum("n_rows")).collect()
+            if got and got[0][0] == expected:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
