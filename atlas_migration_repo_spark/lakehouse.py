@@ -144,17 +144,22 @@ def _iceberg_history(path: str) -> list[dict]:
 
 
 def _iceberg_files(path: str) -> list[dict]:
-    from atlas_migration_repo_spark.sources.iceberg_interop import iceberg_live_files
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        iceberg_live_state,
+    )
 
-    _, files = iceberg_live_files(path)
+    _, datas, dels = iceberg_live_state(path)
     return [
         {
             "path": f["file_path"],
             "size": f.get("file_size_in_bytes"),
             "records": f.get("record_count"),
             "partition_values": f.get("partition") or {},
+            "content": f.get("content", 0),
         }
-        for f in files
+        for f in (
+            [d["data_file"] for d in datas] + [d["data_file"] for d in dels]
+        )
     ]
 
 

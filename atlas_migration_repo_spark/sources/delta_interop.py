@@ -507,18 +507,53 @@ def delta_files_in_range(
     return out
 
 
+def delta_version_as_of(path: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest committed version whose
+    commitInfo timestamp is <= the target — Delta's documented rule.
+    Metadata-only (reads commit JSON heads, never data)."""
+    log_dir = _log_dir(path)
+    best = None
+    for v in _committed_versions(log_dir):
+        ts = None
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        ts = a["commitInfo"].get("timestamp")
+                        break
+        if ts is None:
+            ts = int(
+                os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json")) * 1000
+            )
+        if ts <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta version committed at or before timestamp {timestamp_ms}"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     partition_eq: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read a Delta-format table: replay the log to the live file list,
     scan those parquet files in ONE Spark read, and re-attach partition
     columns from the log's partitionValues via a broadcast join on
     `_metadata.file_path` (a file-count-sized map side — the layout on
     disk is NOT trusted; a Delta table need not use hive dirs).
-    `version` pins time travel; `partition_eq` prunes files in the log."""
+    `version` pins time travel (VERSION AS OF); `timestamp_ms` resolves
+    TIMESTAMP AS OF via delta_version_as_of; `partition_eq` prunes files
+    in the log."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp_ms, not both")
+        version = delta_version_as_of(path, timestamp_ms)
     v, meta, _ = _replay(path, version)
     adds = delta_live_files(path, v, partition_eq)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))

@@ -1006,11 +1006,32 @@ def read_iceberg_range(
     return df.select(*[f.name for f in full.fields])
 
 
+def iceberg_snapshot_as_of(path: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution from the snapshot log: the snapshot
+    with the newest timestamp-ms <= target (the spec's time-travel
+    rule). Metadata-only."""
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    _, meta = cur
+    best = None
+    for e in meta["snapshot-log"]:
+        if e["timestamp-ms"] <= timestamp_ms:
+            if best is None or e["timestamp-ms"] >= best["timestamp-ms"]:
+                best = e
+    if best is None:
+        raise ValueError(
+            f"no Iceberg snapshot committed at or before {timestamp_ms}"
+        )
+    return best["snapshot-id"]
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
     snapshot_id: int | None = None,
     partition_eq: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read an Iceberg v2 table: resolve the snapshot's manifests, scan
     the live parquet files in ONE Spark read, and re-attach partition
@@ -1018,7 +1039,12 @@ def read_iceberg(
     `_metadata.file_path` join. `snapshot_id` pins time travel and reads
     with THAT snapshot's schema-id (old snapshots keep their narrower
     schema after evolution, per the spec). Row-level DELETE FILES in the
-    snapshot (v2 merge-on-read) are subtracted via _apply_row_deletes."""
+    snapshot (v2 merge-on-read) are subtracted via _apply_row_deletes.
+    `timestamp_ms` resolves TIMESTAMP AS OF via iceberg_snapshot_as_of."""
+    if timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either snapshot_id or timestamp_ms, not both")
+        snapshot_id = iceberg_snapshot_as_of(path, timestamp_ms)
     meta, datas, dels = iceberg_live_state(path, snapshot_id, partition_eq)
     files = [d["data_file"] for d in datas]
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
@@ -1478,6 +1504,105 @@ def rewrite_iceberg(spark: SparkSession, path: str) -> int:
         pb.append(pf["name"])
     df = read_iceberg(spark, path)
     return write_iceberg(df, path, partition_by=pb or None, mode="overwrite")
+
+
+def iceberg_meta_table(
+    spark: SparkSession, path: str, kind: str
+) -> DataFrame:
+    """Iceberg METADATA TABLES — the `SELECT * FROM tbl.snapshots /
+    .history / .files / .manifests` inspection surface — answered
+    entirely from the metadata tree (never a data scan; on 100 TB these
+    are the operational queries that must stay O(metadata)).
+    `files` rows carry content (0=data, 1=position deletes, 2=equality
+    deletes), record_count and sequence_number for every LIVE file of
+    the current snapshot."""
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    _, meta = cur
+    if kind == "snapshots":
+        schema = T.StructType(
+            [
+                T.StructField("committed_at_ms", T.LongType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("sequence_number", T.LongType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("manifest_list", T.StringType()),
+            ]
+        )
+        rows = [
+            (
+                s["timestamp-ms"],
+                s["snapshot-id"],
+                s["sequence-number"],
+                (s.get("summary") or {}).get("operation"),
+                s["manifest-list"],
+            )
+            for s in meta["snapshots"]
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "history":
+        schema = T.StructType(
+            [
+                T.StructField("made_current_at_ms", T.LongType()),
+                T.StructField("snapshot_id", T.LongType()),
+                T.StructField("is_current_ancestor", T.BooleanType()),
+            ]
+        )
+        rows = [
+            (
+                e["timestamp-ms"],
+                e["snapshot-id"],
+                e["snapshot-id"] == meta["current-snapshot-id"],
+            )
+            for e in meta["snapshot-log"]
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "files":
+        _, datas, dels = iceberg_live_state(path)
+        schema = T.StructType(
+            [
+                T.StructField("content", T.IntegerType()),
+                T.StructField("file_path", T.StringType()),
+                T.StructField("file_format", T.StringType()),
+                T.StructField("record_count", T.LongType()),
+                T.StructField("file_size_in_bytes", T.LongType()),
+                T.StructField("sequence_number", T.LongType()),
+            ]
+        )
+        rows = [
+            (
+                e["data_file"].get("content", 0),
+                e["data_file"]["file_path"],
+                e["data_file"]["file_format"],
+                e["data_file"]["record_count"],
+                e["data_file"]["file_size_in_bytes"],
+                int(e["seq"]),
+            )
+            for e in datas + dels
+        ]
+        return spark.createDataFrame(rows, schema)
+    if kind == "manifests":
+        sid = meta["current-snapshot-id"]
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+        _, manifests = parse_container(open(snap["manifest-list"], "rb").read())
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("length", T.LongType()),
+                T.StructField("content", T.IntegerType()),
+                T.StructField("sequence_number", T.LongType()),
+                T.StructField("added_snapshot_id", T.LongType()),
+                T.StructField("added_files_count", T.IntegerType()),
+                T.StructField("added_rows_count", T.LongType()),
+            ]
+        )
+        rows = [(m[0], m[1], m[3], m[4], m[6], m[7], m[10]) for m in manifests]
+        return spark.createDataFrame(rows, schema)
+    raise ValueError(
+        f"unknown metadata table {kind!r} "
+        "(expected snapshots|history|files|manifests)"
+    )
 
 
 def expire_snapshots(path: str, retain: int) -> dict:
@@ -2173,3 +2298,66 @@ def iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.select(F.lit(v).cast("long").alias("version"), "n_rows", "total")
         )
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "iceberg_meta_tables",
+    oracle="""
+    SELECT 'snapshots' AS k, CAST(2 AS BIGINT) AS v
+    UNION ALL
+    SELECT 'history', CAST(2 AS BIGINT)
+    UNION ALL
+    SELECT 'data_file_records', (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'delete_file_records',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59')
+    """,
+)
+def iceberg_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata-table inspection surface, cross-checked against the
+    DATA it describes: after one load + one MOR delete, `.snapshots` and
+    `.history` must show exactly 2 entries, and `.files` record counts
+    must reconcile — live data-file records sum to the full table (MOR
+    never rewrites data) while delete-file records sum to exactly the
+    tombstoned 1996 rows. All four frames come from metadata alone."""
+    import datetime as _dt
+
+    root = scratch_path(sf_dir, "orders_iceberg_meta")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    write_iceberg(orders, root)
+    delete_iceberg_where(
+        spark,
+        root,
+        "o_orderdate",
+        _dt.datetime(1996, 1, 1),
+        _dt.datetime(1996, 12, 31, 23, 59, 59),
+    )
+    snaps = iceberg_meta_table(spark, root, "snapshots")
+    hist = iceberg_meta_table(spark, root, "history")
+    files = iceberg_meta_table(spark, root, "files")
+    return (
+        snaps.agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("snapshots").alias("k"), "v")
+        .unionByName(
+            hist.agg(F.count(F.lit(1)).alias("v")).select(
+                F.lit("history").alias("k"), "v"
+            )
+        )
+        .unionByName(
+            files.where(F.col("content") == 0)
+            .agg(F.sum("record_count").alias("v"))
+            .select(F.lit("data_file_records").alias("k"), "v")
+        )
+        .unionByName(
+            files.where(F.col("content") != 0)
+            .agg(F.sum("record_count").alias("v"))
+            .select(F.lit("delete_file_records").alias("k"), "v")
+        )
+    )

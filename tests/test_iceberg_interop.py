@@ -631,3 +631,79 @@ def test_merge_is_one_snapshot_and_rewrites_nothing(spark):
     assert (
         got.groupBy("o_orderkey").count().where(F.col("count") > 1).count() == 0
     )
+
+
+def test_timestamp_as_of_both_formats(spark):
+    """TIMESTAMP AS OF must resolve to the newest commit at-or-before
+    the target in BOTH formats, match the version/snapshot-pinned read
+    exactly, and refuse a pre-table timestamp loudly."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delta_version_as_of,
+        read_delta,
+        write_delta,
+    )
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        iceberg_snapshot_as_of,
+    )
+
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    a = orders.where(F.col("o_orderkey") % 2 == 0)
+    b = orders.where(F.col("o_orderkey") % 2 == 1)
+
+    # Iceberg
+    root = _fresh("ut_ice_ts_travel")
+    s0 = write_iceberg(a, root)
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    write_iceberg(b, root, mode="append")
+    sid = iceberg_snapshot_as_of(root, t_mid)
+    assert sid == s0
+    got = read_iceberg(spark, root, timestamp_ms=t_mid)
+    assert got.count() == a.count()
+    assert read_iceberg(spark, root).count() == orders.count()
+    with _pytest.raises(ValueError, match="at or before"):
+        iceberg_snapshot_as_of(root, 1)
+
+    # Delta
+    droot = _fresh("ut_delta_ts_travel")
+    write_delta(a, droot)
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    write_delta(b, droot, mode="append")
+    assert delta_version_as_of(droot, t_mid) == 0
+    assert read_delta(spark, droot, timestamp_ms=t_mid).count() == a.count()
+    with _pytest.raises(ValueError, match="at or before"):
+        delta_version_as_of(droot, 1)
+
+
+def test_meta_tables_manifest_contents(spark):
+    """`.manifests` must list the current snapshot's manifest-list rows
+    with correct content flags (data vs deletes) and counts."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        iceberg_meta_table,
+    )
+
+    root = _fresh("ut_ice_meta_man")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(4, "o_orderdate")
+    )
+    write_iceberg(orders, root)
+    delete_iceberg_where(
+        spark,
+        root,
+        "o_orderdate",
+        __import__("datetime").datetime(1996, 1, 1),
+        __import__("datetime").datetime(1996, 12, 31, 23, 59, 59),
+    )
+    man = iceberg_meta_table(spark, root, "manifests")
+    rows = {r["content"]: r for r in man.collect()}
+    assert set(rows) == {0, 1}, "one data + one delete manifest"
+    assert rows[0]["added_files_count"] == 4
+    assert rows[1]["added_rows_count"] > 0
