@@ -830,6 +830,122 @@ def delete_delta_range(
     return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
 
 
+def optimize_delta(
+    spark: SparkSession, path: str, target_files: int | None = None
+) -> int:
+    """OPTIMIZE (bin-packing compaction): rewrite the live files into
+    fewer, larger ones and commit remove+add with **dataChange=false** —
+    the protocol's signal that the commit rearranges bytes but adds no
+    data. The change feed and the streaming source both skip such
+    commits (no duplicate rows downstream), and time travel across the
+    OPTIMIZE stays exact. On 100 TB this is the maintenance op that
+    keeps scan task counts bounded as small appends accumulate.
+    Unpartitioned tables."""
+    v, meta, _ = _replay(path)
+    if meta.get("partitionColumns"):
+        raise NotImplementedError("optimize_delta supports unpartitioned tables")
+    adds_live = delta_live_files(path, v)
+    if len(adds_live) <= 1:
+        return v
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if target_files is None:
+        total = sum(a.get("size", 0) for a in adds_live)
+        target_files = max(1, -(-total // (128 * 1024 * 1024)))  # ceil /128MB
+    df = (
+        spark.read.schema(schema)
+        .parquet(
+            *[
+                os.path.join(path, urllib.parse.unquote(a["path"]))
+                for a in adds_live
+            ]
+        )
+        .coalesce(target_files)
+    )
+    now_ms = int(time.time() * 1000)
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"targetFiles": target_files},
+            }
+        }
+    ]
+    for a in adds_live:
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    try:
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            dest = os.path.join(path, f"part-{uuid.uuid4().hex}.snappy.parquet")
+            os.rename(os.path.join(stage, name), dest)
+            actions.append(
+                {
+                    "add": {
+                        "path": urllib.parse.quote(os.path.relpath(dest, path)),
+                        "partitionValues": {},
+                        "size": os.path.getsize(dest),
+                        "modificationTime": now_ms,
+                        "dataChange": False,
+                        "stats": _delta_stats(dest),
+                    }
+                }
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    vs = _committed_versions(_log_dir(path))
+    return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
+
+
+def restore_delta(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF: commit the FILE-LEVEL diff that
+    makes the current state equal the target version's — re-add files
+    live then but not now, remove files live now but not then
+    (dataChange=true, as Delta's RESTORE does). Pure metadata: no data
+    file is read or written, so restoring a 100 TB table costs one
+    commit. History is preserved — the bad versions stay readable."""
+    cur_v, _, cur_adds = _replay(path)
+    _, _, tgt_adds = _replay(path, version)
+    cur_by, tgt_by = (
+        {a["path"]: a for a in cur_adds},
+        {a["path"]: a for a in tgt_adds},
+    )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }
+    ]
+    for p in sorted(set(cur_by) - set(tgt_by)):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for p in sorted(set(tgt_by) - set(cur_by)):
+        actions.append({"add": dict(tgt_by[p])})
+    vs = _committed_versions(_log_dir(path))
+    return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
+
+
 def read_delta_cdf(
     spark: SparkSession,
     path: str,
@@ -1573,13 +1689,17 @@ def delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                         if not line.strip():
                             continue
                         a = _json.loads(line)
-                        if "remove" in a:
+                        # dataChange=false commits (OPTIMIZE) rearrange
+                        # bytes without adding data: skip entirely —
+                        # emitting their adds would duplicate rows
+                        if "remove" in a and a["remove"].get("dataChange"):
                             raise RuntimeError(
                                 f"delta_stream: version {v} is not append-only "
-                                "(remove action found); restart from a fresh "
-                                "starting version or handle changes explicitly"
+                                "(data-changing remove found); restart from a "
+                                "fresh starting version or stream the change "
+                                "data feed instead"
                             )
-                        if "add" in a:
+                        if "add" in a and a["add"].get("dataChange"):
                             paths.append(
                                 _os.path.join(
                                     self.root, _up.unquote(a["add"]["path"])
@@ -2055,3 +2175,79 @@ def stream_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@query(
+    "delta_optimize",
+    oracle=f"""
+    SELECT 0 AS phase, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    UNION ALL
+    SELECT 1 AS phase, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE bin-packing: three small appends fragment the table,
+    compaction folds the live set into one file as a dataChange=false
+    commit. The aggregate must be identical before (time travel) and
+    after — OPTIMIZE moves bytes, never data (file-count reduction and
+    feed/stream skipping are unit-asserted)."""
+    root = scratch_path(sf_dir, "orders_delta_opt")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    third = F.col("o_orderkey") % 3
+    write_delta(orders.where(third == 0).repartition(4), root)
+    write_delta(orders.where(third == 1).repartition(4), root, mode="append")
+    write_delta(orders.where(third == 2).repartition(4), root, mode="append")
+    pre_v = optimize_delta(spark, root) - 1
+    outs = []
+    for phase, v in ((0, pre_v), (1, None)):
+        agg = read_delta(spark, root, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(phase).alias("phase"), "n_rows", "total"))
+    return outs[0].unionByName(outs[1])
+
+
+@query(
+    "delta_restore",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    UNION ALL
+    SELECT 1 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       OR o_orderdate > TIMESTAMP '1996-12-31 23:59:59'
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION AS OF: an accidental range DELETE is
+    rolled back by ONE metadata commit (file-level diff vs the target
+    version — no data read or written, unit-asserted); all three
+    versions stay readable, so the bad state remains auditable."""
+    root = scratch_path(sf_dir, "orders_delta_restore")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    write_delta(orders, root)
+    delete_delta_range(
+        spark, root, "o_orderdate", "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+    )
+    restore_delta(spark, root, 0)
+    outs = []
+    for v in (0, 1, 2):
+        agg = read_delta(spark, root, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
+    return reduce(lambda a, b: a.unionByName(b), outs)

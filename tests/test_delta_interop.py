@@ -777,3 +777,70 @@ def test_cdf_vacuum_keeps_retained_change_data(spark):
     cdc_after = set(os.listdir(os.path.join(root, "_change_data")))
     assert cdc_after < cdc_before, "dropped commits' change data reclaimed"
     assert read_delta_cdf(spark, root, 2, 2).count() == n_v2
+
+
+def test_optimize_compacts_and_feeds_skip_it(spark):
+    """OPTIMIZE must reduce the live file count without changing data,
+    and both the change feed and the append stream must SKIP its
+    dataChange=false commit (no duplicate rows downstream)."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delta_live_files,
+        optimize_delta,
+        read_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    root = _fresh("t_delta_opt_skip")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    half = F.col("o_orderkey") % 2
+    write_delta(
+        orders.where(half == 0).repartition(4),
+        root,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    write_delta(orders.where(half == 1).repartition(4), root, mode="append")
+    n_before = len(delta_live_files(root, 1))
+    assert n_before == 8
+    v_opt = optimize_delta(spark, root)
+    assert len(delta_live_files(root, v_opt)) < n_before
+    assert read_delta(spark, root).count() == orders.count()
+    # CDF: the optimize commit contributes NOTHING
+    cdf = read_delta_cdf(spark, root, 0)
+    assert cdf.count() == orders.count()
+    assert cdf.where(F.col("_commit_version") == v_opt).count() == 0
+
+
+def test_restore_is_metadata_only(spark):
+    """RESTORE must not create any new data file — the rollback commit
+    re-references the target version's files."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    root = _fresh("t_delta_restore_meta")
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(4, "o_orderdate")
+    )
+    write_delta(orders, root)
+    delete_delta_range(
+        spark, root, "o_orderdate", "1996-01-01 00:00:00", "1996-12-31 23:59:59"
+    )
+
+    def _parquets():
+        out = set()
+        for dirpath, _dirs, names in os.walk(root):
+            if "_delta_log" in dirpath:
+                continue
+            out.update(n for n in names if n.endswith(".parquet"))
+        return out
+
+    before = _parquets()
+    restore_delta(spark, root, 0)
+    assert _parquets() == before, "restore must write no data file"
+    assert read_delta(spark, root).count() == orders.count()
