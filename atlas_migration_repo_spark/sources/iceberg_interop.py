@@ -2361,3 +2361,167 @@ def iceberg_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("delete_file_records").alias("k"), "v")
         )
     )
+
+
+@query(
+    "iceberg_stream",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def iceberg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over an ICEBERG table: offset = sequence
+    number; each micro-batch's partitions are the data files ADDED by
+    the new snapshots (status=1, matching snapshot id), read
+    executor-side with pyarrow. A non-append snapshot (overwrite /
+    delete) fails the stream — the same contract as delta_stream.
+    Three append snapshots drain into a memory sink whose aggregate
+    must equal the batch oracle."""
+    import time as _time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    root = scratch_path(sf_dir, "orders_iceberg_stream")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cuts = ("1996-01-01", "1997-01-01", "1999-01-01")
+    write_iceberg(
+        orders.where(F.col("o_orderdate") < cuts[0]).drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+    write_iceberg(
+        orders.where(
+            (F.col("o_orderdate") >= cuts[0]) & (F.col("o_orderdate") < cuts[1])
+        ).drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+    write_iceberg(
+        orders.where(
+            (F.col("o_orderdate") >= cuts[1]) & (F.col("o_orderdate") < cuts[2])
+        ).drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+
+    class FilePartition(InputPartition):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class IcebergStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.root = options["path"]
+
+        def _meta(self):
+            from atlas_migration_repo_spark.sources.iceberg_interop import (
+                _current_metadata,
+            )
+
+            cur = _current_metadata(self.root)
+            return cur[1] if cur else None
+
+        def initialOffset(self):
+            return {"seq": 0}
+
+        def latestOffset(self):
+            meta = self._meta()
+            return {"seq": meta["last-sequence-number"] if meta else 0}
+
+        def partitions(self, start, end):
+            from atlas_migration_repo_spark.sources.avro import parse_container
+
+            meta = self._meta()
+            paths = []
+            for s in sorted(
+                meta["snapshots"], key=lambda x: x["sequence-number"]
+            ):
+                seq = s["sequence-number"]
+                if seq <= start["seq"] or seq > end["seq"]:
+                    continue
+                op = (s.get("summary") or {}).get("operation")
+                # a table's FIRST snapshot is append-shaped whatever its
+                # label — there was nothing to replace
+                if op not in (None, "append") and seq > 1:
+                    raise RuntimeError(
+                        f"iceberg_stream: snapshot {s['snapshot-id']} is "
+                        f"{op!r}, not append-only; stream a change feed or "
+                        "restart from a fresh snapshot"
+                    )
+                _, manifests = parse_container(
+                    open(s["manifest-list"], "rb").read()
+                )
+                for m in manifests:
+                    if m[3] != 0 or m[6] != s["snapshot-id"]:
+                        continue  # not a data manifest added BY this snapshot
+                    _, entries = parse_container(open(m[0], "rb").read())
+                    for e in entries:
+                        if e[0] == 1 and e[1] == s["snapshot-id"]:
+                            paths.append(e[4]["file_path"])
+            return [FilePartition(p) for p in paths]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                partition.path, columns=["o_orderkey", "o_totalprice"]
+            )
+            yield from zip(
+                tbl.column("o_orderkey").to_pylist(),
+                tbl.column("o_totalprice").to_pylist(),
+            )
+
+        def commit(self, end):
+            pass
+
+    class IcebergStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "iceberg_snapshot_stream"
+
+        def schema(self) -> str:
+            return "o_orderkey bigint, o_totalprice double"
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            return IcebergStreamReader(self.options)
+
+    spark.dataSource.register(IcebergStreamSource)
+    sink = "iceberg_stream_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(
+        ".", "_"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.format("iceberg_snapshot_stream")
+            .option("path", root)
+            .load()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        expected = read_iceberg(spark, root).count()
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = spark.table(sink).collect()
+            if got and got[0]["n_rows"] == expected:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
