@@ -946,6 +946,50 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
 
 
+def clone_delta(
+    spark: SparkSession, src: str, dst: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE: create a NEW Delta table at `dst` whose v0 add
+    actions reference the SOURCE's data files by absolute path — zero
+    bytes copied, O(metadata) regardless of table size. The clone then
+    evolves independently (its own log, its own ids): appends/merges on
+    the clone never touch the source, and vice versa. The standard way
+    to fork a 100 TB table for an experiment. (Vacuuming the SOURCE can
+    of course invalidate a shallow clone — same caveat as Databricks'.)"""
+    if os.path.isdir(_log_dir(dst)) and _committed_versions(_log_dir(dst)):
+        raise FileExistsError(f"{dst} already has a Delta log")
+    v, meta, adds = _replay(src, version)
+    now_ms = int(time.time() * 1000)
+    os.makedirs(dst, exist_ok=True)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {"source": src, "sourceVersion": v},
+            }
+        },
+        {"protocol": dict(_PROTOCOL)},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns") or [],
+                "configuration": dict(meta.get("configuration") or {}),
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    for a in adds:
+        c = dict(a)
+        c["path"] = urllib.parse.quote(
+            os.path.abspath(os.path.join(src, urllib.parse.unquote(a["path"])))
+        )
+        actions.append({"add": c})
+    return _publish_commit(_log_dir(dst), actions, 0)
+
+
 def read_delta_cdf(
     spark: SparkSession,
     path: str,
@@ -2251,3 +2295,41 @@ def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "delta_clone",
+    oracle=f"""
+    SELECT 'source' AS side, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    UNION ALL
+    SELECT 'clone' AS side, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE: fork the table by metadata alone (v0 of the clone
+    references the source's files absolutely — zero bytes copied,
+    unit-asserted), then append the post-1997 slice to the CLONE only.
+    The source must still read its original state; the clone reads
+    source files + its own appends through one log."""
+    root = scratch_path(sf_dir, "orders_delta_clone_src")
+    dst = scratch_path(sf_dir, "orders_delta_clone_dst")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    write_delta(orders.where(F.col("o_orderdate") < "1997-01-01"), root)
+    clone_delta(spark, root, dst)
+    write_delta(
+        orders.where(F.col("o_orderdate") >= "1997-01-01"), dst, mode="append"
+    )
+    outs = []
+    for side, p in (("source", root), ("clone", dst)):
+        agg = read_delta(spark, p).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(side).alias("side"), "n_rows", "total"))
+    return outs[0].unionByName(outs[1])

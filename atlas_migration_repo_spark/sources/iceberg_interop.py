@@ -1032,6 +1032,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     partition_eq: dict | None = None,
     timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg v2 table: resolve the snapshot's manifests, scan
     the live parquet files in ONE Spark read, and re-attach partition
@@ -1041,10 +1042,12 @@ def read_iceberg(
     schema after evolution, per the spec). Row-level DELETE FILES in the
     snapshot (v2 merge-on-read) are subtracted via _apply_row_deletes.
     `timestamp_ms` resolves TIMESTAMP AS OF via iceberg_snapshot_as_of."""
+    if sum(x is not None for x in (snapshot_id, timestamp_ms, ref)) > 1:
+        raise ValueError("pass at most one of snapshot_id / timestamp_ms / ref")
     if timestamp_ms is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass either snapshot_id or timestamp_ms, not both")
         snapshot_id = iceberg_snapshot_as_of(path, timestamp_ms)
+    elif ref is not None:
+        snapshot_id = iceberg_resolve_ref(path, ref)
     meta, datas, dels = iceberg_live_state(path, snapshot_id, partition_eq)
     files = [d["data_file"] for d in datas]
     sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
@@ -1506,6 +1509,56 @@ def rewrite_iceberg(spark: SparkSession, path: str) -> int:
     return write_iceberg(df, path, partition_by=pb or None, mode="overwrite")
 
 
+def iceberg_create_ref(
+    path: str, name: str, ref_type: str = "tag", snapshot_id: int | None = None
+) -> int:
+    """Named REFS (spec v2 `refs` map): a `tag` pins a snapshot forever
+    (audit marks, reproducible training-data cuts), a `branch` is a
+    movable head. Creating one is a metadata-only commit; snapshot
+    expiry refuses to drop a snapshot any ref protects. Returns the
+    pinned snapshot id."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be tag|branch, got {ref_type!r}")
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    v, meta = cur
+    meta = json.loads(json.dumps(meta))
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    if not any(s["snapshot-id"] == sid for s in meta["snapshots"]):
+        raise ValueError(f"snapshot {sid} is not in table metadata")
+    refs = meta.setdefault("refs", {})
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(path, v + 1, meta)
+    return sid
+
+
+def iceberg_drop_ref(path: str, name: str) -> None:
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    v, meta = cur
+    meta = json.loads(json.dumps(meta))
+    if name not in (meta.get("refs") or {}):
+        raise ValueError(f"no such ref {name!r}")
+    del meta["refs"][name]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(path, v + 1, meta)
+
+
+def iceberg_resolve_ref(path: str, name: str) -> int:
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    refs = cur[1].get("refs") or {}
+    if name not in refs:
+        raise ValueError(f"no such ref {name!r}")
+    return refs[name]["snapshot-id"]
+
+
 def iceberg_meta_table(
     spark: SparkSession, path: str, kind: str
 ) -> DataFrame:
@@ -1620,8 +1673,19 @@ def expire_snapshots(path: str, retain: int) -> dict:
     snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
     if len(snaps) <= retain:
         return {"snapshots": 0, "manifests": 0, "data_files": 0}
-    keep = snaps[-retain:]
-    drop = snaps[: len(snaps) - retain]
+    protected = {
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    }
+    keep = snaps[-retain:] + [
+        s for s in snaps[: len(snaps) - retain] if s["snapshot-id"] in protected
+    ]
+    drop = [
+        s
+        for s in snaps[: len(snaps) - retain]
+        if s["snapshot-id"] not in protected
+    ]
+    if not drop:
+        return {"snapshots": 0, "manifests": 0, "data_files": 0}
 
     def _reach(snapshots):
         mans, files = set(), set()
@@ -2525,3 +2589,41 @@ def iceberg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@query(
+    "iceberg_refs",
+    oracle=f"""
+    SELECT 'audit_tag' AS ref, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    UNION ALL
+    SELECT 'main' AS ref, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs: a TAG pins the pre-1997 cut (a reproducible
+    training-data snapshot) while main moves on with later appends;
+    reading the tag must reproduce the pinned state exactly, and
+    snapshot expiry refuses to reclaim a tagged snapshot
+    (unit-asserted)."""
+    root = scratch_path(sf_dir, "orders_iceberg_refs")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    write_iceberg(
+        orders.where(F.col("o_orderdate") < "1997-01-01"), root, mode="append"
+    )
+    iceberg_create_ref(root, "audit_tag", "tag")
+    write_iceberg(
+        orders.where(F.col("o_orderdate") >= "1997-01-01"), root, mode="append"
+    )
+    outs = []
+    for label, kw in (("audit_tag", {"ref": "audit_tag"}), ("main", {})):
+        agg = read_iceberg(spark, root, **kw).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(label).alias("ref"), "n_rows", "total"))
+    return outs[0].unionByName(outs[1])

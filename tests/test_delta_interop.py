@@ -844,3 +844,34 @@ def test_restore_is_metadata_only(spark):
     restore_delta(spark, root, 0)
     assert _parquets() == before, "restore must write no data file"
     assert read_delta(spark, root).count() == orders.count()
+
+
+def test_shallow_clone_copies_no_data(spark):
+    """clone_delta must write ZERO data files under the clone, reference
+    the source's files absolutely, and stay isolated: writes to the
+    clone never appear in the source and vice versa."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        clone_delta,
+        read_delta,
+        write_delta,
+    )
+
+    src = _fresh("t_delta_clone_src")
+    dst = _fresh("t_delta_clone_dst")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    a = orders.where(F.col("o_orderkey") % 2 == 0)
+    b = orders.where(F.col("o_orderkey") % 2 == 1)
+    write_delta(a, src)
+    clone_delta(spark, src, dst)
+    n_parquet = sum(
+        1
+        for dirpath, _d, names in os.walk(dst)
+        if "_delta_log" not in dirpath
+        for n in names
+        if n.endswith(".parquet")
+    )
+    assert n_parquet == 0, "shallow clone must copy no data files"
+    assert read_delta(spark, dst).count() == a.count()
+    write_delta(b, dst, mode="append")
+    assert read_delta(spark, dst).count() == orders.count()
+    assert read_delta(spark, src).count() == a.count(), "source untouched"

@@ -707,3 +707,29 @@ def test_meta_tables_manifest_contents(spark):
     assert set(rows) == {0, 1}, "one data + one delete manifest"
     assert rows[0]["added_files_count"] == 4
     assert rows[1]["added_rows_count"] > 0
+
+
+def test_refs_protect_snapshots_from_expiry(spark):
+    """expire_snapshots must keep a TAGGED snapshot (and everything it
+    references) alive even when retention would drop it; dropping the
+    ref releases it."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        expire_snapshots,
+        iceberg_create_ref,
+        iceberg_drop_ref,
+    )
+
+    root = _fresh("ut_ice_refs_expire")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    third = F.col("o_orderkey") % 3
+    s0 = write_iceberg(orders.where(third == 0), root, mode="append")
+    iceberg_create_ref(root, "keep_me", "tag", snapshot_id=s0)
+    write_iceberg(orders.where(third == 1), root, mode="append")
+    write_iceberg(orders.where(third == 2), root, mode="append")
+    stats = expire_snapshots(root, retain=1)
+    assert stats["snapshots"] == 1  # only the untagged middle snapshot
+    got = read_iceberg(spark, root, ref="keep_me")
+    assert got.count() == orders.where(third == 0).count()
+    iceberg_drop_ref(root, "keep_me")
+    stats = expire_snapshots(root, retain=1)
+    assert stats["snapshots"] == 1  # now the tagged one goes too
