@@ -733,3 +733,68 @@ def test_refs_protect_snapshots_from_expiry(spark):
     iceberg_drop_ref(root, "keep_me")
     stats = expire_snapshots(root, retain=1)
     assert stats["snapshots"] == 1  # now the tagged one goes too
+
+
+def test_model_check_mor_commit_sequences(spark):
+    """Model-check the merge-on-read machinery: a seeded random sequence
+    of append / positional-delete / MOR-merge / rewrite commits against
+    a plain Python dict model — EVERY recorded snapshot must read back
+    exactly its model state (snapshot isolation + sequence-number
+    visibility, checked across 11 commits)."""
+    import random
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        merge_iceberg,
+        read_iceberg,
+        rewrite_iceberg,
+    )
+
+    rng = random.Random(42)
+    root = _fresh("ut_ice_model_mor")
+    schema = "k bigint, val double"
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, schema)
+
+    rows = [(i, float(i)) for i in range(200)]
+    sid = write_iceberg(df_of(rows), root, mode="append")
+    model = dict(rows)
+    snaps = [(sid, dict(model))]
+    next_key = 1000
+    for _step in range(10):
+        op = rng.choice(["append", "delete", "merge", "rewrite"])
+        if op == "append":
+            new = [
+                (next_key + i, float(rng.randint(0, 999)))
+                for i in range(rng.randint(1, 40))
+            ]
+            next_key += 100
+            sid = write_iceberg(df_of(new), root, mode="append")
+            model.update(dict(new))
+        elif op == "delete":
+            lo = rng.randint(0, 1200)
+            hi = lo + rng.randint(0, 300)
+            sid = delete_iceberg_where(spark, root, "k", lo, hi)
+            model = {k: v for k, v in model.items() if not (lo <= k <= hi)}
+        elif op == "merge":
+            keys = (
+                rng.sample(sorted(model), min(len(model), rng.randint(1, 30)))
+                if model
+                else []
+            )
+            src = [(k, model[k] + 0.5) for k in keys] + [
+                (next_key + i, float(i)) for i in range(rng.randint(1, 10))
+            ]
+            next_key += 100
+            sid = merge_iceberg(spark, root, df_of(src), on=["k"])
+            model.update(dict(src))
+        else:
+            sid = rewrite_iceberg(spark, root)
+        snaps.append((sid, dict(model)))
+    for i, (sid, expect) in enumerate(snaps):
+        got = {
+            r["k"]: r["val"]
+            for r in read_iceberg(spark, root, snapshot_id=sid).collect()
+        }
+        assert got == expect, f"snapshot {i} (id {sid}) diverged from model"
