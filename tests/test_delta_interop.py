@@ -875,3 +875,76 @@ def test_shallow_clone_copies_no_data(spark):
     write_delta(b, dst, mode="append")
     assert read_delta(spark, dst).count() == orders.count()
     assert read_delta(spark, src).count() == a.count(), "source untouched"
+
+
+def test_model_check_delta_commit_sequences(spark):
+    """Model-check the Delta protocol machinery: a seeded random sequence
+    of append / range-delete / merge / optimize / restore commits against
+    a plain Python dict model — EVERY recorded version must read back
+    exactly its model state (time travel + dataChange semantics, checked
+    across 12 commits; restore rewinds the model to the target version's
+    recorded state)."""
+    import random
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+        merge_delta,
+        optimize_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    rng = random.Random(7)
+    root = _fresh("ut_delta_model")
+    schema = "k bigint, val double"
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, schema)
+
+    rows = [(i, float(i)) for i in range(200)]
+    v = write_delta(df_of(rows), root, mode="append")
+    model = dict(rows)
+    by_version = {v: dict(model)}
+    next_key = 1000
+    for _step in range(11):
+        op = rng.choice(["append", "delete", "merge", "optimize", "restore"])
+        if op == "append":
+            new = [
+                (next_key + i, float(rng.randint(0, 999)))
+                for i in range(rng.randint(1, 40))
+            ]
+            next_key += 100
+            v = write_delta(df_of(new), root, mode="append")
+            model.update(dict(new))
+        elif op == "delete":
+            lo = rng.randint(0, 1200)
+            hi = lo + rng.randint(0, 300)
+            v = delete_delta_range(spark, root, "k", lo, hi)
+            model = {k: x for k, x in model.items() if not (lo <= k <= hi)}
+        elif op == "merge":
+            keys = (
+                rng.sample(sorted(model), min(len(model), rng.randint(1, 30)))
+                if model
+                else []
+            )
+            src = [(k, model[k] + 0.5) for k in keys] + [
+                (next_key + i, float(i)) for i in range(rng.randint(1, 10))
+            ]
+            next_key += 100
+            v = merge_delta(spark, root, df_of(src), key="k")
+            model.update(dict(src))
+        elif op == "optimize":
+            v = optimize_delta(spark, root)
+            # dataChange=false: state identical
+        else:
+            tgt = rng.choice(sorted(by_version))
+            v = restore_delta(spark, root, tgt)
+            model = dict(by_version[tgt])
+        by_version[v] = dict(model)
+    for ver in sorted(by_version):
+        got = {
+            r["k"]: r["val"]
+            for r in read_delta(spark, root, version=ver).collect()
+        }
+        assert got == by_version[ver], f"version {ver} diverged from model"
