@@ -3026,3 +3026,102 @@ def test_kafka_stream_options_surface():
     # the form Kafka's startingOffsets JSON actually uses (ADVICE r4)
     with _pytest.raises(ValueError, match="offsets must be >= -2"):
         kafka_stream_options("b:9092", "t", starting_offsets={"t": {"0": -5}})
+
+
+def test_model_check_tablelog_commit_sequences(spark, tmp_path):
+    """Model-check the TableLog protocol: a seeded random sequence of
+    append / merge / compact / rename / widen / checkpoint / vacuum
+    against a dict model — every recorded version must read back exactly
+    its model state AND surface the schema as of that version (time
+    travel across rename/widen boundaries), and the default vacuum must
+    never break any committed version's read."""
+    import random
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    rng = random.Random(11)
+    t = TableLog(str(tmp_path / "t"))
+    colname = "val"
+    widened = False
+
+    def df_of(rows, name, wide):
+        return spark.createDataFrame(
+            rows, f"k bigint, {name} {'bigint' if wide else 'int'}"
+        )
+
+    rows = [(i, i % 97) for i in range(200)]
+    v = t.append(df_of(rows, colname, False))
+    model = dict(rows)
+    snaps = [(v, dict(model), colname)]
+    next_key = 1000
+    for _step in range(12):
+        op = rng.choice(
+            ["append", "merge", "compact", "rename", "widen", "checkpoint", "vacuum"]
+        )
+        if op == "append":
+            new = [
+                (next_key + i, rng.randint(0, 96))
+                for i in range(rng.randint(1, 40))
+            ]
+            next_key += 100
+            v = t.append(df_of(new, colname, widened))
+            model.update(dict(new))
+        elif op == "merge":
+            keys = (
+                rng.sample(sorted(model), min(len(model), rng.randint(1, 30)))
+                if model
+                else []
+            )
+            src = [(k, model[k] + 1) for k in keys] + [
+                (next_key + i, i) for i in range(rng.randint(1, 10))
+            ]
+            next_key += 100
+            v = t.merge(spark, df_of(src, colname, widened), key="k")
+            model.update(dict(src))
+        elif op == "compact":
+            v = t.compact(spark, target_files=2)
+        elif op == "rename":
+            new_name = f"val{_step}"
+            v = t.rename_column(colname, new_name)
+            colname = new_name
+        elif op == "widen":
+            if widened:
+                continue
+            v = t.widen_column(colname, "bigint", from_type="int")
+            widened = True
+        elif op == "checkpoint":
+            t.checkpoint()
+            continue  # not a commit; state unchanged
+        else:
+            t.vacuum()  # default: every committed version stays readable
+            continue
+        snaps.append((v, dict(model), colname))
+    for i, (sv, expect, cname) in enumerate(snaps):
+        df = t.read(spark, version=sv)
+        assert set(df.columns) == {"k", cname}, (
+            f"version {sv}: schema {df.columns} != ['k', {cname!r}]"
+        )
+        got = {r["k"]: r[cname] for r in df.collect()}
+        assert got == expect, f"snapshot {i} (version {sv}) diverged from model"
+
+
+def test_vacuum_after_manual_checkpoint_keeps_history(spark, tmp_path):
+    """Regression (ADVICE r4 #1): default vacuum() must derive the
+    referenced-file set from EVERY committed commit file, not from a
+    checkpoint-based replay. Scenario: 6 appends, compact (removes all
+    six files), manual checkpoint(), then vacuum() — the pre-compaction
+    files are absent from the checkpoint's resolved state but still
+    referenced by committed versions v0..v5, so vacuum must keep them
+    and every version must remain readable."""
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, i * 10)], "k bigint, v bigint"))
+    t.compact(spark, target_files=1)
+    t.checkpoint()
+    deleted = t.vacuum()
+    assert deleted == [], f"vacuum deleted still-referenced files: {deleted}"
+    for v in range(6):
+        got = {r["k"] for r in t.read(spark, version=v).collect()}
+        assert got == set(range(v + 1)), f"version {v} unreadable after vacuum"
