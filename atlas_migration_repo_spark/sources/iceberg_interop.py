@@ -1103,6 +1103,127 @@ def read_iceberg(
     return out.select(*[f.name for f in full.fields])
 
 
+def iceberg_appends_between(
+    path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> tuple[dict, list[dict]]:
+    """(metadata, data_file dicts ADDED by the snapshots strictly after
+    `from_snapshot_id` up to and including `to_snapshot_id`) — the
+    planning half of Iceberg's incremental append scan. Snapshots are
+    ordered by sequence number; every snapshot in range must be an
+    append (the table's FIRST snapshot counts whatever its label —
+    there was nothing to replace); an overwrite/delete/replace in range
+    raises, since its effect cannot be expressed as added rows (read
+    the change feed or restart from a full snapshot instead). Only
+    manifests ADDED by an in-range snapshot are opened, so planning
+    cost is O(new files), not O(table) — the property that makes
+    incremental consumption of a 100 TB table cheap."""
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    _, meta = cur
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    lo_seq = 0
+    if from_snapshot_id is not None:
+        if from_snapshot_id not in by_id:
+            raise ValueError(f"unknown from snapshot {from_snapshot_id}")
+        lo_seq = by_id[from_snapshot_id]["sequence-number"]
+    hi_sid = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta["current-snapshot-id"]
+    )
+    if hi_sid not in by_id:
+        raise ValueError(f"unknown to snapshot {hi_sid}")
+    hi_seq = by_id[hi_sid]["sequence-number"]
+    added: list[dict] = []
+    for s in sorted(meta["snapshots"], key=lambda x: x["sequence-number"]):
+        seq = s["sequence-number"]
+        if seq <= lo_seq or seq > hi_seq:
+            continue
+        op = (s.get("summary") or {}).get("operation")
+        if op not in (None, "append") and seq > 1:
+            raise RuntimeError(
+                f"incremental scan: snapshot {s['snapshot-id']} is {op!r}, "
+                "not append-only; read the change feed or a full snapshot"
+            )
+        _, manifests = parse_container(open(s["manifest-list"], "rb").read())
+        for m in manifests:
+            if m[3] != 0 or m[6] != s["snapshot-id"]:
+                continue  # not a data manifest added BY this snapshot
+            _, entries = parse_container(open(m[0], "rb").read())
+            for e in entries:
+                if e[0] == 1 and e[1] == s["snapshot-id"]:  # status ADDED
+                    added.append(e[4])
+    return meta, added
+
+
+def read_iceberg_incremental(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental append scan: the rows ADDED between two snapshots
+    (exclusive/inclusive), as one Spark read of only the new files —
+    the batch complement of the `iceberg_stream` source (same snapshot
+    walk, pull-based). Appends carry no delete files, so no MOR
+    subtraction applies; identity partition columns are reattached from
+    manifest partition structs exactly as in read_iceberg."""
+    meta, files = iceberg_appends_between(path, from_snapshot_id, to_snapshot_id)
+    sid = (
+        to_snapshot_id
+        if to_snapshot_id is not None
+        else meta["current-snapshot-id"]
+    )
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    schema_id = snap.get("schema-id", meta["current-schema-id"])
+    schema_fields = meta["schemas"][schema_id]["fields"]
+    pcols = [
+        pf["name"]
+        for pf in meta["partition-specs"][0]["fields"]
+        if pf.get("transform", "identity") == "identity"
+    ]
+    full = T.StructType(
+        [
+            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
+            for f in schema_fields
+        ]
+    )
+    if not files:
+        return spark.createDataFrame([], full)
+    data_schema = T.StructType([f for f in full.fields if f.name not in pcols])
+    df = spark.read.schema(data_schema).parquet(*[f["file_path"] for f in files])
+    if not pcols:
+        return df.select(*[f.name for f in full.fields])
+    pv_rows = [
+        (
+            os.path.abspath(f["file_path"]),
+            *[
+                None
+                if (f["partition"] or {}).get(c) is None
+                else str((f["partition"] or {}).get(c))
+                for c in pcols
+            ],
+        )
+        for f in files
+    ]
+    pv_schema = T.StructType(
+        [T.StructField("__file_uri", T.StringType())]
+        + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+    )
+    pv_df = spark.createDataFrame(pv_rows, pv_schema)
+    out = df.withColumn(
+        "__file_uri",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+    ).join(F.broadcast(pv_df), "__file_uri")
+    ptypes = {f.name: f.dataType for f in full.fields}
+    for c in pcols:
+        out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
+    return out.select(*[f.name for f in full.fields])
+
+
 def _apply_row_deletes(
     spark: SparkSession,
     df: DataFrame,
@@ -2627,3 +2748,51 @@ def iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(agg.select(F.lit(label).alias("ref"), "n_rows", "total"))
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "iceberg_incremental_scan",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch incremental append scan: three append snapshots, then read
+    ONLY the rows added after the first one — planning opens just the
+    manifests added by snapshots 2 and 3, never the full table's file
+    list. The pull-based complement of `iceberg_stream` for catch-up /
+    backfill consumers of a shared Iceberg table."""
+    root = scratch_path(sf_dir, "orders_iceberg_incr")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cuts = ("1996-01-01", "1997-01-01", "1999-01-01")
+    s1 = write_iceberg(
+        orders.where(F.col("o_orderdate") < cuts[0]).drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+    write_iceberg(
+        orders.where(
+            (F.col("o_orderdate") >= cuts[0]) & (F.col("o_orderdate") < cuts[1])
+        ).drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+    s3 = write_iceberg(
+        orders.where(
+            (F.col("o_orderdate") >= cuts[1]) & (F.col("o_orderdate") < cuts[2])
+        ).drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+    return read_iceberg_incremental(
+        spark, root, from_snapshot_id=s1, to_snapshot_id=s3
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )

@@ -798,3 +798,41 @@ def test_model_check_mor_commit_sequences(spark):
             for r in read_iceberg(spark, root, snapshot_id=sid).collect()
         }
         assert got == expect, f"snapshot {i} (id {sid}) diverged from model"
+
+
+def test_incremental_scan_composes_and_rejects_non_appends(spark):
+    """Incremental append scans must compose — appends(s1,s2) ∪
+    appends(s2,s3) == appends(s1,s3) — include the first snapshot when
+    from=None, and raise on a delete snapshot in range (its effect is
+    not expressible as added rows)."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        read_iceberg_incremental,
+    )
+
+    root = _fresh("ut_ice_incr")
+    schema = "k bigint, val double"
+    sids = []
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 100)], schema
+        )
+        sids.append(write_iceberg(df, root, mode="append"))
+
+    def keys(df):
+        return {r["k"] for r in df.collect()}
+
+    a = keys(read_iceberg_incremental(spark, root, sids[0], sids[1]))
+    b = keys(read_iceberg_incremental(spark, root, sids[1], sids[2]))
+    full = keys(read_iceberg_incremental(spark, root, sids[0], sids[2]))
+    assert a == set(range(100, 200)) and b == set(range(200, 300))
+    assert a | b == full
+    assert keys(read_iceberg_incremental(spark, root)) == set(range(300))
+
+    d = delete_iceberg_where(spark, root, "k", 0, 50)
+    with _pytest.raises(RuntimeError, match="not append-only"):
+        read_iceberg_incremental(spark, root, sids[0], d)
+    # a range entirely past the delete is still consumable
+    assert keys(read_iceberg_incremental(spark, root, d, d)) == set()
