@@ -1842,6 +1842,46 @@ def expire_snapshots(path: str, retain: int) -> dict:
     return {"snapshots": len(drop), "manifests": n_man, "data_files": n_dat}
 
 
+def remove_orphan_files(path: str) -> list[str]:
+    """Iceberg remove_orphan_files action: delete files under the table
+    location referenced by NO snapshot — the debris of crashed writers
+    (parquet renamed into data/ whose metadata commit never published,
+    and abandoned .stage-* staging dirs). Referenced = every file_path
+    in every manifest of every snapshot, data AND delete files, at ANY
+    entry status (an entry marked DELETED in one snapshot may still be
+    live in an older one — reachability is over the whole history, the
+    same rule TableLog.vacuum() applies). Committed history is
+    untouched: every snapshot stays exactly readable. Returns the
+    deleted paths; a second call returns []."""
+    import shutil as _shutil
+
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    _, meta = cur
+    referenced: set[str] = set()
+    for s in meta["snapshots"]:
+        _, manifests = parse_container(open(s["manifest-list"], "rb").read())
+        for m in manifests:
+            _, entries = parse_container(open(m[0], "rb").read())
+            for e in entries:
+                referenced.add(os.path.abspath(e[4]["file_path"]))
+    deleted: list[str] = []
+    data_dir = os.path.join(path, "data")
+    for dirpath, _dirs, names in os.walk(data_dir):
+        for name in names:
+            p = os.path.join(dirpath, name)
+            if os.path.abspath(p) not in referenced:
+                os.unlink(p)
+                deleted.append(p)
+    for name in os.listdir(path):
+        if name.startswith(".stage-"):
+            p = os.path.join(path, name)
+            _shutil.rmtree(p, ignore_errors=True)
+            deleted.append(p)
+    return deleted
+
+
 def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
     """UniForm-style dual publish (the public Delta Universal Format
     idea): give an existing DELTA table an ICEBERG metadata tree over

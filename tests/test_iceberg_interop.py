@@ -836,3 +836,46 @@ def test_incremental_scan_composes_and_rejects_non_appends(spark):
         read_iceberg_incremental(spark, root, sids[0], d)
     # a range entirely past the delete is still consumable
     assert keys(read_iceberg_incremental(spark, root, d, d)) == set()
+
+
+def test_remove_orphan_files_keeps_all_history(spark):
+    """remove_orphan_files must delete exactly the crashed-writer debris
+    (uncommitted parquet in data/, abandoned .stage-* dirs) and nothing
+    referenced by ANY snapshot — including files whose manifest entry is
+    DELETED in the current snapshot but live in an older one. Every
+    snapshot must read back unchanged; a second call returns []."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        read_iceberg,
+        remove_orphan_files,
+    )
+
+    root = _fresh("ut_ice_orphans")
+    schema = "k bigint, val double"
+    s1 = write_iceberg(
+        spark.createDataFrame([(i, float(i)) for i in range(100)], schema),
+        root,
+        mode="append",
+    )
+    s2 = write_iceberg(
+        spark.createDataFrame([(i, float(i)) for i in range(100, 200)], schema),
+        root,
+        mode="append",
+    )
+    d = delete_iceberg_where(spark, root, "k", 0, 49)
+    orphan = os.path.join(root, "data", "deadbeef-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    os.makedirs(os.path.join(root, ".stage-dead", "x"), exist_ok=True)
+
+    deleted = remove_orphan_files(root)
+    assert any("deadbeef-orphan" in p for p in deleted)
+    assert any(".stage-dead" in p for p in deleted)
+    assert len(deleted) == 2, f"over-deleted: {deleted}"
+    assert not os.path.exists(orphan)
+
+    for sid, expect in ((s1, set(range(100))), (s2, set(range(200))),
+                        (d, set(range(50, 200)))):
+        got = {r["k"] for r in read_iceberg(spark, root, snapshot_id=sid).collect()}
+        assert got == expect, f"snapshot {sid} changed after orphan cleanup"
+    assert remove_orphan_files(root) == []
