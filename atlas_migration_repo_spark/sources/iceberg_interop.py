@@ -103,25 +103,57 @@ def _meta_dir(path: str) -> str:
     return os.path.join(path, "metadata")
 
 
+class ConcurrentIcebergCommitError(RuntimeError):
+    """Another writer published this metadata version first. The staged
+    data files and manifests are intact but uncommitted (reclaimable via
+    remove_orphan_files); re-read the table and retry the operation —
+    the CommitFailedException contract of Iceberg's HadoopCatalog."""
+
+
 def _current_metadata(path: str) -> tuple[int, dict] | None:
+    """Resolve the CURRENT metadata version: start at version-hint.text,
+    then probe forward while vN+1.metadata.json exists — the hint is
+    advisory (HadoopTableOperations does the same), so a writer that
+    published its metadata file but crashed before updating the hint is
+    still visible, and a stale hint can never roll the table back."""
     hint = os.path.join(_meta_dir(path), "version-hint.text")
-    if not os.path.exists(hint):
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = int(fh.read().strip())
+    elif os.path.exists(os.path.join(_meta_dir(path), "v1.metadata.json")):
+        v = 1  # published but crashed before the first hint write
+    else:
         return None
-    with open(hint) as fh:
-        v = int(fh.read().strip())
+    while os.path.exists(os.path.join(_meta_dir(path), f"v{v + 1}.metadata.json")):
+        v += 1
     with open(os.path.join(_meta_dir(path), f"v{v}.metadata.json")) as fh:
         return v, json.load(fh)
 
 
 # -- manifest avro schemas (field-ids per spec §Manifests) -------------------
 def _publish_metadata(path: str, v: int, meta: dict) -> None:
-    """Write vN.metadata.json + version-hint.text atomically (tmp +
-    rename) — the HadoopCatalog commit convention."""
+    """Publish vN.metadata.json via PUT-IF-ABSENT (tmp + hard link,
+    which fails with EEXIST instead of overwriting), then advance the
+    advisory version-hint — the HadoopCatalog commit convention. Two
+    writers racing the same version get ONE winner and one
+    ConcurrentIcebergCommitError; a plain rename would silently drop
+    the loser's commit (last-writer-wins, the lost-update anomaly the
+    Delta/TableLog paths already refuse)."""
     mpath = os.path.join(_meta_dir(path), f"v{v}.metadata.json")
     tmp = mpath + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=1)
-    os.rename(tmp, mpath)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        raise ConcurrentIcebergCommitError(
+            f"metadata version {v} was published by a concurrent writer; "
+            "re-read the table and retry the commit"
+        ) from None
+    finally:
+        os.unlink(tmp)
     hint = os.path.join(_meta_dir(path), "version-hint.text")
     tmp = hint + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
