@@ -166,6 +166,32 @@ class AtlasEngine:
 
         return write_iceberg(df, path, partition_by=list(partition_by), mode=mode)
 
+    def read_iceberg_incremental(
+        self,
+        path: str,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED between two snapshots (exclusive/inclusive) — the
+        batch incremental append scan; planning opens only the in-range
+        snapshots' own manifests."""
+        from atlas_migration_repo_spark.sources.iceberg_interop import (
+            read_iceberg_incremental,
+        )
+
+        return read_iceberg_incremental(
+            self.spark, path, from_snapshot_id, to_snapshot_id
+        )
+
+    def remove_orphan_files(self, path: str) -> list[str]:
+        """Reclaim crashed-writer debris under an Iceberg table location
+        (files referenced by NO snapshot); committed history untouched."""
+        from atlas_migration_repo_spark.sources.iceberg_interop import (
+            remove_orphan_files,
+        )
+
+        return remove_orphan_files(path)
+
     def convert_to_delta(self, tablelog_root: str) -> int:
         """Zero-copy, history-preserving CONVERT of a TableLog table to
         the Delta format (same files, a `_delta_log` beside `_log`)."""
