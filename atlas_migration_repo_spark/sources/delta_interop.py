@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 from atlas_migration_repo_spark.catalog import load, msum
 from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
-from atlas_migration_repo_spark.sources.files import scratch_path
+from atlas_migration_repo_spark.sources.files import file_path_col, scratch_path
 from atlas_migration_repo_spark.sources.table_log import PosixLinkLogStore, TableLog
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -251,43 +251,12 @@ def _stage_cdc_files(
     return actions
 
 
-def write_delta(
-    df: DataFrame,
-    path: str,
-    partition_by: list[str] | None = None,
-    mode: str = "overwrite",
-    configuration: dict | None = None,
-) -> int:
-    """Write `df` as a commit to a Delta-format table at `path`.
-
-    Data files are staged by one Spark parquet write (hive-layout when
-    partitioned), renamed to Delta-style unique names, and recorded as
-    add actions with partitionValues + stats; `mode="overwrite"` also
-    emits remove (tombstone) actions for every previously-live file.
-    Paths in the log are URL-encoded relative paths per the protocol.
-    """
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    partition_by = list(partition_by or [])
-    prev_meta = _current_meta(path)
-    prev_adds: list[dict] = []
-    if prev_meta is not None:
-        _, _, prev_adds = _replay(path)
-        if prev_meta.get("partitionColumns") and partition_by != prev_meta.get(
-            "partitionColumns"
-        ):
-            raise ValueError(
-                "partition_by must match the table's partitionColumns "
-                f"{prev_meta.get('partitionColumns')}"
-            )
-
-    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(stage)
-
-    now_ms = int(time.time() * 1000)
+def _harvest_stage_adds(path: str, stage: str, now_ms: int) -> list[dict]:
+    """Move every parquet file a Spark write left under `stage` into the
+    table (preserving hive key=value subdirs), decoding the dirs into
+    partitionValues, and return the add actions — the shared tail of
+    every data-writing commit (write/merge/delete-rewrite/optimize).
+    The stage dir is removed whatever happens."""
     adds: list[dict] = []
     try:
         for dirpath, _dirs, names in os.walk(stage):
@@ -326,6 +295,47 @@ def write_delta(
                 )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    return adds
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    configuration: dict | None = None,
+) -> int:
+    """Write `df` as a commit to a Delta-format table at `path`.
+
+    Data files are staged by one Spark parquet write (hive-layout when
+    partitioned), renamed to Delta-style unique names, and recorded as
+    add actions with partitionValues + stats; `mode="overwrite"` also
+    emits remove (tombstone) actions for every previously-live file.
+    Paths in the log are URL-encoded relative paths per the protocol.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    partition_by = list(partition_by or [])
+    prev_meta = _current_meta(path)
+    prev_adds: list[dict] = []
+    if prev_meta is not None:
+        _, _, prev_adds = _replay(path)
+        if prev_meta.get("partitionColumns") and partition_by != prev_meta.get(
+            "partitionColumns"
+        ):
+            raise ValueError(
+                "partition_by must match the table's partitionColumns "
+                f"{prev_meta.get('partitionColumns')}"
+            )
+
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
+
+    now_ms = int(time.time() * 1000)
+    adds = _harvest_stage_adds(path, stage, now_ms)
 
     actions: list[dict] = [
         {
@@ -582,7 +592,7 @@ def read_delta(
     # filesystem (file:/, file://, file:///) — normalize to a plain path
     out = df.withColumn(
         "__file_uri",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        file_path_col(),
     ).join(F.broadcast(pv_df), "__file_uri")
     ptypes = {f.name: f.dataType for f in schema.fields}
     for c in pcols:
@@ -601,25 +611,65 @@ def merge_delta(
     the difference between rewriting gigabytes and rewriting the lake.
     The commit removes the affected files and adds their merged
     replacements plus the inserts; a racing writer that superseded any
-    affected file trips the ConcurrentDeltaWriteError conflict check."""
+    affected file trips the ConcurrentDeltaWriteError conflict check.
+
+    Partitioned tables merge the same way: the rewrite is still scoped
+    to the files that CONTAIN matched keys (whatever partitions they
+    sit in), partition columns are reattached from the log's
+    partitionValues for the join, and replacements land back in hive
+    layout with their partitionValues recorded — a matched row may even
+    move partitions when the source changes its partition column. The
+    merge key must be a data column (merging ON a partition column
+    would make the semi-join scan metadata-blind; route that shape
+    through read-side partition pruning instead)."""
     v, meta, _ = _replay(path)
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            "merge_delta supports unpartitioned tables (partition-aware "
-            "merge goes through TableLog.merge)"
+    pcols = meta.get("partitionColumns") or []
+    if key in pcols:
+        raise ValueError(
+            f"merge key {key!r} is a partition column; merge on a data "
+            "column (partition-granular upserts are an overwrite of the "
+            "partition, not a row merge)"
         )
     adds_live = delta_live_files(path, v)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
+    ptypes = {f.name: f.dataType for f in schema.fields}
     abs_of = {
         a["path"]: os.path.join(path, urllib.parse.unquote(a["path"]))
         for a in adds_live
     }
+    pv_of = {a["path"]: a.get("partitionValues") or {} for a in adds_live}
+
+    def _with_pcols(df: DataFrame, rel_paths: list[str]) -> DataFrame:
+        """Reattach partition columns from the log's partitionValues via
+        a broadcast file-path join (layout on disk is not trusted)."""
+        if not pcols:
+            return df
+        pv_rows = [
+            (
+                os.path.abspath(abs_of[p]),
+                *[pv_of[p].get(c) for c in pcols],
+            )
+            for p in rel_paths
+        ]
+        pv_schema = T.StructType(
+            [T.StructField("__pv_file", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+        )
+        out = df.withColumn(
+            "__pv_file",
+            file_path_col(),
+        ).join(F.broadcast(spark.createDataFrame(pv_rows, pv_schema)), "__pv_file")
+        for c in pcols:
+            out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
+        return out.drop("__pv_file", *[f"__pv_{c}" for c in pcols])
+
     base = (
-        spark.read.schema(schema)
+        spark.read.schema(data_schema)
         .parquet(*abs_of.values())
         .withColumn(
             "__file",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            file_path_col(),
         )
     )
     skeys = source.select(F.col(key).alias("__k")).distinct()
@@ -633,9 +683,12 @@ def merge_delta(
     touched_rel = [p for p, ap in abs_of.items() if os.path.abspath(ap) in touched]
     cols = [f.name for f in schema.fields]
     if touched_rel:
-        affected = spark.read.schema(schema).parquet(
-            *[abs_of[p] for p in touched_rel]
-        )
+        affected = _with_pcols(
+            spark.read.schema(data_schema).parquet(
+                *[abs_of[p] for p in touched_rel]
+            ),
+            touched_rel,
+        ).select(*cols)
     else:
         affected = spark.createDataFrame([], schema)
     merged = (
@@ -676,7 +729,10 @@ def merge_delta(
         )
         cdc_actions = _stage_cdc_files(path, cdf, now_ms)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    merged.write.mode("overwrite").parquet(stage)
+    w = merged.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(stage)
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -697,26 +753,7 @@ def merge_delta(
                 }
             }
         )
-    try:
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
-                continue
-            dest = os.path.join(path, f"part-{uuid.uuid4().hex}.snappy.parquet")
-            os.rename(os.path.join(stage, name), dest)
-            actions.append(
-                {
-                    "add": {
-                        "path": urllib.parse.quote(os.path.relpath(dest, path)),
-                        "partitionValues": {},
-                        "size": os.path.getsize(dest),
-                        "modificationTime": now_ms,
-                        "dataChange": True,
-                        "stats": _delta_stats(dest),
-                    }
-                }
-            )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    actions.extend(_harvest_stage_adds(path, stage, now_ms))
     vs = _committed_versions(_log_dir(path))
     return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
 
@@ -1544,6 +1581,71 @@ def delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.select(F.lit(v).cast("long").alias("version"), "n_rows", "total")
         )
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "delta_merge_partitioned",
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 1 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 4 = 1 THEN
+                    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * CAST(1.05 AS DECIMAL(3,2)) AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 40000000, '5-LOW', o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 7
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def delta_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO a hive-PARTITIONED Delta table: v0 = orders
+    partitioned by o_orderpriority; one merge updates keys %4==1
+    (finalize at +5% AND move them to the 1-URGENT partition — a
+    partition-moving update) and inserts re-keyed 5-LOW rows. The
+    rewrite stays scoped to files containing matched keys, replacement
+    files land back in hive layout with partitionValues recorded, and
+    the per-partition aggregate must match the oracle exactly."""
+    root = scratch_path(sf_dir, "orders_delta_merge_part")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_delta(orders, root, partition_by=["o_orderpriority"])
+    k = F.col("o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    src = (
+        orders.where(k % 4 == 1)
+        .select(
+            "o_orderkey",
+            F.lit("1-URGENT").alias("o_orderpriority"),
+            (price_dec * F.expr("CAST(1.05 AS DECIMAL(3,2))"))
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.where(k % 1000 == 7).select(
+                (k + 40000000).alias("o_orderkey"),
+                F.lit("5-LOW").alias("o_orderpriority"),
+                "o_totalprice",
+            )
+        )
+    )
+    merge_delta(spark, root, src, key="o_orderkey")
+    return (
+        read_delta(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+    )
 
 
 @query(

@@ -32,6 +32,22 @@ def scratch_path(sf_dir: str, key: str) -> str:
     return os.path.join(_SCRATCH, os.path.basename(sf_dir.rstrip("/")), key)
 
 
+def file_path_col():
+    """Each row's source file as a percent-DECODED filesystem path.
+
+    `_metadata.file_path` is a Hadoop URI: the slash count after the
+    scheme varies by filesystem (file:/, file://, file:///) and special
+    characters are %-encoded — a hive partition dir like
+    `p=4-NOT SPECIFIED` surfaces as `p=4-NOT%20SPECIFIED`. Joining the
+    raw URI against os.path-built keys therefore SILENTLY DROPS every
+    row of such files (an inner join with zero matches, caught by the
+    delta_merge_partitioned oracle). A literal '+' is protected before
+    url_decode, whose form-decoding would otherwise turn it into a
+    space."""
+    p = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    return F.url_decode(F.regexp_replace(p, r"\+", "%2B"))
+
+
 @query("source_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
 def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingest with an explicit schema: parquet → CSV → read back.

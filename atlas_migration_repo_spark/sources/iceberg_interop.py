@@ -43,7 +43,7 @@ from atlas_migration_repo_spark.catalog import load, msum
 from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.avro import _container_bytes, parse_container
-from atlas_migration_repo_spark.sources.files import scratch_path
+from atlas_migration_repo_spark.sources.files import file_path_col, scratch_path
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -1127,7 +1127,7 @@ def read_iceberg(
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
     out = df.withColumn(
         "__file_uri",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        file_path_col(),
     ).join(F.broadcast(pv_df), "__file_uri")
     ptypes = {f.name: f.dataType for f in full.fields}
     for c in pcols:
@@ -1248,7 +1248,7 @@ def read_iceberg_incremental(
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
     out = df.withColumn(
         "__file_uri",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        file_path_col(),
     ).join(F.broadcast(pv_df), "__file_uri")
     ptypes = {f.name: f.dataType for f in full.fields}
     for c in pcols:
@@ -1279,7 +1279,7 @@ def _apply_row_deletes(
     # must be captured BEFORE any join projects the relation away
     df = df.withColumn(
         "__ice_uri",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        file_path_col(),
     )
     if pos:
         df = df.withColumn("__ice_pos", F.col("_metadata.row_index"))
@@ -1483,7 +1483,7 @@ def delete_iceberg_where(
         .parquet(*[f["file_path"] for f in cands])
         .where(F.col(column).between(F.lit(lo), F.lit(hi)))
         .select(
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias(
+            file_path_col().alias(
                 "file_path"
             ),
             F.col("_metadata.row_index").alias("pos"),

@@ -948,3 +948,68 @@ def test_model_check_delta_commit_sequences(spark):
             for r in read_delta(spark, root, version=ver).collect()
         }
         assert got == by_version[ver], f"version {ver} diverged from model"
+
+
+def test_merge_delta_partitioned_scopes_rewrite_and_moves_rows(spark):
+    """Partitioned MERGE: updates and inserts land in the right hive
+    partitions, a row whose partition column changes MOVES partitions,
+    files in partitions that contain no matched key survive verbatim,
+    and merging ON a partition column is refused."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import merge_delta
+
+    root = _fresh("t_delta_merge_part")
+    rows = [(i, f"p{i % 3}", float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k bigint, part string, val double")
+    write_delta(df, root, partition_by=["part"])
+    before = {
+        a["path"]: a["partitionValues"]
+        for a in __import__(
+            "atlas_migration_repo_spark.sources.delta_interop",
+            fromlist=["delta_live_files"],
+        ).delta_live_files(root)
+    }
+    # update k=0 (stays in p0), move k=1 from p1 to p0, insert k=1000 in p2
+    src = spark.createDataFrame(
+        [(0, "p0", 111.0), (1, "p0", 222.0), (1000, "p2", 333.0)],
+        "k bigint, part string, val double",
+    )
+    merge_delta(spark, root, src, key="k")
+    model = {k: (p, v) for k, p, v in rows}
+    model.update({0: ("p0", 111.0), 1: ("p0", 222.0), 1000: ("p2", 333.0)})
+    got = {
+        r["k"]: (r["part"], r["val"]) for r in read_delta(spark, root).collect()
+    }
+    assert got == model
+    # partition pruning still serves the moved row from its NEW partition
+    p0 = read_delta(spark, root, partition_eq={"part": "p0"})
+    assert {r["k"] for r in p0.collect()} == {
+        k for k, (p, _v) in model.items() if p == "p0"
+    }
+    # every live file carries real partitionValues (nothing flat-written)
+    after = {
+        a["path"]: a["partitionValues"]
+        for a in __import__(
+            "atlas_migration_repo_spark.sources.delta_interop",
+            fromlist=["delta_live_files"],
+        ).delta_live_files(root)
+    }
+    assert all(pv.get("part") for pv in after.values())
+    # untouched files survive byte-identical (same path, never rewritten):
+    # all keys hit every partition here, so check instead on a second
+    # merge touching ONE partition's keys only
+    src2 = spark.createDataFrame([(3, "p0", 999.0)], "k bigint, part string, val double")
+    live_before = set(after)
+    merge_delta(spark, root, src2, key="k")
+    live_after = {
+        a["path"]
+        for a in __import__(
+            "atlas_migration_repo_spark.sources.delta_interop",
+            fromlist=["delta_live_files"],
+        ).delta_live_files(root)
+    }
+    survivors = live_before & live_after
+    assert survivors, "merge must not rewrite files without matched keys"
+    with _pytest.raises(ValueError, match="partition column"):
+        merge_delta(spark, root, src2, key="part")
