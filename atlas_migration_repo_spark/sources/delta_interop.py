@@ -251,7 +251,9 @@ def _stage_cdc_files(
     return actions
 
 
-def _harvest_stage_adds(path: str, stage: str, now_ms: int) -> list[dict]:
+def _harvest_stage_adds(
+    path: str, stage: str, now_ms: int, data_change: bool = True
+) -> list[dict]:
     """Move every parquet file a Spark write left under `stage` into the
     table (preserving hive key=value subdirs), decoding the dirs into
     partitionValues, and return the add actions — the shared tail of
@@ -288,7 +290,7 @@ def _harvest_stage_adds(path: str, stage: str, now_ms: int) -> list[dict]:
                             "partitionValues": pvals,
                             "size": os.path.getsize(dest),
                             "modificationTime": now_ms,
-                            "dataChange": True,
+                            "dataChange": data_change,
                             "stats": _delta_stats(dest),
                         }
                     }
@@ -600,6 +602,36 @@ def read_delta(
     return out.select(*[f.name for f in schema.fields])
 
 
+def _attach_partition_cols(
+    spark: SparkSession, df: DataFrame, adds: list[dict], meta: dict, path: str
+) -> DataFrame:
+    """Reattach partition columns to rows read from `adds`' data files,
+    from the log's partitionValues via a broadcast file-path join — the
+    layout on disk is never trusted. No-op for unpartitioned tables."""
+    pcols = meta.get("partitionColumns") or []
+    if not pcols:
+        return df
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    pv_rows = [
+        (
+            os.path.abspath(os.path.join(path, urllib.parse.unquote(a["path"]))),
+            *[(a.get("partitionValues") or {}).get(c) for c in pcols],
+        )
+        for a in adds
+    ]
+    pv_schema = T.StructType(
+        [T.StructField("__pv_file", T.StringType())]
+        + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+    )
+    out = df.withColumn("__pv_file", file_path_col()).join(
+        F.broadcast(spark.createDataFrame(pv_rows, pv_schema)), "__pv_file"
+    )
+    for c in pcols:
+        out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
+    return out.drop("__pv_file", *[f"__pv_{c}" for c in pcols])
+
+
 def merge_delta(
     spark: SparkSession, path: str, source: DataFrame, key: str
 ) -> int:
@@ -633,37 +665,10 @@ def merge_delta(
     adds_live = delta_live_files(path, v)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
-    ptypes = {f.name: f.dataType for f in schema.fields}
     abs_of = {
         a["path"]: os.path.join(path, urllib.parse.unquote(a["path"]))
         for a in adds_live
     }
-    pv_of = {a["path"]: a.get("partitionValues") or {} for a in adds_live}
-
-    def _with_pcols(df: DataFrame, rel_paths: list[str]) -> DataFrame:
-        """Reattach partition columns from the log's partitionValues via
-        a broadcast file-path join (layout on disk is not trusted)."""
-        if not pcols:
-            return df
-        pv_rows = [
-            (
-                os.path.abspath(abs_of[p]),
-                *[pv_of[p].get(c) for c in pcols],
-            )
-            for p in rel_paths
-        ]
-        pv_schema = T.StructType(
-            [T.StructField("__pv_file", T.StringType())]
-            + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
-        )
-        out = df.withColumn(
-            "__pv_file",
-            file_path_col(),
-        ).join(F.broadcast(spark.createDataFrame(pv_rows, pv_schema)), "__pv_file")
-        for c in pcols:
-            out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
-        return out.drop("__pv_file", *[f"__pv_{c}" for c in pcols])
-
     base = (
         spark.read.schema(data_schema)
         .parquet(*abs_of.values())
@@ -683,11 +688,14 @@ def merge_delta(
     touched_rel = [p for p, ap in abs_of.items() if os.path.abspath(ap) in touched]
     cols = [f.name for f in schema.fields]
     if touched_rel:
-        affected = _with_pcols(
+        affected = _attach_partition_cols(
+            spark,
             spark.read.schema(data_schema).parquet(
                 *[abs_of[p] for p in touched_rel]
             ),
-            touched_rel,
+            [a for a in adds_live if a["path"] in set(touched_rel)],
+            meta,
+            path,
         ).select(*cols)
     else:
         affected = spark.createDataFrame([], schema)
@@ -768,27 +776,45 @@ def delete_delta_range(
     boundary are rewritten without their matching rows; disjoint files
     are untouched. On a 100 TB range-clustered table a retention delete
     is then almost entirely metadata work — only the two boundary files
-    pay a rewrite."""
+    pay a rewrite.
+
+    Partitioned tables: deleting on a PARTITION column is fully
+    metadata-only (every row of a file shares its partitionValue, so
+    in-range files are tombstoned unread and nothing is rewritten);
+    deleting on a data column uses the same stats three-way split, with
+    survivors rewritten back into hive layout."""
     v, meta, _ = _replay(path)
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            "delete_delta_range supports unpartitioned tables "
-            "(partition-level deletes go through TableLog.delete_where)"
-        )
+    pcols = meta.get("partitionColumns") or []
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
     drop_whole: list[dict] = []
     rewrite: list[dict] = []
-    for a in delta_live_files(path, v):
-        st = json.loads(a.get("stats") or "{}")
-        fmin = (st.get("minValues") or {}).get(column)
-        fmax = (st.get("maxValues") or {}).get(column)
-        if fmin is None or fmax is None:
-            rewrite.append(a)  # no stats → must read it
-        elif fmin >= lo and fmax <= hi:
-            drop_whole.append(a)  # fully inside → metadata-only delete
-        elif fmax >= lo and fmin <= hi:
-            rewrite.append(a)  # boundary overlap → rewrite survivors
-        # else: disjoint → untouched
+    if column in pcols:
+        # partition-column range: the partitionValue decides the whole
+        # file — numeric compare when both sides cast, else lexicographic
+        def _pv_in_range(pv: str | None) -> bool:
+            if pv is None:
+                return False  # NULL never matches BETWEEN
+            try:
+                return float(lo) <= float(pv) <= float(hi)
+            except (TypeError, ValueError):
+                return str(lo) <= pv <= str(hi)
+
+        for a in delta_live_files(path, v):
+            if _pv_in_range((a.get("partitionValues") or {}).get(column)):
+                drop_whole.append(a)
+    else:
+        for a in delta_live_files(path, v):
+            st = json.loads(a.get("stats") or "{}")
+            fmin = (st.get("minValues") or {}).get(column)
+            fmax = (st.get("maxValues") or {}).get(column)
+            if fmin is None or fmax is None:
+                rewrite.append(a)  # no stats → must read it
+            elif fmin >= lo and fmax <= hi:
+                drop_whole.append(a)  # fully inside → metadata-only delete
+            elif fmax >= lo and fmin <= hi:
+                rewrite.append(a)  # boundary overlap → rewrite survivors
+            # else: disjoint → untouched
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -806,17 +832,20 @@ def delete_delta_range(
         # boundary files only their matching rows. Reading the tombstoned
         # files is the documented price of CDF on DELETE (without CDF the
         # whole-file path stays metadata-only).
-        deleted = (
-            spark.read.schema(schema)
-            .parquet(
+        deleted = _attach_partition_cols(
+            spark,
+            spark.read.schema(data_schema).parquet(
                 *[
                     os.path.join(path, urllib.parse.unquote(a["path"]))
                     for a in drop_whole + rewrite
                 ]
-            )
-            .where(F.col(column).between(F.lit(lo), F.lit(hi)))
-            .withColumn("_change_type", F.lit("delete"))
-        )
+            ),
+            drop_whole + rewrite,
+            meta,
+            path,
+        ).where(F.col(column).between(F.lit(lo), F.lit(hi))).select(
+            *[f.name for f in schema.fields]
+        ).withColumn("_change_type", F.lit("delete"))
         actions.extend(_stage_cdc_files(path, deleted, now_ms))
     for a in drop_whole + rewrite:
         actions.append(
@@ -829,40 +858,26 @@ def delete_delta_range(
             }
         )
     if rewrite:
-        survivors = (
-            spark.read.schema(schema)
-            .parquet(
+        survivors = _attach_partition_cols(
+            spark,
+            spark.read.schema(data_schema).parquet(
                 *[
                     os.path.join(path, urllib.parse.unquote(a["path"]))
                     for a in rewrite
                 ]
-            )
-            .where(~F.col(column).between(F.lit(lo), F.lit(hi)))
+            ),
+            rewrite,
+            meta,
+            path,
+        ).where(~F.col(column).between(F.lit(lo), F.lit(hi))).select(
+            *[f.name for f in schema.fields]
         )
         stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-        survivors.write.mode("overwrite").parquet(stage)
-        try:
-            for name in sorted(os.listdir(stage)):
-                if not name.endswith(".parquet"):
-                    continue
-                dest = os.path.join(
-                    path, f"part-{uuid.uuid4().hex}.snappy.parquet"
-                )
-                os.rename(os.path.join(stage, name), dest)
-                actions.append(
-                    {
-                        "add": {
-                            "path": urllib.parse.quote(os.path.relpath(dest, path)),
-                            "partitionValues": {},
-                            "size": os.path.getsize(dest),
-                            "modificationTime": now_ms,
-                            "dataChange": True,
-                            "stats": _delta_stats(dest),
-                        }
-                    }
-                )
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+        w = survivors.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(stage)
+        actions.extend(_harvest_stage_adds(path, stage, now_ms))
     vs = _committed_versions(_log_dir(path))
     return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
 
@@ -877,30 +892,40 @@ def optimize_delta(
     commits (no duplicate rows downstream), and time travel across the
     OPTIMIZE stays exact. On 100 TB this is the maintenance op that
     keeps scan task counts bounded as small appends accumulate.
-    Unpartitioned tables."""
+
+    Partitioned tables compact WITHIN partitions: rows repartition by
+    the partition columns (one task per live partition value, so each
+    partition's many small files become one), land back in hive layout,
+    and `target_files` — a whole-table knob — is ignored."""
     v, meta, _ = _replay(path)
-    if meta.get("partitionColumns"):
-        raise NotImplementedError("optimize_delta supports unpartitioned tables")
+    pcols = meta.get("partitionColumns") or []
     adds_live = delta_live_files(path, v)
     if len(adds_live) <= 1:
         return v
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
     if target_files is None:
         total = sum(a.get("size", 0) for a in adds_live)
         target_files = max(1, -(-total // (128 * 1024 * 1024)))  # ceil /128MB
-    df = (
-        spark.read.schema(schema)
-        .parquet(
+    df = _attach_partition_cols(
+        spark,
+        spark.read.schema(data_schema).parquet(
             *[
                 os.path.join(path, urllib.parse.unquote(a["path"]))
                 for a in adds_live
             ]
-        )
-        .coalesce(target_files)
-    )
+        ),
+        adds_live,
+        meta,
+        path,
+    ).select(*[f.name for f in schema.fields])
+    df = df.repartition(*pcols) if pcols else df.coalesce(target_files)
     now_ms = int(time.time() * 1000)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    w = df.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(stage)
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -920,26 +945,7 @@ def optimize_delta(
                 }
             }
         )
-    try:
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
-                continue
-            dest = os.path.join(path, f"part-{uuid.uuid4().hex}.snappy.parquet")
-            os.rename(os.path.join(stage, name), dest)
-            actions.append(
-                {
-                    "add": {
-                        "path": urllib.parse.quote(os.path.relpath(dest, path)),
-                        "partitionValues": {},
-                        "size": os.path.getsize(dest),
-                        "modificationTime": now_ms,
-                        "dataChange": False,
-                        "stats": _delta_stats(dest),
-                    }
-                }
-            )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    actions.extend(_harvest_stage_adds(path, stage, now_ms, data_change=False))
     vs = _committed_versions(_log_dir(path))
     return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
 

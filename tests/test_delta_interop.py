@@ -1013,3 +1013,154 @@ def test_merge_delta_partitioned_scopes_rewrite_and_moves_rows(spark):
     assert survivors, "merge must not rewrite files without matched keys"
     with _pytest.raises(ValueError, match="partition column"):
         merge_delta(spark, root, src2, key="part")
+
+
+def test_partitioned_delete_and_optimize(spark):
+    """Partitioned DELETE on the partition column is fully metadata-only
+    (files tombstoned unread, nothing rewritten); data-column range
+    delete rewrites survivors back into hive layout; partitioned
+    OPTIMIZE compacts each partition's files into one with
+    dataChange=false, preserving state and partitionValues."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+        delta_live_files,
+        optimize_delta,
+    )
+
+    root = _fresh("t_delta_part_maint")
+    rows = [(i, f"p{i % 3}", float(i)) for i in range(300)]
+    schema = "k bigint, part string, val double"
+    # two appends -> 2 files per partition
+    write_delta(
+        spark.createDataFrame(rows[:150], schema), root, partition_by=["part"]
+    )
+    write_delta(
+        spark.createDataFrame(rows[150:], schema),
+        root,
+        partition_by=["part"],
+        mode="append",
+    )
+    model = {k: (p, v) for k, p, v in rows}
+
+    # 1. partition-column delete: metadata-only — no new files added
+    files_before = {a["path"] for a in delta_live_files(root)}
+    v = delete_delta_range(spark, root, "part", "p1", "p1")
+    files_after = {a["path"] for a in delta_live_files(root, v)}
+    assert files_after < files_before, "p1 files must be tombstoned"
+    assert not (files_after - files_before), "partition delete must add no files"
+    model = {k: pv for k, pv in model.items() if pv[0] != "p1"}
+    got = {r["k"]: (r["part"], r["val"]) for r in read_delta(spark, root).collect()}
+    assert got == model
+
+    # 2. data-column delete: survivors rewritten, hive layout kept
+    delete_delta_range(spark, root, "k", 0, 99)
+    model = {k: pv for k, pv in model.items() if not (0 <= k <= 99)}
+    got = {r["k"]: (r["part"], r["val"]) for r in read_delta(spark, root).collect()}
+    assert got == model
+    assert all(
+        a["partitionValues"].get("part") for a in delta_live_files(root)
+    ), "rewritten survivors must carry partitionValues"
+
+    # 3. optimize: one file per partition, dataChange=false, state equal
+    v_opt = optimize_delta(spark, root)
+    live = delta_live_files(root, v_opt)
+    per_part = {}
+    for a in live:
+        per_part.setdefault(a["partitionValues"]["part"], []).append(a)
+    assert set(per_part) == {"p0", "p2"}
+    assert all(len(v) == 1 for v in per_part.values()), per_part
+    got = {r["k"]: (r["part"], r["val"]) for r in read_delta(spark, root).collect()}
+    assert got == model
+    # partition pruning still works on the compacted layout
+    assert {
+        r["k"] for r in read_delta(spark, root, partition_eq={"part": "p2"}).collect()
+    } == {k for k, (p, _v) in model.items() if p == "p2"}
+
+
+def test_model_check_partitioned_delta_sequences(spark):
+    """Partitioned twin of the Delta model check: random append /
+    partition-delete / data-delete / merge (sometimes moving rows across
+    partitions) / optimize / restore sequences — every recorded version
+    must time-travel back to exactly its model state including each
+    row's partition."""
+    import random
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+        merge_delta,
+        optimize_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    rng = random.Random(23)
+    root = _fresh("ut_delta_model_part")
+    schema = "k bigint, part string, val double"
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def part_of(k):
+        return f"p{k % 3}"
+
+    rows = [(i, part_of(i), float(i)) for i in range(200)]
+    v = write_delta(df_of(rows), root, partition_by=["part"], mode="append")
+    model = {k: (p, x) for k, p, x in rows}
+    by_version = {v: dict(model)}
+    next_key = 1000
+    for _step in range(10):
+        op = rng.choice(
+            ["append", "pdelete", "kdelete", "merge", "optimize", "restore"]
+        )
+        if op == "append":
+            new = [
+                (next_key + i, part_of(next_key + i), float(rng.randint(0, 999)))
+                for i in range(rng.randint(1, 40))
+            ]
+            next_key += 100
+            v = write_delta(df_of(new), root, partition_by=["part"], mode="append")
+            model.update({k: (p, x) for k, p, x in new})
+        elif op == "pdelete":
+            p = f"p{rng.randint(0, 2)}"
+            v = delete_delta_range(spark, root, "part", p, p)
+            model = {k: pv for k, pv in model.items() if pv[0] != p}
+        elif op == "kdelete":
+            lo = rng.randint(0, 1200)
+            hi = lo + rng.randint(0, 300)
+            v = delete_delta_range(spark, root, "k", lo, hi)
+            model = {k: pv for k, pv in model.items() if not (lo <= k <= hi)}
+        elif op == "merge":
+            keys = (
+                rng.sample(sorted(model), min(len(model), rng.randint(1, 30)))
+                if model
+                else []
+            )
+            # half the updates move the row to a DIFFERENT partition
+            src = [
+                (
+                    k,
+                    part_of(k + 1) if idx % 2 else model[k][0],
+                    model[k][1] + 0.5,
+                )
+                for idx, k in enumerate(keys)
+            ] + [
+                (next_key + i, part_of(next_key + i), float(i))
+                for i in range(rng.randint(1, 10))
+            ]
+            next_key += 100
+            v = merge_delta(spark, root, df_of(src), key="k")
+            model.update({k: (p, x) for k, p, x in src})
+        elif op == "optimize":
+            v = optimize_delta(spark, root)
+        else:
+            tgt = rng.choice(sorted(by_version))
+            v = restore_delta(spark, root, tgt)
+            model = dict(by_version[tgt])
+        by_version[v] = dict(model)
+    for ver in sorted(by_version):
+        got = {
+            r["k"]: (r["part"], r["val"])
+            for r in read_delta(spark, root, version=ver).collect()
+        }
+        assert got == by_version[ver], f"version {ver} diverged from model"
