@@ -1105,6 +1105,9 @@ def read_iceberg(
     data_schema = T.StructType([f for f in full.fields if f.name not in pcols])
     df = spark.read.schema(data_schema).parquet(*[f["file_path"] for f in files])
     if dels:
+        # _apply_row_deletes keeps its __ice_uri column: _metadata is a
+        # scan pseudo-column the anti-joins project away, so the pv join
+        # below must reuse the pre-join capture, not re-derive it
         df = _apply_row_deletes(spark, df, datas, dels, schema_fields)
     if not pcols:
         return df.select(*[f.name for f in full.fields])
@@ -1125,10 +1128,11 @@ def read_iceberg(
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
     )
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
-    out = df.withColumn(
-        "__file_uri",
-        file_path_col(),
-    ).join(F.broadcast(pv_df), "__file_uri")
+    if "__ice_uri" in df.columns:
+        out = df.withColumnRenamed("__ice_uri", "__file_uri")
+    else:
+        out = df.withColumn("__file_uri", file_path_col())
+    out = out.join(F.broadcast(pv_df), "__file_uri")
     ptypes = {f.name: f.dataType for f in full.fields}
     for c in pcols:
         out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
@@ -1246,10 +1250,11 @@ def read_iceberg_incremental(
         + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
     )
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
-    out = df.withColumn(
-        "__file_uri",
-        file_path_col(),
-    ).join(F.broadcast(pv_df), "__file_uri")
+    if "__ice_uri" in df.columns:
+        out = df.withColumnRenamed("__ice_uri", "__file_uri")
+    else:
+        out = df.withColumn("__file_uri", file_path_col())
+    out = out.join(F.broadcast(pv_df), "__file_uri")
     ptypes = {f.name: f.dataType for f in full.fields}
     for c in pcols:
         out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
@@ -1332,7 +1337,7 @@ def _apply_row_deletes(
             lambda a, b: a & b, [df[c].eqNullSafe(kdf[c]) for c in cols]
         ) & (df["__data_seq"] < F.lit(int(d["seq"])))
         df = df.join(F.broadcast(kdf), cond, "left_anti")
-    return df.drop("__ice_uri", "__data_seq")
+    return df.drop("__data_seq")
 
 
 def _commit_delete_snapshot(
@@ -1443,13 +1448,23 @@ def delete_iceberg_where(
     [lo, hi] is never scanned), then one Spark scan of the candidates
     finds matches via `_metadata.row_index`. The whole delete is
     metadata + a tombstone-sized write — no data file is rewritten,
-    which is the point of MOR on 100 TB. Unpartitioned tables (the
-    writer's partition values aren't threaded through delete manifests
-    here)."""
+    which is the point of MOR on 100 TB. Partitioned tables delete the
+    same way (positional tombstones are partition-agnostic: they target
+    (file_path, pos), and the reader never partition-prunes delete
+    manifests) — but the predicate column must be a DATA column: an
+    identity partition column's values live only in metadata, so a
+    range delete on one is an overwrite/rewrite, not a row tombstone."""
     meta, datas, _ = iceberg_live_state(path)
-    if meta["partition-specs"][0]["fields"]:
-        raise NotImplementedError(
-            "row-level deletes support unpartitioned tables only"
+    ident_pcols = {
+        pf["name"]
+        for pf in meta["partition-specs"][0]["fields"]
+        if pf.get("transform", "identity") == "identity"
+    }
+    if column in ident_pcols:
+        raise ValueError(
+            f"{column!r} is an identity partition column (values live in "
+            "metadata, not data files); delete whole partitions via "
+            "rewrite/overwrite instead of row tombstones"
         )
     schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
     fld = next(f for f in schema_fields if f["name"] == column)
@@ -1502,11 +1517,21 @@ def delete_iceberg_eq(
     requires); at read time every data file with data_seq < delete_seq
     anti-joins the keys away. The delete never scans the table AT ALL —
     it is O(keys) regardless of table size, the cheapest possible
-    row-level delete (CDC retractions, GDPR erasure by key)."""
+    row-level delete (CDC retractions, GDPR erasure by key). On a
+    partitioned table the key columns must be DATA columns — the reader
+    anti-joins keys against data-file contents, and an identity
+    partition column's values are metadata-only."""
     meta, _, _ = iceberg_live_state(path)
-    if meta["partition-specs"][0]["fields"]:
-        raise NotImplementedError(
-            "row-level deletes support unpartitioned tables only"
+    ident_pcols = {
+        pf["name"]
+        for pf in meta["partition-specs"][0]["fields"]
+        if pf.get("transform", "identity") == "identity"
+    }
+    bad = sorted(set(on) & ident_pcols)
+    if bad:
+        raise ValueError(
+            f"equality-delete keys {bad} are identity partition columns "
+            "(metadata-only values); key on data columns"
         )
     schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
     by_name = {f["name"]: f["id"] for f in schema_fields}

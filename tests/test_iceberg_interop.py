@@ -967,3 +967,63 @@ def test_stale_version_hint_never_rolls_back(spark):
     os.unlink(hint)  # crashed before the FIRST hint write
     v, _meta = _current_metadata(root)
     assert v == 2
+
+
+def test_partitioned_mor_deletes(spark):
+    """MOR row-level deletes on an identity-PARTITIONED table: positional
+    tombstones and equality deletes subtract rows without rewriting any
+    data file, partition columns still reattach from metadata after the
+    anti-joins, partition-pruned reads honor the deletes, earlier
+    snapshots stay intact, and metadata-only partition columns are
+    refused as predicates/keys."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_eq,
+        delete_iceberg_where,
+        iceberg_live_state,
+        read_iceberg,
+    )
+
+    root = _fresh("ut_ice_part_mor")
+    rows = [(i, f"p{i % 3}", float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k bigint, part string, val double")
+    s1 = write_iceberg(df, root, partition_by=["part"], mode="append")
+    model = {k: (p, v) for k, p, v in rows}
+
+    files_before = {
+        d["data_file"]["file_path"] for d in iceberg_live_state(root)[1]
+    }
+    d1 = delete_iceberg_where(spark, root, "k", 50, 149)
+    model1 = {k: pv for k, pv in model.items() if not (50 <= k <= 149)}
+    got = {r["k"]: (r["part"], r["val"]) for r in read_iceberg(spark, root).collect()}
+    assert got == model1
+    files_after = {
+        d["data_file"]["file_path"] for d in iceberg_live_state(root)[1]
+    }
+    assert files_after == files_before, "MOR delete must rewrite no data file"
+
+    keys = spark.createDataFrame([(200,), (201,), (250,)], "k bigint")
+    delete_iceberg_eq(spark, root, keys, on=["k"])
+    model2 = {k: pv for k, pv in model1.items() if k not in (200, 201, 250)}
+    got = {r["k"]: (r["part"], r["val"]) for r in read_iceberg(spark, root).collect()}
+    assert got == model2
+
+    # partition-pruned read still subtracts the tombstones
+    p0 = {
+        r["k"]
+        for r in read_iceberg(spark, root, partition_eq={"part": "p0"}).collect()
+    }
+    assert p0 == {k for k, (p, _v) in model2.items() if p == "p0"}
+    # snapshot isolation: s1 and the post-positional-delete snapshot
+    assert {
+        r["k"] for r in read_iceberg(spark, root, snapshot_id=s1).collect()
+    } == set(model)
+    assert {
+        r["k"] for r in read_iceberg(spark, root, snapshot_id=d1).collect()
+    } == set(model1)
+
+    with _pytest.raises(ValueError, match="identity partition column"):
+        delete_iceberg_where(spark, root, "part", "p0", "p0")
+    with _pytest.raises(ValueError, match="identity partition columns"):
+        delete_iceberg_eq(spark, root, spark.createDataFrame([("p0",)], "part string"), on=["part"])
