@@ -555,6 +555,158 @@ def _encode_part_value(v: str | None, ice_type: str):
 # ---------------------------------------------------------------------------
 # writer
 # ---------------------------------------------------------------------------
+def _spec_part_fields(meta: dict, schema_fields: list[dict]) -> list[dict]:
+    """Reconstruct the writer-shaped part_fields dicts from a table's
+    CURRENT partition spec — what a non-append commit (merge, rewrite)
+    needs to stage files under the same layout the table was created
+    with."""
+    by_id = {f["id"]: f for f in schema_fields}
+    out = []
+    for pf in meta["partition-specs"][0]["fields"]:
+        src = by_id[pf["source-id"]]
+        tr = pf["transform"]
+        d = {
+            "name": pf["name"],
+            "transform": tr,
+            "source": src["name"],
+            "source_id": pf["source-id"],
+            "field_id": pf["field-id"],
+            "hidden": tr != "identity",
+            "ice_type": src["type"] if tr == "identity" else "int",
+        }
+        if tr.startswith("bucket["):
+            d["buckets"] = int(tr[len("bucket[") : -1])
+        out.append(d)
+    return out
+
+
+def _stage_data_files(
+    df: DataFrame,
+    path: str,
+    part_fields: list[dict],
+    by_name: dict,
+    schema_fields: list[dict],
+    snap_id: int,
+    seq: int,
+) -> tuple[list[tuple], int]:
+    """Stage `df` as Iceberg DATA files: derive hidden-transform columns
+    (year/month ordinals, murmur3 buckets), write hive layout, move the
+    files into data/ decoding dir names into typed partition values, and
+    return (ADDED manifest entries with column bounds, row count) — the
+    staging half shared by write_iceberg and merge_iceberg."""
+    import pyarrow.parquet as pq
+    import urllib.parse as up
+
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    staged_df = df
+    for pf in part_fields:
+        if pf["transform"] == "year":
+            staged_df = staged_df.withColumn(
+                pf["name"], (F.year(pf["source"]) - F.lit(1970)).cast("int")
+            )
+        elif pf["transform"] == "month":
+            staged_df = staged_df.withColumn(
+                pf["name"],
+                (
+                    (F.year(pf["source"]) - F.lit(1970)) * 12
+                    + F.month(pf["source"])
+                    - F.lit(1)
+                ).cast("int"),
+            )
+        elif pf["transform"].startswith("bucket["):
+            src_type = by_name[pf["source"]]["type"]
+            nb = pf["buckets"]
+            if src_type in ("int", "long"):
+                from pyspark.sql.functions import pandas_udf
+
+                def _mk(nb_):
+                    @pandas_udf("int")
+                    def _b(s):
+                        import pandas as pd
+
+                        # null keys → null partition value (NaN through
+                        # the int64 view would bucket garbage silently)
+                        na = s.isna()
+                        out = pd.Series(
+                            _bucket_long_np(s.fillna(0).to_numpy("int64"), nb_)
+                        )
+                        out[na.to_numpy()] = None
+                        return out
+
+                    return _b
+
+                staged_df = staged_df.withColumn(
+                    pf["name"], _mk(nb)(F.col(pf["source"]).cast("long"))
+                )
+            elif src_type == "string":
+                from pyspark.sql.functions import pandas_udf
+
+                def _mks(nb_):
+                    @pandas_udf("int")
+                    def _b(s):
+                        return s.map(lambda x: _bucket_of(x, nb_)).astype("int32")
+
+                    return _b
+
+                staged_df = staged_df.withColumn(
+                    pf["name"], _mks(nb)(F.col(pf["source"]))
+                )
+            else:
+                raise NotImplementedError(
+                    f"bucket transform on {src_type} is not supported"
+                )
+    w = staged_df.write.mode("overwrite")
+    if part_fields:
+        w = w.partitionBy(*[pf["name"] for pf in part_fields])
+    w.parquet(stage)
+
+    entries: list[tuple] = []
+    added_rows = 0
+    try:
+        for dirpath, _dirs, names in os.walk(stage):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                reldir = os.path.relpath(dirpath, stage)
+                pvals: dict[str, object] = {}
+                parts = [] if reldir == "." else reldir.split(os.sep)
+                for part in parts:
+                    if "=" in part:
+                        k, v = part.split("=", 1)
+                        raw = None if v == _HIVE_NULL else up.unquote(v)
+                        pf = next(p for p in part_fields if p["name"] == k)
+                        pvals[k] = _encode_part_value(raw, pf["ice_type"])
+                dest = os.path.join(
+                    path, "data", f"{uuid.uuid4().hex}.parquet"
+                )
+                os.rename(src, dest)
+                nrec = pq.ParquetFile(dest).metadata.num_rows
+                added_rows += nrec
+                lowers, uppers = _file_bounds(dest, schema_fields)
+                entries.append(
+                    (
+                        1,  # status ADDED
+                        snap_id,
+                        seq,
+                        seq,
+                        {
+                            "content": 0,
+                            "file_path": dest,
+                            "file_format": "PARQUET",
+                            "partition": pvals,
+                            "record_count": nrec,
+                            "file_size_in_bytes": os.path.getsize(dest),
+                            "lower_bounds": lowers or None,
+                            "upper_bounds": uppers or None,
+                        },
+                    )
+                )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return entries, added_rows
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
@@ -629,118 +781,11 @@ def write_iceberg(
     # column on the fly (year/month ordinals from 1970, per the spec);
     # the SOURCE column stays in the data files, the derived column
     # exists only as directory layout + log metadata
-    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    staged_df = df
-    for pf in part_fields:
-        if pf["transform"] == "year":
-            staged_df = staged_df.withColumn(
-                pf["name"], (F.year(pf["source"]) - F.lit(1970)).cast("int")
-            )
-        elif pf["transform"] == "month":
-            staged_df = staged_df.withColumn(
-                pf["name"],
-                (
-                    (F.year(pf["source"]) - F.lit(1970)) * 12
-                    + F.month(pf["source"])
-                    - F.lit(1)
-                ).cast("int"),
-            )
-        elif pf["transform"].startswith("bucket["):
-            src_type = by_name[pf["source"]]["type"]
-            nb = pf["buckets"]
-            if src_type in ("int", "long"):
-                from pyspark.sql.functions import pandas_udf
-
-                def _mk(nb_):
-                    @pandas_udf("int")
-                    def _b(s):
-                        import pandas as pd
-
-                        # null keys → null partition value (NaN through
-                        # the int64 view would bucket garbage silently)
-                        na = s.isna()
-                        out = pd.Series(
-                            _bucket_long_np(s.fillna(0).to_numpy("int64"), nb_)
-                        )
-                        out[na.to_numpy()] = None
-                        return out
-
-                    return _b
-
-                staged_df = staged_df.withColumn(
-                    pf["name"], _mk(nb)(F.col(pf["source"]).cast("long"))
-                )
-            elif src_type == "string":
-                from pyspark.sql.functions import pandas_udf
-
-                def _mks(nb_):
-                    @pandas_udf("int")
-                    def _b(s):
-                        return s.map(lambda x: _bucket_of(x, nb_)).astype("int32")
-
-                    return _b
-
-                staged_df = staged_df.withColumn(
-                    pf["name"], _mks(nb)(F.col(pf["source"]))
-                )
-            else:
-                raise NotImplementedError(
-                    f"bucket transform on {src_type} is not supported"
-                )
-    w = staged_df.write.mode("overwrite")
-    if part_fields:
-        w = w.partitionBy(*[pf["name"] for pf in part_fields])
-    w.parquet(stage)
-
-    import pyarrow.parquet as pq
-    import urllib.parse as up
-
-    entries: list[tuple] = []
     seq = (cur[1]["last-sequence-number"] + 1) if cur else 1
     snap_id = int(time.time() * 1000) * 1000 + seq  # unique, monotonic
-    added_rows = 0
-    try:
-        for dirpath, _dirs, names in os.walk(stage):
-            for name in sorted(names):
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(dirpath, name)
-                reldir = os.path.relpath(dirpath, stage)
-                pvals: dict[str, object] = {}
-                parts = [] if reldir == "." else reldir.split(os.sep)
-                for part in parts:
-                    if "=" in part:
-                        k, v = part.split("=", 1)
-                        raw = None if v == _HIVE_NULL else up.unquote(v)
-                        pf = next(p for p in part_fields if p["name"] == k)
-                        pvals[k] = _encode_part_value(raw, pf["ice_type"])
-                dest = os.path.join(
-                    path, "data", f"{uuid.uuid4().hex}.parquet"
-                )
-                os.rename(src, dest)
-                nrec = pq.ParquetFile(dest).metadata.num_rows
-                added_rows += nrec
-                lowers, uppers = _file_bounds(dest, schema_fields)
-                entries.append(
-                    (
-                        1,  # status ADDED
-                        snap_id,
-                        seq,
-                        seq,
-                        {
-                            "content": 0,
-                            "file_path": dest,
-                            "file_format": "PARQUET",
-                            "partition": pvals,
-                            "record_count": nrec,
-                            "file_size_in_bytes": os.path.getsize(dest),
-                            "lower_bounds": lowers or None,
-                            "upper_bounds": uppers or None,
-                        },
-                    )
-                )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    entries, added_rows = _stage_data_files(
+        df, path, part_fields, by_name, schema_fields, snap_id, seq
+    )
 
     # one manifest per commit
     man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
@@ -1552,17 +1597,29 @@ def merge_iceberg(
     (data_seq == merge_seq) are untouched by the same delete. Write cost
     is O(source): no table scan, no data-file rewrite — on 100 TB a
     MERGE costs what the delta costs (delta_merge's copy-on-write
-    sibling rewrites matched files; this rewrites none). Unpartitioned
-    tables, exact schema match."""
+    sibling rewrites matched files; this rewrites none). Partitioned
+    tables merge identically — source rows stage under the table's own
+    spec (identity or hidden transforms) and the equality delete is
+    partition-agnostic — but the merge keys must be DATA columns (an
+    identity partition column's values are metadata-only, invisible to
+    the read-side anti-join). Exact schema match."""
     import pyarrow.parquet as pq
 
     cur = _current_metadata(path)
     if cur is None:
         raise FileNotFoundError(f"no Iceberg metadata under {path}")
     meta = cur[1]
-    if meta["partition-specs"][0]["fields"]:
-        raise NotImplementedError("merge supports unpartitioned tables only")
     schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    part_fields = _spec_part_fields(meta, schema_fields)
+    ident_pcols = {
+        pf["name"] for pf in part_fields if pf["transform"] == "identity"
+    }
+    bad = sorted(set(on) & ident_pcols)
+    if bad:
+        raise ValueError(
+            f"merge keys {bad} are identity partition columns "
+            "(metadata-only values); key on data columns"
+        )
     incoming = {f["name"]: f["type"] for f in _ice_schema(source.schema)}
     existing = {f["name"]: f["type"] for f in schema_fields}
     if incoming != existing:
@@ -1594,7 +1651,16 @@ def merge_iceberg(
         return moved
 
     ordered = [f["name"] for f in schema_fields]
-    data_moved = _stage(source.select(*ordered), "")
+    by_fname = {f["name"]: f for f in schema_fields}
+    data_entries, _added = _stage_data_files(
+        source.select(*ordered),
+        path,
+        part_fields,
+        by_fname,
+        schema_fields,
+        snap_id,
+        seq,
+    )
     del_moved = _stage(source.select(*on).distinct(), "-deletes")
 
     def _entry(dest, nrec, content, bounds, equality_ids):
@@ -1617,17 +1683,38 @@ def merge_iceberg(
             },
         )
 
-    data_entries = [
-        _entry(d, n, 0, _file_bounds(d, schema_fields), None)
-        for d, n in data_moved
-    ]
     del_entries = [_entry(d, n, 2, None, eq_ids) for d, n in del_moved]
+    # data manifest carries the table's partition struct + summaries
+    # (manifest-list pruning); the delete manifest is partition-less and
+    # never pruned
+    summaries = []
+    for pf in part_fields:
+        vals = [
+            e[4]["partition"].get(pf["name"])
+            for e in data_entries
+            if e[4]["partition"].get(pf["name"]) is not None
+        ]
+        nulls = any(
+            e[4]["partition"].get(pf["name"]) is None for e in data_entries
+        )
+        enc = lambda x: None if x is None else json.dumps(x).encode()
+        summaries.append(
+            {
+                "contains_null": nulls,
+                "contains_nan": None,
+                "lower_bound": enc(min(vals) if vals else None),
+                "upper_bound": enc(max(vals) if vals else None),
+            }
+        )
     rows = []
-    for content, entries in ((0, data_entries), (1, del_entries)):
+    for content, entries, espec, esumm in (
+        (0, data_entries, part_fields, summaries or None),
+        (1, del_entries, [], None),
+    ):
         if not entries:
             continue
         man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
-        man_len = _write_avro_file(man_path, _manifest_entry_schema([]), entries)
+        man_len = _write_avro_file(man_path, _manifest_entry_schema(espec), entries)
         rows.append(
             (
                 man_path,
@@ -1643,7 +1730,7 @@ def merge_iceberg(
                 sum(e[4]["record_count"] for e in entries),
                 0,
                 0,
-                None,
+                esumm,
             )
         )
     cur_snap = next(

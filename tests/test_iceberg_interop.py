@@ -1027,3 +1027,140 @@ def test_partitioned_mor_deletes(spark):
         delete_iceberg_where(spark, root, "part", "p0", "p0")
     with _pytest.raises(ValueError, match="identity partition columns"):
         delete_iceberg_eq(spark, root, spark.createDataFrame([("p0",)], "part string"), on=["part"])
+
+
+def test_partitioned_iceberg_merge_mor(spark):
+    """MOR MERGE on an identity-partitioned table: one atomic snapshot
+    of equality-delete keys + partitioned source files. Updates replace
+    matched rows (even moving them across partitions), inserts land in
+    their partitions, no pre-existing data file is rewritten, and
+    manifest partition summaries cover the new files (pruned reads stay
+    correct). Merging ON an identity partition column is refused."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        iceberg_live_state,
+        merge_iceberg,
+        read_iceberg,
+    )
+
+    root = _fresh("ut_ice_part_merge")
+    rows = [(i, f"p{i % 3}", float(i)) for i in range(300)]
+    schema = "k bigint, part string, val double"
+    s1 = write_iceberg(
+        spark.createDataFrame(rows, schema), root, partition_by=["part"],
+        mode="append",
+    )
+    model = {k: (p, v) for k, p, v in rows}
+    files_before = {
+        d["data_file"]["file_path"] for d in iceberg_live_state(root)[1]
+    }
+    src = [(0, "p0", 111.0), (1, "p0", 222.0), (1000, "p2", 333.0)]
+    merge_iceberg(spark, root, spark.createDataFrame(src, schema), on=["k"])
+    model.update({k: (p, v) for k, p, v in src})
+    got = {
+        r["k"]: (r["part"], r["val"]) for r in read_iceberg(spark, root).collect()
+    }
+    assert got == model
+    files_after = {
+        d["data_file"]["file_path"] for d in iceberg_live_state(root)[1]
+    }
+    assert files_before < files_after, "old data files must survive untouched"
+    # pruned read of the partition the k=1 row MOVED INTO
+    p0 = {
+        r["k"]
+        for r in read_iceberg(spark, root, partition_eq={"part": "p0"}).collect()
+    }
+    assert p0 == {k for k, (p, _v) in model.items() if p == "p0"}
+    # ...and the one it left
+    p1 = {
+        r["k"]
+        for r in read_iceberg(spark, root, partition_eq={"part": "p1"}).collect()
+    }
+    assert p1 == {k for k, (p, _v) in model.items() if p == "p1"}
+    # snapshot isolation
+    assert {
+        r["k"] for r in read_iceberg(spark, root, snapshot_id=s1).collect()
+    } == set(range(300))
+    with _pytest.raises(ValueError, match="identity partition columns"):
+        merge_iceberg(
+            spark, root, spark.createDataFrame(src, schema), on=["part"]
+        )
+
+
+def test_model_check_partitioned_mor_sequences(spark):
+    """Partitioned twin of the MOR model check: seeded random append /
+    positional-delete / equality-merge (sometimes partition-moving) /
+    rewrite commits on an identity-partitioned table — every recorded
+    snapshot must read back exactly its model state including each
+    row's partition."""
+    import random
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        merge_iceberg,
+        read_iceberg,
+        rewrite_iceberg,
+    )
+
+    rng = random.Random(31)
+    root = _fresh("ut_ice_model_part_mor")
+    schema = "k bigint, part string, val double"
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def part_of(k):
+        return f"p{k % 3}"
+
+    rows = [(i, part_of(i), float(i)) for i in range(200)]
+    sid = write_iceberg(df_of(rows), root, partition_by=["part"], mode="append")
+    model = {k: (p, v) for k, p, v in rows}
+    snaps = [(sid, dict(model))]
+    next_key = 1000
+    for _step in range(10):
+        op = rng.choice(["append", "delete", "merge", "rewrite"])
+        if op == "append":
+            new = [
+                (next_key + i, part_of(next_key + i), float(rng.randint(0, 999)))
+                for i in range(rng.randint(1, 40))
+            ]
+            next_key += 100
+            sid = write_iceberg(
+                df_of(new), root, partition_by=["part"], mode="append"
+            )
+            model.update({k: (p, v) for k, p, v in new})
+        elif op == "delete":
+            lo = rng.randint(0, 1200)
+            hi = lo + rng.randint(0, 300)
+            sid = delete_iceberg_where(spark, root, "k", lo, hi)
+            model = {k: pv for k, pv in model.items() if not (lo <= k <= hi)}
+        elif op == "merge":
+            keys = (
+                rng.sample(sorted(model), min(len(model), rng.randint(1, 30)))
+                if model
+                else []
+            )
+            src = [
+                (
+                    k,
+                    part_of(k + 1) if idx % 2 else model[k][0],
+                    model[k][1] + 0.5,
+                )
+                for idx, k in enumerate(keys)
+            ] + [
+                (next_key + i, part_of(next_key + i), float(i))
+                for i in range(rng.randint(1, 10))
+            ]
+            next_key += 100
+            sid = merge_iceberg(spark, root, df_of(src), on=["k"])
+            model.update({k: (p, v) for k, p, v in src})
+        else:
+            sid = rewrite_iceberg(spark, root)
+        snaps.append((sid, dict(model)))
+    for i, (sv, expect) in enumerate(snaps):
+        got = {
+            r["k"]: (r["part"], r["val"])
+            for r in read_iceberg(spark, root, snapshot_id=sv).collect()
+        }
+        assert got == expect, f"snapshot {i} (id {sv}) diverged from model"
