@@ -1761,15 +1761,24 @@ def rewrite_iceberg(spark: SparkSession, path: str) -> int:
     deletes applied and commit the result as an overwrite snapshot whose
     manifest list holds only the new data manifest — delete files drop
     out of the live state (older snapshots keep them until
-    expire_snapshots reclaims). Identity partitioning only."""
+    expire_snapshots reclaims). The rewrite re-declares the table's own
+    spec in writer terms — identity columns by name, hidden transforms
+    as year(src)/month(src)/bucket(n, src) — so clustering survives
+    compaction for every supported transform."""
     meta, _, _ = iceberg_live_state(path)
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    by_id = {f["id"]: f["name"] for f in schema_fields}
     pb = []
     for pf in meta["partition-specs"][0]["fields"]:
-        if pf["transform"] != "identity":
-            raise NotImplementedError(
-                "rewrite supports identity partitioning only"
-            )
-        pb.append(pf["name"])
+        tr, src = pf["transform"], by_id[pf["source-id"]]
+        if tr == "identity":
+            pb.append(pf["name"])
+        elif tr in ("year", "month"):
+            pb.append(f"{tr}({src})")
+        elif tr.startswith("bucket["):
+            pb.append(f"bucket({int(tr[len('bucket[') : -1])}, {src})")
+        else:
+            raise NotImplementedError(f"rewrite: unsupported transform {tr!r}")
     df = read_iceberg(spark, path)
     return write_iceberg(df, path, partition_by=pb or None, mode="overwrite")
 

@@ -1164,3 +1164,32 @@ def test_model_check_partitioned_mor_sequences(spark):
             for r in read_iceberg(spark, root, snapshot_id=sv).collect()
         }
         assert got == expect, f"snapshot {i} (id {sv}) diverged from model"
+
+
+def test_rewrite_preserves_hidden_partitioning(spark):
+    """rewrite_iceberg on a hidden-partitioned (month transform) table:
+    the compaction re-declares the table's own spec, so post-rewrite
+    files still carry transform-space partition values (pruning
+    survives compaction) and a MOR delete materializes away."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        iceberg_live_state,
+        read_iceberg,
+        rewrite_iceberg,
+    )
+
+    root = _fresh("ut_ice_rewrite_hidden")
+    df = spark.createDataFrame(
+        [(i, f"2024-{1 + i % 3:02d}-15", float(i)) for i in range(120)],
+        "k bigint, d string, val double",
+    ).withColumn("d", F.col("d").cast("date"))
+    write_iceberg(df, root, partition_by=["month(d)"], mode="append")
+    delete_iceberg_where(spark, root, "k", 0, 29)
+    expect = {k for k in range(30, 120)}
+    rewrite_iceberg(spark, root)
+    meta, datas, dels = iceberg_live_state(root)
+    assert not dels, "rewrite must materialize deletes away"
+    assert all(
+        d["data_file"]["partition"].get("d_month") is not None for d in datas
+    ), "post-rewrite files must keep transform-space partition values"
+    assert {r["k"] for r in read_iceberg(spark, root).collect()} == expect
