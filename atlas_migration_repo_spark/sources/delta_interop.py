@@ -51,6 +51,19 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+def _refuse_column_mapped(meta: dict | None, op: str) -> None:
+    """Writes to columnMapping tables route through the TableLog (the
+    rename machinery's owner) — this interop reads them but does not
+    rewrite physical-named files."""
+    if meta and (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name":
+        raise NotImplementedError(
+            f"{op}: table uses delta.columnMapping (renamed columns); "
+            "write through the TableLog that owns it, read_delta works"
+        )
+
+
 class ConcurrentDeltaWriteError(RuntimeError):
     """A racing commit invalidated this write's remove-set (Delta's
     ConcurrentDeleteDeleteException family); re-read and redo."""
@@ -319,6 +332,7 @@ def write_delta(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     partition_by = list(partition_by or [])
     prev_meta = _current_meta(path)
+    _refuse_column_mapped(prev_meta, "write_delta")
     prev_adds: list[dict] = []
     if prev_meta is not None:
         _, _, prev_adds = _replay(path)
@@ -572,12 +586,30 @@ def read_delta(
     pcols = meta.get("partitionColumns") or []
     data_fields = [f for f in schema.fields if f.name not in pcols]
     data_schema = T.StructType(data_fields)
+    # columnMapping mode=name: the data files carry stable PHYSICAL
+    # names; scan physically, surface logically (rename semantics)
+    mapped = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name"
+    renames: list[tuple[str, str]] = []
+    if mapped:
+        phys_fields = []
+        for f in data_fields:
+            phys = (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            phys_fields.append(T.StructField(phys, f.dataType, True))
+            if phys != f.name:
+                renames.append((phys, f.name))
+        data_schema = T.StructType(phys_fields)
     if not adds:
         return spark.createDataFrame([], schema)
     abs_paths = [
         os.path.join(path, urllib.parse.unquote(a["path"])) for a in adds
     ]
     df = spark.read.schema(data_schema).parquet(*abs_paths)
+    for phys, logical in renames:
+        df = df.withColumnRenamed(phys, logical)
     if not pcols:
         return df.select(*[f.name for f in schema.fields])
     # one row per live file: (normalized file path, partition value strings)
@@ -655,6 +687,7 @@ def merge_delta(
     would make the semi-join scan metadata-blind; route that shape
     through read-side partition pruning instead)."""
     v, meta, _ = _replay(path)
+    _refuse_column_mapped(meta, "merge_delta")
     pcols = meta.get("partitionColumns") or []
     if key in pcols:
         raise ValueError(
@@ -784,6 +817,7 @@ def delete_delta_range(
     deleting on a data column uses the same stats three-way split, with
     survivors rewritten back into hive layout."""
     v, meta, _ = _replay(path)
+    _refuse_column_mapped(meta, "delete_delta_range")
     pcols = meta.get("partitionColumns") or []
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
@@ -898,6 +932,7 @@ def optimize_delta(
     partition's many small files become one), land back in hive layout,
     and `target_files` — a whole-table knob — is ignored."""
     v, meta, _ = _replay(path)
+    _refuse_column_mapped(meta, "optimize_delta")
     pcols = meta.get("partitionColumns") or []
     adds_live = delta_live_files(path, v)
     if len(adds_live) <= 1:
@@ -1195,19 +1230,23 @@ def convert_tablelog_to_delta(spark: SparkSession, tlog: TableLog) -> int:
     (add/remove paths get the `data/` prefix; stats dicts become Delta
     stats JSON strings; CHECK constraints land in metaData.configuration
     as `delta.constraints.*` the way Delta stores them). No data file is
-    copied or rewritten. Column-mapped tables (rename/widen history) are
-    out of scope and refuse loudly — their physical names would need
-    columnMapping writer feature support (reader/writer version 2/5).
+    copied or rewritten. A RENAME history converts through Delta
+    COLUMN MAPPING (mode=name, reader/writer protocol 2/5): each field
+    carries `delta.columnMapping.physicalName` pointing at the stable
+    physical name the data files use, so every version — including
+    pre-rename ones — reads under the current logical names, exactly
+    Delta's own rename semantics. A WIDEN history still refuses (that
+    is Delta's separate type-widening feature, not column mapping).
 
     The metaData carries the LATEST snapshot's schema (what Delta's own
     snapshot conversion does); earlier versions read through it, with
     additively-evolved columns null for old files."""
-    cmap, _ = tlog._column_meta()
-    if cmap:
+    cmap, ctypes = tlog._column_meta()
+    if ctypes:
         raise NotImplementedError(
-            "convert_tablelog_to_delta: column-mapped TableLog (rename/widen "
-            "history) requires Delta columnMapping support, which this "
-            "interop does not write"
+            "convert_tablelog_to_delta: a widen history requires Delta "
+            "type widening, which this interop does not write (renames "
+            "convert fine via columnMapping)"
         )
     vs = tlog.versions()
     if not vs:
@@ -1215,12 +1254,36 @@ def convert_tablelog_to_delta(spark: SparkSession, tlog: TableLog) -> int:
     delta_log = _log_dir(tlog.root)
     if os.path.isdir(delta_log):
         shutil.rmtree(delta_log)
-    schema_json = tlog.read(spark).schema.json()
+    logical_schema = tlog.read(spark).schema
+    protocol = dict(_PROTOCOL)
+    if cmap:
+        phys_of = {logical: phys for phys, logical in cmap.items()}
+        fields = []
+        for i, f in enumerate(logical_schema.fields):
+            fields.append(
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    True,
+                    {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": phys_of.get(
+                            f.name, f.name
+                        ),
+                    },
+                )
+            )
+        logical_schema = T.StructType(fields)
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+    schema_json = logical_schema.json()
     now_ms = int(time.time() * 1000)
     constraints = tlog.constraints()
     conf = {
         f"delta.constraints.c{i}": expr for i, expr in enumerate(constraints)
     }
+    if cmap:
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(len(logical_schema.fields))
     # partitionColumns from the live snapshot's add actions
     pcols: list[str] = []
     for f in tlog.snapshot().files:
@@ -1249,7 +1312,7 @@ def convert_tablelog_to_delta(spark: SparkSession, tlog: TableLog) -> int:
             }
         ]
         if v == vs[0]:
-            dacts.append({"protocol": dict(_PROTOCOL)})
+            dacts.append({"protocol": protocol})
             dacts.append(
                 {
                     "metaData": {
@@ -1307,7 +1370,10 @@ def adopt_delta_as_tablelog(path: str) -> TableLog:
     over. The adopted table then gets everything the TableLog ecosystem
     offers on its own history: time travel, `changes()` CDC, constraint
     gating of future writes, streaming subscription. Refuses a root that
-    already has a TableLog log (never clobbers history)."""
+    already has a TableLog log (never clobbers history). A columnMapping
+    table adopts faithfully: the Delta physicalName map translates into
+    a TableLog columnMapping action in the seed commit, so reads surface
+    the logical names over the physical-named files."""
     log_dir = _log_dir(path)
     vs = _committed_versions(log_dir)
     if not vs:
@@ -1315,6 +1381,15 @@ def adopt_delta_as_tablelog(path: str) -> TableLog:
     tlog_log = os.path.join(path, "_log")
     if os.path.isdir(tlog_log) and os.listdir(tlog_log):
         raise FileExistsError(f"{tlog_log} already holds a TableLog log")
+    _, dmeta, _ = _replay(path)
+    cmap: dict[str, str] = {}
+    if (dmeta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
+        for f in T.StructType.fromJson(json.loads(dmeta["schemaString"])).fields:
+            phys = (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            if phys != f.name:
+                cmap[phys] = f.name
     t = TableLog(path)
 
     def _as_tablelog_add(add: dict) -> dict:
@@ -1337,6 +1412,8 @@ def adopt_delta_as_tablelog(path: str) -> TableLog:
             # that trimmed history added — same rule as the forward
             # conversion
             tacts = [_as_tablelog_add(a) for a in delta_live_files(path, v)]
+            if cmap:
+                tacts.append({"metaData": {"columnMapping": cmap}})
         else:
             with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
                 dacts = [json.loads(line) for line in fh if line.strip()]

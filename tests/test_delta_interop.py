@@ -620,17 +620,29 @@ def test_convert_trimmed_tablelog_gets_checkpoint_base(spark):
     assert read_delta(spark, root).count() == t.read(spark).count()
 
 
-def test_convert_refuses_column_mapped_tables(spark):
-    """Rename/widen history needs Delta columnMapping, which the interop
-    does not write — it must refuse loudly rather than emit a log real
-    Delta readers would misread."""
+def test_convert_refuses_widen_but_maps_renames(spark):
+    """A RENAME history now converts through Delta columnMapping (the
+    roundtrip test covers it end-to-end); a WIDEN history is Delta's
+    separate type-widening feature and must still refuse loudly rather
+    than emit a log real Delta readers would misread."""
     root = _fresh("t_delta_convert_cmap")
     t = TableLog(root)
     nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
-    t.append(nat)
+    t.append(nat.withColumn("n_nationkey", F.col("n_nationkey").cast("int")))
     t.rename_column("n_name", "nation_name")
-    with pytest.raises(NotImplementedError, match="columnMapping"):
-        convert_tablelog_to_delta(spark, t)
+    convert_tablelog_to_delta(spark, t)  # renames convert fine
+    assert read_delta(spark, root).columns == ["n_nationkey", "nation_name"]
+
+    root2 = _fresh("t_delta_convert_widen")
+    t2 = TableLog(root2)
+    t2.append(
+        load(spark, SF_DIR, "nation")
+        .select("n_nationkey")
+        .withColumn("n_nationkey", F.col("n_nationkey").cast("int"))
+    )
+    t2.widen_column("n_nationkey", "bigint", from_type="int")
+    with pytest.raises(NotImplementedError, match="widen"):
+        convert_tablelog_to_delta(spark, t2)
 
 
 def test_cdf_appends_write_no_change_files(spark):
@@ -1164,3 +1176,69 @@ def test_model_check_partitioned_delta_sequences(spark):
             for r in read_delta(spark, root, version=ver).collect()
         }
         assert got == by_version[ver], f"version {ver} diverged from model"
+
+
+def test_convert_column_mapped_tablelog_roundtrip(spark, tmp_path):
+    """A TableLog with a RENAME history converts through Delta column
+    mapping: the converted metaData carries mode=name + physicalName
+    per field (protocol 2/5), read_delta surfaces logical names at
+    every version — including versions committed BEFORE the rename —
+    and values match the TableLog's own reads. Writes to the mapped
+    Delta table refuse loudly; adopting a mapped Delta table back
+    translates the mapping into TableLog columnMapping."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        adopt_delta_as_tablelog,
+        convert_tablelog_to_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(50)], "k bigint, v bigint"))
+    t.rename_column("v", "val")
+    t.append(
+        spark.createDataFrame([(i, i * 10) for i in range(50, 80)], "k bigint, val bigint")
+    )
+    last = convert_tablelog_to_delta(spark, t)
+    log_dir = os.path.join(str(tmp_path / "t"), "_delta_log")
+    first = sorted(os.listdir(log_dir))[0]
+    acts = [json.loads(l) for l in open(os.path.join(log_dir, first)) if l.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    md = next(a["metaData"] for a in acts if "metaData" in a)
+    assert md["configuration"]["delta.columnMapping.mode"] == "name"
+    fields = json.loads(md["schemaString"])["fields"]
+    phys = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in fields
+    }
+    assert phys == {"k": "k", "val": "v"}
+
+    for v in range(last + 1):
+        got = {
+            r["k"]: r["val"]
+            for r in read_delta(spark, str(tmp_path / "t"), version=v).collect()
+        }
+        want = {r["k"]: r[t.read(spark, version=v).columns[1]]
+                for r in t.read(spark, version=v).collect()}
+        assert got == want, f"version {v} diverged"
+        assert read_delta(spark, str(tmp_path / "t"), version=v).columns == ["k", "val"]
+
+    src = spark.createDataFrame([(0, 999)], "k bigint, val bigint")
+    with _pytest.raises(NotImplementedError, match="columnMapping"):
+        merge_delta(spark, str(tmp_path / "t"), src, key="k")
+    with _pytest.raises(NotImplementedError, match="columnMapping"):
+        write_delta(src, str(tmp_path / "t"), mode="append")
+
+    # reverse adoption of a (freshly copied) mapped Delta table
+    import shutil as _sh
+
+    clone = str(tmp_path / "t2")
+    _sh.copytree(str(tmp_path / "t"), clone)
+    _sh.rmtree(os.path.join(clone, "_log"))
+    t2 = adopt_delta_as_tablelog(clone)
+    got = {r["k"]: r["val"] for r in t2.read(spark).collect()}
+    assert got == {i: i * 10 for i in range(80)}
+    assert t2.read(spark).columns == ["k", "val"]
