@@ -1235,19 +1235,17 @@ def convert_tablelog_to_delta(spark: SparkSession, tlog: TableLog) -> int:
     carries `delta.columnMapping.physicalName` pointing at the stable
     physical name the data files use, so every version — including
     pre-rename ones — reads under the current logical names, exactly
-    Delta's own rename semantics. A WIDEN history still refuses (that
-    is Delta's separate type-widening feature, not column mapping).
+    Delta's own rename semantics. A WIDEN history converts through the
+    TYPE WIDENING table feature (protocol 3/7 with feature lists): the
+    schemaString carries the widened type plus `delta.typeChanges`
+    field metadata, and readers promote each file's narrower physical
+    type at scan (Spark's parquet type promotion), so pre-widen files
+    stay valid forever — no rewrite.
 
     The metaData carries the LATEST snapshot's schema (what Delta's own
     snapshot conversion does); earlier versions read through it, with
     additively-evolved columns null for old files."""
     cmap, ctypes = tlog._column_meta()
-    if ctypes:
-        raise NotImplementedError(
-            "convert_tablelog_to_delta: a widen history requires Delta "
-            "type widening, which this interop does not write (renames "
-            "convert fine via columnMapping)"
-        )
     vs = tlog.versions()
     if not vs:
         raise FileNotFoundError(f"no committed versions in {tlog.log_dir}")
@@ -1256,25 +1254,37 @@ def convert_tablelog_to_delta(spark: SparkSession, tlog: TableLog) -> int:
         shutil.rmtree(delta_log)
     logical_schema = tlog.read(spark).schema
     protocol = dict(_PROTOCOL)
+    features: list[str] = []
     if cmap:
+        features.append("columnMapping")
+    if ctypes:
+        features.append("typeWidening")
+    if cmap or ctypes:
         phys_of = {logical: phys for phys, logical in cmap.items()}
+        widened = dict(ctypes)  # physical name -> widened type
         fields = []
         for i, f in enumerate(logical_schema.fields):
-            fields.append(
-                T.StructField(
-                    f.name,
-                    f.dataType,
-                    True,
-                    {
-                        "delta.columnMapping.id": i + 1,
-                        "delta.columnMapping.physicalName": phys_of.get(
-                            f.name, f.name
-                        ),
-                    },
+            md: dict = {}
+            if cmap:
+                md["delta.columnMapping.id"] = i + 1
+                md["delta.columnMapping.physicalName"] = phys_of.get(
+                    f.name, f.name
                 )
-            )
+            phys = phys_of.get(f.name, f.name)
+            if phys in widened:
+                md["delta.typeChanges"] = [{"toType": widened[phys]}]
+            fields.append(T.StructField(f.name, f.dataType, True, md))
         logical_schema = T.StructType(fields)
-        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+        if ctypes:
+            # table features require the v3/v7 protocol representation
+            protocol = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(features),
+                "writerFeatures": sorted(features),
+            }
+        else:
+            protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
     schema_json = logical_schema.json()
     now_ms = int(time.time() * 1000)
     constraints = tlog.constraints()
@@ -1284,6 +1294,8 @@ def convert_tablelog_to_delta(spark: SparkSession, tlog: TableLog) -> int:
     if cmap:
         conf["delta.columnMapping.mode"] = "name"
         conf["delta.columnMapping.maxColumnId"] = str(len(logical_schema.fields))
+    if ctypes:
+        conf["delta.enableTypeWidening"] = "true"
     # partitionColumns from the live snapshot's add actions
     pcols: list[str] = []
     for f in tlog.snapshot().files:

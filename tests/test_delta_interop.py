@@ -620,11 +620,12 @@ def test_convert_trimmed_tablelog_gets_checkpoint_base(spark):
     assert read_delta(spark, root).count() == t.read(spark).count()
 
 
-def test_convert_refuses_widen_but_maps_renames(spark):
-    """A RENAME history now converts through Delta columnMapping (the
-    roundtrip test covers it end-to-end); a WIDEN history is Delta's
-    separate type-widening feature and must still refuse loudly rather
-    than emit a log real Delta readers would misread."""
+def test_convert_maps_renames_and_widens(spark):
+    """Schema-evolution histories convert totally: a RENAME goes through
+    columnMapping (roundtrip test covers it end-to-end) and a WIDEN
+    through the typeWidening table feature — protocol 3/7 with feature
+    lists, `delta.typeChanges` field metadata, widened schemaString, and
+    pre-widen files promoting at scan (values exact, no rewrite)."""
     root = _fresh("t_delta_convert_cmap")
     t = TableLog(root)
     nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
@@ -641,8 +642,25 @@ def test_convert_refuses_widen_but_maps_renames(spark):
         .withColumn("n_nationkey", F.col("n_nationkey").cast("int"))
     )
     t2.widen_column("n_nationkey", "bigint", from_type="int")
-    with pytest.raises(NotImplementedError, match="widen"):
-        convert_tablelog_to_delta(spark, t2)
+    t2.append(
+        load(spark, SF_DIR, "nation")
+        .select("n_nationkey")
+        .withColumn("n_nationkey", (F.col("n_nationkey") + 100).cast("bigint"))
+    )
+    convert_tablelog_to_delta(spark, t2)
+    log_dir = os.path.join(root2, "_delta_log")
+    first = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))[0]
+    acts = [json.loads(l) for l in open(os.path.join(log_dir, first)) if l.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 and "typeWidening" in proto["readerFeatures"]
+    df = read_delta(spark, root2)
+    assert dict(df.dtypes)["n_nationkey"] == "bigint"
+    got = sorted(r["n_nationkey"] for r in df.collect())
+    want = sorted(
+        [r["n_nationkey"] for r in nat.collect()]
+        + [r["n_nationkey"] + 100 for r in nat.collect()]
+    )
+    assert got == want, "pre-widen int files must promote exactly"
 
 
 def test_cdf_appends_write_no_change_files(spark):
