@@ -60,6 +60,11 @@ _SPARK_TO_ICE = {
     T.TimestampNTZType: "timestamp",
     T.BinaryType: "binary",
 }
+# the spec's safe schema-evolution promotions (§Schema Evolution):
+# values widen losslessly, so older files' narrower physical types
+# promote at scan time and are never rewritten
+_ICE_PROMOTE_OK = {("int", "long"), ("float", "double")}
+
 _ICE_TO_SPARK = {
     "boolean": T.BooleanType(),
     "int": T.IntegerType(),
@@ -464,14 +469,17 @@ def _ice_decode_bound(ice_type: str, b: bytes):
 
     if ice_type == "boolean":
         return b == b"\x01"
+    # 4-byte int/float bounds survive in old manifests after an
+    # int→long / float→double promotion: decode by the VALUE's width,
+    # not only the asked-for (current) type
     if ice_type == "int":
         return _struct.unpack("<i", b)[0]
     if ice_type == "long":
-        return _struct.unpack("<q", b)[0]
+        return _struct.unpack("<q" if len(b) == 8 else "<i", b)[0]
     if ice_type == "float":
         return _struct.unpack("<f", b)[0]
     if ice_type == "double":
-        return _struct.unpack("<d", b)[0]
+        return _struct.unpack("<d" if len(b) == 8 else "<f", b)[0]
     if ice_type == "string":
         return b.decode("utf-8")
     if ice_type == "date":
@@ -744,12 +752,27 @@ def write_iceberg(
         schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
         incoming = {f["name"]: f["type"] for f in _ice_schema(df.schema)}
         existing = {f["name"]: f["type"] for f in schema_fields}
+        promoted: dict[str, str] = {}
         for name_, t_ in existing.items():
+            if name_ in incoming and incoming[name_] != t_:
+                # the spec's safe type promotions: the field keeps its
+                # id, a new schema entry carries the wider type, and
+                # older narrow files promote at scan time
+                if (t_, incoming[name_]) in _ICE_PROMOTE_OK:
+                    promoted[name_] = incoming[name_]
+                    continue
             if name_ not in incoming or incoming[name_] != t_:
                 raise ValueError(
                     f"schema evolution on {name_!r} is not additive "
-                    "(missing or retyped); only new columns may be appended"
+                    "(missing or narrowed/retyped); only new columns and "
+                    f"safe promotions {sorted(_ICE_PROMOTE_OK)} are allowed"
                 )
+        if promoted:
+            evolved = True
+            schema_fields = [
+                {**f, "type": promoted.get(f["name"], f["type"])}
+                for f in schema_fields
+            ]
         new_names = [n for n in incoming if n not in existing]
         if new_names:
             # Iceberg-native evolution: new columns take fresh field-ids

@@ -1193,3 +1193,51 @@ def test_rewrite_preserves_hidden_partitioning(spark):
         d["data_file"]["partition"].get("d_month") is not None for d in datas
     ), "post-rewrite files must keep transform-space partition values"
     assert {r["k"] for r in read_iceberg(spark, root).collect()} == expect
+
+
+def test_iceberg_type_promotion_evolution(spark):
+    """Spec-safe type promotion (int→long) by appending with the wider
+    type: the field keeps its id in a new schema entry, the current
+    snapshot reads BOTH generations exactly (old 4-byte files promote
+    at scan), the pre-promotion snapshot keeps its narrow schema, MOR
+    range deletes decode the old manifests' 4-byte bounds correctly,
+    and narrowing refuses."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        read_iceberg,
+    )
+
+    root = _fresh("ut_ice_promote")
+    a = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k bigint, metric int"
+    )
+    s1 = write_iceberg(a, root, mode="append")
+    b = spark.createDataFrame(
+        [(i, i * 10_000_000_000) for i in range(50, 80)], "k bigint, metric bigint"
+    )
+    write_iceberg(b, root, mode="append")
+    df = read_iceberg(spark, root)
+    assert dict(df.dtypes)["metric"] == "bigint"
+    got = {r["k"]: r["metric"] for r in df.collect()}
+    want = {i: i * 10 for i in range(50)}
+    want.update({i: i * 10_000_000_000 for i in range(50, 80)})
+    assert got == want
+    old = read_iceberg(spark, root, snapshot_id=s1)
+    assert dict(old.dtypes)["metric"] == "int"
+    assert {r["k"] for r in old.collect()} == set(range(50))
+
+    # MOR delete across the promotion boundary: candidates pruned from
+    # bounds that mix 4-byte (old) and 8-byte (new) encodings
+    delete_iceberg_where(spark, root, "metric", 100, 510_000_000_000)
+    survivors = {r["k"] for r in read_iceberg(spark, root).collect()}
+    gone = {k for k, m in want.items() if 100 <= m <= 510_000_000_000}
+    assert survivors == set(want) - gone
+
+    with _pytest.raises(ValueError, match="not additive"):
+        write_iceberg(
+            spark.createDataFrame([(99, 1)], "k bigint, metric int"),
+            root,
+            mode="append",
+        )
