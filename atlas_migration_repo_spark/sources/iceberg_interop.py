@@ -2469,6 +2469,37 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, root)
 
 
+@query(
+    "iceberg_promote_evolution",
+    oracle="""
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size FROM part
+    """,
+)
+def iceberg_promote_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe type promotion as a user-facing query: half the parts land
+    with p_size INT, the other half appends with p_size LONG — the spec
+    promotion keeps the field-id, old 4-byte files promote at scan, and
+    the whole table reads back exactly under the widened type."""
+    root = scratch_path(sf_dir, "part_iceberg_promote")
+    shutil.rmtree(root, ignore_errors=True)
+    part = load(spark, sf_dir, "part")
+    write_iceberg(
+        part.where(F.col("p_partkey") % 2 == 0).select(
+            "p_partkey", F.col("p_size").cast("int").alias("p_size")
+        ),
+        root,
+        mode="append",
+    )
+    write_iceberg(
+        part.where(F.col("p_partkey") % 2 == 1).select(
+            "p_partkey", F.col("p_size").cast("bigint").alias("p_size")
+        ),
+        root,
+        mode="append",
+    )
+    return read_iceberg(spark, root)
+
+
 _TT_CUT = "1997-01-01"
 
 
