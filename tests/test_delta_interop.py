@@ -1260,3 +1260,52 @@ def test_convert_column_mapped_tablelog_roundtrip(spark, tmp_path):
     got = {r["k"]: r["val"] for r in t2.read(spark).collect()}
     assert got == {i: i * 10 for i in range(80)}
     assert t2.read(spark).columns == ["k", "val"]
+
+
+def test_cdf_on_partitioned_merge_and_delete(spark):
+    """The change data feed composes with partitioned maintenance:
+    a partition-moving MERGE emits pre/post update images carrying the
+    OLD and NEW partition values, a partition-column DELETE emits a
+    delete image for every tombstoned row (the documented CDF price of
+    the otherwise metadata-only path), and the final state replays from
+    the feed."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+        merge_delta,
+        read_delta_cdf,
+    )
+
+    root = _fresh("t_delta_cdf_part")
+    rows = [(i, f"p{i % 3}", float(i)) for i in range(90)]
+    schema = "k bigint, part string, val double"
+    write_delta(
+        spark.createDataFrame(rows, schema),
+        root,
+        partition_by=["part"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v_merge = merge_delta(
+        spark,
+        root,
+        spark.createDataFrame([(1, "p0", 999.0), (1000, "p2", 5.0)], schema),
+        key="k",
+    )
+    cdf = read_delta_cdf(spark, root, v_merge).where(
+        F.col("_commit_version") == v_merge
+    )
+    images = {
+        (r["k"], r["_change_type"]): (r["part"], r["val"]) for r in cdf.collect()
+    }
+    assert images[(1, "update_preimage")] == ("p1", 1.0)
+    assert images[(1, "update_postimage")] == ("p0", 999.0)
+    assert images[(1000, "insert")] == ("p2", 5.0)
+
+    v_del = delete_delta_range(spark, root, "part", "p1", "p1")
+    dels = read_delta_cdf(spark, root, v_del).where(
+        (F.col("_commit_version") == v_del)
+        & (F.col("_change_type") == "delete")
+    )
+    deleted_keys = {r["k"] for r in dels.collect()}
+    assert deleted_keys == {k for k, p, _v in rows if p == "p1" and k != 1}
+    got = {r["k"] for r in read_delta(spark, root).collect()}
+    assert got == {k for k, p, _v in rows if p != "p1"} | {1, 1000}
