@@ -1309,3 +1309,30 @@ def test_cdf_on_partitioned_merge_and_delete(spark):
     assert deleted_keys == {k for k, p, _v in rows if p == "p1" and k != 1}
     got = {r["k"] for r in read_delta(spark, root).collect()}
     assert got == {k for k, p, _v in rows if p != "p1"} | {1, 1000}
+
+
+def test_convert_combined_rename_and_widen(spark, tmp_path):
+    """The interaction case: a TableLog with BOTH a widen and a rename
+    converts with columnMapping AND typeWidening composed — protocol
+    3/7 lists both features, the field carries physicalName and
+    typeChanges together, and the read promotes the narrow physical
+    file under the renamed logical column."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        convert_tablelog_to_delta,
+    )
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i,) for i in range(25)], "n int")
+    )
+    t.widen_column("n", "bigint", from_type="int")
+    t.rename_column("n", "key")
+    convert_tablelog_to_delta(spark, t)
+    log_dir = os.path.join(str(tmp_path / "t"), "_delta_log")
+    first = sorted(n for n in os.listdir(log_dir) if n.endswith(".json"))[0]
+    acts = [json.loads(l) for l in open(os.path.join(log_dir, first)) if l.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert sorted(proto["readerFeatures"]) == ["columnMapping", "typeWidening"]
+    df = read_delta(spark, str(tmp_path / "t"))
+    assert df.dtypes == [("key", "bigint")]
+    assert sorted(r["key"] for r in df.collect()) == list(range(25))
