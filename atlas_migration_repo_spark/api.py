@@ -183,14 +183,17 @@ class AtlasEngine:
             self.spark, path, from_snapshot_id, to_snapshot_id
         )
 
-    def remove_orphan_files(self, path: str) -> list[str]:
+    def remove_orphan_files(
+        self, path: str, older_than_ms: int = 3 * 86_400_000
+    ) -> list[str]:
         """Reclaim crashed-writer debris under an Iceberg table location
-        (files referenced by NO snapshot); committed history untouched."""
+        (files referenced by NO snapshot and older than the grace
+        window); committed history untouched."""
         from atlas_migration_repo_spark.sources.iceberg_interop import (
             remove_orphan_files,
         )
 
-        return remove_orphan_files(path)
+        return remove_orphan_files(path, older_than_ms=older_than_ms)
 
     def convert_to_delta(self, tablelog_root: str) -> int:
         """Zero-copy, history-preserving CONVERT of a TableLog table to

@@ -825,14 +825,20 @@ def delete_delta_range(
     rewrite: list[dict] = []
     if column in pcols:
         # partition-column range: the partitionValue decides the whole
-        # file — numeric compare when both sides cast, else lexicographic
+        # file. Compare under the COLUMN'S DECLARED TYPE — the same
+        # semantics as the typed BETWEEN the CDF image filter and the
+        # data-column path use; a try-float heuristic would diverge on
+        # string columns with numeric-looking values ('10' < '9'
+        # lexicographically but not numerically)
+        col_type = next(f.dataType for f in schema.fields if f.name == column)
+        numeric = isinstance(col_type, T.NumericType)
+
         def _pv_in_range(pv: str | None) -> bool:
             if pv is None:
                 return False  # NULL never matches BETWEEN
-            try:
+            if numeric:
                 return float(lo) <= float(pv) <= float(hi)
-            except (TypeError, ValueError):
-                return str(lo) <= pv <= str(hi)
+            return str(lo) <= pv <= str(hi)
 
         for a in delta_live_files(path, v):
             if _pv_in_range((a.get("partitionValues") or {}).get(column)):
@@ -1125,15 +1131,26 @@ def read_delta_cdf(
                 "data (change data feed was not enabled for that commit)"
             )
         elif adds:
-            df = (
-                spark.read.schema(schema)
-                .parquet(
+            # partition columns live in partitionValues, not the data
+            # files — reattach them or partitioned appends would feed
+            # NULL partition values to CDF consumers
+            pcols = meta.get("partitionColumns") or []
+            data_schema = T.StructType(
+                [f for f in schema.fields if f.name not in pcols]
+            )
+            df = _attach_partition_cols(
+                spark,
+                spark.read.schema(data_schema).parquet(
                     *[
                         os.path.join(path, urllib.parse.unquote(a["path"]))
                         for a in adds
                     ]
-                )
-                .withColumn("_change_type", F.lit("insert"))
+                ),
+                adds,
+                meta,
+                path,
+            ).select(*[f.name for f in schema.fields]).withColumn(
+                "_change_type", F.lit("insert")
             )
         else:
             continue  # metadata-only commit
@@ -1395,13 +1412,24 @@ def adopt_delta_as_tablelog(path: str) -> TableLog:
         raise FileExistsError(f"{tlog_log} already holds a TableLog log")
     _, dmeta, _ = _replay(path)
     cmap: dict[str, str] = {}
-    if (dmeta.get("configuration") or {}).get("delta.columnMapping.mode") == "name":
-        for f in T.StructType.fromJson(json.loads(dmeta["schemaString"])).fields:
-            phys = (f.metadata or {}).get(
-                "delta.columnMapping.physicalName", f.name
-            )
-            if phys != f.name:
-                cmap[phys] = f.name
+    ctypes: dict[str, str] = {}
+    dschema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
+    mapped = (dmeta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "name"
+    for f in dschema.fields:
+        phys = (
+            (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+            if mapped
+            else f.name
+        )
+        if phys != f.name:
+            cmap[phys] = f.name
+        # typeWidening: older files carry a narrower physical type; the
+        # TableLog expresses the same thing as a columnTypes action
+        # (readers cast each file's column up before the union)
+        if (f.metadata or {}).get("delta.typeChanges"):
+            ctypes[phys] = f.dataType.simpleString()
     t = TableLog(path)
 
     def _as_tablelog_add(add: dict) -> dict:
@@ -1426,6 +1454,8 @@ def adopt_delta_as_tablelog(path: str) -> TableLog:
             tacts = [_as_tablelog_add(a) for a in delta_live_files(path, v)]
             if cmap:
                 tacts.append({"metaData": {"columnMapping": cmap}})
+            if ctypes:
+                tacts.append({"metaData": {"columnTypes": ctypes}})
         else:
             with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
                 dacts = [json.loads(line) for line in fh if line.strip()]

@@ -563,6 +563,30 @@ def _encode_part_value(v: str | None, ice_type: str):
 # ---------------------------------------------------------------------------
 # writer
 # ---------------------------------------------------------------------------
+def _partition_summaries(part_fields: list[dict], entries: list[tuple]):
+    """Per-manifest partition summaries (contains_null + JSON-encoded
+    value bounds) from ADDED entries — the manifest-list-level pruning
+    metadata every data manifest carries; None for unpartitioned."""
+    summaries = []
+    for pf in part_fields:
+        vals = [
+            e[4]["partition"].get(pf["name"])
+            for e in entries
+            if e[4]["partition"].get(pf["name"]) is not None
+        ]
+        nulls = any(e[4]["partition"].get(pf["name"]) is None for e in entries)
+        enc = lambda x: None if x is None else json.dumps(x).encode()
+        summaries.append(
+            {
+                "contains_null": nulls,
+                "contains_nan": None,
+                "lower_bound": enc(min(vals) if vals else None),
+                "upper_bound": enc(max(vals) if vals else None),
+            }
+        )
+    return summaries or None
+
+
 def _spec_part_fields(meta: dict, schema_fields: list[dict]) -> list[dict]:
     """Reconstruct the writer-shaped part_fields dicts from a table's
     CURRENT partition spec — what a non-append commit (merge, rewrite)
@@ -817,25 +841,7 @@ def write_iceberg(
     )
 
     # per-manifest partition summaries → manifest-list-level pruning
-    summaries = []
-    for pf in part_fields:
-        vals = [
-            e[4]["partition"].get(pf["name"])
-            for e in entries
-            if e[4]["partition"].get(pf["name"]) is not None
-        ]
-        nulls = any(e[4]["partition"].get(pf["name"]) is None for e in entries)
-        lo = min(vals) if vals else None
-        hi = max(vals) if vals else None
-        enc = lambda x: None if x is None else json.dumps(x).encode()
-        summaries.append(
-            {
-                "contains_null": nulls,
-                "contains_nan": None,
-                "lower_bound": enc(lo),
-                "upper_bound": enc(hi),
-            }
-        )
+    summaries = _partition_summaries(part_fields, entries) or []
     new_manifest_row = (
         man_path,
         man_len,
@@ -1126,6 +1132,41 @@ def iceberg_snapshot_as_of(path: str, timestamp_ms: int) -> int:
     return best["snapshot-id"]
 
 
+def _reattach_partition_cols(spark, df, files, pcols, full):
+    """Shared reader tail: reattach identity partition columns from the
+    manifests' typed partition structs via a broadcast file-path join,
+    reusing a pre-captured __ice_uri when the MOR anti-joins already
+    projected the _metadata pseudo-column away."""
+    if not pcols:
+        return df.select(*[f.name for f in full.fields])
+    pv_rows = [
+        (
+            os.path.abspath(f["file_path"]),
+            *[
+                None
+                if (f["partition"] or {}).get(c) is None
+                else str((f["partition"] or {}).get(c))
+                for c in pcols
+            ],
+        )
+        for f in files
+    ]
+    pv_schema = T.StructType(
+        [T.StructField("__file_uri", T.StringType())]
+        + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+    )
+    pv_df = spark.createDataFrame(pv_rows, pv_schema)
+    if "__ice_uri" in df.columns:
+        out = df.withColumnRenamed("__ice_uri", "__file_uri")
+    else:
+        out = df.withColumn("__file_uri", file_path_col())
+    out = out.join(F.broadcast(pv_df), "__file_uri")
+    ptypes = {f.name: f.dataType for f in full.fields}
+    for c in pcols:
+        out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
+    return out.select(*[f.name for f in full.fields])
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -1177,34 +1218,7 @@ def read_iceberg(
         # scan pseudo-column the anti-joins project away, so the pv join
         # below must reuse the pre-join capture, not re-derive it
         df = _apply_row_deletes(spark, df, datas, dels, schema_fields)
-    if not pcols:
-        return df.select(*[f.name for f in full.fields])
-    pv_rows = [
-        (
-            os.path.abspath(f["file_path"]),
-            *[
-                None
-                if (f["partition"] or {}).get(c) is None
-                else str((f["partition"] or {}).get(c))
-                for c in pcols
-            ],
-        )
-        for f in files
-    ]
-    pv_schema = T.StructType(
-        [T.StructField("__file_uri", T.StringType())]
-        + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
-    )
-    pv_df = spark.createDataFrame(pv_rows, pv_schema)
-    if "__ice_uri" in df.columns:
-        out = df.withColumnRenamed("__ice_uri", "__file_uri")
-    else:
-        out = df.withColumn("__file_uri", file_path_col())
-    out = out.join(F.broadcast(pv_df), "__file_uri")
-    ptypes = {f.name: f.dataType for f in full.fields}
-    for c in pcols:
-        out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
-    return out.select(*[f.name for f in full.fields])
+    return _reattach_partition_cols(spark, df, files, pcols, full)
 
 
 def iceberg_appends_between(
@@ -1299,34 +1313,7 @@ def read_iceberg_incremental(
         return spark.createDataFrame([], full)
     data_schema = T.StructType([f for f in full.fields if f.name not in pcols])
     df = spark.read.schema(data_schema).parquet(*[f["file_path"] for f in files])
-    if not pcols:
-        return df.select(*[f.name for f in full.fields])
-    pv_rows = [
-        (
-            os.path.abspath(f["file_path"]),
-            *[
-                None
-                if (f["partition"] or {}).get(c) is None
-                else str((f["partition"] or {}).get(c))
-                for c in pcols
-            ],
-        )
-        for f in files
-    ]
-    pv_schema = T.StructType(
-        [T.StructField("__file_uri", T.StringType())]
-        + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
-    )
-    pv_df = spark.createDataFrame(pv_rows, pv_schema)
-    if "__ice_uri" in df.columns:
-        out = df.withColumnRenamed("__ice_uri", "__file_uri")
-    else:
-        out = df.withColumn("__file_uri", file_path_col())
-    out = out.join(F.broadcast(pv_df), "__file_uri")
-    ptypes = {f.name: f.dataType for f in full.fields}
-    for c in pcols:
-        out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
-    return out.select(*[f.name for f in full.fields])
+    return _reattach_partition_cols(spark, df, files, pcols, full)
 
 
 def _apply_row_deletes(
@@ -1710,28 +1697,10 @@ def merge_iceberg(
     # data manifest carries the table's partition struct + summaries
     # (manifest-list pruning); the delete manifest is partition-less and
     # never pruned
-    summaries = []
-    for pf in part_fields:
-        vals = [
-            e[4]["partition"].get(pf["name"])
-            for e in data_entries
-            if e[4]["partition"].get(pf["name"]) is not None
-        ]
-        nulls = any(
-            e[4]["partition"].get(pf["name"]) is None for e in data_entries
-        )
-        enc = lambda x: None if x is None else json.dumps(x).encode()
-        summaries.append(
-            {
-                "contains_null": nulls,
-                "contains_nan": None,
-                "lower_bound": enc(min(vals) if vals else None),
-                "upper_bound": enc(max(vals) if vals else None),
-            }
-        )
+    summaries = _partition_summaries(part_fields, data_entries)
     rows = []
     for content, entries, espec, esumm in (
-        (0, data_entries, part_fields, summaries or None),
+        (0, data_entries, part_fields, summaries),
         (1, del_entries, [], None),
     ):
         if not entries:
@@ -2018,7 +1987,7 @@ def expire_snapshots(path: str, retain: int) -> dict:
     return {"snapshots": len(drop), "manifests": n_man, "data_files": n_dat}
 
 
-def remove_orphan_files(path: str) -> list[str]:
+def remove_orphan_files(path: str, older_than_ms: int = 3 * 86_400_000) -> list[str]:
     """Iceberg remove_orphan_files action: delete files under the table
     location referenced by NO snapshot — the debris of crashed writers
     (parquet renamed into data/ whose metadata commit never published,
@@ -2027,18 +1996,31 @@ def remove_orphan_files(path: str) -> list[str]:
     entry status (an entry marked DELETED in one snapshot may still be
     live in an older one — reachability is over the whole history, the
     same rule TableLog.vacuum() applies). Committed history is
-    untouched: every snapshot stays exactly readable. Returns the
-    deleted paths; a second call returns []."""
+    untouched: every snapshot stays exactly readable.
+
+    `older_than_ms` (default 3 days, Iceberg's own default) is the
+    guard against IN-FLIGHT writers: a writer between staging its
+    files and publishing metadata is indistinguishable from a crash,
+    so only files older than the cutoff are reclaimed — without it,
+    cleanup racing a live commit would corrupt the table it just
+    committed. Append snapshots carry prior manifests forward, so each
+    manifest is parsed ONCE (path-deduplicated), keeping the walk
+    O(manifests), not O(snapshots x manifests)."""
     import shutil as _shutil
 
     cur = _current_metadata(path)
     if cur is None:
         raise FileNotFoundError(f"no Iceberg metadata under {path}")
     _, meta = cur
+    cutoff = time.time() - older_than_ms / 1000.0
     referenced: set[str] = set()
+    seen_manifests: set[str] = set()
     for s in meta["snapshots"]:
         _, manifests = parse_container(open(s["manifest-list"], "rb").read())
         for m in manifests:
+            if m[0] in seen_manifests:
+                continue
+            seen_manifests.add(m[0])
             _, entries = parse_container(open(m[0], "rb").read())
             for e in entries:
                 referenced.add(os.path.abspath(e[4]["file_path"]))
@@ -2047,14 +2029,18 @@ def remove_orphan_files(path: str) -> list[str]:
     for dirpath, _dirs, names in os.walk(data_dir):
         for name in names:
             p = os.path.join(dirpath, name)
-            if os.path.abspath(p) not in referenced:
+            if (
+                os.path.abspath(p) not in referenced
+                and os.path.getmtime(p) < cutoff
+            ):
                 os.unlink(p)
                 deleted.append(p)
     for name in os.listdir(path):
         if name.startswith(".stage-"):
             p = os.path.join(path, name)
-            _shutil.rmtree(p, ignore_errors=True)
-            deleted.append(p)
+            if os.path.getmtime(p) < cutoff:
+                _shutil.rmtree(p, ignore_errors=True)
+                deleted.append(p)
     return deleted
 
 

@@ -929,12 +929,22 @@ class TableLog:
         if not files:
             raise ValueError(f"version {snap.version} has no live files after pruning")
         # Each commit staged its files under one data/s-<uuid>/ root; group
-        # by that segment and give Spark the group's root as basePath so
-        # key=value partition columns are recovered consistently (mixing
-        # staging roots in one read trips partition-structure inference).
+        # by the deepest NON-PARTITION ancestor dir (everything above the
+        # first key=value segment) and give Spark that root as basePath so
+        # key=value partition columns are recovered consistently. Grouping
+        # by the FIRST segment alone would lump an adopted table's
+        # "../data/s-a" and "../data/s-b" staging dirs into one ".."
+        # group — a single inferred-schema scan that crashes when a
+        # widened column leaves the groups at different physical widths.
         groups: dict[str, list[str]] = {}
         for f in files:
-            seg = f["path"].split(os.sep, 1)[0]
+            parts = f["path"].split(os.sep)
+            root_parts: list[str] = []
+            for seg in parts[:-1]:
+                if "=" in seg:
+                    break
+                root_parts.append(seg)
+            seg = os.sep.join(root_parts) if root_parts else "."
             groups.setdefault(seg, []).append(os.path.join(self.data_dir, f["path"]))
         parts = [
             spark.read.option("basePath", os.path.join(self.data_dir, seg)).parquet(*ps)

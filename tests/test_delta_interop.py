@@ -1336,3 +1336,82 @@ def test_convert_combined_rename_and_widen(spark, tmp_path):
     df = read_delta(spark, str(tmp_path / "t"))
     assert df.dtypes == [("key", "bigint")]
     assert sorted(r["key"] for r in df.collect()) == list(range(25))
+
+
+def test_cdf_initial_load_carries_partition_values(spark):
+    """Regression (self-review): the pure-append CDF branch derives
+    inserts from add files, which do NOT contain partition columns —
+    they must reattach from partitionValues, or the initial load feeds
+    NULL partitions to every downstream sync."""
+    from atlas_migration_repo_spark.sources.delta_interop import read_delta_cdf
+
+    root = _fresh("t_delta_cdf_part_v0")
+    rows = [(i, f"p{i % 3}", float(i)) for i in range(30)]
+    write_delta(
+        spark.createDataFrame(rows, "k bigint, part string, val double"),
+        root,
+        partition_by=["part"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    cdf = read_delta_cdf(spark, root, 0)
+    got = {r["k"]: r["part"] for r in cdf.collect()}
+    assert got == {k: p for k, p, _v in rows}, "v0 inserts lost partitions"
+    assert cdf.where(F.col("part").isNull()).count() == 0
+
+
+def test_partition_delete_string_semantics_match_typed_between(spark):
+    """Regression (self-review): a partition-column range delete on a
+    STRING column must compare lexicographically — the same semantics
+    as the typed BETWEEN — not float-coerce numeric-looking values
+    ('10' < '9' as strings, but not as numbers)."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+    )
+
+    root = _fresh("t_delta_pdel_str")
+    rows = [(i, p, 1.0) for i, p in enumerate(["9", "10", "11", "8"] * 5)]
+    write_delta(
+        spark.createDataFrame(rows, "k bigint, part string, val double"),
+        root,
+        partition_by=["part"],
+    )
+    delete_delta_range(spark, root, "part", "10", "11")
+    survivors = {r["part"] for r in read_delta(spark, root).collect()}
+    # string BETWEEN '10' AND '11': keeps '9' and '8' (> '11'
+    # lexicographically is false for '8','9'? '8' > '11' and '9' > '11'
+    # as strings, so both survive); removes '10' and '11'
+    assert survivors == {"8", "9"}
+    got = {r["k"] for r in read_delta(spark, root).collect()}
+    want = {k for k, p, _v in rows if not ("10" <= p <= "11")}
+    assert got == want
+
+
+def test_adopt_translates_type_widening(spark, tmp_path):
+    """Regression (self-review): adopting a Delta table that carries the
+    typeWidening feature must translate delta.typeChanges into a
+    TableLog columnTypes action — otherwise mixed narrow/wide physical
+    files read back with an inconsistent or failing schema."""
+    import shutil as _sh
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        adopt_delta_as_tablelog,
+        convert_tablelog_to_delta,
+    )
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i,) for i in range(20)], "n int"))
+    t.widen_column("n", "bigint", from_type="int")
+    t.append(
+        spark.createDataFrame(
+            [(i + 10_000_000_000,) for i in range(20, 30)], "n bigint"
+        )
+    )
+    convert_tablelog_to_delta(spark, t)
+    clone = str(tmp_path / "t2")
+    _sh.copytree(str(tmp_path / "t"), clone)
+    _sh.rmtree(os.path.join(clone, "_log"))
+    t2 = adopt_delta_as_tablelog(clone)
+    df = t2.read(spark)
+    assert dict(df.dtypes)["n"] == "bigint"
+    got = sorted(r["n"] for r in df.collect())
+    assert got == list(range(20)) + [i + 10_000_000_000 for i in range(20, 30)]

@@ -868,7 +868,10 @@ def test_remove_orphan_files_keeps_all_history(spark):
         fh.write(b"not really parquet")
     os.makedirs(os.path.join(root, ".stage-dead", "x"), exist_ok=True)
 
-    deleted = remove_orphan_files(root)
+    # a FRESH orphan must survive the default 3-day grace window
+    # (in-flight-writer protection), then fall to an immediate pass
+    assert remove_orphan_files(root) == []
+    deleted = remove_orphan_files(root, older_than_ms=0)
     assert any("deadbeef-orphan" in p for p in deleted)
     assert any(".stage-dead" in p for p in deleted)
     assert len(deleted) == 2, f"over-deleted: {deleted}"
@@ -878,7 +881,7 @@ def test_remove_orphan_files_keeps_all_history(spark):
                         (d, set(range(50, 200)))):
         got = {r["k"] for r in read_iceberg(spark, root, snapshot_id=sid).collect()}
         assert got == expect, f"snapshot {sid} changed after orphan cleanup"
-    assert remove_orphan_files(root) == []
+    assert remove_orphan_files(root, older_than_ms=0) == []
 
 
 def test_concurrent_iceberg_appends_lose_nothing(spark):
