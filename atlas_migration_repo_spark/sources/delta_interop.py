@@ -86,6 +86,20 @@ def _committed_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _next_version(log_dir: str) -> int:
+    """Next commit version: one past the newest JSON commit OR parquet
+    checkpoint — a trimmed log's newest version may survive only as its
+    checkpoint, and committing below it would collide with history."""
+    vs = _committed_versions(log_dir)
+    cps = [
+        int(n[:20])
+        for n in (os.listdir(log_dir) if os.path.isdir(log_dir) else [])
+        if n.endswith(".checkpoint.parquet") and n[:20].isdigit()
+    ]
+    newest = max([*vs, *cps], default=-1)
+    return newest + 1
+
+
 def _publish_commit(log_dir: str, actions: list[dict], version: int) -> int:
     """Publish `actions` as the next commit via put-if-absent — Delta's
     optimistic concurrency. Losing the version race retries at the next
@@ -151,11 +165,10 @@ def _checkpoint_actions(cp_path: str) -> list[dict]:
     return acts
 
 
-def _replay(path: str, version: int | None = None) -> tuple[int, dict, list[dict]]:
-    """Resolve (version, metaData, live add-actions) by replaying the log:
-    newest checkpoint ≤ target (from _last_checkpoint or a listing), then
-    the JSON commits after it. add/remove reconcile by data-file path;
-    last metaData wins — the published Delta action-reconciliation rules."""
+def _raw_actions(path: str, version: int | None = None) -> tuple[int, list[dict]]:
+    """(resolved version, flat action list) from the newest checkpoint ≤
+    target plus the JSON commits after it — the shared walk under
+    _replay, txn resolution, and checkpoint writing."""
     log_dir = _log_dir(path)
     vs = _committed_versions(log_dir)
     cps = sorted(
@@ -182,6 +195,15 @@ def _replay(path: str, version: int | None = None) -> tuple[int, dict, list[dict
             continue
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
             acts.extend(json.loads(line) for line in fh if line.strip())
+    return version, acts
+
+
+def _replay(path: str, version: int | None = None) -> tuple[int, dict, list[dict]]:
+    """Resolve (version, metaData, live add-actions) by replaying the log:
+    newest checkpoint ≤ target (from _last_checkpoint or a listing), then
+    the JSON commits after it. add/remove reconcile by data-file path;
+    last metaData wins — the published Delta action-reconciliation rules."""
+    version, acts = _raw_actions(path, version)
     meta: dict = {}
     live: dict[str, dict] = {}
     for a in acts:
@@ -192,8 +214,24 @@ def _replay(path: str, version: int | None = None) -> tuple[int, dict, list[dict
         elif "remove" in a:
             live.pop(a["remove"]["path"], None)
     if not meta:
-        raise ValueError(f"no metaData action found in {log_dir}")
+        raise ValueError(f"no metaData action found in {_log_dir(path)}")
     return version, meta, [live[p] for p in sorted(live)]
+
+
+def delta_txn_version(path: str, app_id: str) -> int | None:
+    """Latest `txn` version committed for `app_id` (None if never seen) —
+    the protocol's transaction-identifier lookup that makes idempotent
+    writes possible: a replayed micro-batch checks its (appId, version)
+    and skips if the mark is already at or past it. Checkpoints preserve
+    txn actions, so the answer survives log trimming."""
+    _, acts = _raw_actions(path)
+    best: int | None = None
+    for a in acts:
+        t = a.get("txn")
+        if t and t.get("appId") == app_id:
+            v = int(t["version"])
+            best = v if best is None or v > best else best
+    return best
 
 
 def _current_meta(path: str) -> dict | None:
@@ -319,6 +357,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     configuration: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write `df` as a commit to a Delta-format table at `path`.
 
@@ -327,12 +366,22 @@ def write_delta(
     add actions with partitionValues + stats; `mode="overwrite"` also
     emits remove (tombstone) actions for every previously-live file.
     Paths in the log are URL-encoded relative paths per the protocol.
-    """
+
+    `txn=(app_id, version)` rides the protocol's transaction-identifier
+    action for IDEMPOTENT writes: if the table already carries a txn
+    mark for `app_id` at or past `version`, the call is a NO-OP (no
+    stage, no commit) and returns the current table version — the
+    foreachBatch exactly-once pattern, restart- and replay-safe."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     partition_by = list(partition_by or [])
     prev_meta = _current_meta(path)
     _refuse_column_mapped(prev_meta, "write_delta")
+    if txn is not None and prev_meta is not None:
+        last = delta_txn_version(path, txn[0])
+        if last is not None and int(txn[1]) <= last:
+            # current version may live only in a checkpoint (trimmed log)
+            return _raw_actions(path)[0]
     prev_adds: list[dict] = []
     if prev_meta is not None:
         _, _, prev_adds = _replay(path)
@@ -362,6 +411,16 @@ def write_delta(
             }
         }
     ]
+    if txn is not None:
+        actions.append(
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": int(txn[1]),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
     if prev_meta is None:
         actions.append({"protocol": dict(_PROTOCOL)})
         actions.append(
@@ -407,8 +466,7 @@ def write_delta(
                 }
             )
     actions.extend(adds)
-    vs = _committed_versions(_log_dir(path))
-    return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
 def checkpoint_delta(path: str, version: int | None = None) -> int:
@@ -419,13 +477,45 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
     import pyarrow.parquet as pq
 
     v, meta, adds = _replay(path, version)
+    _, acts = _raw_actions(path, version)
+    # the checkpoint must carry the table's REAL protocol (a mapped or
+    # type-widened table runs at 2/5 or 3/7 — writing the default would
+    # silently downgrade it) and the latest txn mark per appId (the
+    # protocol requires transaction identifiers to survive checkpoints,
+    # or idempotent writers would re-apply after log trimming)
+    protocol = dict(_PROTOCOL)
+    txns: dict[str, dict] = {}
+    for a in acts:
+        if "protocol" in a:
+            protocol = a["protocol"]
+        t = a.get("txn")
+        if t and (
+            t["appId"] not in txns
+            or int(t["version"]) > int(txns[t["appId"]]["version"])
+        ):
+            txns[t["appId"]] = t
     kv = pa.map_(pa.string(), pa.string())
     schema = pa.schema(
         [
             pa.field(
                 "protocol",
                 pa.struct(
-                    [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                        ("lastUpdated", pa.int64()),
+                    ]
                 ),
             ),
             pa.field(
@@ -458,7 +548,7 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
     )
     rows: list[dict] = [
         {
-            "protocol": dict(_PROTOCOL),
+            "protocol": protocol,
             "metaData": {
                 "id": meta.get("id"),
                 "format": {"provider": "parquet"},
@@ -479,6 +569,16 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": False,
                     "stats": a.get("stats"),
+                }
+            }
+        )
+    for t in txns.values():
+        rows.append(
+            {
+                "txn": {
+                    "appId": t["appId"],
+                    "version": int(t["version"]),
+                    "lastUpdated": t.get("lastUpdated"),
                 }
             }
         )
@@ -795,8 +895,7 @@ def merge_delta(
             }
         )
     actions.extend(_harvest_stage_adds(path, stage, now_ms))
-    vs = _committed_versions(_log_dir(path))
-    return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
 def delete_delta_range(
@@ -918,8 +1017,7 @@ def delete_delta_range(
             w = w.partitionBy(*pcols)
         w.parquet(stage)
         actions.extend(_harvest_stage_adds(path, stage, now_ms))
-    vs = _committed_versions(_log_dir(path))
-    return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
 def optimize_delta(
@@ -987,8 +1085,7 @@ def optimize_delta(
             }
         )
     actions.extend(_harvest_stage_adds(path, stage, now_ms, data_change=False))
-    vs = _committed_versions(_log_dir(path))
-    return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
 def restore_delta(spark: SparkSession, path: str, version: int) -> int:
@@ -1026,8 +1123,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         )
     for p in sorted(set(tgt_by) - set(cur_by)):
         actions.append({"add": dict(tgt_by[p])})
-    vs = _committed_versions(_log_dir(path))
-    return _publish_commit(_log_dir(path), actions, (vs[-1] + 1) if vs else 0)
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
 def clone_delta(

@@ -1415,3 +1415,72 @@ def test_adopt_translates_type_widening(spark, tmp_path):
     assert dict(df.dtypes)["n"] == "bigint"
     got = sorted(r["n"] for r in df.collect())
     assert got == list(range(20)) + [i + 10_000_000_000 for i in range(20, 30)]
+
+
+def test_delta_txn_idempotent_writes_survive_checkpoint(spark):
+    """Transaction identifiers: a replayed (appId, version) write is a
+    NO-OP (no duplicate rows, no new commit); txn marks and the table's
+    REAL protocol survive checkpointing + pre-checkpoint log deletion —
+    without that, log trimming would re-open the door to duplicates and
+    silently downgrade a feature-gated table."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delta_txn_version,
+    )
+
+    root = _fresh("t_delta_txn")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.col("n_nationkey") < 10), root)
+    v1 = write_delta(
+        nat.where((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        root,
+        mode="append",
+        txn=("loader", 0),
+    )
+    # replay of batch 0: must not land twice
+    v_replay = write_delta(
+        nat.where((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        root,
+        mode="append",
+        txn=("loader", 0),
+    )
+    assert v_replay == v1, "replayed txn must be a no-op"
+    assert read_delta(spark, root).count() == 20
+    assert delta_txn_version(root, "loader") == 0
+    assert delta_txn_version(root, "other") is None
+
+    cp_v = checkpoint_delta(root)
+    log = os.path.join(root, "_delta_log")
+    for v in range(cp_v + 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    # marks resolve from the checkpoint alone
+    assert delta_txn_version(root, "loader") == 0
+    v2 = write_delta(
+        nat.where(F.col("n_nationkey") >= 20), root, mode="append",
+        txn=("loader", 0),
+    )
+    assert read_delta(spark, root).count() == 20, "trimmed log re-applied txn"
+    v3 = write_delta(
+        nat.where(F.col("n_nationkey") >= 20), root, mode="append",
+        txn=("loader", 1),
+    )
+    assert v3 > v2 and read_delta(spark, root).count() == 25
+
+
+def test_checkpoint_preserves_feature_protocol(spark, tmp_path):
+    """Regression: checkpointing a columnMapping table must carry the
+    2/5 protocol into the checkpoint, not downgrade to the default —
+    a reader replaying from the checkpoint alone would otherwise see a
+    feature table at protocol 1/2."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _checkpoint_actions,
+        convert_tablelog_to_delta,
+    )
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(i, i) for i in range(10)], "k bigint, v bigint"))
+    t.rename_column("v", "val")
+    convert_tablelog_to_delta(spark, t)
+    cp_v = checkpoint_delta(str(tmp_path / "t"))
+    cp = os.path.join(str(tmp_path / "t"), "_delta_log", f"{cp_v:020d}.checkpoint.parquet")
+    proto = next(a["protocol"] for a in _checkpoint_actions(cp) if "protocol" in a)
+    assert proto["minReaderVersion"] == 2 and proto["minWriterVersion"] == 5
