@@ -1594,6 +1594,33 @@ def _finish_convert(path: str, first_version: int) -> None:
 # registered queries (each rebuilds its fixture idempotently per call)
 # ---------------------------------------------------------------------------
 @query(
+    "delta_sink_txn",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def delta_sink_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once landing through transaction identifiers: three
+    order batches append with txn=("feed", i), then batch 1 REPLAYS
+    with the same mark — the duplicate is a committed no-op, so the
+    landed table equals the source exactly (the foreachBatch
+    restart-safety contract, batch-shaped)."""
+    root = scratch_path(sf_dir, "orders_delta_sink_txn")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    batches = [orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    write_delta(batches[0], root, mode="append", txn=("feed", 0))
+    write_delta(batches[1], root, mode="append", txn=("feed", 1))
+    write_delta(batches[1], root, mode="append", txn=("feed", 1))  # replay
+    write_delta(batches[2], root, mode="append", txn=("feed", 2))
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
     "delta_roundtrip",
     oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 )
