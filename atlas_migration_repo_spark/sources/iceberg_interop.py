@@ -739,11 +739,31 @@ def _stage_data_files(
     return entries, added_rows
 
 
+def iceberg_txn_version(path: str, app_id: str) -> int | None:
+    """Latest committed write mark for `app_id`, read from snapshot
+    SUMMARY properties — Iceberg has no txn action, so engines store the
+    writer's epoch in the summary (the Spark/Flink sink convention);
+    expire_snapshots can reclaim old marks, so writers should retain
+    enough history for their longest replay window (same rule as the
+    real sinks)."""
+    cur = _current_metadata(path)
+    if cur is None:
+        return None
+    best: int | None = None
+    for s in cur[1]["snapshots"]:
+        summ = s.get("summary") or {}
+        if summ.get("txn-app-id") == app_id:
+            v = int(summ["txn-version"])
+            best = v if best is None or v > best else best
+    return best
+
+
 def write_iceberg(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit `df` to an Iceberg v2 table at `path` as a new snapshot.
 
@@ -752,11 +772,22 @@ def write_iceberg(
     list (append: prior manifests carried forward; overwrite: only the
     new manifest — the snapshot's manifest list fully defines its
     content), and a new vN.metadata.json + version-hint. Returns the new
-    snapshot id."""
+    snapshot id.
+
+    `txn=(app_id, version)` makes the write IDEMPOTENT via snapshot
+    summary properties (`txn-app-id`/`txn-version`, the convention
+    streaming sinks use since Iceberg has no txn action): a replayed
+    mark at or below the recorded one is a no-op returning the current
+    snapshot id — the exactly-once foreachBatch pattern, twin of
+    write_delta's."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     partition_by = list(partition_by or [])
     cur = _current_metadata(path)
+    if txn is not None and cur is not None:
+        last = iceberg_txn_version(path, txn[0])
+        if last is not None and int(txn[1]) <= last:
+            return cur[1]["current-snapshot-id"]
     os.makedirs(_meta_dir(path), exist_ok=True)
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
@@ -878,12 +909,16 @@ def write_iceberg(
     )
 
     now_ms = int(time.time() * 1000)
+    summary = {"operation": "append" if mode == "append" else "overwrite"}
+    if txn is not None:
+        summary["txn-app-id"] = txn[0]
+        summary["txn-version"] = str(int(txn[1]))
     snapshot = {
         "snapshot-id": snap_id,
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "manifest-list": mlist_path,
-        "summary": {"operation": "append" if mode == "append" else "overwrite"},
+        "summary": summary,
         "schema-id": 0,
     }
     if cur is None:
@@ -2453,6 +2488,32 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return read_iceberg(spark, root)
+
+
+@query(
+    "iceberg_sink_txn",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def iceberg_sink_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once landing into Iceberg via snapshot-summary write
+    marks: three order batches append with txn=("feed", i), batch 1
+    REPLAYS with the same mark and must be a no-op — the landed table
+    equals the source exactly (twin of delta_sink_txn)."""
+    root = scratch_path(sf_dir, "orders_iceberg_sink_txn")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    batches = [orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    write_iceberg(batches[0], root, mode="append", txn=("feed", 0))
+    write_iceberg(batches[1], root, mode="append", txn=("feed", 1))
+    write_iceberg(batches[1], root, mode="append", txn=("feed", 1))  # replay
+    write_iceberg(batches[2], root, mode="append", txn=("feed", 2))
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
 
 
 @query(
