@@ -141,10 +141,15 @@ class AtlasEngine:
         path: str,
         partition_by: Sequence[str] = (),
         mode: str = "overwrite",
+        txn: tuple[str, int] | None = None,
     ) -> int:
+        """`txn=(app_id, version)` makes the write idempotent (a
+        replayed mark is a committed no-op) — exactly-once landing."""
         from atlas_migration_repo_spark.sources.delta_interop import write_delta
 
-        return write_delta(df, path, partition_by=list(partition_by), mode=mode)
+        return write_delta(
+            df, path, partition_by=list(partition_by), mode=mode, txn=txn
+        )
 
     def read_iceberg(
         self, path: str, snapshot_id: int | None = None
@@ -161,10 +166,15 @@ class AtlasEngine:
         path: str,
         partition_by: Sequence[str] = (),
         mode: str = "overwrite",
+        txn: tuple[str, int] | None = None,
     ) -> int:
+        """`txn=(app_id, version)` rides snapshot-summary write marks
+        for idempotent (exactly-once) landing."""
         from atlas_migration_repo_spark.sources.iceberg_interop import write_iceberg
 
-        return write_iceberg(df, path, partition_by=list(partition_by), mode=mode)
+        return write_iceberg(
+            df, path, partition_by=list(partition_by), mode=mode, txn=txn
+        )
 
     def read_iceberg_incremental(
         self,
