@@ -142,7 +142,22 @@ def sync_ann_index(spark: SparkSession, em_log: TableLog, index_root: str) -> in
     to_v = em_log.versions()[-1]
     if to_v <= from_v:
         return 0
-    delta = em_log.changes(spark, from_version=from_v, to_version=to_v)
+    try:
+        delta = em_log.changes(spark, from_version=from_v, to_version=to_v)
+    except ValueError:
+        # the versions since the watermark carry no data changes — e.g.
+        # a compact() (dataChange=false adds, skipped by the feed) or a
+        # pure delete. Advance the watermark with a metadata-only commit
+        # so the next sync doesn't re-walk the same empty range; a
+        # re-index of the whole table here is exactly what the
+        # dataChange flag exists to prevent.
+        codes_log._commit(
+            [
+                {"metaData": {"ann_indexed_version": to_v}},
+                {"commitInfo": {"operation": "ANN SYNC (no data change)"}},
+            ]
+        )
+        return 0
     cent, cb = _load_quantizer(spark, index_root)
     bc = spark.sparkContext.broadcast(cent)
     bcb = spark.sparkContext.broadcast(cb)

@@ -103,14 +103,23 @@ def _next_version(log_dir: str) -> int:
 def _publish_commit(log_dir: str, actions: list[dict], version: int) -> int:
     """Publish `actions` as the next commit via put-if-absent — Delta's
     optimistic concurrency. Losing the version race retries at the next
-    number, but a retried commit that carries REMOVE actions re-resolves
-    the snapshot first and raises ConcurrentDeltaWriteError if any of
-    its removed files is no longer live (a concurrent overwrite already
-    superseded it — blind retry would tombstone files it never read).
-    Blind appends, the provably-safe case, always retry."""
+    number, with the protocol's conflict checks re-run first:
+    - REMOVE-carrying commits re-resolve the snapshot and raise
+      ConcurrentDeltaWriteError if any removed file is no longer live
+      (a concurrent overwrite superseded it);
+    - metaData-carrying commits raise outright (the schema/config they
+      computed predates the race winner — blind retry would clobber a
+      concurrent evolution's columns, Delta's metadata-changed rule);
+    - txn-carrying commits re-check the transaction mark and return the
+      winner's version as a NO-OP if the same (appId, version) already
+      landed — two restarted workers replaying one micro-batch commit
+      it once (staged files of the loser become vacuum-able orphans).
+    Blind data appends, the provably-safe case, always retry."""
     os.makedirs(log_dir, exist_ok=True)
     store = PosixLinkLogStore()
     removed = {a["remove"]["path"] for a in actions if "remove" in a}
+    has_meta = any("metaData" in a for a in actions)
+    txns = [a["txn"] for a in actions if "txn" in a]
     table_root = os.path.dirname(log_dir)
     tmp = os.path.join(log_dir, f".tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
@@ -121,6 +130,12 @@ def _publish_commit(log_dir: str, actions: list[dict], version: int) -> int:
     try:
         lost_race = False
         while True:
+            if lost_race and has_meta:
+                raise ConcurrentDeltaWriteError(
+                    "a concurrent commit won the version race and this "
+                    "commit carries a metaData action computed before it; "
+                    "re-read the table and redo the schema change"
+                )
             if lost_race and removed:
                 live = {a["path"] for a in delta_live_files(table_root)}
                 gone = sorted(removed - live)
@@ -130,6 +145,17 @@ def _publish_commit(log_dir: str, actions: list[dict], version: int) -> int:
                         f"{'...' if len(gone) > 3 else ''}; re-read the "
                         "table and redo the operation"
                     )
+            if txns:
+                # checked on EVERY attempt, not just after a lost race:
+                # a racing replayer can land at version N and leave this
+                # writer a clean publish at N+1 — the mark walk at the
+                # top of the attempt is what closes that window (the
+                # version was computed after the walk, so any commit
+                # below it is visible here)
+                for t in txns:
+                    last = delta_txn_version(table_root, t["appId"])
+                    if last is not None and int(t["version"]) <= last:
+                        return _raw_actions(table_root)[0]
             target = os.path.join(log_dir, f"{version:020d}.json")
             if store.publish(tmp, target):
                 return version
@@ -198,12 +224,10 @@ def _raw_actions(path: str, version: int | None = None) -> tuple[int, list[dict]
     return version, acts
 
 
-def _replay(path: str, version: int | None = None) -> tuple[int, dict, list[dict]]:
-    """Resolve (version, metaData, live add-actions) by replaying the log:
-    newest checkpoint ≤ target (from _last_checkpoint or a listing), then
-    the JSON commits after it. add/remove reconcile by data-file path;
-    last metaData wins — the published Delta action-reconciliation rules."""
-    version, acts = _raw_actions(path, version)
+def _reduce_actions(acts: list[dict]) -> tuple[dict, list[dict]]:
+    """(last metaData, live add-actions) under the published Delta
+    action-reconciliation rules: add/remove reconcile by data-file
+    path; last metaData wins."""
     meta: dict = {}
     live: dict[str, dict] = {}
     for a in acts:
@@ -213,9 +237,18 @@ def _replay(path: str, version: int | None = None) -> tuple[int, dict, list[dict
             live[a["add"]["path"]] = a["add"]
         elif "remove" in a:
             live.pop(a["remove"]["path"], None)
+    return meta, [live[p] for p in sorted(live)]
+
+
+def _replay(path: str, version: int | None = None) -> tuple[int, dict, list[dict]]:
+    """Resolve (version, metaData, live add-actions) by replaying the log:
+    newest checkpoint ≤ target (from _last_checkpoint or a listing), then
+    the JSON commits after it."""
+    version, acts = _raw_actions(path, version)
+    meta, adds = _reduce_actions(acts)
     if not meta:
         raise ValueError(f"no metaData action found in {_log_dir(path)}")
-    return version, meta, [live[p] for p in sorted(live)]
+    return version, meta, adds
 
 
 def delta_txn_version(path: str, app_id: str) -> int | None:
@@ -224,7 +257,10 @@ def delta_txn_version(path: str, app_id: str) -> int | None:
     writes possible: a replayed micro-batch checks its (appId, version)
     and skips if the mark is already at or past it. Checkpoints preserve
     txn actions, so the answer survives log trimming."""
-    _, acts = _raw_actions(path)
+    try:
+        _, acts = _raw_actions(path)
+    except FileNotFoundError:
+        return None  # table being created: its first commit carries the mark
     best: int | None = None
     for a in acts:
         t = a.get("txn")
@@ -385,12 +421,15 @@ def write_delta(
     prev_adds: list[dict] = []
     if prev_meta is not None:
         _, _, prev_adds = _replay(path)
-        if prev_meta.get("partitionColumns") and partition_by != prev_meta.get(
-            "partitionColumns"
-        ):
+        if partition_by != (prev_meta.get("partitionColumns") or []):
+            # BOTH directions must refuse: partitioning an existing
+            # unpartitioned table would physically drop the partition
+            # column from the appended files while the metaData still
+            # says unpartitioned — every appended row would read back
+            # NULL in that column
             raise ValueError(
                 "partition_by must match the table's partitionColumns "
-                f"{prev_meta.get('partitionColumns')}"
+                f"{prev_meta.get('partitionColumns') or []}"
             )
 
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
@@ -476,8 +515,10 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    v, meta, adds = _replay(path, version)
-    _, acts = _raw_actions(path, version)
+    v, acts = _raw_actions(path, version)
+    meta, adds = _reduce_actions(acts)
+    if not meta:
+        raise ValueError(f"no metaData action found in {_log_dir(path)}")
     # the checkpoint must carry the table's REAL protocol (a mapped or
     # type-widened table runs at 2/5 or 3/7 — writing the default would
     # silently downgrade it) and the latest txn mark per appId (the
@@ -712,26 +753,9 @@ def read_delta(
         df = df.withColumnRenamed(phys, logical)
     if not pcols:
         return df.select(*[f.name for f in schema.fields])
-    # one row per live file: (normalized file path, partition value strings)
-    pv_rows = []
-    for a, p in zip(adds, abs_paths):
-        pv = a.get("partitionValues") or {}
-        pv_rows.append((os.path.abspath(p), *[pv.get(c) for c in pcols]))
-    pv_schema = T.StructType(
-        [T.StructField("__file_uri", T.StringType())]
-        + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols]
+    return _attach_partition_cols(spark, df, adds, meta, path).select(
+        *[f.name for f in schema.fields]
     )
-    pv_df = spark.createDataFrame(pv_rows, pv_schema)
-    # _metadata.file_path is a URI whose slash count varies by Hadoop
-    # filesystem (file:/, file://, file:///) — normalize to a plain path
-    out = df.withColumn(
-        "__file_uri",
-        file_path_col(),
-    ).join(F.broadcast(pv_df), "__file_uri")
-    ptypes = {f.name: f.dataType for f in schema.fields}
-    for c in pcols:
-        out = out.withColumn(c, F.col(f"__pv_{c}").cast(ptypes[c]))
-    return out.select(*[f.name for f in schema.fields])
 
 
 def _attach_partition_cols(
@@ -1094,9 +1118,13 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     live then but not now, remove files live now but not then
     (dataChange=true, as Delta's RESTORE does). Pure metadata: no data
     file is read or written, so restoring a 100 TB table costs one
-    commit. History is preserved — the bad versions stay readable."""
-    cur_v, _, cur_adds = _replay(path)
-    _, _, tgt_adds = _replay(path, version)
+    commit. History is preserved — the bad versions stay readable.
+    The TARGET's metaData is restored along with its file set: a
+    restore across a schema evolution must reproduce the old schema,
+    or the restored state would surface spurious all-NULL columns the
+    target version never had."""
+    cur_v, cur_meta, cur_adds = _replay(path)
+    _, tgt_meta, tgt_adds = _replay(path, version)
     cur_by, tgt_by = (
         {a["path"]: a for a in cur_adds},
         {a["path"]: a for a in tgt_adds},
@@ -1111,6 +1139,8 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             }
         }
     ]
+    if tgt_meta != cur_meta:
+        actions.append({"metaData": tgt_meta})
     for p in sorted(set(cur_by) - set(tgt_by)):
         actions.append(
             {
@@ -1189,6 +1219,18 @@ def read_delta_cdf(
     O(delta) at 100 TB."""
     log_dir = _log_dir(path)
     vs = _committed_versions(log_dir)
+    if not vs:
+        raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    if from_version < vs[0]:
+        # vacuum(retain_versions=N) trimmed the JSONs below vs[0]; the
+        # changes of those versions are GONE. Skipping them would hand
+        # an incremental consumer a silently incomplete feed — fail
+        # loudly so it re-bootstraps from a full snapshot instead.
+        raise ValueError(
+            f"change data for versions {from_version}..{vs[0] - 1} has "
+            "been vacuumed; re-bootstrap from a snapshot and resume from "
+            f"version {vs[0]}"
+        )
     if to_version is None:
         to_version = vs[-1]
     _, meta, _ = _replay(path, to_version)

@@ -1256,6 +1256,38 @@ def read_iceberg(
     return _reattach_partition_cols(spark, df, files, pcols, full)
 
 
+def _added_data_files_in_seq_range(
+    meta: dict, lo_seq: int, hi_seq: int, label: str = "incremental scan"
+) -> list[dict]:
+    """data_file dicts ADDED by append snapshots with sequence number in
+    (lo_seq, hi_seq] — the shared planning core of the batch incremental
+    append scan and the iceberg_stream source (same walk, same
+    non-append guard): only manifests added BY an in-range snapshot are
+    opened, so cost is O(new files)."""
+    added: list[dict] = []
+    for s in sorted(meta["snapshots"], key=lambda x: x["sequence-number"]):
+        seq = s["sequence-number"]
+        if seq <= lo_seq or seq > hi_seq:
+            continue
+        op = (s.get("summary") or {}).get("operation")
+        # a table's FIRST snapshot is append-shaped whatever its label —
+        # there was nothing to replace
+        if op not in (None, "append") and seq > 1:
+            raise RuntimeError(
+                f"{label}: snapshot {s['snapshot-id']} is {op!r}, "
+                "not append-only; read the change feed or a full snapshot"
+            )
+        _, manifests = parse_container(open(s["manifest-list"], "rb").read())
+        for m in manifests:
+            if m[3] != 0 or m[6] != s["snapshot-id"]:
+                continue  # not a data manifest added BY this snapshot
+            _, entries = parse_container(open(m[0], "rb").read())
+            for e in entries:
+                if e[0] == 1 and e[1] == s["snapshot-id"]:  # status ADDED
+                    added.append(e[4])
+    return added
+
+
 def iceberg_appends_between(
     path: str,
     from_snapshot_id: int | None = None,
@@ -1290,26 +1322,7 @@ def iceberg_appends_between(
     if hi_sid not in by_id:
         raise ValueError(f"unknown to snapshot {hi_sid}")
     hi_seq = by_id[hi_sid]["sequence-number"]
-    added: list[dict] = []
-    for s in sorted(meta["snapshots"], key=lambda x: x["sequence-number"]):
-        seq = s["sequence-number"]
-        if seq <= lo_seq or seq > hi_seq:
-            continue
-        op = (s.get("summary") or {}).get("operation")
-        if op not in (None, "append") and seq > 1:
-            raise RuntimeError(
-                f"incremental scan: snapshot {s['snapshot-id']} is {op!r}, "
-                "not append-only; read the change feed or a full snapshot"
-            )
-        _, manifests = parse_container(open(s["manifest-list"], "rb").read())
-        for m in manifests:
-            if m[3] != 0 or m[6] != s["snapshot-id"]:
-                continue  # not a data manifest added BY this snapshot
-            _, entries = parse_container(open(m[0], "rb").read())
-            for e in entries:
-                if e[0] == 1 and e[1] == s["snapshot-id"]:  # status ADDED
-                    added.append(e[4])
-    return meta, added
+    return meta, _added_data_files_in_seq_range(meta, lo_seq, hi_seq)
 
 
 def read_iceberg_incremental(
@@ -2915,36 +2928,15 @@ def iceberg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             return {"seq": meta["last-sequence-number"] if meta else 0}
 
         def partitions(self, start, end):
-            from atlas_migration_repo_spark.sources.avro import parse_container
+            from atlas_migration_repo_spark.sources.iceberg_interop import (
+                _added_data_files_in_seq_range,
+            )
 
             meta = self._meta()
-            paths = []
-            for s in sorted(
-                meta["snapshots"], key=lambda x: x["sequence-number"]
-            ):
-                seq = s["sequence-number"]
-                if seq <= start["seq"] or seq > end["seq"]:
-                    continue
-                op = (s.get("summary") or {}).get("operation")
-                # a table's FIRST snapshot is append-shaped whatever its
-                # label — there was nothing to replace
-                if op not in (None, "append") and seq > 1:
-                    raise RuntimeError(
-                        f"iceberg_stream: snapshot {s['snapshot-id']} is "
-                        f"{op!r}, not append-only; stream a change feed or "
-                        "restart from a fresh snapshot"
-                    )
-                _, manifests = parse_container(
-                    open(s["manifest-list"], "rb").read()
-                )
-                for m in manifests:
-                    if m[3] != 0 or m[6] != s["snapshot-id"]:
-                        continue  # not a data manifest added BY this snapshot
-                    _, entries = parse_container(open(m[0], "rb").read())
-                    for e in entries:
-                        if e[0] == 1 and e[1] == s["snapshot-id"]:
-                            paths.append(e[4]["file_path"])
-            return [FilePartition(p) for p in paths]
+            files = _added_data_files_in_seq_range(
+                meta, start["seq"], end["seq"], label="iceberg_stream"
+            )
+            return [FilePartition(f["file_path"]) for f in files]
 
         def read(self, partition):
             import pyarrow.parquet as pq

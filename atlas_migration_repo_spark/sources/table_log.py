@@ -496,6 +496,34 @@ class TableLog:
             )
         cmap, ctypes = self._column_meta()
         phys = self._physical_name(logical, cmap)
+        # validate the CLAIMED from_type against a live file's actual
+        # footer type — a wrong claim would commit a bogus widening that
+        # every later read applies as a silent lossy cast (e.g. a string
+        # column "widened" int→bigint turns non-numeric values to NULL)
+        _ARROW_TO_SQL = {
+            "int16": "smallint",
+            "int32": "int",
+            "int64": "bigint",
+            "float": "float",
+            "double": "double",
+        }
+        for f in self.snapshot().files:
+            fp = os.path.join(self.data_dir, f["path"])
+            if not os.path.exists(fp):
+                continue
+            import pyarrow.parquet as pq
+
+            arrow_schema = pq.read_schema(fp)
+            if phys not in arrow_schema.names:
+                continue
+            actual = _ARROW_TO_SQL.get(str(arrow_schema.field(phys).type))
+            effective = ctypes.get(phys, actual)
+            if effective != from_type:
+                raise ValueError(
+                    f"column {logical!r} is {effective or actual!r}, not "
+                    f"{from_type!r}; refusing to record a lossy widening"
+                )
+            break
         ctypes = {**ctypes, phys: new_type}
         return self._commit(
             [
@@ -627,7 +655,7 @@ class TableLog:
             with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
                 for line in fh:
                     a = json.loads(line)
-                    if "add" in a:
+                    if "add" in a and a["add"].get("dataChange", True):
                         added.append(a["add"]["path"])
         if not added:
             raise ValueError(
@@ -746,7 +774,17 @@ class TableLog:
             w = w.partitionBy(*pvcols)
         w.parquet(stage_abs)
         actions = self._adds_for_stage(stage_abs)
-        actions += [{"remove": {"path": f["path"]}} for f in snap.files]
+        # dataChange=false: the commit rearranges bytes, adds no data —
+        # the change feed and the streaming source skip it, so a
+        # compaction never replays the whole table to consumers (the
+        # Delta OPTIMIZE convention; the ANN index sync relies on it)
+        for a in actions:
+            if "add" in a:
+                a["add"]["dataChange"] = False
+        actions += [
+            {"remove": {"path": f["path"], "dataChange": False}}
+            for f in snap.files
+        ]
         actions.append(
             {"commitInfo": {"operation": "OPTIMIZE", "numFiles": len(actions)}}
         )
@@ -1211,7 +1249,7 @@ def stream_table_log(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with open(f) as fh:
                     for line in fh:
                         a = _json.loads(line)
-                        if "add" in a:
+                        if "add" in a and a["add"].get("dataChange", True):
                             paths.append(
                                 _os.path.join(self.root, "data", a["add"]["path"])
                             )

@@ -1484,3 +1484,114 @@ def test_checkpoint_preserves_feature_protocol(spark, tmp_path):
     cp = os.path.join(str(tmp_path / "t"), "_delta_log", f"{cp_v:020d}.checkpoint.parquet")
     proto = next(a["protocol"] for a in _checkpoint_actions(cp) if "protocol" in a)
     assert proto["minReaderVersion"] == 2 and proto["minWriterVersion"] == 5
+
+
+def test_review_fixes_delta_protocol_edges(spark, tmp_path):
+    """Second-review regressions, protocol edges:
+    1. read_delta_cdf over a retention-trimmed range fails loudly (a
+       silent gap would feed an incremental consumer incomplete data);
+    2. write_delta refuses partition_by on an existing UNPARTITIONED
+       table (appended files would physically lack the column);
+    3. a lost version race on a metaData-carrying commit raises instead
+       of clobbering a concurrent schema evolution;
+    4. restore across a schema evolution restores the TARGET's metaData
+       (no spurious all-NULL column).
+    """
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        ConcurrentDeltaWriteError,
+        _log_dir,
+        _publish_commit,
+        read_delta_cdf,
+        restore_delta,
+        vacuum_delta,
+    )
+
+    # 1. CDF over a trimmed log
+    root = str(tmp_path / "cdf")
+    df = spark.createDataFrame([(1, 1.0)], "k bigint, val double")
+    write_delta(df, root, configuration={"delta.enableChangeDataFeed": "true"})
+    for i in range(2, 5):
+        write_delta(
+            spark.createDataFrame([(i, float(i))], "k bigint, val double"),
+            root,
+            mode="append",
+        )
+    vacuum_delta(root, retain_versions=2)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        read_delta_cdf(spark, root, 0)
+    surviving_lo = min(
+        int(n[:20])
+        for n in os.listdir(os.path.join(root, "_delta_log"))
+        if n.endswith(".json")
+    )
+    assert read_delta_cdf(spark, root, surviving_lo).count() >= 1
+
+    # 2. partitioning an unpartitioned table
+    root2 = str(tmp_path / "части")
+    write_delta(spark.createDataFrame([(1, "a")], "k bigint, p string"), root2)
+    with _pytest.raises(ValueError, match="partitionColumns"):
+        write_delta(
+            spark.createDataFrame([(2, "b")], "k bigint, p string"),
+            root2,
+            partition_by=["p"],
+            mode="append",
+        )
+
+    # 3. metaData-carrying commit losing the race must raise
+    taken = _publish_commit(
+        _log_dir(root2), [{"commitInfo": {"operation": "X"}}], 1
+    )
+    with _pytest.raises(ConcurrentDeltaWriteError, match="metaData"):
+        _publish_commit(
+            _log_dir(root2),
+            [{"metaData": {"id": "x", "schemaString": "{}"}}],
+            taken,  # collides -> lost race -> must refuse, not retry
+        )
+
+    # 4. restore across schema evolution restores the schema
+    root3 = str(tmp_path / "restore_evol")
+    write_delta(spark.createDataFrame([(1,)], "k bigint"), root3)
+    write_delta(
+        spark.createDataFrame([(2, 9.0)], "k bigint, extra double"),
+        root3,
+        mode="append",
+    )
+    restore_delta(spark, root3, 0)
+    df3 = read_delta(spark, root3)
+    assert df3.columns == ["k"], f"restored schema leaked: {df3.columns}"
+    assert [r["k"] for r in df3.collect()] == [1]
+
+
+def test_txn_race_two_workers_one_batch(spark, tmp_path):
+    """Regression (second review): two restarted workers replaying the
+    SAME (appId, version) micro-batch concurrently must land it ONCE —
+    the loser of the version race re-checks the txn mark inside the
+    retry loop and becomes a no-op (previously both committed)."""
+    import threading
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(0, 0.0)], "k bigint, val double"), root)
+    batch = [(i, float(i)) for i in range(100, 120)]
+    errs: list[Exception] = []
+
+    def worker():
+        try:
+            write_delta(
+                spark.createDataFrame(batch, "k bigint, val double"),
+                root,
+                mode="append",
+                txn=("feed", 5),
+            )
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = sorted(r["k"] for r in read_delta(spark, root).collect())
+    assert got == [0] + [k for k, _v in batch], "batch landed twice"

@@ -3125,3 +3125,89 @@ def test_vacuum_after_manual_checkpoint_keeps_history(spark, tmp_path):
     for v in range(6):
         got = {r["k"] for r in t.read(spark, version=v).collect()}
         assert got == set(range(v + 1)), f"version {v} unreadable after vacuum"
+
+
+def test_widen_validates_actual_type(spark, tmp_path):
+    """Regression (second review): widen_column must validate the
+    caller's from_type claim against a live file's actual footer type —
+    a wrong claim would commit a widening that readers apply as a
+    silent lossy cast (string 'widened' int→bigint → NULLs)."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([("abc",), ("7",)], "note string"))
+    with _pytest.raises(ValueError, match="refusing"):
+        t.widen_column("note", "bigint", from_type="int")
+    # the honest chain still works
+    t2 = TableLog(str(tmp_path / "t2"))
+    t2.append(spark.createDataFrame([(1,)], "n int"))
+    t2.widen_column("n", "bigint", from_type="int")
+    assert dict(t2.read(spark).dtypes)["n"] == "bigint"
+
+
+def test_compact_is_invisible_to_change_feed(spark, tmp_path):
+    """Regression (second review): compact() rearranges bytes without
+    adding data — its adds carry dataChange=false and the change feed
+    skips them, so a downstream incremental consumer (the ANN index
+    sync is the in-repo example) never re-ingests the whole table after
+    a compaction."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    t = TableLog(str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, float(i))], "k bigint, v double"))
+    v_before = t.versions()[-1]
+    t.compact(spark, target_files=1)
+    with _pytest.raises(ValueError, match="no added files"):
+        t.changes(spark, from_version=v_before)
+    # real data after the compaction still flows
+    t.append(spark.createDataFrame([(9, 9.0)], "k bigint, v double"))
+    got = {r["k"] for r in t.changes(spark, from_version=v_before).collect()}
+    assert got == {9}
+    # and the table itself reads complete
+    assert {r["k"] for r in t.read(spark).collect()} == {0, 1, 2, 9}
+
+
+def test_ann_sync_skips_compaction(spark, tmp_path):
+    """Regression (second review): an embeddings-log compaction is a
+    content-identical rewrite — sync_ann_index must NOT re-ingest the
+    whole table (the index would silently double); it advances its
+    watermark with a metadata-only commit and indexes nothing."""
+    import numpy as np
+
+    from atlas_migration_repo_spark.llm.ann_index import (
+        build_ann_index,
+        indexed_version,
+        sync_ann_index,
+    )
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    rng = np.random.default_rng(5)
+    em_log = TableLog(str(tmp_path / "em"))
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(120)
+    ]
+    em_log.append(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    idx = str(tmp_path / "idx")
+    build_ann_index(spark, em_log.read(spark), idx, em_log.versions()[-1])
+    codes_log = TableLog(idx + "/codes")
+    n_before = codes_log.read(spark).count()
+
+    em_log.compact(spark, target_files=1)
+    assert sync_ann_index(spark, em_log, idx) == 0
+    assert codes_log.read(spark).count() == n_before, "index re-ingested"
+    assert indexed_version(codes_log) == em_log.versions()[-1]
+    # a real append after the compaction still syncs incrementally
+    em_log.append(
+        spark.createDataFrame(
+            [(1000, [1.0] * 8)], "vec_id long, embedding array<float>"
+        )
+    )
+    assert sync_ann_index(spark, em_log, idx) == 1
+    assert codes_log.read(spark).count() == n_before + 1
