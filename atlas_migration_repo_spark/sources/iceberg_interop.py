@@ -104,6 +104,36 @@ def _ice_schema(schema: T.StructType) -> list[dict]:
     return out
 
 
+def _ids_complete(meta: dict) -> bool:
+    """True when every data file of the table carries parquet field ids
+    (set at creation by this writer; adopted/foreign tables default
+    False) — the precondition for id-based column resolution and hence
+    for RENAME."""
+    return (meta.get("properties") or {}).get("field-ids-complete") == "true"
+
+
+def _full_schema(meta: dict, schema_fields: list[dict], spark=None) -> "T.StructType":
+    """Spark schema for an Iceberg field list. On id-complete tables
+    each StructField carries `parquet.field.id` metadata and the scan
+    resolves columns BY ID, not name (fieldId.read) — which is exactly
+    what makes a renamed column read correctly from files written under
+    its old name."""
+    with_ids = _ids_complete(meta)
+    if with_ids and spark is not None:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                _ICE_TO_SPARK[f["type"]],
+                True,
+                {"parquet.field.id": f["id"]} if with_ids else None,
+            )
+            for f in schema_fields
+        ]
+    )
+
+
 def _meta_dir(path: str) -> str:
     return os.path.join(path, "metadata")
 
@@ -687,6 +717,21 @@ def _stage_data_files(
                 raise NotImplementedError(
                     f"bucket transform on {src_type} is not supported"
                 )
+    # every data column carries its Iceberg field id into the parquet
+    # footer (fieldId.write) — the physical identity that survives
+    # renames; transform-derived dir columns have no field, no id
+    by_fid = {f["name"]: f["id"] for f in schema_fields}
+    staged_df = staged_df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": by_fid[c]})
+            if c in by_fid
+            else F.col(c)
+            for c in staged_df.columns
+        ]
+    )
+    staged_df.sparkSession.conf.set(
+        "spark.sql.parquet.fieldId.write.enabled", "true"
+    )
     w = staged_df.write.mode("overwrite")
     if part_fields:
         w = w.partitionBy(*[pf["name"] for pf in part_fields])
@@ -756,6 +801,50 @@ def iceberg_txn_version(path: str, app_id: str) -> int | None:
             v = int(summ["txn-version"])
             best = v if best is None or v > best else best
     return best
+
+
+def rename_iceberg_column(path: str, old: str, new: str) -> int:
+    """Iceberg-native column RENAME: a metadata-only commit appending a
+    new schema entry where the field keeps its ID under the new name —
+    zero files rewritten, because id-complete tables resolve scan
+    columns by parquet field id, not name (pre-rename files read
+    correctly under the new name; pinned snapshots keep theirs).
+    Requires an id-complete table (created by this writer); identity
+    partition columns refuse (their name is baked into the spec and
+    key=value layout)."""
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {path}")
+    v, meta = cur
+    if not _ids_complete(meta):
+        raise ValueError(
+            "table data files do not carry parquet field ids (foreign or "
+            "pre-field-id table); rename requires id-based resolution"
+        )
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    names = {f["name"] for f in schema_fields}
+    if old not in names:
+        raise ValueError(f"no column {old!r}; have {sorted(names)}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    for pf in meta["partition-specs"][0]["fields"]:
+        if pf.get("transform", "identity") == "identity" and pf["name"] == old:
+            raise ValueError(
+                f"{old!r} is an identity partition column (name baked "
+                "into spec + layout); rename is not supported for it"
+            )
+    meta = json.loads(json.dumps(meta))
+    new_fields = [
+        {**f, "name": new} if f["name"] == old else f for f in schema_fields
+    ]
+    new_sid = len(meta["schemas"])
+    meta["schemas"].append(
+        {"type": "struct", "schema-id": new_sid, "fields": new_fields}
+    )
+    meta["current-schema-id"] = new_sid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish_metadata(path, v + 1, meta)
+    return new_sid
 
 
 def write_iceberg(
@@ -953,7 +1042,7 @@ def write_iceberg(
             ),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
-            "properties": {},
+            "properties": {"field-ids-complete": "true"},
             "snapshots": [snapshot],
             "current-snapshot-id": snap_id,
             "snapshot-log": [
@@ -1122,12 +1211,7 @@ def read_iceberg_range(
     only (partition columns are not materialized in data files)."""
     meta, files = iceberg_files_in_range(path, column, lo, hi, snapshot_id)
     schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
-    full = T.StructType(
-        [
-            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
-            for f in schema_fields
-        ]
-    )
+    full = _full_schema(meta, schema_fields, spark)
     if not files:
         return spark.createDataFrame([], full)
     df = (
@@ -1226,9 +1310,14 @@ def read_iceberg(
         snapshot_id = iceberg_resolve_ref(path, ref)
     meta, datas, dels = iceberg_live_state(path, snapshot_id, partition_eq)
     files = [d["data_file"] for d in datas]
-    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
-    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
-    schema_id = snap.get("schema-id", meta["current-schema-id"])
+    if snapshot_id is None:
+        # a LATEST read resolves the CURRENT schema — a rename (a
+        # metadata-only commit that bumps current-schema-id without a
+        # new snapshot) must be visible immediately
+        schema_id = meta["current-schema-id"]
+    else:
+        snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id)
+        schema_id = snap.get("schema-id", meta["current-schema-id"])
     schema_fields = meta["schemas"][schema_id]["fields"]
     # only IDENTITY partition columns are reattached from metadata;
     # hidden-transform fields (year/month) exist only as layout + log
@@ -1238,12 +1327,7 @@ def read_iceberg(
         for pf in meta["partition-specs"][0]["fields"]
         if pf.get("transform", "identity") == "identity"
     ]
-    full = T.StructType(
-        [
-            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
-            for f in schema_fields
-        ]
-    )
+    full = _full_schema(meta, schema_fields, spark)
     if not files:
         return spark.createDataFrame([], full)
     data_schema = T.StructType([f for f in full.fields if f.name not in pcols])
@@ -1351,12 +1435,7 @@ def read_iceberg_incremental(
         for pf in meta["partition-specs"][0]["fields"]
         if pf.get("transform", "identity") == "identity"
     ]
-    full = T.StructType(
-        [
-            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
-            for f in schema_fields
-        ]
-    )
+    full = _full_schema(meta, schema_fields, spark)
     if not files:
         return spark.createDataFrame([], full)
     data_schema = T.StructType([f for f in full.fields if f.name not in pcols])
@@ -1435,7 +1514,10 @@ def _apply_row_deletes(
     for d in eqs:
         ids = d["data_file"].get("equality_ids") or []
         cols = [by_id[i] for i in ids]
-        kdf = spark.read.parquet(d["data_file"]["file_path"]).select(*cols)
+        # the delete file's columns are (by construction) the key tuple
+        # in equality_ids ORDER; resolve them positionally to the
+        # CURRENT names — the write-time names may predate a rename
+        kdf = spark.read.parquet(d["data_file"]["file_path"]).toDF(*cols)
         cond = reduce(
             lambda a, b: a & b, [df[c].eqNullSafe(kdf[c]) for c in cols]
         ) & (df["__data_seq"] < F.lit(int(d["seq"])))
@@ -1590,12 +1672,7 @@ def delete_iceberg_where(
             cands.append(f)
     if not cands:
         return meta["current-snapshot-id"]
-    full = T.StructType(
-        [
-            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
-            for f in schema_fields
-        ]
-    )
+    full = _full_schema(meta, schema_fields, spark)
     hits = (
         spark.read.schema(full)
         .parquet(*[f["file_path"] for f in cands])
@@ -2501,6 +2578,63 @@ def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return read_iceberg(spark, root)
+
+
+@query(
+    "iceberg_rename_travel",
+    oracle=f"""
+    SELECT 0 AS snap, 'o_totalprice' AS price_col, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    UNION ALL
+    SELECT 1 AS snap, 'price_usd' AS price_col, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def iceberg_rename_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-native RENAME across time travel: v1 = pre-1997 orders;
+    the price column renames o_totalprice → price_usd (metadata-only,
+    field id kept, zero files rewritten); later orders append under the
+    new name. The latest read aggregates under price_usd over BOTH
+    generations of files (pre-rename files resolve by field id), while
+    the pinned first snapshot still surfaces o_totalprice."""
+    root = scratch_path(sf_dir, "orders_iceberg_rename")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cut = "1997-01-01"
+    s1 = write_iceberg(
+        orders.where(F.col("o_orderdate") < cut).drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+    rename_iceberg_column(root, "o_totalprice", "price_usd")
+    write_iceberg(
+        orders.where(F.col("o_orderdate") >= cut)
+        .select("o_orderkey", F.col("o_totalprice").alias("price_usd")),
+        root,
+        mode="append",
+    )
+    outs = []
+    for snap, col, kw in (
+        (0, "o_totalprice", {"snapshot_id": s1}),
+        (1, "price_usd", {}),
+    ):
+        agg = read_iceberg(spark, root, **kw).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col(col)).alias("total"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(snap).alias("snap"),
+                F.lit(col).alias("price_col"),
+                "n_rows",
+                "total",
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 @query(

@@ -1244,3 +1244,67 @@ def test_iceberg_type_promotion_evolution(spark):
             root,
             mode="append",
         )
+
+
+def test_iceberg_native_rename_by_field_id(spark):
+    """True Iceberg RENAME: a metadata-only commit renames a column by
+    keeping its field id; pre-rename files (written under the old name)
+    read correctly under the new name via parquet field-id resolution —
+    zero files rewritten. Pinned pre-rename snapshots keep the old
+    name; appends after the rename use the new name; MOR equality
+    deletes written before the rename still subtract (positional key
+    resolution); identity partition columns and foreign tables refuse."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_eq,
+        read_iceberg,
+        rename_iceberg_column,
+    )
+
+    root = _fresh("ut_ice_rename")
+    schema = "k bigint, val double"
+    s1 = write_iceberg(
+        spark.createDataFrame([(i, float(i)) for i in range(100)], schema),
+        root,
+        mode="append",
+    )
+    delete_iceberg_eq(
+        spark, root, spark.createDataFrame([(7,), (8,)], "k bigint"), on=["k"]
+    )
+    rename_iceberg_column(root, "val", "score")
+    df = read_iceberg(spark, root)
+    assert df.columns == ["k", "score"]
+    got = {r["k"]: r["score"] for r in df.collect()}
+    assert got == {i: float(i) for i in range(100) if i not in (7, 8)}
+    # pinned pre-rename snapshot keeps the old name
+    old = read_iceberg(spark, root, snapshot_id=s1)
+    assert old.columns == ["k", "val"]
+    assert len(old.collect()) == 100
+    # appends under the NEW name; old-name appends refuse
+    write_iceberg(
+        spark.createDataFrame([(1000, 5.5)], "k bigint, score double"),
+        root,
+        mode="append",
+    )
+    got = {r["k"]: r["score"] for r in read_iceberg(spark, root).collect()}
+    assert got[1000] == 5.5 and got[3] == 3.0
+    with _pytest.raises(ValueError, match="not additive"):
+        write_iceberg(
+            spark.createDataFrame([(2000, 9.9)], "k bigint, val double"),
+            root,
+            mode="append",
+        )
+    # identity partition column refuses
+    proot = _fresh("ut_ice_rename_part")
+    write_iceberg(
+        spark.createDataFrame([(1, "p0", 1.0)], "k bigint, part string, v double"),
+        proot,
+        partition_by=["part"],
+        mode="append",
+    )
+    with _pytest.raises(ValueError, match="identity partition"):
+        rename_iceberg_column(proot, "part", "bucket")
+    # ...but a data column on a partitioned table renames fine
+    rename_iceberg_column(proot, "v", "value")
+    assert read_iceberg(spark, proot).columns == ["k", "part", "value"]
