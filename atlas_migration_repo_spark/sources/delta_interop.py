@@ -1044,8 +1044,67 @@ def delete_delta_range(
     return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
+_Z_BITS = 8  # quantile buckets per z-order column (256)
+
+
+def _z_numeric(col: F.Column, dtype: T.DataType) -> F.Column:
+    """Order-preserving numeric projection of a z-order column (the
+    quantile/bucket domain). Dates count days, timestamps seconds."""
+    if isinstance(dtype, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01")).cast("double")
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ has no direct long cast; via timestamp is order-preserving
+        # (sessions here run UTC)
+        return col.cast("timestamp").cast("long").cast("double")
+    if isinstance(dtype, T.NumericType):
+        return col.cast("double")
+    raise ValueError(f"zorder_by supports numeric/date/timestamp, not {dtype}")
+
+
+def _zvalue(df: DataFrame, zorder_by: list[str]) -> F.Column:
+    """Morton z-value over `zorder_by`: each column rank-normalizes into
+    2^{_Z_BITS} quantile buckets (splits from ONE approxQuantile pass —
+    driver state is 255 doubles per column, index-sized), then the
+    bucket bits interleave so that sorting by the result clusters ALL
+    the columns at once. Everything row-side is plain JVM bit
+    arithmetic; NULLs sort first (bucket 0)."""
+    dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+    k = len(zorder_by)
+    probs = [i / (1 << _Z_BITS) for i in range(1, 1 << _Z_BITS)]
+    proj = df.select(
+        *[
+            _z_numeric(F.col(c), dtypes[c]).alias(f"__zn_{j}")
+            for j, c in enumerate(zorder_by)
+        ]
+    )
+    all_splits = proj.stat.approxQuantile(
+        [f"__zn_{j}" for j in range(k)], probs, 0.001
+    )
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(zorder_by):
+        splits = sorted(set(all_splits[j]))
+        num = _z_numeric(F.col(c), dtypes[c])
+        bucket = F.aggregate(
+            F.array(*[F.lit(s) for s in splits]),
+            F.lit(0),
+            lambda acc, s: acc + F.when(num >= s, 1).otherwise(0),
+        )
+        bucket = F.when(num.isNull(), 0).otherwise(bucket).cast("long")
+        for i in range(_Z_BITS):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                    i * k + j,
+                )
+            )
+    return z
+
+
 def optimize_delta(
-    spark: SparkSession, path: str, target_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE (bin-packing compaction): rewrite the live files into
     fewer, larger ones and commit remove+add with **dataChange=false** —
@@ -1054,6 +1113,15 @@ def optimize_delta(
     commits (no duplicate rows downstream), and time travel across the
     OPTIMIZE stays exact. On 100 TB this is the maintenance op that
     keeps scan task counts bounded as small appends accumulate.
+
+    `zorder_by` = OPTIMIZE ... ZORDER BY: rows get a Morton z-value over
+    the named columns (see _zvalue) and land range-partitioned + sorted
+    by it, so every output file covers a contiguous z-range and its
+    min/max envelope is tight on EVERY z-order column simultaneously —
+    log-stats skipping (read_delta_range) then prunes on any of them.
+    This is the multi-dimensional layout story for 100 TB: one rewrite
+    buys skipping on all the common predicate columns, not just the
+    insertion order.
 
     Partitioned tables compact WITHIN partitions: rows repartition by
     the partition columns (one task per live partition value, so each
@@ -1082,19 +1150,42 @@ def optimize_delta(
         meta,
         path,
     ).select(*[f.name for f in schema.fields])
-    df = df.repartition(*pcols) if pcols else df.coalesce(target_files)
+    if zorder_by:
+        bad = [c for c in zorder_by if c in pcols]
+        if bad:
+            raise ValueError(f"zorder_by columns are partition columns: {bad}")
+        z = _zvalue(df, zorder_by)
+        if pcols:
+            df = (
+                df.withColumn("__z", z)
+                .repartition(*pcols)
+                .sortWithinPartitions(*pcols, "__z")
+                .drop("__z")
+            )
+        else:
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+    else:
+        df = df.repartition(*pcols) if pcols else df.coalesce(target_files)
     now_ms = int(time.time() * 1000)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
     w = df.write.mode("overwrite")
     if pcols:
         w = w.partitionBy(*pcols)
     w.parquet(stage)
+    op_params: dict = {"targetFiles": target_files}
+    if zorder_by:
+        op_params["zOrderBy"] = json.dumps(zorder_by)
     actions: list[dict] = [
         {
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
-                "operationParameters": {"targetFiles": target_files},
+                "operationParameters": op_params,
             }
         }
     ]
@@ -2645,6 +2736,38 @@ def delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(agg.select(F.lit(phase).alias("phase"), "n_rows", "total"))
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "delta_zorder",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+    """,
+)
+def delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY (o_custkey, o_orderdate): the table lands
+    insertion-ordered (scattered on both columns), the z-order rewrite
+    re-clusters it, and a log-stats range read on o_custkey — a column
+    the ORIGINAL layout could never skip on — returns the exact
+    answer over only the surviving files. Pruning strictness on BOTH
+    z columns is unit-asserted (test_zorder_clusters_both_columns);
+    here the oracle pins the values."""
+    root = scratch_path(sf_dir, "orders_delta_zorder")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    write_delta(orders.repartition(8), root)
+    optimize_delta(
+        spark, root, target_files=8, zorder_by=["o_custkey", "o_orderdate"]
+    )
+    got = read_delta_range(spark, root, "o_custkey", 100, 400)
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
 
 
 @query(

@@ -1595,3 +1595,94 @@ def test_txn_race_two_workers_one_batch(spark, tmp_path):
     assert not errs, errs
     got = sorted(r["k"] for r in read_delta(spark, root).collect())
     assert got == [0] + [k for k, _v in batch], "batch landed twice"
+
+
+def test_zorder_clusters_both_columns(spark):
+    """OPTIMIZE ZORDER BY must (a) leave the data bit-identical, (b)
+    make log-stats skipping STRICTLY prune on EVERY z column — including
+    one the insertion order scattered, where pre-optimize skipping was
+    powerless — and (c) stamp the commit dataChange=false with the
+    zOrderBy parameter so feeds/streams skip it."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delta_files_in_range,
+        optimize_delta,
+    )
+
+    root = _fresh("t_delta_zorder_both")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    write_delta(orders.repartition(8), root)  # scattered on both z cols
+    n_live = len(delta_live_files(root, 0))
+    assert n_live == 8
+    # round-robin layout: a narrow o_custkey range prunes NOTHING
+    assert len(delta_files_in_range(root, "o_custkey", 100, 200, 0)) == n_live
+    before = {
+        tuple(r)
+        for r in read_delta(spark, root)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+        )
+        .collect()
+    }
+    v = optimize_delta(
+        spark, root, target_files=8, zorder_by=["o_custkey", "o_orderdate"]
+    )
+    live = delta_live_files(root, v)
+    assert len(live) == 8
+    after = {
+        tuple(r)
+        for r in read_delta(spark, root)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert after == before, "zorder rewrote values"
+    # strict pruning on BOTH columns from the SAME layout
+    surv_cust = delta_files_in_range(root, "o_custkey", 100, 200, v)
+    surv_date = delta_files_in_range(
+        root, "o_orderdate", "1996-01-01 00:00:00", "1996-03-31 23:59:59", v
+    )
+    assert 0 < len(surv_cust) < len(live), (len(surv_cust), len(live))
+    assert 0 < len(surv_date) < len(live), (len(surv_date), len(live))
+    # the commit is layout-only and self-describing
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    ci = next(a["commitInfo"] for a in acts if "commitInfo" in a)
+    assert json.loads(ci["operationParameters"]["zOrderBy"]) == [
+        "o_custkey",
+        "o_orderdate",
+    ]
+    assert all(
+        a["add"].get("dataChange") is False for a in acts if "add" in a
+    )
+
+
+def test_zorder_nulls_and_guards(spark):
+    """NULLs in a z column sort into bucket 0 (no crash, no row loss);
+    string z columns and partition-column z columns refuse loudly."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        optimize_delta,
+    )
+
+    root = _fresh("t_delta_zorder_nulls")
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else float(i % 17), f"s{i}") for i in range(200)],
+        "k bigint, x double, s string",
+    )
+    write_delta(df.repartition(4), root)
+    v = optimize_delta(spark, root, target_files=2, zorder_by=["x", "k"])
+    assert read_delta(spark, root, version=v).count() == 200
+    with pytest.raises(ValueError, match="numeric/date/timestamp"):
+        optimize_delta(spark, root, zorder_by=["s"])
+    root2 = _fresh("t_delta_zorder_pcol")
+    write_delta(
+        df.withColumn("p", F.col("k") % 2), root2, partition_by=["p"]
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        optimize_delta(spark, root2, zorder_by=["p"])
