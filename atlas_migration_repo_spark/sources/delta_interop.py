@@ -100,7 +100,12 @@ def _next_version(log_dir: str) -> int:
     return newest + 1
 
 
-def _publish_commit(log_dir: str, actions: list[dict], version: int) -> int:
+def _publish_commit(
+    log_dir: str,
+    actions: list[dict],
+    version: int,
+    expected_adds: dict[str, dict] | None = None,
+) -> int:
     """Publish `actions` as the next commit via put-if-absent — Delta's
     optimistic concurrency. Losing the version race retries at the next
     number, with the protocol's conflict checks re-run first:
@@ -145,6 +150,26 @@ def _publish_commit(log_dir: str, actions: list[dict], version: int) -> int:
                         f"{'...' if len(gone) > 3 else ''}; re-read the "
                         "table and redo the operation"
                     )
+            if lost_race and expected_adds:
+                # rewrite-in-place commits (deletion-vector deletes)
+                # remove AND re-add the same path, so the removed-still-
+                # live check above can't see a racing rewrite of the same
+                # file: compare the live add against the snapshot this
+                # commit was computed from — a changed DV means the
+                # winner's deletes would be clobbered by a blind retry
+                live_by = {
+                    a["path"]: a for a in delta_live_files(table_root)
+                }
+                for p, snap in expected_adds.items():
+                    cur = live_by.get(p)
+                    if cur is not None and cur.get("deletionVector") != snap.get(
+                        "deletionVector"
+                    ):
+                        raise ConcurrentDeltaWriteError(
+                            f"concurrent commit changed the deletion "
+                            f"vector of {p}; re-read the table and redo "
+                            "the delete"
+                        )
             if txns:
                 # checked on EVERY attempt, not just after a lost race:
                 # a racing replayer can land at version N and leave this
@@ -582,6 +607,18 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -610,6 +647,7 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": False,
                     "stats": a.get("stats"),
+                    "deletionVector": a.get("deletionVector"),
                 }
             }
         )
@@ -749,6 +787,7 @@ def read_delta(
         os.path.join(path, urllib.parse.unquote(a["path"])) for a in adds
     ]
     df = spark.read.schema(data_schema).parquet(*abs_paths)
+    df = _apply_dv_mask(spark, df, adds, path)
     for phys, logical in renames:
         df = df.withColumnRenamed(phys, logical)
     if not pcols:
@@ -826,13 +865,16 @@ def merge_delta(
         a["path"]: os.path.join(path, urllib.parse.unquote(a["path"]))
         for a in adds_live
     }
-    base = (
+    base = _apply_dv_mask(
+        spark,
         spark.read.schema(data_schema)
         .parquet(*abs_of.values())
         .withColumn(
             "__file",
             file_path_col(),
-        )
+        ),
+        adds_live,
+        path,
     )
     skeys = source.select(F.col(key).alias("__k")).distinct()
     touched = {
@@ -845,12 +887,18 @@ def merge_delta(
     touched_rel = [p for p, ap in abs_of.items() if os.path.abspath(ap) in touched]
     cols = [f.name for f in schema.fields]
     if touched_rel:
+        touched_adds = [a for a in adds_live if a["path"] in set(touched_rel)]
         affected = _attach_partition_cols(
             spark,
-            spark.read.schema(data_schema).parquet(
-                *[abs_of[p] for p in touched_rel]
+            _apply_dv_mask(
+                spark,
+                spark.read.schema(data_schema).parquet(
+                    *[abs_of[p] for p in touched_rel]
+                ),
+                touched_adds,
+                path,
             ),
-            [a for a in adds_live if a["path"] in set(touched_rel)],
+            touched_adds,
             meta,
             path,
         ).select(*cols)
@@ -997,11 +1045,16 @@ def delete_delta_range(
         # whole-file path stays metadata-only).
         deleted = _attach_partition_cols(
             spark,
-            spark.read.schema(data_schema).parquet(
-                *[
-                    os.path.join(path, urllib.parse.unquote(a["path"]))
-                    for a in drop_whole + rewrite
-                ]
+            _apply_dv_mask(
+                spark,
+                spark.read.schema(data_schema).parquet(
+                    *[
+                        os.path.join(path, urllib.parse.unquote(a["path"]))
+                        for a in drop_whole + rewrite
+                    ]
+                ),
+                drop_whole + rewrite,
+                path,
             ),
             drop_whole + rewrite,
             meta,
@@ -1023,11 +1076,16 @@ def delete_delta_range(
     if rewrite:
         survivors = _attach_partition_cols(
             spark,
-            spark.read.schema(data_schema).parquet(
-                *[
-                    os.path.join(path, urllib.parse.unquote(a["path"]))
-                    for a in rewrite
-                ]
+            _apply_dv_mask(
+                spark,
+                spark.read.schema(data_schema).parquet(
+                    *[
+                        os.path.join(path, urllib.parse.unquote(a["path"]))
+                        for a in rewrite
+                    ]
+                ),
+                rewrite,
+                path,
             ),
             rewrite,
             meta,
@@ -1041,6 +1099,385 @@ def delete_delta_range(
             w = w.partitionBy(*pcols)
         w.parquet(stage)
         actions.extend(_harvest_stage_adds(path, stage, now_ms))
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors — merge-on-read row-level deletes
+# ---------------------------------------------------------------------------
+# Semantics follow delta.io PROTOCOL.md's deletionVectors table feature:
+# an add action may carry a deletionVector descriptor; the file's rows at
+# the listed positions are logically deleted; a new DV for a file
+# SUPERSEDES the old one and must contain the union; the commit removes
+# and re-adds the SAME data file (dataChange=true) — zero data bytes
+# rewritten. The descriptor uses storageType "u" (sidecar file at the
+# table root, 1-byte format version + [4-byte BE length | payload |
+# 4-byte BE CRC32]) exactly as the protocol lays the container out.
+# HONESTY BOUNDARY: the payload inside that container is this engine's
+# documented position codec (magic + delta-varint of the sorted
+# positions), NOT a byte-exact RoaringBitmapArray — no Delta jar exists
+# in this environment to validate roaring bytes against, and a
+# silently-wrong "interoperable" encoding would be worse than a declared
+# local one. Everything above the payload bytes — descriptors, commit
+# shape, supersede-by-union, stats semantics (numRecords stays physical),
+# protocol feature gating (3/7 + deletionVectors), checkpoint fidelity,
+# vacuum retention — is protocol-faithful and tested.
+
+_DV_MAGIC = b"AMDV"
+_DV_FEATURE = "deletionVectors"
+
+
+def _dv_encode(positions: list[int]) -> bytes:
+    """Payload codec: magic + varint count + delta-varints of the sorted
+    positions (uint64). Compact for the clustered-position runs DVs
+    typically hold."""
+    out = bytearray(_DV_MAGIC)
+
+    def varint(n: int) -> None:
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return
+
+    pos = sorted(set(int(p) for p in positions))
+    varint(len(pos))
+    prev = 0
+    for p in pos:
+        varint(p - prev)
+        prev = p
+    return bytes(out)
+
+
+def _dv_decode(payload: bytes) -> list[int]:
+    if payload[:4] != _DV_MAGIC:
+        raise ValueError("bad deletion-vector payload magic")
+    i = 4
+
+    def varint() -> int:
+        nonlocal i
+        n = shift = 0
+        while True:
+            b = payload[i]
+            i += 1
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+
+    count = varint()
+    out, cur = [], 0
+    for _ in range(count):
+        cur += varint()
+        out.append(cur)
+    return out
+
+
+def _dv_relpath(desc: dict) -> str:
+    if desc.get("storageType") == "p":
+        return desc["pathOrInlineDv"]  # absolute (shallow clones)
+    return f"deletion_vector_{desc['pathOrInlineDv']}.bin"
+
+
+def _dv_write_file(root: str, positions: list[int]) -> dict:
+    """Write one DV container under `root` and return its descriptor.
+    Runs on EXECUTORS (inside applyInPandas) — the driver only ever sees
+    file-count-sized descriptor lists, never position lists."""
+    import binascii
+
+    dv_id = uuid.uuid4().hex
+    payload = _dv_encode(positions)
+    blob = (
+        bytes([1])
+        + len(payload).to_bytes(4, "big")
+        + payload
+        + (binascii.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    name = f"deletion_vector_{dv_id}.bin"
+    tmp = os.path.join(root, f".{name}.tmp")
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.rename(tmp, os.path.join(root, name))
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": dv_id,
+        "offset": 1,
+        "sizeInBytes": len(payload),
+        "cardinality": len(positions),
+    }
+
+
+def _dv_read_positions(root: str, desc: dict) -> list[int]:
+    import binascii
+
+    p = _dv_relpath(desc)
+    full = p if os.path.isabs(p) else os.path.join(root, p)
+    with open(full, "rb") as fh:
+        blob = fh.read()
+    off = desc.get("offset", 1)
+    n = int.from_bytes(blob[off : off + 4], "big")
+    payload = blob[off + 4 : off + 4 + n]
+    crc = int.from_bytes(blob[off + 4 + n : off + 8 + n], "big")
+    if binascii.crc32(payload) & 0xFFFFFFFF != crc:
+        raise ValueError(f"deletion vector {p} failed its CRC check")
+    return _dv_decode(payload)
+
+
+def _dv_expand_df(
+    spark: SparkSession, path: str, dv_adds: list[dict]
+) -> DataFrame:
+    """(__dv_file abs-path, __dv_pos) rows for every deleted position of
+    `dv_adds` — DV files decode on EXECUTORS via mapInPandas (a DV is
+    bounded by its data file's row count; the driver ships only the
+    file-count-sized descriptor list)."""
+    import pandas as pd
+
+    rows = [
+        (
+            os.path.abspath(
+                os.path.join(path, urllib.parse.unquote(a["path"]))
+            ),
+            json.dumps(a["deletionVector"]),
+        )
+        for a in dv_adds
+    ]
+    desc_df = spark.createDataFrame(rows, "__dv_file string, __dv_desc string")
+    root = path
+
+    def expand(batches):
+        for pdf in batches:
+            for f, d in zip(pdf["__dv_file"], pdf["__dv_desc"]):
+                pos = _dv_read_positions(root, json.loads(d))
+                yield pd.DataFrame({"__dv_file": f, "__dv_pos": pos})
+
+    return desc_df.mapInPandas(expand, "__dv_file string, __dv_pos long")
+
+
+def _apply_dv_mask(
+    spark: SparkSession, df: DataFrame, adds: list[dict], path: str
+) -> DataFrame:
+    """Mask deleted rows out of a scan over `adds`' data files. Must be
+    applied DIRECTLY on the scan output (it reads `_metadata` columns).
+    No-op when no add carries a deletionVector."""
+    dv_adds = [a for a in adds if a.get("deletionVector")]
+    if not dv_adds:
+        return df
+    dels = _dv_expand_df(spark, path, dv_adds)
+    return (
+        df.withColumn("__dv_file", file_path_col())
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(dels, ["__dv_file", "__dv_pos"], "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    )
+
+
+def _current_protocol(path: str, version: int | None = None) -> dict:
+    protocol = dict(_PROTOCOL)
+    _, acts = _raw_actions(path, version)
+    for a in acts:
+        if "protocol" in a:
+            protocol = a["protocol"]
+    return protocol
+
+
+def delete_delta_dv(spark: SparkSession, path: str, predicate: str) -> int:
+    """DELETE FROM WHERE `predicate`, merge-on-read: matching rows are
+    tombstoned by POSITION in sidecar deletion vectors and every data
+    file stays byte-identical on disk — the 100 TB shape for selective
+    deletes (GDPR erasure, late corrections), where rewriting a 1 GB
+    file to drop 3 rows is the thing you cannot afford. Each touched
+    file's remove+add re-commits the SAME path with the (union-merged)
+    DV attached, dataChange=true; the first DV commit upgrades the
+    table protocol to 3/7 + deletionVectors so pre-feature readers fail
+    loudly instead of resurrecting deleted rows. CDF-enabled tables
+    stage exact delete images. Returns the new version."""
+    v, meta, _ = _replay(path)
+    _refuse_column_mapped(meta, "delete_delta_dv")
+    pcols = meta.get("partitionColumns") or []
+    adds_live = delta_live_files(path, v)
+    if not adds_live:
+        return v
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    by_rel = {a["path"]: a for a in adds_live}
+    abs_of = {
+        a["path"]: os.path.abspath(
+            os.path.join(path, urllib.parse.unquote(a["path"]))
+        )
+        for a in adds_live
+    }
+    scan = (
+        spark.read.schema(data_schema)
+        .parquet(*abs_of.values())
+        .withColumn("__dv_file", file_path_col())
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+    )
+    dv_adds = [a for a in adds_live if a.get("deletionVector")]
+    if dv_adds:
+        # rows already deleted must neither rematch nor re-emit in CDF
+        scan = scan.join(
+            _dv_expand_df(spark, path, dv_adds),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+    scan = _attach_partition_cols(spark, scan, adds_live, meta, path)
+    matched = scan.where(F.expr(predicate))
+    new_pos = matched.select("__dv_file", "__dv_pos")
+    touched_abs = {
+        r["__dv_file"] for r in new_pos.select("__dv_file").distinct().collect()
+    }  # file-count-sized
+    if not touched_abs:
+        return v
+    # supersede-by-union: fold the touched files' EXISTING positions in
+    carry = [a for a in dv_adds if abs_of[a["path"]] in touched_abs]
+    all_pos = (
+        new_pos.unionByName(_dv_expand_df(spark, path, carry))
+        if carry
+        else new_pos
+    )
+    root = path
+
+    def write_group(pdf):
+        import pandas as pd
+
+        desc = _dv_write_file(root, pdf["__dv_pos"].tolist())
+        return pd.DataFrame(
+            {"__dv_file": [pdf["__dv_file"].iloc[0]], "desc": [json.dumps(desc)]}
+        )
+
+    descs = {
+        r["__dv_file"]: json.loads(r["desc"])
+        for r in all_pos.groupBy("__dv_file")
+        .applyInPandas(write_group, "__dv_file string, desc string")
+        .collect()
+    }  # file-count-sized
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+            }
+        }
+    ]
+    proto = _current_protocol(path, v)
+    if _DV_FEATURE not in (proto.get("writerFeatures") or []):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(proto.get("readerFeatures") or []) | {_DV_FEATURE}
+                    ),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or []) | {_DV_FEATURE}
+                    ),
+                }
+            }
+        )
+    if _cdf_enabled(meta):
+        cdf = matched.select(*[f.name for f in schema.fields]).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        actions.extend(_stage_cdc_files(path, cdf, now_ms))
+    for rel, a in by_rel.items():
+        if abs_of[rel] not in touched_abs:
+            continue
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = {
+            k: a[k]
+            for k in (
+                "path",
+                "partitionValues",
+                "size",
+                "modificationTime",
+                "stats",
+            )
+            if k in a
+        }
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = descs[abs_of[rel]]
+        actions.append({"add": new_add})
+    return _publish_commit(
+        _log_dir(path),
+        actions,
+        _next_version(_log_dir(path)),
+        expected_adds={
+            rel: a for rel, a in by_rel.items() if abs_of[rel] in touched_abs
+        },
+    )
+
+
+def purge_delta_dv(spark: SparkSession, path: str) -> int:
+    """REORG TABLE ... APPLY (PURGE): materialize the deletion vectors —
+    every DV-carrying file is rewritten WITHOUT its deleted rows and its
+    DV dropped; untouched files stay as-is. Logical content is unchanged,
+    so the commit is dataChange=false (feeds/streams skip it) — the
+    maintenance op that reclaims DV-shadowed bytes once enough deletes
+    accumulate. Returns the new version (unchanged if no DVs live)."""
+    v, meta, _ = _replay(path)
+    pcols = meta.get("partitionColumns") or []
+    adds_live = delta_live_files(path, v)
+    dv_adds = [a for a in adds_live if a.get("deletionVector")]
+    if not dv_adds:
+        return v
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols]
+    )
+    df = spark.read.schema(data_schema).parquet(
+        *[
+            os.path.join(path, urllib.parse.unquote(a["path"]))
+            for a in dv_adds
+        ]
+    )
+    df = _apply_dv_mask(spark, df, dv_adds, path)
+    df = _attach_partition_cols(spark, df, dv_adds, meta, path).select(
+        *[f.name for f in schema.fields]
+    )
+    if not pcols:
+        df = df.coalesce(max(1, len(dv_adds)))
+    now_ms = int(time.time() * 1000)
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    w = df.write.mode("overwrite")
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(stage)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "REORG",
+                "operationParameters": {"applyPurge": True},
+            }
+        }
+    ]
+    for a in dv_adds:
+        actions.append(
+            {
+                "remove": {
+                    "path": a["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+        )
+    actions.extend(_harvest_stage_adds(path, stage, now_ms, data_change=False))
     return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
@@ -1140,11 +1577,16 @@ def optimize_delta(
         target_files = max(1, -(-total // (128 * 1024 * 1024)))  # ceil /128MB
     df = _attach_partition_cols(
         spark,
-        spark.read.schema(data_schema).parquet(
-            *[
-                os.path.join(path, urllib.parse.unquote(a["path"]))
-                for a in adds_live
-            ]
+        _apply_dv_mask(
+            spark,
+            spark.read.schema(data_schema).parquet(
+                *[
+                    os.path.join(path, urllib.parse.unquote(a["path"]))
+                    for a in adds_live
+                ]
+            ),
+            adds_live,
+            path,
         ),
         adds_live,
         meta,
@@ -1244,6 +1686,21 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         )
     for p in sorted(set(tgt_by) - set(cur_by)):
         actions.append({"add": dict(tgt_by[p])})
+    # a path live in BOTH versions can still differ by deletion vector
+    # (a DV delete between target and now): re-add the target's state,
+    # or the "restored" table would keep rows deleted
+    for p in sorted(set(tgt_by) & set(cur_by)):
+        if tgt_by[p].get("deletionVector") != cur_by[p].get("deletionVector"):
+            actions.append(
+                {
+                    "remove": {
+                        "path": p,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            actions.append({"add": dict(tgt_by[p])})
     return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
@@ -1270,7 +1727,7 @@ def clone_delta(
                 "operationParameters": {"source": src, "sourceVersion": v},
             }
         },
-        {"protocol": dict(_PROTOCOL)},
+        {"protocol": _current_protocol(src, v)},
         {
             "metaData": {
                 "id": uuid.uuid4().hex,
@@ -1287,6 +1744,15 @@ def clone_delta(
         c["path"] = urllib.parse.quote(
             os.path.abspath(os.path.join(src, urllib.parse.unquote(a["path"])))
         )
+        if c.get("deletionVector"):
+            # the clone's DVs live in the SOURCE tree: re-anchor the
+            # descriptor as storageType "p" (absolute path)
+            d = dict(c["deletionVector"])
+            d["pathOrInlineDv"] = os.path.abspath(
+                os.path.join(src, _dv_relpath(d))
+            )
+            d["storageType"] = "p"
+            c["deletionVector"] = d
         actions.append({"add": c})
     return _publish_commit(_log_dir(dst), actions, 0)
 
@@ -1410,6 +1876,8 @@ def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
         for v in keep:
             for a in delta_live_files(path, v):
                 referenced.add(urllib.parse.unquote(a["path"]))
+                if a.get("deletionVector"):
+                    referenced.add(_dv_relpath(a["deletionVector"]))
         for v in vs[: len(vs) - retain_versions]:
             os.unlink(os.path.join(log_dir, f"{v:020d}.json"))
         for n in list(os.listdir(log_dir)):
@@ -1444,6 +1912,10 @@ def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
                                 referenced.add(
                                     urllib.parse.unquote(a["add"]["path"])
                                 )
+                                if a["add"].get("deletionVector"):
+                                    referenced.add(
+                                        _dv_relpath(a["add"]["deletionVector"])
+                                    )
                             elif "cdc" in a:
                                 referenced.add(
                                     urllib.parse.unquote(a["cdc"]["path"])
@@ -1452,12 +1924,19 @@ def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
                 for a in _checkpoint_actions(os.path.join(log_dir, n)):
                     if "add" in a:
                         referenced.add(urllib.parse.unquote(a["add"]["path"]))
+                        if a["add"].get("deletionVector"):
+                            referenced.add(
+                                _dv_relpath(a["add"]["deletionVector"])
+                            )
     deleted = []
     for dirpath, _dirs, names in os.walk(path):
         if "_delta_log" in dirpath:
             continue
         for n in names:
-            if not n.endswith(".parquet"):
+            if not (
+                n.endswith(".parquet")
+                or (n.startswith("deletion_vector_") and n.endswith(".bin"))
+            ):
                 continue
             rel = os.path.relpath(os.path.join(dirpath, n), path)
             if rel not in referenced:
@@ -1639,7 +2118,12 @@ def adopt_delta_as_tablelog(path: str) -> TableLog:
     tlog_log = os.path.join(path, "_log")
     if os.path.isdir(tlog_log) and os.listdir(tlog_log):
         raise FileExistsError(f"{tlog_log} already holds a TableLog log")
-    _, dmeta, _ = _replay(path)
+    _, dmeta, _adopt_adds = _replay(path)
+    if any(a.get("deletionVector") for a in _adopt_adds):
+        raise ValueError(
+            "adopt_delta_as_tablelog: table has live deletion vectors; "
+            "TableLog reads cannot mask them — run purge_delta_dv first"
+        )
     cmap: dict[str, str] = {}
     ctypes: dict[str, str] = {}
     dschema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
@@ -1819,11 +2303,10 @@ def read_delta_range(
     if not files:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(path, urllib.parse.unquote(a["path"])) for a in files]
-    return (
-        spark.read.schema(schema)
-        .parquet(*paths)
-        .where(F.col(column).between(F.lit(lo), F.lit(hi)))
+    df = _apply_dv_mask(
+        spark, spark.read.schema(schema).parquet(*paths), files, path
     )
+    return df.where(F.col(column).between(F.lit(lo), F.lit(hi)))
 
 
 _TT_CUT = "1997-01-01"
@@ -2768,6 +3251,49 @@ def delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("o_totalprice")).alias("total"),
     )
+
+
+_DV_PRED = "o_orderstatus = 'F' AND o_totalprice > 150000"
+
+
+@query(
+    "delta_delete_dv",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    UNION ALL
+    SELECT 1 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE NOT ({_DV_PRED})
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE NOT ({_DV_PRED})
+    """,
+)
+def delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: matching rows are
+    position-tombstoned in sidecar bitmaps and no data file is rewritten
+    (byte-identity is unit-asserted); v0 time travel still sees them,
+    the masked read doesn't, and REORG PURGE then materializes the
+    vectors with identical logical content (version 2 == version 1).
+    The selective-delete shape that works at 100 TB."""
+    root = scratch_path(sf_dir, "orders_delta_dv")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_delta(orders.repartition(4), root)
+    delete_delta_dv(spark, root, _DV_PRED)
+    purge_delta_dv(spark, root)
+    outs = []
+    for phase, v in ((0, 0), (1, 1), (2, None)):
+        agg = read_delta(spark, root, version=v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(
+            agg.select(F.lit(phase).alias("version"), "n_rows", "total")
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
 @query(

@@ -1686,3 +1686,219 @@ def test_zorder_nulls_and_guards(spark):
     )
     with pytest.raises(ValueError, match="partition columns"):
         optimize_delta(spark, root2, zorder_by=["p"])
+
+
+def test_dv_delete_merge_on_read_and_restore(spark):
+    """A deletion-vector DELETE must leave every data file byte-identical
+    (same paths, same sizes, same stats), serve the masked read and v0
+    time travel exactly, bump the protocol to 3/7+deletionVectors, and
+    RESTORE across the delete must resurrect the rows by re-adding the
+    target's DV state."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_dv,
+        delta_live_files,
+        restore_delta,
+    )
+
+    root = _fresh("t_dv_mor")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n = orders.count()
+    write_delta(orders.repartition(4), root)
+    before = {
+        a["path"]: (a["size"], a.get("stats"))
+        for a in delta_live_files(root, 0)
+    }
+    ndel = orders.where("o_totalprice > 100000").count()
+    v = delete_delta_dv(spark, root, "o_totalprice > 100000")
+    after = {
+        a["path"]: (a["size"], a.get("stats"))
+        for a in delta_live_files(root, v)
+    }
+    assert after == before, "DV delete touched data files"
+    assert all(
+        a.get("deletionVector", {}).get("cardinality", 0) > 0
+        for a in delta_live_files(root, v)
+    )
+    assert read_delta(spark, root).count() == n - ndel
+    assert read_delta(spark, root, version=0).count() == n
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert "deletionVectors" in proto["readerFeatures"]
+    restore_delta(spark, root, 0)
+    assert read_delta(spark, root).count() == n, "restore kept DV deletes"
+
+
+def test_dv_supersede_union_and_cdf(spark):
+    """A second DV delete on the same files must write ONE superseding
+    vector per file holding the UNION of positions, and the change feed
+    must emit each deleted row exactly once, in its own commit."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_dv,
+        delta_live_files,
+        read_delta_cdf,
+    )
+
+    root = _fresh("t_dv_union_cdf")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_delta(
+        orders.repartition(4),
+        root,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v1 = delete_delta_dv(spark, root, "o_totalprice > 100000")
+    v2 = delete_delta_dv(spark, root, "o_custkey % 7 = 0")
+    exp1 = orders.where("o_totalprice > 100000").count()
+    exp2 = orders.where(
+        "NOT (o_totalprice > 100000) AND o_custkey % 7 = 0"
+    ).count()
+    keep = orders.where(
+        "NOT (o_totalprice > 100000) AND NOT (o_custkey % 7 = 0)"
+    ).count()
+    assert read_delta(spark, root).count() == keep
+    live = delta_live_files(root, v2)
+    assert all(a.get("deletionVector") for a in live)
+    card = sum(a["deletionVector"]["cardinality"] for a in live)
+    assert card == exp1 + exp2, "union-supersede lost or doubled positions"
+    cdf = read_delta_cdf(spark, root, v1)
+    assert cdf.where(f"_commit_version = {v1}").count() == exp1
+    assert cdf.where(f"_commit_version = {v2}").count() == exp2
+    assert cdf.where("_change_type <> 'delete'").count() == 0
+    # already-deleted rows never re-match: ids are disjoint across commits
+    assert (
+        cdf.select("o_orderkey").distinct().count() == exp1 + exp2
+    ), "a deleted row re-emitted in a later delete's CDF"
+
+
+def test_dv_purge_checkpoint_vacuum(spark):
+    """REORG PURGE materializes DVs as a dataChange=false rewrite with
+    identical logical content; a checkpoint carries DV descriptors (read
+    survives trimming the JSON history); vacuum keeps referenced DV bins
+    and reclaims them once retention drops the DV versions."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        checkpoint_delta,
+        delete_delta_dv,
+        delta_live_files,
+        purge_delta_dv,
+        vacuum_delta,
+    )
+
+    root = _fresh("t_dv_purge_cp_vac")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_delta(orders.repartition(4), root)
+    delete_delta_dv(spark, root, "o_totalprice > 100000")
+    keep = orders.where("NOT (o_totalprice > 100000)").count()
+    # checkpoint fidelity: drop the JSON history, DV still applies
+    cp_v = checkpoint_delta(root)
+    for v in range(cp_v):  # pre-checkpoint commits are redundant now
+        os.unlink(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    assert read_delta(spark, root).count() == keep
+    bins = [n for n in os.listdir(root) if n.startswith("deletion_vector_")]
+    assert bins, "no DV sidecar written"
+    assert vacuum_delta(root) == [], "vacuum reclaimed a referenced DV"
+    vp = purge_delta_dv(spark, root)
+    assert read_delta(spark, root).count() == keep
+    assert not any(
+        a.get("deletionVector") for a in delta_live_files(root, vp)
+    )
+    with open(os.path.join(root, "_delta_log", f"{vp:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    assert all(
+        not a["add"].get("dataChange") for a in acts if "add" in a
+    ), "purge must be dataChange=false"
+    # retention past the DV versions reclaims the bins
+    vacuum_delta(root, retain_versions=1)
+    assert not [
+        n for n in os.listdir(root) if n.startswith("deletion_vector_")
+    ], "orphaned DV bins survived retention vacuum"
+
+
+def test_dv_concurrent_delete_conflicts(spark):
+    """Two DV deletes computed from the same snapshot: the loser must
+    raise ConcurrentDeltaWriteError, never blindly re-add the file with
+    its own (stale) vector — that would resurrect the winner's deletes."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        ConcurrentDeltaWriteError,
+        _publish_commit,
+        delete_delta_dv,
+        delta_live_files,
+    )
+
+    root = _fresh("t_dv_conflict")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_delta(orders.coalesce(1), root)
+    snap = {a["path"]: a for a in delta_live_files(root, 0)}
+    winner_v = delete_delta_dv(spark, root, "o_totalprice > 100000")
+    # a stale writer publishes a rewrite-in-place computed from v0
+    rel = next(iter(snap))
+    stale = [
+        {"commitInfo": {"timestamp": 0, "operation": "DELETE"}},
+        {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}},
+        {
+            "add": {
+                **{
+                    k: snap[rel][k]
+                    for k in ("path", "partitionValues", "size", "stats")
+                    if k in snap[rel]
+                },
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": "deadbeef",
+                    "offset": 1,
+                    "sizeInBytes": 5,
+                    "cardinality": 1,
+                },
+            }
+        },
+    ]
+    with pytest.raises(ConcurrentDeltaWriteError, match="deletion vector"):
+        _publish_commit(
+            os.path.join(root, "_delta_log"),
+            stale,
+            winner_v,  # stale writer computed the same target version
+            expected_adds=snap,
+        )
+
+
+def test_dv_optimize_and_merge_respect_mask(spark):
+    """OPTIMIZE on a DV table compacts the LOGICAL rows (deleted rows do
+    not reappear, new files carry no DVs); MERGE treats deleted keys as
+    absent — the source row lands as an INSERT, and untouched deleted
+    rows stay deleted after the file rewrite."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_dv,
+        delta_live_files,
+        merge_delta,
+        optimize_delta,
+    )
+
+    root = _fresh("t_dv_opt_merge")
+    df = spark.createDataFrame(
+        [(i, float(i), "old") for i in range(1000)], "k bigint, x double, s string"
+    )
+    write_delta(df.repartition(4), root)
+    delete_delta_dv(spark, root, "k % 10 = 0")  # 100 rows out
+    assert read_delta(spark, root).count() == 900
+    # merge: k=0 was deleted (re-insert), k=1 is live (update)
+    src = spark.createDataFrame(
+        [(0, -1.0, "ins"), (1, -2.0, "upd")], "k bigint, x double, s string"
+    )
+    merge_delta(spark, root, src, key="k")
+    got = {r["k"]: r["s"] for r in read_delta(spark, root).collect()}
+    assert got[0] == "ins" and got[1] == "upd"
+    assert len(got) == 901  # 900 live + k=0 back; other deleted keys stay out
+    assert 10 not in got and 20 not in got
+    v = optimize_delta(spark, root)
+    assert read_delta(spark, root).count() == 901
+    assert not any(a.get("deletionVector") for a in delta_live_files(root, v))
