@@ -151,6 +151,41 @@ class AtlasEngine:
             df, path, partition_by=list(partition_by), mode=mode, txn=txn
         )
 
+    def delete_delta(self, path: str, predicate: str) -> int:
+        """Merge-on-read DELETE: rows matching the SQL `predicate` are
+        position-tombstoned in deletion vectors — no data file is
+        rewritten. Returns the new version."""
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            delete_delta_dv,
+        )
+
+        return delete_delta_dv(self.spark, path, predicate)
+
+    def optimize_delta(
+        self,
+        path: str,
+        target_files: int | None = None,
+        zorder_by: Sequence[str] = (),
+        purge: bool = False,
+    ) -> int:
+        """Table maintenance: bin-packing compaction, optional
+        `zorder_by` multi-column Morton clustering (log-stats skipping
+        on every z column), `purge=True` first materializes accumulated
+        deletion vectors (REORG APPLY PURGE)."""
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            optimize_delta,
+            purge_delta_dv,
+        )
+
+        if purge:
+            purge_delta_dv(self.spark, path)
+        return optimize_delta(
+            self.spark,
+            path,
+            target_files=target_files,
+            zorder_by=list(zorder_by) or None,
+        )
+
     def read_iceberg(
         self, path: str, snapshot_id: int | None = None
     ) -> DataFrame:

@@ -98,6 +98,11 @@ def _delta_files(path: str) -> list[dict]:
             "size": f.get("size"),
             "partition_values": f.get("partitionValues") or {},
             "stats": json.loads(f.get("stats") or "{}"),
+            **(
+                {"deleted_rows": f["deletionVector"].get("cardinality")}
+                if f.get("deletionVector")
+                else {}
+            ),
         }
         for f in delta_live_files(path)
     ]

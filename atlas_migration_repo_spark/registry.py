@@ -98,6 +98,8 @@ _DRIVER_SAMPLE_PREFIX = (
     "iceberg_merge_mor",
     "delta_stream",
     "delta_adopt_tablelog",
+    "delta_delete_dv",
+    "delta_zorder",
     "str_basic",
     "json_funcs",
     "stream_watermark",
