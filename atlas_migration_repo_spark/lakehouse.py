@@ -51,6 +51,12 @@ def _delta_describe(path: str) -> dict:
         "size_bytes": sum(f.get("size", 0) for f in files),
         "num_records": sum(
             json.loads(f.get("stats") or "{}").get("numRecords", 0) for f in files
+        )
+        # numRecords is PHYSICAL per the protocol; deletion vectors
+        # subtract logically
+        - sum(
+            (f.get("deletionVector") or {}).get("cardinality", 0)
+            for f in files
         ),
     }
 

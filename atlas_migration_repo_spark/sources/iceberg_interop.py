@@ -2189,6 +2189,17 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
         raise FileExistsError(f"{_meta_dir(path)} already holds Iceberg metadata")
     _, dmeta, _ = _delta_replay(path)
     adds = delta_live_files(path)
+    if any(a.get("deletionVector") for a in adds):
+        # an Iceberg manifest over the raw files would RESURRECT the
+        # DV-masked rows for Iceberg readers — the one thing a dual
+        # publish must never do. (Real UniForm converts DVs to Iceberg
+        # positional deletes; here the PURGE rewrite is the documented
+        # bridge.)
+        raise ValueError(
+            "publish_iceberg_metadata_from_delta: table has live deletion "
+            "vectors; run purge_delta_dv first so both protocol readers "
+            "see the same rows"
+        )
     spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
     schema_fields = _ice_schema(spark_schema)
     by_name = {f["name"]: f for f in schema_fields}

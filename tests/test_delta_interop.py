@@ -1902,3 +1902,30 @@ def test_dv_optimize_and_merge_respect_mask(spark):
     v = optimize_delta(spark, root)
     assert read_delta(spark, root).count() == 901
     assert not any(a.get("deletionVector") for a in delta_live_files(root, v))
+
+
+def test_dv_uniform_publish_refuses(spark):
+    """UniForm dual publish over a DV table must refuse: an Iceberg
+    manifest over the raw data files would resurrect the masked rows
+    for Iceberg readers. After PURGE, the publish goes through and the
+    Iceberg reader sees exactly the masked row set."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_dv,
+        purge_delta_dv,
+    )
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        publish_iceberg_metadata_from_delta,
+        read_iceberg,
+    )
+
+    root = _fresh("t_dv_uniform")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_delta(orders.repartition(2), root)
+    delete_delta_dv(spark, root, "o_totalprice > 100000")
+    keep = orders.where("NOT (o_totalprice > 100000)").count()
+    with pytest.raises(ValueError, match="deletion vectors"):
+        publish_iceberg_metadata_from_delta(spark, root)
+    purge_delta_dv(spark, root)
+    publish_iceberg_metadata_from_delta(spark, root)
+    assert read_iceberg(spark, root).count() == keep
+    assert read_delta(spark, root).count() == keep
