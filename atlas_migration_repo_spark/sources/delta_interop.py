@@ -1266,6 +1266,15 @@ def _apply_dv_mask(
     if not dv_adds:
         return df
     dels = _dv_expand_df(spark, path, dv_adds)
+    # the descriptors carry EXACT cardinalities the optimizer can't see
+    # through mapInPandas: broadcast the tombstone side while it is
+    # hint-safely small (a (string, long) row is ~tens of bytes;
+    # 2M rows ≪ the driver/executor broadcast budget), else let the
+    # shuffled anti-join handle pathological accumulation — purge is
+    # the documented fix for that state anyway
+    total = sum(a["deletionVector"].get("cardinality", 0) for a in dv_adds)
+    if total <= 2_000_000:
+        dels = F.broadcast(dels)
     return (
         df.withColumn("__dv_file", file_path_col())
         .withColumn("__dv_pos", F.col("_metadata.row_index"))
