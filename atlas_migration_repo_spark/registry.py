@@ -36,13 +36,15 @@ QUERIES: dict[str, QueryDef] = {}
 # aggregates, joins, windows, set ops, goldens, pivots, sources, ETL,
 # subqueries, analytics, scalars, UDFs, streaming, text, dedup, pipeline,
 # similarity, multimodal. Pure registration order; no semantics change.
-# Round-5 rotation (protocol: VERDICT r3 "next" #4, re-affirmed r4 #6):
+# Round-6 rotation (protocol: VERDICT r3 "next" #4, re-affirmed r5 #3):
 # ~20 fixed family representatives stay every round; the other ~30 slots
 # rotate to oracle-gated registry keys the driver has NOT hash-verified in
-# any prior round (r1∪r2∪r3∪r4 covered 121 keys), so successive driver
-# CORRECTNESS artifacts cumulatively cover the registry. This round
-# prioritizes the judge's named list (table-log family, lakehouse/CBO,
-# geo, interval joins, sim_maxsim) plus the new round-5 keys.
+# any prior round (r1∪…∪r5 covered 151 keys), so successive driver
+# CORRECTNESS artifacts cumulatively cover the registry. This round fills
+# the window with the judge's named never-sampled lakehouse family
+# (delta/iceberg roundtrip, checkpoint, merge, CDF, optimize/restore,
+# sink txns, UniForm) plus the round-5 session-end inserts that fell
+# outside the previous window.
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r4) -------------
     "scan_parquet",
@@ -65,50 +67,53 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_tumbling",
     "text_tfidf",
     "dedup_exact",
-    # -- rotation: oracle-verified keys unseen by the driver in r1-r4 -----
-    "source_avro",
-    "merge_versioned",
-    "table_log_changes",
-    "table_log_skipping",
-    "stream_table_log",
-    "table_log_rename_travel",
-    "stream_kafka_shaped",
-    "pipeline_lakehouse_sync",
-    "stats_cbo_join",
-    "geo_haversine_pairs",
-    "join_interval_allen",
-    "sim_maxsim",
-    "win_lag_lead",
-    "set_union_all",
-    "q2_min_cost_supplier",
-    "q14_promo_revenue",
-    "pivot_dynamic",
-    "source_python_ds",
-    "join_dpp",
-    "join_salted",
-    "dq_checks",
-    "ivm_incremental_agg",
-    "subq_scalar",
-    "ts_ewma",
-    "orders_rfm",
-    "delta_time_travel",
-    "delta_partition_pruning",
-    "iceberg_time_travel",
-    "iceberg_delete_mor",
-    "iceberg_merge_mor",
-    "delta_stream",
-    "delta_adopt_tablelog",
+    # -- rotation: oracle-verified keys unseen by the driver in r1-r5 -----
+    # lakehouse family (VERDICT r5 #3's named list)
+    "delta_roundtrip",
+    "delta_checkpoint_read",
+    "delta_merge",
+    "delta_merge_partitioned",
+    "delta_delete_range",
+    "delta_cdf",
+    "stream_delta_cdf",
+    "delta_optimize",
+    "delta_restore",
+    "delta_convert_tablelog",
+    "delta_sink_txn",
+    "iceberg_roundtrip",
+    "iceberg_partition_pruning",
+    "iceberg_stats_skipping",
+    "iceberg_hidden_partitioning",
+    "iceberg_bucket_partitioning",
+    "iceberg_incremental_scan",
+    "iceberg_rename_travel",
+    "iceberg_sink_txn",
+    "lakehouse_uniform",
+    # round-5 session-end inserts that fell outside the r5 window
     "delta_delete_dv",
     "delta_zorder",
+    "delta_stream",
+    "delta_adopt_tablelog",
     "str_basic",
     "json_funcs",
     "stream_watermark",
     "text_wordcount",
     "dedup_clusters",
+    "geo_nearest_hub",
     # -- past the ~50-entry driver window: family reps that keep the
     #    family-span invariant for modules already driver-covered, plus
     #    rows-only entries (advisor: rows-only goes AFTER oracle-verified
     #    entries, never displacing them in the sample) --------------------
+    "source_avro",
+    "merge_versioned",
+    "table_log_changes",
+    "stream_kafka_shaped",
+    "pipeline_lakehouse_sync",
+    "geo_haversine_pairs",
+    "source_python_ds",
+    "ts_ewma",
+    "orders_rfm",
+    "q14_promo_revenue",
     "graph_triangles",
     "sketch_countmin_estimate",
     "stream_stateful",
