@@ -45,7 +45,11 @@ from atlas_migration_repo_spark.catalog import load, msum
 from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.files import file_path_col, scratch_path
-from atlas_migration_repo_spark.sources.table_log import PosixLinkLogStore, TableLog
+from atlas_migration_repo_spark.sources.table_log import (
+    LogStore,
+    TableLog,
+    resolve_log_store,
+)
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -105,6 +109,7 @@ def _publish_commit(
     actions: list[dict],
     version: int,
     expected_adds: dict[str, dict] | None = None,
+    store: LogStore | None = None,
 ) -> int:
     """Publish `actions` as the next commit via put-if-absent — Delta's
     optimistic concurrency. Losing the version race retries at the next
@@ -121,7 +126,10 @@ def _publish_commit(
       it once (staged files of the loser become vacuum-able orphans).
     Blind data appends, the provably-safe case, always retry."""
     os.makedirs(log_dir, exist_ok=True)
-    store = PosixLinkLogStore()
+    store = store if store is not None else resolve_log_store()
+    # finish any crashed writer's half-published commit before reading
+    # versions, or a claimed-but-missing version would be re-claimed
+    store.recover(log_dir)
     removed = {a["remove"]["path"] for a in actions if "remove" in a}
     has_meta = any("metaData" in a for a in actions)
     txns = [a["txn"] for a in actions if "txn" in a]
@@ -186,7 +194,15 @@ def _publish_commit(
                 return version
             lost_race = True
             vs = _committed_versions(log_dir)
-            version = (vs[-1] + 1) if vs else version + 1
+            next_version = (vs[-1] + 1) if vs else version + 1
+            if next_version == version:
+                # race winner still mid-publish (coordinated stores):
+                # their claim exists but the commit object doesn't yet —
+                # back off until it appears instead of spinning
+                import time
+
+                time.sleep(0.005)
+            version = next_version
     finally:
         os.unlink(tmp)
 

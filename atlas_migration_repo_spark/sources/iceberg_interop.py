@@ -44,6 +44,10 @@ from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.avro import _container_bytes, parse_container
 from atlas_migration_repo_spark.sources.files import file_path_col, scratch_path
+from atlas_migration_repo_spark.sources.table_log import (
+    LogStore,
+    resolve_log_store,
+)
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -166,34 +170,42 @@ def _current_metadata(path: str) -> tuple[int, dict] | None:
 
 
 # -- manifest avro schemas (field-ids per spec §Manifests) -------------------
-def _publish_metadata(path: str, v: int, meta: dict) -> None:
-    """Publish vN.metadata.json via PUT-IF-ABSENT (tmp + hard link,
-    which fails with EEXIST instead of overwriting), then advance the
-    advisory version-hint — the HadoopCatalog commit convention. Two
-    writers racing the same version get ONE winner and one
+def _publish_metadata(
+    path: str, v: int, meta: dict, store: LogStore | None = None
+) -> None:
+    """Publish vN.metadata.json via the LogStore's PUT-IF-ABSENT (which
+    fails instead of overwriting), then advance the advisory
+    version-hint — the HadoopCatalog commit convention. Two writers
+    racing the same version get ONE winner and one
     ConcurrentIcebergCommitError; a plain rename would silently drop
     the loser's commit (last-writer-wins, the lost-update anomaly the
-    Delta/TableLog paths already refuse)."""
-    mpath = os.path.join(_meta_dir(path), f"v{v}.metadata.json")
+    Delta/TableLog paths already refuse). The store is the same seam
+    TableLog and the Delta bridge resolve (`resolve_log_store`), so a
+    rename-less object-store target swaps the primitive in one place."""
+    store = store if store is not None else resolve_log_store()
+    meta_dir = _meta_dir(path)
+    # finish any crashed writer's half-published metadata first, or a
+    # claimed-but-missing version would be double-claimed
+    store.recover(meta_dir)
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
     tmp = mpath + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=1)
         fh.flush()
         os.fsync(fh.fileno())
     try:
-        os.link(tmp, mpath)
-    except FileExistsError:
-        raise ConcurrentIcebergCommitError(
-            f"metadata version {v} was published by a concurrent writer; "
-            "re-read the table and retry the commit"
-        ) from None
+        if not store.publish(tmp, mpath):
+            raise ConcurrentIcebergCommitError(
+                f"metadata version {v} was published by a concurrent "
+                "writer; re-read the table and retry the commit"
+            )
     finally:
         os.unlink(tmp)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
+    hint = os.path.join(meta_dir, "version-hint.text")
     tmp = hint + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         fh.write(str(v))
-    os.rename(tmp, hint)
+    os.replace(tmp, hint)
 
 
 def _append_snapshot_commit(
@@ -2342,16 +2354,10 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
         "snapshot-log": [{"snapshot-id": snap_id, "timestamp-ms": now_ms}],
         "metadata-log": [],
     }
-    mpath = os.path.join(_meta_dir(path), "v1.metadata.json")
-    tmp = mpath + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=1)
-    os.rename(tmp, mpath)
-    hint = os.path.join(_meta_dir(path), "version-hint.text")
-    tmp = hint + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write("1")
-    os.rename(tmp, hint)
+    # put-if-absent via the shared LogStore seam: two racing UniForm
+    # publishers both passing the exists-check above still get exactly
+    # one v1 winner (the loser raises instead of clobbering)
+    _publish_metadata(path, 1, meta)
     return snap_id
 
 

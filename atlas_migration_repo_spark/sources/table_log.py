@@ -229,6 +229,36 @@ class CoordinatedPutLogStore(LogStore):
             )
 
 
+# Process-wide default store for every commit publisher — the bespoke
+# TableLog AND the Delta/Iceberg foreign-format bridges resolve through
+# here, so deploying onto a rename-less object store is ONE switch
+# (env var or setter), not a per-module hunt for os.link call sites.
+_DEFAULT_LOG_STORE: LogStore | None = None
+
+
+def set_default_log_store(store: LogStore | None) -> None:
+    """Override the process-wide LogStore (None restores env/posix
+    resolution). Tests use this to run every publisher — TableLog,
+    Delta `_publish_commit`, Iceberg `_publish_metadata` — against the
+    coordinated-put store without threading a parameter through every
+    write API."""
+    global _DEFAULT_LOG_STORE
+    _DEFAULT_LOG_STORE = store
+
+
+def resolve_log_store() -> LogStore:
+    """The LogStore every publisher uses when not given one explicitly:
+    the `set_default_log_store` override if set, else
+    SPARK_GRAFT_LOG_STORE=coordinated for rename-less object-store
+    targets, else the POSIX hard-link store."""
+    if _DEFAULT_LOG_STORE is not None:
+        return _DEFAULT_LOG_STORE
+    name = os.environ.get("SPARK_GRAFT_LOG_STORE", "posix").strip().lower()
+    if name in ("coordinated", "coordinated_put", "s3", "object"):
+        return CoordinatedPutLogStore()
+    return PosixLinkLogStore()
+
+
 @dataclass
 class Snapshot:
     """Resolved state of the table at one version."""
@@ -243,7 +273,7 @@ class Snapshot:
 class TableLog:
     def __init__(self, root: str, store: LogStore | None = None) -> None:
         self.root = root
-        self.store = store if store is not None else PosixLinkLogStore()
+        self.store = store if store is not None else resolve_log_store()
         self.log_dir = os.path.join(root, "_log")
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.log_dir, exist_ok=True)

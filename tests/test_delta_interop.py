@@ -1929,3 +1929,66 @@ def test_dv_uniform_publish_refuses(spark):
     publish_iceberg_metadata_from_delta(spark, root)
     assert read_iceberg(spark, root).count() == keep
     assert read_delta(spark, root).count() == keep
+
+
+@pytest.mark.parametrize("store_name", ["posix_link", "coordinated_put"])
+def test_delta_concurrent_append_race(spark, store_name):
+    """VERDICT r5 #1: the Delta bridge commits through the same LogStore
+    seam as TableLog. 4 threads each append 4 batches against one Delta
+    table; every commit must win a unique dense version and no append
+    may be lost or duplicated — under BOTH the POSIX hard-link store and
+    the coordinated-put store (the rename-less object-store protocol the
+    declared S3 deployment target requires)."""
+    import threading
+
+    from atlas_migration_repo_spark.sources.table_log import (
+        CoordinatedPutLogStore,
+        PosixLinkLogStore,
+        set_default_log_store,
+    )
+
+    mk = {
+        "posix_link": PosixLinkLogStore,
+        "coordinated_put": CoordinatedPutLogStore,
+    }[store_name]
+    root = _fresh(f"t_race_{store_name}")
+    set_default_log_store(mk())
+    try:
+        # seed commit OUTSIDE the race: concurrent version-0 writers
+        # would race the metaData action, which correctly refuses retry
+        write_delta(
+            spark.range(10_000, 10_010).select("id").coalesce(1),
+            root,
+            mode="append",
+        )
+        errors: list[Exception] = []
+
+        def writer(tid: int) -> None:
+            try:
+                for j in range(4):
+                    lo = (tid * 4 + j) * 100
+                    write_delta(
+                        spark.range(lo, lo + 100).select("id").coalesce(1),
+                        root,
+                        mode="append",
+                    )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            _committed_versions,
+            _log_dir,
+        )
+
+        vs = _committed_versions(_log_dir(root))
+        assert vs == list(range(17)), vs  # seed + 16 appends, dense
+        got = sorted(r["id"] for r in read_delta(spark, root).collect())
+        assert got == list(range(1600)) + list(range(10_000, 10_010))
+    finally:
+        set_default_log_store(None)

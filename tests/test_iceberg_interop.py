@@ -1308,3 +1308,76 @@ def test_iceberg_native_rename_by_field_id(spark):
     # ...but a data column on a partitioned table renames fine
     rename_iceberg_column(proot, "v", "value")
     assert read_iceberg(spark, proot).columns == ["k", "part", "value"]
+
+
+import pytest
+
+
+@pytest.mark.parametrize("store_name", ["posix_link", "coordinated_put"])
+def test_iceberg_concurrent_append_race(spark, store_name):
+    """VERDICT r5 #1: the Iceberg bridge publishes vN.metadata.json
+    through the same LogStore seam as TableLog. 4 threads each append 4
+    batches; Iceberg's optimistic protocol RAISES on a lost race (the
+    caller re-reads and redoes), so writers retry at the application
+    level. Every metadata version must be dense and unique, no append
+    lost or duplicated — under both stores."""
+    import threading
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        ConcurrentIcebergCommitError,
+        _current_metadata,
+    )
+    from atlas_migration_repo_spark.sources.table_log import (
+        CoordinatedPutLogStore,
+        PosixLinkLogStore,
+        set_default_log_store,
+    )
+
+    mk = {
+        "posix_link": PosixLinkLogStore,
+        "coordinated_put": CoordinatedPutLogStore,
+    }[store_name]
+    root = _fresh(f"t_ice_race_{store_name}")
+    set_default_log_store(mk())
+    try:
+        # seed OUTSIDE the race (v1 carries the schema; racing table
+        # creation is not an append race)
+        write_iceberg(
+            spark.range(10_000, 10_010).select("id").coalesce(1),
+            root,
+            mode="append",
+        )
+        errors: list[Exception] = []
+
+        def writer(tid: int) -> None:
+            try:
+                for j in range(4):
+                    lo = (tid * 4 + j) * 100
+                    batch = spark.range(lo, lo + 100).select("id").coalesce(1)
+                    for _attempt in range(200):
+                        try:
+                            write_iceberg(batch, root, mode="append")
+                            break
+                        except ConcurrentIcebergCommitError:
+                            continue  # re-read current metadata and redo
+                    else:  # pragma: no cover
+                        raise AssertionError("append starved after 200 tries")
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        v, _meta = _current_metadata(root)
+        assert v == 17, v  # seed + 16 appends, dense versions v1..v17
+        for k in range(1, 18):
+            assert os.path.exists(
+                os.path.join(_meta_dir(root), f"v{k}.metadata.json")
+            )
+        got = sorted(r["id"] for r in read_iceberg(spark, root).collect())
+        assert got == list(range(1600)) + list(range(10_000, 10_010))
+    finally:
+        set_default_log_store(None)
