@@ -1992,3 +1992,85 @@ def test_delta_concurrent_append_race(spark, store_name):
         assert got == list(range(1600)) + list(range(10_000, 10_010))
     finally:
         set_default_log_store(None)
+
+
+def test_dv_payload_is_spec_roaring():
+    """VERDICT r5 #2: DV payloads are the protocol's RoaringBitmapArray
+    portable format, byte-checkable against the published spec — magic
+    1681511377 (i32 LE), u64 LE bucket count, u32 LE high-bits key, then
+    a standard 32-bit roaring bitmap per bucket (RoaringFormatSpec)."""
+    import struct
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _dv_decode,
+        _dv_encode,
+        _roar32_decode,
+        _roar32_encode,
+    )
+
+    # canonical published vector: the serialized bitmap {0} is exactly
+    # cookie 12346, 1 container, header (key 0, card-1 0), offset 16,
+    # one u16 value — 18 bytes
+    assert _roar32_encode([0]) == (
+        struct.pack("<II", 12346, 1)
+        + struct.pack("<HH", 0, 0)
+        + struct.pack("<I", 16)
+        + struct.pack("<H", 0)
+    )
+    # full payload: magic + bucket count + key + bitmap
+    enc = _dv_encode([0])
+    assert enc[:4] == struct.pack("<i", 1681511377)
+    assert struct.unpack_from("<Q", enc, 4)[0] == 1
+    assert struct.unpack_from("<I", enc, 12)[0] == 0
+
+    # round-trips across container types and 64-bit buckets:
+    # array (<=4096), bitmap (>4096), multi-key, high-32-bit buckets
+    for vals in (
+        [0],
+        [65536, 65538],
+        list(range(4097)),
+        list(range(0, 200_000, 3)),
+        [1, 5, 7, 100_000, 2**32 + 5, 2**33],
+        [],
+    ):
+        assert _dv_decode(_dv_encode(vals)) == sorted(set(vals))
+
+    # run-container decode (real Delta writers runOptimize): {10..20}
+    # hand-encoded per spec — run cookie 12347 with n-1 in the high 16
+    # bits, run-flag bitset, descriptive header, no offset header under
+    # 4 containers, then (start, length-1) pairs
+    payload = (
+        struct.pack("<I", 12347)
+        + bytes([1])
+        + struct.pack("<HH", 0, 10)
+        + struct.pack("<H", 1)
+        + struct.pack("<HH", 10, 10)
+    )
+    vals, end = _roar32_decode(payload, 0)
+    assert vals == list(range(10, 21)) and end == len(payload)
+
+
+def test_dv_legacy_payload_still_readable():
+    """Tables written before the roaring payload landed used the
+    documented local codec (AMDV magic + delta-varints); the reader
+    must keep decoding them."""
+    from atlas_migration_repo_spark.sources.delta_interop import _dv_decode
+
+    def varint(n: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    positions = [3, 9, 10, 500_000]
+    blob = bytearray(b"AMDV") + varint(len(positions))
+    prev = 0
+    for p in positions:
+        blob += varint(p - prev)
+        prev = p
+    assert _dv_decode(bytes(blob)) == positions
