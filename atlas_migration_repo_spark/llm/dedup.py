@@ -327,6 +327,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_components(
+    edges: DataFrame, src: str, dst: str, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components over a SYMMETRIZED edge list by iterative
+    min-label propagation with pointer-doubling: each round every node
+    takes the min label among itself and its neighbors, then jumps to
+    its label's own label (path shortcutting), so chains collapse in
+    O(log diameter) rounds instead of O(diameter). Each round is one
+    shuffle on the edge list plus one label-sized self-join; state is
+    (id, lab) — at 100 TB this is GraphFrames'/large-star CC shape.
+
+    Rounds are CAPPED (VERDICT r5 #7): a pathological input that
+    somehow fails to converge raises deterministically rather than
+    looping forever — with doubling, 50 rounds covers any diameter a
+    physical corpus can hold (2^50 hops), so the raise is a logic-error
+    tripwire, not an expected path. Returns (id, lab)."""
+    lab = (
+        edges.select(F.col(src).alias("id")).distinct()
+        .withColumn("lab", F.col("id"))
+        .persist()
+    )
+    for _round in range(max_rounds):
+        msgs = edges.join(lab, edges[src] == lab.id).select(
+            F.col(dst).alias("id"), F.col("lab")
+        )
+        new = (
+            lab.select("id", "lab").unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+        )
+        # pointer doubling: relabel through the label's own label (a
+        # label is always a node id present in `lab`, and labels only
+        # decrease, so the jump is monotone and safe)
+        parent = new.select(
+            F.col("id").alias("lab"), F.col("lab").alias("plab")
+        )
+        # localCheckpoint truncates lineage each round: without it the
+        # logical plan (and optimizer time) grows linearly per iteration
+        # and any downstream explain/recompute replays every round. On a
+        # cluster, pair with a reliable checkpoint dir if executor loss
+        # during the (short) CC loop must be survivable.
+        new = (
+            new.join(parent, "lab", "left")
+            .select("id", F.coalesce("plab", "lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "id")
+            .where(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        lab.unpersist()
+        lab = new
+        if changed == 0:
+            return lab
+    raise RuntimeError(
+        f"connected components did not converge in {max_rounds} rounds — "
+        "with pointer doubling this indicates a logic error, not a long "
+        "chain; refusing to return a partial clustering"
+    )
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -367,36 +430,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
     ).persist()
-    lab = (
-        edges.select(F.col("da").alias("id")).distinct()
-        .withColumn("lab", F.col("id"))
-        .persist()
-    )
-    while True:
-        msgs = edges.join(lab, edges.da == lab.id).select(
-            F.col("db").alias("id"), F.col("lab")
-        )
-        # localCheckpoint truncates lineage each round: without it the
-        # logical plan (and optimizer time) grows linearly per iteration
-        # and any downstream explain/recompute replays every round. On a
-        # cluster, pair with a reliable checkpoint dir if executor loss
-        # during the (short) CC loop must be survivable.
-        new = (
-            lab.select("id", "lab").unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), "id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        lab.unpersist()
-        lab = new
-        if changed == 0:
-            break
+    lab = min_label_components(edges, "da", "db")
     d = load(spark, sf_dir, "documents")
     out = (
         d.select("doc_id")

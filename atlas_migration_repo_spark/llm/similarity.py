@@ -1151,35 +1151,13 @@ def embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage truncation, O(log diameter) rounds); the DuckDB oracle
     replays the components via a recursive-CTE transitive closure over
     the exact pair set, which equals the LSH pair set at recall 1.0."""
+    from atlas_migration_repo_spark.llm.dedup import min_label_components
+
     pairs = dedup_embed(spark, sf_dir).select("va", "vb")
     edges = pairs.unionByName(
         pairs.select(F.col("vb").alias("va"), F.col("va").alias("vb"))
     ).persist()
-    lab = (
-        edges.select(F.col("va").alias("id")).distinct()
-        .withColumn("lab", F.col("id"))
-        .persist()
-    )
-    while True:
-        msgs = edges.join(lab, edges.va == lab.id).select(
-            F.col("vb").alias("id"), F.col("lab")
-        )
-        new = (
-            lab.select("id", "lab").unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), "id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        lab.unpersist()
-        lab = new
-        if changed == 0:
-            break
+    lab = min_label_components(edges, "va", "vb")
     em = load(spark, sf_dir, "embeddings").select("vec_id")
     out = (
         em.join(lab, em.vec_id == lab.id, "left")

@@ -3211,3 +3211,27 @@ def test_ann_sync_skips_compaction(spark, tmp_path):
     )
     assert sync_ann_index(spark, em_log, idx) == 1
     assert codes_log.read(spark).count() == n_before + 1
+
+
+def test_min_label_components_long_chain_and_cap(spark):
+    """VERDICT r5 #7: the CC loop is capped and pointer-doubled. A
+    300-node chain (diameter 299) must converge well inside 12 rounds —
+    plain one-hop min propagation would need ~299 — and an insufficient
+    cap must raise deterministically instead of returning a partial
+    clustering."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.llm.dedup import min_label_components
+
+    one_way = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "a INT, b INT"
+    )
+    edges = one_way.unionByName(
+        one_way.selectExpr("b AS a", "a AS b")
+    )
+    lab = min_label_components(edges, "a", "b", max_rounds=12)
+    rows = {r["id"]: r["lab"] for r in lab.collect()}
+    assert len(rows) == 300 and set(rows.values()) == {0}
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(edges, "a", "b", max_rounds=1)
