@@ -89,6 +89,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "iceberg_rename_travel",
     "iceberg_sink_txn",
     "lakehouse_uniform",
+    "lakehouse_uniform_reverse",
     # round-5 session-end inserts that fell outside the r5 window
     "delta_delete_dv",
     "delta_zorder",
@@ -99,7 +100,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_watermark",
     "text_wordcount",
     "dedup_clusters",
-    "geo_nearest_hub",
     # -- past the ~50-entry driver window: family reps that keep the
     #    family-span invariant for modules already driver-covered, plus
     #    rows-only entries (advisor: rows-only goes AFTER oracle-verified
@@ -110,6 +110,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_kafka_shaped",
     "pipeline_lakehouse_sync",
     "geo_haversine_pairs",
+    "geo_nearest_hub",
     "source_python_ds",
     "ts_ewma",
     "orders_rfm",

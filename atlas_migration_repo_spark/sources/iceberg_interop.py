@@ -2459,6 +2459,66 @@ def lakehouse_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_uniform_reverse",
+    oracle=f"""
+    SELECT 'delta' AS reader, o_orderstatus,
+           COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'iceberg' AS reader, o_orderstatus,
+           COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_uniform_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse UniForm (VERDICT r5 #6): the data lands in ICEBERG first,
+    then `publish_delta_log_from_iceberg` grafts a `_delta_log` over the
+    same partitioned files — one copy of the data serving both protocol
+    readers. The same partition-pruned aggregate is answered through
+    each door and must agree (and match the oracle) — the migration
+    that lands in Iceberg but must keep serving Delta clients."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        publish_delta_log_from_iceberg,
+        read_delta,
+    )
+
+    root = scratch_path(sf_dir, "orders_uniform_rev")
+    shutil.rmtree(root, ignore_errors=True)
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    write_iceberg(df, root, partition_by=["o_orderpriority"])
+    publish_delta_log_from_iceberg(spark, root)
+    outs = []
+    for reader, fn in (
+        (
+            "delta",
+            lambda: read_delta(
+                spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+            ),
+        ),
+        (
+            "iceberg",
+            lambda: read_iceberg(
+                spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+            ),
+        ),
+    ):
+        outs.append(
+            fn()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .select(
+                F.lit(reader).alias("reader"), "o_orderstatus", "n_rows", "total"
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@query(
     "iceberg_stats_skipping",
     oracle=f"""
     SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total

@@ -1381,3 +1381,55 @@ def test_iceberg_concurrent_append_race(spark, store_name):
         assert got == list(range(1600)) + list(range(10_000, 10_010))
     finally:
         set_default_log_store(None)
+
+
+def test_reverse_uniform_refusals_and_parity(spark):
+    """publish_delta_log_from_iceberg must refuse exactly the states
+    that would lie to a Delta reader — live MOR delete files (rows
+    would resurrect) and renamed columns (files carry old names Delta
+    reader 1 cannot resolve) — and after the documented bridges
+    (rewrite_iceberg / no rename) both readers must see identical rows.
+    Re-publishing over an existing _delta_log must also refuse."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        publish_delta_log_from_iceberg,
+        read_delta,
+    )
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_where,
+        rewrite_iceberg,
+    )
+
+    root = _fresh("t_rev_uniform")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_iceberg(orders.repartition(2), root)
+    delete_iceberg_where(spark, root, "o_totalprice", 100000, 10**9)
+    keep = orders.where("NOT (o_totalprice BETWEEN 100000 AND 1000000000)").count()
+    with _pytest.raises(ValueError, match="delete files"):
+        publish_delta_log_from_iceberg(spark, root)
+    rewrite_iceberg(spark, root)
+    publish_delta_log_from_iceberg(spark, root)
+    assert read_delta(spark, root).count() == keep
+    assert read_iceberg(spark, root).count() == keep
+    with _pytest.raises(FileExistsError):
+        publish_delta_log_from_iceberg(spark, root)
+
+
+def test_reverse_uniform_refuses_renamed_column(spark):
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        publish_delta_log_from_iceberg,
+    )
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        rename_iceberg_column,
+    )
+    import pytest as _pytest
+
+    root = _fresh("t_rev_uniform_rename")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_iceberg(orders, root)
+    rename_iceberg_column(root, "o_totalprice", "price")
+    with _pytest.raises(ValueError, match="renamed"):
+        publish_delta_log_from_iceberg(spark, root)
