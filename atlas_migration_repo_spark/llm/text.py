@@ -145,8 +145,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     # df derived FROM tf (one row per (doc,word)): tokenizes the corpus
     # once instead of twice, replaces countDistinct's expand with a plain
-    # count, and lets ReuseExchange share tf's shuffle across both uses
-    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # count, and lets ReuseExchange share tf's shuffle across both uses.
+    # df must CONSUME tf (sum of tf>0 indicators, not count(1)): the
+    # optimizer otherwise prunes the count buffer out of this branch's
+    # partial aggregate — count(tf) gets rewritten to count(1) since tf
+    # is non-nullable — the two exchanges no longer canonicalize equal,
+    # and ReuseExchange silently dies: the corpus gets tokenized and
+    # shuffled TWICE (caught at sf1, the worst-headliner scaling cliff)
+    df = tf.groupBy("word").agg(
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0)).alias("df")
+    )
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "word")
