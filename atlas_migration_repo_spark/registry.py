@@ -104,6 +104,7 @@ _DRIVER_SAMPLE_PREFIX = (
     #    family-span invariant for modules already driver-covered, plus
     #    rows-only entries (advisor: rows-only goes AFTER oracle-verified
     #    entries, never displacing them in the sample) --------------------
+    "delta_rename_travel",
     "source_avro",
     "merge_versioned",
     "table_log_changes",

@@ -57,16 +57,35 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
-def _refuse_column_mapped(meta: dict | None, op: str) -> None:
-    """Writes to columnMapping tables route through the TableLog (the
-    rename machinery's owner) — this interop reads them but does not
-    rewrite physical-named files."""
-    if meta and (meta.get("configuration") or {}).get(
+def _column_mapping(meta: dict | None) -> dict[str, str]:
+    """logical → physical column names for columnMapping mode=name
+    tables ({} when unmapped). On mapped tables the protocol requires
+    data files, partition dirs/values, and stats to use the PHYSICAL
+    names; readers surface the logical names from the schemaString
+    field metadata."""
+    if not meta or (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode"
-    ) == "name":
+    ) != "name":
+        return {}
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    return {
+        f.name: (f.metadata or {}).get(
+            "delta.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    }
+
+
+def _refuse_column_mapped(meta: dict | None, op: str) -> None:
+    """File-REWRITING ops on columnMapping tables route through the
+    TableLog (the rename machinery's owner) until each op's staging path
+    writes physical names; plain appends/overwrites (write_delta) and
+    reads support mapping natively."""
+    if _column_mapping(meta):
         raise NotImplementedError(
             f"{op}: table uses delta.columnMapping (renamed columns); "
-            "write through the TableLog that owns it, read_delta works"
+            "write through the TableLog that owns it, read_delta and "
+            "write_delta work"
         )
 
 
@@ -455,7 +474,6 @@ def write_delta(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     partition_by = list(partition_by or [])
     prev_meta = _current_meta(path)
-    _refuse_column_mapped(prev_meta, "write_delta")
     if txn is not None and prev_meta is not None:
         last = delta_txn_version(path, txn[0])
         if last is not None and int(txn[1]) <= last:
@@ -475,10 +493,30 @@ def write_delta(
                 f"{prev_meta.get('partitionColumns') or []}"
             )
 
+    mapping = _column_mapping(prev_meta)
+    new_phys: dict[str, str] = {}
+    if mapping:
+        # additive columns on a mapped table get a fresh stable physical
+        # name now so the SAME name lands in both the staged files and
+        # the metaData action below
+        for f in df.schema.fields:
+            if f.name not in mapping:
+                new_phys[f.name] = f"col-{uuid.uuid4().hex[:12]}"
+        mapping.update(new_phys)
+
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
+    stage_df = df
+    stage_pby = partition_by
+    if mapping:
+        # protocol: columnMapping tables stage data files, partition
+        # dirs (hence partitionValues) and stats under PHYSICAL names
+        stage_df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+        stage_pby = [mapping.get(c, c) for c in partition_by]
+    w = stage_df.write.mode("overwrite")
+    if stage_pby:
+        w = w.partitionBy(*stage_pby)
     w.parquet(stage)
 
     now_ms = int(time.time() * 1000)
@@ -517,25 +555,53 @@ def write_delta(
                 }
             }
         )
-    elif df.schema.json() != prev_meta["schemaString"]:
-        # additive schema evolution (Delta mergeSchema): new columns may
-        # be appended; dropping or retyping an existing column is refused
+    else:
         prev_schema = T.StructType.fromJson(json.loads(prev_meta["schemaString"]))
         prev_fields = {f.name: f.dataType for f in prev_schema.fields}
         new_fields = {f.name: f.dataType for f in df.schema.fields}
-        for name_, dt in prev_fields.items():
-            if name_ not in new_fields or new_fields[name_] != dt:
-                raise ValueError(
-                    f"schema evolution on {name_!r} is not additive "
-                    "(missing or retyped); only new columns may be appended"
+        if prev_fields != new_fields:
+            # additive schema evolution (Delta mergeSchema): new columns
+            # may be appended; dropping or retyping an existing column
+            # is refused
+            for name_, dt in prev_fields.items():
+                if name_ not in new_fields or new_fields[name_] != dt:
+                    raise ValueError(
+                        f"schema evolution on {name_!r} is not additive "
+                        "(missing or retyped); only new columns may be "
+                        "appended"
+                    )
+            added = [f for f in df.schema.fields if f.name not in prev_fields]
+            new_meta = dict(prev_meta)
+            if mapping:
+                # mapped tables: every field carries an id + physical
+                # name; the new columns take the physical names already
+                # staged above and bump maxColumnId
+                conf = dict(prev_meta.get("configuration") or {})
+                max_id = int(
+                    conf.get("delta.columnMapping.maxColumnId", len(prev_fields))
                 )
-        merged = T.StructType(
-            prev_schema.fields
-            + [f for f in df.schema.fields if f.name not in prev_fields]
-        )
-        new_meta = dict(prev_meta)
-        new_meta["schemaString"] = merged.json()
-        actions.append({"metaData": new_meta})
+                with_md = []
+                for f in added:
+                    max_id += 1
+                    with_md.append(
+                        T.StructField(
+                            f.name,
+                            f.dataType,
+                            True,
+                            {
+                                "delta.columnMapping.id": max_id,
+                                "delta.columnMapping.physicalName": mapping[
+                                    f.name
+                                ],
+                            },
+                        )
+                    )
+                added = with_md
+                conf["delta.columnMapping.maxColumnId"] = str(max_id)
+                new_meta["configuration"] = conf
+            merged = T.StructType(prev_schema.fields + added)
+            new_meta["schemaString"] = merged.json()
+            actions.append({"metaData": new_meta})
     if mode == "overwrite":
         for a in prev_adds:
             actions.append(
@@ -720,6 +786,8 @@ def delta_files_in_range(
     Files without stats are kept (skipping is an optimization, never a
     filter) — the same contract as TableLog.files_in_range, driven by
     the Delta stats strings every add action carries."""
+    _, meta, _ = _replay(path, version)
+    column = _column_mapping(meta).get(column, column)  # stats keys are physical
     out = []
     for a in delta_live_files(path, version):
         st = json.loads(a.get("stats") or "{}")
@@ -728,6 +796,66 @@ def delta_files_in_range(
         if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
             out.append(a)
     return out
+
+
+def rename_delta_column(path: str, old: str, new: str) -> int:
+    """Delta-native RENAME COLUMN: a metadata-only commit, zero files
+    rewritten — the columnMapping mode=name mechanism. The first rename
+    UPGRADES the table in the same commit: every field gets a stable id
+    and a physical name equal to its CURRENT name (so all existing files
+    keep resolving), configuration gains the mapping mode, and the
+    protocol bumps to reader 2 / writer 5 (the columnMapping minimum).
+    The rename itself only changes the field's LOGICAL name; the
+    physical name — what the data files and partitionValues carry — is
+    frozen forever. Time travel below the rename surfaces the old name
+    (each version reads under its own metaData). Twin of the TableLog's
+    rename machinery and iceberg's rename_iceberg_column."""
+    _, meta, _ = _replay(path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in schema {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    conf = dict(meta.get("configuration") or {})
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "RENAME COLUMN",
+                "operationParameters": {"from": old, "to": new},
+            }
+        }
+    ]
+    mapped = conf.get("delta.columnMapping.mode") == "name"
+    fields = []
+    for i, f in enumerate(schema.fields):
+        md = dict(f.metadata or {})
+        if not mapped:
+            md["delta.columnMapping.id"] = i + 1
+            md["delta.columnMapping.physicalName"] = f.name
+        fields.append(
+            T.StructField(new if f.name == old else f.name, f.dataType, True, md)
+        )
+    if not mapped:
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+        cur = _current_protocol(path)
+        if (
+            cur.get("minReaderVersion", 1) < 2
+            or cur.get("minWriterVersion", 2) < 5
+        ):
+            actions.append(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+    new_meta = dict(meta)
+    new_meta["schemaString"] = T.StructType(fields).json()
+    new_meta["configuration"] = conf
+    new_meta["partitionColumns"] = [
+        new if c == old else c for c in (meta.get("partitionColumns") or [])
+    ]
+    actions.append({"metaData": new_meta})
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
 def delta_version_as_of(path: str, timestamp_ms: int) -> int:
@@ -778,6 +906,11 @@ def read_delta(
             raise ValueError("pass either version or timestamp_ms, not both")
         version = delta_version_as_of(path, timestamp_ms)
     v, meta, _ = _replay(path, version)
+    if partition_eq:
+        # mapped tables record partitionValues under PHYSICAL names;
+        # callers prune with logical ones
+        pmap = _column_mapping(meta)
+        partition_eq = {pmap.get(k, k): val for k, val in partition_eq.items()}
     adds = delta_live_files(path, v, partition_eq)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or []
@@ -826,10 +959,18 @@ def _attach_partition_cols(
         return df
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     ptypes = {f.name: f.dataType for f in schema.fields}
+    # mapped tables key partitionValues by PHYSICAL name (logical
+    # fallback for tables adopted before the physical-key convention)
+    pmap = _column_mapping(meta)
     pv_rows = [
         (
             os.path.abspath(os.path.join(path, urllib.parse.unquote(a["path"]))),
-            *[(a.get("partitionValues") or {}).get(c) for c in pcols],
+            *[
+                (a.get("partitionValues") or {}).get(
+                    pmap.get(c, c), (a.get("partitionValues") or {}).get(c)
+                )
+                for c in pcols
+            ],
         )
         for a in adds
     ]
@@ -2610,6 +2751,65 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "delta_rename_travel",
+    oracle=f"""
+    SELECT 0 AS snap, 'o_totalprice' AS price_col, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    UNION ALL
+    SELECT 1 AS snap, 'price_usd' AS price_col, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def delta_rename_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-native RENAME across time travel (columnMapping mode=name):
+    v0 = pre-1997 orders; rename_delta_column upgrades the table to
+    column mapping and renames o_totalprice → price_usd (metadata-only,
+    physical name frozen, zero files rewritten); later orders append
+    THROUGH THE MAPPED WRITE PATH (staged under physical names). The
+    latest read aggregates price_usd over both generations of files,
+    while version 0 still surfaces o_totalprice — the Delta twin of
+    iceberg_rename_travel and the TableLog rename machinery."""
+    root = scratch_path(sf_dir, "orders_delta_rename")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cut = "1997-01-01"
+    write_delta(
+        orders.where(F.col("o_orderdate") < cut).drop("o_orderdate"),
+        root,
+        mode="append",
+    )
+    rename_delta_column(root, "o_totalprice", "price_usd")
+    write_delta(
+        orders.where(F.col("o_orderdate") >= cut)
+        .select("o_orderkey", F.col("o_totalprice").alias("price_usd")),
+        root,
+        mode="append",
+    )
+    outs = []
+    for snap, col, kw in (
+        (0, "o_totalprice", {"version": 0}),
+        (1, "price_usd", {}),
+    ):
+        agg = read_delta(spark, root, **kw).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col(col)).alias("total"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(snap).alias("snap"),
+                F.lit(col).alias("price_col"),
+                "n_rows",
+                "total",
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 @query(

@@ -1247,8 +1247,18 @@ def test_convert_column_mapped_tablelog_roundtrip(spark, tmp_path):
     src = spark.createDataFrame([(0, 999)], "k bigint, val bigint")
     with _pytest.raises(NotImplementedError, match="columnMapping"):
         merge_delta(spark, str(tmp_path / "t"), src, key="k")
-    with _pytest.raises(NotImplementedError, match="columnMapping"):
-        write_delta(src, str(tmp_path / "t"), mode="append")
+    # round 6: plain appends write mapped tables natively — staged under
+    # the frozen physical names, read back logically
+    write_delta(
+        spark.createDataFrame([(1000, 999)], "k bigint, val bigint"),
+        str(tmp_path / "t"),
+        mode="append",
+    )
+    got = {
+        r["k"]: r["val"]
+        for r in read_delta(spark, str(tmp_path / "t")).collect()
+    }
+    assert got[1000] == 999
 
     # reverse adoption of a (freshly copied) mapped Delta table
     import shutil as _sh
@@ -1258,7 +1268,7 @@ def test_convert_column_mapped_tablelog_roundtrip(spark, tmp_path):
     _sh.rmtree(os.path.join(clone, "_log"))
     t2 = adopt_delta_as_tablelog(clone)
     got = {r["k"]: r["val"] for r in t2.read(spark).collect()}
-    assert got == {i: i * 10 for i in range(80)}
+    assert got == {**{i: i * 10 for i in range(80)}, 1000: 999}
     assert t2.read(spark).columns == ["k", "val"]
 
 
@@ -2074,3 +2084,75 @@ def test_dv_legacy_payload_still_readable():
         blob += varint(p - prev)
         prev = p
     assert _dv_decode(bytes(blob)) == positions
+
+
+def test_column_mapped_write_partition_and_evolution(spark):
+    """Native writes to columnMapping tables (round 6): after
+    rename_delta_column upgrades a PARTITIONED table, appends stage
+    files, partition dirs, partitionValues and stats under PHYSICAL
+    names; reads surface logical names, partition_eq prunes through the
+    mapping, stats-range skipping translates the column, and additive
+    evolution assigns the new column an id + physical name."""
+    import json as _json
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _log_dir,
+        _raw_actions,
+        _replay,
+        delta_files_in_range,
+        delta_live_files,
+        rename_delta_column,
+        write_delta,
+    )
+
+    root = _fresh("t_cmap_write")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    a = orders.where("o_orderkey % 2 = 0")
+    b = orders.where("o_orderkey % 2 = 1")
+    write_delta(a, root, partition_by=["o_orderstatus"])
+    rename_delta_column(root, "o_totalprice", "price_usd")
+    write_delta(
+        b.withColumnRenamed("o_totalprice", "price_usd"),
+        root,
+        partition_by=["o_orderstatus"],
+        mode="append",
+    )
+    got = read_delta(spark, root)
+    assert set(got.columns) == {"o_orderkey", "price_usd", "o_orderstatus"}
+    assert got.count() == orders.count()
+    # physical keys in the NEW adds (the pre-rename physical name ==
+    # the old logical name, so both generations share the same keys)
+    _, meta, adds = _replay(root)
+    assert all("o_orderstatus" in (x.get("partitionValues") or {}) for x in adds)
+    # log-level pruning through the mapping
+    n_f = orders.where("o_orderstatus = 'F'").count()
+    pruned = read_delta(spark, root, partition_eq={"o_orderstatus": "F"})
+    assert pruned.count() == n_f
+    live = delta_live_files(root)
+    kept = delta_live_files(root, partition_eq={"o_orderstatus": "F"})
+    assert 0 < len(kept) < len(live)
+    # stats skipping translates logical -> physical stats keys
+    lo, hi = 1000, 2000
+    in_range = delta_files_in_range(root, "price_usd", lo, hi)
+    assert 0 < len(in_range) <= len(live)
+    # additive evolution on the mapped table: new column gets id + phys
+    write_delta(
+        b.limit(5)
+        .withColumnRenamed("o_totalprice", "price_usd")
+        .withColumn("channel", F.lit("web")),
+        root,
+        partition_by=["o_orderstatus"],
+        mode="append",
+    )
+    _, meta2, _ = _replay(root)
+    fields = _json.loads(meta2["schemaString"])["fields"]
+    ch = next(f for f in fields if f["name"] == "channel")
+    assert ch["metadata"]["delta.columnMapping.physicalName"].startswith("col-")
+    assert int(meta2["configuration"]["delta.columnMapping.maxColumnId"]) == 4
+    got2 = read_delta(spark, root)
+    assert got2.where(F.col("channel").isNotNull()).count() == 5
+    # version 0 still reads under the pre-rename schema
+    v0 = read_delta(spark, root, version=0)
+    assert set(v0.columns) == {"o_orderkey", "o_totalprice", "o_orderstatus"}
