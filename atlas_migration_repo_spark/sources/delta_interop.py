@@ -76,19 +76,6 @@ def _column_mapping(meta: dict | None) -> dict[str, str]:
     }
 
 
-def _refuse_column_mapped(meta: dict | None, op: str) -> None:
-    """File-REWRITING ops on columnMapping tables route through the
-    TableLog (the rename machinery's owner) until each op's staging path
-    writes physical names; plain appends/overwrites (write_delta) and
-    reads support mapping natively."""
-    if _column_mapping(meta):
-        raise NotImplementedError(
-            f"{op}: table uses delta.columnMapping (renamed columns); "
-            "write through the TableLog that owns it, read_delta and "
-            "write_delta work"
-        )
-
-
 class ConcurrentDeltaWriteError(RuntimeError):
     """A racing commit invalidated this write's remove-set (Delta's
     ConcurrentDeleteDeleteException family); re-read and redo."""
@@ -811,6 +798,11 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
     (each version reads under its own metaData). Twin of the TableLog's
     rename machinery and iceberg's rename_iceberg_column."""
     _, meta, _ = _replay(path)
+    if _cdf_enabled(meta):
+        raise NotImplementedError(
+            "rename on a change-data-feed table: the CDF read path does "
+            "not translate column mapping across the feed's versions yet"
+        )
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     names = [f.name for f in schema.fields]
     if old not in names:
@@ -886,6 +878,64 @@ def delta_version_as_of(path: str, timestamp_ms: int) -> int:
     return best
 
 
+def _scan_adds_logical(
+    spark: SparkSession,
+    adds: list[dict],
+    meta: dict,
+    path: str,
+    file_col: str | None = None,
+    pos_col: str | None = None,
+    apply_dv: bool = True,
+) -> DataFrame:
+    """Scan `adds`' data files with the on-disk PHYSICAL schema and
+    surface LOGICAL data columns: bookkeeping columns (file path / row
+    index) are added straight off the scan node (metadata columns only
+    resolve there), DV masks subtracted, columnMapping renames undone.
+    Partition columns are NOT attached here — callers compose
+    _attach_partition_cols. The shared read core of read_delta and the
+    file-rewriting maintenance ops: on mapped tables a logical-schema
+    scan would silently read every renamed column as NULL."""
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = meta.get("partitionColumns") or []
+    data_fields = [f for f in schema.fields if f.name not in pcols]
+    mapping = _column_mapping(meta)
+    renames: list[tuple[str, str]] = []
+    phys_fields = []
+    for f in data_fields:
+        phys = mapping.get(f.name, f.name)
+        phys_fields.append(T.StructField(phys, f.dataType, True))
+        if phys != f.name:
+            renames.append((phys, f.name))
+    df = spark.read.schema(T.StructType(phys_fields)).parquet(
+        *[os.path.join(path, urllib.parse.unquote(a["path"])) for a in adds]
+    )
+    if file_col:
+        df = df.withColumn(file_col, file_path_col())
+    if pos_col:
+        df = df.withColumn(pos_col, F.col("_metadata.row_index"))
+    if apply_dv:
+        df = _apply_dv_mask(spark, df, adds, path)
+    for phys, logical in renames:
+        df = df.withColumnRenamed(phys, logical)
+    return df
+
+
+def _stage_physical(
+    df: DataFrame, meta: dict | None, pcols: list[str]
+) -> tuple[DataFrame, list[str]]:
+    """(stage_df, stage_partition_by) for a logical DataFrame about to
+    be written into the table: columnMapping tables stage data files,
+    partition dirs (hence partitionValues) and stats under PHYSICAL
+    names — no-op for unmapped tables."""
+    mapping = _column_mapping(meta)
+    if not mapping:
+        return df, pcols
+    return (
+        df.select(*[F.col(c).alias(mapping.get(c, c)) for c in df.columns]),
+        [mapping.get(c, c) for c in pcols],
+    )
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -914,33 +964,9 @@ def read_delta(
     adds = delta_live_files(path, v, partition_eq)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = meta.get("partitionColumns") or []
-    data_fields = [f for f in schema.fields if f.name not in pcols]
-    data_schema = T.StructType(data_fields)
-    # columnMapping mode=name: the data files carry stable PHYSICAL
-    # names; scan physically, surface logically (rename semantics)
-    mapped = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode"
-    ) == "name"
-    renames: list[tuple[str, str]] = []
-    if mapped:
-        phys_fields = []
-        for f in data_fields:
-            phys = (f.metadata or {}).get(
-                "delta.columnMapping.physicalName", f.name
-            )
-            phys_fields.append(T.StructField(phys, f.dataType, True))
-            if phys != f.name:
-                renames.append((phys, f.name))
-        data_schema = T.StructType(phys_fields)
     if not adds:
         return spark.createDataFrame([], schema)
-    abs_paths = [
-        os.path.join(path, urllib.parse.unquote(a["path"])) for a in adds
-    ]
-    df = spark.read.schema(data_schema).parquet(*abs_paths)
-    df = _apply_dv_mask(spark, df, adds, path)
-    for phys, logical in renames:
-        df = df.withColumnRenamed(phys, logical)
+    df = _scan_adds_logical(spark, adds, meta, path)
     if not pcols:
         return df.select(*[f.name for f in schema.fields])
     return _attach_partition_cols(spark, df, adds, meta, path).select(
@@ -1009,7 +1035,6 @@ def merge_delta(
     would make the semi-join scan metadata-blind; route that shape
     through read-side partition pruning instead)."""
     v, meta, _ = _replay(path)
-    _refuse_column_mapped(meta, "merge_delta")
     pcols = meta.get("partitionColumns") or []
     if key in pcols:
         raise ValueError(
@@ -1019,21 +1044,12 @@ def merge_delta(
         )
     adds_live = delta_live_files(path, v)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
     abs_of = {
         a["path"]: os.path.join(path, urllib.parse.unquote(a["path"]))
         for a in adds_live
     }
-    base = _apply_dv_mask(
-        spark,
-        spark.read.schema(data_schema)
-        .parquet(*abs_of.values())
-        .withColumn(
-            "__file",
-            file_path_col(),
-        ),
-        adds_live,
-        path,
+    base = _scan_adds_logical(
+        spark, adds_live, meta, path, file_col="__file"
     )
     skeys = source.select(F.col(key).alias("__k")).distinct()
     touched = {
@@ -1049,14 +1065,7 @@ def merge_delta(
         touched_adds = [a for a in adds_live if a["path"] in set(touched_rel)]
         affected = _attach_partition_cols(
             spark,
-            _apply_dv_mask(
-                spark,
-                spark.read.schema(data_schema).parquet(
-                    *[abs_of[p] for p in touched_rel]
-                ),
-                touched_adds,
-                path,
-            ),
+            _scan_adds_logical(spark, touched_adds, meta, path),
             touched_adds,
             meta,
             path,
@@ -1101,9 +1110,10 @@ def merge_delta(
         )
         cdc_actions = _stage_cdc_files(path, cdf, now_ms)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    w = merged.write.mode("overwrite")
-    if pcols:
-        w = w.partitionBy(*pcols)
+    stage_df, stage_pby = _stage_physical(merged, meta, pcols)
+    w = stage_df.write.mode("overwrite")
+    if stage_pby:
+        w = w.partitionBy(*stage_pby)
     w.parquet(stage)
     actions: list[dict] = [
         {
@@ -1147,10 +1157,10 @@ def delete_delta_range(
     deleting on a data column uses the same stats three-way split, with
     survivors rewritten back into hive layout."""
     v, meta, _ = _replay(path)
-    _refuse_column_mapped(meta, "delete_delta_range")
     pcols = meta.get("partitionColumns") or []
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
+    # mapped tables key partitionValues and stats by PHYSICAL name
+    phys_key = _column_mapping(meta).get(column, column)
     drop_whole: list[dict] = []
     rewrite: list[dict] = []
     if column in pcols:
@@ -1171,13 +1181,13 @@ def delete_delta_range(
             return str(lo) <= pv <= str(hi)
 
         for a in delta_live_files(path, v):
-            if _pv_in_range((a.get("partitionValues") or {}).get(column)):
+            if _pv_in_range((a.get("partitionValues") or {}).get(phys_key)):
                 drop_whole.append(a)
     else:
         for a in delta_live_files(path, v):
             st = json.loads(a.get("stats") or "{}")
-            fmin = (st.get("minValues") or {}).get(column)
-            fmax = (st.get("maxValues") or {}).get(column)
+            fmin = (st.get("minValues") or {}).get(phys_key)
+            fmax = (st.get("maxValues") or {}).get(phys_key)
             if fmin is None or fmax is None:
                 rewrite.append(a)  # no stats → must read it
             elif fmin >= lo and fmax <= hi:
@@ -1204,17 +1214,7 @@ def delete_delta_range(
         # whole-file path stays metadata-only).
         deleted = _attach_partition_cols(
             spark,
-            _apply_dv_mask(
-                spark,
-                spark.read.schema(data_schema).parquet(
-                    *[
-                        os.path.join(path, urllib.parse.unquote(a["path"]))
-                        for a in drop_whole + rewrite
-                    ]
-                ),
-                drop_whole + rewrite,
-                path,
-            ),
+            _scan_adds_logical(spark, drop_whole + rewrite, meta, path),
             drop_whole + rewrite,
             meta,
             path,
@@ -1235,17 +1235,7 @@ def delete_delta_range(
     if rewrite:
         survivors = _attach_partition_cols(
             spark,
-            _apply_dv_mask(
-                spark,
-                spark.read.schema(data_schema).parquet(
-                    *[
-                        os.path.join(path, urllib.parse.unquote(a["path"]))
-                        for a in rewrite
-                    ]
-                ),
-                rewrite,
-                path,
-            ),
+            _scan_adds_logical(spark, rewrite, meta, path),
             rewrite,
             meta,
             path,
@@ -1253,9 +1243,10 @@ def delete_delta_range(
             *[f.name for f in schema.fields]
         )
         stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-        w = survivors.write.mode("overwrite")
-        if pcols:
-            w = w.partitionBy(*pcols)
+        stage_df, stage_pby = _stage_physical(survivors, meta, pcols)
+        w = stage_df.write.mode("overwrite")
+        if stage_pby:
+            w = w.partitionBy(*stage_pby)
         w.parquet(stage)
         actions.extend(_harvest_stage_adds(path, stage, now_ms))
     return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
@@ -1581,15 +1572,11 @@ def delete_delta_dv(spark: SparkSession, path: str, predicate: str) -> int:
     loudly instead of resurrecting deleted rows. CDF-enabled tables
     stage exact delete images. Returns the new version."""
     v, meta, _ = _replay(path)
-    _refuse_column_mapped(meta, "delete_delta_dv")
     pcols = meta.get("partitionColumns") or []
     adds_live = delta_live_files(path, v)
     if not adds_live:
         return v
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols]
-    )
     by_rel = {a["path"]: a for a in adds_live}
     abs_of = {
         a["path"]: os.path.abspath(
@@ -1597,11 +1584,14 @@ def delete_delta_dv(spark: SparkSession, path: str, predicate: str) -> int:
         )
         for a in adds_live
     }
-    scan = (
-        spark.read.schema(data_schema)
-        .parquet(*abs_of.values())
-        .withColumn("__dv_file", file_path_col())
-        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+    scan = _scan_adds_logical(
+        spark,
+        adds_live,
+        meta,
+        path,
+        file_col="__dv_file",
+        pos_col="__dv_pos",
+        apply_dv=False,  # this op folds existing DVs itself (union below)
     )
     dv_adds = [a for a in adds_live if a.get("deletionVector")]
     if dv_adds:
@@ -1659,11 +1649,18 @@ def delete_delta_dv(spark: SparkSession, path: str, predicate: str) -> int:
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
+                    # upgrading a legacy protocol (e.g. columnMapping's
+                    # 2/5) to table features must LIST every feature the
+                    # old versions implied, or readers drop the mapping
                     "readerFeatures": sorted(
-                        set(proto.get("readerFeatures") or []) | {_DV_FEATURE}
+                        set(proto.get("readerFeatures") or [])
+                        | {_DV_FEATURE}
+                        | ({"columnMapping"} if _column_mapping(meta) else set())
                     ),
                     "writerFeatures": sorted(
-                        set(proto.get("writerFeatures") or []) | {_DV_FEATURE}
+                        set(proto.get("writerFeatures") or [])
+                        | {_DV_FEATURE}
+                        | ({"columnMapping"} if _column_mapping(meta) else set())
                     ),
                 }
             }
@@ -1723,16 +1720,7 @@ def purge_delta_dv(spark: SparkSession, path: str) -> int:
     if not dv_adds:
         return v
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols]
-    )
-    df = spark.read.schema(data_schema).parquet(
-        *[
-            os.path.join(path, urllib.parse.unquote(a["path"]))
-            for a in dv_adds
-        ]
-    )
-    df = _apply_dv_mask(spark, df, dv_adds, path)
+    df = _scan_adds_logical(spark, dv_adds, meta, path)
     df = _attach_partition_cols(spark, df, dv_adds, meta, path).select(
         *[f.name for f in schema.fields]
     )
@@ -1740,9 +1728,10 @@ def purge_delta_dv(spark: SparkSession, path: str) -> int:
         df = df.coalesce(max(1, len(dv_adds)))
     now_ms = int(time.time() * 1000)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    w = df.write.mode("overwrite")
-    if pcols:
-        w = w.partitionBy(*pcols)
+    stage_df, stage_pby = _stage_physical(df, meta, pcols)
+    w = stage_df.write.mode("overwrite")
+    if stage_pby:
+        w = w.partitionBy(*stage_pby)
     w.parquet(stage)
     actions: list[dict] = [
         {
@@ -1851,29 +1840,17 @@ def optimize_delta(
     partition's many small files become one), land back in hive layout,
     and `target_files` — a whole-table knob — is ignored."""
     v, meta, _ = _replay(path)
-    _refuse_column_mapped(meta, "optimize_delta")
     pcols = meta.get("partitionColumns") or []
     adds_live = delta_live_files(path, v)
     if len(adds_live) <= 1:
         return v
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    data_schema = T.StructType([f for f in schema.fields if f.name not in pcols])
     if target_files is None:
         total = sum(a.get("size", 0) for a in adds_live)
         target_files = max(1, -(-total // (128 * 1024 * 1024)))  # ceil /128MB
     df = _attach_partition_cols(
         spark,
-        _apply_dv_mask(
-            spark,
-            spark.read.schema(data_schema).parquet(
-                *[
-                    os.path.join(path, urllib.parse.unquote(a["path"]))
-                    for a in adds_live
-                ]
-            ),
-            adds_live,
-            path,
-        ),
+        _scan_adds_logical(spark, adds_live, meta, path),
         adds_live,
         meta,
         path,
@@ -1901,9 +1878,10 @@ def optimize_delta(
         df = df.repartition(*pcols) if pcols else df.coalesce(target_files)
     now_ms = int(time.time() * 1000)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
-    w = df.write.mode("overwrite")
-    if pcols:
-        w = w.partitionBy(*pcols)
+    stage_df, stage_pby = _stage_physical(df, meta, pcols)
+    w = stage_df.write.mode("overwrite")
+    if stage_pby:
+        w = w.partitionBy(*stage_pby)
     w.parquet(stage)
     op_params: dict = {"targetFiles": target_files}
     if zorder_by:
@@ -2077,6 +2055,11 @@ def read_delta_cdf(
     if to_version is None:
         to_version = vs[-1]
     _, meta, _ = _replay(path, to_version)
+    if _column_mapping(meta):
+        raise NotImplementedError(
+            "change data feed on a columnMapping table: per-version "
+            "physical-name translation across the feed is not implemented"
+        )
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     cdc_schema = T.StructType(
         schema.fields + [T.StructField("_change_type", T.StringType())]

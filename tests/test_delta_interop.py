@@ -1244,11 +1244,10 @@ def test_convert_column_mapped_tablelog_roundtrip(spark, tmp_path):
         assert got == want, f"version {v} diverged"
         assert read_delta(spark, str(tmp_path / "t"), version=v).columns == ["k", "val"]
 
+    # round 6: writes support mapped tables natively — MERGE updates by
+    # the logical key and appends stage under the frozen physical names
     src = spark.createDataFrame([(0, 999)], "k bigint, val bigint")
-    with _pytest.raises(NotImplementedError, match="columnMapping"):
-        merge_delta(spark, str(tmp_path / "t"), src, key="k")
-    # round 6: plain appends write mapped tables natively — staged under
-    # the frozen physical names, read back logically
+    merge_delta(spark, str(tmp_path / "t"), src, key="k")
     write_delta(
         spark.createDataFrame([(1000, 999)], "k bigint, val bigint"),
         str(tmp_path / "t"),
@@ -1258,7 +1257,7 @@ def test_convert_column_mapped_tablelog_roundtrip(spark, tmp_path):
         r["k"]: r["val"]
         for r in read_delta(spark, str(tmp_path / "t")).collect()
     }
-    assert got[1000] == 999
+    assert got[0] == 999 and got[1000] == 999
 
     # reverse adoption of a (freshly copied) mapped Delta table
     import shutil as _sh
@@ -1268,7 +1267,7 @@ def test_convert_column_mapped_tablelog_roundtrip(spark, tmp_path):
     _sh.rmtree(os.path.join(clone, "_log"))
     t2 = adopt_delta_as_tablelog(clone)
     got = {r["k"]: r["val"] for r in t2.read(spark).collect()}
-    assert got == {**{i: i * 10 for i in range(80)}, 1000: 999}
+    assert got == {**{i: i * 10 for i in range(80)}, 0: 999, 1000: 999}
     assert t2.read(spark).columns == ["k", "val"]
 
 
@@ -2156,3 +2155,76 @@ def test_column_mapped_write_partition_and_evolution(spark):
     # version 0 still reads under the pre-rename schema
     v0 = read_delta(spark, root, version=0)
     assert set(v0.columns) == {"o_orderkey", "o_totalprice", "o_orderstatus"}
+
+
+def test_column_mapped_rewrite_ops(spark):
+    """The file-REWRITING maintenance ops work on mapped tables: MERGE
+    by the logical key, stats-split range DELETE on a renamed column,
+    DV delete with the logical predicate (protocol upgrade carries
+    columnMapping into the 3/7 feature lists), PURGE, and OPTIMIZE —
+    every rewrite staged under the frozen physical names, every read
+    surfacing logical ones."""
+    import json as _json
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _current_protocol,
+        _replay,
+        delete_delta_dv,
+        delete_delta_range,
+        delta_live_files,
+        merge_delta,
+        optimize_delta,
+        purge_delta_dv,
+        rename_delta_column,
+        write_delta,
+    )
+
+    root = _fresh("t_cmap_rewrite")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_delta(orders.repartition(3), root)
+    rename_delta_column(root, "o_totalprice", "price_usd")
+
+    # MERGE on the logical key against renamed data
+    src = orders.limit(20).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("price_usd"),
+        "o_orderstatus",
+    )
+    merge_delta(spark, root, src, key="o_orderkey")
+    doubled = {r["o_orderkey"]: r["price_usd"] for r in src.collect()}
+    got = {
+        r["o_orderkey"]: r["price_usd"]
+        for r in read_delta(spark, root)
+        .where(F.col("o_orderkey").isin(*doubled))
+        .collect()
+    }
+    assert got == {k: float(v) for k, v in doubled.items()}
+
+    # range DELETE on the renamed column (stats keys are physical)
+    before = read_delta(spark, root).count()
+    hits = read_delta(spark, root).where(
+        F.col("price_usd").between(50_000, 100_000)
+    ).count()
+    delete_delta_range(spark, root, "price_usd", 50_000, 100_000)
+    assert read_delta(spark, root).count() == before - hits
+
+    # DV delete with a logical predicate; protocol keeps columnMapping
+    left = read_delta(spark, root)
+    dv_hits = left.where("price_usd > 300000").count()
+    delete_delta_dv(spark, root, "price_usd > 300000")
+    assert read_delta(spark, root).count() == before - hits - dv_hits
+    proto = _current_protocol(root)
+    assert "columnMapping" in (proto.get("readerFeatures") or []), proto
+    assert "deletionVectors" in (proto.get("writerFeatures") or [])
+
+    # PURGE then OPTIMIZE keep content and logical names
+    purge_delta_dv(spark, root)
+    optimize_delta(spark, root, target_files=1)
+    final = read_delta(spark, root)
+    assert final.count() == before - hits - dv_hits
+    assert set(final.columns) == {"o_orderkey", "price_usd", "o_orderstatus"}
+    assert not any(
+        a.get("deletionVector") for a in delta_live_files(root)
+    )
