@@ -1445,18 +1445,38 @@ def _dv_decode_legacy(payload: bytes) -> list[int]:
 
 
 def _dv_relpath(desc: dict) -> str:
+    """Table-relative (or absolute for "p") path of a descriptor's DV
+    file, derived exactly as the protocol specifies for storageType "u":
+    pathOrInlineDv is `<random prefix, optional><Base85(RFC 1924) uuid,
+    20 chars>` and the file lives at `<prefix>/deletion_vector_<uuid
+    canonical form>.bin`. Descriptors written by earlier versions of
+    this engine carried the bare 32-char hex uuid — kept as a fallback
+    (their files were named with the hex form)."""
+    import base64
+
     if desc.get("storageType") == "p":
         return desc["pathOrInlineDv"]  # absolute (shallow clones)
-    return f"deletion_vector_{desc['pathOrInlineDv']}.bin"
+    tok = desc["pathOrInlineDv"]
+    if len(tok) == 32 and all(c in "0123456789abcdef" for c in tok):
+        return f"deletion_vector_{tok}.bin"  # legacy hex naming
+    prefix, enc = tok[:-20], tok[-20:]
+    u = uuid.UUID(bytes=base64.b85decode(enc.encode("ascii")))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(prefix, name) if prefix else name
 
 
 def _dv_write_file(root: str, positions: list[int]) -> dict:
     """Write one DV container under `root` and return its descriptor.
     Runs on EXECUTORS (inside applyInPandas) — the driver only ever sees
-    file-count-sized descriptor lists, never position lists."""
+    file-count-sized descriptor lists, never position lists. The
+    descriptor's pathOrInlineDv carries the Base85(RFC 1924)-encoded
+    uuid (Python's b85 codec uses exactly that alphabet) and the file
+    name uses the uuid's canonical form — the derivation every real
+    Delta reader applies."""
+    import base64
     import binascii
 
-    dv_id = uuid.uuid4().hex
+    dv_uuid = uuid.uuid4()
     payload = _dv_encode(positions)
     blob = (
         bytes([1])
@@ -1464,14 +1484,14 @@ def _dv_write_file(root: str, positions: list[int]) -> dict:
         + payload
         + (binascii.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
     )
-    name = f"deletion_vector_{dv_id}.bin"
+    name = f"deletion_vector_{dv_uuid}.bin"
     tmp = os.path.join(root, f".{name}.tmp")
     with open(tmp, "wb") as fh:
         fh.write(blob)
     os.rename(tmp, os.path.join(root, name))
     return {
         "storageType": "u",
-        "pathOrInlineDv": dv_id,
+        "pathOrInlineDv": base64.b85encode(dv_uuid.bytes).decode("ascii"),
         "offset": 1,
         "sizeInBytes": len(payload),
         "cardinality": len(positions),
@@ -1481,6 +1501,12 @@ def _dv_write_file(root: str, positions: list[int]) -> dict:
 def _dv_read_positions(root: str, desc: dict) -> list[int]:
     import binascii
 
+    if desc.get("storageType") == "i":
+        # inline DV: pathOrInlineDv IS the Base85-encoded payload (no
+        # version/length/CRC framing — that wrapping is file-only)
+        import base64
+
+        return _dv_decode(base64.b85decode(desc["pathOrInlineDv"].encode("ascii")))
     p = _dv_relpath(desc)
     full = p if os.path.isabs(p) else os.path.join(root, p)
     with open(full, "rb") as fh:

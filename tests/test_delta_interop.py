@@ -2228,3 +2228,51 @@ def test_column_mapped_rewrite_ops(spark):
     assert not any(
         a.get("deletionVector") for a in delta_live_files(root)
     )
+
+
+def test_dv_descriptor_naming_and_inline(spark):
+    """DV descriptors follow the protocol's derivations: pathOrInlineDv
+    for storageType "u" is the Base85 (RFC 1924 alphabet) uuid whose
+    canonical form names the sidecar file; inline ("i") descriptors
+    carry the Base85 payload directly; legacy hex descriptors written
+    by earlier engine versions still resolve."""
+    import base64
+    import uuid as _uuid
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _dv_encode,
+        _dv_read_positions,
+        _dv_relpath,
+        _dv_write_file,
+        delete_delta_dv,
+    )
+
+    root = _fresh("t_dv_naming")
+    os.makedirs(root, exist_ok=True)
+    desc = _dv_write_file(root, [1, 5, 9])
+    assert desc["storageType"] == "u" and len(desc["pathOrInlineDv"]) == 20
+    u = _uuid.UUID(bytes=base64.b85decode(desc["pathOrInlineDv"]))
+    rel = _dv_relpath(desc)
+    assert rel == f"deletion_vector_{u}.bin"
+    assert os.path.exists(os.path.join(root, rel))
+    assert _dv_read_positions(root, desc) == [1, 5, 9]
+
+    # inline descriptor: payload rides in the descriptor itself
+    inline = {
+        "storageType": "i",
+        "pathOrInlineDv": base64.b85encode(_dv_encode([7, 8, 42])).decode(),
+        "sizeInBytes": 0,
+        "cardinality": 3,
+    }
+    assert _dv_read_positions(root, inline) == [7, 8, 42]
+
+    # legacy hex descriptor → legacy filename
+    legacy = {"storageType": "u", "pathOrInlineDv": "ab" * 16, "offset": 1}
+    assert _dv_relpath(legacy) == f"deletion_vector_{'ab' * 16}.bin"
+
+    # end-to-end: a DV delete on a real table round-trips the new naming
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_delta(orders.repartition(2), root)
+    keep = orders.where("NOT (o_totalprice > 200000)").count()
+    delete_delta_dv(spark, root, "o_totalprice > 200000")
+    assert read_delta(spark, root).count() == keep
