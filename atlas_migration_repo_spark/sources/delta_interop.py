@@ -351,11 +351,19 @@ def _cdf_enabled(meta: dict | None) -> bool:
 
 
 def _stage_cdc_files(
-    path: str, cdf: DataFrame, now_ms: int
+    path: str, cdf: DataFrame, now_ms: int, meta: dict | None = None
 ) -> list[dict]:
     """Stage a change-data frame (data columns + _change_type) as
     parquet under `_change_data/` and return the protocol's `cdc`
-    actions (dataChange=false — CDC files are derived, not table data)."""
+    actions (dataChange=false — CDC files are derived, not table data).
+    On columnMapping tables the change files carry PHYSICAL column
+    names like every other file of the table; `_change_type` is a feed
+    column, not a table column, and stays literal."""
+    mapping = _column_mapping(meta)
+    if mapping:
+        cdf = cdf.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in cdf.columns]
+        )
     cdc_dir = os.path.join(path, "_change_data")
     os.makedirs(cdc_dir, exist_ok=True)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
@@ -798,11 +806,6 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
     (each version reads under its own metaData). Twin of the TableLog's
     rename machinery and iceberg's rename_iceberg_column."""
     _, meta, _ = _replay(path)
-    if _cdf_enabled(meta):
-        raise NotImplementedError(
-            "rename on a change-data-feed table: the CDF read path does "
-            "not translate column mapping across the feed's versions yet"
-        )
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     names = [f.name for f in schema.fields]
     if old not in names:
@@ -1108,7 +1111,7 @@ def merge_delta(
         cdf = pre.unionByName(post).unionByName(ins).select(
             *cols, "_change_type"
         )
-        cdc_actions = _stage_cdc_files(path, cdf, now_ms)
+        cdc_actions = _stage_cdc_files(path, cdf, now_ms, meta)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
     stage_df, stage_pby = _stage_physical(merged, meta, pcols)
     w = stage_df.write.mode("overwrite")
@@ -1221,7 +1224,7 @@ def delete_delta_range(
         ).where(F.col(column).between(F.lit(lo), F.lit(hi))).select(
             *[f.name for f in schema.fields]
         ).withColumn("_change_type", F.lit("delete"))
-        actions.extend(_stage_cdc_files(path, deleted, now_ms))
+        actions.extend(_stage_cdc_files(path, deleted, now_ms, meta))
     for a in drop_whole + rewrite:
         actions.append(
             {
@@ -1695,7 +1698,7 @@ def delete_delta_dv(spark: SparkSession, path: str, predicate: str) -> int:
         cdf = matched.select(*[f.name for f in schema.fields]).withColumn(
             "_change_type", F.lit("delete")
         )
-        actions.extend(_stage_cdc_files(path, cdf, now_ms))
+        actions.extend(_stage_cdc_files(path, cdf, now_ms, meta))
     for rel, a in by_rel.items():
         if abs_of[rel] not in touched_abs:
             continue
@@ -2081,14 +2084,24 @@ def read_delta_cdf(
     if to_version is None:
         to_version = vs[-1]
     _, meta, _ = _replay(path, to_version)
-    if _column_mapping(meta):
-        raise NotImplementedError(
-            "change data feed on a columnMapping table: per-version "
-            "physical-name translation across the feed is not implemented"
-        )
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    # columnMapping: every generation of change/data files carries the
+    # FROZEN physical names (the rename upgrade sets physical := the
+    # then-current logical name), so ONE physical schema reads the
+    # whole feed and one rename pass surfaces the end-version logical
+    # names — no per-version translation needed
+    mapping = _column_mapping(meta)
+    cdc_renames = [
+        (mapping[f.name], f.name)
+        for f in schema.fields
+        if mapping.get(f.name, f.name) != f.name
+    ]
     cdc_schema = T.StructType(
-        schema.fields + [T.StructField("_change_type", T.StringType())]
+        [
+            T.StructField(mapping.get(f.name, f.name), f.dataType, True)
+            for f in schema.fields
+        ]
+        + [T.StructField("_change_type", T.StringType())]
     )
     out_schema = T.StructType(
         cdc_schema.fields + [T.StructField("_commit_version", T.LongType())]
@@ -2115,6 +2128,8 @@ def read_delta_cdf(
                     for c in cdc
                 ]
             )
+            for phys, logical in cdc_renames:
+                df = df.withColumnRenamed(phys, logical)
         elif removes:
             raise ValueError(
                 f"version {v} contains data-changing removes but no change "
@@ -2124,18 +2139,9 @@ def read_delta_cdf(
             # partition columns live in partitionValues, not the data
             # files — reattach them or partitioned appends would feed
             # NULL partition values to CDF consumers
-            pcols = meta.get("partitionColumns") or []
-            data_schema = T.StructType(
-                [f for f in schema.fields if f.name not in pcols]
-            )
             df = _attach_partition_cols(
                 spark,
-                spark.read.schema(data_schema).parquet(
-                    *[
-                        os.path.join(path, urllib.parse.unquote(a["path"]))
-                        for a in adds
-                    ]
-                ),
+                _scan_adds_logical(spark, adds, meta, path),
                 adds,
                 meta,
                 path,

@@ -2276,3 +2276,52 @@ def test_dv_descriptor_naming_and_inline(spark):
     keep = orders.where("NOT (o_totalprice > 200000)").count()
     delete_delta_dv(spark, root, "o_totalprice > 200000")
     assert read_delta(spark, root).count() == keep
+
+
+def test_cdf_across_rename_boundary(spark):
+    """CDF composes with column mapping: change files of EVERY
+    generation carry the frozen physical names, so one feed read spans
+    a rename — pre-rename appends and post-rename merge/delete images
+    all surface under the END-version logical names."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+        merge_delta,
+        read_delta_cdf,
+        rename_delta_column,
+        write_delta,
+    )
+
+    root = _fresh("t_cdf_rename")
+    base = spark.createDataFrame(
+        [(i, i * 10.0) for i in range(20)], "k bigint, price double"
+    )
+    write_delta(
+        base, root, configuration={"delta.enableChangeDataFeed": "true"}
+    )  # v0: inserts
+    rename_delta_column(root, "price", "price_usd")  # v1: metadata only
+    merge_delta(
+        spark,
+        root,
+        spark.createDataFrame([(3, 999.0)], "k bigint, price_usd double"),
+        key="k",
+    )  # v2: update images
+    delete_delta_range(spark, root, "k", 10, 12)  # v3: delete images
+    feed = read_delta_cdf(spark, root, from_version=0).collect()
+    assert {r["_change_type"] for r in feed} >= {
+        "insert",
+        "update_preimage",
+        "update_postimage",
+        "delete",
+    }
+    # every row of the feed surfaces the END-version logical column
+    assert all("price_usd" in r.asDict() for r in feed)
+    ins = [r for r in feed if r["_change_type"] == "insert"]
+    assert len(ins) == 20 and {r["price_usd"] for r in ins} == {
+        i * 10.0 for i in range(20)
+    }
+    post = [r for r in feed if r["_change_type"] == "update_postimage"]
+    assert [(r["k"], r["price_usd"]) for r in post] == [(3, 999.0)]
+    dels = {r["k"] for r in feed if r["_change_type"] == "delete"}
+    assert dels == {10, 11, 12}
+    got = {r["k"]: r["price_usd"] for r in read_delta(spark, root).collect()}
+    assert got[3] == 999.0 and all(k not in got for k in (10, 11, 12))
