@@ -105,6 +105,7 @@ _DRIVER_SAMPLE_PREFIX = (
     #    rows-only entries (advisor: rows-only goes AFTER oracle-verified
     #    entries, never displacing them in the sample) --------------------
     "delta_rename_travel",
+    "lakehouse_uniform_sync",
     "source_avro",
     "merge_versioned",
     "table_log_changes",

@@ -2181,53 +2181,21 @@ def remove_orphan_files(path: str, older_than_ms: int = 3 * 86_400_000) -> list[
     return deleted
 
 
-def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
-    """UniForm-style dual publish (the public Delta Universal Format
-    idea): give an existing DELTA table an ICEBERG metadata tree over
-    the SAME data files — one copy of the data, two protocol front
-    doors. The current Delta snapshot becomes Iceberg snapshot 1: one
-    manifest whose entries carry the Delta adds' partition values
-    (typed), record counts and, where the Delta stats allow, field-id
-    bounds. Refuses if an Iceberg metadata tree already exists. Returns
-    the snapshot id."""
+def _uniform_manifest_from_delta(
+    path: str,
+    adds: list[dict],
+    by_name: dict,
+    pcols: list[str],
+    part_fields: list[dict],
+    snap_id: int,
+    seq: int,
+) -> tuple[str, int]:
+    """Write ONE Iceberg manifest + manifest list over a Delta live file
+    set (typed partition values, field-id bounds where the Delta stats
+    allow) — the shared tail of the initial UniForm publish and every
+    subsequent sync. Returns (manifest-list path, row count)."""
     import urllib.parse as up
 
-    from atlas_migration_repo_spark.sources.delta_interop import (
-        _replay as _delta_replay,
-        delta_live_files,
-    )
-
-    if os.path.exists(os.path.join(_meta_dir(path), "version-hint.text")):
-        raise FileExistsError(f"{_meta_dir(path)} already holds Iceberg metadata")
-    _, dmeta, _ = _delta_replay(path)
-    adds = delta_live_files(path)
-    if any(a.get("deletionVector") for a in adds):
-        # an Iceberg manifest over the raw files would RESURRECT the
-        # DV-masked rows for Iceberg readers — the one thing a dual
-        # publish must never do. (Real UniForm converts DVs to Iceberg
-        # positional deletes; here the PURGE rewrite is the documented
-        # bridge.)
-        raise ValueError(
-            "publish_iceberg_metadata_from_delta: table has live deletion "
-            "vectors; run purge_delta_dv first so both protocol readers "
-            "see the same rows"
-        )
-    spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
-    schema_fields = _ice_schema(spark_schema)
-    by_name = {f["name"]: f for f in schema_fields}
-    pcols = dmeta.get("partitionColumns") or []
-    part_fields = [
-        {
-            "name": c,
-            "field_id": 1000 + i,
-            "source_id": by_name[c]["id"],
-            "ice_type": by_name[c]["type"],
-        }
-        for i, c in enumerate(pcols)
-    ]
-    os.makedirs(_meta_dir(path), exist_ok=True)
-    seq = 1
-    snap_id = int(time.time() * 1000) * 1000 + seq
     entries: list[tuple] = []
     added_rows = 0
     for a in adds:
@@ -2309,6 +2277,59 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
         _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
     _write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, [new_manifest_row])
+    return mlist_path, added_rows
+
+
+def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
+    """UniForm-style dual publish (the public Delta Universal Format
+    idea): give an existing DELTA table an ICEBERG metadata tree over
+    the SAME data files — one copy of the data, two protocol front
+    doors. The current Delta snapshot becomes Iceberg snapshot 1: one
+    manifest whose entries carry the Delta adds' partition values
+    (typed), record counts and, where the Delta stats allow, field-id
+    bounds. Refuses if an Iceberg metadata tree already exists. Returns
+    the snapshot id."""
+    import urllib.parse as up
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _replay as _delta_replay,
+        delta_live_files,
+    )
+
+    if os.path.exists(os.path.join(_meta_dir(path), "version-hint.text")):
+        raise FileExistsError(f"{_meta_dir(path)} already holds Iceberg metadata")
+    delta_v, dmeta, _ = _delta_replay(path)
+    adds = delta_live_files(path)
+    if any(a.get("deletionVector") for a in adds):
+        # an Iceberg manifest over the raw files would RESURRECT the
+        # DV-masked rows for Iceberg readers — the one thing a dual
+        # publish must never do. (Real UniForm converts DVs to Iceberg
+        # positional deletes; here the PURGE rewrite is the documented
+        # bridge.)
+        raise ValueError(
+            "publish_iceberg_metadata_from_delta: table has live deletion "
+            "vectors; run purge_delta_dv first so both protocol readers "
+            "see the same rows"
+        )
+    spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
+    schema_fields = _ice_schema(spark_schema)
+    by_name = {f["name"]: f for f in schema_fields}
+    pcols = dmeta.get("partitionColumns") or []
+    part_fields = [
+        {
+            "name": c,
+            "field_id": 1000 + i,
+            "source_id": by_name[c]["id"],
+            "ice_type": by_name[c]["type"],
+        }
+        for i, c in enumerate(pcols)
+    ]
+    os.makedirs(_meta_dir(path), exist_ok=True)
+    seq = 1
+    snap_id = int(time.time() * 1000) * 1000 + seq
+    mlist_path, added_rows = _uniform_manifest_from_delta(
+        path, adds, by_name, pcols, part_fields, snap_id, seq
+    )
     now_ms = int(time.time() * 1000)
     meta = {
         "format-version": 2,
@@ -2346,7 +2367,10 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
                 "sequence-number": seq,
                 "timestamp-ms": now_ms,
                 "manifest-list": mlist_path,
-                "summary": {"operation": "append"},
+                "summary": {
+                    "operation": "append",
+                    "delta-version": str(delta_v),
+                },
                 "schema-id": 0,
             }
         ],
@@ -2358,6 +2382,79 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
     # publishers both passing the exists-check above still get exactly
     # one v1 winner (the loser raises instead of clobbering)
     _publish_metadata(path, 1, meta)
+    return snap_id
+
+
+def sync_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
+    """Keep a UniForm table's Iceberg metadata CURRENT: Delta commits
+    made after the initial publish don't exist for Iceberg readers until
+    this runs. Each sync appends one Iceberg snapshot whose single
+    manifest covers the Delta table's current live file set (overwrite
+    semantics — the snapshot's manifest list fully defines its content),
+    with the synced Delta version recorded in the snapshot summary so a
+    repeat sync is a NO-OP, not a duplicate snapshot. Additive Delta
+    schema evolution lands as a new Iceberg schema (positional field ids
+    are stable because the Delta side refuses non-additive changes).
+    Metadata-only: no data file is read or written. Returns the current
+    snapshot id."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _replay as _delta_replay,
+        delta_live_files,
+    )
+
+    cur = _current_metadata(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"{_meta_dir(path)} holds no Iceberg metadata; run "
+            "publish_iceberg_metadata_from_delta first"
+        )
+    v, meta = cur
+    delta_v, dmeta, _ = _delta_replay(path)
+    snaps = meta["snapshots"]
+    last = next(
+        s for s in snaps if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    if int(last.get("summary", {}).get("delta-version", -1)) >= delta_v:
+        return last["snapshot-id"]
+    adds = delta_live_files(path)
+    if any(a.get("deletionVector") for a in adds):
+        raise ValueError(
+            "sync_iceberg_metadata_from_delta: table has live deletion "
+            "vectors; run purge_delta_dv first so both protocol readers "
+            "see the same rows"
+        )
+    spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
+    schema_fields = _ice_schema(spark_schema)
+    by_name = {f["name"]: f for f in schema_fields}
+    pcols = dmeta.get("partitionColumns") or []
+    cur_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    meta = json.loads(json.dumps(meta))
+    if schema_fields != cur_fields:
+        sid = len(meta["schemas"])
+        meta["schemas"].append(
+            {"type": "struct", "schema-id": sid, "fields": schema_fields}
+        )
+        meta["current-schema-id"] = sid
+        meta["last-column-id"] = max(f["id"] for f in schema_fields)
+    part_fields = _spec_part_fields(meta, schema_fields)
+    seq = meta["last-sequence-number"] + 1
+    snap_id = int(time.time() * 1000) * 1000 + seq
+    mlist_path, total_rows = _uniform_manifest_from_delta(
+        path, adds, by_name, pcols, part_fields, snap_id, seq
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": last["snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": mlist_path,
+        "summary": {
+            "operation": "overwrite",
+            "delta-version": str(delta_v),
+        },
+        "schema-id": meta["current-schema-id"],
+    }
+    _append_snapshot_commit(path, (v, meta), snapshot, seq)
     return snap_id
 
 
@@ -2454,6 +2551,77 @@ def lakehouse_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
                 msum(F.col("o_totalprice")).alias("total"),
             )
             .select(F.lit(reader).alias("reader"), "o_orderstatus", "n_rows", "total")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@query(
+    "lakehouse_uniform_sync",
+    oracle=f"""
+    SELECT 'delta' AS reader, o_orderstatus,
+           COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'iceberg' AS reader, o_orderstatus,
+           COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_uniform_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm stays CURRENT: the initial dual publish covers only half
+    the orders; a later Delta append lands the rest, and
+    sync_iceberg_metadata_from_delta appends an Iceberg snapshot over
+    the new live set (metadata-only). The same partition-pruned
+    aggregate through both readers must cover the FULL table — without
+    the sync, the Iceberg door would silently serve the stale half."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        read_delta,
+        write_delta,
+    )
+
+    root = scratch_path(sf_dir, "orders_uniform_sync")
+    shutil.rmtree(root, ignore_errors=True)
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    write_delta(
+        df.where(F.col("o_orderkey") % 2 == 0),
+        root,
+        partition_by=["o_orderpriority"],
+    )
+    publish_iceberg_metadata_from_delta(spark, root)
+    write_delta(
+        df.where(F.col("o_orderkey") % 2 == 1),
+        root,
+        partition_by=["o_orderpriority"],
+        mode="append",
+    )
+    sync_iceberg_metadata_from_delta(spark, root)
+    outs = []
+    for reader, fn in (
+        (
+            "delta",
+            lambda: read_delta(
+                spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+            ),
+        ),
+        (
+            "iceberg",
+            lambda: read_iceberg(
+                spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+            ),
+        ),
+    ):
+        outs.append(
+            fn()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .select(
+                F.lit(reader).alias("reader"), "o_orderstatus", "n_rows", "total"
+            )
         )
     return outs[0].unionByName(outs[1])
 

@@ -1433,3 +1433,65 @@ def test_reverse_uniform_refuses_renamed_column(spark):
     rename_iceberg_column(root, "o_totalprice", "price")
     with _pytest.raises(ValueError, match="renamed"):
         publish_delta_log_from_iceberg(spark, root)
+
+
+def test_uniform_sync_semantics(spark):
+    """sync_iceberg_metadata_from_delta: a repeat sync is a NO-OP (same
+    snapshot id, no new snapshot), the pre-sync snapshot still time
+    travels to the stale half, additive Delta evolution lands as a new
+    Iceberg schema, and live DVs refuse."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_dv,
+        purge_delta_dv,
+        read_delta,
+        write_delta,
+    )
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        _current_metadata,
+        publish_iceberg_metadata_from_delta,
+        sync_iceberg_metadata_from_delta,
+    )
+
+    root = _fresh("t_uniform_sync")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    half_a = orders.where("o_orderkey % 2 = 0")
+    half_b = orders.where("o_orderkey % 2 = 1")
+    write_delta(half_a, root)
+    s1 = publish_iceberg_metadata_from_delta(spark, root)
+    # no new delta commits -> sync is a no-op returning the current snap
+    assert sync_iceberg_metadata_from_delta(spark, root) == s1
+    assert len(_current_metadata(root)[1]["snapshots"]) == 1
+
+    write_delta(half_b, root, mode="append")
+    s2 = sync_iceberg_metadata_from_delta(spark, root)
+    assert s2 != s1
+    assert read_iceberg(spark, root).count() == orders.count()
+    # the pre-sync snapshot still serves the stale half (time travel)
+    assert read_iceberg(spark, root, snapshot_id=s1).count() == half_a.count()
+    # repeat sync: no-op again
+    assert sync_iceberg_metadata_from_delta(spark, root) == s2
+    assert len(_current_metadata(root)[1]["snapshots"]) == 2
+
+    # additive evolution: new column becomes a new Iceberg schema
+    write_delta(
+        half_b.limit(3).withColumn("channel", F.lit("web")),
+        root,
+        mode="append",
+    )
+    s3 = sync_iceberg_metadata_from_delta(spark, root)
+    meta = _current_metadata(root)[1]
+    cur_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    assert any(f["name"] == "channel" for f in cur_fields)
+    got = read_iceberg(spark, root)
+    assert got.where(F.col("channel").isNotNull()).count() == 3
+
+    # DV refusal mirrors the publish guard
+    delete_delta_dv(spark, root, "o_totalprice > 100000")
+    with _pytest.raises(ValueError, match="deletion"):
+        sync_iceberg_metadata_from_delta(spark, root)
+    purge_delta_dv(spark, root)
+    s4 = sync_iceberg_metadata_from_delta(spark, root)
+    assert s4 not in (s1, s2, s3)
+    assert read_iceberg(spark, root).count() == read_delta(spark, root).count()
