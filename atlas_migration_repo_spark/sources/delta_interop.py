@@ -2239,6 +2239,12 @@ def vacuum_delta(path: str, retain_versions: int | None = None) -> list[str]:
                 or (n.startswith("deletion_vector_") and n.endswith(".bin"))
             ):
                 continue
+            if n.endswith("-deletes.parquet"):
+                # Iceberg positional-delete files of a UniForm dual
+                # publish — owned by the Iceberg metadata tree, never
+                # referenced by Delta adds; reclaiming them would
+                # resurrect rows for Iceberg readers
+                continue
             rel = os.path.relpath(os.path.join(dirpath, n), path)
             if rel not in referenced:
                 os.unlink(os.path.join(dirpath, n))

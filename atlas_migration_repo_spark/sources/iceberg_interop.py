@@ -1537,21 +1537,19 @@ def _apply_row_deletes(
     return df.drop("__data_seq")
 
 
-def _commit_delete_snapshot(
-    path: str, del_df: DataFrame, content: int, equality_ids: list[int] | None
-) -> int:
-    """Shared commit tail for row-level deletes: stage `del_df` as
-    parquet DELETE FILES (content=1 positional / 2 equality), wrap them
-    in ONE delete manifest (manifest_file.content=1), carry every prior
-    manifest forward, and append a `delete` snapshot. Returns the new
-    snapshot id (or the current one if the delete matched nothing —
-    empty commits are elided)."""
+def _stage_delete_files(
+    path: str,
+    del_df: DataFrame,
+    snap_id: int,
+    seq: int,
+    content: int,
+    equality_ids: list[int] | None,
+) -> tuple[list[tuple], int]:
+    """Stage `del_df` as parquet DELETE FILES under data/ and return
+    their ADDED manifest entries + total tombstone count — shared by
+    the MOR delete commits and the UniForm DV bridge."""
     import pyarrow.parquet as pq
 
-    cur = _current_metadata(path)
-    v, meta = cur
-    seq = meta["last-sequence-number"] + 1
-    snap_id = int(time.time() * 1000) * 1000 + seq
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
     del_df.write.mode("overwrite").parquet(stage)
     entries: list[tuple] = []
@@ -1567,6 +1565,9 @@ def _commit_delete_snapshot(
             dest = os.path.join(
                 path, "data", f"{uuid.uuid4().hex}-deletes.parquet"
             )
+            # UniForm over a Delta table has no data/ dir yet — the
+            # manifest stores absolute paths, the dir is just a home
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.rename(src, dest)
             n_del += nrec
             entries.append(
@@ -1590,6 +1591,27 @@ def _commit_delete_snapshot(
             )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+    return entries, n_del
+
+
+def _commit_delete_snapshot(
+    path: str, del_df: DataFrame, content: int, equality_ids: list[int] | None
+) -> int:
+    """Shared commit tail for row-level deletes: stage `del_df` as
+    parquet DELETE FILES (content=1 positional / 2 equality), wrap them
+    in ONE delete manifest (manifest_file.content=1), carry every prior
+    manifest forward, and append a `delete` snapshot. Returns the new
+    snapshot id (or the current one if the delete matched nothing —
+    empty commits are elided)."""
+    import pyarrow.parquet as pq
+
+    cur = _current_metadata(path)
+    v, meta = cur
+    seq = meta["last-sequence-number"] + 1
+    snap_id = int(time.time() * 1000) * 1000 + seq
+    entries, n_del = _stage_delete_files(
+        path, del_df, snap_id, seq, content, equality_ids
+    )
     if not entries:
         return meta["current-snapshot-id"]
     man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
@@ -2189,6 +2211,7 @@ def _uniform_manifest_from_delta(
     part_fields: list[dict],
     snap_id: int,
     seq: int,
+    extra_rows: list | None = None,
 ) -> tuple[str, int]:
     """Write ONE Iceberg manifest + manifest list over a Delta live file
     set (typed partition values, field-id bounds where the Delta stats
@@ -2276,8 +2299,58 @@ def _uniform_manifest_from_delta(
     mlist_path = os.path.join(
         _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
     )
-    _write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, [new_manifest_row])
+    _write_avro_file(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [new_manifest_row] + list(extra_rows or []),
+    )
     return mlist_path, added_rows
+
+
+def _uniform_delete_manifest(
+    spark: SparkSession, path: str, dv_adds: list[dict], snap_id: int, seq: int
+):
+    """Delta deletion vectors → ONE Iceberg positional-delete manifest
+    row (manifest_file.content=1): the DV positions expand on executors
+    and stage as spec-sorted (file_path, pos) parquet delete files with
+    the SAME sequence number as the data manifest (positional deletes
+    apply at data_seq <= delete_seq), so Iceberg readers subtract
+    exactly the rows Delta readers mask — real UniForm's DV bridge.
+    Returns the manifest row, or None when the DVs are empty."""
+    from atlas_migration_repo_spark.sources.delta_interop import _dv_expand_df
+
+    del_df = (
+        _dv_expand_df(spark, path, dv_adds)
+        .select(
+            F.col("__dv_file").alias("file_path"),
+            F.col("__dv_pos").alias("pos"),
+        )
+        .repartitionByRange(4, "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+    )
+    entries, n_del = _stage_delete_files(
+        path, del_df, snap_id, seq, content=1, equality_ids=None
+    )
+    if not entries:
+        return None
+    man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    man_len = _write_avro_file(man_path, _manifest_entry_schema([]), entries)
+    return (
+        man_path,
+        man_len,
+        0,
+        1,  # content: DELETES
+        seq,
+        seq,
+        snap_id,
+        len(entries),
+        0,
+        0,
+        n_del,
+        0,
+        0,
+        None,
+    )
 
 
 def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
@@ -2300,17 +2373,7 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
         raise FileExistsError(f"{_meta_dir(path)} already holds Iceberg metadata")
     delta_v, dmeta, _ = _delta_replay(path)
     adds = delta_live_files(path)
-    if any(a.get("deletionVector") for a in adds):
-        # an Iceberg manifest over the raw files would RESURRECT the
-        # DV-masked rows for Iceberg readers — the one thing a dual
-        # publish must never do. (Real UniForm converts DVs to Iceberg
-        # positional deletes; here the PURGE rewrite is the documented
-        # bridge.)
-        raise ValueError(
-            "publish_iceberg_metadata_from_delta: table has live deletion "
-            "vectors; run purge_delta_dv first so both protocol readers "
-            "see the same rows"
-        )
+    dv_adds = [a for a in adds if a.get("deletionVector")]
     spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
     schema_fields = _ice_schema(spark_schema)
     by_name = {f["name"]: f for f in schema_fields}
@@ -2327,8 +2390,23 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
     os.makedirs(_meta_dir(path), exist_ok=True)
     seq = 1
     snap_id = int(time.time() * 1000) * 1000 + seq
+    # live deletion vectors ride along as an Iceberg positional-delete
+    # manifest over the same snapshot — an Iceberg manifest over the raw
+    # files alone would RESURRECT the DV-masked rows
+    del_row = (
+        _uniform_delete_manifest(spark, path, dv_adds, snap_id, seq)
+        if dv_adds
+        else None
+    )
     mlist_path, added_rows = _uniform_manifest_from_delta(
-        path, adds, by_name, pcols, part_fields, snap_id, seq
+        path,
+        adds,
+        by_name,
+        pcols,
+        part_fields,
+        snap_id,
+        seq,
+        extra_rows=[del_row] if del_row else None,
     )
     now_ms = int(time.time() * 1000)
     meta = {
@@ -2417,12 +2495,7 @@ def sync_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
     if int(last.get("summary", {}).get("delta-version", -1)) >= delta_v:
         return last["snapshot-id"]
     adds = delta_live_files(path)
-    if any(a.get("deletionVector") for a in adds):
-        raise ValueError(
-            "sync_iceberg_metadata_from_delta: table has live deletion "
-            "vectors; run purge_delta_dv first so both protocol readers "
-            "see the same rows"
-        )
+    dv_adds = [a for a in adds if a.get("deletionVector")]
     spark_schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
     schema_fields = _ice_schema(spark_schema)
     by_name = {f["name"]: f for f in schema_fields}
@@ -2439,8 +2512,20 @@ def sync_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
     part_fields = _spec_part_fields(meta, schema_fields)
     seq = meta["last-sequence-number"] + 1
     snap_id = int(time.time() * 1000) * 1000 + seq
+    del_row = (
+        _uniform_delete_manifest(spark, path, dv_adds, snap_id, seq)
+        if dv_adds
+        else None
+    )
     mlist_path, total_rows = _uniform_manifest_from_delta(
-        path, adds, by_name, pcols, part_fields, snap_id, seq
+        path,
+        adds,
+        by_name,
+        pcols,
+        part_fields,
+        snap_id,
+        seq,
+        extra_rows=[del_row] if del_row else None,
     )
     snapshot = {
         "snapshot-id": snap_id,

@@ -1913,14 +1913,14 @@ def test_dv_optimize_and_merge_respect_mask(spark):
     assert not any(a.get("deletionVector") for a in delta_live_files(root, v))
 
 
-def test_dv_uniform_publish_refuses(spark):
-    """UniForm dual publish over a DV table must refuse: an Iceberg
-    manifest over the raw data files would resurrect the masked rows
-    for Iceberg readers. After PURGE, the publish goes through and the
-    Iceberg reader sees exactly the masked row set."""
+def test_dv_uniform_publish_bridges_positional_deletes(spark):
+    """UniForm dual publish over a DV table: the deletion vectors ride
+    along as an Iceberg POSITIONAL-DELETE manifest over the same
+    snapshot (real UniForm's DV bridge) — an Iceberg manifest over the
+    raw files alone would resurrect the masked rows. Both readers must
+    see exactly the masked row SET, row for row, without any PURGE."""
     from atlas_migration_repo_spark.sources.delta_interop import (
         delete_delta_dv,
-        purge_delta_dv,
     )
     from atlas_migration_repo_spark.sources.iceberg_interop import (
         publish_iceberg_metadata_from_delta,
@@ -1931,13 +1931,14 @@ def test_dv_uniform_publish_refuses(spark):
     orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
     write_delta(orders.repartition(2), root)
     delete_delta_dv(spark, root, "o_totalprice > 100000")
-    keep = orders.where("NOT (o_totalprice > 100000)").count()
-    with pytest.raises(ValueError, match="deletion vectors"):
-        publish_iceberg_metadata_from_delta(spark, root)
-    purge_delta_dv(spark, root)
+    survivors = {
+        r["o_orderkey"]
+        for r in orders.where("NOT (o_totalprice > 100000)").collect()
+    }
     publish_iceberg_metadata_from_delta(spark, root)
-    assert read_iceberg(spark, root).count() == keep
-    assert read_delta(spark, root).count() == keep
+    ice = {r["o_orderkey"] for r in read_iceberg(spark, root).collect()}
+    dl = {r["o_orderkey"] for r in read_delta(spark, root).collect()}
+    assert ice == survivors == dl
 
 
 @pytest.mark.parametrize("store_name", ["posix_link", "coordinated_put"])

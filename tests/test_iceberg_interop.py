@@ -1487,11 +1487,13 @@ def test_uniform_sync_semantics(spark):
     got = read_iceberg(spark, root)
     assert got.where(F.col("channel").isNotNull()).count() == 3
 
-    # DV refusal mirrors the publish guard
+    # live DVs bridge to positional deletes: both readers agree with
+    # no PURGE required
     delete_delta_dv(spark, root, "o_totalprice > 100000")
-    with _pytest.raises(ValueError, match="deletion"):
-        sync_iceberg_metadata_from_delta(spark, root)
-    purge_delta_dv(spark, root)
     s4 = sync_iceberg_metadata_from_delta(spark, root)
     assert s4 not in (s1, s2, s3)
+    assert read_iceberg(spark, root).count() == read_delta(spark, root).count()
+    # and PURGE afterwards still converges (DVs materialized away)
+    purge_delta_dv(spark, root)
+    s5 = sync_iceberg_metadata_from_delta(spark, root)
     assert read_iceberg(spark, root).count() == read_delta(spark, root).count()
