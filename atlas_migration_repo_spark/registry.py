@@ -106,6 +106,7 @@ _DRIVER_SAMPLE_PREFIX = (
     #    entries, never displacing them in the sample) --------------------
     "delta_rename_travel",
     "lakehouse_uniform_sync",
+    "lakehouse_uniform_reverse_sync",
     "source_avro",
     "merge_versioned",
     "table_log_changes",

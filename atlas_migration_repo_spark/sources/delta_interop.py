@@ -2541,51 +2541,10 @@ def publish_delta_log_from_iceberg(spark: SparkSession, path: str) -> int:
     every data file, so results stay correct — only partition pruning
     is narrower through the Delta door. Returns the Delta version (0).
     """
-    from atlas_migration_repo_spark.sources.iceberg_interop import (
-        _spec_part_fields,
-        iceberg_live_state,
-    )
-
     log_dir = _log_dir(path)
     if _committed_versions(log_dir):
         raise FileExistsError(f"{log_dir} already holds Delta commits")
-    meta, datas, dels = iceberg_live_state(path)
-    if dels:
-        raise ValueError(
-            "publish_delta_log_from_iceberg: table has live row-level "
-            "delete files; run rewrite_iceberg first so both protocol "
-            "readers see the same rows"
-        )
-    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
-    cur_names = {f["id"]: f["name"] for f in schema_fields}
-    for sch in meta["schemas"]:
-        for f in sch["fields"]:
-            if f["id"] in cur_names and cur_names[f["id"]] != f["name"]:
-                raise ValueError(
-                    f"column {f['name']!r} was renamed to "
-                    f"{cur_names[f['id']]!r}; data files carry the old "
-                    "name and Delta reader 1 has no column mapping to "
-                    "resolve it — rewrite the table first"
-                )
-    part_fields = _spec_part_fields(meta, schema_fields)
-    identity = [pf for pf in part_fields if pf["transform"] == "identity"]
-    for pf in identity:
-        if pf["ice_type"] in ("date", "timestamp", "timestamptz"):
-            raise NotImplementedError(
-                f"identity partition on {pf['ice_type']} column "
-                f"{pf['source']!r}: Iceberg manifests store ordinal "
-                "ints where Delta partitionValues need calendar strings"
-            )
-    from atlas_migration_repo_spark.sources.iceberg_interop import (
-        _ICE_TO_SPARK,
-    )
-
-    spark_schema = T.StructType(
-        [
-            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
-            for f in schema_fields
-        ]
-    )
+    spark_schema, identity, adds_by_rel = _delta_state_from_iceberg(path)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -2607,6 +2566,57 @@ def publish_delta_log_from_iceberg(spark: SparkSession, path: str) -> int:
             }
         },
     ]
+    actions.extend({"add": a} for _, a in sorted(adds_by_rel.items()))
+    return _publish_commit(log_dir, actions, 0)
+
+
+def _delta_state_from_iceberg(path: str):
+    """(spark schema, identity partition fields, {relpath: add action})
+    for the CURRENT Iceberg snapshot — the shared resolution half of the
+    reverse-UniForm publish and sync, including every could-lie-to-a-
+    Delta-reader guard (live delete files, renamed columns, ordinal-
+    encoded date/timestamp identity partitions)."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        _ICE_TO_SPARK,
+        _spec_part_fields,
+        iceberg_live_state,
+    )
+
+    meta, datas, dels = iceberg_live_state(path)
+    if dels:
+        raise ValueError(
+            "reverse UniForm: table has live row-level delete files; run "
+            "rewrite_iceberg first so both protocol readers see the same "
+            "rows"
+        )
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    cur_names = {f["id"]: f["name"] for f in schema_fields}
+    for sch in meta["schemas"]:
+        for f in sch["fields"]:
+            if f["id"] in cur_names and cur_names[f["id"]] != f["name"]:
+                raise ValueError(
+                    f"column {f['name']!r} was renamed to "
+                    f"{cur_names[f['id']]!r}; data files carry the old "
+                    "name and Delta reader 1 has no column mapping to "
+                    "resolve it — rewrite the table first"
+                )
+    part_fields = _spec_part_fields(meta, schema_fields)
+    identity = [pf for pf in part_fields if pf["transform"] == "identity"]
+    for pf in identity:
+        if pf["ice_type"] in ("date", "timestamp", "timestamptz"):
+            raise NotImplementedError(
+                f"identity partition on {pf['ice_type']} column "
+                f"{pf['source']!r}: Iceberg manifests store ordinal "
+                "ints where Delta partitionValues need calendar strings"
+            )
+    spark_schema = T.StructType(
+        [
+            T.StructField(f["name"], _ICE_TO_SPARK[f["type"]], True)
+            for f in schema_fields
+        ]
+    )
+    now_ms = int(time.time() * 1000)
+    adds_by_rel: dict[str, dict] = {}
     for d in datas:
         f = d["data_file"]
         fp = f["file_path"]
@@ -2619,19 +2629,70 @@ def publish_delta_log_from_iceberg(spark: SparkSession, path: str) -> int:
                 pv[pf["name"]] = "true" if v else "false"
             else:
                 pv[pf["name"]] = str(v)
+        rel = os.path.relpath(fp, path)
+        adds_by_rel[rel] = {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": pv,
+            "size": f["file_size_in_bytes"],
+            "modificationTime": int(os.path.getmtime(fp) * 1000),
+            "dataChange": True,
+            "stats": _delta_stats(fp),
+        }
+    return spark_schema, identity, adds_by_rel
+
+
+def sync_delta_log_from_iceberg(spark: SparkSession, path: str) -> int:
+    """Keep a reverse-UniForm table's `_delta_log` CURRENT: Iceberg
+    commits made after the initial publish don't exist for Delta
+    readers until this runs. The sync commits the FILE-LEVEL diff —
+    removes for Delta-live files the Iceberg snapshot no longer holds,
+    adds for new ones — plus a metaData action when the Iceberg schema
+    evolved (additive; renames refuse via the shared guards). A sync
+    with nothing to say returns the current version without committing.
+    Metadata-only: no data file is read or written (stats come from
+    parquet footers of the NEW files only). Twin of
+    sync_iceberg_metadata_from_delta."""
+    log_dir = _log_dir(path)
+    if not _committed_versions(log_dir):
+        raise FileNotFoundError(
+            f"{log_dir} holds no Delta commits; run "
+            "publish_delta_log_from_iceberg first"
+        )
+    spark_schema, identity, adds_by_rel = _delta_state_from_iceberg(path)
+    v, dmeta, live = _replay(path)
+    live_by_rel = {urllib.parse.unquote(a["path"]): a for a in live}
+    gone = sorted(set(live_by_rel) - set(adds_by_rel))
+    new = sorted(set(adds_by_rel) - set(live_by_rel))
+    schema_changed = dmeta["schemaString"] != spark_schema.json()
+    if not gone and not new and not schema_changed:
+        return v
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT SYNC",
+                "operationParameters": {"sourceFormat": "iceberg"},
+            }
+        }
+    ]
+    if schema_changed:
+        new_meta = dict(dmeta)
+        new_meta["schemaString"] = spark_schema.json()
+        new_meta["partitionColumns"] = [pf["name"] for pf in identity]
+        actions.append({"metaData": new_meta})
+    for rel in gone:
         actions.append(
             {
-                "add": {
-                    "path": urllib.parse.quote(os.path.relpath(fp, path)),
-                    "partitionValues": pv,
-                    "size": f["file_size_in_bytes"],
-                    "modificationTime": int(os.path.getmtime(fp) * 1000),
+                "remove": {
+                    "path": live_by_rel[rel]["path"],
+                    "deletionTimestamp": now_ms,
                     "dataChange": True,
-                    "stats": _delta_stats(fp),
                 }
             }
         )
-    return _publish_commit(log_dir, actions, 0)
+    actions.extend({"add": adds_by_rel[rel]} for rel in new)
+    return _publish_commit(log_dir, actions, _next_version(log_dir))
 
 
 # registered queries (each rebuilds its fixture idempotently per call)

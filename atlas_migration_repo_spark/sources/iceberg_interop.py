@@ -2772,6 +2772,77 @@ def lakehouse_uniform_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lakehouse_uniform_reverse_sync",
+    oracle=f"""
+    SELECT 'delta' AS reader, o_orderstatus,
+           COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'iceberg' AS reader, o_orderstatus,
+           COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_uniform_reverse_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse UniForm stays CURRENT: the initial Delta graft covers
+    only half the Iceberg-written orders; a later Iceberg append lands
+    the rest, and sync_delta_log_from_iceberg commits the file-level
+    diff so Delta readers see it too. The same partition-pruned
+    aggregate through both doors must cover the FULL table."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        publish_delta_log_from_iceberg,
+        read_delta,
+        sync_delta_log_from_iceberg,
+    )
+
+    root = scratch_path(sf_dir, "orders_uniform_rev_sync")
+    shutil.rmtree(root, ignore_errors=True)
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    write_iceberg(
+        df.where(F.col("o_orderkey") % 2 == 0),
+        root,
+        partition_by=["o_orderpriority"],
+    )
+    publish_delta_log_from_iceberg(spark, root)
+    write_iceberg(
+        df.where(F.col("o_orderkey") % 2 == 1),
+        root,
+        partition_by=["o_orderpriority"],
+        mode="append",
+    )
+    sync_delta_log_from_iceberg(spark, root)
+    outs = []
+    for reader, fn in (
+        (
+            "delta",
+            lambda: read_delta(
+                spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+            ),
+        ),
+        (
+            "iceberg",
+            lambda: read_iceberg(
+                spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+            ),
+        ),
+    ):
+        outs.append(
+            fn()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .select(
+                F.lit(reader).alias("reader"), "o_orderstatus", "n_rows", "total"
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@query(
     "iceberg_stats_skipping",
     oracle=f"""
     SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total

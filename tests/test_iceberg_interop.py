@@ -1497,3 +1497,47 @@ def test_uniform_sync_semantics(spark):
     purge_delta_dv(spark, root)
     s5 = sync_iceberg_metadata_from_delta(spark, root)
     assert read_iceberg(spark, root).count() == read_delta(spark, root).count()
+
+
+def test_reverse_uniform_sync(spark):
+    """sync_delta_log_from_iceberg keeps the grafted _delta_log current
+    across later Iceberg commits: appends surface as add-only commits,
+    an overwrite surfaces as remove+add, repeats no-op, and additive
+    Iceberg evolution lands as a Delta metaData action."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _committed_versions,
+        _log_dir,
+        publish_delta_log_from_iceberg,
+        read_delta,
+        sync_delta_log_from_iceberg,
+    )
+
+    root = _fresh("t_rev_uniform_sync")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    half_a = orders.where("o_orderkey % 2 = 0")
+    half_b = orders.where("o_orderkey % 2 = 1")
+    write_iceberg(half_a, root)
+    publish_delta_log_from_iceberg(spark, root)
+    v0_commits = len(_committed_versions(_log_dir(root)))
+    # nothing new -> no-op, no commit
+    sync_delta_log_from_iceberg(spark, root)
+    assert len(_committed_versions(_log_dir(root))) == v0_commits
+
+    write_iceberg(half_b, root, mode="append")
+    sync_delta_log_from_iceberg(spark, root)
+    assert read_delta(spark, root).count() == orders.count()
+    assert read_iceberg(spark, root).count() == orders.count()
+
+    # overwrite: delta side must drop the old files and hold the new set
+    small = orders.limit(100)
+    write_iceberg(small, root, mode="overwrite")
+    sync_delta_log_from_iceberg(spark, root)
+    assert read_delta(spark, root).count() == 100
+
+    # additive evolution lands as a Delta metaData action
+    write_iceberg(
+        small.withColumn("channel", F.lit("web")), root, mode="overwrite"
+    )
+    sync_delta_log_from_iceberg(spark, root)
+    got = read_delta(spark, root)
+    assert "channel" in got.columns and got.count() == 100
