@@ -4,6 +4,7 @@ FILES triple for any table this engine can read, format auto-detected:
     python -m atlas_migration_repo_spark.lakehouse describe <path>
     python -m atlas_migration_repo_spark.lakehouse history  <path>
     python -m atlas_migration_repo_spark.lakehouse files    <path>
+    python -m atlas_migration_repo_spark.lakehouse uniform  <path>
 
 Formats: Delta (`_delta_log/`), Iceberg v2 (`metadata/version-hint.text`),
 and the engine's own TableLog (`_log/`). Pure metadata reads — no Spark
@@ -246,9 +247,50 @@ _DISPATCH = {
 }
 
 
+def uniform_status(path: str) -> dict:
+    """Dual-format (UniForm) status: which protocol trees exist over the
+    table, their current versions, and whether the secondary tree is in
+    sync with the primary (via the delta-version marker the forward
+    sync records in each Iceberg snapshot summary). Pure metadata."""
+    has_delta = os.path.isdir(os.path.join(path, "_delta_log"))
+    has_ice = os.path.exists(
+        os.path.join(path, "metadata", "version-hint.text")
+    )
+    out: dict = {"delta": None, "iceberg": None, "in_sync": None}
+    delta_v = None
+    if has_delta:
+        from atlas_migration_repo_spark.sources.delta_interop import _replay
+
+        delta_v, meta, files = _replay(path)
+        out["delta"] = {"version": delta_v, "num_files": len(files)}
+    if has_ice:
+        from atlas_migration_repo_spark.sources.iceberg_interop import (
+            _current_metadata,
+        )
+
+        v, imeta = _current_metadata(path)
+        snap = next(
+            s
+            for s in imeta["snapshots"]
+            if s["snapshot-id"] == imeta["current-snapshot-id"]
+        )
+        synced = snap.get("summary", {}).get("delta-version")
+        out["iceberg"] = {
+            "metadata_version": v,
+            "current_snapshot_id": snap["snapshot-id"],
+            "num_snapshots": len(imeta["snapshots"]),
+            "synced_delta_version": int(synced) if synced is not None else None,
+        }
+        if has_delta and synced is not None:
+            out["in_sync"] = int(synced) >= delta_v
+    return out
+
+
 def run(command: str, path: str) -> dict | list:
-    if command not in ("describe", "history", "files"):
+    if command not in ("describe", "history", "files", "uniform"):
         raise ValueError(f"unknown command {command!r}")
+    if command == "uniform":
+        return uniform_status(path)
     return _DISPATCH[(detect_format(path), command)](path)
 
 

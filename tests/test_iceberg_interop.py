@@ -1541,3 +1541,29 @@ def test_reverse_uniform_sync(spark):
     sync_delta_log_from_iceberg(spark, root)
     got = read_delta(spark, root)
     assert "channel" in got.columns and got.count() == 100
+
+
+def test_lakehouse_cli_uniform_status(spark):
+    """The operator CLI's `uniform` verb reports both protocol trees and
+    whether the Iceberg side is synced with the Delta side — stale
+    after a Delta append, in_sync again after the metadata-only sync."""
+    from atlas_migration_repo_spark.lakehouse import uniform_status
+    from atlas_migration_repo_spark.sources.delta_interop import write_delta
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        publish_iceberg_metadata_from_delta,
+        sync_iceberg_metadata_from_delta,
+    )
+
+    root = _fresh("t_cli_uniform")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_delta(orders.where("o_orderkey % 2 = 0"), root)
+    st = uniform_status(root)
+    assert st["delta"] and st["iceberg"] is None and st["in_sync"] is None
+    publish_iceberg_metadata_from_delta(spark, root)
+    st = uniform_status(root)
+    assert st["in_sync"] is True
+    write_delta(orders.where("o_orderkey % 2 = 1"), root, mode="append")
+    assert uniform_status(root)["in_sync"] is False
+    sync_iceberg_metadata_from_delta(spark, root)
+    st = uniform_status(root)
+    assert st["in_sync"] is True and st["iceberg"]["num_snapshots"] == 2
