@@ -265,3 +265,53 @@ class AtlasEngine:
         from atlas_migration_repo_spark.lakehouse import run
 
         return run("describe", path)
+
+    def rename_delta_column(self, path: str, old: str, new: str) -> int:
+        """Delta-native RENAME COLUMN (columnMapping mode=name upgrade
+        on first use; metadata-only, zero files rewritten)."""
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            rename_delta_column,
+        )
+
+        return rename_delta_column(path, old, new)
+
+    def publish_uniform(self, path: str, direction: str = "to_iceberg") -> int:
+        """UniForm dual publish: graft the OTHER protocol's metadata
+        tree over the same data files ("to_iceberg" over a Delta table,
+        "to_delta" over an Iceberg table)."""
+        if direction == "to_iceberg":
+            from atlas_migration_repo_spark.sources.iceberg_interop import (
+                publish_iceberg_metadata_from_delta,
+            )
+
+            return publish_iceberg_metadata_from_delta(self.spark, path)
+        if direction == "to_delta":
+            from atlas_migration_repo_spark.sources.delta_interop import (
+                publish_delta_log_from_iceberg,
+            )
+
+            return publish_delta_log_from_iceberg(self.spark, path)
+        raise ValueError("direction must be to_iceberg or to_delta")
+
+    def sync_uniform(self, path: str, direction: str = "to_iceberg") -> int:
+        """Bring a UniForm table's secondary tree current after commits
+        on the primary — metadata-only, repeats no-op."""
+        if direction == "to_iceberg":
+            from atlas_migration_repo_spark.sources.iceberg_interop import (
+                sync_iceberg_metadata_from_delta,
+            )
+
+            return sync_iceberg_metadata_from_delta(self.spark, path)
+        if direction == "to_delta":
+            from atlas_migration_repo_spark.sources.delta_interop import (
+                sync_delta_log_from_iceberg,
+            )
+
+            return sync_delta_log_from_iceberg(self.spark, path)
+        raise ValueError("direction must be to_iceberg or to_delta")
+
+    def uniform_status(self, path: str) -> dict:
+        """Dual-format sync status (the CLI's `uniform` verb)."""
+        from atlas_migration_repo_spark.lakehouse import uniform_status
+
+        return uniform_status(path)

@@ -3286,3 +3286,28 @@ def test_ann_index_serve_prunes_codes_files(spark, tmp_path, monkeypatch):
         for r in serve_ann_index(spark, idx, queries, em_all, probes=1).collect()
     }
     assert pruned == unpruned
+
+
+def test_engine_facade_uniform_lifecycle(spark, tmp_path):
+    """The AtlasEngine facade drives the full dual-format lifecycle:
+    delta write → publish to iceberg → stale after append → sync →
+    rename column → status stays readable through both doors."""
+    from atlas_migration_repo_spark.api import AtlasEngine
+    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.sources.iceberg_interop import read_iceberg
+
+    eng = AtlasEngine(spark=spark, sf_dir=SF_DIR)
+    root = str(tmp_path / "t")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    eng.write_delta(orders.where("o_orderkey % 2 = 0"), root)
+    eng.publish_uniform(root, direction="to_iceberg")
+    assert eng.uniform_status(root)["in_sync"] is True
+    eng.write_delta(
+        orders.where("o_orderkey % 2 = 1"), root, mode="append"
+    )
+    assert eng.uniform_status(root)["in_sync"] is False
+    eng.sync_uniform(root, direction="to_iceberg")
+    assert eng.uniform_status(root)["in_sync"] is True
+    assert read_iceberg(spark, root).count() == orders.count()
+    eng.rename_delta_column(root, "o_totalprice", "price_usd")
+    assert "price_usd" in eng.read_delta(root).columns
