@@ -380,3 +380,47 @@ def test_avro_codec_roundtrip_property(rows, codec):
                 assert isinstance(g, float) and math.isnan(g)
             else:
                 assert g == w, (g, w)
+
+
+_positions = st.lists(
+    st.one_of(
+        st.integers(min_value=0, max_value=200_000),
+        # straddle the array/bitmap container threshold and 64-bit buckets
+        st.integers(min_value=4090, max_value=4100),
+        st.integers(min_value=2**32 - 5, max_value=2**32 + 5),
+    ),
+    min_size=0,
+    max_size=6000,
+)
+
+
+@given(_positions)
+@settings(max_examples=60, deadline=None)
+def test_roaring_dv_payload_roundtrip(positions):
+    """The spec RoaringBitmapArray payload round-trips ANY position set:
+    array containers, bitmap containers (card > 4096), multi-key 64-bit
+    buckets, and empties — and the encoded bytes always start with the
+    protocol magic."""
+    import struct
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _dv_decode,
+        _dv_encode,
+    )
+
+    enc = _dv_encode(positions)
+    assert enc[:4] == struct.pack("<i", 1681511377)
+    assert _dv_decode(enc) == sorted(set(positions))
+
+
+def test_tfidf_final_plan_reuses_tokenize_exchange(spark):
+    """Regression pin for the round-6 scaling bug: text_tfidf's df
+    branch must share the tokenize shuffle via ReuseExchange in the
+    EXECUTED (AQE final) plan. The break was silent — the initial plan
+    looks identical either way and correctness never changes; only the
+    sf1 wall shows the second corpus scan."""
+    df = QUERIES["text_tfidf"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, "tokenize-once exchange reuse died"
