@@ -105,6 +105,7 @@ _DRIVER_SAMPLE_PREFIX = (
     #    rows-only entries (advisor: rows-only goes AFTER oracle-verified
     #    entries, never displacing them in the sample) --------------------
     "delta_rename_travel",
+    "delta_widen_travel",
     "lakehouse_uniform_sync",
     "lakehouse_uniform_reverse_sync",
     "source_avro",

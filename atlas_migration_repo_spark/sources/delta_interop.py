@@ -853,6 +853,105 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
     return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
+_WIDEN_OK = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def widen_delta_column(path: str, column: str, to_type: str) -> int:
+    """Delta-native TYPE WIDENING: a metadata-only commit, zero files
+    rewritten — the typeWidening table feature. The schemaString carries
+    the widened type plus `delta.typeChanges` on the field, the protocol
+    bumps to 3/7 with the typeWidening feature (carrying columnMapping
+    into the feature lists when the table is mapped), and readers
+    promote the narrower physical type at scan (Spark's parquet type
+    promotion), so pre-widen files read exactly. Only lossless widenings
+    are allowed (integer chain upward, float→double). Time travel below
+    the widen surfaces the original type. Twin of the TableLog's
+    widen_column and the sibling rename_delta_column."""
+    _, meta, _ = _replay(path)
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if column not in names:
+        raise ValueError(f"column {column!r} not in schema {names}")
+    cur = next(f for f in schema.fields if f.name == column)
+    pair = (cur.dataType.simpleString(), to_type)
+    if pair not in _WIDEN_OK:
+        raise ValueError(
+            f"widening {pair[0]} -> {to_type} is not lossless; allowed: "
+            f"{sorted(_WIDEN_OK)}"
+        )
+    fields = []
+    for f in schema.fields:
+        if f.name != column:
+            fields.append(f)
+            continue
+        md = dict(f.metadata or {})
+        changes = list(md.get("delta.typeChanges") or [])
+        changes.append({"fromType": pair[0], "toType": to_type})
+        md["delta.typeChanges"] = changes
+        fields.append(
+            T.StructField(
+                f.name, _parse_simple_type(to_type), True, md
+            )
+        )
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CHANGE COLUMN",
+                "operationParameters": {"column": column, "toType": to_type},
+            }
+        }
+    ]
+    proto = _current_protocol(path)
+    feats = set(proto.get("writerFeatures") or [])
+    if "typeWidening" not in feats:
+        legacy = (
+            {"columnMapping"}
+            if _column_mapping(meta)
+            or proto.get("minReaderVersion", 1) >= 2
+            else set()
+        )
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(proto.get("readerFeatures") or [])
+                        | {"typeWidening"}
+                        | legacy
+                    ),
+                    "writerFeatures": sorted(
+                        feats | {"typeWidening"} | legacy
+                    ),
+                }
+            }
+        )
+    new_meta = dict(meta)
+    new_meta["schemaString"] = T.StructType(fields).json()
+    actions.append({"metaData": new_meta})
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
+
+
+def _parse_simple_type(name: str) -> T.DataType:
+    return {
+        "tinyint": T.ByteType(),
+        "smallint": T.ShortType(),
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+    }[name]
+
+
 def delta_version_as_of(path: str, timestamp_ms: int) -> int:
     """TIMESTAMP AS OF resolution: the newest committed version whose
     commitInfo timestamp is <= the target — Delta's documented rule.
@@ -2889,6 +2988,64 @@ def delta_rename_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(col).alias("price_col"),
                 "n_rows",
                 "total",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@query(
+    "delta_widen_travel",
+    oracle="""
+    SELECT 0 AS snap, 'int' AS key_type, COUNT(*) AS n_rows,
+           SUM(CAST(o_orderkey AS BIGINT)) AS key_sum
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    UNION ALL
+    SELECT 1 AS snap, 'bigint' AS key_type, COUNT(*) AS n_rows,
+           SUM(CAST(o_orderkey AS BIGINT)) AS key_sum
+    FROM orders
+    """,
+)
+def delta_widen_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-native TYPE WIDENING across time travel: v0 lands the key
+    as INT; widen_delta_column(int → bigint) commits metadata only
+    (typeWidening feature, zero files rewritten); later orders append
+    as BIGINT. The latest read promotes the pre-widen int32 files at
+    scan and sums exactly over both generations, while version 0 still
+    surfaces the INT type — the reported key_type comes from the read
+    schema itself, so the oracle hash verifies the type travel."""
+    root = scratch_path(sf_dir, "orders_delta_widen")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    cut = "1997-01-01"
+    write_delta(
+        orders.where(F.col("o_orderdate") < cut)
+        .select(F.col("o_orderkey").cast("int").alias("okey")),
+        root,
+        mode="append",
+    )
+    widen_delta_column(root, "okey", "bigint")
+    write_delta(
+        orders.where(F.col("o_orderdate") >= cut)
+        .select(F.col("o_orderkey").cast("bigint").alias("okey")),
+        root,
+        mode="append",
+    )
+    outs = []
+    for snap, kw in ((0, {"version": 0}), (1, {})):
+        df = read_delta(spark, root, **kw)
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("okey").cast("bigint")).alias("key_sum"),
+            ).select(
+                F.lit(snap).alias("snap"),
+                F.lit(df.schema["okey"].dataType.simpleString()).alias(
+                    "key_type"
+                ),
+                "n_rows",
+                "key_sum",
             )
         )
     return outs[0].unionByName(outs[1])

@@ -2326,3 +2326,41 @@ def test_cdf_across_rename_boundary(spark):
     assert dels == {10, 11, 12}
     got = {r["k"]: r["price_usd"] for r in read_delta(spark, root).collect()}
     assert got[3] == 999.0 and all(k not in got for k in (10, 11, 12))
+
+
+def test_widen_delta_column_guards_and_mapping(spark):
+    """widen_delta_column: refuses lossy changes, stacks with column
+    mapping (widen a renamed column), carries columnMapping into the
+    3/7 feature lists, and pre-widen files read exactly."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _current_protocol,
+        rename_delta_column,
+        widen_delta_column,
+        write_delta,
+    )
+
+    root = _fresh("t_widen_guard")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k int, v float"
+    )
+    write_delta(base, root)
+    with _pytest.raises(ValueError, match="lossless"):
+        widen_delta_column(root, "v", "int")
+    with _pytest.raises(ValueError, match="not in schema"):
+        widen_delta_column(root, "missing", "bigint")
+    rename_delta_column(root, "k", "key")
+    widen_delta_column(root, "key", "bigint")
+    proto = _current_protocol(root)
+    assert "typeWidening" in proto["writerFeatures"]
+    assert "columnMapping" in proto["readerFeatures"]
+    write_delta(
+        spark.createDataFrame([(10**12, 1.0)], "key bigint, v float"),
+        root,
+        mode="append",
+    )
+    got = read_delta(spark, root)
+    assert dict(got.dtypes)["key"] == "bigint"
+    assert got.count() == 11
+    assert got.agg(F.sum("key")).collect()[0][0] == sum(range(10)) + 10**12
