@@ -2364,3 +2364,54 @@ def test_widen_delta_column_guards_and_mapping(spark):
     assert dict(got.dtypes)["key"] == "bigint"
     assert got.count() == 11
     assert got.agg(F.sum("key")).collect()[0][0] == sum(range(10)) + 10**12
+
+
+def test_delta_bridge_coordinated_crash_recovery(spark):
+    """A writer that died after staging but before the commit PUT left a
+    claimed Delta version whose content is durably staged; the NEXT
+    write's publish must finish it (recover-before-read), keep versions
+    dense, and lose nothing — the TableLog crash-window contract, now on
+    the foreign-format bridge."""
+    import json as _json
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _committed_versions,
+        _log_dir,
+        write_delta,
+    )
+    from atlas_migration_repo_spark.sources.table_log import (
+        CoordinatedPutLogStore,
+        set_default_log_store,
+    )
+
+    root = _fresh("t_delta_crash")
+    set_default_log_store(CoordinatedPutLogStore())
+    try:
+        write_delta(
+            spark.range(10).select("id").coalesce(1), root, mode="append"
+        )
+        log_dir = _log_dir(root)
+        claims = os.path.join(log_dir, "_claims")
+        os.makedirs(claims, exist_ok=True)
+        # simulate the crash window: version 1 claimed + staged, commit
+        # object missing (content: a valid single-action commit)
+        name = f"{1:020d}.json"
+        staged_actions = [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}}
+        ]
+        with open(os.path.join(claims, name + ".staged"), "w") as fh:
+            for a in staged_actions:
+                fh.write(_json.dumps(a) + "\n")
+        with open(os.path.join(claims, name + ".claim"), "w") as fh:
+            _json.dump(
+                {"staged": name + ".staged", "complete": False, "ts_ms": 0}, fh
+            )
+        # next write recovers v1 and lands at v2 — dense, nothing lost
+        write_delta(
+            spark.range(10, 20).select("id").coalesce(1), root, mode="append"
+        )
+        assert _committed_versions(log_dir) == [0, 1, 2]
+        got = sorted(r["id"] for r in read_delta(spark, root).collect())
+        assert got == list(range(20))
+    finally:
+        set_default_log_store(None)

@@ -1567,3 +1567,64 @@ def test_lakehouse_cli_uniform_status(spark):
     sync_iceberg_metadata_from_delta(spark, root)
     st = uniform_status(root)
     assert st["in_sync"] is True and st["iceberg"]["num_snapshots"] == 2
+
+
+def test_iceberg_bridge_coordinated_crash_recovery(spark):
+    """Crash window on the Iceberg publisher: v2.metadata.json claimed +
+    staged but never PUT; the next commit's publish must finish it (the
+    recover-before-read step) and land at v3 — dense versions, no lost
+    metadata."""
+    import json as _json
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        _current_metadata,
+        _meta_dir,
+    )
+    from atlas_migration_repo_spark.sources.table_log import (
+        CoordinatedPutLogStore,
+        set_default_log_store,
+    )
+
+    root = _fresh("t_ice_crash")
+    set_default_log_store(CoordinatedPutLogStore())
+    try:
+        write_iceberg(spark.range(10).select("id").coalesce(1), root)
+        v1, meta1 = _current_metadata(root)
+        assert v1 == 1
+        claims = os.path.join(_meta_dir(root), "_claims")
+        os.makedirs(claims, exist_ok=True)
+        # a crashed writer's v2: same table, one no-op snapshot appended
+        meta2 = _json.loads(_json.dumps(meta1))
+        meta2["last-updated-ms"] = meta1["last-updated-ms"] + 1
+        name = "v2.metadata.json"
+        with open(os.path.join(claims, name + ".staged"), "w") as fh:
+            _json.dump(meta2, fh)
+        with open(os.path.join(claims, name + ".claim"), "w") as fh:
+            _json.dump(
+                {"staged": name + ".staged", "complete": False, "ts_ms": 0}, fh
+            )
+        # the next append's publish RECOVERS v2, then loses the v2 race
+        # to the recovered commit and raises — the caller re-reads and
+        # retries, landing at v3 (Iceberg's CommitFailedException loop)
+        from atlas_migration_repo_spark.sources.iceberg_interop import (
+            ConcurrentIcebergCommitError,
+        )
+
+        batch = spark.range(10, 20).select("id").coalesce(1)
+        for _attempt in range(5):
+            try:
+                write_iceberg(batch, root, mode="append")
+                break
+            except ConcurrentIcebergCommitError:
+                continue
+        else:  # pragma: no cover
+            raise AssertionError("append starved after recovery")
+        v, _ = _current_metadata(root)
+        assert v == 3
+        for k in (1, 2, 3):
+            assert os.path.exists(
+                os.path.join(_meta_dir(root), f"v{k}.metadata.json")
+            )
+        assert read_iceberg(spark, root).count() == 20
+    finally:
+        set_default_log_store(None)
