@@ -444,6 +444,107 @@ def _harvest_stage_adds(
     return adds
 
 
+class DeltaConstraintViolation(ValueError):
+    """Incoming rows violate a `delta.constraints.*` CHECK expression —
+    the write refuses instead of landing bad rows (the protocol's
+    writer-version-3 enforcement contract)."""
+
+
+def _check_delta_constraints(df: DataFrame, meta: dict | None) -> None:
+    """Enforce every `delta.constraints.*` CHECK expression on incoming
+    rows (nulls pass, per SQL CHECK semantics). One early-exit probe per
+    constraint — nothing runs when the table carries none."""
+    for key, expr in sorted(((meta or {}).get("configuration") or {}).items()):
+        if not key.startswith("delta.constraints."):
+            continue
+        bad = df.where(~F.coalesce(F.expr(expr), F.lit(True))).limit(1)
+        if bad.count():
+            raise DeltaConstraintViolation(
+                f"CHECK constraint {key.removeprefix('delta.constraints.')}"
+                f" ({expr}) violated by incoming rows"
+            )
+
+
+def add_delta_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT ... CHECK: validates the EXISTING rows
+    first (adding a constraint the data already violates would make the
+    table unreadable-by-contract), then commits the expression into
+    metaData.configuration as `delta.constraints.<name>` with the
+    protocol raised to writer version 3 (legacy checkConstraints) when
+    below — after which every write path enforces it."""
+    _, meta, _ = _replay(path)
+    key = f"delta.constraints.{name}"
+    conf = dict(meta.get("configuration") or {})
+    if key in conf:
+        raise ValueError(f"constraint {name!r} already exists")
+    bad = (
+        read_delta(spark, path)
+        .where(~F.coalesce(F.expr(expr), F.lit(True)))
+        .limit(1)
+    )
+    if bad.count():
+        raise DeltaConstraintViolation(
+            f"existing rows violate CHECK ({expr}); clean the data first"
+        )
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        }
+    ]
+    proto = _current_protocol(path)
+    if proto.get("minWriterVersion", 2) < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    elif proto.get("minWriterVersion") == 7 and "checkConstraints" not in (
+        proto.get("writerFeatures") or []
+    ):
+        new_proto = dict(proto)
+        new_proto["writerFeatures"] = sorted(
+            set(proto.get("writerFeatures") or []) | {"checkConstraints"}
+        )
+        actions.append({"protocol": new_proto})
+    conf[key] = expr
+    new_meta = dict(meta)
+    new_meta["configuration"] = conf
+    actions.append({"metaData": new_meta})
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
+
+
+def drop_delta_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only removal."""
+    _, meta, _ = _replay(path)
+    key = f"delta.constraints.{name}"
+    conf = dict(meta.get("configuration") or {})
+    if key not in conf:
+        raise ValueError(f"constraint {name!r} does not exist")
+    del conf[key]
+    new_meta = dict(meta)
+    new_meta["configuration"] = conf
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+            }
+        },
+        {"metaData": new_meta},
+    ]
+    return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -488,6 +589,7 @@ def write_delta(
                 f"{prev_meta.get('partitionColumns') or []}"
             )
 
+    _check_delta_constraints(df, prev_meta)
     mapping = _column_mapping(prev_meta)
     new_phys: dict[str, str] = {}
     if mapping:
@@ -1211,6 +1313,7 @@ def merge_delta(
             *cols, "_change_type"
         )
         cdc_actions = _stage_cdc_files(path, cdf, now_ms, meta)
+    _check_delta_constraints(merged, meta)
     stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
     stage_df, stage_pby = _stage_physical(merged, meta, pcols)
     w = stage_df.write.mode("overwrite")

@@ -2415,3 +2415,59 @@ def test_delta_bridge_coordinated_crash_recovery(spark):
         assert got == list(range(20))
     finally:
         set_default_log_store(None)
+
+
+def test_delta_check_constraints_enforced(spark):
+    """ADD CONSTRAINT validates existing rows, raises the protocol to
+    writer 3, and every subsequent write path refuses violating rows
+    (nulls pass, per SQL CHECK); converted-TableLog constraint configs
+    are enforced the same way; DROP lifts the gate."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        DeltaConstraintViolation,
+        _current_protocol,
+        add_delta_constraint,
+        drop_delta_constraint,
+        merge_delta,
+        write_delta,
+    )
+
+    root = _fresh("t_constraints")
+    write_delta(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double"),
+        root,
+    )
+    with _pytest.raises(DeltaConstraintViolation, match="existing rows"):
+        add_delta_constraint(spark, root, "v_big", "v > 15")
+    add_delta_constraint(spark, root, "v_pos", "v > 0")
+    assert _current_protocol(root)["minWriterVersion"] == 3
+    with _pytest.raises(ValueError, match="already exists"):
+        add_delta_constraint(spark, root, "v_pos", "v > 0")
+    with _pytest.raises(DeltaConstraintViolation, match="v_pos"):
+        write_delta(
+            spark.createDataFrame([(3, -1.0)], "k bigint, v double"),
+            root,
+            mode="append",
+        )
+    with _pytest.raises(DeltaConstraintViolation, match="v_pos"):
+        merge_delta(
+            spark,
+            root,
+            spark.createDataFrame([(1, -5.0)], "k bigint, v double"),
+            key="k",
+        )
+    # nulls pass (SQL CHECK), valid rows land
+    write_delta(
+        spark.createDataFrame([(4, None)], "k bigint, v double"),
+        root,
+        mode="append",
+    )
+    assert read_delta(spark, root).count() == 3
+    drop_delta_constraint(root, "v_pos")
+    write_delta(
+        spark.createDataFrame([(5, -1.0)], "k bigint, v double"),
+        root,
+        mode="append",
+    )
+    assert read_delta(spark, root).count() == 4
