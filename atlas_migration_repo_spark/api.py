@@ -315,3 +315,28 @@ class AtlasEngine:
         from atlas_migration_repo_spark.lakehouse import uniform_status
 
         return uniform_status(path)
+
+    def widen_delta_column(self, path: str, column: str, to_type: str) -> int:
+        """Delta-native lossless TYPE WIDENING (metadata-only)."""
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            widen_delta_column,
+        )
+
+        return widen_delta_column(path, column, to_type)
+
+    def add_delta_constraint(self, path: str, name: str, expr: str) -> int:
+        """ADD CONSTRAINT ... CHECK (validates existing rows first;
+        enforced on every subsequent write)."""
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            add_delta_constraint,
+        )
+
+        return add_delta_constraint(self.spark, path, name, expr)
+
+    def drop_delta_constraint(self, path: str, name: str) -> int:
+        """DROP CONSTRAINT (metadata-only)."""
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            drop_delta_constraint,
+        )
+
+        return drop_delta_constraint(path, name)
