@@ -51,10 +51,13 @@ def dag_spec(
     schedule: str = "@daily",
     extract_partitions: int = 8,
     retries: int = 2,
+    uniform_sync: bool = False,
 ) -> dict:
     """Build the declarative DAG dict: for each object an
     ``extract_<obj> -> transform_<obj> -> load_<obj>`` chain plus a final
-    fan-in ``publish`` barrier. Objects with a watermark field get a
+    fan-in ``publish`` barrier (and, with ``uniform_sync=True`` on a
+    Delta sink, a metadata-only UniForm maintenance task after it so
+    Iceberg readers see each run's commits). Objects with a watermark field get a
     templated incremental SOQL predicate; the rest re-extract fully.
 
     The result is pure data (asserted JSON-round-trippable) — no Airflow
@@ -113,6 +116,24 @@ def dag_spec(
             "depends_on": [f"load_{o.name.lower()}" for o in objects],
         }
     )
+    if uniform_sync:
+        if sink.fmt != "delta":
+            raise ValueError(
+                "uniform_sync keeps an ICEBERG tree current over a DELTA "
+                f"sink; sink format is {sink.fmt!r}"
+            )
+        # metadata-only per-table maintenance after the load barrier:
+        # sync_iceberg_metadata_from_delta makes each run's new Delta
+        # commits visible to Iceberg readers (repeat runs no-op)
+        tasks.append(
+            {
+                "task_id": "uniform_sync",
+                "kind": "maintenance",
+                "op": "sync_iceberg_metadata_from_delta",
+                "paths": [sink.path(o.name) for o in objects],
+                "depends_on": ["publish"],
+            }
+        )
 
     spec = {
         "dag_id": dag_id,

@@ -3364,3 +3364,35 @@ def test_semdedup_invariants(spark):
                 cos(emb[d], emb[k]) >= COSINE_TAU - 1e-9 for k in kept
             ), f"dropped {d} has no kept witness in cell {cell}"
     assert n_dropped > 0, "fixture has planted near-dups; none dropped"
+
+
+def test_dag_spec_uniform_sync_task():
+    """With uniform_sync=True on a Delta sink, the DAG grows a
+    metadata-only maintenance task after the publish barrier carrying
+    each object's table path; non-Delta sinks refuse."""
+    import pytest as _pytest
+
+    import atlas_migration_repo_spark.orchestration as orch
+
+    acct = orch.ObjectSpec(
+        name="Account",
+        fields=(("Id", "id"), ("Name", "string")),
+        watermark_field="SystemModstamp",
+    )
+    sink = orch.SinkSpec(root="s3a://example-bucket/atlas/", fmt="delta")
+    spec = orch.dag_spec("m", [acct], sink, uniform_sync=True)
+    t = next(x for x in spec["tasks"] if x["task_id"] == "uniform_sync")
+    assert t["kind"] == "maintenance"
+    assert t["depends_on"] == ["publish"]
+    assert t["paths"] == [sink.path("Account")]
+    import json as _json
+
+    _json.dumps(spec)  # stays pure data
+
+    with _pytest.raises(ValueError, match="DELTA sink"):
+        orch.dag_spec(
+            "m2",
+            [acct],
+            orch.SinkSpec(root="s3a://example-bucket/x/", fmt="parquet"),
+            uniform_sync=True,
+        )
