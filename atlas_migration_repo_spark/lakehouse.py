@@ -5,6 +5,7 @@ FILES triple for any table this engine can read, format auto-detected:
     python -m atlas_migration_repo_spark.lakehouse history  <path>
     python -m atlas_migration_repo_spark.lakehouse files    <path>
     python -m atlas_migration_repo_spark.lakehouse uniform  <path>
+    python -m atlas_migration_repo_spark.lakehouse fsck     <path>
 
 Formats: Delta (`_delta_log/`), Iceberg v2 (`metadata/version-hint.text`),
 and the engine's own TableLog (`_log/`). Pure metadata reads — no Spark
@@ -286,11 +287,114 @@ def uniform_status(path: str) -> dict:
     return out
 
 
+def fsck(path: str) -> dict:
+    """Integrity check (fsck) for any table this engine reads: every
+    file the LOG references must exist on disk with the recorded size,
+    deletion vectors must decode with their recorded cardinality, and
+    Iceberg manifest lists/manifests must resolve. Pure metadata + file
+    stats (DV payloads are tombstone-sized); never scans data. Returns
+    {"format", "ok", "checked_files", "errors": [...]} — an operator
+    runs this after a restore, a copy, or a suspicious vacuum."""
+    fmt = detect_format(path)
+    errors: list[str] = []
+    checked = 0
+    if fmt == "delta":
+        from atlas_migration_repo_spark.sources.delta_interop import (
+            _dv_read_positions,
+            _dv_relpath,
+            _replay,
+        )
+
+        _, meta, adds = _replay(path)
+        import urllib.parse as up
+
+        for a in adds:
+            rel = up.unquote(a["path"])
+            full = os.path.join(path, rel)
+            checked += 1
+            if not os.path.exists(full):
+                errors.append(f"missing data file: {rel}")
+            elif a.get("size") and os.path.getsize(full) != a["size"]:
+                errors.append(
+                    f"size mismatch: {rel} log={a['size']} "
+                    f"disk={os.path.getsize(full)}"
+                )
+            dv = a.get("deletionVector")
+            if dv:
+                checked += 1
+                try:
+                    pos = _dv_read_positions(path, dv)
+                    if len(pos) != dv.get("cardinality"):
+                        errors.append(
+                            f"DV cardinality mismatch for {rel}: "
+                            f"descriptor={dv.get('cardinality')} "
+                            f"decoded={len(pos)}"
+                        )
+                except Exception as e:  # corrupt/missing DV payload
+                    errors.append(f"DV unreadable for {rel}: {e}")
+    elif fmt == "iceberg":
+        from atlas_migration_repo_spark.sources.avro import parse_container
+        from atlas_migration_repo_spark.sources.iceberg_interop import (
+            _current_metadata,
+        )
+
+        v, meta = _current_metadata(path)
+        snap = next(
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        mlist = snap["manifest-list"]
+        if not os.path.exists(mlist):
+            errors.append(f"missing manifest list: {mlist}")
+        else:
+            _, manifests = parse_container(open(mlist, "rb").read())
+            for m in manifests:
+                checked += 1
+                if not os.path.exists(m[0]):
+                    errors.append(f"missing manifest: {m[0]}")
+                    continue
+                _, entries = parse_container(open(m[0], "rb").read())
+                for e in entries:
+                    if e[0] == 2:  # DELETED entry
+                        continue
+                    f = e[4]
+                    checked += 1
+                    if not os.path.exists(f["file_path"]):
+                        errors.append(f"missing data file: {f['file_path']}")
+                    elif (
+                        f.get("file_size_in_bytes")
+                        and os.path.getsize(f["file_path"])
+                        != f["file_size_in_bytes"]
+                    ):
+                        errors.append(
+                            f"size mismatch: {f['file_path']}"
+                        )
+    else:  # tablelog
+        from atlas_migration_repo_spark.sources.table_log import TableLog
+
+        t = TableLog(path)
+        snap = t.snapshot()
+        for f in snap.files:
+            checked += 1
+            full = os.path.join(path, "data", f["path"])
+            if not os.path.exists(full):
+                errors.append(f"missing data file: {f['path']}")
+    return {
+        "format": fmt,
+        "ok": not errors,
+        "checked_files": checked,
+        "errors": errors,
+    }
+
+
 def run(command: str, path: str) -> dict | list:
-    if command not in ("describe", "history", "files", "uniform"):
+    if command not in ("describe", "history", "files", "uniform", "fsck"):
         raise ValueError(f"unknown command {command!r}")
     if command == "uniform":
         return uniform_status(path)
+    if command == "fsck":
+        return fsck(path)
     return _DISPATCH[(detect_format(path), command)](path)
 
 

@@ -2471,3 +2471,49 @@ def test_delta_check_constraints_enforced(spark):
         mode="append",
     )
     assert read_delta(spark, root).count() == 4
+
+
+def test_lakehouse_fsck(spark, tmp_path):
+    """fsck: clean Delta/Iceberg/TableLog tables report ok with every
+    referenced file checked; a deleted data file and a corrupted DV
+    payload surface as named errors instead of silent read failures."""
+    from atlas_migration_repo_spark.lakehouse import fsck
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _dv_relpath,
+        delete_delta_dv,
+        delta_live_files,
+        write_delta,
+    )
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        write_iceberg,
+    )
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+
+    droot = str(tmp_path / "d")
+    write_delta(orders.repartition(2), droot)
+    delete_delta_dv(spark, droot, "o_totalprice > 200000")
+    rep = fsck(droot)
+    assert rep["ok"] and rep["format"] == "delta" and rep["checked_files"] >= 3
+
+    iroot = str(tmp_path / "i")
+    write_iceberg(orders.repartition(2), iroot)
+    rep = fsck(iroot)
+    assert rep["ok"] and rep["format"] == "iceberg"
+
+    troot = str(tmp_path / "t")
+    TableLog(troot).append(orders.coalesce(1))
+    assert fsck(troot)["ok"]
+
+    # corruption: delete one delta data file + truncate a DV payload
+    victim = delta_live_files(droot)[0]
+    os.unlink(os.path.join(droot, urllib.parse.unquote(victim["path"])))
+    dv_add = next(a for a in delta_live_files(droot) if a.get("deletionVector"))
+    dv_file = os.path.join(droot, _dv_relpath(dv_add["deletionVector"]))
+    with open(dv_file, "r+b") as fh:
+        fh.truncate(6)
+    rep = fsck(droot)
+    assert not rep["ok"]
+    assert any("missing data file" in e for e in rep["errors"])
+    assert any("DV unreadable" in e for e in rep["errors"])
