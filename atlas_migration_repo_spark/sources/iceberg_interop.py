@@ -2517,15 +2517,38 @@ def sync_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
         if dv_adds
         else None
     )
+    # O(delta) fast path: when every file the Iceberg side already
+    # tracks is STILL live on the Delta side (append-only history since
+    # the last sync), write one manifest over only the NEW files and
+    # carry the prior manifests forward — metadata cost scales with the
+    # sync's delta, not the table. Any removal (overwrite, delete,
+    # OPTIMIZE) falls back to a full overwrite-style manifest.
+    _, ice_files = iceberg_live_files(path)
+    ice_paths = {f["file_path"] for f in ice_files}
+    import urllib.parse as up
+
+    cur_by_abs = {
+        os.path.join(path, up.unquote(a["path"])): a for a in adds
+    }
+    op = "overwrite"
+    sync_adds = adds
+    prior_rows: list = []
+    if ice_paths and ice_paths <= set(cur_by_abs):
+        new_abs = sorted(set(cur_by_abs) - ice_paths)
+        sync_adds = [cur_by_abs[p_] for p_ in new_abs]
+        _, prior = parse_container(open(last["manifest-list"], "rb").read())
+        prior_rows = list(prior)
+        op = "append"
+    extra = ([del_row] if del_row else []) + prior_rows
     mlist_path, total_rows = _uniform_manifest_from_delta(
         path,
-        adds,
+        sync_adds,
         by_name,
         pcols,
         part_fields,
         snap_id,
         seq,
-        extra_rows=[del_row] if del_row else None,
+        extra_rows=extra or None,
     )
     snapshot = {
         "snapshot-id": snap_id,
@@ -2534,7 +2557,7 @@ def sync_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
         "timestamp-ms": int(time.time() * 1000),
         "manifest-list": mlist_path,
         "summary": {
-            "operation": "overwrite",
+            "operation": op,
             "delta-version": str(delta_v),
         },
         "schema-id": meta["current-schema-id"],

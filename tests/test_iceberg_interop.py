@@ -1468,6 +1468,18 @@ def test_uniform_sync_semantics(spark):
     s2 = sync_iceberg_metadata_from_delta(spark, root)
     assert s2 != s1
     assert read_iceberg(spark, root).count() == orders.count()
+    # append-only histories sync O(delta): the new snapshot is an
+    # APPEND carrying the prior manifests forward plus one manifest
+    # over only the new files
+    from atlas_migration_repo_spark.sources.avro import parse_container
+
+    meta2 = _current_metadata(root)[1]
+    snap2 = next(
+        s_ for s_ in meta2["snapshots"] if s_["snapshot-id"] == s2
+    )
+    assert snap2["summary"]["operation"] == "append"
+    _, rows = parse_container(open(snap2["manifest-list"], "rb").read())
+    assert len(rows) >= 2, "prior manifests not carried forward"
     # the pre-sync snapshot still serves the stale half (time travel)
     assert read_iceberg(spark, root, snapshot_id=s1).count() == half_a.count()
     # repeat sync: no-op again
