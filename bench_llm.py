@@ -37,6 +37,7 @@ KEYS = (
     "decontaminate_corpus",
     "contamination_report",
     "sim_maxsim",
+    "sim_semdedup",
     "tokenizer_bpe_merges",
     "tokenizer_bpe_encode",
     "quality_logreg_score",
