@@ -284,7 +284,39 @@ def uniform_status(path: str) -> dict:
         }
         if has_delta and synced is not None:
             out["in_sync"] = int(synced) >= delta_v
+        elif has_delta:
+            # reverse-UniForm table (Iceberg-owned): the Delta commits
+            # record the iceberg snapshot they were synced FROM
+            marker = _reverse_sync_snapshot(path)
+            if marker is not None:
+                out["in_sync"] = marker == snap["snapshot-id"]
     return out
+
+
+def _reverse_sync_snapshot(path: str) -> int | None:
+    """Newest icebergSnapshot marker in the Delta log's commitInfo
+    actions (written by publish/sync_delta_log_from_iceberg)."""
+    import urllib.parse  # noqa: F401  (keep import surface minimal)
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _committed_versions,
+        _log_dir,
+    )
+
+    log_dir = _log_dir(path)
+    marker = None
+    for v in _committed_versions(log_dir):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                ci = a.get("commitInfo")
+                if ci and "icebergSnapshot" in (
+                    ci.get("operationParameters") or {}
+                ):
+                    marker = int(ci["operationParameters"]["icebergSnapshot"])
+    return marker
 
 
 def fsck(path: str) -> dict:

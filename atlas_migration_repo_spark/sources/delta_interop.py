@@ -2753,7 +2753,10 @@ def publish_delta_log_from_iceberg(spark: SparkSession, path: str) -> int:
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "CONVERT",
-                "operationParameters": {"sourceFormat": "iceberg"},
+                "operationParameters": {
+                    "sourceFormat": "iceberg",
+                    "icebergSnapshot": _ice_current_snapshot_id(path),
+                },
             }
         },
         {"protocol": dict(_PROTOCOL)},
@@ -2770,6 +2773,14 @@ def publish_delta_log_from_iceberg(spark: SparkSession, path: str) -> int:
     ]
     actions.extend({"add": a} for _, a in sorted(adds_by_rel.items()))
     return _publish_commit(log_dir, actions, 0)
+
+
+def _ice_current_snapshot_id(path: str) -> int:
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        _current_metadata,
+    )
+
+    return _current_metadata(path)[1]["current-snapshot-id"]
 
 
 def _delta_state_from_iceberg(path: str):
@@ -2874,7 +2885,10 @@ def sync_delta_log_from_iceberg(spark: SparkSession, path: str) -> int:
             "commitInfo": {
                 "timestamp": now_ms,
                 "operation": "CONVERT SYNC",
-                "operationParameters": {"sourceFormat": "iceberg"},
+                "operationParameters": {
+                    "sourceFormat": "iceberg",
+                    "icebergSnapshot": _ice_current_snapshot_id(path),
+                },
             }
         }
     ]

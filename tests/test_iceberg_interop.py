@@ -1640,3 +1640,25 @@ def test_iceberg_bridge_coordinated_crash_recovery(spark):
         assert read_iceberg(spark, root).count() == 20
     finally:
         set_default_log_store(None)
+
+
+def test_uniform_status_reverse_direction(spark):
+    """uniform_status reads the reverse marker too: an Iceberg-owned
+    table reports in_sync through the Delta commits' icebergSnapshot
+    parameter — stale after an Iceberg append, true again after the
+    reverse sync."""
+    from atlas_migration_repo_spark.lakehouse import uniform_status
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        publish_delta_log_from_iceberg,
+        sync_delta_log_from_iceberg,
+    )
+
+    root = _fresh("t_status_rev")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_iceberg(orders.where("o_orderkey % 2 = 0"), root)
+    publish_delta_log_from_iceberg(spark, root)
+    assert uniform_status(root)["in_sync"] is True
+    write_iceberg(orders.where("o_orderkey % 2 = 1"), root, mode="append")
+    assert uniform_status(root)["in_sync"] is False
+    sync_delta_log_from_iceberg(spark, root)
+    assert uniform_status(root)["in_sync"] is True
