@@ -124,6 +124,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_stateful",
     "stream_stateful_ttl",
     "sink_foreachbatch",
+    "sink_uniform_stream",
     "pack_sequences",
     "multimodal_resize_ppm",
     "tokenizer_bpe_encode",

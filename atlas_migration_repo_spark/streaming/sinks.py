@@ -14,6 +14,7 @@ writes give exactly-once landing on retry.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -293,3 +294,71 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_id long, input_rows long, state_rows long, late_dropped long"
     )
+
+
+@query(
+    "sink_uniform_stream",
+    oracle="""
+    SELECT 'delta' AS reader, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'iceberg' AS reader, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def sink_uniform_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UniForm landing: each micro-batch appends to a DELTA
+    table through the txn action (exactly-once — the replay each batch
+    simulates is suppressed) and then runs the METADATA-ONLY Iceberg
+    sync, so Iceberg readers are current to the last completed batch.
+    The oracle reads the landed rows through BOTH protocol doors and
+    checks distinct ids, which catches any double-write either side.
+    100 TB story: per batch this costs one Delta commit plus one
+    O(batch) incremental Iceberg manifest — no data file is ever
+    rewritten for the second format."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        read_delta,
+        write_delta,
+    )
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        publish_iceberg_metadata_from_delta,
+        read_iceberg,
+        sync_iceberg_metadata_from_delta,
+    )
+
+    root = scratch_path(sf_dir, "events_uniform_stream")
+    shutil.rmtree(root, ignore_errors=True)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("event_id", "event_type", "value")
+        for _attempt in range(2):  # second call = simulated replay
+            write_delta(
+                batch, root, mode="append", txn=("uniform_feed", batch_id)
+            )
+        if os.path.isdir(os.path.join(root, "metadata")):
+            sync_iceberg_metadata_from_delta(spark, root)
+        else:
+            publish_iceberg_metadata_from_delta(spark, root)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    outs = []
+    for reader, df in (
+        ("delta", read_delta(spark, root)),
+        ("iceberg", read_iceberg(spark, root)),
+    ):
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+            ).select(F.lit(reader).alias("reader"), "n_rows", "n_distinct")
+        )
+    return outs[0].unionByName(outs[1])
