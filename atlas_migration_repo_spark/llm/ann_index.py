@@ -296,3 +296,57 @@ def sim_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("la") == F.col("lb")).alias("same_label"),
         )
     )
+
+
+def serve_ann_index_topk(
+    spark: SparkSession,
+    index_root: str,
+    queries_df: DataFrame,
+    em: DataFrame,
+    k: int,
+    probes: int = KNN_PROBES,
+) -> DataFrame:
+    """Approximate top-k neighbors from the PERSISTED index — the same
+    cell-pruned codes read, bounded-bundle ADC shortlist and exact
+    pooled rerank as serve_ann_index, with a rank-k window selection
+    (WindowGroupLimit pushes the limit map-side). Returns
+    (vec_id, nn_id, rank, cosine); rank 1 equals serve_ann_index's 1-NN
+    by construction (same scored frame, same tie-break), which the unit
+    test asserts."""
+    from atlas_migration_repo_spark.llm.similarity import _ivfpq_topk
+
+    _, _, codes_log = _logs(index_root)
+    cent, cb = _load_quantizer(spark, index_root)
+    bc = spark.sparkContext.broadcast(cent)
+    bcb = spark.sparkContext.broadcast(cb)
+    probed = _assign_cells(queries_df, bc, probes).persist()
+    cells = {r["cell"] for r in probed.select("cell").distinct().collect()}
+    buckets = {c % ANN_CODES_BUCKETS for c in cells}
+    coded = codes_log.read(
+        spark,
+        partition_filter=lambda pv: int(pv.get("cell_bucket", -1)) in buckets,
+    ).drop("cell_bucket")
+    coded = coded.where(F.col("cell").isin([int(c) for c in cells]))
+    return _ivfpq_topk(spark, em, coded, probed, bcb, k)
+
+
+@query("sim_ann_index_topk", tags=("approx", "llm"))
+def sim_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 ANN retrieval from the persisted index for a 20-query
+    batch — the retrieval shape an embedding-search service actually
+    runs. Rows-only gate (approximate); the unit test asserts dense
+    ranks, rank-1 parity with the 1-NN serving path, and recall@5
+    against the exact scorer."""
+    em_root = scratch_path(sf_dir, "embeddings_tlog_topk")
+    idx_root = scratch_path(sf_dir, "ann_index_topk")
+    import shutil
+
+    shutil.rmtree(em_root, ignore_errors=True)
+    shutil.rmtree(idx_root, ignore_errors=True)
+    em_all = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    em_log = TableLog(em_root)
+    em_log.append(em_all)
+    build_ann_index(spark, em_log.read(spark), idx_root, source_version=0)
+    em = em_log.read(spark)
+    queries = em.where(F.col("vec_id") % 100 < 4)
+    return serve_ann_index_topk(spark, idx_root, queries, em, k=5)

@@ -1890,6 +1890,27 @@ def _ivfpq_nn(
     # recall can only go up; the exact rerank still pools and dedups
     mb = _bundle_by_cell(coded, "codes", "m_items")
     qb = _bundle_by_cell(probed, "embedding", "q_items")
+    scored = _ivfpq_scored(spark, em, mb, qb, bcb)
+    return (
+        scored.groupBy("qid")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("b"))
+        .select(F.col("qid").alias("vec_id"), (-F.col("b.nc")).alias("nn_id"))
+    )
+
+
+def _ivfpq_scored(
+    spark: SparkSession,
+    em: DataFrame,
+    mb: DataFrame,
+    qb: DataFrame,
+    bcb,
+    depth: int | None = None,
+) -> DataFrame:
+    """(qid, cid, cos) exact scores of the pooled ADC shortlist — the
+    shared middle of the 1-NN and top-k IVF-PQ serving paths. `depth`
+    widens the per-(query, cell, chunk) shortlist beyond IVFPQ_RERANK
+    when the caller needs k > the 1-NN dial."""
+    depth = IVFPQ_RERANK if depth is None else depth
 
     def cell_adc_shortlist(batches):
         import numpy as np
@@ -1911,7 +1932,7 @@ def _ivfpq_nn(
                 Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
                 S = Qn @ recon.T  # ADC scores
                 S[qid[:, None] == mid[None, :]] = -np.inf
-                top = np.argsort(-S, kind="stable", axis=1)[:, :IVFPQ_RERANK]
+                top = np.argsort(-S, kind="stable", axis=1)[:, :depth]
                 for i in range(len(qid)):
                     for j in top[i]:
                         if not np.isinf(S[i, j]):
@@ -1933,9 +1954,40 @@ def _ivfpq_nn(
         shortlist.join(ea, "qid")
         .join(eb, "cid")
         .mapInPandas(_einsum_score, "qid long, cid long, cos double")
-        .groupBy("qid")
-        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("b"))
-        .select(F.col("qid").alias("vec_id"), (-F.col("b.nc")).alias("nn_id"))
+    )
+
+
+def _ivfpq_topk(
+    spark: SparkSession,
+    em: DataFrame,
+    coded: DataFrame,
+    probed: DataFrame,
+    bcb,
+    k: int,
+) -> DataFrame:
+    """Top-k variant of the IVF-PQ serving path: the same bounded-bundle
+    ADC shortlist + exact pooled rerank, with the final selection a
+    rank-k window (WindowGroupLimit pushes the limit map-side) instead
+    of a single max. k is capped by the ADC shortlist depth — deeper k
+    without a deeper shortlist would silently hand back low-recall
+    tails. Returns (vec_id, nn_id, rank, cosine)."""
+    mb = _bundle_by_cell(coded, "codes", "m_items")
+    qb = _bundle_by_cell(probed, "embedding", "q_items")
+    # the ADC shortlist deepens with k: the 1-NN dial (IVFPQ_RERANK)
+    # would silently hand back low-recall tails past rank IVFPQ_RERANK
+    scored = _ivfpq_scored(
+        spark, em, mb, qb, bcb, depth=max(IVFPQ_RERANK, k)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("cid").alias("nn_id"),
+            "rank",
+            r4(F.col("cos")).alias("cosine"),
+        )
     )
 
 

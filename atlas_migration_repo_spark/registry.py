@@ -132,6 +132,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "sim_knn_ann",
     "sim_semdedup",
     "sim_ann_index_sync",
+    "sim_ann_index_topk",
     "dedup_containment",
 )
 

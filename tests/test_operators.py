@@ -3396,3 +3396,58 @@ def test_dag_spec_uniform_sync_task():
             orch.SinkSpec(root="s3a://example-bucket/x/", fmt="parquet"),
             uniform_sync=True,
         )
+
+
+def test_ann_index_topk_invariants(spark):
+    """Top-k serving from the persisted index: dense ranks 1..k per
+    query, rank-1 equals the 1-NN serving path on the same index, and
+    recall@5 vs the exact brute-force top-5 clears the ladder floor."""
+    import numpy as np
+
+    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.llm.ann_index import serve_ann_index
+    from atlas_migration_repo_spark.sources.files import scratch_path
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    rows = QUERIES["sim_ann_index_topk"].fn(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["vec_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True), (q, cosines)
+
+    # rank-1 parity with the 1-NN path on the SAME persisted index
+    idx_root = scratch_path(SF_DIR, "ann_index_topk")
+    em = TableLog(scratch_path(SF_DIR, "embeddings_tlog_topk")).read(spark)
+    queries = em.where(F.col("vec_id") % 100 < 4)
+    nn1 = {
+        r["vec_id"]: r["nn_id"]
+        for r in serve_ann_index(
+            spark, idx_root, queries.select("vec_id", "embedding"), em
+        ).collect()
+    }
+    for q, rs in by_q.items():
+        assert rs[0]["nn_id"] == nn1[q], (q, rs[0]["nn_id"], nn1[q])
+
+    # recall@5 vs exact brute force
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in em.select("vec_id", "embedding").collect()
+    }
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    hits = total = 0
+    for q in by_q:
+        qi = ids.index(q)
+        s = Mn @ Mn[qi]
+        s[qi] = -np.inf
+        exact5 = {ids[j] for j in np.argsort(-s)[:5]}
+        got5 = {r["nn_id"] for r in by_q[q]}
+        hits += len(exact5 & got5)
+        total += 5
+    recall = hits / total
+    assert recall >= 0.6, f"recall@5 {recall:.3f} below floor"
