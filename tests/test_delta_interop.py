@@ -2517,3 +2517,52 @@ def test_lakehouse_fsck(spark, tmp_path):
     assert not rep["ok"]
     assert any("missing data file" in e for e in rep["errors"])
     assert any("DV unreadable" in e for e in rep["errors"])
+
+
+def test_delta_append_refuses_non_additive_schema(spark):
+    """The round-6 evolution-branch restructure must keep the refusal
+    semantics: appending with a MISSING column or a RETYPED column
+    raises; a reordered but identical schema appends with no metaData
+    churn."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        write_delta,
+    )
+
+    root = _fresh("t_evol_guard")
+    write_delta(
+        spark.createDataFrame([(1, 1.0, "a")], "k bigint, v double, s string"),
+        root,
+    )
+    with _pytest.raises(ValueError, match="not additive"):
+        write_delta(
+            spark.createDataFrame([(2, 2.0)], "k bigint, v double"),
+            root,
+            mode="append",
+        )
+    with _pytest.raises(ValueError, match="not additive"):
+        write_delta(
+            spark.createDataFrame([(2, 2, "b")], "k bigint, v bigint, s string"),
+            root,
+            mode="append",
+        )
+    # reorder-only append: no metaData action in the commit
+    write_delta(
+        spark.createDataFrame([("b", 2.0, 2)], "s string, v double, k bigint"),
+        root,
+        mode="append",
+    )
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _committed_versions,
+        _log_dir,
+    )
+
+    last_v = _committed_versions(_log_dir(root))[-1]
+    with open(os.path.join(_log_dir(root), f"{last_v:020d}.json")) as fh:
+        acts = [_json.loads(line) for line in fh if line.strip()]
+    assert not any("metaData" in a for a in acts), "reorder emitted metaData"
+    got = read_delta(spark, root)
+    assert got.count() == 2 and set(got.columns) == {"k", "v", "s"}
