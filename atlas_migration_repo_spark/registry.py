@@ -186,6 +186,7 @@ def load_all_modules() -> None:
         "atlas_migration_repo_spark.sources.kafka_shaped",
         "atlas_migration_repo_spark.sources.delta_interop",
         "atlas_migration_repo_spark.sources.iceberg_interop",
+        "atlas_migration_repo_spark.sources.hudi_interop",
         "atlas_migration_repo_spark.sources.avro",
         "atlas_migration_repo_spark.streaming.windows",
         "atlas_migration_repo_spark.streaming.stateful",

@@ -1,0 +1,1498 @@
+"""Apache Hudi (copy-on-write) format interop — read/write the OPEN
+`.hoodie` timeline protocol without any Hudi jars (SURVEY.md §2.1
+lakehouse boundary; completes the Delta/Iceberg/Hudi trio of open
+table formats a migration engine must speak).
+
+This module implements the published Hudi table layout
+(hudi.apache.org/tech-specs, table version 6 / timeline layout 1 —
+the 0.14.x on-disk format):
+
+- `.hoodie/hoodie.properties` carries the table config (name, type,
+  record-key/partition/precombine fields, hive-style partitioning).
+- The TIMELINE is the source of truth: each write is an instant
+  `yyyyMMddHHmmssSSS` moving through `<i>.commit.requested` →
+  `<i>.inflight` → `<i>.commit` (the completed commit's inflight file
+  is the spec's bare `.inflight` quirk; replacecommits use
+  `<i>.replacecommit[.requested|.inflight]`). Completed files hold
+  HoodieCommitMetadata JSON: `partitionToWriteStats` (per-file
+  HoodieWriteStat: fileId, path, prevCommit, numWrites/numDeletes/
+  numUpdateWrites/numInserts, fileSizeInBytes, min/maxEventTime) and,
+  for replacecommits, `partitionToReplaceFileIds`.
+- Data files are parquet BASE FILES named `<fileId>_<writeToken>_
+  <instant>.parquet` inside hive-style partition dirs (each dir also
+  carries the spec's `.hoodie_partition_metadata`). Every base file
+  version is a FILE SLICE of its file group (partitionPath, fileId);
+  a snapshot reads the latest slice ≤ as-of per group, skipping
+  groups replaced by a replacecommit ≤ as-of.
+- Records carry the five `_hoodie_*` meta columns; COW rewrites
+  PRESERVE `_hoodie_commit_time`/`_hoodie_commit_seqno` for
+  carried-over rows (only changed rows get the new instant), which is
+  what makes incremental queries exact across upserts and clustering.
+
+Honesty boundary: the `extraMetadata.schema` entry stores the Spark
+StructType JSON rather than the Avro schema a JVM Hudi writer emits,
+and bloom-filter key metadata is not written to footers — the
+timeline layout, file naming, meta columns, and commit metadata
+fields above ARE spec-shaped.
+
+Scale story (100 TB): the timeline holds FILE METADATA, not data —
+replay is O(completed instants), and every driver-side loop in this
+module is bounded by file-group or partition counts, never rows.
+Snapshot reads prune partitions and event-time ranges in the TIMELINE
+(writeStat partitionPath / minEventTime / maxEventTime) before Spark
+lists a single file; incremental reads touch only slices newer than
+the begin instant because COW preserves `_hoodie_commit_time` on
+carried rows. Upserts shuffle the incoming batch once (key tagging
+join + repartition by file group) and rewrite only AFFECTED file
+groups; commit publication rides the same `LogStore` put-if-absent
+seam as TableLog and the Delta/Iceberg bridges, so rename-less object
+stores are one switch away. Concurrency is Hudi's optimistic model:
+instant claims are put-if-absent, and a completing writer re-checks
+that no commit finished after its claim touched the same file groups.
+
+Distinct from `table_log.py` (the engine's bespoke transactional
+layer) and the Delta/Iceberg bridges: Hudi's unit of replacement is
+the FILE GROUP (fileId lineage), not the file list — upserts keep the
+group identity across slices, which is why tagging joins on the
+`_hoodie_file_name`-derived fileId instead of a path diff.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from atlas_migration_repo_spark.catalog import load, msum
+from atlas_migration_repo_spark.oracle import sql_msum
+from atlas_migration_repo_spark.registry import query
+from atlas_migration_repo_spark.sources.files import scratch_path
+from atlas_migration_repo_spark.sources.table_log import (
+    LogStore,
+    resolve_log_store,
+)
+
+_META_COLS = (
+    "_hoodie_commit_time",
+    "_hoodie_commit_seqno",
+    "_hoodie_record_key",
+    "_hoodie_partition_path",
+    "_hoodie_file_name",
+)
+_WRITE_TOKEN = "0-0-0"
+_COMPLETED_RE = re.compile(r"^(\d{17})\.(commit|replacecommit)$")
+
+
+class ConcurrentHudiWriteError(RuntimeError):
+    """A commit that finished after this writer's claim touched the same
+    file groups (Hudi's optimistic-concurrency write conflict); re-read
+    the table and redo the write."""
+
+
+# ---------------------------------------------------------------------------
+# table properties
+# ---------------------------------------------------------------------------
+def _hoodie_dir(path: str) -> str:
+    return os.path.join(path, ".hoodie")
+
+
+def _props_path(path: str) -> str:
+    return os.path.join(_hoodie_dir(path), "hoodie.properties")
+
+
+def _write_props(path: str, props: dict[str, str]) -> None:
+    os.makedirs(_hoodie_dir(path), exist_ok=True)
+    with open(_props_path(path), "w") as fh:
+        fh.write("#Updated at write time\n")
+        for k in sorted(props):
+            fh.write(f"{k}={props[k]}\n")
+
+
+def _read_props(path: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    with open(_props_path(path)) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            k, v = line.split("=", 1)
+            out[k] = v
+    return out
+
+
+def _init_table(
+    path: str,
+    table_name: str,
+    record_key: str,
+    partition_by: list[str],
+    precombine: str | None,
+    event_time_field: str | None,
+) -> None:
+    props = {
+        "hoodie.table.name": table_name,
+        "hoodie.table.type": "COPY_ON_WRITE",
+        "hoodie.table.version": "6",
+        "hoodie.timeline.layout.version": "1",
+        "hoodie.table.base.file.format": "PARQUET",
+        "hoodie.table.recordkey.fields": record_key,
+        "hoodie.table.partition.fields": ",".join(partition_by),
+        "hoodie.datasource.write.hive_style_partitioning": "true",
+        "hoodie.populate.meta.fields": "true",
+    }
+    if precombine:
+        props["hoodie.table.precombine.field"] = precombine
+    if event_time_field:
+        props["hoodie.payload.event.time.field"] = event_time_field
+    _write_props(path, props)
+
+
+def _table_exists(path: str) -> bool:
+    return os.path.exists(_props_path(path))
+
+
+# ---------------------------------------------------------------------------
+# timeline primitives
+# ---------------------------------------------------------------------------
+def _now_instant() -> str:
+    import datetime as dt
+
+    t = dt.datetime.now(dt.timezone.utc)
+    return t.strftime("%Y%m%d%H%M%S") + f"{t.microsecond // 1000:03d}"
+
+
+def _all_instants(hoodie: str) -> set[str]:
+    out = set()
+    if not os.path.isdir(hoodie):
+        return out
+    for name in os.listdir(hoodie):
+        head = name.split(".", 1)[0]
+        if len(head) == 17 and head.isdigit():
+            out.add(head)
+    return out
+
+
+def completed_instants(path: str) -> list[tuple[str, str]]:
+    """Completed (instant, action) pairs in commit order. Requested and
+    inflight markers are invisible to readers — the spec's contract that
+    an instant exists only once its completed file does."""
+    hoodie = _hoodie_dir(path)
+    out = []
+    if not os.path.isdir(hoodie):
+        return out
+    for name in os.listdir(hoodie):
+        m = _COMPLETED_RE.match(name)
+        if m:
+            out.append((m.group(1), m.group(2)))
+    return sorted(out)
+
+
+def _read_commit_meta(path: str, instant: str, action: str) -> dict:
+    with open(os.path.join(_hoodie_dir(path), f"{instant}.{action}")) as fh:
+        return json.load(fh)
+
+
+def _claim_instant(path: str, action: str, store: LogStore | None = None) -> str:
+    """Win a fresh instant on the timeline via put-if-absent on the
+    `.requested` marker — the atomic-create contract real Hudi demands of
+    its storage. Collisions (two writers picking the same millisecond, or
+    a clock behind the newest instant) retry one tick past the max."""
+    store = store or resolve_log_store()
+    hoodie = _hoodie_dir(path)
+    os.makedirs(hoodie, exist_ok=True)
+    while True:
+        existing = _all_instants(hoodie)
+        cand = _now_instant()
+        if existing:
+            newest = max(existing)
+            if cand <= newest:
+                cand = str(int(newest) + 1).zfill(17)
+        tmp = os.path.join(hoodie, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write("")
+        target = os.path.join(hoodie, f"{cand}.{action}.requested")
+        won = store.publish(tmp, target)
+        os.unlink(tmp)
+        if won:
+            inflight = (
+                f"{cand}.inflight"
+                if action == "commit"
+                else f"{cand}.{action}.inflight"
+            )
+            with open(os.path.join(hoodie, inflight), "w") as fh:
+                fh.write("")
+            return cand
+
+
+def _complete_instant(
+    path: str,
+    instant: str,
+    action: str,
+    meta: dict,
+    store: LogStore | None = None,
+) -> None:
+    store = store or resolve_log_store()
+    hoodie = _hoodie_dir(path)
+    tmp = os.path.join(hoodie, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = os.path.join(hoodie, f"{instant}.{action}")
+    ok = store.publish(tmp, target)
+    os.unlink(tmp)
+    if not ok:  # pragma: no cover - the claim made this instant ours
+        raise ConcurrentHudiWriteError(f"instant {instant} already completed")
+
+
+def _check_conflicts(
+    path: str, base: set[str], touched: set[tuple[str, str]]
+) -> None:
+    """Optimistic-concurrency gate run just before completing: any commit
+    that FINISHED after this writer's claim (not in `base`) and wrote or
+    replaced one of the file groups this write rewrites means our input
+    snapshot is stale — raise instead of publishing a lost update."""
+    for instant, action in completed_instants(path):
+        if instant in base:
+            continue
+        meta = _read_commit_meta(path, instant, action)
+        theirs: set[tuple[str, str]] = set()
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            theirs.update((part, st["fileId"]) for st in stats)
+        for part, fids in (meta.get("partitionToReplaceFileIds") or {}).items():
+            theirs.update((part, fid) for fid in fids)
+        clash = theirs & touched
+        if clash:
+            raise ConcurrentHudiWriteError(
+                f"commit {instant} touched file groups {sorted(clash)[:3]} "
+                "after this write's snapshot; re-read and retry"
+            )
+
+
+# ---------------------------------------------------------------------------
+# state replay
+# ---------------------------------------------------------------------------
+def _replay_hudi(path: str, as_of: str | None = None):
+    """Fold the timeline into visible FILE SLICES at `as_of` (inclusive;
+    None = latest): per file group keep the newest slice ≤ as_of, drop
+    groups replaced by a replacecommit ≤ as_of. Returns
+    (latest_instant, schema_json, slices) where each slice is
+    {partition, fileId, instant, stat}. O(completed instants) driver
+    work on JSON metadata — no storage listing, no data read."""
+    groups: dict[tuple[str, str], list[tuple[str, dict]]] = {}
+    replaced: dict[tuple[str, str], str] = {}
+    schema_json: str | None = None
+    latest: str | None = None
+    for instant, action in completed_instants(path):
+        if as_of is not None and instant > as_of:
+            break
+        latest = instant
+        meta = _read_commit_meta(path, instant, action)
+        sj = (meta.get("extraMetadata") or {}).get("schema")
+        if sj:
+            schema_json = sj
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                groups.setdefault((part, st["fileId"]), []).append((instant, st))
+        if action == "replacecommit":
+            for part, fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    replaced.setdefault((part, fid), instant)
+    slices = []
+    for (part, fid), lst in groups.items():
+        if (part, fid) in replaced:
+            continue
+        instant, st = max(lst, key=lambda t: t[0])
+        slices.append(
+            {"partition": part, "fileId": fid, "instant": instant, "stat": st}
+        )
+    slices.sort(key=lambda s: (s["partition"], s["fileId"]))
+    return latest, schema_json, slices
+
+
+def _parse_partition(rel: str) -> dict[str, str]:
+    """Hive-style partition dir relpath → {column: decoded value}."""
+    import urllib.parse
+
+    out: dict[str, str] = {}
+    if not rel:
+        return out
+    for seg in rel.split("/"):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            out[k] = urllib.parse.unquote(v)
+    return out
+
+
+def _part_matches(rel: str, partition_eq: dict[str, str]) -> bool:
+    vals = _parse_partition(rel)
+    return all(vals.get(k) == str(v) for k, v in partition_eq.items())
+
+
+def _full_schema(schema_json: str) -> tuple[T.StructType, T.StructType]:
+    data = T.StructType.fromJson(json.loads(schema_json))
+    full = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in _META_COLS]
+        + list(data.fields)
+    )
+    return data, full
+
+
+def read_hudi(
+    spark: SparkSession,
+    path: str,
+    as_of: str | None = None,
+    partition_eq: dict[str, str] | None = None,
+    with_meta: bool = False,
+) -> DataFrame:
+    """Snapshot (or time-travel) read: replay the timeline to the visible
+    file slices, prune partitions against writeStat partitionPath IN THE
+    TIMELINE (no file listing for pruned partitions), then one Spark scan
+    over the surviving base files. Meta columns are projected away unless
+    asked for — column pruning keeps them out of the parquet read."""
+    latest, schema_json, slices = _replay_hudi(path, as_of)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    data, full = _full_schema(schema_json)
+    if partition_eq:
+        slices = [
+            s for s in slices if _part_matches(s["partition"], partition_eq)
+        ]
+    paths = [os.path.join(path, s["stat"]["path"]) for s in slices]
+    want = full if with_meta else data
+    if not paths:
+        return spark.createDataFrame([], want)
+    df = spark.read.schema(full).parquet(*paths)
+    return df if with_meta else df.select(*[f.name for f in data.fields])
+
+
+def read_hudi_incremental(
+    spark: SparkSession,
+    path: str,
+    begin: str,
+    end: str | None = None,
+) -> DataFrame:
+    """Incremental query: records written by commits in (begin, end].
+    Only slices NEWER than `begin` can hold such records (COW preserves
+    `_hoodie_commit_time` on carried rows), so the scan reads just those
+    files and the commit-time filter pushes to parquet."""
+    latest, schema_json, slices = _replay_hudi(path, end)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    data, full = _full_schema(schema_json)
+    newer = [s for s in slices if s["instant"] > begin]
+    paths = [os.path.join(path, s["stat"]["path"]) for s in newer]
+    if not paths:
+        return spark.createDataFrame([], data)
+    df = spark.read.schema(full).parquet(*paths)
+    cond = F.col("_hoodie_commit_time") > F.lit(begin)
+    if end is not None:
+        cond = cond & (F.col("_hoodie_commit_time") <= F.lit(end))
+    return df.where(cond).select(*[f.name for f in data.fields])
+
+
+def read_hudi_event_range(
+    spark: SparkSession, path: str, lo, hi
+) -> DataFrame:
+    """Event-time skip read: prune file slices whose writeStat
+    [minEventTime, maxEventTime] envelope misses [lo, hi] — pruning
+    happens on TIMELINE metadata, the exact predicate decides on the
+    survivors. `lo`/`hi` are naive-UTC timestamps or ISO strings."""
+    import datetime as dt
+
+    def _ms(v) -> int:
+        if isinstance(v, str):
+            v = dt.datetime.fromisoformat(v)
+        return int(v.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    lo_ms, hi_ms = _ms(lo), _ms(hi)
+    latest, schema_json, slices = _replay_hudi(path)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    data, full = _full_schema(schema_json)
+    props = _read_props(path)
+    field = props.get("hoodie.payload.event.time.field")
+    if not field:
+        raise ValueError("table declares no event-time field")
+    keep = []
+    for s in slices:
+        mn = s["stat"].get("minEventTime")
+        mx = s["stat"].get("maxEventTime")
+        if mn is None or mx is None or (mx >= lo_ms and mn <= hi_ms):
+            keep.append(s)
+    paths = [os.path.join(path, s["stat"]["path"]) for s in keep]
+    if not paths:
+        return spark.createDataFrame([], data)
+    df = spark.read.schema(full).parquet(*paths)
+    return df.select(*[f.name for f in data.fields]).where(
+        F.col(field).between(F.lit(lo), F.lit(hi))
+    )
+
+
+def hudi_timeline(path: str) -> list[tuple[str, str, str]]:
+    """Completed timeline as (instant, action, operationType) rows."""
+    out = []
+    for instant, action in completed_instants(path):
+        meta = _read_commit_meta(path, instant, action)
+        out.append((instant, action, meta.get("operationType", "")))
+    return out
+
+
+def hudi_checkpoint(path: str) -> str | None:
+    """Latest deltastreamer-style checkpoint carried on the timeline."""
+    cp = None
+    for instant, action in completed_instants(path):
+        meta = _read_commit_meta(path, instant, action)
+        v = (meta.get("extraMetadata") or {}).get(
+            "deltastreamer.checkpoint.key"
+        )
+        if v is not None:
+            cp = v
+    return cp
+
+
+# ---------------------------------------------------------------------------
+# write mechanics
+# ---------------------------------------------------------------------------
+def _footer_rows(fp: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(fp).metadata.num_rows
+
+
+def _footer_event_range(fp: str, field: str) -> tuple[int | None, int | None]:
+    """[min, max] of `field` across row groups in EPOCH MILLIS, read from
+    parquet footer statistics only (no data scan)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    try:
+        idx = md.schema.to_arrow_schema().get_field_index(field)
+    except Exception:
+        return None, None
+    if idx < 0:
+        return None, None
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        lo, hi = st.min, st.max
+        if isinstance(lo, dt.datetime):
+            lo = int(lo.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+            hi = int(hi.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    return mn, mx
+
+
+def _partition_path_col(partition_by: list[str]):
+    if not partition_by:
+        return F.lit("")
+    return F.concat_ws(
+        "/",
+        *[
+            F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+            for c in partition_by
+        ],
+    )
+
+
+def _fresh_meta_cols(df: DataFrame, instant: str, record_key: str,
+                     partition_by: list[str], fid_col) -> DataFrame:
+    """Attach the five `_hoodie_*` meta columns for NEWLY written rows
+    (carried-over rows keep theirs — see upsert). All JVM-side column
+    expressions; no UDF."""
+    return (
+        df.withColumn("_hoodie_commit_time", F.lit(instant))
+        .withColumn(
+            "_hoodie_commit_seqno",
+            F.concat(
+                F.lit(instant + "_"),
+                F.spark_partition_id().cast("string"),
+                F.lit("_"),
+                F.monotonically_increasing_id().cast("string"),
+            ),
+        )
+        .withColumn("_hoodie_record_key", F.col(record_key).cast("string"))
+        .withColumn("_hoodie_partition_path", _partition_path_col(partition_by))
+        .withColumn(
+            "_hoodie_file_name",
+            F.concat(fid_col, F.lit(f"_{_WRITE_TOKEN}_{instant}.parquet")),
+        )
+    )
+
+
+def _stage_place(
+    df: DataFrame, path: str, instant: str, partition_by: list[str]
+) -> list[dict]:
+    """Shared write tail: stage `df` (meta cols + data cols + `__fid`)
+    with ONE Spark parquet write, then move each staged file to its
+    spec name `<fileId>_<token>_<instant>.parquet` under its hive
+    partition dir. The pre-write `repartition(__fid)` makes every file
+    group exactly one task's output, so each (partition, fileId) leaf
+    holds exactly one base file. Returns [{fid, partition, rel, rows,
+    size}] — a FILE-GROUP-scale driver loop, never row-scale."""
+    import urllib.parse
+
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex}")
+    dup = [f"__hp_{c}" for c in partition_by]
+    staged = df
+    for c, d in zip(partition_by, dup):
+        staged = staged.withColumn(d, F.col(c).cast("string"))
+    staged = staged.repartition(F.col("__fid"))
+    staged.write.mode("overwrite").partitionBy(*dup, "__fid").parquet(stage)
+
+    placed: list[dict] = []
+    try:
+        for dirpath, _dirs, names in os.walk(stage):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, name)
+                reldir = os.path.relpath(dirpath, stage)
+                fid = None
+                real_segs: list[str] = []
+                for seg in ([] if reldir == "." else reldir.split(os.sep)):
+                    if seg.startswith("__fid="):
+                        fid = urllib.parse.unquote(seg[len("__fid="):])
+                    elif seg.startswith("__hp_"):
+                        real_segs.append(seg[len("__hp_"):])
+                assert fid is not None, f"stage leaf without __fid: {reldir}"
+                part_rel = "/".join(real_segs)
+                dest_dir = os.path.join(path, *real_segs) if real_segs else path
+                os.makedirs(dest_dir, exist_ok=True)
+                if real_segs:
+                    pm = os.path.join(dest_dir, ".hoodie_partition_metadata")
+                    if not os.path.exists(pm):
+                        with open(pm, "w") as fh:
+                            fh.write(
+                                "#partition metadata\n"
+                                f"commitTime={instant}\n"
+                                f"partitionDepth={len(partition_by)}\n"
+                            )
+                dest = os.path.join(
+                    dest_dir, f"{fid}_{_WRITE_TOKEN}_{instant}.parquet"
+                )
+                assert not os.path.exists(dest), (
+                    f"two staged files for file group {fid}"
+                )
+                os.rename(src, dest)
+                placed.append(
+                    {
+                        "fid": fid,
+                        "partition": part_rel,
+                        "rel": os.path.relpath(dest, path),
+                        "rows": _footer_rows(dest),
+                        "size": os.path.getsize(dest),
+                    }
+                )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return placed
+
+
+def _write_stats(
+    placed: list[dict],
+    prev_instant_by_group: dict[tuple[str, str], str],
+    event_field: str | None,
+    base_path: str,
+    updates_by_fid: dict[str, int] | None = None,
+    deletes_by_fid: dict[str, int] | None = None,
+    all_rows_inserted: bool = False,
+) -> dict[str, list[dict]]:
+    """HoodieWriteStat list per partition for the commit metadata.
+    numInserts counts records NEW to the file group: every written row
+    for insert-family ops (`all_rows_inserted`); for upsert/delete
+    rewrites, a file with updates carries 0 inserts (carried-over rows
+    count only in numWrites) while a FRESH group (no prevCommit) takes
+    its whole row count."""
+    out: dict[str, list[dict]] = {}
+    for p in placed:
+        upd = int((updates_by_fid or {}).get(p["fid"], 0))
+        dele = int((deletes_by_fid or {}).get(p["fid"], 0))
+        fresh_group = (p["partition"], p["fid"]) not in prev_instant_by_group
+        if all_rows_inserted or fresh_group:
+            n_ins = p["rows"]
+        else:
+            n_ins = 0
+        st = {
+            "fileId": p["fid"],
+            "path": p["rel"],
+            "prevCommit": prev_instant_by_group.get(
+                (p["partition"], p["fid"]), "null"
+            ),
+            "numWrites": p["rows"],
+            "numDeletes": dele,
+            "numUpdateWrites": upd,
+            "numInserts": n_ins,
+            "totalWriteBytes": p["size"],
+            "fileSizeInBytes": p["size"],
+            "partitionPath": p["partition"],
+        }
+        if event_field:
+            mn, mx = _footer_event_range(
+                os.path.join(base_path, p["rel"]), event_field
+            )
+            if mn is not None:
+                st["minEventTime"] = mn
+                st["maxEventTime"] = mx
+        out.setdefault(p["partition"], []).append(st)
+    for stats in out.values():
+        stats.sort(key=lambda s: s["fileId"])
+    return out
+
+
+def _commit_meta(
+    op: str,
+    p2ws: dict[str, list[dict]],
+    schema_json: str,
+    extra: dict[str, str] | None = None,
+    replaces: dict[str, list[str]] | None = None,
+) -> dict:
+    meta = {
+        "partitionToWriteStats": p2ws,
+        "compacted": False,
+        "operationType": op,
+        "extraMetadata": {"schema": schema_json, **(extra or {})},
+    }
+    if replaces is not None:
+        meta["partitionToReplaceFileIds"] = replaces
+    return meta
+
+
+def _validate_schema(df: DataFrame, schema_json: str) -> None:
+    table = T.StructType.fromJson(json.loads(schema_json))
+    have = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in table.fields}
+    if have != want:
+        raise ValueError(
+            "incoming schema must match the table schema exactly "
+            f"(table {sorted(want)}, incoming {sorted(have)}); "
+            "Hudi-side schema evolution is not implemented here"
+        )
+
+
+def _checkpoint_seen(path: str, checkpoint: str | None) -> str | None:
+    """Exactly-once guard: a commit already carrying this checkpoint key
+    makes the write a committed no-op (the deltastreamer contract)."""
+    if checkpoint is None:
+        return None
+    for instant, action in completed_instants(path):
+        meta = _read_commit_meta(path, instant, action)
+        if (meta.get("extraMetadata") or {}).get(
+            "deltastreamer.checkpoint.key"
+        ) == checkpoint:
+            return instant
+    return None
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+def write_hudi(
+    df: DataFrame,
+    path: str,
+    record_key: str,
+    partition_by: list[str] | None = None,
+    precombine: str | None = None,
+    operation: str = "insert",
+    table_name: str | None = None,
+    checkpoint: str | None = None,
+    event_time_field: str | None = None,
+) -> str:
+    """Land `df` as one Hudi COW commit and return its instant.
+
+    operation="insert" appends NEW file groups (bulk-insert style — no
+    small-file bin-packing; clustering compacts later).
+    operation="insert_overwrite" publishes a REPLACECOMMIT that swaps in
+    the new file groups and lists every previously-live file group of
+    the written partitions in partitionToReplaceFileIds (unpartitioned:
+    the whole table). `checkpoint` rides extraMetadata for exactly-once
+    replays."""
+    if operation not in ("insert", "insert_overwrite"):
+        raise ValueError(f"operation must be insert|insert_overwrite: {operation}")
+    partition_by = list(partition_by or [])
+    if not _table_exists(path):
+        _init_table(
+            path,
+            table_name or os.path.basename(path.rstrip("/")),
+            record_key,
+            partition_by,
+            precombine,
+            event_time_field,
+        )
+    props = _read_props(path)
+    if props["hoodie.table.recordkey.fields"] != record_key:
+        raise ValueError("record_key must match hoodie.table.recordkey.fields")
+    if (props.get("hoodie.table.partition.fields") or "") != ",".join(partition_by):
+        raise ValueError("partition_by must match hoodie.table.partition.fields")
+    seen = _checkpoint_seen(path, checkpoint)
+    if seen is not None:
+        return seen
+
+    _, prev_schema, prev_slices = _replay_hudi(path)
+    if prev_schema is not None:
+        _validate_schema(df, prev_schema)
+    data_schema_json = prev_schema or df.select(
+        *[f.name for f in df.schema.fields]
+    ).schema.json()
+
+    action = "commit" if operation == "insert" else "replacecommit"
+    base = {i for i, _ in completed_instants(path)}
+    instant = _claim_instant(path, action)
+
+    src = df.repartition(*partition_by) if partition_by else df
+    fid_base = uuid.uuid4().hex[:12]
+    fid_col = F.concat(
+        F.lit(fid_base + "-"), F.spark_partition_id().cast("string")
+    )
+    staged = _fresh_meta_cols(
+        src, instant, record_key, partition_by, fid_col
+    ).withColumn("__fid", fid_col)
+    order = list(_META_COLS) + [
+        f.name for f in df.schema.fields
+    ] + ["__fid"]
+    placed = _stage_place(staged.select(*order), path, instant, partition_by)
+
+    prev_by_group = {
+        (s["partition"], s["fileId"]): s["instant"] for s in prev_slices
+    }
+    p2ws = _write_stats(
+        placed,
+        prev_by_group,
+        props.get("hoodie.payload.event.time.field"),
+        path,
+        all_rows_inserted=True,
+    )
+    extra = (
+        {"deltastreamer.checkpoint.key": checkpoint} if checkpoint else None
+    )
+    if operation == "insert":
+        meta = _commit_meta("insert", p2ws, data_schema_json, extra)
+    else:
+        written_parts = {p["partition"] for p in placed}
+        replaces: dict[str, list[str]] = {}
+        for s in prev_slices:
+            if not partition_by or s["partition"] in written_parts:
+                replaces.setdefault(s["partition"], []).append(s["fileId"])
+        for v in replaces.values():
+            v.sort()
+        meta = _commit_meta(
+            "insert_overwrite", p2ws, data_schema_json, extra, replaces
+        )
+        _check_conflicts(
+            path,
+            base,
+            {(p, fid) for p, fids in replaces.items() for fid in fids},
+        )
+    _complete_instant(path, instant, action, meta)
+    return instant
+
+
+def _fid_from_filename():
+    """fileId parsed from `_hoodie_file_name` — fileIds are generated
+    underscore-free here, so the first `_` delimits the id per spec."""
+    return F.split(F.col("_hoodie_file_name"), "_").getItem(0)
+
+
+def upsert_hudi(
+    df: DataFrame, path: str, checkpoint: str | None = None
+) -> str:
+    """Hudi COW UPSERT: dedupe the incoming batch by the precombine
+    field, TAG each record against the live key→fileId mapping (a join
+    on the record-key column of the current slices — non-global index
+    semantics: keys match within their partition), rewrite only the
+    AFFECTED file groups (carried rows preserve their meta columns;
+    updated rows take the new instant), and route untagged records to
+    fresh file groups. One tagging shuffle + one group-placement
+    shuffle; untouched file groups are never read or written."""
+    props = _read_props(path)
+    record_key = props["hoodie.table.recordkey.fields"]
+    partition_by = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    precombine = props.get("hoodie.table.precombine.field")
+    seen = _checkpoint_seen(path, checkpoint)
+    if seen is not None:
+        return seen
+    _, schema_json, slices = _replay_hudi(path)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    _validate_schema(df, schema_json)
+    data_cols = [f.name for f in T.StructType.fromJson(json.loads(schema_json)).fields]
+
+    incoming = df
+    if precombine:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(record_key).orderBy(
+            F.col(precombine).desc(), *[F.col(c) for c in data_cols]
+        )
+        incoming = (
+            incoming.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    base = {i for i, _ in completed_instants(path)}
+    instant = _claim_instant(path, "commit")
+
+    current = read_hudi(
+        SparkSession.getActiveSession() or df.sparkSession, path, with_meta=True
+    ).withColumn("__fid", _fid_from_filename())
+    keymap = current.select(
+        F.col("_hoodie_record_key").alias("__key"),
+        F.col("_hoodie_partition_path").alias("__pp"),
+        "__fid",
+    ).distinct()
+
+    inc_keyed = incoming.withColumn(
+        "__key", F.col(record_key).cast("string")
+    ).withColumn("__pp", _partition_path_col(partition_by))
+    tagged = inc_keyed.join(keymap, ["__key", "__pp"], "left")
+    updates = tagged.where(F.col("__fid").isNotNull())
+    inserts = tagged.where(F.col("__fid").isNull()).drop("__fid")
+
+    # per-group update counts + the affected-group list: metadata-scale
+    upd_counts = {
+        r["__fid"]: r["n"]
+        for r in updates.groupBy("__fid").agg(F.count("*").alias("n")).collect()
+    }
+    affected = set(upd_counts)
+
+    pieces: list[DataFrame] = []
+    if affected:
+        aff_paths = [
+            os.path.join(path, s["stat"]["path"])
+            for s in slices
+            if s["fileId"] in affected
+        ]
+        _, full = _full_schema(schema_json)
+        old = (
+            df.sparkSession.read.schema(full)
+            .parquet(*aff_paths)
+            .withColumn("__fid", _fid_from_filename())
+        )
+        upd_keys = updates.select("__key", "__pp").distinct()
+        carried = old.join(
+            upd_keys,
+            (old["_hoodie_record_key"] == upd_keys["__key"])
+            & (old["_hoodie_partition_path"] == upd_keys["__pp"]),
+            "left_anti",
+        )
+        # carried rows keep commit_time/seqno/key/pp; the file name
+        # moves to the NEW slice of their group
+        carried = carried.withColumn(
+            "_hoodie_file_name",
+            F.concat(
+                F.col("__fid"), F.lit(f"_{_WRITE_TOKEN}_{instant}.parquet")
+            ),
+        )
+        upd_rows = _fresh_meta_cols(
+            updates, instant, record_key, partition_by, F.col("__fid")
+        )
+        order = list(_META_COLS) + data_cols + ["__fid"]
+        pieces.append(carried.select(*order))
+        pieces.append(upd_rows.select(*order))
+
+    ins_counts: dict[str, int] = {}
+    if inserts.limit(1).count() > 0:
+        ins_src = (
+            inserts.repartition(*partition_by) if partition_by else inserts
+        )
+        fid_base = uuid.uuid4().hex[:12]
+        fid_col = F.concat(
+            F.lit(fid_base + "-"), F.spark_partition_id().cast("string")
+        )
+        ins_rows = _fresh_meta_cols(
+            ins_src, instant, record_key, partition_by, fid_col
+        ).withColumn("__fid", fid_col)
+        order = list(_META_COLS) + data_cols + ["__fid"]
+        pieces.append(ins_rows.select(*order))
+
+    if not pieces:
+        # nothing to write: empty incoming batch — publish an empty commit
+        meta = _commit_meta(
+            "upsert",
+            {},
+            schema_json,
+            {"deltastreamer.checkpoint.key": checkpoint} if checkpoint else None,
+        )
+        _complete_instant(path, instant, "commit", meta)
+        return instant
+
+    out = reduce(lambda a, b: a.unionByName(b), pieces)
+    placed = _stage_place(out, path, instant, partition_by)
+    prev_by_group = {
+        (s["partition"], s["fileId"]): s["instant"] for s in slices
+    }
+    p2ws = _write_stats(
+        placed,
+        prev_by_group,
+        props.get("hoodie.payload.event.time.field"),
+        path,
+        updates_by_fid=upd_counts,
+    )
+    extra = (
+        {"deltastreamer.checkpoint.key": checkpoint} if checkpoint else None
+    )
+    meta = _commit_meta("upsert", p2ws, schema_json, extra)
+    _check_conflicts(
+        path, base, {(p["partition"], p["fid"]) for p in placed}
+    )
+    _complete_instant(path, instant, "commit", meta)
+    return instant
+
+
+def delete_hudi(keys_df: DataFrame, path: str) -> str:
+    """Hudi COW DELETE: tag the key batch against live file groups,
+    rewrite only groups that held a deleted key (remaining rows carry
+    their meta columns unchanged). A group whose every record dies
+    still publishes a 0-row base file slice — the spec's COW shape for
+    full-group deletes — written schema-exact from the old footer."""
+    props = _read_props(path)
+    record_key = props["hoodie.table.recordkey.fields"]
+    partition_by = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    spark = keys_df.sparkSession
+    _, schema_json, slices = _replay_hudi(path)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    base = {i for i, _ in completed_instants(path)}
+    instant = _claim_instant(path, "commit")
+
+    _, full = _full_schema(schema_json)
+    current = read_hudi(spark, path, with_meta=True).withColumn(
+        "__fid", _fid_from_filename()
+    )
+    del_keys = keys_df.select(
+        F.col(record_key).cast("string").alias("__key")
+    ).distinct()
+    hit = current.join(
+        del_keys, current["_hoodie_record_key"] == del_keys["__key"], "inner"
+    )
+    # per-group delete counts: metadata-scale collect
+    del_counts = {
+        r["__fid"]: r["n"]
+        for r in hit.groupBy("__fid").agg(F.count("*").alias("n")).collect()
+    }
+    if not del_counts:
+        meta = _commit_meta("delete", {}, schema_json)
+        _complete_instant(path, instant, "commit", meta)
+        return instant
+
+    slice_by_fid = {s["fileId"]: s for s in slices}
+    aff_paths = [
+        os.path.join(path, slice_by_fid[fid]["stat"]["path"])
+        for fid in sorted(del_counts)
+    ]
+    old = (
+        spark.read.schema(full)
+        .parquet(*aff_paths)
+        .withColumn("__fid", _fid_from_filename())
+    )
+    remain = old.join(
+        del_keys, old["_hoodie_record_key"] == del_keys["__key"], "left_anti"
+    ).withColumn(
+        "_hoodie_file_name",
+        F.concat(F.col("__fid"), F.lit(f"_{_WRITE_TOKEN}_{instant}.parquet")),
+    )
+    placed = _stage_place(remain, path, instant, partition_by)
+    placed_fids = {p["fid"] for p in placed}
+
+    # groups left with zero rows produce no staged output — publish the
+    # empty slice directly (footer-exact schema from the previous file)
+    import pyarrow.parquet as pq
+
+    for fid in sorted(set(del_counts) - placed_fids):
+        s = slice_by_fid[fid]
+        old_fp = os.path.join(path, s["stat"]["path"])
+        dest_dir = (
+            os.path.join(path, s["partition"]) if s["partition"] else path
+        )
+        dest = os.path.join(
+            dest_dir, f"{fid}_{_WRITE_TOKEN}_{instant}.parquet"
+        )
+        sch = pq.read_schema(old_fp)
+        pq.write_table(sch.empty_table(), dest)
+        placed.append(
+            {
+                "fid": fid,
+                "partition": s["partition"],
+                "rel": os.path.relpath(dest, path),
+                "rows": 0,
+                "size": os.path.getsize(dest),
+            }
+        )
+
+    prev_by_group = {
+        (s["partition"], s["fileId"]): s["instant"] for s in slices
+    }
+    prev_rows = {
+        s["fileId"]: int(s["stat"].get("numWrites", 0)) for s in slices
+    }
+    deletes_by_fid = {
+        p["fid"]: prev_rows.get(p["fid"], 0) - p["rows"] for p in placed
+    }
+    p2ws = _write_stats(
+        placed,
+        prev_by_group,
+        props.get("hoodie.payload.event.time.field"),
+        path,
+        deletes_by_fid=deletes_by_fid,
+    )
+    meta = _commit_meta("delete", p2ws, schema_json)
+    _check_conflicts(
+        path, base, {(p["partition"], p["fid"]) for p in placed}
+    )
+    _complete_instant(path, instant, "commit", meta)
+    return instant
+
+
+def cluster_hudi(path: str) -> str:
+    """Clustering as a REPLACECOMMIT: rewrite every live file slice into
+    one compacted file group per partition, listing all previous
+    fileIds in partitionToReplaceFileIds. Records keep their meta
+    columns (commit time/seqno survive — incremental queries stay exact
+    across clustering); only the file name moves. Time travel BEFORE
+    the replace instant still resolves the old groups."""
+    spark = SparkSession.getActiveSession()
+    assert spark is not None, "cluster_hudi needs an active SparkSession"
+    props = _read_props(path)
+    partition_by = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    _, schema_json, slices = _replay_hudi(path)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    if not slices:
+        raise ValueError("nothing to cluster: no live file slices")
+    base = {i for i, _ in completed_instants(path)}
+    instant = _claim_instant(path, "replacecommit")
+
+    _, full = _full_schema(schema_json)
+    paths = [os.path.join(path, s["stat"]["path"]) for s in slices]
+    cur = spark.read.schema(full).parquet(*paths)
+    fid_base = uuid.uuid4().hex[:12]
+    if partition_by:
+        # one task per partition value -> one compacted group apiece
+        cur = cur.repartition(*[F.col(c) for c in partition_by])
+    else:
+        cur = cur.coalesce(1)
+    fid_col = F.concat(
+        F.lit(fid_base + "-"), F.spark_partition_id().cast("string")
+    )
+    out = cur.withColumn("__fid", fid_col).withColumn(
+        "_hoodie_file_name",
+        F.concat(fid_col, F.lit(f"_{_WRITE_TOKEN}_{instant}.parquet")),
+    )
+    placed = _stage_place(out, path, instant, partition_by)
+    replaces: dict[str, list[str]] = {}
+    for s in slices:
+        replaces.setdefault(s["partition"], []).append(s["fileId"])
+    for v in replaces.values():
+        v.sort()
+    prev_by_group = {
+        (s["partition"], s["fileId"]): s["instant"] for s in slices
+    }
+    p2ws = _write_stats(
+        placed,
+        prev_by_group,
+        props.get("hoodie.payload.event.time.field"),
+        path,
+    )
+    meta = _commit_meta("cluster", p2ws, schema_json, replaces=replaces)
+    _check_conflicts(
+        path,
+        base,
+        {(p, fid) for p, fids in replaces.items() for fid in fids},
+    )
+    _complete_instant(path, instant, "replacecommit", meta)
+    return instant
+
+
+# ---------------------------------------------------------------------------
+# registered queries (each rebuilds its fixture idempotently per call)
+# ---------------------------------------------------------------------------
+@query(
+    "hudi_roundtrip",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+def hudi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi write -> timeline replay -> snapshot read: land orders as a
+    real `.hoodie` COW table (requested/inflight/completed instant files,
+    HoodieWriteStat metadata, `_hoodie_*` meta columns, spec file names)
+    and read it back through the timeline. Values round-trip exactly."""
+    root = scratch_path(sf_dir, "orders_hudi")
+    shutil.rmtree(root, ignore_errors=True)
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_hudi(df, root, record_key="o_orderkey")
+    return read_hudi(spark, root)
+
+
+@query(
+    "hudi_partition_pruning",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def hudi_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned Hudi table + TIMELINE-level pruning: file
+    slices of non-matching priorities are dropped from the read set via
+    their writeStat partitionPath before Spark lists a single file."""
+    root = scratch_path(sf_dir, "orders_hudi_part")
+    shutil.rmtree(root, ignore_errors=True)
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    write_hudi(
+        df, root, record_key="o_orderkey", partition_by=["o_orderpriority"]
+    )
+    pruned = read_hudi(
+        spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "hudi_upsert_cow",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 3
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(CASE WHEN o_orderkey % 2 = 0 THEN 3.0 ELSE 1.0 END
+                AS DOUBLE) AS o_version
+    FROM orders
+    """,
+)
+def hudi_upsert_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW upsert with precombine: base holds keys !=0 (mod 4) at
+    version 1; the incoming batch carries EVERY even key TWICE (version
+    2 at 2x price, version 3 at 3x) — precombine keeps the version-3
+    row per key, updates rewrite only affected file groups, unmatched
+    even keys (0 mod 4) land as inserts in fresh groups. Final table =
+    all orders keys, evens at 3x/v3, odds untouched at v1."""
+    root = scratch_path(sf_dir, "orders_hudi_upsert")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = orders.where(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_version", F.lit(1.0)
+    )
+    write_hudi(
+        base, root, record_key="o_orderkey", precombine="o_version"
+    )
+    evens = orders.where(F.col("o_orderkey") % 2 == 0)
+    batch = evens.select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(2.0).alias("o_version"),
+    ).unionByName(
+        evens.select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 3).alias("o_totalprice"),
+            F.lit(3.0).alias("o_version"),
+        )
+    )
+    upsert_hudi(batch, root)
+    return read_hudi(spark, root)
+
+
+@query(
+    "hudi_delete_cow",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def hudi_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW delete: a key batch (every 5th order) rewrites only the file
+    groups that held those keys; remaining rows keep their original
+    `_hoodie_commit_time`."""
+    root = scratch_path(sf_dir, "orders_hudi_del")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_hudi(orders, root, record_key="o_orderkey")
+    delete_hudi(
+        orders.where(F.col("o_orderkey") % 5 == 0).select("o_orderkey"), root
+    )
+    return read_hudi(spark, root).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_HUDI_TT_CUT = "1997-01-01"
+
+
+@query(
+    "hudi_time_travel",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_HUDI_TT_CUT} 00:00:00'
+    UNION ALL
+    SELECT 1 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel across three instants: i0 = orders before the cut,
+    i1 = append of the rest, i2 = DELETE of every non-F order. Reading
+    as-of each instant proves slice visibility is per-instant exact
+    (the delete's rewritten slices are invisible at i0/i1)."""
+    root = scratch_path(sf_dir, "orders_hudi_tt")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    write_hudi(
+        orders.where(F.col("o_orderdate") < _HUDI_TT_CUT),
+        root,
+        record_key="o_orderkey",
+    )
+    write_hudi(
+        orders.where(F.col("o_orderdate") >= _HUDI_TT_CUT),
+        root,
+        record_key="o_orderkey",
+    )
+    delete_hudi(
+        orders.where(F.col("o_orderstatus") != "F").select("o_orderkey"), root
+    )
+    instants = [i for i, _a in completed_instants(root)]
+    outs = []
+    for v, instant in enumerate(instants):
+        agg = read_hudi(spark, root, as_of=instant).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "hudi_incremental",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0",
+)
+def hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental query: three insert commits land thirds of orders;
+    pulling (i0, latest] returns exactly the records of commits 2 and 3
+    — only slices newer than the begin instant are read, and the
+    commit-time predicate pushes to parquet."""
+    root = scratch_path(sf_dir, "orders_hudi_incr")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(3):
+        write_hudi(
+            orders.where(F.col("o_orderkey") % 3 == i),
+            root,
+            record_key="o_orderkey",
+        )
+    begin = completed_instants(root)[0][0]
+    return read_hudi_incremental(spark, root, begin)
+
+
+@query(
+    "hudi_insert_overwrite",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           {sql_msum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.5 "
+                     "ELSE o_totalprice END")} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def hudi_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE as a replacecommit: partition F is rewritten
+    with discounted rows; its previous file groups land in
+    partitionToReplaceFileIds while other partitions' groups stay
+    untouched (no rewrite, no replace)."""
+    root = scratch_path(sf_dir, "orders_hudi_iow")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_hudi(
+        orders, root, record_key="o_orderkey", partition_by=["o_orderstatus"]
+    )
+    f_half = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    write_hudi(
+        f_half,
+        root,
+        record_key="o_orderkey",
+        partition_by=["o_orderstatus"],
+        operation="insert_overwrite",
+    )
+    return read_hudi(spark, root).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "hudi_clustering",
+    oracle=f"""
+    SELECT 0 AS snap, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    UNION ALL
+    SELECT 1 AS snap, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering replacecommit: four small insert commits compact into
+    one file group; the data is byte-identical before (snap 0,
+    time-traveled to the pre-cluster instant) and after (snap 1), and
+    records keep their original commit times through the rewrite."""
+    root = scratch_path(sf_dir, "orders_hudi_cluster")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(4):
+        write_hudi(
+            orders.where(F.col("o_orderkey") % 4 == i),
+            root,
+            record_key="o_orderkey",
+        )
+    pre = completed_instants(root)[-1][0]
+    cluster_hudi(root)
+    outs = []
+    for snap, as_of in ((0, pre), (1, None)):
+        agg = read_hudi(spark, root, as_of=as_of).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(snap).alias("snap"), "n_rows", "total"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+@query(
+    "hudi_sink_txn",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def hudi_sink_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once landing through deltastreamer-style checkpoint keys:
+    three batches commit with checkpoints feed:0..2, then batch 1
+    REPLAYS with its original checkpoint — the duplicate is a committed
+    no-op, so the landed table equals the source exactly."""
+    root = scratch_path(sf_dir, "orders_hudi_sink_txn")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    batches = [orders.where(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    write_hudi(batches[0], root, record_key="o_orderkey", checkpoint="feed:0")
+    write_hudi(batches[1], root, record_key="o_orderkey", checkpoint="feed:1")
+    write_hudi(batches[1], root, record_key="o_orderkey", checkpoint="feed:1")
+    write_hudi(batches[2], root, record_key="o_orderkey", checkpoint="feed:2")
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_HUDI_EV_LO = "2024-01-10 00:00:00"
+_HUDI_EV_HI = "2024-01-20 00:00:00"
+
+
+@query(
+    "hudi_event_range",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_rows, {sql_msum('value')} AS total
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_HUDI_EV_LO}' AND TIMESTAMP '{_HUDI_EV_HI}'
+    GROUP BY event_type
+    """,
+)
+def hudi_event_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time skip read: events land sorted by ts into many file
+    groups, each writeStat carrying the spec's minEventTime/maxEventTime
+    (epoch ms, from parquet footers only); a range read prunes slices by
+    that envelope in the TIMELINE and applies the exact predicate to the
+    survivors."""
+    root = scratch_path(sf_dir, "events_hudi_ev")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .repartitionByRange(8, "ts")
+    )
+    write_hudi(ev, root, record_key="event_id", event_time_field="ts")
+    ranged = read_hudi_event_range(spark, root, _HUDI_EV_LO, _HUDI_EV_HI)
+    return ranged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("value")).alias("total"),
+    )
+
+
+@query(
+    "hudi_timeline",
+    oracle="""
+    SELECT CAST(idx AS INT) AS idx, action, op
+    FROM (VALUES (0, 'commit', 'insert'), (1, 'commit', 'upsert'),
+                 (2, 'commit', 'delete'), (3, 'replacecommit', 'cluster'))
+         AS t(idx, action, op)
+    """,
+)
+def hudi_timeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timeline as data: one lifecycle (insert -> upsert -> delete ->
+    cluster) leaves exactly the spec's action/operationType sequence on
+    the completed timeline."""
+    root = scratch_path(sf_dir, "nation_hudi_timeline")
+    shutil.rmtree(root, ignore_errors=True)
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_hudi(nation, root, record_key="n_nationkey")
+    upsert_hudi(nation.where(F.col("n_nationkey") % 2 == 0), root)
+    delete_hudi(
+        nation.where(F.col("n_nationkey") % 7 == 0).select("n_nationkey"), root
+    )
+    cluster_hudi(root)
+    rows = [
+        (i, action, op)
+        for i, (_instant, action, op) in enumerate(hudi_timeline(root))
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("idx", T.IntegerType()),
+            T.StructField("action", T.StringType()),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
