@@ -8,7 +8,8 @@ FILES triple for any table this engine can read, format auto-detected:
     python -m atlas_migration_repo_spark.lakehouse fsck     <path>
 
 Formats: Delta (`_delta_log/`), Iceberg v2 (`metadata/version-hint.text`),
-and the engine's own TableLog (`_log/`). Pure metadata reads — no Spark
+Hudi COW (`.hoodie/hoodie.properties`), and the engine's own TableLog
+(`_log/`). Pure metadata reads — no Spark
 session, no data scan; output is one JSON document on stdout (stderr
 stays clean for piping). This is the operator-facing half of the interop
 modules: a user migrating from the reference's Databricks/S3 stack keeps
@@ -27,10 +28,13 @@ def detect_format(path: str) -> str:
         return "delta"
     if os.path.exists(os.path.join(path, "metadata", "version-hint.text")):
         return "iceberg"
+    if os.path.exists(os.path.join(path, ".hoodie", "hoodie.properties")):
+        return "hudi"
     if os.path.isdir(os.path.join(path, "_log")):
         return "tablelog"
     raise FileNotFoundError(
-        f"no _delta_log/, metadata/version-hint.text or _log/ under {path}"
+        f"no _delta_log/, metadata/version-hint.text, .hoodie/ or _log/ "
+        f"under {path}"
     )
 
 
@@ -235,6 +239,85 @@ def _tablelog_files(path: str) -> list[dict]:
     ]
 
 
+# -- hudi --------------------------------------------------------------------
+def _hudi_describe(path: str) -> dict:
+    from atlas_migration_repo_spark.sources.hudi_interop import (
+        _read_props,
+        _replay_hudi,
+        completed_instants,
+    )
+
+    props = _read_props(path)
+    latest, schema_json, slices = _replay_hudi(path)
+    return {
+        "format": "hudi",
+        "table_name": props.get("hoodie.table.name"),
+        "table_type": props.get("hoodie.table.type"),
+        "latest_instant": latest,
+        "num_commits": len(completed_instants(path)),
+        "record_key": props.get("hoodie.table.recordkey.fields"),
+        "partition_fields": props.get("hoodie.table.partition.fields") or None,
+        "num_file_groups": len(slices),
+        "size_bytes": sum(
+            s["stat"].get("fileSizeInBytes", 0) for s in slices
+        ),
+        "num_records": sum(s["stat"].get("numWrites", 0) for s in slices),
+    }
+
+
+def _hudi_history(path: str) -> list[dict]:
+    from atlas_migration_repo_spark.sources.hudi_interop import (
+        _read_commit_meta,
+        completed_instants,
+    )
+
+    out = []
+    for instant, action in completed_instants(path):
+        meta = _read_commit_meta(path, instant, action)
+        stats = [
+            st
+            for sts in (meta.get("partitionToWriteStats") or {}).values()
+            for st in sts
+        ]
+        out.append(
+            {
+                "instant": instant,
+                "action": action,
+                "operation": meta.get("operationType"),
+                "num_written_files": len(stats),
+                "num_writes": sum(st.get("numWrites", 0) for st in stats),
+                "num_updates": sum(
+                    st.get("numUpdateWrites", 0) for st in stats
+                ),
+                "num_deletes": sum(st.get("numDeletes", 0) for st in stats),
+                "num_replaced_file_groups": sum(
+                    len(v)
+                    for v in (
+                        meta.get("partitionToReplaceFileIds") or {}
+                    ).values()
+                ),
+            }
+        )
+    return out
+
+
+def _hudi_files(path: str) -> list[dict]:
+    from atlas_migration_repo_spark.sources.hudi_interop import _replay_hudi
+
+    _, _, slices = _replay_hudi(path)
+    return [
+        {
+            "path": s["stat"]["path"],
+            "file_id": s["fileId"],
+            "partition": s["partition"] or None,
+            "instant": s["instant"],
+            "size_bytes": s["stat"].get("fileSizeInBytes", 0),
+            "num_records": s["stat"].get("numWrites", 0),
+        }
+        for s in slices
+    ]
+
+
 _DISPATCH = {
     ("delta", "describe"): _delta_describe,
     ("delta", "history"): _delta_history,
@@ -245,6 +328,9 @@ _DISPATCH = {
     ("tablelog", "describe"): _tablelog_describe,
     ("tablelog", "history"): _tablelog_history,
     ("tablelog", "files"): _tablelog_files,
+    ("hudi", "describe"): _hudi_describe,
+    ("hudi", "history"): _hudi_history,
+    ("hudi", "files"): _hudi_files,
 }
 
 
@@ -402,6 +488,27 @@ def fsck(path: str) -> dict:
                         errors.append(
                             f"size mismatch: {f['file_path']}"
                         )
+    elif fmt == "hudi":
+        from atlas_migration_repo_spark.sources.hudi_interop import (
+            _replay_hudi,
+        )
+
+        _, _, slices = _replay_hudi(path)
+        for s in slices:
+            st = s["stat"]
+            full = os.path.join(path, st["path"])
+            checked += 1
+            if not os.path.exists(full):
+                errors.append(f"missing base file: {st['path']}")
+            elif (
+                st.get("fileSizeInBytes")
+                and os.path.getsize(full) != st["fileSizeInBytes"]
+            ):
+                errors.append(
+                    f"size mismatch: {st['path']} "
+                    f"stat={st['fileSizeInBytes']} "
+                    f"disk={os.path.getsize(full)}"
+                )
     else:  # tablelog
         from atlas_migration_repo_spark.sources.table_log import TableLog
 

@@ -334,3 +334,29 @@ def test_timeline_operation_types(spark):
             action == "replacecommit"
         )
     assert read_hudi(spark, root).count() == 50
+
+
+def test_lakehouse_cli_on_hudi(spark):
+    """The operational CLI auto-detects Hudi roots and serves the
+    describe/history/files/fsck verbs from timeline metadata alone."""
+    from atlas_migration_repo_spark.lakehouse import (
+        _DISPATCH,
+        detect_format,
+        fsck,
+    )
+
+    root = _fresh("t_hudi_cli")
+    write_hudi(
+        spark.range(0, 100).select("id").coalesce(1), root, record_key="id"
+    )
+    upsert_hudi(spark.range(0, 10).select("id"), root)
+    assert detect_format(root) == "hudi"
+    d = _DISPATCH[("hudi", "describe")](root)
+    assert d["num_commits"] == 2 and d["num_records"] == 100
+    h = _DISPATCH[("hudi", "history")](root)
+    assert [x["operation"] for x in h] == ["insert", "upsert"]
+    assert h[1]["num_updates"] == 10
+    files = _DISPATCH[("hudi", "files")](root)
+    assert len(files) == 1  # the upsert produced a new slice of the group
+    chk = fsck(root)
+    assert chk["ok"] and chk["checked_files"] == 1
