@@ -228,6 +228,69 @@ class AtlasEngine:
             self.spark, path, from_snapshot_id, to_snapshot_id
         )
 
+    def read_hudi(
+        self,
+        path: str,
+        as_of: str | None = None,
+        partition_eq: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Snapshot / time-travel read of a Hudi COW table at `path`
+        (as_of = timeline instant), with timeline-level partition
+        pruning."""
+        from atlas_migration_repo_spark.sources.hudi_interop import read_hudi
+
+        return read_hudi(self.spark, path, as_of=as_of, partition_eq=partition_eq)
+
+    def write_hudi(
+        self,
+        df: DataFrame,
+        path: str,
+        record_key: str,
+        partition_by: list[str] | None = None,
+        operation: str = "insert",
+        **kw,
+    ) -> str:
+        """Land `df` as one Hudi COW commit (insert or insert_overwrite);
+        returns the instant. Extra kwargs: precombine, checkpoint,
+        event_time_field, table_name."""
+        from atlas_migration_repo_spark.sources.hudi_interop import write_hudi
+
+        return write_hudi(
+            df,
+            path,
+            record_key=record_key,
+            partition_by=partition_by,
+            operation=operation,
+            **kw,
+        )
+
+    def upsert_hudi(self, df: DataFrame, path: str) -> str:
+        """Hudi COW UPSERT: precombine-deduped batch tagged against live
+        file groups; only affected groups rewrite."""
+        from atlas_migration_repo_spark.sources.hudi_interop import upsert_hudi
+
+        return upsert_hudi(df, path)
+
+    def delete_hudi(self, keys_df: DataFrame, path: str) -> str:
+        """Hudi COW DELETE by record-key batch."""
+        from atlas_migration_repo_spark.sources.hudi_interop import delete_hudi
+
+        return delete_hudi(keys_df, path)
+
+    def cluster_hudi(self, path: str) -> str:
+        """Compact small file groups via a clustering replacecommit."""
+        from atlas_migration_repo_spark.sources.hudi_interop import cluster_hudi
+
+        return cluster_hudi(path)
+
+    def hudi_timeline(self, path: str) -> list[tuple[str, str, str]]:
+        """Completed timeline: (instant, action, operationType) rows."""
+        from atlas_migration_repo_spark.sources.hudi_interop import (
+            hudi_timeline,
+        )
+
+        return hudi_timeline(path)
+
     def remove_orphan_files(
         self, path: str, older_than_ms: int = 3 * 86_400_000
     ) -> list[str]:

@@ -362,3 +362,51 @@ def sink_uniform_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(reader).alias("reader"), "n_rows", "n_distinct")
         )
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "sink_hudi_stream",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def sink_hudi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Hudi landing: each micro-batch commits to a COW table
+    with a deltastreamer-style checkpoint key (`events:<batchId>`), so a
+    replayed batch — simulated by literally landing every batch twice —
+    is a committed NO-OP on the timeline. The oracle checks totals AND
+    distinct ids, which catches any double-write. 100 TB story: one
+    timeline instant per batch, new file groups only (no rewrite), with
+    clustering as the out-of-band small-file compactor."""
+    from atlas_migration_repo_spark.sources.hudi_interop import (
+        read_hudi,
+        write_hudi,
+    )
+
+    root = scratch_path(sf_dir, "events_hudi_stream")
+    shutil.rmtree(root, ignore_errors=True)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("event_id", "event_type", "value")
+        for _attempt in range(2):  # second call = simulated replay
+            write_hudi(
+                batch,
+                root,
+                record_key="event_id",
+                checkpoint=f"events:{batch_id}",
+            )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").cast("bigint").alias("n_distinct"),
+    )
