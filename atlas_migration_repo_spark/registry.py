@@ -95,15 +95,29 @@ _DRIVER_SAMPLE_PREFIX = (
     "delta_zorder",
     "delta_stream",
     "delta_adopt_tablelog",
+    # round-6 debut: the Hudi COW bridge (all oracle-gated) — sampled in
+    # its first round so the third format carries driver-hash evidence
+    "hudi_roundtrip",
+    "hudi_upsert_cow",
+    "hudi_time_travel",
+    "hudi_incremental",
+    "hudi_clustering",
+    # -- past the ~50-entry driver window: family reps that keep the
+    #    family-span invariant for modules already driver-covered, plus
+    #    rows-only entries (advisor: rows-only goes AFTER oracle-verified
+    #    entries, never displacing them in the sample) --------------------
     "str_basic",
     "json_funcs",
     "stream_watermark",
     "text_wordcount",
     "dedup_clusters",
-    # -- past the ~50-entry driver window: family reps that keep the
-    #    family-span invariant for modules already driver-covered, plus
-    #    rows-only entries (advisor: rows-only goes AFTER oracle-verified
-    #    entries, never displacing them in the sample) --------------------
+    "hudi_partition_pruning",
+    "hudi_delete_cow",
+    "hudi_insert_overwrite",
+    "hudi_sink_txn",
+    "hudi_event_range",
+    "hudi_timeline",
+    "sink_hudi_stream",
     "delta_rename_travel",
     "delta_widen_travel",
     "lakehouse_uniform_sync",
