@@ -258,6 +258,7 @@ def _hudi_describe(path: str) -> dict:
         "record_key": props.get("hoodie.table.recordkey.fields"),
         "partition_fields": props.get("hoodie.table.partition.fields") or None,
         "num_file_groups": len(slices),
+        "num_log_files": sum(len(s.get("logs", [])) for s in slices),
         "size_bytes": sum(
             s["stat"].get("fileSizeInBytes", 0) for s in slices
         ),
@@ -313,6 +314,7 @@ def _hudi_files(path: str) -> list[dict]:
             "instant": s["instant"],
             "size_bytes": s["stat"].get("fileSizeInBytes", 0),
             "num_records": s["stat"].get("numWrites", 0),
+            "log_files": [lg["stat"]["path"] for lg in s.get("logs", [])],
         }
         for s in slices
     ]
@@ -495,20 +497,21 @@ def fsck(path: str) -> dict:
 
         _, _, slices = _replay_hudi(path)
         for s in slices:
-            st = s["stat"]
-            full = os.path.join(path, st["path"])
-            checked += 1
-            if not os.path.exists(full):
-                errors.append(f"missing base file: {st['path']}")
-            elif (
-                st.get("fileSizeInBytes")
-                and os.path.getsize(full) != st["fileSizeInBytes"]
-            ):
-                errors.append(
-                    f"size mismatch: {st['path']} "
-                    f"stat={st['fileSizeInBytes']} "
-                    f"disk={os.path.getsize(full)}"
-                )
+            for st in [s["stat"]] + [lg["stat"] for lg in s.get("logs", [])]:
+                full = os.path.join(path, st["path"])
+                checked += 1
+                kind = "log" if "logVersion" in st else "base"
+                if not os.path.exists(full):
+                    errors.append(f"missing {kind} file: {st['path']}")
+                elif (
+                    st.get("fileSizeInBytes")
+                    and os.path.getsize(full) != st["fileSizeInBytes"]
+                ):
+                    errors.append(
+                        f"size mismatch: {st['path']} "
+                        f"stat={st['fileSizeInBytes']} "
+                        f"disk={os.path.getsize(full)}"
+                    )
     else:  # tablelog
         from atlas_migration_repo_spark.sources.table_log import TableLog
 

@@ -59,6 +59,7 @@ group identity across slices, which is why tagging joins on the
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import re
@@ -87,7 +88,20 @@ _META_COLS = (
     "_hoodie_file_name",
 )
 _WRITE_TOKEN = "0-0-0"
-_COMPLETED_RE = re.compile(r"^(\d{17})\.(commit|replacecommit)$")
+_COMPLETED_RE = re.compile(r"^(\d{17})\.(commit|deltacommit|replacecommit)$")
+_LOG_MAGIC = b"#HUDI#"
+_LOG_FORMAT_VERSION = 1
+# HoodieLogBlockType ids (delete / parquet-data) and HeaderMetadataType
+# ids (INSTANT_TIME / TARGET_INSTANT_TIME) as documented in this module;
+# framing follows the spec's field sequence (magic, size, version, type,
+# header map, content, footer map, trailing size)
+_BLOCK_DELETE = 2
+_BLOCK_PARQUET = 6
+_HDR_INSTANT_TIME = 1
+_HDR_TARGET_INSTANT_TIME = 2
+_LOG_NAME_RE = re.compile(
+    r"^\.(?P<fid>[^_]+)_(?P<base>\d{17})\.log\.(?P<ver>\d+)_(?P<token>.+)$"
+)
 
 
 class ConcurrentHudiWriteError(RuntimeError):
@@ -134,10 +148,11 @@ def _init_table(
     partition_by: list[str],
     precombine: str | None,
     event_time_field: str | None,
+    table_type: str = "COPY_ON_WRITE",
 ) -> None:
     props = {
         "hoodie.table.name": table_name,
-        "hoodie.table.type": "COPY_ON_WRITE",
+        "hoodie.table.type": table_type,
         "hoodie.table.version": "6",
         "hoodie.timeline.layout.version": "1",
         "hoodie.table.base.file.format": "PARQUET",
@@ -286,6 +301,7 @@ def _replay_hudi(path: str, as_of: str | None = None):
     {partition, fileId, instant, stat}. O(completed instants) driver
     work on JSON metadata — no storage listing, no data read."""
     groups: dict[tuple[str, str], list[tuple[str, dict]]] = {}
+    logs: dict[tuple[str, str, str], list[tuple[str, dict]]] = {}
     replaced: dict[tuple[str, str], str] = {}
     schema_json: str | None = None
     latest: str | None = None
@@ -299,7 +315,14 @@ def _replay_hudi(path: str, as_of: str | None = None):
             schema_json = sj
         for part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
-                groups.setdefault((part, st["fileId"]), []).append((instant, st))
+                if "logVersion" in st:  # MOR log append, not a base slice
+                    logs.setdefault(
+                        (part, st["fileId"], st["baseInstant"]), []
+                    ).append((instant, st))
+                else:
+                    groups.setdefault((part, st["fileId"]), []).append(
+                        (instant, st)
+                    )
         if action == "replacecommit":
             for part, fids in (
                 meta.get("partitionToReplaceFileIds") or {}
@@ -311,8 +334,21 @@ def _replay_hudi(path: str, as_of: str | None = None):
         if (part, fid) in replaced:
             continue
         instant, st = max(lst, key=lambda t: t[0])
+        # logs attach to the VISIBLE base slice by its instant; a later
+        # compaction (new base) orphans the old base's logs automatically
+        slice_logs = sorted(
+            logs.get((part, fid, instant), []), key=lambda t: t[0]
+        )
         slices.append(
-            {"partition": part, "fileId": fid, "instant": instant, "stat": st}
+            {
+                "partition": part,
+                "fileId": fid,
+                "instant": instant,
+                "stat": st,
+                "logs": [
+                    {"instant": li, "stat": ls} for li, ls in slice_logs
+                ],
+            }
         )
     slices.sort(key=lambda s: (s["partition"], s["fileId"]))
     return latest, schema_json, slices
@@ -338,12 +374,47 @@ def _part_matches(rel: str, partition_eq: dict[str, str]) -> bool:
 
 
 def _full_schema(schema_json: str) -> tuple[T.StructType, T.StructType]:
-    data = T.StructType.fromJson(json.loads(schema_json))
+    # read schemas are nullable throughout: MOR delete tombstones carry
+    # null data columns through the merge even when the written schema
+    # declared a field required
+    data = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True, f.metadata)
+            for f in T.StructType.fromJson(json.loads(schema_json)).fields
+        ]
+    )
     full = T.StructType(
         [T.StructField(c, T.StringType(), True) for c in _META_COLS]
         + list(data.fields)
     )
     return data, full
+
+
+def _scan_slices(
+    spark: SparkSession,
+    path: str,
+    slices: list[dict],
+    full: T.StructType,
+    view: str = "snapshot",
+) -> DataFrame:
+    """Full-schema scan of the given file slices. Slices WITHOUT log
+    files are one direct parquet scan; log-bearing slices (MOR) go
+    through the merge: base rows union log-block rows, latest writer
+    per record key wins, delete tombstones drop. `view="read_optimized"`
+    skips the merge and reads base files only. The merge window is the
+    ONLY shuffle, and it runs over just the log-bearing groups."""
+    merge = [s for s in slices if view == "snapshot" and s.get("logs")]
+    clean = [s for s in slices if not (view == "snapshot" and s.get("logs"))]
+    parts: list[DataFrame] = []
+    names = [f.name for f in full.fields]
+    if clean:
+        paths = [os.path.join(path, s["stat"]["path"]) for s in clean]
+        parts.append(spark.read.schema(full).parquet(*paths))
+    if merge:
+        parts.append(_merge_slices(spark, path, merge, full).select(*names))
+    if not parts:
+        return spark.createDataFrame([], full)
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def read_hudi(
@@ -352,12 +423,17 @@ def read_hudi(
     as_of: str | None = None,
     partition_eq: dict[str, str] | None = None,
     with_meta: bool = False,
+    view: str = "snapshot",
 ) -> DataFrame:
     """Snapshot (or time-travel) read: replay the timeline to the visible
     file slices, prune partitions against writeStat partitionPath IN THE
-    TIMELINE (no file listing for pruned partitions), then one Spark scan
-    over the surviving base files. Meta columns are projected away unless
-    asked for — column pruning keeps them out of the parquet read."""
+    TIMELINE (no file listing for pruned partitions), then scan the
+    survivors (merging MOR log files where present — see _scan_slices).
+    `view="read_optimized"` reads base files only, the spec's RO view.
+    Meta columns are projected away unless asked for — column pruning
+    keeps them out of the parquet read."""
+    if view not in ("snapshot", "read_optimized"):
+        raise ValueError(f"view must be snapshot|read_optimized: {view}")
     latest, schema_json, slices = _replay_hudi(path, as_of)
     if schema_json is None:
         raise FileNotFoundError(f"{path} holds no completed Hudi commits")
@@ -366,11 +442,10 @@ def read_hudi(
         slices = [
             s for s in slices if _part_matches(s["partition"], partition_eq)
         ]
-    paths = [os.path.join(path, s["stat"]["path"]) for s in slices]
     want = full if with_meta else data
-    if not paths:
+    if not slices:
         return spark.createDataFrame([], want)
-    df = spark.read.schema(full).parquet(*paths)
+    df = _scan_slices(spark, path, slices, full, view=view)
     return df if with_meta else df.select(*[f.name for f in data.fields])
 
 
@@ -381,18 +456,23 @@ def read_hudi_incremental(
     end: str | None = None,
 ) -> DataFrame:
     """Incremental query: records written by commits in (begin, end].
-    Only slices NEWER than `begin` can hold such records (COW preserves
-    `_hoodie_commit_time` on carried rows), so the scan reads just those
-    files and the commit-time filter pushes to parquet."""
+    Only slices with a base file OR a log file newer than `begin` can
+    hold such records (COW rewrites and MOR compactions both preserve
+    `_hoodie_commit_time` on carried rows), so the scan touches just
+    those file groups and the commit-time filter drops carried rows."""
     latest, schema_json, slices = _replay_hudi(path, end)
     if schema_json is None:
         raise FileNotFoundError(f"{path} holds no completed Hudi commits")
     data, full = _full_schema(schema_json)
-    newer = [s for s in slices if s["instant"] > begin]
-    paths = [os.path.join(path, s["stat"]["path"]) for s in newer]
-    if not paths:
+    qual = [
+        s
+        for s in slices
+        if s["instant"] > begin
+        or any(lg["instant"] > begin for lg in s.get("logs", []))
+    ]
+    if not qual:
         return spark.createDataFrame([], data)
-    df = spark.read.schema(full).parquet(*paths)
+    df = _scan_slices(spark, path, qual, full)
     cond = F.col("_hoodie_commit_time") > F.lit(begin)
     if end is not None:
         cond = cond & (F.col("_hoodie_commit_time") <= F.lit(end))
@@ -710,6 +790,7 @@ def write_hudi(
     table_name: str | None = None,
     checkpoint: str | None = None,
     event_time_field: str | None = None,
+    table_type: str = "COPY_ON_WRITE",
 ) -> str:
     """Land `df` as one Hudi COW commit and return its instant.
 
@@ -723,6 +804,8 @@ def write_hudi(
     if operation not in ("insert", "insert_overwrite"):
         raise ValueError(f"operation must be insert|insert_overwrite: {operation}")
     partition_by = list(partition_by or [])
+    if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        raise ValueError(f"unknown table_type: {table_type}")
     if not _table_exists(path):
         _init_table(
             path,
@@ -731,6 +814,7 @@ def write_hudi(
             partition_by,
             precombine,
             event_time_field,
+            table_type,
         )
     props = _read_props(path)
     if props["hoodie.table.recordkey.fields"] != record_key:
@@ -748,7 +832,12 @@ def write_hudi(
         *[f.name for f in df.schema.fields]
     ).schema.json()
 
-    action = "commit" if operation == "insert" else "replacecommit"
+    mor = props.get("hoodie.table.type") == "MERGE_ON_READ"
+    if operation == "insert":
+        # MOR write commits are deltacommits; COW writes are commits
+        action = "deltacommit" if mor else "commit"
+    else:
+        action = "replacecommit"
     base = {i for i, _ in completed_instants(path)}
     instant = _claim_instant(path, action)
 
@@ -847,11 +936,20 @@ def upsert_hudi(
             .drop("__rn")
         )
 
+    mor = props.get("hoodie.table.type") == "MERGE_ON_READ"
     base = {i for i, _ in completed_instants(path)}
-    instant = _claim_instant(path, "commit")
+    instant = _claim_instant(path, "deltacommit" if mor else "commit")
 
+    # tagging reads the READ-OPTIMIZED view: every live key's file-group
+    # membership comes from a base file (inserts always create bases),
+    # and a key tombstoned by a MOR delete block still tags to its old
+    # group — a re-insert there is a later log record that outranks the
+    # tombstone, which is exactly the upsert-after-delete semantics
     current = read_hudi(
-        SparkSession.getActiveSession() or df.sparkSession, path, with_meta=True
+        SparkSession.getActiveSession() or df.sparkSession,
+        path,
+        with_meta=True,
+        view="read_optimized",
     ).withColumn("__fid", _fid_from_filename())
     keymap = current.select(
         F.col("_hoodie_record_key").alias("__key"),
@@ -873,8 +971,47 @@ def upsert_hudi(
     }
     affected = set(upd_counts)
 
+    order = list(_META_COLS) + data_cols + ["__fid"]
     pieces: list[DataFrame] = []
-    if affected:
+    log_stats: list[dict] = []
+    if affected and mor:
+        # MERGE-ON-READ: updates become log-block appends to the
+        # affected file groups — the old base files are never read
+        info = {
+            s["fileId"]: {
+                "part": s["partition"],
+                "base": s["instant"],
+                "ver": len(s.get("logs", [])) + 1,
+                "base_file": os.path.basename(s["stat"]["path"]),
+            }
+            for s in slices
+            if s["fileId"] in affected
+        }
+        upd_rows = _fresh_meta_cols(
+            updates, instant, record_key, partition_by, F.col("__fid")
+        )
+        for fid, rel, n, size in _append_log_files(
+            upd_rows.select(*order), path, instant, info, kind="data"
+        ):
+            inf = info[fid]
+            log_stats.append(
+                {
+                    "fileId": fid,
+                    "path": rel,
+                    "prevCommit": inf["base"],
+                    "numWrites": n,
+                    "numDeletes": 0,
+                    "numUpdateWrites": n,
+                    "numInserts": 0,
+                    "totalWriteBytes": size,
+                    "fileSizeInBytes": size,
+                    "partitionPath": inf["part"],
+                    "logVersion": inf["ver"],
+                    "baseInstant": inf["base"],
+                    "baseFile": inf["base_file"],
+                }
+            )
+    elif affected:
         aff_paths = [
             os.path.join(path, s["stat"]["path"])
             for s in slices
@@ -904,11 +1041,9 @@ def upsert_hudi(
         upd_rows = _fresh_meta_cols(
             updates, instant, record_key, partition_by, F.col("__fid")
         )
-        order = list(_META_COLS) + data_cols + ["__fid"]
         pieces.append(carried.select(*order))
         pieces.append(upd_rows.select(*order))
 
-    ins_counts: dict[str, int] = {}
     if inserts.limit(1).count() > 0:
         ins_src = (
             inserts.repartition(*partition_by) if partition_by else inserts
@@ -920,22 +1055,22 @@ def upsert_hudi(
         ins_rows = _fresh_meta_cols(
             ins_src, instant, record_key, partition_by, fid_col
         ).withColumn("__fid", fid_col)
-        order = list(_META_COLS) + data_cols + ["__fid"]
         pieces.append(ins_rows.select(*order))
 
-    if not pieces:
+    action = "deltacommit" if mor else "commit"
+    extra = (
+        {"deltastreamer.checkpoint.key": checkpoint} if checkpoint else None
+    )
+    if not pieces and not log_stats:
         # nothing to write: empty incoming batch — publish an empty commit
-        meta = _commit_meta(
-            "upsert",
-            {},
-            schema_json,
-            {"deltastreamer.checkpoint.key": checkpoint} if checkpoint else None,
-        )
-        _complete_instant(path, instant, "commit", meta)
+        meta = _commit_meta("upsert", {}, schema_json, extra)
+        _complete_instant(path, instant, action, meta)
         return instant
 
-    out = reduce(lambda a, b: a.unionByName(b), pieces)
-    placed = _stage_place(out, path, instant, partition_by)
+    placed: list[dict] = []
+    if pieces:
+        out = reduce(lambda a, b: a.unionByName(b), pieces)
+        placed = _stage_place(out, path, instant, partition_by)
     prev_by_group = {
         (s["partition"], s["fileId"]): s["instant"] for s in slices
     }
@@ -946,14 +1081,14 @@ def upsert_hudi(
         path,
         updates_by_fid=upd_counts,
     )
-    extra = (
-        {"deltastreamer.checkpoint.key": checkpoint} if checkpoint else None
-    )
+    for st in log_stats:
+        p2ws.setdefault(st["partitionPath"], []).append(st)
     meta = _commit_meta("upsert", p2ws, schema_json, extra)
-    _check_conflicts(
-        path, base, {(p["partition"], p["fid"]) for p in placed}
-    )
-    _complete_instant(path, instant, "commit", meta)
+    touched = {(p["partition"], p["fid"]) for p in placed} | {
+        (st["partitionPath"], st["fileId"]) for st in log_stats
+    }
+    _check_conflicts(path, base, touched)
+    _complete_instant(path, instant, action, meta)
     return instant
 
 
@@ -974,13 +1109,15 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
     _, schema_json, slices = _replay_hudi(path)
     if schema_json is None:
         raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    mor = props.get("hoodie.table.type") == "MERGE_ON_READ"
+    action = "deltacommit" if mor else "commit"
     base = {i for i, _ in completed_instants(path)}
-    instant = _claim_instant(path, "commit")
+    instant = _claim_instant(path, action)
 
     _, full = _full_schema(schema_json)
-    current = read_hudi(spark, path, with_meta=True).withColumn(
-        "__fid", _fid_from_filename()
-    )
+    current = read_hudi(
+        spark, path, with_meta=True, view="read_optimized"
+    ).withColumn("__fid", _fid_from_filename())
     del_keys = keys_df.select(
         F.col(record_key).cast("string").alias("__key")
     ).distinct()
@@ -994,10 +1131,61 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
     }
     if not del_counts:
         meta = _commit_meta("delete", {}, schema_json)
-        _complete_instant(path, instant, "commit", meta)
+        _complete_instant(path, instant, action, meta)
         return instant
 
     slice_by_fid = {s["fileId"]: s for s in slices}
+    if mor:
+        # MERGE-ON-READ: deletes append tombstone blocks (avro delete
+        # records) to the affected groups' log files — no base is read
+        # beyond the key column used for tagging above
+        info = {
+            fid: {
+                "part": slice_by_fid[fid]["partition"],
+                "base": slice_by_fid[fid]["instant"],
+                "ver": len(slice_by_fid[fid].get("logs", [])) + 1,
+                "base_file": os.path.basename(
+                    slice_by_fid[fid]["stat"]["path"]
+                ),
+            }
+            for fid in sorted(del_counts)
+        }
+        tomb = hit.select(
+            "_hoodie_record_key", "_hoodie_partition_path", "__fid"
+        )
+        log_stats = []
+        for fid, rel, n, size in _append_log_files(
+            tomb, path, instant, info, kind="delete"
+        ):
+            inf = info[fid]
+            log_stats.append(
+                {
+                    "fileId": fid,
+                    "path": rel,
+                    "prevCommit": inf["base"],
+                    "numWrites": 0,
+                    "numDeletes": n,
+                    "numUpdateWrites": 0,
+                    "numInserts": 0,
+                    "totalWriteBytes": size,
+                    "fileSizeInBytes": size,
+                    "partitionPath": inf["part"],
+                    "logVersion": inf["ver"],
+                    "baseInstant": inf["base"],
+                    "baseFile": inf["base_file"],
+                }
+            )
+        p2ws: dict[str, list[dict]] = {}
+        for st in log_stats:
+            p2ws.setdefault(st["partitionPath"], []).append(st)
+        meta = _commit_meta("delete", p2ws, schema_json)
+        _check_conflicts(
+            path,
+            base,
+            {(st["partitionPath"], st["fileId"]) for st in log_stats},
+        )
+        _complete_instant(path, instant, action, meta)
+        return instant
     aff_paths = [
         os.path.join(path, slice_by_fid[fid]["stat"]["path"])
         for fid in sorted(del_counts)
@@ -1085,6 +1273,11 @@ def cluster_hudi(path: str) -> str:
         raise FileNotFoundError(f"{path} holds no completed Hudi commits")
     if not slices:
         raise ValueError("nothing to cluster: no live file slices")
+    if any(s.get("logs") for s in slices):
+        raise ValueError(
+            "clustering requires compacted slices: run compact_hudi first "
+            "(log files would be silently dropped by a base-only rewrite)"
+        )
     base = {i for i, _ in completed_instants(path)}
     instant = _claim_instant(path, "replacecommit")
 
@@ -1496,3 +1689,515 @@ def hudi_timeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# MERGE-ON-READ: log-file format, log appends, merge reads, compaction
+# ---------------------------------------------------------------------------
+def _log_block_bytes(
+    block_type: int, header: dict[int, str], content: bytes
+) -> bytes:
+    """Frame one log block per the spec's field sequence: magic, block
+    size, log format version, block type, header map (id -> utf8),
+    content length + content, footer map, trailing block size (enables
+    reverse scans). Big-endian fixed-width ints; map entries sorted by
+    id for determinism."""
+    import struct
+
+    body = io.BytesIO()
+    body.write(struct.pack(">i", _LOG_FORMAT_VERSION))
+    body.write(struct.pack(">i", block_type))
+    body.write(struct.pack(">i", len(header)))
+    for k in sorted(header):
+        v = header[k].encode()
+        body.write(struct.pack(">i", k))
+        body.write(struct.pack(">i", len(v)))
+        body.write(v)
+    body.write(struct.pack(">q", len(content)))
+    body.write(content)
+    body.write(struct.pack(">i", 0))  # footer map: empty
+    b = body.getvalue()
+    total = len(b) + 8  # + the trailing size field
+    out = io.BytesIO()
+    out.write(_LOG_MAGIC)
+    out.write(struct.pack(">q", total))
+    out.write(b)
+    out.write(struct.pack(">q", total))
+    return out.getvalue()
+
+
+def _parse_log_file(fp: str) -> list[tuple[int, dict, bytes]]:
+    """Parse every block of a log file -> [(type, header, content)].
+    Torn trailing bytes (a crashed append) are treated as the spec's
+    corrupt-block case: parsing stops at the last complete block."""
+    import struct
+
+    out: list[tuple[int, dict, bytes]] = []
+    with open(fp, "rb") as fh:
+        data = fh.read()
+    pos = 0
+    n = len(data)
+    while pos + len(_LOG_MAGIC) + 8 <= n:
+        if data[pos : pos + len(_LOG_MAGIC)] != _LOG_MAGIC:
+            break  # torn/corrupt tail
+        pos += len(_LOG_MAGIC)
+        (total,) = struct.unpack(">q", data[pos : pos + 8])
+        pos += 8
+        if pos + total > n:
+            break  # incomplete block
+        end = pos + total
+        (_ver,) = struct.unpack(">i", data[pos : pos + 4])
+        (btype,) = struct.unpack(">i", data[pos + 4 : pos + 8])
+        cur = pos + 8
+        (n_hdr,) = struct.unpack(">i", data[cur : cur + 4])
+        cur += 4
+        header: dict[int, str] = {}
+        for _ in range(n_hdr):
+            k, ln = struct.unpack(">ii", data[cur : cur + 8])
+            cur += 8
+            header[k] = data[cur : cur + ln].decode()
+            cur += ln
+        (clen,) = struct.unpack(">q", data[cur : cur + 8])
+        cur += 8
+        content = data[cur : cur + clen]
+        out.append((btype, header, content))
+        pos = end
+    return out
+
+
+_DELETE_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("recordKey", T.StringType(), False),
+        T.StructField("partitionPath", T.StringType(), True),
+        T.StructField("orderingVal", T.LongType(), True),
+    ]
+)
+
+
+def _append_log_files(
+    df: DataFrame,
+    path: str,
+    instant: str,
+    info: dict[str, dict],
+    kind: str,
+) -> list[tuple[str, str, int, int]]:
+    """Distributed MOR log append: repartition by file group, each task
+    writes ONE new log-file version per group it holds — a magic-framed
+    block of parquet-data (updates) or avro delete records (tombstones)
+    — and yields its metadata row. Data bytes never pass through the
+    driver; the returned list is file-group-scale. Log files publish via
+    hard link (put-if-absent): a concurrent writer racing the same log
+    version fails loudly rather than clobbering."""
+    assert kind in ("data", "delete")
+    out_rows = df.repartition(F.col("__fid")).mapInPandas(
+        _log_writer_fn(path, instant, info, kind),
+        schema="fid string, rel string, n long, size long",
+    )
+    return [
+        (r["fid"], r["rel"], int(r["n"]), int(r["size"]))
+        for r in out_rows.collect()
+    ]
+
+
+def _log_writer_fn(path: str, instant: str, info: dict[str, dict], kind: str):
+    def write_groups(pdfs):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        from atlas_migration_repo_spark.sources.avro import (
+            _container_bytes,
+            avro_schema_for,
+        )
+
+        acc: dict[str, list] = {}
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for fid, g in pdf.groupby("__fid", sort=False):
+                acc.setdefault(fid, []).append(g)
+        outs = []
+        for fid, frames in acc.items():
+            g = pd.concat(frames, ignore_index=True)
+            inf = info[fid]
+            name = f".{fid}_{inf['base']}.log.{inf['ver']}_{_WRITE_TOKEN}"
+            dest_dir = (
+                _os.path.join(path, inf["part"]) if inf["part"] else path
+            )
+            if kind == "data":
+                g2 = g.drop(columns=["__fid"]).copy()
+                g2["_hoodie_file_name"] = name
+                buf = io.BytesIO()
+                _pq.write_table(
+                    pa.Table.from_pandas(g2, preserve_index=False), buf
+                )
+                content = buf.getvalue()
+                btype = _BLOCK_PARQUET
+                n = len(g2)
+            else:
+                rows = list(
+                    zip(
+                        g["_hoodie_record_key"],
+                        g["_hoodie_partition_path"],
+                        [0] * len(g),
+                    )
+                )
+                content = _container_bytes(
+                    avro_schema_for(_DELETE_RECORD_SCHEMA, "HoodieDeleteRecord"),
+                    rows,
+                )
+                btype = _BLOCK_DELETE
+                n = len(rows)
+            block = _log_block_bytes(
+                btype,
+                {
+                    _HDR_INSTANT_TIME: instant,
+                    _HDR_TARGET_INSTANT_TIME: inf["base"],
+                },
+                content,
+            )
+            _os.makedirs(dest_dir, exist_ok=True)
+            tmp = _os.path.join(dest_dir, f".tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "wb") as fh:
+                fh.write(block)
+                fh.flush()
+                _os.fsync(fh.fileno())
+            dest = _os.path.join(dest_dir, name)
+            _os.link(tmp, dest)  # put-if-absent: racing version collides
+            _os.unlink(tmp)
+            outs.append(
+                (fid, _os.path.relpath(dest, path), n, _os.path.getsize(dest))
+            )
+        yield pd.DataFrame(outs, columns=["fid", "rel", "n", "size"])
+
+    return write_groups
+
+
+def _log_rows_df(
+    spark: SparkSession, path: str, slices: list[dict], full: T.StructType
+) -> DataFrame:
+    """Parse the log blocks of the given slices into rows, DISTRIBUTED:
+    one input row per log file fans out to tasks that open the file,
+    unwrap each block, and emit Arrow batches (parquet content read
+    in-memory; delete blocks become tombstone rows with null data
+    columns). Ordering column `__ord` = '<logInstant>:<blockIdx>' —
+    string-sortable above the base rows' empty ord."""
+    rows = []
+    for s in slices:
+        for lg in s.get("logs", []):
+            rows.append(
+                (
+                    os.path.join(path, lg["stat"]["path"]),
+                    lg["instant"],
+                    s["fileId"],
+                    s["partition"],
+                )
+            )
+    names = [f.name for f in full.fields]
+    out_schema = T.StructType(
+        list(full.fields)
+        + [
+            T.StructField("__ord", T.StringType()),
+            T.StructField("__del", T.IntegerType()),
+            T.StructField("__fid", T.StringType()),
+        ]
+    )
+
+    def parse(pdfs):
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from atlas_migration_repo_spark.sources.avro import parse_container
+
+        for pdf in pdfs:
+            for fp, ord_, fid, _part in pdf.itertuples(index=False):
+                for bi, (btype, _hdr, content) in enumerate(
+                    _parse_log_file(fp)
+                ):
+                    if btype == _BLOCK_PARQUET:
+                        out = _pq.read_table(io.BytesIO(content)).to_pandas()
+                        out = out.reindex(columns=names)
+                        out["__del"] = 0
+                    elif btype == _BLOCK_DELETE:
+                        _, recs = parse_container(content)
+                        out = pd.DataFrame(
+                            {c: [None] * len(recs) for c in names}
+                        )
+                        out["_hoodie_record_key"] = [r[0] for r in recs]
+                        out["_hoodie_partition_path"] = [r[1] for r in recs]
+                        out["__del"] = 1
+                    else:
+                        continue
+                    out["__ord"] = f"{ord_}:{bi:04d}"
+                    out["__fid"] = fid
+                    yield out
+
+    inp = spark.createDataFrame(
+        rows, "path string, ord string, fid string, part string"
+    ).repartition(min(len(rows), 32))
+    return inp.mapInPandas(parse, schema=out_schema)
+
+
+def _merge_slices(
+    spark: SparkSession, path: str, slices: list[dict], full: T.StructType
+) -> DataFrame:
+    """MOR snapshot merge over LOG-BEARING slices: base rows (ord='')
+    union log rows (ord=instant:block), latest writer per record key
+    wins, winners that are delete tombstones drop. One window shuffle,
+    scoped to exactly these file groups. Output keeps __fid for callers
+    (compaction) and the full meta+data schema."""
+    from pyspark.sql import Window
+
+    base_paths = [os.path.join(path, s["stat"]["path"]) for s in slices]
+    base = (
+        spark.read.schema(full)
+        .parquet(*base_paths)
+        .withColumn("__ord", F.lit(""))
+        .withColumn("__del", F.lit(0))
+        .withColumn("__fid", _fid_from_filename())
+    )
+    logs = _log_rows_df(spark, path, slices, full)
+    ev = base.unionByName(logs)
+    w = Window.partitionBy(
+        "_hoodie_record_key", "_hoodie_partition_path"
+    ).orderBy(F.col("__ord").desc())
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("__del") == 0))
+        .drop("__rn", "__ord", "__del")
+    )
+
+
+def compact_hudi(path: str) -> str:
+    """MOR compaction: merge every log-bearing file slice into a NEW
+    base file at the compaction instant (completed as a `commit`, per
+    the spec's compaction-on-MOR action), preserving record meta
+    columns — incremental pulls stay exact across the rewrite. Old
+    logs reference the old base instant, so replay orphans them
+    automatically; time travel below the compaction still merges them.
+    A group whose records all died publishes a 0-row base."""
+    spark = SparkSession.getActiveSession()
+    assert spark is not None, "compact_hudi needs an active SparkSession"
+    props = _read_props(path)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise ValueError("compact_hudi applies to MERGE_ON_READ tables")
+    partition_by = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    _, schema_json, slices = _replay_hudi(path)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    log_slices = [s for s in slices if s.get("logs")]
+    if not log_slices:
+        raise ValueError("nothing to compact: no file slice carries logs")
+    base = {i for i, _ in completed_instants(path)}
+    instant = _claim_instant(path, "commit")
+
+    data, full = _full_schema(schema_json)
+    merged = _merge_slices(spark, path, log_slices, full)
+    out = merged.withColumn(
+        "_hoodie_file_name",
+        F.concat(F.col("__fid"), F.lit(f"_{_WRITE_TOKEN}_{instant}.parquet")),
+    ).select(
+        *(list(_META_COLS) + [f.name for f in data.fields] + ["__fid"])
+    )
+    placed = _stage_place(out, path, instant, partition_by)
+    placed_fids = {p["fid"] for p in placed}
+
+    # fully-tombstoned groups stage nothing — publish their empty base
+    import pyarrow.parquet as pq
+
+    for s in log_slices:
+        if s["fileId"] in placed_fids:
+            continue
+        old_fp = os.path.join(path, s["stat"]["path"])
+        dest_dir = (
+            os.path.join(path, s["partition"]) if s["partition"] else path
+        )
+        dest = os.path.join(
+            dest_dir, f"{s['fileId']}_{_WRITE_TOKEN}_{instant}.parquet"
+        )
+        pq.write_table(pq.read_schema(old_fp).empty_table(), dest)
+        placed.append(
+            {
+                "fid": s["fileId"],
+                "partition": s["partition"],
+                "rel": os.path.relpath(dest, path),
+                "rows": 0,
+                "size": os.path.getsize(dest),
+            }
+        )
+
+    prev_by_group = {
+        (s["partition"], s["fileId"]): s["instant"] for s in slices
+    }
+    p2ws = _write_stats(
+        placed,
+        prev_by_group,
+        props.get("hoodie.payload.event.time.field"),
+        path,
+    )
+    meta = _commit_meta("compact", p2ws, schema_json)
+    _check_conflicts(
+        path, base, {(s["partition"], s["fileId"]) for s in log_slices}
+    )
+    _complete_instant(path, instant, "commit", meta)
+    return instant
+
+
+# ---------------------------------------------------------------------------
+# registered MOR queries
+# ---------------------------------------------------------------------------
+@query(
+    "hudi_mor_upsert",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 3
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+def hudi_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ upsert: updates land as parquet-data LOG BLOCKS on
+    the affected file groups (no base rewrite), inserts open fresh base
+    groups; the snapshot read merges base + logs with latest-writer-wins
+    per record key. Evens present in the base (2 mod 4) come back from
+    log records, evens absent (0 mod 4) from insert bases, odds from
+    untouched base files."""
+    root = scratch_path(sf_dir, "orders_hudi_mor_upsert")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_hudi(
+        orders.where(F.col("o_orderkey") % 4 != 0),
+        root,
+        record_key="o_orderkey",
+        table_type="MERGE_ON_READ",
+    )
+    evens = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 3).alias("o_totalprice")
+    )
+    upsert_hudi(evens, root)
+    return read_hudi(spark, root)
+
+
+@query(
+    "hudi_mor_read_optimized",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+def hudi_mor_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ-OPTIMIZED view of the same MOR upsert: base files only,
+    so log-block updates (keys 2 mod 4) are NOT visible yet while the
+    insert-created bases (0 mod 4, at 3x) are — the spec's RO/snapshot
+    divergence until compaction."""
+    root = scratch_path(sf_dir, "orders_hudi_mor_ro")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_hudi(
+        orders.where(F.col("o_orderkey") % 4 != 0),
+        root,
+        record_key="o_orderkey",
+        table_type="MERGE_ON_READ",
+    )
+    evens = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 3).alias("o_totalprice")
+    )
+    upsert_hudi(evens, root)
+    return read_hudi(spark, root, view="read_optimized")
+
+
+@query(
+    "hudi_mor_delete",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def hudi_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR delete: tombstone blocks (avro HoodieDeleteRecord content)
+    append to the affected groups' logs; the snapshot merge drops the
+    keys while base files stay byte-identical."""
+    root = scratch_path(sf_dir, "orders_hudi_mor_del")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_hudi(
+        orders, root, record_key="o_orderkey", table_type="MERGE_ON_READ"
+    )
+    delete_hudi(
+        orders.where(F.col("o_orderkey") % 5 == 0).select("o_orderkey"), root
+    )
+    return read_hudi(spark, root).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+_HUDI_COMPACT_ORACLE_LEG = """
+    SELECT {phase} AS phase, COUNT(*) AS n_rows,
+           {msum} AS total
+    FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+
+@query(
+    "hudi_compaction",
+    oracle=" UNION ALL ".join(
+        _HUDI_COMPACT_ORACLE_LEG.format(
+            phase=p,
+            msum=sql_msum(
+                "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 "
+                "ELSE o_totalprice END"
+            ),
+        )
+        for p in (0, 1, 2)
+    ),
+)
+def hudi_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction folds an upsert + delete log history into new base
+    files: the snapshot answer is identical before (phase 0) and after
+    (phase 1) the compaction, and the READ-OPTIMIZED view converges to
+    it (phase 2) because the logs are now absorbed into bases."""
+    root = scratch_path(sf_dir, "orders_hudi_compact")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_hudi(
+        orders, root, record_key="o_orderkey", table_type="MERGE_ON_READ"
+    )
+    upsert_hudi(
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        ),
+        root,
+    )
+    delete_hudi(
+        orders.where(F.col("o_orderkey") % 5 == 0).select("o_orderkey"), root
+    )
+    outs = []
+
+    def snap(phase: int, view: str) -> DataFrame:
+        return (
+            read_hudi(spark, root, view=view)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .select(F.lit(phase).alias("phase"), "n_rows", "total")
+        )
+
+    outs.append(snap(0, "snapshot"))
+    compact_hudi(root)
+    outs.append(snap(1, "snapshot"))
+    outs.append(snap(2, "read_optimized"))
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -360,3 +360,139 @@ def test_lakehouse_cli_on_hudi(spark):
     assert len(files) == 1  # the upsert produced a new slice of the group
     chk = fsck(root)
     assert chk["ok"] and chk["checked_files"] == 1
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read
+# ---------------------------------------------------------------------------
+def _mor_table(spark, key, n=200):
+    root = _fresh(key)
+    df = spark.range(0, n).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+    write_hudi(
+        df.coalesce(1), root, record_key="id", table_type="MERGE_ON_READ"
+    )
+    return root
+
+
+def test_mor_log_file_layout(spark):
+    """A MOR upsert appends a spec-named log file (`.fid_base.log.v_tok`)
+    holding one magic-framed parquet-data block whose INSTANT_TIME header
+    is the upsert instant; the base file is byte-untouched."""
+    root = _mor_table(spark, "t_mor_layout")
+    _, _, before = H._replay_hudi(root)
+    base_rel = before[0]["stat"]["path"]
+    base_size = os.path.getsize(os.path.join(root, base_rel))
+    upsert_hudi(spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v")), spark_path := root)
+    i1 = completed_instants(root)[-1][0]
+    _, _, after = H._replay_hudi(root)
+    (sl,) = after
+    assert len(sl["logs"]) == 1
+    log_rel = sl["logs"][0]["stat"]["path"]
+    name = os.path.basename(log_rel)
+    m = H._LOG_NAME_RE.match(name)
+    assert m and m.group("fid") == sl["fileId"] and m.group("base") == sl["instant"]
+    fp = os.path.join(root, log_rel)
+    with open(fp, "rb") as fh:
+        assert fh.read(6) == H._LOG_MAGIC
+    blocks = H._parse_log_file(fp)
+    assert len(blocks) == 1
+    btype, header, content = blocks[0]
+    assert btype == H._BLOCK_PARQUET
+    assert header[H._HDR_INSTANT_TIME] == i1
+    assert header[H._HDR_TARGET_INSTANT_TIME] == sl["instant"]
+    # base untouched
+    assert os.path.getsize(os.path.join(root, base_rel)) == base_size
+    # deltacommit actions on the timeline
+    assert [a for _i, a in completed_instants(root)] == [
+        "deltacommit",
+        "deltacommit",
+    ]
+
+
+def test_mor_delete_then_reinsert_ordering(spark):
+    """Ordering across log blocks: delete keys 0-9 (tombstone block),
+    then re-upsert keys 0-4 — the later log record outranks the
+    tombstone, so 0-4 come back with the new value and 5-9 stay gone."""
+    root = _mor_table(spark, "t_mor_order", n=100)
+    delete_hudi(spark.range(0, 10).select("id"), root)
+    upsert_hudi(
+        spark.range(0, 5).select(F.col("id"), F.lit(42.0).alias("v")), root
+    )
+    rows = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+    assert len(rows) == 95
+    for k in range(5):
+        assert rows[k] == 42.0
+    for k in range(5, 10):
+        assert k not in rows
+
+
+def test_mor_compaction_absorbs_logs(spark):
+    """After compaction no visible slice carries logs, the RO view
+    equals the snapshot, and time travel below the compaction instant
+    still merges the old base + logs."""
+    root = _mor_table(spark, "t_mor_compact", n=100)
+    upsert_hudi(
+        spark.range(0, 20).select(F.col("id"), F.lit(-2.0).alias("v")), root
+    )
+    delete_hudi(spark.range(90, 100).select("id"), root)
+    pre = completed_instants(root)[-1][0]
+    pre_rows = sorted(
+        (r["id"], r["v"]) for r in read_hudi(spark, root).collect()
+    )
+    H.compact_hudi(root)
+    _, _, slices = H._replay_hudi(root)
+    assert all(not s["logs"] for s in slices)
+    post = sorted((r["id"], r["v"]) for r in read_hudi(spark, root).collect())
+    ro = sorted(
+        (r["id"], r["v"])
+        for r in read_hudi(spark, root, view="read_optimized").collect()
+    )
+    tt = sorted(
+        (r["id"], r["v"])
+        for r in read_hudi(spark, root, as_of=pre).collect()
+    )
+    assert pre_rows == post == ro == tt
+    assert len(post) == 90 and dict(post)[5] == -2.0
+
+
+def test_mor_incremental_includes_log_records(spark):
+    """Incremental pull on MOR: an upsert that only touched log files
+    still surfaces — qualifying file groups include those whose LOGS are
+    newer than the begin instant."""
+    root = _mor_table(spark, "t_mor_incr", n=100)
+    begin = completed_instants(root)[0][0]
+    upsert_hudi(
+        spark.range(0, 7).select(F.col("id"), F.lit(7.0).alias("v")), root
+    )
+    got = sorted(
+        (r["id"], r["v"])
+        for r in read_hudi_incremental(spark, root, begin).collect()
+    )
+    assert got == [(i, 7.0) for i in range(7)]
+
+
+def test_mor_block_framing_roundtrip(tmp_path):
+    """Two framed blocks round-trip through the parser; a torn trailing
+    write (partial block) is ignored like the spec's corrupt-block
+    handling."""
+    b1 = H._log_block_bytes(H._BLOCK_PARQUET, {1: "20240101000000000"}, b"abc")
+    b2 = H._log_block_bytes(H._BLOCK_DELETE, {1: "x", 2: "y"}, b"zz")
+    fp = tmp_path / "t.log.1_0-0-0"
+    fp.write_bytes(b1 + b2 + b"#HUDI#\x00\x00")  # torn tail
+    blocks = H._parse_log_file(str(fp))
+    assert [(t, c) for t, _h, c in blocks] == [
+        (H._BLOCK_PARQUET, b"abc"),
+        (H._BLOCK_DELETE, b"zz"),
+    ]
+    assert blocks[1][1] == {1: "x", 2: "y"}
+
+
+def test_cluster_refuses_uncompacted_mor(spark):
+    """Clustering a MOR table with live log files must refuse (a
+    base-only rewrite would silently drop the log records)."""
+    root = _mor_table(spark, "t_mor_cluster_refuse", n=50)
+    upsert_hudi(
+        spark.range(0, 5).select(F.col("id"), F.lit(1.5).alias("v")), root
+    )
+    with pytest.raises(ValueError, match="compact"):
+        cluster_hudi(root)
