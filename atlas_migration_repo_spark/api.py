@@ -291,6 +291,32 @@ class AtlasEngine:
 
         return hudi_timeline(path)
 
+    def compact_hudi(self, path: str) -> str:
+        """MOR compaction: fold log files into new base files per group."""
+        from atlas_migration_repo_spark.sources.hudi_interop import compact_hudi
+
+        return compact_hudi(path)
+
+    def savepoint_hudi(self, path: str, instant: str, comment: str = "") -> str:
+        """Savepoint the state at `instant` (cleaner-proof, restore anchor)."""
+        from atlas_migration_repo_spark.sources.hudi_interop import (
+            savepoint_hudi,
+        )
+
+        return savepoint_hudi(path, instant, comment)
+
+    def restore_hudi(self, path: str, to_instant: str) -> str:
+        """Roll the table back to a savepointed instant (destructive)."""
+        from atlas_migration_repo_spark.sources.hudi_interop import restore_hudi
+
+        return restore_hudi(path, to_instant)
+
+    def clean_hudi(self, path: str, retain_versions: int = 1) -> str:
+        """Delete superseded file slices beyond the newest N per group."""
+        from atlas_migration_repo_spark.sources.hudi_interop import clean_hudi
+
+        return clean_hudi(path, retain_versions=retain_versions)
+
     def remove_orphan_files(
         self, path: str, older_than_ms: int = 3 * 86_400_000
     ) -> list[str]:

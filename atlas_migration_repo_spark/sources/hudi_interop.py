@@ -88,7 +88,9 @@ _META_COLS = (
     "_hoodie_file_name",
 )
 _WRITE_TOKEN = "0-0-0"
-_COMPLETED_RE = re.compile(r"^(\d{17})\.(commit|deltacommit|replacecommit)$")
+_COMPLETED_RE = re.compile(
+    r"^(\d{17})\.(commit|deltacommit|replacecommit|savepoint|restore|clean)$"
+)
 _LOG_MAGIC = b"#HUDI#"
 _LOG_FORMAT_VERSION = 1
 # HoodieLogBlockType ids (delete / parquet-data) and HeaderMetadataType
@@ -2201,3 +2203,247 @@ def hudi_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs.append(snap(1, "snapshot"))
     outs.append(snap(2, "read_optimized"))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# table services: savepoint, restore, cleaner
+# ---------------------------------------------------------------------------
+def _group_history(path: str, as_of: str | None = None):
+    """FULL slice history per file group (every base version + its
+    logs), unlike _replay_hudi's latest-visible view — the cleaner and
+    savepoints reason over old versions. Returns
+    {(part, fid): [{"instant", "stat", "logs": [...]}, ...]} sorted old
+    to new, plus the replaced-group map."""
+    groups: dict[tuple[str, str], list[dict]] = {}
+    logs: dict[tuple[str, str, str], list[dict]] = {}
+    replaced: dict[tuple[str, str], str] = {}
+    for instant, action in completed_instants(path):
+        if as_of is not None and instant > as_of:
+            break
+        meta = _read_commit_meta(path, instant, action)
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                if "logVersion" in st:
+                    logs.setdefault(
+                        (part, st["fileId"], st["baseInstant"]), []
+                    ).append({"instant": instant, "stat": st})
+                else:
+                    groups.setdefault((part, st["fileId"]), []).append(
+                        {"instant": instant, "stat": st}
+                    )
+        if action == "replacecommit":
+            for part, fids in (
+                meta.get("partitionToReplaceFileIds") or {}
+            ).items():
+                for fid in fids:
+                    replaced.setdefault((part, fid), instant)
+    for (part, fid), versions in groups.items():
+        versions.sort(key=lambda v: v["instant"])
+        for v in versions:
+            v["logs"] = sorted(
+                logs.get((part, fid, v["instant"]), []),
+                key=lambda lg: lg["instant"],
+            )
+    return groups, replaced
+
+
+def savepoint_hudi(path: str, instant: str, comment: str = "") -> str:
+    """SAVEPOINT the table state at `instant`: a completed `.savepoint`
+    timeline entry listing every data/log file live at that instant.
+    The cleaner never deletes a savepointed file, and restore targets
+    savepoints — the spec's backup/rollback anchor."""
+    done = {i for i, _ in completed_instants(path)}
+    if instant not in done:
+        raise ValueError(f"cannot savepoint {instant}: not a completed instant")
+    _, _, slices = _replay_hudi(path, as_of=instant)
+    part_meta: dict[str, dict] = {}
+    for s in slices:
+        files = [s["stat"]["path"]] + [
+            lg["stat"]["path"] for lg in s.get("logs", [])
+        ]
+        part_meta.setdefault(s["partition"], {"savepointDataFile": []})[
+            "savepointDataFile"
+        ].extend(files)
+    sp = _claim_instant(path, "savepoint")
+    meta = {
+        "savepointedAt": instant,
+        "comments": comment,
+        "partitionMetadata": part_meta,
+        "operationType": "savepoint",
+    }
+    _complete_instant(path, sp, "savepoint", meta)
+    return sp
+
+
+def _savepointed_instants(path: str) -> dict[str, set[str]]:
+    """{savepointed instant: protected file relpaths} from every live
+    savepoint on the timeline."""
+    out: dict[str, set[str]] = {}
+    for instant, action in completed_instants(path):
+        if action != "savepoint":
+            continue
+        meta = _read_commit_meta(path, instant, "savepoint")
+        files = {
+            f
+            for pm in (meta.get("partitionMetadata") or {}).values()
+            for f in pm.get("savepointDataFile", [])
+        }
+        out[meta["savepointedAt"]] = files
+    return out
+
+
+def restore_hudi(path: str, to_instant: str) -> str:
+    """RESTORE the table to a SAVEPOINTED instant: every completed
+    write instant after it is rolled back — its data/log files deleted,
+    its timeline triple removed — and a `.restore` entry records what
+    was undone. Destructive by design (the spec's restore semantics);
+    refuse when `to_instant` carries no savepoint so a typo cannot
+    silently destroy history."""
+    if to_instant not in _savepointed_instants(path):
+        raise ValueError(
+            f"restore target {to_instant} is not savepointed; run "
+            "savepoint_hudi first"
+        )
+    hoodie = _hoodie_dir(path)
+    rolled: list[str] = []
+    deleted_files: list[str] = []
+    for instant, action in completed_instants(path):
+        if instant <= to_instant:
+            continue
+        if action not in ("commit", "deltacommit", "replacecommit"):
+            continue  # service entries (savepoint/clean/restore) stay
+        meta = _read_commit_meta(path, instant, action)
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                fp = os.path.join(path, st["path"])
+                if os.path.exists(fp):
+                    os.unlink(fp)
+                    deleted_files.append(st["path"])
+        for name in (
+            f"{instant}.{action}",
+            f"{instant}.{action}.requested",
+            f"{instant}.{action}.inflight",
+            f"{instant}.inflight",
+            f"{instant}.commit.requested",
+        ):
+            p = os.path.join(hoodie, name)
+            if os.path.exists(p):
+                os.unlink(p)
+        # drop coordinated-store claims for the rolled instants too, or
+        # a same-millisecond re-claim could resurrect the deleted commit
+        claims = os.path.join(hoodie, "_claims")
+        if os.path.isdir(claims):
+            for cname in os.listdir(claims):
+                if cname.startswith(f"{instant}."):
+                    os.unlink(os.path.join(claims, cname))
+        rolled.append(instant)
+    rs = _claim_instant(path, "restore")
+    meta = {
+        "restoreInstant": to_instant,
+        "instantsToRollback": rolled,
+        "numFilesDeleted": len(deleted_files),
+        "operationType": "restore",
+    }
+    _complete_instant(path, rs, "restore", meta)
+    return rs
+
+
+def clean_hudi(path: str, retain_versions: int = 1) -> str:
+    """CLEANER with the KEEP_LATEST_FILE_VERSIONS policy: per file
+    group, base slices older than the newest `retain_versions` are
+    deleted (with their log files) UNLESS a savepoint protects them.
+    Publishes a `.clean` timeline entry listing the deletions.
+    Time travel below the cleaner horizon stops resolving — the same
+    contract as Delta VACUUM's retention trimming."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    groups, replaced = _group_history(path)
+    protected: set[str] = set()
+    for files in _savepointed_instants(path).values():
+        protected.update(files)
+    deleted: list[str] = []
+    for (part, fid), versions in sorted(groups.items()):
+        # replaced groups' newest slices are still kept for time travel
+        # below the replace instant unless version-trimmed like any other
+        drop = versions[:-retain_versions] if retain_versions else versions
+        for v in drop:
+            rels = [v["stat"]["path"]] + [
+                lg["stat"]["path"] for lg in v.get("logs", [])
+            ]
+            if any(r in protected for r in rels):
+                continue
+            for rel in rels:
+                fp = os.path.join(path, rel)
+                if os.path.exists(fp):
+                    os.unlink(fp)
+                    deleted.append(rel)
+    cl = _claim_instant(path, "clean")
+    meta = {
+        "policy": "KEEP_LATEST_FILE_VERSIONS",
+        "retainVersions": retain_versions,
+        "deletedFiles": sorted(deleted),
+        "operationType": "clean",
+    }
+    _complete_instant(path, cl, "clean", meta)
+    return cl
+
+
+@query(
+    "hudi_restore",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 < 2
+    """,
+)
+def hudi_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savepoint + restore: three insert commits land thirds of orders,
+    a savepoint anchors the second instant, and restore rolls the third
+    commit back — its files and timeline entries are gone, the snapshot
+    equals the first two batches."""
+    root = scratch_path(sf_dir, "orders_hudi_restore")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(3):
+        write_hudi(
+            orders.where(F.col("o_orderkey") % 3 == i),
+            root,
+            record_key="o_orderkey",
+        )
+    second = [i for i, a in completed_instants(root) if a == "commit"][1]
+    savepoint_hudi(root, second)
+    restore_hudi(root, second)
+    return read_hudi(spark, root)
+
+
+@query(
+    "hudi_clean",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    """,
+)
+def hudi_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaner removes superseded COW slices (two upserts leave
+    three base versions of the hot file groups; KEEP_LATEST_FILE_VERSIONS=1
+    drops the two old ones) without touching the live snapshot — the
+    final read equals the source exactly (the upserts cancel out:
+    x*2*0.5 = x bit-exactly)."""
+    root = scratch_path(sf_dir, "orders_hudi_clean")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_hudi(orders, root, record_key="o_orderkey")
+    evens = orders.where(F.col("o_orderkey") % 2 == 0)
+    upsert_hudi(
+        evens.select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        ),
+        root,
+    )
+    upsert_hudi(
+        evens.select("o_orderkey", F.col("o_totalprice").alias("o_totalprice")),
+        root,
+    )
+    clean_hudi(root, retain_versions=1)
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )

@@ -496,3 +496,79 @@ def test_cluster_refuses_uncompacted_mor(spark):
     )
     with pytest.raises(ValueError, match="compact"):
         cluster_hudi(root)
+
+
+# ---------------------------------------------------------------------------
+# table services: savepoint / restore / clean
+# ---------------------------------------------------------------------------
+def test_restore_requires_savepoint(spark):
+    root = _fresh("t_hudi_restore_guard")
+    write_hudi(
+        spark.range(0, 10).select("id").coalesce(1), root, record_key="id"
+    )
+    i0 = completed_instants(root)[0][0]
+    with pytest.raises(ValueError, match="not savepointed"):
+        H.restore_hudi(root, i0)
+
+
+def test_restore_rolls_back_files_and_timeline(spark):
+    """Restore to a savepoint deletes the later commits' data files AND
+    their timeline triples, records a `.restore` entry, and the table
+    keeps working for new writes afterwards."""
+    root = _fresh("t_hudi_restore_unit")
+    for i in range(3):
+        write_hudi(
+            spark.range(i * 10, (i + 1) * 10).select("id").coalesce(1),
+            root,
+            record_key="id",
+        )
+    instants = [i for i, _ in completed_instants(root)]
+    third_meta = H._read_commit_meta(root, instants[2], "commit")
+    third_files = [
+        os.path.join(root, st["path"])
+        for sts in third_meta["partitionToWriteStats"].values()
+        for st in sts
+    ]
+    H.savepoint_hudi(root, instants[1])
+    H.restore_hudi(root, instants[1])
+    assert all(not os.path.exists(f) for f in third_files)
+    actions = [a for _i, a in completed_instants(root)]
+    assert actions == ["commit", "commit", "savepoint", "restore"]
+    got = sorted(r["id"] for r in read_hudi(spark, root).collect())
+    assert got == list(range(20))
+    # the table still accepts writes after a restore
+    write_hudi(
+        spark.range(100, 110).select("id").coalesce(1), root, record_key="id"
+    )
+    assert read_hudi(spark, root).count() == 30
+
+
+def test_clean_removes_superseded_slices_and_respects_savepoints(spark):
+    """KEEP_LATEST_FILE_VERSIONS=1 deletes old COW slices — except those
+    a savepoint protects, which must stay time-travelable."""
+    root = _fresh("t_hudi_clean_unit")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+    write_hudi(df.coalesce(1), root, record_key="id")
+    i0 = completed_instants(root)[0][0]
+    upsert_hudi(spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v")), root)
+    upsert_hudi(spark.range(0, 10).select(F.col("id"), F.lit(-2.0).alias("v")), root)
+    groups, _ = H._group_history(root)
+    (versions,) = groups.values()
+    assert len(versions) == 3
+    v0_fp = os.path.join(root, versions[0]["stat"]["path"])
+    v1_fp = os.path.join(root, versions[1]["stat"]["path"])
+
+    # protect v0 via a savepoint, then clean: v1 dies, v0 survives
+    H.savepoint_hudi(root, i0)
+    H.clean_hudi(root, retain_versions=1)
+    assert os.path.exists(v0_fp) and not os.path.exists(v1_fp)
+    tt = {r["id"]: r["v"] for r in read_hudi(spark, root, as_of=i0).collect()}
+    assert tt[5] == 5.0 and len(tt) == 100
+    now = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+    assert now[5] == -2.0
+    meta = H._read_commit_meta(
+        root, *[x for x in completed_instants(root) if x[1] == "clean"][0]
+    )
+    assert meta["deletedFiles"] and all(
+        "parquet" in f for f in meta["deletedFiles"]
+    )
