@@ -317,6 +317,22 @@ class AtlasEngine:
 
         return clean_hudi(path, retain_versions=retain_versions)
 
+    def adopt_hudi(
+        self,
+        path: str,
+        record_key: str,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Zero-copy adoption: graft a `.hoodie` timeline over an
+        existing parquet directory (virtual-key mode)."""
+        from atlas_migration_repo_spark.sources.hudi_interop import (
+            adopt_parquet_to_hudi,
+        )
+
+        return adopt_parquet_to_hudi(
+            self.spark, path, record_key, partition_by
+        )
+
     def remove_orphan_files(
         self, path: str, older_than_ms: int = 3 * 86_400_000
     ) -> list[str]:

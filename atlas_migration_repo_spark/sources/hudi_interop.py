@@ -398,20 +398,68 @@ def _scan_slices(
     slices: list[dict],
     full: T.StructType,
     view: str = "snapshot",
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Full-schema scan of the given file slices. Slices WITHOUT log
     files are one direct parquet scan; log-bearing slices (MOR) go
     through the merge: base rows union log-block rows, latest writer
     per record key wins, delete tombstones drop. `view="read_optimized"`
     skips the merge and reads base files only. The merge window is the
-    ONLY shuffle, and it runs over just the log-bearing groups."""
+    ONLY shuffle, and it runs over just the log-bearing groups.
+
+    BOOTSTRAP-ADOPTED slices (writeStat `bootstrapped`) are foreign
+    files a hive-layout writer produced: no meta columns (read as null)
+    and no partition columns IN the file — those inject from the
+    timeline's partitionPath via a broadcast join on
+    `_metadata.file_path` (one row per file, the delta_interop
+    partition-injection pattern)."""
     merge = [s for s in slices if view == "snapshot" and s.get("logs")]
-    clean = [s for s in slices if not (view == "snapshot" and s.get("logs"))]
+    rest = [s for s in slices if not (view == "snapshot" and s.get("logs"))]
+    boot = [s for s in rest if s["stat"].get("bootstrapped")]
+    clean = [s for s in rest if not s["stat"].get("bootstrapped")]
     parts: list[DataFrame] = []
     names = [f.name for f in full.fields]
     if clean:
         paths = [os.path.join(path, s["stat"]["path"]) for s in clean]
         parts.append(spark.read.schema(full).parquet(*paths))
+    if boot:
+        from atlas_migration_repo_spark.sources.files import file_path_col
+
+        pcols = list(partition_by or [])
+        paths = [os.path.join(path, s["stat"]["path"]) for s in boot]
+        df = spark.read.schema(full).parquet(*paths)
+        if pcols:
+            by_name = {f.name: f for f in full.fields}
+            # dir-parsed values arrive as strings; cast to the declared
+            # partition type after the map DF is built
+            map_schema = T.StructType(
+                [T.StructField("__fp", T.StringType())]
+                + [T.StructField(c, T.StringType()) for c in pcols]
+            )
+            rows = []
+            for s in boot:
+                vals = _parse_partition(s["partition"])
+                rows.append(
+                    (
+                        os.path.abspath(
+                            os.path.join(path, s["stat"]["path"])
+                        ),
+                        *[vals.get(c) for c in pcols],
+                    )
+                )
+            mapdf = spark.createDataFrame(rows, map_schema)
+            for c in pcols:
+                if not isinstance(by_name[c].dataType, T.StringType):
+                    mapdf = mapdf.withColumn(
+                        c, F.col(c).cast(by_name[c].dataType)
+                    )
+            df = (
+                df.drop(*pcols)
+                .withColumn("__fp", file_path_col())
+                .join(F.broadcast(mapdf), "__fp")
+                .drop("__fp")
+            )
+        parts.append(df.select(*names))
     if merge:
         parts.append(_merge_slices(spark, path, merge, full).select(*names))
     if not parts:
@@ -447,7 +495,13 @@ def read_hudi(
     want = full if with_meta else data
     if not slices:
         return spark.createDataFrame([], want)
-    df = _scan_slices(spark, path, slices, full, view=view)
+    props = _read_props(path)
+    pby = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    df = _scan_slices(spark, path, slices, full, view=view, partition_by=pby)
     return df if with_meta else df.select(*[f.name for f in data.fields])
 
 
@@ -466,6 +520,12 @@ def read_hudi_incremental(
     if schema_json is None:
         raise FileNotFoundError(f"{path} holds no completed Hudi commits")
     data, full = _full_schema(schema_json)
+    if any(s["stat"].get("bootstrapped") for s in slices):
+        raise ValueError(
+            "incremental queries need materialized _hoodie_commit_time; "
+            "bootstrap-adopted (virtual-key) tables don't carry it — "
+            "rewrite through write_hudi for a full-featured table"
+        )
     qual = [
         s
         for s in slices
@@ -848,12 +908,17 @@ def write_hudi(
     fid_col = F.concat(
         F.lit(fid_base + "-"), F.spark_partition_id().cast("string")
     )
-    staged = _fresh_meta_cols(
-        src, instant, record_key, partition_by, fid_col
-    ).withColumn("__fid", fid_col)
-    order = list(_META_COLS) + [
-        f.name for f in df.schema.fields
-    ] + ["__fid"]
+    if props.get("hoodie.populate.meta.fields", "true") == "false":
+        # virtual-key (bootstrap-adopted) table: files stay meta-less
+        staged = src.withColumn("__fid", fid_col)
+        order = [f.name for f in df.schema.fields] + ["__fid"]
+    else:
+        staged = _fresh_meta_cols(
+            src, instant, record_key, partition_by, fid_col
+        ).withColumn("__fid", fid_col)
+        order = list(_META_COLS) + [
+            f.name for f in df.schema.fields
+        ] + ["__fid"]
     placed = _stage_place(staged.select(*order), path, instant, partition_by)
 
     prev_by_group = {
@@ -916,6 +981,12 @@ def upsert_hudi(
         if c
     ]
     precombine = props.get("hoodie.table.precombine.field")
+    if props.get("hoodie.populate.meta.fields", "true") == "false":
+        raise ValueError(
+            "virtual-key (bootstrap-adopted) tables support "
+            "read/append/insert_overwrite only; rewrite through write_hudi "
+            "for row-level operations"
+        )
     seen = _checkpoint_seen(path, checkpoint)
     if seen is not None:
         return seen
@@ -1107,6 +1178,12 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
         for c in (props.get("hoodie.table.partition.fields") or "").split(",")
         if c
     ]
+    if props.get("hoodie.populate.meta.fields", "true") == "false":
+        raise ValueError(
+            "virtual-key (bootstrap-adopted) tables support "
+            "read/append/insert_overwrite only; rewrite through write_hudi "
+            "for row-level operations"
+        )
     spark = keys_df.sparkSession
     _, schema_json, slices = _replay_hudi(path)
     if schema_json is None:
@@ -1279,6 +1356,12 @@ def cluster_hudi(path: str) -> str:
         raise ValueError(
             "clustering requires compacted slices: run compact_hudi first "
             "(log files would be silently dropped by a base-only rewrite)"
+        )
+    if any(s["stat"].get("bootstrapped") for s in slices):
+        raise ValueError(
+            "virtual-key (bootstrap-adopted) tables support "
+            "read/append/insert_overwrite only; rewrite through write_hudi "
+            "for clustering"
         )
     base = {i for i, _ in completed_instants(path)}
     instant = _claim_instant(path, "replacecommit")
@@ -2447,3 +2530,169 @@ def hudi_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("o_totalprice")).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap adoption: graft a timeline over an existing parquet lake
+# ---------------------------------------------------------------------------
+def adopt_parquet_to_hudi(
+    spark: SparkSession,
+    path: str,
+    record_key: str,
+    partition_by: list[str] | None = None,
+    table_name: str | None = None,
+) -> str:
+    """ZERO-COPY adoption of an existing (optionally hive-partitioned)
+    parquet directory: graft a `.hoodie` timeline over the files in
+    place — Hudi's METADATA_ONLY bootstrap idea. No file is read beyond
+    its footer, renamed, or rewritten: each becomes a file group whose
+    writeStat points at the ORIGINAL path, marked `bootstrapped` so
+    readers inject partition values from the timeline (hive-layout
+    files don't carry their partition column) and treat meta columns as
+    absent. The table runs in the spec's virtual-key mode
+    (`hoodie.populate.meta.fields=false`): snapshot/time-travel reads,
+    timeline partition pruning, appends and INSERT OVERWRITE work;
+    row-level upsert/delete/incremental refuse with a rewrite hint, the
+    mode's real limitation."""
+    import pyarrow.parquet as pq
+
+    partition_by = list(partition_by or [])
+    if _table_exists(path):
+        raise ValueError(f"{path} already carries a .hoodie timeline")
+    data_files: list[tuple[str, str]] = []  # (relpath, partition_rel)
+    for dirpath, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        rel_dir = os.path.relpath(dirpath, path)
+        part_rel = "" if rel_dir == "." else rel_dir.replace(os.sep, "/")
+        for name in sorted(names):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                data_files.append(
+                    (os.path.join(part_rel, name) if part_rel else name,
+                     part_rel)
+                )
+    if not data_files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    for rel, part_rel in data_files:
+        vals = _parse_partition(part_rel)
+        if sorted(vals) != sorted(partition_by):
+            raise ValueError(
+                f"{rel}: hive dirs {sorted(vals)} do not match "
+                f"partition_by {sorted(partition_by)}"
+            )
+
+    # logical schema = file schema + the dir-encoded partition columns
+    # (typed as strings — the dir encoding's native type)
+    file_schema = (
+        spark.read.parquet(os.path.join(path, data_files[0][0]))
+        .schema
+    )
+    fields = list(file_schema.fields) + [
+        T.StructField(c, T.StringType(), True) for c in partition_by
+    ]
+    schema_json = T.StructType(fields).json()
+
+    _init_table(
+        path,
+        table_name or os.path.basename(path.rstrip("/")),
+        record_key,
+        partition_by,
+        precombine=None,
+        event_time_field=None,
+    )
+    props = _read_props(path)
+    props["hoodie.populate.meta.fields"] = "false"
+    _write_props(path, props)
+
+    instant = _claim_instant(path, "commit")
+    p2ws: dict[str, list[dict]] = {}
+    for rel, part_rel in data_files:
+        fp = os.path.join(path, rel)
+        p2ws.setdefault(part_rel, []).append(
+            {
+                "fileId": os.path.splitext(os.path.basename(rel))[0],
+                "path": rel,
+                "prevCommit": "null",
+                "numWrites": pq.ParquetFile(fp).metadata.num_rows,
+                "numDeletes": 0,
+                "numUpdateWrites": 0,
+                "numInserts": pq.ParquetFile(fp).metadata.num_rows,
+                "totalWriteBytes": os.path.getsize(fp),
+                "fileSizeInBytes": os.path.getsize(fp),
+                "partitionPath": part_rel,
+                "bootstrapped": True,
+            }
+        )
+    for stats in p2ws.values():
+        stats.sort(key=lambda s: s["fileId"])
+    meta = _commit_meta("bootstrap", p2ws, schema_json)
+    _complete_instant(path, instant, "commit", meta)
+    return instant
+
+
+@query(
+    "hudi_adopt_parquet",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def hudi_adopt_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adopt a pre-existing hive-partitioned parquet directory (written
+    by vanilla Spark, partition column ONLY in the dir names) with zero
+    copies, then answer a partition-pruned aggregate through the Hudi
+    reader: pruning happens in the grafted timeline, partition values
+    inject from writeStat partitionPath."""
+    root = scratch_path(sf_dir, "orders_hudi_adopt")
+    shutil.rmtree(root, ignore_errors=True)
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    ).write.partitionBy("o_orderpriority").parquet(root)
+    adopt_parquet_to_hudi(
+        spark, root, record_key="o_orderkey",
+        partition_by=["o_orderpriority"],
+    )
+    pruned = read_hudi(
+        spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "hudi_adopt_append",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    """,
+)
+def hudi_adopt_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed adopted + native files in ONE table: two thirds of orders
+    are adopted in place (partition values live only in dir names), the
+    last third appends through write_hudi (partition column in-file,
+    meta-less virtual-key mode); a full read stitches both kinds —
+    adopted rows get their partition column injected from the timeline,
+    native rows carry it."""
+    root = scratch_path(sf_dir, "orders_hudi_adopt_append")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.where(F.col("o_orderkey") % 3 != 0).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(root)
+    adopt_parquet_to_hudi(
+        spark, root, record_key="o_orderkey",
+        partition_by=["o_orderpriority"],
+    )
+    write_hudi(
+        orders.where(F.col("o_orderkey") % 3 == 0),
+        root,
+        record_key="o_orderkey",
+        partition_by=["o_orderpriority"],
+    )
+    return read_hudi(spark, root)

@@ -572,3 +572,65 @@ def test_clean_removes_superseded_slices_and_respects_savepoints(spark):
     assert meta["deletedFiles"] and all(
         "parquet" in f for f in meta["deletedFiles"]
     )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap adoption
+# ---------------------------------------------------------------------------
+def test_adopt_is_zero_copy_and_guarded(spark):
+    """Adoption grafts a timeline without touching the original files
+    (same inode), marks the commit as bootstrap, and row-level ops on
+    the virtual-key table refuse with a rewrite hint."""
+    root = _fresh("t_hudi_adopt_unit")
+    df = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    df.write.partitionBy("o_orderpriority").parquet(root)
+    inodes_before = {
+        f: os.stat(os.path.join(dp, f)).st_ino
+        for dp, _d, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    H.adopt_parquet_to_hudi(
+        spark, root, record_key="o_orderkey",
+        partition_by=["o_orderpriority"],
+    )
+    inodes_after = {
+        f: os.stat(os.path.join(dp, f)).st_ino
+        for dp, _d, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert inodes_after == inodes_before  # no rename, no rewrite
+    (instant, action), = completed_instants(root)
+    assert action == "commit"
+    assert H._read_commit_meta(root, instant, action)["operationType"] == (
+        "bootstrap"
+    )
+    assert read_hudi(spark, root).count() == df.count()
+    with pytest.raises(ValueError, match="virtual-key"):
+        upsert_hudi(df.limit(1), root)
+    with pytest.raises(ValueError, match="virtual-key"):
+        delete_hudi(df.select("o_orderkey").limit(1), root)
+    with pytest.raises(ValueError, match="virtual-key"):
+        cluster_hudi(root)
+    with pytest.raises(ValueError, match="_hoodie_commit_time"):
+        read_hudi_incremental(spark, root, instant)
+    with pytest.raises(ValueError, match="already carries"):
+        H.adopt_parquet_to_hudi(spark, root, record_key="o_orderkey")
+
+
+def test_adopt_pruned_read_touches_only_matching_partition(spark):
+    root = _fresh("t_hudi_adopt_prune")
+    load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.partitionBy("o_orderstatus").parquet(root)
+    H.adopt_parquet_to_hudi(
+        spark, root, record_key="o_orderkey", partition_by=["o_orderstatus"]
+    )
+    pruned = read_hudi(spark, root, partition_eq={"o_orderstatus": "F"})
+    files = pruned.inputFiles()
+    assert files and all("o_orderstatus=F" in f for f in files)
+    got = pruned.select("o_orderstatus").distinct().collect()
+    assert [r["o_orderstatus"] for r in got] == ["F"]
