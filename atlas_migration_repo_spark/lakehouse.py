@@ -345,13 +345,30 @@ def uniform_status(path: str) -> dict:
     has_ice = os.path.exists(
         os.path.join(path, "metadata", "version-hint.text")
     )
-    out: dict = {"delta": None, "iceberg": None, "in_sync": None}
+    has_hudi = os.path.exists(
+        os.path.join(path, ".hoodie", "hoodie.properties")
+    )
+    out: dict = {"delta": None, "iceberg": None, "hudi": None, "in_sync": None}
     delta_v = None
     if has_delta:
         from atlas_migration_repo_spark.sources.delta_interop import _replay
 
         delta_v, meta, files = _replay(path)
         out["delta"] = {"version": delta_v, "num_files": len(files)}
+    if has_hudi:
+        from atlas_migration_repo_spark.sources.hudi_interop import (
+            _replay_hudi,
+        )
+
+        latest, _sj, slices = _replay_hudi(path)
+        out["hudi"] = {
+            "latest_instant": latest,
+            "num_file_groups": len(slices),
+        }
+        if has_delta:
+            marker = _hudi_sync_marker(path)
+            if marker is not None:
+                out["in_sync"] = marker == latest
     if has_ice:
         from atlas_migration_repo_spark.sources.iceberg_interop import (
             _current_metadata,
@@ -379,6 +396,30 @@ def uniform_status(path: str) -> dict:
             if marker is not None:
                 out["in_sync"] = marker == snap["snapshot-id"]
     return out
+
+
+def _hudi_sync_marker(path: str) -> str | None:
+    """Newest hudiInstant marker in the Delta log's commitInfo actions
+    (written by publish/sync_delta_log_from_hudi)."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _committed_versions,
+        _log_dir,
+    )
+
+    log_dir = _log_dir(path)
+    marker = None
+    for v in _committed_versions(log_dir):
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                ci = a.get("commitInfo")
+                if ci and "hudiInstant" in (
+                    ci.get("operationParameters") or {}
+                ):
+                    marker = ci["operationParameters"]["hudiInstant"]
+    return marker
 
 
 def _reverse_sync_snapshot(path: str) -> int | None:

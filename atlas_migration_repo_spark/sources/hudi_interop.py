@@ -2696,3 +2696,263 @@ def hudi_adopt_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["o_orderpriority"],
     )
     return read_hudi(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# tri-format UniForm: a _delta_log over the Hudi table's base files
+# ---------------------------------------------------------------------------
+def _delta_state_from_hudi(path: str):
+    """Current Hudi COW state as Delta-shaped pieces: (schemaString
+    source StructType, partition column names, {rel: add action}).
+    Refuses live MOR log files — adds over the raw bases would serve
+    pre-merge rows to Delta readers; compact first (the documented
+    bridge, twin of the MOR-delete refusal on the Iceberg side)."""
+    import urllib.parse
+
+    from atlas_migration_repo_spark.sources.delta_interop import _delta_stats
+
+    latest, schema_json, slices = _replay_hudi(path)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    if any(s.get("logs") for s in slices):
+        raise ValueError(
+            "table has live MOR log files; run compact_hudi first — a "
+            "base-only _delta_log would serve pre-merge rows"
+        )
+    props = _read_props(path)
+    pcols = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    data, _full = _full_schema(schema_json)
+    adds_by_rel: dict[str, dict] = {}
+    for s in slices:
+        rel = s["stat"]["path"]
+        fp = os.path.join(path, rel)
+        vals = _parse_partition(s["partition"])
+        adds_by_rel[rel] = {
+            "path": urllib.parse.quote(rel),
+            "partitionValues": {c: vals.get(c) for c in pcols},
+            "size": os.path.getsize(fp),
+            "modificationTime": int(os.path.getmtime(fp) * 1000),
+            "dataChange": True,
+            "stats": _delta_stats(fp),
+        }
+    return latest, data, pcols, adds_by_rel
+
+
+def publish_delta_log_from_hudi(spark: SparkSession, path: str) -> int:
+    """Tri-format UniForm: give a Hudi COW table a `_delta_log` over the
+    SAME base files — one copy of the data, a third protocol front door
+    (the timeline, the grafted Delta log, and — via the existing
+    Delta→Iceberg publisher — an Iceberg tree if wanted). The current
+    timeline state becomes Delta commit 0: protocol + metaData (data
+    schema incl. partition columns, values re-attached from the log —
+    Delta readers never trust dir layout or in-file copies) + one add
+    per live base file with footer-harvested stats. Note: populated
+    Hudi files carry the five `_hoodie_*` columns the Delta schema does
+    not declare; readers project the declared schema, so results are
+    unaffected (virtual-key/adopted tables don't even carry them)."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _PROTOCOL,
+        _committed_versions,
+        _log_dir,
+        _publish_commit,
+    )
+
+    log_dir = _log_dir(path)
+    if _committed_versions(log_dir):
+        raise FileExistsError(f"{log_dir} already holds Delta commits")
+    latest, data, pcols, adds_by_rel = _delta_state_from_hudi(path)
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "sourceFormat": "hudi",
+                    "hudiInstant": latest,
+                },
+            }
+        },
+        {"protocol": dict(_PROTOCOL)},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": data.json(),
+                "partitionColumns": pcols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+    ]
+    actions.extend({"add": a} for _, a in sorted(adds_by_rel.items()))
+    return _publish_commit(log_dir, actions, 0)
+
+
+def sync_delta_log_from_hudi(spark: SparkSession, path: str) -> int:
+    """Keep the grafted `_delta_log` CURRENT after later Hudi commits:
+    one Delta commit carrying the file-level diff — removes for files
+    no longer in any live slice (COW rewrites, restores, cleans), adds
+    for new ones. Metadata-only: stats come from new files' footers.
+    A sync with nothing to say returns the current version without
+    committing; the synced instant rides commitInfo so status tools can
+    tell. Twin of sync_delta_log_from_iceberg."""
+    import urllib.parse
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _committed_versions,
+        _log_dir,
+        _next_version,
+        _publish_commit,
+        _replay,
+    )
+
+    log_dir = _log_dir(path)
+    if not _committed_versions(log_dir):
+        raise FileNotFoundError(
+            f"{log_dir} holds no Delta commits; run "
+            "publish_delta_log_from_hudi first"
+        )
+    latest, _data, _pcols, adds_by_rel = _delta_state_from_hudi(path)
+    v, _dmeta, live = _replay(path)
+    live_by_rel = {urllib.parse.unquote(a["path"]): a for a in live}
+    gone = sorted(set(live_by_rel) - set(adds_by_rel))
+    new = sorted(set(adds_by_rel) - set(live_by_rel))
+    if not gone and not new:
+        return v
+    import time as _time
+
+    now_ms = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT SYNC",
+                "operationParameters": {
+                    "sourceFormat": "hudi",
+                    "hudiInstant": latest,
+                },
+            }
+        }
+    ]
+    for rel in gone:
+        actions.append(
+            {
+                "remove": {
+                    "path": live_by_rel[rel]["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions.extend({"add": adds_by_rel[rel]} for rel in new)
+    return _publish_commit(log_dir, actions, _next_version(log_dir))
+
+
+@query(
+    "lakehouse_uniform_hudi",
+    oracle=f"""
+    SELECT 'hudi' AS reader, o_orderstatus, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'delta' AS reader, o_orderstatus, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_uniform_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-format UniForm, Hudi edition: a partitioned Hudi COW table
+    gets a grafted `_delta_log` over the same base files, and the SAME
+    partition-pruned aggregate answers identically through the timeline
+    reader and the Delta protocol reader — each pruning in its own
+    metadata (writeStat partitionPath vs add partitionValues)."""
+    from atlas_migration_repo_spark.sources.delta_interop import read_delta
+
+    root = scratch_path(sf_dir, "orders_uniform_hudi")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    write_hudi(
+        orders, root, record_key="o_orderkey",
+        partition_by=["o_orderpriority"],
+    )
+    publish_delta_log_from_hudi(spark, root)
+    outs = []
+    for reader, df in (
+        (
+            "hudi",
+            read_hudi(
+                spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+            ),
+        ),
+        (
+            "delta",
+            read_delta(
+                spark, root, partition_eq={"o_orderpriority": "1-URGENT"}
+            ),
+        ),
+    ):
+        outs.append(
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .select(F.lit(reader).alias("reader"), "o_orderstatus", "n_rows", "total")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+@query(
+    "lakehouse_uniform_hudi_sync",
+    oracle=f"""
+    SELECT 'hudi' AS reader, COUNT(*) AS n_rows,
+           {sql_msum("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 "
+                     "ELSE o_totalprice END")} AS total
+    FROM orders
+    UNION ALL
+    SELECT 'delta' AS reader, COUNT(*) AS n_rows,
+           {sql_msum("CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 "
+                     "ELSE o_totalprice END")} AS total
+    FROM orders
+    """,
+)
+def lakehouse_uniform_hudi_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grafted `_delta_log` stays CURRENT: a Hudi COW upsert
+    replaces file slices after the publish, one metadata-only sync
+    carries the file-level diff (removes + adds), and both protocol
+    doors answer the updated aggregate identically."""
+    from atlas_migration_repo_spark.sources.delta_interop import read_delta
+
+    root = scratch_path(sf_dir, "orders_uniform_hudi_sync")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_hudi(orders, root, record_key="o_orderkey")
+    publish_delta_log_from_hudi(spark, root)
+    upsert_hudi(
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        ),
+        root,
+    )
+    sync_delta_log_from_hudi(spark, root)
+    outs = []
+    for reader, df in (
+        ("hudi", read_hudi(spark, root)),
+        ("delta", read_delta(spark, root)),
+    ):
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            ).select(F.lit(reader).alias("reader"), "n_rows", "total")
+        )
+    return outs[0].unionByName(outs[1])

@@ -634,3 +634,41 @@ def test_adopt_pruned_read_touches_only_matching_partition(spark):
     assert files and all("o_orderstatus=F" in f for f in files)
     got = pruned.select("o_orderstatus").distinct().collect()
     assert [r["o_orderstatus"] for r in got] == ["F"]
+
+
+# ---------------------------------------------------------------------------
+# tri-format UniForm (Hudi + grafted _delta_log)
+# ---------------------------------------------------------------------------
+def test_uniform_hudi_rowwise_parity_and_sync_noop(spark):
+    """Row-wise parity through both doors, MOR refusal, repeat-sync
+    no-op, and uniform status reporting the synced instant."""
+    from atlas_migration_repo_spark.lakehouse import uniform_status
+    from atlas_migration_repo_spark.sources.delta_interop import read_delta
+
+    root = _fresh("t_uniform_hudi_unit")
+    df = spark.range(0, 500).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+    write_hudi(df.coalesce(2), root, record_key="id")
+    H.publish_delta_log_from_hudi(spark, root)
+    a = sorted((r["id"], r["v"]) for r in read_hudi(spark, root).collect())
+    b = sorted((r["id"], r["v"]) for r in read_delta(spark, root).collect())
+    assert a == b and len(a) == 500
+    st = uniform_status(root)
+    assert st["hudi"]["latest_instant"] and st["in_sync"] is True
+
+    # a COW upsert makes the delta door stale until the sync runs
+    upsert_hudi(spark.range(0, 5).select(F.col("id"), F.lit(-9.0).alias("v")), root)
+    assert uniform_status(root)["in_sync"] is False
+    v1 = H.sync_delta_log_from_hudi(spark, root)
+    assert uniform_status(root)["in_sync"] is True
+    assert {r["id"]: r["v"] for r in read_delta(spark, root).collect()}[3] == -9.0
+    # nothing new: the sync is a no-op returning the same version
+    assert H.sync_delta_log_from_hudi(spark, root) == v1
+
+    # MOR tables with live logs refuse the publish
+    mroot = _fresh("t_uniform_hudi_mor_refuse")
+    write_hudi(
+        df.coalesce(1), mroot, record_key="id", table_type="MERGE_ON_READ"
+    )
+    upsert_hudi(spark.range(0, 5).select(F.col("id"), F.lit(0.0).alias("v")), mroot)
+    with pytest.raises(ValueError, match="compact_hudi first"):
+        H.publish_delta_log_from_hudi(spark, mroot)
