@@ -2956,3 +2956,172 @@ def lakehouse_uniform_hudi_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit(reader).alias("reader"), "n_rows", "total")
         )
     return outs[0].unionByName(outs[1])
+
+
+_HUDI_STREAM_CUT0 = "1996-01-01"
+_HUDI_STREAM_CUT1 = "1997-01-01"
+_HUDI_STREAM_CUT2 = "1999-01-01"
+
+
+@query(
+    "stream_hudi",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_HUDI_STREAM_CUT2} 00:00:00'
+    """,
+)
+def stream_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming over a HUDI timeline: offset = completed
+    instant, each micro-batch's partitions are the base files of the
+    new write commits (read executor-side with pyarrow — data never
+    crosses the driver). Non-append history — rewrites (prevCommit set,
+    updates/deletes counted), replacecommits, or MOR log appends —
+    fails the stream with a pointer at the incremental pull, the same
+    contract delta_stream enforces for remove actions. Three insert
+    commits of orders slices drain into a memory sink whose global
+    aggregate must equal the batch oracle."""
+    import time as _time
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    root = scratch_path(sf_dir, "orders_hudi_streamsrc")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cuts = [
+        (None, _HUDI_STREAM_CUT0),
+        (_HUDI_STREAM_CUT0, _HUDI_STREAM_CUT1),
+        (_HUDI_STREAM_CUT1, _HUDI_STREAM_CUT2),
+    ]
+    for lo, hi in cuts:
+        batch = orders.where(F.col("o_orderdate") < hi)
+        if lo is not None:
+            batch = batch.where(F.col("o_orderdate") >= lo)
+        write_hudi(
+            batch.drop("o_orderdate"), root, record_key="o_orderkey"
+        )
+
+    class FilePartition(InputPartition):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class HudiStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.root = options["path"]
+
+        def initialOffset(self):
+            return {"instant": ""}
+
+        def latestOffset(self):
+            from atlas_migration_repo_spark.sources.hudi_interop import (
+                completed_instants,
+            )
+
+            writes = [
+                i
+                for i, a in completed_instants(self.root)
+                if a in ("commit", "deltacommit")
+            ]
+            return {"instant": writes[-1] if writes else ""}
+
+        def partitions(self, start, end):
+            import os as _os
+
+            from atlas_migration_repo_spark.sources.hudi_interop import (
+                _read_commit_meta,
+                completed_instants,
+            )
+
+            paths = []
+            for instant, action in completed_instants(self.root):
+                if not (start["instant"] < instant <= end["instant"]):
+                    continue
+                if action == "replacecommit":
+                    raise RuntimeError(
+                        f"stream_hudi: instant {instant} is a replacecommit "
+                        "(clustering/insert_overwrite); the timeline is not "
+                        "append-only — use read_hudi_incremental instead"
+                    )
+                if action not in ("commit", "deltacommit"):
+                    continue  # savepoint/clean/restore: no data
+                meta = _read_commit_meta(self.root, instant, action)
+                for stats in (
+                    meta.get("partitionToWriteStats") or {}
+                ).values():
+                    for st in stats:
+                        if (
+                            "logVersion" in st
+                            or st.get("prevCommit") not in (None, "null")
+                            or st.get("numUpdateWrites")
+                            or st.get("numDeletes")
+                        ):
+                            raise RuntimeError(
+                                f"stream_hudi: instant {instant} rewrites or "
+                                "amends file groups; the timeline is not "
+                                "append-only — use read_hudi_incremental "
+                                "instead"
+                            )
+                        paths.append(_os.path.join(self.root, st["path"]))
+            return [FilePartition(p) for p in paths]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                partition.path, columns=["o_orderkey", "o_totalprice"]
+            )
+            yield from zip(
+                tbl.column("o_orderkey").to_pylist(),
+                tbl.column("o_totalprice").to_pylist(),
+            )
+
+        def commit(self, end):
+            pass
+
+    class HudiStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "hudi_timeline_stream"
+
+        def schema(self) -> str:
+            return "o_orderkey bigint, o_totalprice double"
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            return HudiStreamReader(self.options)
+
+    spark.dataSource.register(HudiStreamSource)
+    sink = "stream_hudi_" + sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.format("hudi_timeline_stream")
+            .option("path", root)
+            .load()
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        expected = read_hudi(spark, root).count()
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = spark.table(sink).collect()
+            if got and got[0]["n_rows"] == expected:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
