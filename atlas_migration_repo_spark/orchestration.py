@@ -117,21 +117,49 @@ def dag_spec(
         }
     )
     if uniform_sync:
-        if sink.fmt != "delta":
-            raise ValueError(
-                "uniform_sync keeps an ICEBERG tree current over a DELTA "
-                f"sink; sink format is {sink.fmt!r}"
+        if sink.fmt == "delta":
+            # metadata-only per-table maintenance after the load barrier:
+            # sync_iceberg_metadata_from_delta makes each run's new Delta
+            # commits visible to Iceberg readers (repeat runs no-op)
+            tasks.append(
+                {
+                    "task_id": "uniform_sync",
+                    "kind": "maintenance",
+                    "op": "sync_iceberg_metadata_from_delta",
+                    "paths": [sink.path(o.name) for o in objects],
+                    "depends_on": ["publish"],
+                }
             )
-        # metadata-only per-table maintenance after the load barrier:
-        # sync_iceberg_metadata_from_delta makes each run's new Delta
-        # commits visible to Iceberg readers (repeat runs no-op)
+        elif sink.fmt == "hudi":
+            # same contract for Hudi landings: the grafted _delta_log
+            # follows each run's timeline commits (repeat runs no-op)
+            tasks.append(
+                {
+                    "task_id": "uniform_sync",
+                    "kind": "maintenance",
+                    "op": "sync_delta_log_from_hudi",
+                    "paths": [sink.path(o.name) for o in objects],
+                    "depends_on": ["publish"],
+                }
+            )
+        else:
+            raise ValueError(
+                "uniform_sync keeps a secondary protocol tree current over "
+                f"a DELTA or HUDI sink; sink format is {sink.fmt!r}"
+            )
+    if sink.fmt == "hudi":
+        # Hudi landings carry their own table services: fold any MOR
+        # logs, then retire superseded file slices. Both are no-ops on
+        # an append-only run and never touch savepointed files.
         tasks.append(
             {
-                "task_id": "uniform_sync",
+                "task_id": "hudi_table_services",
                 "kind": "maintenance",
-                "op": "sync_iceberg_metadata_from_delta",
+                "op": "compact_then_clean",
                 "paths": [sink.path(o.name) for o in objects],
-                "depends_on": ["publish"],
+                "depends_on": (
+                    ["uniform_sync"] if uniform_sync else ["publish"]
+                ),
             }
         )
 

@@ -3389,13 +3389,35 @@ def test_dag_spec_uniform_sync_task():
 
     _json.dumps(spec)  # stays pure data
 
-    with _pytest.raises(ValueError, match="DELTA sink"):
+    with _pytest.raises(ValueError, match="DELTA or HUDI sink"):
         orch.dag_spec(
             "m2",
             [acct],
             orch.SinkSpec(root="s3a://example-bucket/x/", fmt="parquet"),
             uniform_sync=True,
         )
+
+    # hudi sinks sync the grafted _delta_log and append table services
+    hspec = orch.dag_spec(
+        "m3",
+        [acct],
+        orch.SinkSpec(root="s3a://example-bucket/h/", fmt="hudi"),
+        uniform_sync=True,
+    )
+    hs = next(x for x in hspec["tasks"] if x["task_id"] == "uniform_sync")
+    assert hs["op"] == "sync_delta_log_from_hudi"
+    svc = next(
+        x for x in hspec["tasks"] if x["task_id"] == "hudi_table_services"
+    )
+    assert svc["op"] == "compact_then_clean"
+    assert svc["depends_on"] == ["uniform_sync"]
+    plain = orch.dag_spec(
+        "m4", [acct], orch.SinkSpec(root="s3a://example-bucket/h2/", fmt="hudi")
+    )
+    svc2 = next(
+        x for x in plain["tasks"] if x["task_id"] == "hudi_table_services"
+    )
+    assert svc2["depends_on"] == ["publish"]
 
 
 def test_ann_index_topk_invariants(spark):
