@@ -317,6 +317,17 @@ class AtlasEngine:
 
         return clean_hudi(path, retain_versions=retain_versions)
 
+    def rollback_pending_hudi(
+        self, path: str, older_than_ms: int = 3 * 86_400_000
+    ) -> dict:
+        """Reclaim crashed-writer debris: stale pending instants and the
+        files they placed (grace-windowed)."""
+        from atlas_migration_repo_spark.sources.hudi_interop import (
+            rollback_pending_hudi,
+        )
+
+        return rollback_pending_hudi(path, older_than_ms=older_than_ms)
+
     def adopt_hudi(
         self,
         path: str,

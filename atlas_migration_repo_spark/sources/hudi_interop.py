@@ -89,7 +89,8 @@ _META_COLS = (
 )
 _WRITE_TOKEN = "0-0-0"
 _COMPLETED_RE = re.compile(
-    r"^(\d{17})\.(commit|deltacommit|replacecommit|savepoint|restore|clean)$"
+    r"^(\d{17})\.(commit|deltacommit|replacecommit|savepoint|restore|clean"
+    r"|rollback)$"
 )
 _LOG_MAGIC = b"#HUDI#"
 _LOG_FORMAT_VERSION = 1
@@ -3125,3 +3126,88 @@ def stream_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# crash recovery: rollback of stale pending instants + orphan reclaim
+# ---------------------------------------------------------------------------
+def rollback_pending_hudi(
+    path: str, older_than_ms: int = 3 * 86_400_000
+) -> dict:
+    """Reclaim crashed-writer debris: a writer that died between its
+    instant claim and `_complete_instant` leaves a PENDING instant
+    (requested/inflight markers, no completed file) plus any data/log
+    files it already placed — invisible to readers (the timeline is the
+    source of truth) but occupying storage and blocking nothing. For
+    every pending instant older than the grace window, delete its
+    placed base files (they carry the instant in their spec name), its
+    log blocks (matched by the block header's INSTANT_TIME — the log
+    FILE may also hold completed writers' blocks, in which case it is
+    kept), its timeline markers, and any coordinated-store claim.
+    Publishes a `.rollback` timeline entry listing what was undone.
+    The grace window means an IN-FLIGHT writer is never raced — the
+    same contract as Iceberg remove_orphan_files."""
+    import time as _time
+
+    hoodie = _hoodie_dir(path)
+    completed = {i for i, _ in completed_instants(path)}
+    pending: dict[str, str] = {}
+    for name in os.listdir(hoodie) if os.path.isdir(hoodie) else []:
+        head = name.split(".", 1)[0]
+        if len(head) != 17 or not head.isdigit() or head in completed:
+            continue
+        fp = os.path.join(hoodie, name)
+        age_ms = (_time.time() - os.path.getmtime(fp)) * 1000
+        if age_ms < older_than_ms:
+            continue
+        pending.setdefault(head, name)
+    if not pending:
+        return {"rolled_back": [], "deleted_files": []}
+
+    deleted: list[str] = []
+    for dirpath, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if d not in (".hoodie",) and not d.startswith(".stage-")]
+        for name in names:
+            fp = os.path.join(dirpath, name)
+            rel = os.path.relpath(fp, path)
+            m = _LOG_NAME_RE.match(name)
+            if m is not None:
+                # log file: orphaned iff EVERY block belongs to a
+                # pending instant (completed appends share no file —
+                # each append rolls a new version — but stay safe)
+                try:
+                    blocks = _parse_log_file(fp)
+                except OSError:  # pragma: no cover
+                    continue
+                instants = {
+                    h.get(_HDR_INSTANT_TIME) for _t, h, _c in blocks
+                }
+                if blocks and instants <= set(pending):
+                    os.unlink(fp)
+                    deleted.append(rel)
+                continue
+            if name.endswith(".parquet"):
+                stem = name[: -len(".parquet")]
+                parts = stem.split("_")
+                if len(parts) >= 3 and parts[-1] in pending:
+                    os.unlink(fp)
+                    deleted.append(rel)
+
+    for instant in sorted(pending):
+        for name in list(os.listdir(hoodie)):
+            if name.startswith(f"{instant}."):
+                os.unlink(os.path.join(hoodie, name))
+        claims = os.path.join(hoodie, "_claims")
+        if os.path.isdir(claims):
+            for cname in os.listdir(claims):
+                if cname.startswith(f"{instant}."):
+                    os.unlink(os.path.join(claims, cname))
+
+    rb = _claim_instant(path, "rollback")
+    meta = {
+        "rolledBackInstants": sorted(pending),
+        "deletedFiles": sorted(deleted),
+        "operationType": "rollback",
+    }
+    _complete_instant(path, rb, "rollback", meta)
+    return {"rolled_back": sorted(pending), "deleted_files": sorted(deleted)}

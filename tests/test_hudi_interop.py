@@ -672,3 +672,92 @@ def test_uniform_hudi_rowwise_parity_and_sync_noop(spark):
     upsert_hudi(spark.range(0, 5).select(F.col("id"), F.lit(0.0).alias("v")), mroot)
     with pytest.raises(ValueError, match="compact_hudi first"):
         H.publish_delta_log_from_hudi(spark, mroot)
+
+
+def test_rollback_pending_reclaims_crash_debris(spark, monkeypatch):
+    """A writer that dies after placing files but before completing its
+    instant leaves invisible debris; rollback_pending_hudi (past the
+    grace window) deletes the placed files and markers, records a
+    `.rollback` entry, and never touches completed instants' files —
+    while an in-flight (young) writer is left alone."""
+    root = _fresh("t_hudi_rollback")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+    write_hudi(df.coalesce(1), root, record_key="id")
+
+    class _Boom(RuntimeError):
+        pass
+
+    def crash(*a, **k):
+        raise _Boom()
+
+    monkeypatch.setattr(H, "_complete_instant", crash)
+    with pytest.raises(_Boom):
+        upsert_hudi(
+            spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v")),
+            root,
+        )
+    monkeypatch.undo()
+
+    # debris exists: a second base slice file with no completed instant
+    n_parquet = sum(
+        1
+        for dp, _d, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_parquet == 2
+    assert len(completed_instants(root)) == 1
+
+    # young pending instants are protected by the grace window
+    out = H.rollback_pending_hudi(root)
+    assert out["rolled_back"] == []
+
+    out = H.rollback_pending_hudi(root, older_than_ms=0)
+    assert len(out["rolled_back"]) == 1 and len(out["deleted_files"]) == 1
+    n_parquet = sum(
+        1
+        for dp, _d, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_parquet == 1
+    actions = [a for _i, a in completed_instants(root)]
+    assert actions == ["commit", "rollback"]
+    # table fully functional afterwards
+    assert read_hudi(spark, root).count() == 100
+    upsert_hudi(
+        spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v")), root
+    )
+    assert {r["v"] for r in read_hudi(spark, root).where("id < 10").collect()} == {-1.0}
+
+
+def test_rollback_pending_reclaims_orphan_log_blocks(spark, monkeypatch):
+    """MOR flavor: the crashed upsert's debris is a LOG file whose only
+    block carries the pending instant — rollback deletes it; a later
+    completed log on the same group is never touched."""
+    root = _mor_table(spark, "t_mor_rollback", n=50)
+
+    class _Boom(RuntimeError):
+        pass
+
+    monkeypatch.setattr(H, "_complete_instant", lambda *a, **k: (_ for _ in ()).throw(_Boom()))
+    with pytest.raises(_Boom):
+        upsert_hudi(
+            spark.range(0, 5).select(F.col("id"), F.lit(-1.0).alias("v")), root
+        )
+    monkeypatch.undo()
+    logs = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(root)
+        for f in fs
+        if H._LOG_NAME_RE.match(f)
+    ]
+    assert len(logs) == 1
+    out = H.rollback_pending_hudi(root, older_than_ms=0)
+    assert len(out["deleted_files"]) == 1
+    assert not os.path.exists(logs[0])
+    # a real upsert afterwards lands log version 1 again and reads merge
+    upsert_hudi(
+        spark.range(0, 5).select(F.col("id"), F.lit(9.0).alias("v")), root
+    )
+    assert {r["v"] for r in read_hudi(spark, root).where("id < 5").collect()} == {9.0}
