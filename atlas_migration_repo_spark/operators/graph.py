@@ -110,3 +110,61 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
     return nodes.crossJoin(edges_n).crossJoin(tri)
+
+
+_BFS_MAX_HOPS = 6
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE eu AS (
+        SELECT a AS src, b AS dst FROM ({_SQL_TRADE_EDGES}) t
+        UNION ALL
+        SELECT b AS src, a AS dst FROM ({_SQL_TRADE_EDGES}) t
+    ),
+    walk(node, hop) AS (
+        SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+        UNION
+        SELECT eu.dst, walk.hop + 1
+        FROM walk JOIN eu ON eu.src = walk.node
+        WHERE walk.hop < {_BFS_MAX_HOPS}
+    )
+    SELECT node AS n_nationkey, CAST(MIN(hop) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest HOPS over the trade graph (source: nation
+    0), bounded at 6 levels. The Spark plan is the BFS recurrence
+    UNROLLED into a static DAG — frontier(i+1) = frontier(i) ⋈ edges —
+    then one min-hop aggregate; no driver-side loop actions, no
+    convergence collect. The oracle is DuckDB's recursive CTE with
+    UNION-distinct recursion (rows bounded by nodes x hops, never path
+    counts), so two entirely different engines walk the same graph.
+    Scale shape: each level is one equi-join on the frontier (node-set
+    sized, broadcastable); on billion-edge graphs the same unrolled plan
+    runs with the frontier exchanged instead of broadcast."""
+    e = trade_edges(spark, sf_dir)
+    eu = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    frontier = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("node"), F.lit(0).alias("hop")
+    )
+    levels = [frontier]
+    for i in range(1, _BFS_MAX_HOPS + 1):
+        frontier = (
+            frontier.join(eu, frontier["node"] == eu["src"])
+            .select(F.col("dst").alias("node"), F.lit(i).alias("hop"))
+            .distinct()
+        )
+        levels.append(frontier)
+    from functools import reduce as _reduce
+
+    walk = _reduce(lambda x, y: x.unionByName(y), levels)
+    return (
+        walk.groupBy("node")
+        .agg(F.min("hop").cast("int").alias("hops"))
+        .select(F.col("node").alias("n_nationkey"), "hops")
+    )
