@@ -479,3 +479,102 @@ def features_hash_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "bucket")
         .agg(F.sum("sgn").cast("long").alias("feat_value"))
     )
+
+
+_DSIR_B = 64  # hashed-feature buckets for the importance estimator
+
+
+@query(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             ((STRPOS('0123456789abcdef', SUBSTR(MD5('dsir:' || w), 1, 1)) - 1) * 16
+              + STRPOS('0123456789abcdef', SUBSTR(MD5('dsir:' || w), 2, 1)) - 1
+             ) % {_DSIR_B} AS b
+      FROM tok
+    ),
+    raw AS (SELECT b, COUNT(*) AS rc FROM h GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS tc FROM h WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS ct,
+                   CAST(COUNT(*) AS DOUBLE) AS cr
+            FROM h),
+    per AS (
+      SELECT raw.b,
+             CAST(FLOOR((LN((COALESCE(tgt.tc, 0) + 1.0) / (tot.ct + {_DSIR_B}))
+                         - LN((raw.rc + 1.0) / (tot.cr + {_DSIR_B})))
+                        * 10000 + 0.5) AS BIGINT) AS q
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+    )
+    SELECT h.doc_id,
+           CAST(SUM(per.q) AS BIGINT) AS logw_q,
+           CAST(CASE WHEN SUM(per.q) > 0 THEN 1 ELSE 0 END AS INT) AS selected
+    FROM h JOIN per ON h.b = per.b
+    GROUP BY h.doc_id
+    """,
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR): estimate
+    target (English) and raw feature distributions over HASHED unigrams
+    (md5-nibble bucket — engine-portable, no vocabulary state), weight
+    every document by its summed log importance ratio
+    ln p_target(w)/p_raw(w) with add-one smoothing, and flag documents
+    whose weight is positive (more target-like than the raw pool) for
+    selection. Per-token ratios are quantized to 1e-4 BEFORE the
+    per-document sum (exact integer addition — immune to float
+    sum-order drift, the llm-family LN policy).
+
+    Scale shape: tokenize once; the distribution tables are B=64 rows
+    (broadcast); the per-doc weight is one hash-bucket join + one
+    map-side-combinable integer sum — no all-pairs, no vocabulary
+    shuffle, which is what lets DSIR sweep a 100 TB raw pool against a
+    small target corpus."""
+    nib = "0123456789abcdef"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(words()).alias("w")
+    )
+    n1 = F.expr(f"instr('{nib}', substring(md5('dsir:' || w), 1, 1))") - 1
+    n2 = F.expr(f"instr('{nib}', substring(md5('dsir:' || w), 2, 1))") - 1
+    h = docs.select(
+        "doc_id", "lang", ((n1 * 16 + n2) % _DSIR_B).alias("b")
+    )
+    raw = h.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    tgt = h.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    tot = h.agg(
+        F.count(F.when(F.col("lang") == "en", 1)).cast("double").alias("ct"),
+        F.count(F.lit(1)).cast("double").alias("cr"),
+    )
+    per = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        / (F.col("ct") + _DSIR_B)
+                    )
+                    - F.log((F.col("rc") + 1.0) / (F.col("cr") + _DSIR_B))
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        h.join(F.broadcast(per), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("q").cast("long").alias("logw_q"),
+            F.when(F.sum("q") > 0, 1).otherwise(0).cast("int").alias("selected"),
+        )
+    )
