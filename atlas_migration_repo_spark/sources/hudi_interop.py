@@ -308,7 +308,32 @@ def _replay_hudi(path: str, as_of: str | None = None):
     replaced: dict[tuple[str, str], str] = {}
     schema_json: str | None = None
     latest: str | None = None
-    for instant, action in completed_instants(path):
+    cp_covers, cp = _newest_checkpoint(path, as_of)
+    if cp is not None:
+        latest = cp["coversInstant"]
+        schema_json = cp["schema"]
+        for s in cp["slices"]:
+            groups.setdefault((s["partition"], s["fileId"]), []).append(
+                (s["instant"], s["stat"])
+            )
+            for lg in s.get("logs", []):
+                logs.setdefault(
+                    (s["partition"], s["fileId"], s["instant"]), []
+                ).append((lg["instant"], lg["stat"]))
+    active = completed_instants(path)
+    if (
+        cp is None
+        and as_of is not None
+        and os.path.isdir(os.path.join(_hoodie_dir(path), "archived"))
+        and (not active or as_of < active[0][0])
+    ):
+        raise ValueError(
+            f"as_of {as_of} is below the archival horizon; the folded "
+            "history lives in .hoodie/archived (read_archived_timeline_hudi)"
+        )
+    for instant, action in active:
+        if cp_covers is not None and instant <= cp_covers:
+            continue
         if as_of is not None and instant > as_of:
             break
         latest = instant
@@ -3211,3 +3236,204 @@ def rollback_pending_hudi(
     }
     _complete_instant(path, rb, "rollback", meta)
     return {"rolled_back": sorted(pending), "deleted_files": sorted(deleted)}
+
+
+# ---------------------------------------------------------------------------
+# timeline checkpoint + archival: replay stays O(recent instants)
+# ---------------------------------------------------------------------------
+def checkpoint_timeline_hudi(path: str) -> str:
+    """Fold the current visible state (file slices, logs, schema) into a
+    CHECKPOINT under `.hoodie/` so replay no longer needs the full
+    instant history — the role Hudi's metadata-table `files` partition
+    (and Delta's parquet checkpoint) plays: without one, every read
+    replays O(all instants ever). The checkpoint records the instant it
+    covers; `_replay_hudi` starts from the newest checkpoint ≤ as_of and
+    folds only newer instants. Time travel BELOW the newest checkpoint
+    keeps working as long as the covering instants aren't archived."""
+    latest, schema_json, slices = _replay_hudi(path)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    cp = {
+        "coversInstant": latest,
+        "schema": schema_json,
+        "slices": [
+            {
+                "partition": s["partition"],
+                "fileId": s["fileId"],
+                "instant": s["instant"],
+                "stat": s["stat"],
+                "logs": s.get("logs", []),
+            }
+            for s in slices
+        ],
+    }
+    hoodie = _hoodie_dir(path)
+    tmp = os.path.join(hoodie, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(cp, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    target = os.path.join(hoodie, f".checkpoint.{latest}.json")
+    store = resolve_log_store()
+    store.publish(tmp, target)  # idempotent: same state for same instant
+    os.unlink(tmp)
+    return latest
+
+
+def _newest_checkpoint(path: str, as_of: str | None):
+    """(covers_instant, checkpoint dict) of the newest checkpoint ≤
+    as_of, or (None, None)."""
+    hoodie = _hoodie_dir(path)
+    best: str | None = None
+    if not os.path.isdir(hoodie):
+        return None, None
+    for name in os.listdir(hoodie):
+        m = re.match(r"^\.checkpoint\.(\d{17})\.json$", name)
+        if not m:
+            continue
+        covers = m.group(1)
+        if as_of is not None and covers > as_of:
+            continue
+        if best is None or covers > best:
+            best = covers
+    if best is None:
+        return None, None
+    with open(os.path.join(hoodie, f".checkpoint.{best}.json")) as fh:
+        return best, json.load(fh)
+
+
+def archive_timeline_hudi(path: str, keep_recent: int = 10) -> dict:
+    """ARCHIVE old completed instants: everything except the newest
+    `keep_recent` write instants and every service entry past the
+    newest checkpoint moves into an append-only archive file
+    (`.hoodie/archived/commits_<n>`, one spec-framed log block per
+    instant), and the active timeline files are deleted. Requires a
+    checkpoint covering the archived range — the replay contract is
+    checkpoint + active instants, so nothing readable is lost at the
+    CURRENT snapshot; time travel below the checkpoint moves to the
+    archive (readable via read_archived_timeline_hudi, not the hot
+    path). Savepointed instants never archive."""
+    cp_covers, _cp = _newest_checkpoint(path, None)
+    if cp_covers is None:
+        raise ValueError(
+            "archive requires a timeline checkpoint; run "
+            "checkpoint_timeline_hudi first"
+        )
+    done = completed_instants(path)
+    writes = [
+        (i, a) for i, a in done if a in ("commit", "deltacommit", "replacecommit")
+    ]
+    protected = set(_savepointed_instants(path))
+    keep_from = (
+        writes[-keep_recent][0] if len(writes) > keep_recent else
+        (writes[0][0] if writes else "")
+    )
+    to_archive = [
+        (i, a)
+        for i, a in done
+        if i <= cp_covers
+        and i < keep_from
+        and i not in protected
+        and a != "savepoint"  # savepoint entries carry live protection
+    ]
+    if not to_archive:
+        return {"archived": [], "archive_file": None}
+    hoodie = _hoodie_dir(path)
+    arch_dir = os.path.join(hoodie, "archived")
+    os.makedirs(arch_dir, exist_ok=True)
+    n = len([f for f in os.listdir(arch_dir) if f.startswith("commits_")])
+    arch = os.path.join(arch_dir, f"commits_{n}")
+    with open(arch, "wb") as fh:
+        for instant, action in to_archive:
+            meta = _read_commit_meta(path, instant, action)
+            content = json.dumps(
+                {"instant": instant, "action": action, "metadata": meta},
+                sort_keys=True,
+            ).encode()
+            fh.write(
+                _log_block_bytes(
+                    1,  # command-block id: archival entry
+                    {_HDR_INSTANT_TIME: instant},
+                    content,
+                )
+            )
+        fh.flush()
+        os.fsync(fh.fileno())
+    for instant, action in to_archive:
+        for name in (
+            f"{instant}.{action}",
+            f"{instant}.{action}.requested",
+            f"{instant}.{action}.inflight",
+            f"{instant}.inflight",
+            f"{instant}.commit.requested",
+        ):
+            p = os.path.join(hoodie, name)
+            if os.path.exists(p):
+                os.unlink(p)
+    return {
+        "archived": [i for i, _ in to_archive],
+        "archive_file": os.path.relpath(arch, path),
+    }
+
+
+def read_archived_timeline_hudi(path: str) -> list[tuple[str, str, dict]]:
+    """Parse every archive file back into (instant, action, metadata)
+    rows — the cold-history audit surface."""
+    arch_dir = os.path.join(_hoodie_dir(path), "archived")
+    out = []
+    if not os.path.isdir(arch_dir):
+        return out
+    for name in sorted(os.listdir(arch_dir)):
+        if not name.startswith("commits_"):
+            continue
+        for _btype, _hdr, content in _parse_log_file(
+            os.path.join(arch_dir, name)
+        ):
+            rec = json.loads(content.decode())
+            out.append((rec["instant"], rec["action"], rec["metadata"]))
+    return sorted(out, key=lambda t: t[0])
+
+
+@query(
+    "hudi_timeline_archive",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total,
+           CAST(2 AS INT) AS n_active_writes, CAST(4 AS INT) AS n_archived
+    FROM orders
+    """,
+)
+def hudi_timeline_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded timeline replay: six insert commits land sixths of
+    orders, a checkpoint folds the visible state, and archival moves
+    the four oldest write instants into `.hoodie/archived` (one framed
+    block each) — the snapshot read is byte-identical afterwards while
+    replay touches only the checkpoint plus the two active instants.
+    The archived history stays auditable via the archive reader."""
+    root = scratch_path(sf_dir, "orders_hudi_archive")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(6):
+        write_hudi(
+            orders.where(F.col("o_orderkey") % 6 == i),
+            root,
+            record_key="o_orderkey",
+        )
+    checkpoint_timeline_hudi(root)
+    out = archive_timeline_hudi(root, keep_recent=2)
+    n_active = len(
+        [
+            1
+            for _i, a in completed_instants(root)
+            if a in ("commit", "deltacommit", "replacecommit")
+        ]
+    )
+    agg = read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
+    return agg.select(
+        "n_rows",
+        "total",
+        F.lit(n_active).cast("int").alias("n_active_writes"),
+        F.lit(len(out["archived"])).cast("int").alias("n_archived"),
+    )

@@ -761,3 +761,77 @@ def test_rollback_pending_reclaims_orphan_log_blocks(spark, monkeypatch):
         spark.range(0, 5).select(F.col("id"), F.lit(9.0).alias("v")), root
     )
     assert {r["v"] for r in read_hudi(spark, root).where("id < 5").collect()} == {9.0}
+
+
+# ---------------------------------------------------------------------------
+# timeline checkpoint + archival
+# ---------------------------------------------------------------------------
+def test_checkpoint_is_self_sufficient(spark):
+    """A replay from the checkpoint needs none of the covered instants:
+    deleting every pre-checkpoint active timeline file leaves the
+    snapshot read byte-identical (the Delta-checkpoint contract)."""
+    root = _fresh("t_hudi_cp_unit")
+    for i in range(4):
+        write_hudi(
+            spark.range(i * 50, (i + 1) * 50).select("id").coalesce(1),
+            root,
+            record_key="id",
+        )
+    before = sorted(r["id"] for r in read_hudi(spark, root).collect())
+    covers = H.checkpoint_timeline_hudi(root)
+    hoodie = H._hoodie_dir(root)
+    for name in list(os.listdir(hoodie)):
+        head = name.split(".", 1)[0]
+        if len(head) == 17 and head.isdigit() and head <= covers:
+            os.unlink(os.path.join(hoodie, name))
+    after = sorted(r["id"] for r in read_hudi(spark, root).collect())
+    assert after == before == list(range(200))
+    # and the table still accepts writes whose replay folds cp + delta
+    write_hudi(
+        spark.range(200, 250).select("id").coalesce(1), root, record_key="id"
+    )
+    assert read_hudi(spark, root).count() == 250
+
+
+def test_archive_bounds_replay_and_keeps_audit_trail(spark):
+    """Archival moves old write instants into framed archive blocks,
+    time travel below the horizon raises with a pointer at the archive
+    reader, and post-archive upserts still rewrite checkpoint-known
+    groups correctly (COW and MOR with logs)."""
+    root = _fresh("t_hudi_archive_unit")
+    for i in range(5):
+        write_hudi(
+            spark.range(i * 20, (i + 1) * 20).select("id").coalesce(1),
+            root,
+            record_key="id",
+        )
+    first = completed_instants(root)[0][0]
+    H.checkpoint_timeline_hudi(root)
+    out = H.archive_timeline_hudi(root, keep_recent=2)
+    assert len(out["archived"]) == 3
+    assert read_hudi(spark, root).count() == 100
+    arch = H.read_archived_timeline_hudi(root)
+    assert [i for i, _a, _m in arch] == out["archived"]
+    assert all(a == "commit" for _i, a, _m in arch)
+    with pytest.raises(ValueError, match="archival horizon"):
+        read_hudi(spark, root, as_of=first)
+
+    # MOR: checkpoint carries attached logs through archival
+    mroot = _mor_table(spark, "t_mor_archive", n=60)
+    upsert_hudi(
+        spark.range(0, 6).select(F.col("id"), F.lit(-3.0).alias("v")), mroot
+    )
+    H.checkpoint_timeline_hudi(mroot)
+    write_hudi(
+        spark.range(100, 110).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        ).coalesce(1),
+        mroot,
+        record_key="id",
+    )
+    H.archive_timeline_hudi(mroot, keep_recent=1)
+    rows = {r["id"]: r["v"] for r in read_hudi(spark, mroot).collect()}
+    assert len(rows) == 70 and rows[3] == -3.0
+    H.compact_hudi(mroot)
+    rows2 = {r["id"]: r["v"] for r in read_hudi(spark, mroot).collect()}
+    assert rows2 == rows
