@@ -272,3 +272,72 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+QSK_K = 1024  # bottom-k sample size: rank error O(1/sqrt(k))
+_QSK_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "sketch_quantile_bottomk",
+    oracle=f"""
+    WITH smp AS (
+      SELECT l_quantity
+      FROM lineitem
+      ORDER BY MD5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
+      LIMIT {QSK_K}
+    ),
+    ranked AS (
+      SELECT l_quantity,
+             ROW_NUMBER() OVER (ORDER BY l_quantity, MD5(CAST(l_quantity AS VARCHAR))) AS rn
+      FROM smp
+    )
+    SELECT CAST(q AS DOUBLE) AS q, r.l_quantity AS estimate
+    FROM (VALUES {", ".join(f"({q})" for q in _QSK_QS)}) t(q)
+    JOIN ranked r ON r.rn = CAST(FLOOR(q * ({QSK_K} - 1)) AS BIGINT) + 1
+    """,
+)
+def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch via BOTTOM-K PRIORITY SAMPLING: every
+    row gets a content-addressed md5 priority (engine-portable, no RNG),
+    the k smallest priorities form a uniform sample, and sample order
+    statistics estimate the quantiles (rank error O(1/sqrt(k)),
+    unit-asserted against the exact quantiles). Unlike stream-order
+    sketches, the bottom-k set is ORDER-INDEPENDENT — both engines
+    construct the identical sample, so the oracle is exact — and
+    mergeable by construction: bottom-k of a union equals bottom-k of
+    the per-shard bottom-ks (unit-asserted), the property that lets
+    10,000 partitions each ship k rows instead of a data-scale shuffle.
+
+    Plan shape: one TakeOrdered(k) — per-partition top-k heaps merged on
+    the driver, no full sort — then rank selection inside the k-row
+    sample."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    pri = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    smp = li.select("l_quantity", pri.alias("__pri")).orderBy("__pri").limit(
+        QSK_K
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.orderBy(
+            F.col("l_quantity"), F.md5(F.col("l_quantity").cast("string"))
+        )
+    )
+    ranked = smp.select("l_quantity", rn.alias("rn"))
+    qs = spark.createDataFrame(
+        [(float(q),) for q in _QSK_QS], "q double"
+    ).withColumn(
+        "rn", (F.floor(F.col("q") * (QSK_K - 1)) + 1).cast("bigint")
+    )
+    return qs.join(ranked, "rn").select(
+        "q", F.col("l_quantity").alias("estimate")
+    )

@@ -3473,3 +3473,48 @@ def test_ann_index_topk_invariants(spark):
         total += 5
     recall = hits / total
     assert recall >= 0.6, f"recall@5 {recall:.3f} below floor"
+
+
+def test_quantile_bottomk_error_bound_and_mergeability(spark, oracle_con):
+    """The bottom-k priority sample's quantile estimates sit within the
+    O(1/sqrt(k)) rank-error envelope of the exact quantiles, and the
+    sketch is mergeable: bottom-k of the union equals bottom-k of the
+    per-shard bottom-ks (the property that makes it a one-pass
+    distributed sketch)."""
+    import math
+
+    from atlas_migration_repo_spark.operators.sketches import QSK_K
+
+    est = {
+        r["q"]: r["estimate"]
+        for r in QUERIES["sketch_quantile_bottomk"].fn(spark, SF_DIR).collect()
+    }
+    rows = oracle_con.execute(
+        "SELECT l_quantity FROM lineitem ORDER BY l_quantity"
+    ).fetchall()
+    vals = [r[0] for r in rows]
+    n = len(vals)
+    eps = 3.0 / math.sqrt(QSK_K)  # ~3 sigma of the sampling rank error
+    for q, e in est.items():
+        import bisect
+
+        lo = bisect.bisect_left(vals, e) / n
+        hi = bisect.bisect_right(vals, e) / n
+        assert lo - eps <= q <= hi + eps, (q, e, lo, hi)
+
+    # mergeability: bottom-k(bottom-k(A) ∪ bottom-k(B)) == bottom-k(A∪B)
+    pri = "MD5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))"
+    direct = oracle_con.execute(
+        f"SELECT {pri} AS p FROM lineitem ORDER BY p LIMIT {QSK_K}"
+    ).fetchall()
+    merged = oracle_con.execute(
+        f"""
+        WITH a AS (SELECT {pri} AS p FROM lineitem WHERE l_orderkey % 2 = 0
+                   ORDER BY p LIMIT {QSK_K}),
+             b AS (SELECT {pri} AS p FROM lineitem WHERE l_orderkey % 2 = 1
+                   ORDER BY p LIMIT {QSK_K})
+        SELECT p FROM (SELECT p FROM a UNION ALL SELECT p FROM b) u
+        ORDER BY p LIMIT {QSK_K}
+        """
+    ).fetchall()
+    assert direct == merged
