@@ -341,3 +341,139 @@ def sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qs.join(ranked, "rn").select(
         "q", F.col("l_quantity").alias("estimate")
     )
+
+
+KMV_K = 128  # k-minimum-values sketch size
+
+
+@query(
+    "sketch_kmv_intersection",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    h AS (
+      SELECT event_type, user_id,
+             CAST(CAST('0x' || SUBSTRING(MD5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) AS DOUBLE) / 281474976710656.0 AS hv
+      FROM keys
+    ),
+    rk AS (
+      SELECT event_type, user_id, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    bk AS (SELECT * FROM rk WHERE rn <= {KMV_K}),
+    per_type AS (
+      SELECT event_type,
+             CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE ({KMV_K} - 1) / MAX(hv) END AS est
+      FROM bk WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    u AS (
+      SELECT user_id, hv,
+             ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT user_id, hv FROM bk) d
+    ),
+    ubk AS (SELECT * FROM u WHERE rn <= {KMV_K}),
+    inter AS (
+      SELECT COUNT(*) AS c
+      FROM ubk
+      WHERE user_id IN (SELECT user_id FROM bk WHERE event_type = 'view')
+        AND user_id IN (SELECT user_id FROM bk WHERE event_type = 'purchase')
+    )
+    SELECT CAST(ROUND((SELECT est FROM per_type WHERE event_type = 'view'), 4) AS DOUBLE) AS view_est,
+           CAST(ROUND((SELECT est FROM per_type WHERE event_type = 'purchase'), 4) AS DOUBLE) AS purchase_est,
+           CAST(ROUND(((SELECT CAST(c AS DOUBLE) FROM inter) / (SELECT COUNT(*) FROM ubk))
+                      * (SELECT CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                                     ELSE ({KMV_K} - 1) / MAX(hv) END FROM ubk), 4) AS DOUBLE) AS intersect_est
+    """,
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketches with SET-OPERATION estimation —
+    the theta-sketch idea: keep the k smallest content-addressed hash
+    values per set; distinct count ≈ (k-1)/h_k once the sketch is FULL
+    (a partial sketch holds the whole set, so its count IS exact), and
+    the INTERSECTION
+    estimate comes from Jaccard over the union's bottom-k (members of
+    both sketches) times the union estimate. Deterministic md5
+    arithmetic means both engines build bit-identical sketches — the
+    oracle is exact — and the bottom-k structure is mergeable like
+    sketch_quantile_bottomk (per-shard bottom-ks union into the global
+    one). Accuracy vs the exact distinct counts is unit-asserted.
+
+    Scale shape: one distinct-project per set, one TakeOrdered-k-
+    shaped window per sketch, then all estimation math runs on ≤ k-row
+    inputs."""
+    keys = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    from pyspark.sql import Window
+
+    h = keys.select("event_type", "user_id", hv.alias("hv"))
+    rk = h.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.col("hv"))
+        ),
+    )
+    bk = rk.where(F.col("rn") <= KMV_K)
+    full_est = (F.lit(KMV_K) - 1) / F.max("hv")
+    per_type = bk.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)).cast("double"))
+        .otherwise(full_est)
+        .alias("est")
+    )
+    u = (
+        bk.select("user_id", "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("hv"))))
+        .where(F.col("rn") <= KMV_K)
+    )
+    views = bk.where(F.col("event_type") == "view").select("user_id")
+    buys = bk.where(F.col("event_type") == "purchase").select("user_id")
+    inter_c = (
+        u.join(views, "user_id", "left_semi")
+        .join(buys, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    u_stats = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n_u"),
+        F.when(F.count(F.lit(1)) < KMV_K, F.count(F.lit(1)).cast("double"))
+        .otherwise((F.lit(KMV_K) - 1) / F.max("hv"))
+        .alias("union_est"),
+    )
+    v_est = per_type.where(F.col("event_type") == "view").select(
+        F.round(F.col("est"), 4).alias("view_est")
+    )
+    p_est = per_type.where(F.col("event_type") == "purchase").select(
+        F.round(F.col("est"), 4).alias("purchase_est")
+    )
+    return (
+        v_est.crossJoin(p_est)
+        .crossJoin(inter_c)
+        .crossJoin(u_stats)
+        .select(
+            "view_est",
+            "purchase_est",
+            F.round(
+                (F.col("c") / F.col("n_u")) * F.col("union_est"), 4
+            ).alias("intersect_est"),
+        )
+    )

@@ -3518,3 +3518,32 @@ def test_quantile_bottomk_error_bound_and_mergeability(spark, oracle_con):
         """
     ).fetchall()
     assert direct == merged
+
+
+def test_kmv_estimates_near_exact_counts(spark, oracle_con):
+    """KMV distinct-count and intersection estimates land within the
+    ~1/sqrt(k) relative-error envelope of the exact counts."""
+    import math
+
+    from atlas_migration_repo_spark.operators.sketches import KMV_K
+
+    row = QUERIES["sketch_kmv_intersection"].fn(spark, SF_DIR).collect()[0]
+    exact = {
+        t: oracle_con.execute(
+            f"SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = '{t}'"
+        ).fetchone()[0]
+        for t in ("view", "purchase")
+    }
+    exact_int = oracle_con.execute(
+        """
+        SELECT COUNT(*) FROM (
+          SELECT user_id FROM events WHERE event_type = 'view'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+        """
+    ).fetchone()[0]
+    tol = 5.0 / math.sqrt(KMV_K)
+    assert abs(row["view_est"] - exact["view"]) <= tol * exact["view"]
+    assert abs(row["purchase_est"] - exact["purchase"]) <= tol * exact["purchase"]
+    assert abs(row["intersect_est"] - exact_int) <= 2 * tol * max(exact_int, 1)
