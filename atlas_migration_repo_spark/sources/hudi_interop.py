@@ -3437,3 +3437,168 @@ def hudi_timeline_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_active).cast("int").alias("n_active_writes"),
         F.lit(len(out["archived"])).cast("int").alias("n_archived"),
     )
+
+
+@query(
+    "hudi_mor_incremental",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 2 AS o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def hudi_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental pull on MERGE-ON-READ: an upsert that only touched
+    LOG FILES still surfaces — qualifying file groups include those
+    whose logs are newer than the begin instant, and only the updated
+    records (whose `_hoodie_commit_time` is the log instant) come back,
+    never the carried base rows."""
+    root = scratch_path(sf_dir, "orders_hudi_mor_incr")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_hudi(
+        orders, root, record_key="o_orderkey", table_type="MERGE_ON_READ"
+    )
+    begin = completed_instants(root)[0][0]
+    upsert_hudi(
+        orders.where(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        ),
+        root,
+    )
+    return read_hudi_incremental(spark, root, begin)
+
+
+@query(
+    "hudi_adopt_delta",
+    oracle=f"""
+    SELECT 'delta' AS reader, o_orderstatus, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'hudi' AS reader, o_orderstatus, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def hudi_adopt_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reverse direction of the tri-format bridge: a table that
+    LANDED as Delta gains a `.hoodie` timeline over the same data files
+    (zero-copy, virtual-key mode — Delta data files carry no Hudi meta
+    columns), with partition values taken from the LOG's
+    partitionValues rather than dir layout. Both protocol readers
+    answer the same partitioned aggregate identically. Completes the
+    adoption matrix: plain parquet→Hudi, TableLog→Delta,
+    Iceberg⇄Delta, Hudi→Delta, and now Delta→Hudi."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        read_delta,
+        write_delta,
+    )
+
+    root = scratch_path(sf_dir, "orders_delta_to_hudi")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_delta(orders, root, partition_by=["o_orderstatus"])
+    adopt_delta_to_hudi(spark, root)
+    outs = []
+    for reader, df in (
+        ("delta", read_delta(spark, root)),
+        ("hudi", read_hudi(spark, root)),
+    ):
+        outs.append(
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .select(
+                F.lit(reader).alias("reader"),
+                "o_orderstatus",
+                "n_rows",
+                "total",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def adopt_delta_to_hudi(spark: SparkSession, path: str) -> str:
+    """ZERO-COPY adoption of a DELTA table into Hudi: graft a `.hoodie`
+    timeline whose bootstrapped file groups point at the Delta table's
+    LIVE data files, partition values sourced from the log's
+    partitionValues (never the dir layout — matching Delta's own
+    contract). Runs in virtual-key mode like adopt_parquet_to_hudi;
+    refuses tables with live deletion vectors (a raw-file read would
+    resurrect DV-deleted rows — REORG PURGE first, the same refusal the
+    Iceberg publisher makes) and columnMapping tables (physical names
+    in files would lie to a name-based reader)."""
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _column_mapping,
+        _replay,
+    )
+
+    if _table_exists(path):
+        raise ValueError(f"{path} already carries a .hoodie timeline")
+    _v, dmeta, adds = _replay(path)
+    if _column_mapping(dmeta):
+        raise ValueError(
+            "columnMapping tables store PHYSICAL column names in files; "
+            "a name-based Hudi reader would misread them"
+        )
+    if any(a.get("deletionVector") for a in adds):
+        raise ValueError(
+            "table carries live deletion vectors; run purge_delta_dv "
+            "first — raw-file reads would resurrect deleted rows"
+        )
+    schema = T.StructType.fromJson(json.loads(dmeta["schemaString"]))
+    pcols = dmeta.get("partitionColumns") or []
+    record_key = schema.fields[0].name  # virtual key: first column
+    _init_table(
+        path,
+        os.path.basename(path.rstrip("/")),
+        record_key,
+        pcols,
+        precombine=None,
+        event_time_field=None,
+    )
+    props = _read_props(path)
+    props["hoodie.populate.meta.fields"] = "false"
+    _write_props(path, props)
+
+    instant = _claim_instant(path, "commit")
+    p2ws: dict[str, list[dict]] = {}
+    for a in adds:
+        rel = urllib.parse.unquote(a["path"])
+        fp = os.path.join(path, rel)
+        pv = a.get("partitionValues") or {}
+        part_rel = "/".join(
+            f"{c}={urllib.parse.quote(str(pv.get(c)), safe='')}"
+            for c in pcols
+            if pv.get(c) is not None
+        )
+        n = pq.ParquetFile(fp).metadata.num_rows
+        p2ws.setdefault(part_rel, []).append(
+            {
+                "fileId": os.path.splitext(os.path.basename(rel))[0],
+                "path": rel,
+                "prevCommit": "null",
+                "numWrites": n,
+                "numDeletes": 0,
+                "numUpdateWrites": 0,
+                "numInserts": n,
+                "totalWriteBytes": a.get("size", os.path.getsize(fp)),
+                "fileSizeInBytes": a.get("size", os.path.getsize(fp)),
+                "partitionPath": part_rel,
+                "bootstrapped": True,
+            }
+        )
+    for stats in p2ws.values():
+        stats.sort(key=lambda s: s["fileId"])
+    meta = _commit_meta("bootstrap", p2ws, schema.json())
+    _complete_instant(path, instant, "commit", meta)
+    return instant
