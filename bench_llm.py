@@ -43,6 +43,7 @@ KEYS = (
     "quality_logreg_score",
     "sim_knn_ann",
     "multimodal_resize_ppm",
+    "sample_importance_dsir",
 )
 
 
