@@ -30,9 +30,15 @@ the 0.14.x on-disk format):
   what makes incremental queries exact across upserts and clustering.
 
 Honesty boundary: the `extraMetadata.schema` entry stores the Spark
-StructType JSON rather than the Avro schema a JVM Hudi writer emits,
-and bloom-filter key metadata is not written to footers — the
-timeline layout, file naming, meta columns, and commit metadata
+StructType JSON rather than the Avro schema a JVM Hudi writer emits;
+bloom-filter key metadata is not written to footers; MOR log-block
+FRAMING follows the spec's field sequence (magic, sizes, version,
+type, header map, content, footer, trailing size) but the block-type
+and header-key integer ids are documented locally, not validated
+against a JVM writer; and executor-side log-file publication uses a
+POSIX hard link as its put-if-absent (fail-loud on rename-less
+stores — the commit-level conflict check remains the real guard).
+The timeline layout, file naming, meta columns, and commit metadata
 fields above ARE spec-shaped.
 
 Scale story (100 TB): the timeline holds FILE METADATA, not data —

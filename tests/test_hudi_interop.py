@@ -835,3 +835,148 @@ def test_archive_bounds_replay_and_keeps_audit_trail(spark):
     H.compact_hudi(mroot)
     rows2 = {r["id"]: r["v"] for r in read_hudi(spark, mroot).collect()}
     assert rows2 == rows
+
+
+# ---------------------------------------------------------------------------
+# protocol model checks (the test_model_check_* family, 4th format)
+# ---------------------------------------------------------------------------
+def _model_rows(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, v double")
+
+
+def test_model_check_hudi_cow_sequences(spark):
+    """Model-check the COW machinery: a seeded random sequence of
+    insert / upsert / delete / cluster instants against a plain dict
+    model — EVERY recorded write instant must time-travel back to
+    exactly its model state (slice visibility, replacecommit
+    boundaries, carried-row preservation)."""
+    import random
+
+    rng = random.Random(11)
+    root = _fresh("ut_hudi_model_cow")
+    rows = [(i, float(i)) for i in range(200)]
+    write_hudi(_model_rows(spark, rows).coalesce(2), root, record_key="id")
+    model = dict(rows)
+    by_instant = {completed_instants(root)[-1][0]: dict(model)}
+    next_key = 1000
+    for _step in range(10):
+        op = rng.choice(["insert", "upsert", "delete", "cluster"])
+        if op == "insert":
+            new = [
+                (next_key + i, float(rng.randint(0, 999)))
+                for i in range(rng.randint(1, 30))
+            ]
+            next_key += 100
+            write_hudi(
+                _model_rows(spark, new).coalesce(1), root, record_key="id"
+            )
+            model.update(dict(new))
+        elif op == "upsert":
+            keys = (
+                rng.sample(sorted(model), min(len(model), rng.randint(1, 25)))
+                if model
+                else []
+            )
+            src = [(k, model[k] + 0.5) for k in keys] + [
+                (next_key + i, float(i)) for i in range(rng.randint(1, 8))
+            ]
+            next_key += 100
+            upsert_hudi(_model_rows(spark, src), root)
+            model.update(dict(src))
+        elif op == "delete":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(len(model), rng.randint(1, 40)))
+            delete_hudi(
+                spark.createDataFrame([(k,) for k in keys], "id bigint"), root
+            )
+            for k in keys:
+                model.pop(k)
+        else:
+            cluster_hudi(root)  # state identical through the replace
+        by_instant[completed_instants(root)[-1][0]] = dict(model)
+
+    for instant, want in by_instant.items():
+        got = {
+            r["id"]: r["v"]
+            for r in read_hudi(spark, root, as_of=instant).collect()
+        }
+        assert got == want, f"instant {instant}: {len(got)} vs {len(want)}"
+
+
+def test_model_check_hudi_mor_sequences(spark):
+    """MOR flavor: the same dict-model replay with log-block upserts,
+    tombstone deletes, and compactions interleaved — every instant's
+    merged snapshot must equal the model, and after a final compaction
+    the read-optimized view converges to the snapshot."""
+    import random
+
+    rng = random.Random(13)
+    root = _fresh("ut_hudi_model_mor")
+    rows = [(i, float(i)) for i in range(150)]
+    write_hudi(
+        _model_rows(spark, rows).coalesce(2),
+        root,
+        record_key="id",
+        table_type="MERGE_ON_READ",
+    )
+    model = dict(rows)
+    by_instant = {completed_instants(root)[-1][0]: dict(model)}
+    next_key = 1000
+    for _step in range(8):
+        op = rng.choice(["insert", "upsert", "upsert", "delete", "compact"])
+        if op == "insert":
+            new = [
+                (next_key + i, float(rng.randint(0, 999)))
+                for i in range(rng.randint(1, 20))
+            ]
+            next_key += 100
+            write_hudi(
+                _model_rows(spark, new).coalesce(1), root, record_key="id"
+            )
+            model.update(dict(new))
+        elif op == "upsert":
+            keys = (
+                rng.sample(sorted(model), min(len(model), rng.randint(1, 20)))
+                if model
+                else []
+            )
+            src = [(k, model[k] + 0.25) for k in keys] + [
+                (next_key + i, float(i)) for i in range(rng.randint(1, 5))
+            ]
+            next_key += 100
+            upsert_hudi(_model_rows(spark, src), root)
+            model.update(dict(src))
+        elif op == "delete":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(len(model), rng.randint(1, 30)))
+            delete_hudi(
+                spark.createDataFrame([(k,) for k in keys], "id bigint"), root
+            )
+            for k in keys:
+                model.pop(k)
+        else:
+            _, _, slices = H._replay_hudi(root)
+            if any(s.get("logs") for s in slices):
+                H.compact_hudi(root)
+        by_instant[completed_instants(root)[-1][0]] = dict(model)
+
+    for instant, want in by_instant.items():
+        got = {
+            r["id"]: r["v"]
+            for r in read_hudi(spark, root, as_of=instant).collect()
+        }
+        assert got == want, f"instant {instant}: {len(got)} vs {len(want)}"
+
+    _, _, slices = H._replay_hudi(root)
+    if any(s.get("logs") for s in slices):
+        H.compact_hudi(root)
+    snap = sorted(
+        (r["id"], r["v"]) for r in read_hudi(spark, root).collect()
+    )
+    ro = sorted(
+        (r["id"], r["v"])
+        for r in read_hudi(spark, root, view="read_optimized").collect()
+    )
+    assert snap == ro and dict(snap) == model
