@@ -154,8 +154,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     levels = [frontier]
     for i in range(1, _BFS_MAX_HOPS + 1):
+        # name-based equi-join: reusing `eu` across levels with a column
+        # condition makes the self-join lineage ambiguous and Spark
+        # degrades it to a nested loop — USING(src) keeps every level a
+        # hash join (broadcast here; exchanged on big graphs)
         frontier = (
-            frontier.join(eu, frontier["node"] == eu["src"])
+            frontier.select(F.col("node").alias("src"))
+            .join(eu, "src")
             .select(F.col("dst").alias("node"), F.lit(i).alias("hop"))
             .distinct()
         )
