@@ -536,15 +536,24 @@ def fsck(path: str) -> dict:
             _replay_hudi,
         )
 
+        from atlas_migration_repo_spark.sources.hudi_interop import (
+            _BLOCK_DELETE,
+            _HDR_INSTANT_TIME,
+            _parse_log_file,
+        )
+
         _, _, slices = _replay_hudi(path)
         for s in slices:
-            for st in [s["stat"]] + [lg["stat"] for lg in s.get("logs", [])]:
+            for lg_instant, st in [(None, s["stat"])] + [
+                (lg["instant"], lg["stat"]) for lg in s.get("logs", [])
+            ]:
                 full = os.path.join(path, st["path"])
                 checked += 1
                 kind = "log" if "logVersion" in st else "base"
                 if not os.path.exists(full):
                     errors.append(f"missing {kind} file: {st['path']}")
-                elif (
+                    continue
+                if (
                     st.get("fileSizeInBytes")
                     and os.path.getsize(full) != st["fileSizeInBytes"]
                 ):
@@ -553,6 +562,51 @@ def fsck(path: str) -> dict:
                         f"stat={st['fileSizeInBytes']} "
                         f"disk={os.path.getsize(full)}"
                     )
+                if kind == "log":
+                    # block-level integrity: the framing must parse, the
+                    # commit instant in every block header must match the
+                    # writeStat's commit, and tombstone/record counts must
+                    # equal the recorded numDeletes/numWrites
+                    try:
+                        blocks = _parse_log_file(full)
+                    except Exception as e:
+                        errors.append(f"log unreadable: {st['path']} ({e})")
+                        continue
+                    if not blocks:
+                        errors.append(f"log holds no complete block: {st['path']}")
+                        continue
+                    for btype, hdr, content in blocks:
+                        if hdr.get(_HDR_INSTANT_TIME) != lg_instant:
+                            errors.append(
+                                f"log block instant mismatch: {st['path']} "
+                                f"header={hdr.get(_HDR_INSTANT_TIME)} "
+                                f"stat={lg_instant}"
+                            )
+                        want = (
+                            st.get("numDeletes", 0)
+                            if btype == _BLOCK_DELETE
+                            else st.get("numWrites", 0)
+                        )
+                        if btype == _BLOCK_DELETE:
+                            from atlas_migration_repo_spark.sources.avro import (
+                                parse_container,
+                            )
+
+                            _, recs = parse_container(content)
+                            got = len(recs)
+                        else:
+                            import io as _io
+
+                            import pyarrow.parquet as pq
+
+                            got = pq.ParquetFile(
+                                _io.BytesIO(content)
+                            ).metadata.num_rows
+                        if got != want:
+                            errors.append(
+                                f"log block count mismatch: {st['path']} "
+                                f"block={got} stat={want}"
+                            )
     else:  # tablelog
         from atlas_migration_repo_spark.sources.table_log import TableLog
 

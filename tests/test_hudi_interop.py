@@ -980,3 +980,53 @@ def test_model_check_hudi_mor_sequences(spark):
         for r in read_hudi(spark, root, view="read_optimized").collect()
     )
     assert snap == ro and dict(snap) == model
+
+
+def test_fsck_validates_log_blocks_and_mor_clean(spark):
+    """fsck parses every live log file: framing, per-block instant
+    headers, and record/tombstone counts against the writeStats — a
+    truncated log is reported, not silently shortened. The cleaner on a
+    compacted MOR table removes the superseded base AND its absorbed
+    logs together."""
+    from atlas_migration_repo_spark.lakehouse import fsck
+
+    root = _mor_table(spark, "t_mor_fsck_clean", n=80)
+    upsert_hudi(
+        spark.range(0, 8).select(F.col("id"), F.lit(-1.0).alias("v")), root
+    )
+    delete_hudi(spark.range(70, 80).select("id"), root)
+    chk = fsck(root)
+    assert chk["ok"], chk["errors"]
+    assert chk["checked_files"] == 3  # base + data log + delete log
+
+    # corrupt the tail of a log file: fsck flags the count mismatch
+    _, _, slices = H._replay_hudi(root)
+    log_rel = slices[0]["logs"][0]["stat"]["path"]
+    fp = os.path.join(root, log_rel)
+    data = open(fp, "rb").read()
+    open(fp, "wb").write(data[: len(data) - 9])  # torn trailing bytes
+    chk2 = fsck(root)
+    assert not chk2["ok"]
+    assert any("log" in e for e in chk2["errors"])
+    open(fp, "wb").write(data)  # restore
+    assert fsck(root)["ok"]
+
+    # compaction then clean: old base + absorbed logs all reclaimed
+    H.compact_hudi(root)
+    n_before = sum(
+        1 for dp, _d, fs in os.walk(root) for f in fs
+        if f.endswith(".parquet") or H._LOG_NAME_RE.match(f)
+    )
+    H.clean_hudi(root, retain_versions=1)
+    n_after = sum(
+        1 for dp, _d, fs in os.walk(root) for f in fs
+        if f.endswith(".parquet") or H._LOG_NAME_RE.match(f)
+    )
+    assert n_after < n_before
+    logs_left = [
+        f for dp, _d, fs in os.walk(root) for f in fs if H._LOG_NAME_RE.match(f)
+    ]
+    assert logs_left == []
+    rows = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+    assert len(rows) == 70 and rows[3] == -1.0
+    assert fsck(root)["ok"]
