@@ -127,6 +127,78 @@ class AtlasEngine:
             w = w.partitionBy(*partition_by)
         w.save(path)
 
+    def read_table(self, path: str) -> DataFrame:
+        """Read ANY table this engine speaks — Delta, Iceberg, Hudi, or
+        TableLog — with the format auto-detected from the metadata tree
+        (the lakehouse CLI's detection)."""
+        from atlas_migration_repo_spark.lakehouse import detect_format
+
+        fmt = detect_format(path)
+        if fmt == "delta":
+            return self.read_delta(path)
+        if fmt == "iceberg":
+            return self.read_iceberg(path)
+        if fmt == "hudi":
+            return self.read_hudi(path)
+        from atlas_migration_repo_spark.sources.table_log import TableLog
+
+        return TableLog(path).read(self.spark)
+
+    def register_table(self, name: str, path: str) -> None:
+        """Expose any lakehouse table to `.sql()` as a temp view."""
+        self.read_table(path).createOrReplaceTempView(name)
+
+    def migrate_table(
+        self,
+        src_path: str,
+        dst_path: str,
+        dst_format: str,
+        partition_by: Sequence[str] = (),
+        record_key: str | None = None,
+    ) -> None:
+        """One-call table migration: read `src_path` (format
+        auto-detected) and land it at `dst_path` in `dst_format`
+        (delta | iceberg | hudi | tablelog | parquet). This is the
+        rewrite path — for same-file adoptions use the zero-copy
+        converters (convert_to_delta, adopt_hudi, adopt_delta_to_hudi,
+        publish_uniform)."""
+        df = self.read_table(src_path)
+        pby = list(partition_by)
+        if dst_format == "delta":
+            from atlas_migration_repo_spark.sources.delta_interop import (
+                write_delta,
+            )
+
+            write_delta(df, dst_path, partition_by=pby)
+        elif dst_format == "iceberg":
+            from atlas_migration_repo_spark.sources.iceberg_interop import (
+                write_iceberg,
+            )
+
+            write_iceberg(df, dst_path, partition_by=pby)
+        elif dst_format == "hudi":
+            from atlas_migration_repo_spark.sources.hudi_interop import (
+                write_hudi,
+            )
+
+            write_hudi(
+                df,
+                dst_path,
+                record_key=record_key or df.columns[0],
+                partition_by=pby,
+            )
+        elif dst_format == "tablelog":
+            from atlas_migration_repo_spark.sources.table_log import TableLog
+
+            TableLog(dst_path).append(df, partition_by=pby or None)
+        elif dst_format == "parquet":
+            self.write(df, dst_path, partition_by=pby)
+        else:
+            raise ValueError(
+                "dst_format must be delta|iceberg|hudi|tablelog|parquet, "
+                f"got {dst_format!r}"
+            )
+
     # -- lakehouse formats (no jars; sources/delta_interop, iceberg_interop)
     def read_delta(self, path: str, version: int | None = None) -> DataFrame:
         """Read a Delta-format table via the pure-Python log reader

@@ -1662,3 +1662,43 @@ def pipeline_lakehouse_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_final"),
         F.col("total_final"),
     )
+
+
+@query(
+    "pipeline_migrate_any",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pipeline_migrate_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migration engine's headline verb, chained across every open
+    format: orders land as DELTA, one `migrate_table` call relocates the
+    table to HUDI (format auto-detected on read), a second to ICEBERG —
+    and the final protocol reader returns exactly the source aggregate.
+    Each hop is one scan + one committed write of the target format; no
+    driver-side rows."""
+    import os
+    import shutil as _shutil
+
+    from atlas_migration_repo_spark.api import AtlasEngine
+    from atlas_migration_repo_spark.sources.delta_interop import write_delta
+    from atlas_migration_repo_spark.sources.files import scratch_path
+    from atlas_migration_repo_spark.sources.iceberg_interop import read_iceberg
+
+    base = scratch_path(sf_dir, "orders_migrate_any")
+    _shutil.rmtree(base, ignore_errors=True)
+    d_root = os.path.join(base, "as_delta")
+    h_root = os.path.join(base, "as_hudi")
+    i_root = os.path.join(base, "as_iceberg")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_delta(orders, d_root)
+    eng = AtlasEngine(spark=spark, sf_dir=sf_dir)
+    eng.migrate_table(d_root, h_root, "hudi", record_key="o_orderkey")
+    eng.migrate_table(h_root, i_root, "iceberg")
+    return read_iceberg(spark, i_root).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("o_totalprice")).alias("total"),
+    )
