@@ -1364,13 +1364,24 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
     return instant
 
 
-def cluster_hudi(path: str) -> str:
+def cluster_hudi(
+    path: str,
+    sort_by: list[str] | None = None,
+    target_groups: int = 4,
+) -> str:
     """Clustering as a REPLACECOMMIT: rewrite every live file slice into
     one compacted file group per partition, listing all previous
     fileIds in partitionToReplaceFileIds. Records keep their meta
     columns (commit time/seqno survive — incremental queries stay exact
     across clustering); only the file name moves. Time travel BEFORE
-    the replace instant still resolves the old groups."""
+    the replace instant still resolves the old groups.
+
+    `sort_by` (unpartitioned tables) RANGE-CLUSTERS the rewrite into
+    `target_groups` file groups — one column range-partitions directly,
+    several interleave through the shared Morton z-value machinery — so
+    per-file stat envelopes (e.g. minEventTime/maxEventTime) become
+    disjoint and skip reads start pruning, Hudi's sort/z-order
+    clustering strategy."""
     spark = SparkSession.getActiveSession()
     assert spark is not None, "cluster_hudi needs an active SparkSession"
     props = _read_props(path)
@@ -1398,6 +1409,11 @@ def cluster_hudi(path: str) -> str:
     base = {i for i, _ in completed_instants(path)}
     instant = _claim_instant(path, "replacecommit")
 
+    if sort_by and partition_by:
+        raise ValueError(
+            "sort_by clustering applies to unpartitioned tables here; "
+            "partitioned tables compact one group per partition"
+        )
     _, full = _full_schema(schema_json)
     paths = [os.path.join(path, s["stat"]["path"]) for s in slices]
     cur = spark.read.schema(full).parquet(*paths)
@@ -1405,6 +1421,19 @@ def cluster_hudi(path: str) -> str:
     if partition_by:
         # one task per partition value -> one compacted group apiece
         cur = cur.repartition(*[F.col(c) for c in partition_by])
+    elif sort_by:
+        if len(sort_by) == 1:
+            cur = cur.repartitionByRange(target_groups, F.col(sort_by[0]))
+        else:
+            from atlas_migration_repo_spark.sources.delta_interop import (
+                _zvalue,
+            )
+
+            cur = (
+                cur.withColumn("__zv", _zvalue(cur, list(sort_by)))
+                .repartitionByRange(target_groups, F.col("__zv"))
+                .drop("__zv")
+            )
     else:
         cur = cur.coalesce(1)
     fid_col = F.concat(
@@ -3608,3 +3637,127 @@ def adopt_delta_to_hudi(spark: SparkSession, path: str) -> str:
     meta = _commit_meta("bootstrap", p2ws, schema.json())
     _complete_instant(path, instant, "commit", meta)
     return instant
+
+
+@query(
+    "hudi_clustering_sorted",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_rows, {sql_msum('value')} AS total
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_HUDI_EV_LO}' AND TIMESTAMP '{_HUDI_EV_HI}'
+    GROUP BY event_type
+    """,
+)
+def hudi_clustering_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-clustering makes skip reads effective: events land in
+    time-interleaved file groups (every group spans the whole range —
+    nothing prunes), then one range-clustering replacecommit on `ts`
+    rewrites them into disjoint-envelope groups, and the SAME
+    event-range read now drops most files in the timeline. The answer
+    is identical before and after — only the file layout moved."""
+    root = scratch_path(sf_dir, "events_hudi_cluster_sorted")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .repartition(8)  # time-INTERLEAVED groups: no pruning possible
+    )
+    write_hudi(ev, root, record_key="event_id", event_time_field="ts")
+    cluster_hudi(root, sort_by=["ts"], target_groups=8)
+    ranged = read_hudi_event_range(spark, root, _HUDI_EV_LO, _HUDI_EV_HI)
+    return ranged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        msum(F.col("value")).alias("total"),
+    )
+
+
+@query(
+    "sink_hudi_cdc",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def sink_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-UPSERT landing into Hudi: each micro-batch reduces to the
+    latest event per user (deterministic ts/event_id ordering) and
+    UPSERTS it with a checkpoint key — replayed batches are committed
+    no-ops, later batches override earlier rows per key, and the table's
+    precombine field (a sortable ts||id string) resolves any cross-batch
+    ties the spec way. The landed table equals the batch latest-per-user
+    query exactly."""
+    from pyspark.sql import Window
+
+    from atlas_migration_repo_spark.streaming.harness import (
+        read_events_stream,
+    )
+
+    root = scratch_path(sf_dir, "events_hudi_cdc")
+    shutil.rmtree(root, ignore_errors=True)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"),
+                F.concat(
+                    F.lpad(
+                        F.unix_micros(
+                            F.col("ts").cast("timestamp")
+                        ).cast("string"),
+                        20,
+                        "0",
+                    ),
+                    F.lpad(F.col("event_id").cast("string"), 10, "0"),
+                ).alias("ord"),
+            )
+        )
+        if not _table_exists(root):
+            write_hudi(
+                latest,
+                root,
+                record_key="user_id",
+                precombine="ord",
+                checkpoint=f"cdc:{batch_id}",
+            )
+            return
+        # payload-ordering semantics (HoodieDefaultPayload): an incoming
+        # row only overrides when its precombine value BEATS the current
+        # table row — batches need not arrive in event-time order
+        cur = read_hudi(spark, root).select(
+            "user_id", F.col("ord").alias("__cur_ord")
+        )
+        latest = (
+            latest.join(cur, "user_id", "left")
+            .where(
+                F.col("__cur_ord").isNull()
+                | (F.col("ord") > F.col("__cur_ord"))
+            )
+            .drop("__cur_ord")
+        )
+        for _attempt in range(2):  # second call = simulated replay
+            upsert_hudi(latest, root, checkpoint=f"cdc:{batch_id}")
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_hudi(spark, root).select(
+        "user_id", "last_event_id", "last_value"
+    )

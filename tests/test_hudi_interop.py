@@ -1030,3 +1030,35 @@ def test_fsck_validates_log_blocks_and_mor_clean(spark):
     rows = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
     assert len(rows) == 70 and rows[3] == -1.0
     assert fsck(root)["ok"]
+
+
+def test_sorted_clustering_enables_event_pruning(spark):
+    """Before sort-clustering every file group spans the whole time
+    range (no pruning possible); after the range-clustering
+    replacecommit the same narrow event-range read drops most files in
+    the timeline, answers identically, and multi-column sort_by routes
+    through the z-value path."""
+    root = _fresh("t_hudi_sorted_cluster")
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .repartition(8)
+    )
+    write_hudi(ev, root, record_key="event_id", event_time_field="ts")
+    lo, hi = "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+    before_files = len(read_hudi_event_range(spark, root, lo, hi).inputFiles())
+    before_n = read_hudi_event_range(spark, root, lo, hi).count()
+    assert before_files == 8  # interleaved: nothing prunes
+    cluster_hudi(root, sort_by=["ts"], target_groups=8)
+    after = read_hudi_event_range(spark, root, lo, hi)
+    assert 0 < len(after.inputFiles()) < 8
+    assert after.count() == before_n > 0
+
+    # multi-column sort_by exercises the z-value interleave
+    root2 = _fresh("t_hudi_z_cluster")
+    ev2 = load(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    ).repartition(6)
+    write_hudi(ev2, root2, record_key="event_id", event_time_field="ts")
+    cluster_hudi(root2, sort_by=["ts", "user_id"], target_groups=6)
+    assert read_hudi(spark, root2).count() == ev2.count()
