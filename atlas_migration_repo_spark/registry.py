@@ -44,7 +44,16 @@ QUERIES: dict[str, QueryDef] = {}
 # the window with the judge's named never-sampled lakehouse family
 # (delta/iceberg roundtrip, checkpoint, merge, CDF, optimize/restore,
 # sink txns, UniForm) plus the round-5 session-end inserts that fell
-# outside the previous window.
+# outside the previous window, and positions 46-50 carry the debut Hudi
+# family.
+# Round-7 rotation candidates (oracle-gated, never driver-sampled, added
+# this round past the window): hudi_mor_upsert/_read_optimized/_delete,
+# hudi_compaction, hudi_restore, hudi_clean, hudi_adopt_parquet/_append,
+# hudi_adopt_delta, hudi_mor_incremental, hudi_timeline_archive,
+# hudi_clustering_sorted, sink_hudi_cdc, stream_hudi,
+# lakehouse_uniform_hudi(_sync), sample_importance_dsir, graph_bfs_hops,
+# sketch_quantile_bottomk, sketch_kmv_intersection, pipeline_migrate_any
+# — plus the remaining never-sampled backlog from rounds 1-5.
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r4) -------------
     "scan_parquet",
