@@ -6,6 +6,7 @@ FILES triple for any table this engine can read, format auto-detected:
     python -m atlas_migration_repo_spark.lakehouse files    <path>
     python -m atlas_migration_repo_spark.lakehouse uniform  <path>
     python -m atlas_migration_repo_spark.lakehouse fsck     <path>
+    python -m atlas_migration_repo_spark.lakehouse timeline <path>  (hudi)
 
 Formats: Delta (`_delta_log/`), Iceberg v2 (`metadata/version-hint.text`),
 Hudi COW (`.hoodie/hoodie.properties`), and the engine's own TableLog
@@ -625,13 +626,46 @@ def fsck(path: str) -> dict:
     }
 
 
+def timeline(path: str) -> dict:
+    """Hudi-only: the ACTIVE timeline plus the archived cold history
+    (read back from `.hoodie/archived` blocks) and any checkpoints —
+    the audit view `history` does not show once instants archive."""
+    from atlas_migration_repo_spark.sources.hudi_interop import (
+        completed_instants,
+        read_archived_timeline_hudi,
+    )
+
+    hoodie = os.path.join(path, ".hoodie")
+    if not os.path.exists(os.path.join(hoodie, "hoodie.properties")):
+        raise ValueError(f"{path} is not a Hudi table root")
+    checkpoints = sorted(
+        n.split(".")[2]
+        for n in os.listdir(hoodie)
+        if n.startswith(".checkpoint.") and n.endswith(".json")
+    )
+    return {
+        "active": [
+            {"instant": i, "action": a} for i, a in completed_instants(path)
+        ],
+        "archived": [
+            {"instant": i, "action": a, "operation": m.get("operationType")}
+            for i, a, m in read_archived_timeline_hudi(path)
+        ],
+        "checkpoints": checkpoints,
+    }
+
+
 def run(command: str, path: str) -> dict | list:
-    if command not in ("describe", "history", "files", "uniform", "fsck"):
+    if command not in (
+        "describe", "history", "files", "uniform", "fsck", "timeline"
+    ):
         raise ValueError(f"unknown command {command!r}")
     if command == "uniform":
         return uniform_status(path)
     if command == "fsck":
         return fsck(path)
+    if command == "timeline":
+        return timeline(path)
     return _DISPATCH[(detect_format(path), command)](path)
 
 

@@ -2501,3 +2501,89 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("period_dec").cast("double"), 4).alias("period_revenue"),
         (q / F.lit(10000.0)).alias("ltv_per_customer"),
     )
+
+
+@query(
+    "stat_mannwhitney",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    g AS (
+      SELECT value, COUNT(*) AS cnt,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cnt_v
+      FROM s GROUP BY value
+    ),
+    r AS (
+      SELECT value, cnt, cnt_v,
+             SUM(cnt) OVER (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM g
+    ),
+    k AS (
+      SELECT SUM(cnt_v * (cum - cnt + (cnt + 1) / 2.0)) AS r1,
+             SUM(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie_term,
+             CAST(SUM(cnt_v) AS BIGINT) AS n1,
+             CAST(SUM(cnt - cnt_v) AS BIGINT) AS n2
+      FROM r
+    )
+    SELECT n1 AS n_view, n2 AS n_purchase,
+           CAST(r1 - n1 * (n1 + 1) / 2.0 AS DOUBLE) AS u_stat,
+           {sql_r4(
+               "(r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) / "
+               "SQRT((CAST(n1 AS DOUBLE) * n2 / 12.0) * "
+               "((n1 + n2 + 1) - tie_term / "
+               "(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))"
+           )} AS z
+    FROM k
+    """,
+)
+def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test with
+    tie-corrected normal approximation: do 'view' and 'purchase' event
+    values come from the same distribution? The nonparametric partner
+    of dq_ks_drift (which compares CDFs) and stat_chi2_independence
+    (categorical). Average ranks for ties derive from per-distinct-value
+    counts + one cumulative window over the DISTINCT values (never a
+    row-scale global sort): avg_rank = cum - cnt + (cnt+1)/2; U, the
+    tie term Σ(t³-t), and the z-score are exact integer/half-integer
+    arithmetic until the final normalization (shared 4dp policy)."""
+    s = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "value")
+    )
+    g = s.groupBy("value").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "cnt_v"
+        ),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.withColumn("cum", F.sum("cnt").over(w))
+    k = r.agg(
+        F.sum(
+            F.col("cnt_v")
+            * (F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0)
+        ).alias("r1"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie_term"),
+        F.sum("cnt_v").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_v")).cast("bigint").alias("n2"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n = F.col("n1") + F.col("n2")
+    var = (F.col("n1").cast("double") * F.col("n2") / 12.0) * (
+        (n + 1) - F.col("tie_term") / (n.cast("double") * (n - 1))
+    )
+    z = (u - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(var)
+    return k.select(
+        F.col("n1").alias("n_view"),
+        F.col("n2").alias("n_purchase"),
+        u.cast("double").alias("u_stat"),
+        r4(z).alias("z"),
+    )
