@@ -382,7 +382,9 @@ def test_mor_log_file_layout(spark):
     _, _, before = H._replay_hudi(root)
     base_rel = before[0]["stat"]["path"]
     base_size = os.path.getsize(os.path.join(root, base_rel))
-    upsert_hudi(spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v")), spark_path := root)
+    upsert_hudi(
+        spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v")), root
+    )
     i1 = completed_instants(root)[-1][0]
     _, _, after = H._replay_hudi(root)
     (sl,) = after

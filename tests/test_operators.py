@@ -3547,3 +3547,44 @@ def test_kmv_estimates_near_exact_counts(spark, oracle_con):
     assert abs(row["view_est"] - exact["view"]) <= tol * exact["view"]
     assert abs(row["purchase_est"] - exact["purchase"]) <= tol * exact["purchase"]
     assert abs(row["intersect_est"] - exact_int) <= 2 * tol * max(exact_int, 1)
+
+
+def test_facade_read_table_register_and_migrate(spark, tmp_path):
+    """read_table auto-detects all four formats, register_table exposes
+    them to .sql(), and migrate_table round-trips content across
+    formats including TableLog and plain parquet targets."""
+    from atlas_migration_repo_spark.api import AtlasEngine
+    from atlas_migration_repo_spark.sources.delta_interop import write_delta
+    from atlas_migration_repo_spark.sources.hudi_interop import write_hudi
+    from atlas_migration_repo_spark.sources.iceberg_interop import write_iceberg
+    from atlas_migration_repo_spark.sources.table_log import TableLog
+
+    eng = AtlasEngine(spark=spark, sf_dir=SF_DIR)
+    df = spark.range(0, 50).selectExpr("id", "CAST(id AS DOUBLE) * 2 AS v")
+    roots = {
+        "delta": str(tmp_path / "t_delta"),
+        "iceberg": str(tmp_path / "t_ice"),
+        "hudi": str(tmp_path / "t_hudi"),
+        "tablelog": str(tmp_path / "t_tl"),
+    }
+    write_delta(df, roots["delta"])
+    write_iceberg(df, roots["iceberg"])
+    write_hudi(df, roots["hudi"], record_key="id")
+    TableLog(roots["tablelog"]).append(df)
+    for fmt, root in roots.items():
+        got = eng.read_table(root)
+        assert got.count() == 50, fmt
+        eng.register_table(f"t_{fmt}", root)
+        n = eng.sql(f"SELECT COUNT(*) AS n FROM t_{fmt}").collect()[0]["n"]
+        assert n == 50, fmt
+
+    dst = str(tmp_path / "migrated_tl")
+    eng.migrate_table(roots["hudi"], dst, "tablelog")
+    assert eng.read_table(dst).count() == 50
+    dst2 = str(tmp_path / "migrated_parquet")
+    eng.migrate_table(dst, dst2, "parquet")
+    assert spark.read.parquet(dst2).count() == 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dst_format"):
+        eng.migrate_table(dst, str(tmp_path / "x"), "orc2")
