@@ -1,7 +1,7 @@
-"""Apache Hudi (copy-on-write) format interop — read/write the OPEN
-`.hoodie` timeline protocol without any Hudi jars (SURVEY.md §2.1
-lakehouse boundary; completes the Delta/Iceberg/Hudi trio of open
-table formats a migration engine must speak).
+"""Apache Hudi format interop (COPY_ON_WRITE and MERGE_ON_READ) —
+read/write the OPEN `.hoodie` timeline protocol without any Hudi jars
+(SURVEY.md §2.1 lakehouse boundary; completes the Delta/Iceberg/Hudi
+trio of open table formats a migration engine must speak).
 
 This module implements the published Hudi table layout
 (hudi.apache.org/tech-specs, table version 6 / timeline layout 1 —
