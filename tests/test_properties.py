@@ -424,3 +424,70 @@ def test_tfidf_final_plan_reuses_tokenize_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, "tokenize-once exchange reuse died"
+
+
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),  # block type id
+            st.dictionaries(
+                st.integers(min_value=1, max_value=9),
+                st.text(max_size=40),
+                max_size=4,
+            ),
+            st.binary(max_size=2048),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    torn=st.binary(max_size=12),
+)
+@settings(max_examples=120, deadline=None)
+def test_hudi_log_block_framing_roundtrips(tmp_path_factory, blocks, torn):
+    """Property: any sequence of framed log blocks (arbitrary type ids,
+    header maps, and binary content) round-trips through the parser
+    byte-exactly, and arbitrary torn trailing bytes never corrupt the
+    complete prefix (the spec's corrupt-block stop)."""
+    from atlas_migration_repo_spark.sources.hudi_interop import (
+        _log_block_bytes,
+        _parse_log_file,
+    )
+
+    payload = b"".join(
+        _log_block_bytes(btype, hdr, content) for btype, hdr, content in blocks
+    )
+    fp = tmp_path_factory.mktemp("hlog") / "f.log.1_0-0-0"
+    fp.write_bytes(payload + torn)
+    parsed = _parse_log_file(str(fp))
+    # torn tail may accidentally start with a valid magic+size that spans
+    # past EOF — parsing must stop, never raise, and the prefix is exact
+    assert parsed[: len(blocks)] == [
+        (btype, hdr, content) for btype, hdr, content in blocks
+    ]
+    assert len(parsed) == len(blocks)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=400
+    ),
+    k=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=150, deadline=None)
+def test_bottomk_sample_merge_property(vals, k):
+    """Property: bottom-k by a content hash is mergeable — bottom-k of a
+    union equals bottom-k of the per-shard bottom-ks, for ANY split of
+    the input (the guarantee sketch_quantile_bottomk and the KMV
+    estimator rely on)."""
+    import hashlib
+
+    def pri(x: int) -> str:
+        return hashlib.md5(f"p:{x}".encode()).hexdigest()
+
+    def bottomk(xs):
+        return sorted({pri(x) for x in xs})[:k]
+
+    mid = len(vals) // 2
+    a, b = vals[:mid], vals[mid:]
+    merged = sorted(set(bottomk(a)) | set(bottomk(b)))[:k]
+    assert merged == bottomk(vals)
