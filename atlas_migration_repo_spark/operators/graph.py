@@ -173,3 +173,109 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("hop").cast("int").alias("hops"))
         .select(F.col("node").alias("n_nationkey"), "hops")
     )
+
+
+_SQL_WEIGHTED_EDGES = f"""
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w
+    FROM (
+      SELECT DISTINCT l.l_orderkey,
+             LEAST(cn.n_nationkey, sn.n_nationkey) AS a,
+             GREATEST(cn.n_nationkey, sn.n_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_nationkey <> sn.n_nationkey
+    ) t
+    GROUP BY a, b
+"""
+_SC_MAX_EDGES = 3
+
+
+@query(
+    "graph_shortest_cost",
+    oracle=f"""
+    WITH RECURSIVE we AS ({_SQL_WEIGHTED_EDGES}),
+    eu AS (
+        SELECT a AS src, b AS dst, w FROM we
+        UNION ALL
+        SELECT b AS src, a AS dst, w FROM we
+    ),
+    walk(node, cost, hops) AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost, 0 AS hops
+        UNION
+        SELECT eu.dst, walk.cost + eu.w, walk.hops + 1
+        FROM walk JOIN eu ON eu.src = walk.node
+        WHERE walk.hops < {_SC_MAX_EDGES}
+    )
+    SELECT node AS n_nationkey, CAST(MIN(cost) AS BIGINT) AS min_cost
+    FROM walk GROUP BY node
+    """,
+)
+def graph_shortest_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded WEIGHTED shortest path (Bellman-Ford, ≤3 edges) from
+    nation 0 over the trade graph, edge weight = distinct orders flowing
+    between the pair. The Spark plan unrolls the relaxation into a
+    static DAG — candidates(i+1) = candidates(i) ⋈ edges with summed
+    cost, one global min per node at the end — while the oracle walks
+    the same graph through DuckDB's UNION-distinct recursive CTE.
+    Integer costs keep both engines exact; hash joins per level (the
+    USING-join lesson from graph_bfs_hops)."""
+    e = trade_edges_weighted(spark, sf_dir)
+    eu = e.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    )
+    frontier = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("cost"),
+    )
+    levels = [frontier]
+    for _i in range(_SC_MAX_EDGES):
+        frontier = (
+            frontier.select(F.col("node").alias("src"), "cost")
+            .join(eu, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            .groupBy("node")  # keep the frontier node-sized per level
+            .agg(F.min("cost").alias("cost"))
+        )
+        levels.append(frontier)
+    from functools import reduce as _reduce
+
+    walk = _reduce(lambda x, y: x.unionByName(y), levels)
+    return (
+        walk.groupBy("node")
+        .agg(F.min("cost").cast("bigint").alias("min_cost"))
+        .select(F.col("node").alias("n_nationkey"), "min_cost")
+    )
+
+
+def trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted nation-trade edges: weight = DISTINCT orders flowing
+    between the pair (one lineitem→orders shuffle, dims broadcast, the
+    distinct and count on ≤ nations² × orders keys)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            "l_orderkey",
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
