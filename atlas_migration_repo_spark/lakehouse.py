@@ -358,6 +358,7 @@ def uniform_status(path: str) -> dict:
         out["delta"] = {"version": delta_v, "num_files": len(files)}
     if has_hudi:
         from atlas_migration_repo_spark.sources.hudi_interop import (
+            _latest_write_instant,
             _replay_hudi,
         )
 
@@ -369,7 +370,12 @@ def uniform_status(path: str) -> dict:
         if has_delta:
             marker = _hudi_sync_marker(path)
             if marker is not None:
-                out["in_sync"] = marker == latest
+                # compare against the latest DATA-WRITE instant: service
+                # actions (clean/savepoint) advance the timeline without
+                # changing visible files, and the sync correctly no-ops
+                out["in_sync"] = marker == (
+                    _latest_write_instant(path) or latest
+                )
     if has_ice:
         from atlas_migration_repo_spark.sources.iceberg_interop import (
             _current_metadata,

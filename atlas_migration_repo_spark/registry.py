@@ -36,26 +36,28 @@ QUERIES: dict[str, QueryDef] = {}
 # aggregates, joins, windows, set ops, goldens, pivots, sources, ETL,
 # subqueries, analytics, scalars, UDFs, streaming, text, dedup, pipeline,
 # similarity, multimodal. Pure registration order; no semantics change.
-# Round-6 rotation (protocol: VERDICT r3 "next" #4, re-affirmed r5 #3):
-# ~20 fixed family representatives stay every round; the other ~30 slots
-# rotate to oracle-gated registry keys the driver has NOT hash-verified in
-# any prior round (r1∪…∪r5 covered 151 keys), so successive driver
-# CORRECTNESS artifacts cumulatively cover the registry. This round fills
-# the window with the judge's named never-sampled lakehouse family
-# (delta/iceberg roundtrip, checkpoint, merge, CDF, optimize/restore,
-# sink txns, UniForm) plus the round-5 session-end inserts that fell
-# outside the previous window, and positions 46-50 carry the debut Hudi
-# family.
-# Round-7 rotation candidates (oracle-gated, never driver-sampled, added
-# this round past the window): hudi_mor_upsert/_read_optimized/_delete,
-# hudi_compaction, hudi_restore, hudi_clean, hudi_adopt_parquet/_append,
-# hudi_adopt_delta, hudi_mor_incremental, hudi_timeline_archive,
-# hudi_clustering_sorted, sink_hudi_cdc, stream_hudi,
-# lakehouse_uniform_hudi(_sync), sample_importance_dsir, graph_bfs_hops,
-# sketch_quantile_bottomk, sketch_kmv_intersection, pipeline_migrate_any
-# — plus the remaining never-sampled backlog from rounds 1-5.
+# Round-7 rotation (protocol: VERDICT r3 "next" #4, re-affirmed r5 #3 and
+# r6 #2): ~20 fixed family representatives stay every round; the other
+# ~30 slots rotate to oracle-gated registry keys the driver has NOT
+# hash-verified in any prior round (r1∪…∪r6 covered 175 keys), so
+# successive driver CORRECTNESS artifacts cumulatively cover the
+# registry. This round fills the window with the judge's named
+# never-sampled Hudi family (MOR upsert/RO/delete, compaction, restore,
+# clean, adopts, incremental, timeline archive, sorted clustering, CDC
+# sink, streaming source, tri-format UniForm) plus
+# sample_importance_dsir, graph_bfs_hops, the sketch pair,
+# pipeline_migrate_any, and the two schema-evolution keys.
+# Round-8 rotation candidates (oracle-gated, never driver-sampled):
+# iceberg_promote_evolution, delta_stats_skipping, sink_tablelog_txn,
+# lakehouse_uniform_sync/_reverse_sync, graph_shortest_cost,
+# delta_rename_travel, delta_widen_travel, sink_uniform_stream,
+# hudi_partition_pruning, hudi_delete_cow, hudi_insert_overwrite,
+# hudi_sink_txn, hudi_event_range, hudi_timeline, sink_hudi_stream,
+# geo_nearest_hub, join_asof_nearest, the never-sampled scalar/window/
+# setop batches (str_basic … explode_pos, win_moving_avg … win_first_last,
+# set_union_distinct, set_except), plus this round's new keys.
 _DRIVER_SAMPLE_PREFIX = (
-    # -- fixed family representatives (driver-green in r1-r4) -------------
+    # -- fixed family representatives (driver-green in r1-r6) -------------
     "scan_parquet",
     "filter_cmp",
     "agg_pricing_summary",
@@ -76,8 +78,44 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_tumbling",
     "text_tfidf",
     "dedup_exact",
-    # -- rotation: oracle-verified keys unseen by the driver in r1-r5 -----
-    # lakehouse family (VERDICT r5 #3's named list)
+    # -- rotation: oracle-verified keys unseen by the driver in r1-r6 -----
+    # the full never-sampled Hudi family (VERDICT r6 "next" #2's list)
+    "hudi_mor_upsert",
+    "hudi_mor_read_optimized",
+    "hudi_mor_delete",
+    "hudi_compaction",
+    "hudi_restore",
+    "hudi_clean",
+    "hudi_adopt_parquet",
+    "hudi_adopt_append",
+    "hudi_adopt_delta",
+    "hudi_mor_incremental",
+    "hudi_timeline_archive",
+    "hudi_clustering_sorted",
+    "sink_hudi_cdc",
+    "stream_hudi",
+    "lakehouse_uniform_hudi",
+    "lakehouse_uniform_hudi_sync",
+    "hudi_partition_pruning",
+    "hudi_delete_cow",
+    "hudi_insert_overwrite",
+    "hudi_sink_txn",
+    "hudi_event_range",
+    "hudi_timeline",
+    "sink_hudi_stream",
+    # never-sampled analytics / pipeline / evolution keys
+    "sample_importance_dsir",
+    "graph_bfs_hops",
+    "sketch_quantile_bottomk",
+    "sketch_kmv_intersection",
+    "pipeline_migrate_any",
+    "delta_schema_evolution",
+    "iceberg_schema_evolution",
+    # -- past the ~50-entry driver window: family reps that keep the
+    #    family-span invariant for modules already driver-covered, the
+    #    r6-hashed lakehouse window (keeps ordering stable for replay
+    #    tooling), plus rows-only entries (advisor: rows-only goes AFTER
+    #    oracle-verified entries, never displacing them in the sample) ----
     "delta_roundtrip",
     "delta_checkpoint_read",
     "delta_merge",
@@ -99,34 +137,20 @@ _DRIVER_SAMPLE_PREFIX = (
     "iceberg_sink_txn",
     "lakehouse_uniform",
     "lakehouse_uniform_reverse",
-    # round-5 session-end inserts that fell outside the r5 window
     "delta_delete_dv",
     "delta_zorder",
     "delta_stream",
     "delta_adopt_tablelog",
-    # round-6 debut: the Hudi COW bridge (all oracle-gated) — sampled in
-    # its first round so the third format carries driver-hash evidence
     "hudi_roundtrip",
     "hudi_upsert_cow",
     "hudi_time_travel",
     "hudi_incremental",
     "hudi_clustering",
-    # -- past the ~50-entry driver window: family reps that keep the
-    #    family-span invariant for modules already driver-covered, plus
-    #    rows-only entries (advisor: rows-only goes AFTER oracle-verified
-    #    entries, never displacing them in the sample) --------------------
     "str_basic",
     "json_funcs",
     "stream_watermark",
     "text_wordcount",
     "dedup_clusters",
-    "hudi_partition_pruning",
-    "hudi_delete_cow",
-    "hudi_insert_overwrite",
-    "hudi_sink_txn",
-    "hudi_event_range",
-    "hudi_timeline",
-    "sink_hudi_stream",
     "delta_rename_travel",
     "delta_widen_travel",
     "lakehouse_uniform_sync",

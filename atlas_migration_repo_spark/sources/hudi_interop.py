@@ -308,7 +308,14 @@ def _replay_hudi(path: str, as_of: str | None = None):
     groups replaced by a replacecommit ≤ as_of. Returns
     (latest_instant, schema_json, slices) where each slice is
     {partition, fileId, instant, stat}. O(completed instants) driver
-    work on JSON metadata — no storage listing, no data read."""
+    work on JSON metadata — no storage listing, no data read.
+
+    Time travel BELOW or ACROSS the archival horizon folds the missing
+    instants back from `.hoodie/archived` (cold path — one O(archived)
+    metadata read, touched only when `as_of` actually needs entries no
+    checkpoint ≤ as_of covers). Without this, an `as_of` at an active
+    instant older than the newest checkpoint would silently replay only
+    the active suffix and answer with a partial table."""
     groups: dict[tuple[str, str], list[tuple[str, dict]]] = {}
     logs: dict[tuple[str, str, str], list[tuple[str, dict]]] = {}
     replaced: dict[tuple[str, str], str] = {}
@@ -326,24 +333,32 @@ def _replay_hudi(path: str, as_of: str | None = None):
                 logs.setdefault(
                     (s["partition"], s["fileId"], s["instant"]), []
                 ).append((lg["instant"], lg["stat"]))
-    active = completed_instants(path)
-    if (
-        cp is None
-        and as_of is not None
-        and os.path.isdir(os.path.join(_hoodie_dir(path), "archived"))
-        and (not active or as_of < active[0][0])
+    timeline: list[tuple[str, str, dict | None]] = [
+        (i, a, None)
+        for i, a in completed_instants(path)
+        if (cp_covers is None or i > cp_covers)
+        and (as_of is None or i <= as_of)
+    ]
+    if as_of is not None and os.path.isdir(
+        os.path.join(_hoodie_dir(path), "archived")
     ):
-        raise ValueError(
-            f"as_of {as_of} is below the archival horizon; the folded "
-            "history lives in .hoodie/archived (read_archived_timeline_hudi)"
-        )
-    for instant, action in active:
-        if cp_covers is not None and instant <= cp_covers:
-            continue
-        if as_of is not None and instant > as_of:
-            break
+        # archive_timeline_hudi only archives instants ≤ some checkpoint's
+        # coversInstant and checkpoints are never deleted, so a latest
+        # (as_of=None) replay never needs the archive; a time travel whose
+        # best checkpoint is MISSING or NEWER than some archived instant
+        # ≤ as_of does — fold those entries (metadata rides the archive
+        # blocks inline). Savepoint-protected actives may interleave with
+        # archived instants, hence the sort.
+        timeline += [
+            (i, a, m)
+            for i, a, m in read_archived_timeline_hudi(path)
+            if (cp_covers is None or i > cp_covers) and i <= as_of
+        ]
+        timeline.sort(key=lambda t: t[0])
+    for instant, action, meta in timeline:
         latest = instant
-        meta = _read_commit_meta(path, instant, action)
+        if meta is None:
+            meta = _read_commit_meta(path, instant, action)
         sj = (meta.get("extraMetadata") or {}).get("schema")
         if sj:
             schema_json = sj
@@ -596,16 +611,33 @@ def read_hudi_event_range(
     field = props.get("hoodie.payload.event.time.field")
     if not field:
         raise ValueError("table declares no event-time field")
+
+    def _env_overlaps(st: dict) -> bool:
+        mn, mx = st.get("minEventTime"), st.get("maxEventTime")
+        return mn is None or mx is None or (mx >= lo_ms and mn <= hi_ms)
+
     keep = []
     for s in slices:
-        mn = s["stat"].get("minEventTime")
-        mx = s["stat"].get("maxEventTime")
-        if mn is None or mx is None or (mx >= lo_ms and mn <= hi_ms):
+        if s.get("logs"):
+            # MOR: log rows update/delete past the base envelope — keep
+            # the slice when ANY of base/log envelopes overlaps (delete
+            # blocks carry no envelope ⇒ kept ⇒ merged, so log-borne
+            # deletes are never resurrected); route it through the
+            # snapshot merge below
+            if _env_overlaps(s["stat"]) or any(
+                _env_overlaps(lg["stat"]) for lg in s["logs"]
+            ):
+                keep.append(s)
+        elif _env_overlaps(s["stat"]):
             keep.append(s)
-    paths = [os.path.join(path, s["stat"]["path"]) for s in keep]
-    if not paths:
+    if not keep:
         return spark.createDataFrame([], data)
-    df = spark.read.schema(full).parquet(*paths)
+    pby = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    df = _scan_slices(spark, path, keep, full, partition_by=pby)
     return df.select(*[f.name for f in data.fields]).where(
         F.col(field).between(F.lit(lo), F.lit(hi))
     )
@@ -620,11 +652,39 @@ def hudi_timeline(path: str) -> list[tuple[str, str, str]]:
     return out
 
 
-def hudi_checkpoint(path: str) -> str | None:
-    """Latest deltastreamer-style checkpoint carried on the timeline."""
-    cp = None
+def _timeline_metas(path: str):
+    """(instant, action, metadata) over the ARCHIVED then ACTIVE
+    timeline, ascending. Archived write instants all sort below the
+    retained active writes (archival keeps the newest), so "last wins"
+    scans stay correct; the archive is read only when one exists."""
+    if os.path.isdir(os.path.join(_hoodie_dir(path), "archived")):
+        yield from read_archived_timeline_hudi(path)
     for instant, action in completed_instants(path):
-        meta = _read_commit_meta(path, instant, action)
+        yield instant, action, _read_commit_meta(path, instant, action)
+
+
+_WRITE_ACTIONS = ("commit", "deltacommit", "replacecommit")
+
+
+def _latest_write_instant(path: str) -> str | None:
+    """Newest completed DATA-WRITE instant. Service actions (clean /
+    savepoint / restore / rollback) advance `_replay_hudi`'s `latest`
+    without changing visible data, so sync markers and UniForm in_sync
+    comparisons key off this instead — otherwise a clean would report
+    the grafted _delta_log permanently out of sync while
+    sync_delta_log_from_hudi correctly no-ops."""
+    writes = [
+        i for i, a in completed_instants(path) if a in _WRITE_ACTIONS
+    ]
+    return writes[-1] if writes else None
+
+
+def hudi_checkpoint(path: str) -> str | None:
+    """Latest deltastreamer-style checkpoint carried on the timeline —
+    including instants moved to `.hoodie/archived`, so archival can't
+    reset a stream's resume point."""
+    cp = None
+    for _instant, _action, meta in _timeline_metas(path):
         v = (meta.get("extraMetadata") or {}).get(
             "deltastreamer.checkpoint.key"
         )
@@ -781,8 +841,8 @@ def _write_stats(
     prev_instant_by_group: dict[tuple[str, str], str],
     event_field: str | None,
     base_path: str,
-    updates_by_fid: dict[str, int] | None = None,
-    deletes_by_fid: dict[str, int] | None = None,
+    updates_by_group: dict[tuple[str, str], int] | None = None,
+    deletes_by_group: dict[tuple[str, str], int] | None = None,
     all_rows_inserted: bool = False,
 ) -> dict[str, list[dict]]:
     """HoodieWriteStat list per partition for the commit metadata.
@@ -790,11 +850,14 @@ def _write_stats(
     for insert-family ops (`all_rows_inserted`); for upsert/delete
     rewrites, a file with updates carries 0 inserts (carried-over rows
     count only in numWrites) while a FRESH group (no prevCommit) takes
-    its whole row count."""
+    its whole row count. Update/delete counts key by the FULL group
+    identity (partition, fileId) — the same fileId can live in several
+    partitions when one write task lands multiple partitions."""
     out: dict[str, list[dict]] = {}
     for p in placed:
-        upd = int((updates_by_fid or {}).get(p["fid"], 0))
-        dele = int((deletes_by_fid or {}).get(p["fid"], 0))
+        gkey = (p["partition"], p["fid"])
+        upd = int((updates_by_group or {}).get(gkey, 0))
+        dele = int((deletes_by_group or {}).get(gkey, 0))
         fresh_group = (p["partition"], p["fid"]) not in prev_instant_by_group
         if all_rows_inserted or fresh_group:
             n_ins = p["rows"]
@@ -859,11 +922,12 @@ def _validate_schema(df: DataFrame, schema_json: str) -> None:
 
 def _checkpoint_seen(path: str, checkpoint: str | None) -> str | None:
     """Exactly-once guard: a commit already carrying this checkpoint key
-    makes the write a committed no-op (the deltastreamer contract)."""
+    makes the write a committed no-op (the deltastreamer contract).
+    Scans the ARCHIVED timeline too — archival must not turn a replayed
+    batch into a double-commit."""
     if checkpoint is None:
         return None
-    for instant, action in completed_instants(path):
-        meta = _read_commit_meta(path, instant, action)
+    for instant, _action, meta in _timeline_metas(path):
         if (meta.get("extraMetadata") or {}).get(
             "deltastreamer.checkpoint.key"
         ) == checkpoint:
@@ -1069,10 +1133,14 @@ def upsert_hudi(
     updates = tagged.where(F.col("__fid").isNotNull())
     inserts = tagged.where(F.col("__fid").isNull()).drop("__fid")
 
-    # per-group update counts + the affected-group list: metadata-scale
+    # per-group update counts + the affected-group list: metadata-scale.
+    # Group identity is (partition path, fileId) — one write task can
+    # land the SAME fileId in several partitions.
     upd_counts = {
-        r["__fid"]: r["n"]
-        for r in updates.groupBy("__fid").agg(F.count("*").alias("n")).collect()
+        (r["__pp"], r["__fid"]): r["n"]
+        for r in updates.groupBy("__pp", "__fid")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     affected = set(upd_counts)
 
@@ -1083,22 +1151,22 @@ def upsert_hudi(
         # MERGE-ON-READ: updates become log-block appends to the
         # affected file groups — the old base files are never read
         info = {
-            s["fileId"]: {
+            (s["partition"], s["fileId"]): {
                 "part": s["partition"],
                 "base": s["instant"],
                 "ver": len(s.get("logs", [])) + 1,
                 "base_file": os.path.basename(s["stat"]["path"]),
             }
             for s in slices
-            if s["fileId"] in affected
+            if (s["partition"], s["fileId"]) in affected
         }
         upd_rows = _fresh_meta_cols(
             updates, instant, record_key, partition_by, F.col("__fid")
         )
-        for fid, rel, n, size in _append_log_files(
+        for part, fid, rel, n, size in _append_log_files(
             upd_rows.select(*order), path, instant, info, kind="data"
         ):
-            inf = info[fid]
+            inf = info[(part, fid)]
             log_stats.append(
                 {
                     "fileId": fid,
@@ -1120,7 +1188,7 @@ def upsert_hudi(
         aff_paths = [
             os.path.join(path, s["stat"]["path"])
             for s in slices
-            if s["fileId"] in affected
+            if (s["partition"], s["fileId"]) in affected
         ]
         _, full = _full_schema(schema_json)
         old = (
@@ -1184,7 +1252,7 @@ def upsert_hudi(
         prev_by_group,
         props.get("hoodie.payload.event.time.field"),
         path,
-        updates_by_fid=upd_counts,
+        updates_by_group=upd_counts,
     )
     for st in log_stats:
         p2ws.setdefault(st["partitionPath"], []).append(st)
@@ -1202,7 +1270,14 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
     rewrite only groups that held a deleted key (remaining rows carry
     their meta columns unchanged). A group whose every record dies
     still publishes a 0-row base file slice — the spec's COW shape for
-    full-group deletes — written schema-exact from the old footer."""
+    full-group deletes — written schema-exact from the old footer.
+
+    Index semantics match the upsert's NON-GLOBAL index when possible:
+    a key batch carrying every partition column deletes per
+    (record key, partition path), exactly how upsert_hudi tags. A batch
+    with the key column only falls back to GLOBAL-index semantics (the
+    key dies in every partition) — the spec's global-index delete shape
+    for key-only payloads."""
     props = _read_props(path)
     record_key = props["hoodie.table.recordkey.fields"]
     partition_by = [
@@ -1229,46 +1304,64 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
     current = read_hudi(
         spark, path, with_meta=True, view="read_optimized"
     ).withColumn("__fid", _fid_from_filename())
-    del_keys = keys_df.select(
-        F.col(record_key).cast("string").alias("__key")
-    ).distinct()
-    hit = current.join(
-        del_keys, current["_hoodie_record_key"] == del_keys["__key"], "inner"
+    scoped = bool(partition_by) and all(
+        c in keys_df.columns for c in partition_by
     )
-    # per-group delete counts: metadata-scale collect
+    if scoped:
+        del_keys = keys_df.select(
+            F.col(record_key).cast("string").alias("__key"),
+            _partition_path_col(partition_by).alias("__part"),
+        ).distinct()
+    else:
+        del_keys = keys_df.select(
+            F.col(record_key).cast("string").alias("__key")
+        ).distinct()
+
+    def _match(df: DataFrame):
+        cond = df["_hoodie_record_key"] == del_keys["__key"]
+        if scoped:
+            cond = cond & (df["_hoodie_partition_path"] == del_keys["__part"])
+        return cond
+
+    hit = current.join(del_keys, _match(current), "inner")
+    # per-group delete counts: metadata-scale collect; group identity is
+    # (partition path, fileId) — the same fileId can live in several
+    # partitions when one write task landed multiple partitions
     del_counts = {
-        r["__fid"]: r["n"]
-        for r in hit.groupBy("__fid").agg(F.count("*").alias("n")).collect()
+        (r["_hoodie_partition_path"], r["__fid"]): r["n"]
+        for r in hit.groupBy("_hoodie_partition_path", "__fid")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     if not del_counts:
         meta = _commit_meta("delete", {}, schema_json)
         _complete_instant(path, instant, action, meta)
         return instant
 
-    slice_by_fid = {s["fileId"]: s for s in slices}
+    slice_by = {(s["partition"], s["fileId"]): s for s in slices}
     if mor:
         # MERGE-ON-READ: deletes append tombstone blocks (avro delete
         # records) to the affected groups' log files — no base is read
         # beyond the key column used for tagging above
         info = {
-            fid: {
-                "part": slice_by_fid[fid]["partition"],
-                "base": slice_by_fid[fid]["instant"],
-                "ver": len(slice_by_fid[fid].get("logs", [])) + 1,
+            gkey: {
+                "part": slice_by[gkey]["partition"],
+                "base": slice_by[gkey]["instant"],
+                "ver": len(slice_by[gkey].get("logs", [])) + 1,
                 "base_file": os.path.basename(
-                    slice_by_fid[fid]["stat"]["path"]
+                    slice_by[gkey]["stat"]["path"]
                 ),
             }
-            for fid in sorted(del_counts)
+            for gkey in sorted(del_counts)
         }
         tomb = hit.select(
             "_hoodie_record_key", "_hoodie_partition_path", "__fid"
         )
         log_stats = []
-        for fid, rel, n, size in _append_log_files(
+        for part, fid, rel, n, size in _append_log_files(
             tomb, path, instant, info, kind="delete"
         ):
-            inf = info[fid]
+            inf = info[(part, fid)]
             log_stats.append(
                 {
                     "fileId": fid,
@@ -1298,29 +1391,28 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
         _complete_instant(path, instant, action, meta)
         return instant
     aff_paths = [
-        os.path.join(path, slice_by_fid[fid]["stat"]["path"])
-        for fid in sorted(del_counts)
+        os.path.join(path, slice_by[gkey]["stat"]["path"])
+        for gkey in sorted(del_counts)
     ]
     old = (
         spark.read.schema(full)
         .parquet(*aff_paths)
         .withColumn("__fid", _fid_from_filename())
     )
-    remain = old.join(
-        del_keys, old["_hoodie_record_key"] == del_keys["__key"], "left_anti"
-    ).withColumn(
+    remain = old.join(del_keys, _match(old), "left_anti").withColumn(
         "_hoodie_file_name",
         F.concat(F.col("__fid"), F.lit(f"_{_WRITE_TOKEN}_{instant}.parquet")),
     )
     placed = _stage_place(remain, path, instant, partition_by)
-    placed_fids = {p["fid"] for p in placed}
+    placed_groups = {(p["partition"], p["fid"]) for p in placed}
 
     # groups left with zero rows produce no staged output — publish the
     # empty slice directly (footer-exact schema from the previous file)
     import pyarrow.parquet as pq
 
-    for fid in sorted(set(del_counts) - placed_fids):
-        s = slice_by_fid[fid]
+    for gkey in sorted(set(del_counts) - placed_groups):
+        fid = gkey[1]
+        s = slice_by[gkey]
         old_fp = os.path.join(path, s["stat"]["path"])
         dest_dir = (
             os.path.join(path, s["partition"]) if s["partition"] else path
@@ -1344,17 +1436,22 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
         (s["partition"], s["fileId"]): s["instant"] for s in slices
     }
     prev_rows = {
-        s["fileId"]: int(s["stat"].get("numWrites", 0)) for s in slices
+        (s["partition"], s["fileId"]): int(s["stat"].get("numWrites", 0))
+        for s in slices
     }
-    deletes_by_fid = {
-        p["fid"]: prev_rows.get(p["fid"], 0) - p["rows"] for p in placed
+    deletes_by_group = {
+        (p["partition"], p["fid"]): prev_rows.get(
+            (p["partition"], p["fid"]), 0
+        )
+        - p["rows"]
+        for p in placed
     }
     p2ws = _write_stats(
         placed,
         prev_by_group,
         props.get("hoodie.payload.event.time.field"),
         path,
-        deletes_by_fid=deletes_by_fid,
+        deletes_by_group=deletes_by_group,
     )
     meta = _commit_meta("delete", p2ws, schema_json)
     _check_conflicts(
@@ -1924,28 +2021,37 @@ def _append_log_files(
     df: DataFrame,
     path: str,
     instant: str,
-    info: dict[str, dict],
+    info: dict[tuple[str, str], dict],
     kind: str,
-) -> list[tuple[str, str, int, int]]:
-    """Distributed MOR log append: repartition by file group, each task
-    writes ONE new log-file version per group it holds — a magic-framed
+) -> list[tuple[str, str, str, int, int]]:
+    """Distributed MOR log append: repartition by file group — the FULL
+    (partition path, fileId) identity, since one write task can land the
+    same fileId in several partitions — each task writes ONE new
+    log-file version per group it holds — a magic-framed
     block of parquet-data (updates) or avro delete records (tombstones)
     — and yields its metadata row. Data bytes never pass through the
-    driver; the returned list is file-group-scale. Log files publish via
-    hard link (put-if-absent): a concurrent writer racing the same log
-    version fails loudly rather than clobbering."""
+    driver; the returned list is file-group-scale. Log files publish
+    through the SAME LogStore put-if-absent seam as every commit
+    publisher (resolved on the driver, shipped in the task closure so
+    `set_default_log_store` overrides reach executors): a concurrent
+    writer racing the same log version fails loudly rather than
+    clobbering, on POSIX and rename-less object stores alike."""
     assert kind in ("data", "delete")
-    out_rows = df.repartition(F.col("__fid")).mapInPandas(
-        _log_writer_fn(path, instant, info, kind),
-        schema="fid string, rel string, n long, size long",
+    out_rows = df.repartition(
+        F.col("_hoodie_partition_path"), F.col("__fid")
+    ).mapInPandas(
+        _log_writer_fn(path, instant, info, kind, resolve_log_store()),
+        schema="part string, fid string, rel string, n long, size long",
     )
     return [
-        (r["fid"], r["rel"], int(r["n"]), int(r["size"]))
+        (r["part"], r["fid"], r["rel"], int(r["n"]), int(r["size"]))
         for r in out_rows.collect()
     ]
 
 
-def _log_writer_fn(path: str, instant: str, info: dict[str, dict], kind: str):
+def _log_writer_fn(
+    path: str, instant: str, info: dict[str, dict], kind: str, store
+):
     def write_groups(pdfs):
         import os as _os
         import uuid as _uuid
@@ -1959,16 +2065,18 @@ def _log_writer_fn(path: str, instant: str, info: dict[str, dict], kind: str):
             avro_schema_for,
         )
 
-        acc: dict[str, list] = {}
+        acc: dict[tuple[str, str], list] = {}
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            for fid, g in pdf.groupby("__fid", sort=False):
-                acc.setdefault(fid, []).append(g)
+            for gkey, g in pdf.groupby(
+                ["_hoodie_partition_path", "__fid"], sort=False
+            ):
+                acc.setdefault(tuple(gkey), []).append(g)
         outs = []
-        for fid, frames in acc.items():
+        for (part, fid), frames in acc.items():
             g = pd.concat(frames, ignore_index=True)
-            inf = info[fid]
+            inf = info[(part, fid)]
             name = f".{fid}_{inf['base']}.log.{inf['ver']}_{_WRITE_TOKEN}"
             dest_dir = (
                 _os.path.join(path, inf["part"]) if inf["part"] else path
@@ -2012,12 +2120,25 @@ def _log_writer_fn(path: str, instant: str, info: dict[str, dict], kind: str):
                 fh.flush()
                 _os.fsync(fh.fileno())
             dest = _os.path.join(dest_dir, name)
-            _os.link(tmp, dest)  # put-if-absent: racing version collides
+            # put-if-absent through the LogStore seam (hard link on
+            # POSIX, claim+staged-copy on rename-less object stores):
+            # a racing writer of the same log version collides loudly
+            if not store.publish(tmp, dest):
+                _os.unlink(tmp)
+                raise ConcurrentHudiWriteError(
+                    f"log version already published: {dest}"
+                )
             _os.unlink(tmp)
             outs.append(
-                (fid, _os.path.relpath(dest, path), n, _os.path.getsize(dest))
+                (
+                    part,
+                    fid,
+                    _os.path.relpath(dest, path),
+                    n,
+                    _os.path.getsize(dest),
+                )
             )
-        yield pd.DataFrame(outs, columns=["fid", "rel", "n", "size"])
+        yield pd.DataFrame(outs, columns=["part", "fid", "rel", "n", "size"])
 
     return write_groups
 
@@ -2153,13 +2274,13 @@ def compact_hudi(path: str) -> str:
         *(list(_META_COLS) + [f.name for f in data.fields] + ["__fid"])
     )
     placed = _stage_place(out, path, instant, partition_by)
-    placed_fids = {p["fid"] for p in placed}
+    placed_groups = {(p["partition"], p["fid"]) for p in placed}
 
     # fully-tombstoned groups stage nothing — publish their empty base
     import pyarrow.parquet as pq
 
     for s in log_slices:
-        if s["fileId"] in placed_fids:
+        if (s["partition"], s["fileId"]) in placed_groups:
             continue
         old_fp = os.path.join(path, s["stat"]["path"])
         dest_dir = (
@@ -2775,6 +2896,10 @@ def _delta_state_from_hudi(path: str):
     latest, schema_json, slices = _replay_hudi(path)
     if schema_json is None:
         raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    # the sync marker is the latest DATA-WRITE instant, not the latest
+    # timeline entry: a clean/savepoint bumps the replay's `latest`
+    # while the visible files (and hence the correct sync) are unchanged
+    latest = _latest_write_instant(path) or latest
     if any(s.get("logs") for s in slices):
         raise ValueError(
             "table has live MOR log files; run compact_hudi first — a "

@@ -797,9 +797,10 @@ def test_checkpoint_is_self_sufficient(spark):
 
 def test_archive_bounds_replay_and_keeps_audit_trail(spark):
     """Archival moves old write instants into framed archive blocks,
-    time travel below the horizon raises with a pointer at the archive
-    reader, and post-archive upserts still rewrite checkpoint-known
-    groups correctly (COW and MOR with logs)."""
+    time travel below OR ACROSS the horizon folds them back from the
+    archive (exact data at every historical instant), and post-archive
+    upserts still rewrite checkpoint-known groups correctly (COW and
+    MOR with logs)."""
     root = _fresh("t_hudi_archive_unit")
     for i in range(5):
         write_hudi(
@@ -807,7 +808,7 @@ def test_archive_bounds_replay_and_keeps_audit_trail(spark):
             root,
             record_key="id",
         )
-    first = completed_instants(root)[0][0]
+    instants = [i for i, _ in completed_instants(root)]
     H.checkpoint_timeline_hudi(root)
     out = H.archive_timeline_hudi(root, keep_recent=2)
     assert len(out["archived"]) == 3
@@ -815,8 +816,15 @@ def test_archive_bounds_replay_and_keeps_audit_trail(spark):
     arch = H.read_archived_timeline_hudi(root)
     assert [i for i, _a, _m in arch] == out["archived"]
     assert all(a == "commit" for _i, a, _m in arch)
-    with pytest.raises(ValueError, match="archival horizon"):
-        read_hudi(spark, root, as_of=first)
+    # ADVICE r6 (high): as_of at an ACTIVE instant older than the newest
+    # checkpoint must fold the archived prefix, not silently replay only
+    # the active suffix (was returning 20 rows here)
+    assert read_hudi(spark, root, as_of=instants[3]).count() == 80
+    # as_of at an ARCHIVED instant folds entirely from the archive
+    assert sorted(
+        r["id"] for r in read_hudi(spark, root, as_of=instants[0]).collect()
+    ) == list(range(20))
+    assert read_hudi(spark, root, as_of=instants[1]).count() == 40
 
     # MOR: checkpoint carries attached logs through archival
     mroot = _mor_table(spark, "t_mor_archive", n=60)
@@ -1064,3 +1072,176 @@ def test_sorted_clustering_enables_event_pruning(spark):
     write_hudi(ev2, root2, record_key="event_id", event_time_field="ts")
     cluster_hudi(root2, sort_by=["ts", "user_id"], target_groups=6)
     assert read_hudi(spark, root2).count() == ev2.count()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6 regressions: archival-aware replay, MOR event-range merge,
+# exactly-once across archival, service-action sync status, scoped delete,
+# LogStore-backed executor log publish
+# ---------------------------------------------------------------------------
+def test_event_range_merges_mor_logs(spark):
+    """ADVICE r6 (medium): an event-range read on a MOR table must merge
+    live log files — log-borne deletes stay dead and log-borne updates
+    (including ones that MOVE a row's event time into the range) are
+    served, while log-free slices keep envelope pruning."""
+    import datetime as dt
+
+    root = _fresh("t_mor_event_range")
+    base = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i), float(i)) for i in range(10)],
+        "id bigint, ts timestamp, v double",
+    )
+    write_hudi(
+        base.coalesce(1),
+        root,
+        record_key="id",
+        table_type="MERGE_ON_READ",
+        event_time_field="ts",
+    )
+    delete_hudi(spark.range(0, 5).select("id"), root)
+    lo, hi = "2024-01-01 00:00:00", "2024-01-20 00:00:00"
+    got = sorted(
+        r["id"] for r in read_hudi_event_range(spark, root, lo, hi).collect()
+    )
+    assert got == [5, 6, 7, 8, 9]  # was resurrecting the 5 deleted rows
+    # snapshot agreement: event-range over the full envelope == snapshot
+    snap = sorted(r["id"] for r in read_hudi(spark, root).collect())
+    assert got == snap
+    # a log-borne update that moves id=7 to March must surface in a
+    # March-only range even though every base envelope misses it
+    upsert_hudi(
+        spark.createDataFrame(
+            [(7, dt.datetime(2024, 3, 1), -7.0)],
+            "id bigint, ts timestamp, v double",
+        ),
+        root,
+    )
+    got2 = {
+        (r["id"], r["v"])
+        for r in read_hudi_event_range(
+            spark, root, "2024-02-25 00:00:00", "2024-03-05 00:00:00"
+        ).collect()
+    }
+    assert got2 == {(7, -7.0)}
+
+
+def test_checkpoint_key_survives_archival(spark):
+    """ADVICE r6 (medium): replaying a batch whose checkpoint-key commit
+    was ARCHIVED must still be a committed no-op — archival cannot break
+    the deltastreamer exactly-once contract."""
+    root = _fresh("t_hudi_cp_archive")
+    for i in range(4):
+        write_hudi(
+            spark.range(i * 10, (i + 1) * 10).select("id").coalesce(1),
+            root,
+            record_key="id",
+            checkpoint=f"batch-{i}",
+        )
+    H.checkpoint_timeline_hudi(root)
+    out = H.archive_timeline_hudi(root, keep_recent=1)
+    assert len(out["archived"]) == 3
+    assert H.hudi_checkpoint(root) == "batch-3"
+    n_before = len(completed_instants(root))
+    write_hudi(
+        spark.range(0, 10).select("id").coalesce(1),
+        root,
+        record_key="id",
+        checkpoint="batch-0",  # its commit lives in .hoodie/archived
+    )
+    assert len(completed_instants(root)) == n_before
+    assert read_hudi(spark, root).count() == 40
+
+
+def test_uniform_in_sync_survives_service_actions(spark):
+    """ADVICE r6 (low): in_sync keys off the latest DATA-WRITE instant —
+    a clean (service action) after a synced state must not report the
+    grafted _delta_log permanently out of sync."""
+    from atlas_migration_repo_spark.lakehouse import uniform_status
+
+    root = _fresh("t_hudi_uniform_clean")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    write_hudi(df.coalesce(2), root, record_key="id")
+    H.publish_delta_log_from_hudi(spark, root)
+    assert uniform_status(root)["in_sync"] is True
+    upsert_hudi(
+        spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v")), root
+    )
+    H.sync_delta_log_from_hudi(spark, root)
+    assert uniform_status(root)["in_sync"] is True
+    H.clean_hudi(root, retain_versions=1)
+    H.sync_delta_log_from_hudi(spark, root)  # correctly a no-op
+    assert uniform_status(root)["in_sync"] is True
+
+
+def test_delete_scoped_by_partition(spark):
+    """ADVICE r6 (low): a key batch carrying the partition columns
+    deletes per (record key, partition path) — the upsert's non-global
+    index semantics; a key-only batch stays a documented global-index
+    delete (key dies in every partition)."""
+    root = _fresh("t_hudi_delete_scope")
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (1, "B", 2.0), (2, "A", 3.0), (2, "B", 4.0)],
+        "id bigint, p string, v double",
+    )
+    write_hudi(df.coalesce(1), root, record_key="id", partition_by=["p"])
+    delete_hudi(
+        spark.createDataFrame([(1, "A")], "id bigint, p string"), root
+    )
+    got = {(r["id"], r["p"]) for r in read_hudi(spark, root).collect()}
+    assert got == {(1, "B"), (2, "A"), (2, "B")}
+    delete_hudi(spark.createDataFrame([(2,)], "id bigint"), root)
+    got2 = {(r["id"], r["p"]) for r in read_hudi(spark, root).collect()}
+    assert got2 == {(1, "B")}
+
+
+def test_mor_log_append_publishes_through_log_store(spark):
+    """VERDICT r6 missing #1: the EXECUTOR-side MOR log publish goes
+    through the LogStore seam (no os.link on rename-less stores) — the
+    full upsert/delete/read cycle works under the coordinated-put store,
+    and a pre-existing log version collides loudly instead of being
+    clobbered."""
+    from atlas_migration_repo_spark.sources.table_log import (
+        CoordinatedPutLogStore,
+        set_default_log_store,
+    )
+
+    root = _fresh("t_mor_coordput")
+    set_default_log_store(CoordinatedPutLogStore())
+    try:
+        df = spark.range(0, 50).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        )
+        write_hudi(
+            df.coalesce(1), root, record_key="id",
+            table_type="MERGE_ON_READ",
+        )
+        upsert_hudi(
+            spark.range(0, 5).select(F.col("id"), F.lit(-1.0).alias("v")),
+            root,
+        )
+        delete_hudi(spark.range(5, 10).select("id"), root)
+        rows = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+        assert len(rows) == 45 and rows[0] == -1.0 and 5 not in rows
+    finally:
+        set_default_log_store(None)
+    # collision under the POSIX store: pre-publishing the NEXT log
+    # version's name makes the racing upsert fail loudly instead of
+    # clobbering (under coordinated-put the CLAIM, not the object, is
+    # the existence authority — raced claims are covered by
+    # test_hudi_concurrent_insert_race)
+    _, _, slices = H._replay_hudi(root)
+    (sl,) = slices
+    next_ver = len(sl["logs"]) + 1
+    name = (
+        f".{sl['fileId']}_{sl['instant']}.log."
+        f"{next_ver}_{H._WRITE_TOKEN}"
+    )
+    with open(os.path.join(root, name), "wb") as fh:
+        fh.write(b"occupied")
+    with pytest.raises(Exception, match="already published"):
+        upsert_hudi(
+            spark.range(10, 12).select(F.col("id"), F.lit(9.0).alias("v")),
+            root,
+        )
