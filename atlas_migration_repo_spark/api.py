@@ -2,7 +2,9 @@
 
 The reference promises "migrate ATLAS objects … using Pyspark"
 (/root/reference/README.md:3); the engine's internals are a registry of
-351 named queries plus connector/orchestration modules. `AtlasEngine`
+named queries (the authoritative count lives in SURVEY.md §2.11 and
+`len(QUERIES)` — never hardcoded here) plus connector/orchestration
+modules. `AtlasEngine`
 stitches them into a product-shaped API so switching from the reference
 is one import:
 

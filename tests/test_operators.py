@@ -3588,3 +3588,49 @@ def test_facade_read_table_register_and_migrate(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="dst_format"):
         eng.migrate_table(dst, str(tmp_path / "x"), "orc2")
+
+
+def test_shortest_cost_iterative_converges_and_caps(spark):
+    """VERDICT r6 #7: the Bellman-Ford loop is depth-parameterized with
+    an exact early exit. On a weighted path graph 0-1-2-3-4: a cap ABOVE
+    the diameter converges to the true shortest costs (early exit, not
+    cap exhaustion), and a cap BELOW it returns exactly the min over
+    <= cap-edge walks — the bounded-CTE contract."""
+    from atlas_migration_repo_spark.operators.graph import (
+        shortest_cost_iterative,
+    )
+
+    edges = [(i, i + 1, 10 * (i + 1)) for i in range(4)]  # 0-1-2-3-4
+    e = spark.createDataFrame(edges, "a bigint, b bigint, w bigint")
+    eu = e.selectExpr("a AS src", "b AS dst", "w").unionByName(
+        e.selectExpr("b AS src", "a AS dst", "w")
+    )
+    full = {
+        r["node"]: r["cost"]
+        for r in shortest_cost_iterative(eu, 0, max_edges=50).collect()
+    }
+    assert full == {0: 0, 1: 10, 2: 30, 3: 60, 4: 100}
+    capped = {
+        r["node"]: r["cost"]
+        for r in shortest_cost_iterative(eu, 0, max_edges=2).collect()
+    }
+    assert capped == {0: 0, 1: 10, 2: 30}  # nodes beyond 2 edges unreached
+    # a shortcut edge that only pays off via MORE hops: 0-4 direct costs
+    # 999, the 4-hop chain costs 100 — cap 1 picks the direct edge, the
+    # converged run keeps the cheaper long path
+    e2 = spark.createDataFrame(
+        edges + [(0, 4, 999)], "a bigint, b bigint, w bigint"
+    )
+    eu2 = e2.selectExpr("a AS src", "b AS dst", "w").unionByName(
+        e2.selectExpr("b AS src", "a AS dst", "w")
+    )
+    one = {
+        r["node"]: r["cost"]
+        for r in shortest_cost_iterative(eu2, 0, max_edges=1).collect()
+    }
+    assert one[4] == 999
+    conv = {
+        r["node"]: r["cost"]
+        for r in shortest_cost_iterative(eu2, 0, max_edges=50).collect()
+    }
+    assert conv[4] == 100
