@@ -222,11 +222,20 @@ def _read_commit_meta(path: str, instant: str, action: str) -> dict:
         return json.load(fh)
 
 
-def _claim_instant(path: str, action: str, store: LogStore | None = None) -> str:
+def _claim_instant(
+    path: str,
+    action: str,
+    store: LogStore | None = None,
+    content: str = "",
+    inflight: bool = True,
+) -> str:
     """Win a fresh instant on the timeline via put-if-absent on the
     `.requested` marker — the atomic-create contract real Hudi demands of
     its storage. Collisions (two writers picking the same millisecond, or
-    a clock behind the newest instant) retry one tick past the max."""
+    a clock behind the newest instant) retry one tick past the max.
+    `content` rides the requested marker itself (the spec's shape for
+    compaction PLANS); `inflight=False` leaves the instant in the
+    scheduled state — execution writes the inflight marker later."""
     store = store or resolve_log_store()
     hoodie = _hoodie_dir(path)
     os.makedirs(hoodie, exist_ok=True)
@@ -239,18 +248,21 @@ def _claim_instant(path: str, action: str, store: LogStore | None = None) -> str
                 cand = str(int(newest) + 1).zfill(17)
         tmp = os.path.join(hoodie, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
-            fh.write("")
+            fh.write(content)
+            fh.flush()
+            os.fsync(fh.fileno())
         target = os.path.join(hoodie, f"{cand}.{action}.requested")
         won = store.publish(tmp, target)
         os.unlink(tmp)
         if won:
-            inflight = (
-                f"{cand}.inflight"
-                if action == "commit"
-                else f"{cand}.{action}.inflight"
-            )
-            with open(os.path.join(hoodie, inflight), "w") as fh:
-                fh.write("")
+            if inflight:
+                marker = (
+                    f"{cand}.inflight"
+                    if action == "commit"
+                    else f"{cand}.{action}.inflight"
+                )
+                with open(os.path.join(hoodie, marker), "w") as fh:
+                    fh.write("")
             return cand
 
 
@@ -273,6 +285,19 @@ def _complete_instant(
     os.unlink(tmp)
     if not ok:  # pragma: no cover - the claim made this instant ours
         raise ConcurrentHudiWriteError(f"instant {instant} already completed")
+
+
+def _drop_file_claims(fp: str) -> None:
+    """Remove coordinated-store claim bookkeeping
+    (`<dir>/_claims/<name>.{claim,staged}`) for a reclaimed data or log
+    file: once the referencing instant is deleted or rolled back, the
+    claim's put-if-absent job is over, and keeping it would shadow the
+    name forever and leak storage on cleaned tables."""
+    d, name = os.path.split(fp)
+    for suffix in (".claim", ".staged"):
+        p = os.path.join(d, "_claims", name + suffix)
+        if os.path.exists(p):
+            os.unlink(p)
 
 
 def _check_conflicts(
@@ -317,7 +342,12 @@ def _replay_hudi(path: str, as_of: str | None = None):
     instant older than the newest checkpoint would silently replay only
     the active suffix and answer with a partial table."""
     groups: dict[tuple[str, str], list[tuple[str, dict]]] = {}
-    logs: dict[tuple[str, str, str], list[tuple[str, dict]]] = {}
+    # (partition, fileId) -> [(base instant the log TARGETS, log instant,
+    # stat)] — a log targets either its visible base or a PENDING
+    # compaction instant (the spec's barrier: writers route new logs to
+    # the scheduled compaction's future base), so slice assembly attaches
+    # every log whose target >= the visible base instant
+    logs: dict[tuple[str, str], list[tuple[str, str, dict]]] = {}
     replaced: dict[tuple[str, str], str] = {}
     schema_json: str | None = None
     latest: str | None = None
@@ -330,9 +360,13 @@ def _replay_hudi(path: str, as_of: str | None = None):
                 (s["instant"], s["stat"])
             )
             for lg in s.get("logs", []):
-                logs.setdefault(
-                    (s["partition"], s["fileId"], s["instant"]), []
-                ).append((lg["instant"], lg["stat"]))
+                logs.setdefault((s["partition"], s["fileId"]), []).append(
+                    (
+                        lg["stat"].get("baseInstant", s["instant"]),
+                        lg["instant"],
+                        lg["stat"],
+                    )
+                )
     timeline: list[tuple[str, str, dict | None]] = [
         (i, a, None)
         for i, a in completed_instants(path)
@@ -365,9 +399,9 @@ def _replay_hudi(path: str, as_of: str | None = None):
         for part, stats in (meta.get("partitionToWriteStats") or {}).items():
             for st in stats:
                 if "logVersion" in st:  # MOR log append, not a base slice
-                    logs.setdefault(
-                        (part, st["fileId"], st["baseInstant"]), []
-                    ).append((instant, st))
+                    logs.setdefault((part, st["fileId"]), []).append(
+                        (st["baseInstant"], instant, st)
+                    )
                 else:
                     groups.setdefault((part, st["fileId"]), []).append(
                         (instant, st)
@@ -383,10 +417,17 @@ def _replay_hudi(path: str, as_of: str | None = None):
         if (part, fid) in replaced:
             continue
         instant, st = max(lst, key=lambda t: t[0])
-        # logs attach to the VISIBLE base slice by its instant; a later
-        # compaction (new base) orphans the old base's logs automatically
+        # logs whose TARGET base is the visible slice OR a newer (pending
+        # compaction) instant attach here; logs targeting an OLDER base
+        # are orphaned by the compaction that absorbed them. Sorting by
+        # log instant keeps latest-writer-wins exact across the mix.
         slice_logs = sorted(
-            logs.get((part, fid, instant), []), key=lambda t: t[0]
+            (
+                (li, ls)
+                for (b, li, ls) in logs.get((part, fid), [])
+                if b >= instant
+            ),
+            key=lambda t: t[0],
         )
         slices.append(
             {
@@ -1149,14 +1190,12 @@ def upsert_hudi(
     log_stats: list[dict] = []
     if affected and mor:
         # MERGE-ON-READ: updates become log-block appends to the
-        # affected file groups — the old base files are never read
+        # affected file groups — the old base files are never read.
+        # Groups under a PENDING compaction route their new blocks to
+        # the scheduled instant's future base slice.
+        pend = _pending_compaction_targets(path)
         info = {
-            (s["partition"], s["fileId"]): {
-                "part": s["partition"],
-                "base": s["instant"],
-                "ver": len(s.get("logs", [])) + 1,
-                "base_file": os.path.basename(s["stat"]["path"]),
-            }
+            (s["partition"], s["fileId"]): _log_target_info(s, pend)
             for s in slices
             if (s["partition"], s["fileId"]) in affected
         }
@@ -1342,16 +1381,11 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
     if mor:
         # MERGE-ON-READ: deletes append tombstone blocks (avro delete
         # records) to the affected groups' log files — no base is read
-        # beyond the key column used for tagging above
+        # beyond the key column used for tagging above. Groups under a
+        # PENDING compaction route tombstones to the scheduled instant.
+        pend = _pending_compaction_targets(path)
         info = {
-            gkey: {
-                "part": slice_by[gkey]["partition"],
-                "base": slice_by[gkey]["instant"],
-                "ver": len(slice_by[gkey].get("logs", [])) + 1,
-                "base_file": os.path.basename(
-                    slice_by[gkey]["stat"]["path"]
-                ),
-            }
+            gkey: _log_target_info(slice_by[gkey], pend)
             for gkey in sorted(del_counts)
         }
         tomb = hit.select(
@@ -2238,35 +2272,186 @@ def _merge_slices(
     )
 
 
-def compact_hudi(path: str) -> str:
-    """MOR compaction: merge every log-bearing file slice into a NEW
-    base file at the compaction instant (completed as a `commit`, per
-    the spec's compaction-on-MOR action), preserving record meta
-    columns — incremental pulls stay exact across the rewrite. Old
-    logs reference the old base instant, so replay orphans them
-    automatically; time travel below the compaction still merges them.
-    A group whose records all died publishes a 0-row base."""
-    spark = SparkSession.getActiveSession()
-    assert spark is not None, "compact_hudi needs an active SparkSession"
+def _pending_compaction_targets(path: str) -> dict[tuple[str, str], str]:
+    """(partition, fileId) -> the pending compaction instant covering
+    the group. Writers route NEW log blocks to this instant's future
+    base slice (the spec's barrier), so plan execution never loses a
+    post-schedule write."""
+    out: dict[tuple[str, str], str] = {}
+    for inst, plan in pending_compactions_hudi(path):
+        for op in plan["operations"]:
+            out[(op["partitionPath"], op["fileId"])] = inst
+    return out
+
+
+def _log_target_info(s: dict, pend: dict[tuple[str, str], str]) -> dict:
+    """Log-append routing for one visible slice: target the pending
+    compaction instant when one covers the group (versions restart per
+    target base), else the slice's own base instant."""
+    gkey = (s["partition"], s["fileId"])
+    tgt = pend.get(gkey, s["instant"])
+    if tgt < s["instant"]:  # stale marker below the current base
+        tgt = s["instant"]
+    ver = (
+        sum(
+            1
+            for lg in s.get("logs", [])
+            if lg["stat"].get("baseInstant", s["instant"]) == tgt
+        )
+        + 1
+    )
+    return {
+        "part": s["partition"],
+        "base": tgt,
+        "ver": ver,
+        "base_file": os.path.basename(s["stat"]["path"]),
+    }
+
+
+def schedule_compaction_hudi(path: str) -> str:
+    """SCHEDULE a compaction without running it — the spec's async
+    contract: the claimed instant's `.compaction.requested` marker
+    carries the PLAN (per file group: base file, the exact log files to
+    fold, the timeline snapshot it was planned against). Writers that
+    land between scheduling and execution route their new log blocks to
+    the scheduled instant (see the pending-target logic in upsert/
+    delete), so execution never races ingestion; `run_pending_
+    compactions` is the maintenance verb symmetric with clean/archive
+    (VERDICT r6 "next" #6)."""
     props = _read_props(path)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
-        raise ValueError("compact_hudi applies to MERGE_ON_READ tables")
+        raise ValueError("compaction applies to MERGE_ON_READ tables")
+    _, schema_json, slices = _replay_hudi(path)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    already = _pending_compaction_targets(path)
+    log_slices = [
+        s
+        for s in slices
+        if s.get("logs") and (s["partition"], s["fileId"]) not in already
+    ]
+    if not log_slices:
+        raise ValueError(
+            "nothing to compact: no file slice carries logs (or every "
+            "log-bearing group is already covered by a pending plan)"
+        )
+    plan = {
+        "operations": [
+            {
+                "partitionPath": s["partition"],
+                "fileId": s["fileId"],
+                "baseInstant": s["instant"],
+                "baseFile": s["stat"]["path"],
+                "logFiles": [
+                    {"path": lg["stat"]["path"], "instant": lg["instant"]}
+                    for lg in s["logs"]
+                ],
+            }
+            for s in log_slices
+        ],
+        "schema": schema_json,
+        "baseSnapshot": sorted(i for i, _ in completed_instants(path)),
+    }
+    return _claim_instant(
+        path,
+        "compaction",
+        content=json.dumps(plan, sort_keys=True),
+        inflight=False,
+    )
+
+
+def pending_compactions_hudi(path: str) -> list[tuple[str, dict]]:
+    """(instant, plan) for every scheduled compaction not yet executed,
+    ascending — `.compaction.requested` markers without a completed
+    commit file."""
+    hoodie = _hoodie_dir(path)
+    if not os.path.isdir(hoodie):
+        return []
+    done = {i for i, _ in completed_instants(path)}
+    out = []
+    for name in sorted(os.listdir(hoodie)):
+        m = re.match(r"^(\d{17})\.compaction\.requested$", name)
+        if not m or m.group(1) in done:
+            continue
+        with open(os.path.join(hoodie, name)) as fh:
+            out.append((m.group(1), json.load(fh)))
+    return out
+
+
+def run_pending_compactions(path: str) -> list[str]:
+    """Execute every scheduled compaction plan, oldest first; returns
+    the instants completed. Each execution folds EXACTLY the plan's log
+    files into new bases at the SCHEDULED instant — log blocks appended
+    after scheduling target that instant and stay live on the new
+    slice."""
+    return [
+        _execute_compaction(path, instant, plan)
+        for instant, plan in pending_compactions_hudi(path)
+    ]
+
+
+def _execute_compaction(path: str, instant: str, plan: dict) -> str:
+    """Run one scheduled compaction plan: requested → inflight → a
+    completed `commit` whose new bases carry the merged (plan-listed)
+    base+log rows with meta columns preserved. Aborts loudly if a
+    replacecommit or base rewrite touched a planned group after the
+    plan's snapshot (log appends are expected and compatible)."""
+    spark = SparkSession.getActiveSession()
+    assert spark is not None, "compaction needs an active SparkSession"
+    props = _read_props(path)
     partition_by = [
         c
         for c in (props.get("hoodie.table.partition.fields") or "").split(",")
         if c
     ]
-    _, schema_json, slices = _replay_hudi(path)
-    if schema_json is None:
-        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
-    log_slices = [s for s in slices if s.get("logs")]
-    if not log_slices:
-        raise ValueError("nothing to compact: no file slice carries logs")
-    base = {i for i, _ in completed_instants(path)}
-    instant = _claim_instant(path, "commit")
+    schema_json = plan["schema"]
+    planned = {
+        (op["partitionPath"], op["fileId"]) for op in plan["operations"]
+    }
+    # base-changing conflict gate: anything completed after the plan's
+    # snapshot that replaced or rewrote a planned group's BASE makes the
+    # plan stale; new log stats on those groups are the design, not a
+    # conflict
+    base_snapshot = set(plan.get("baseSnapshot", []))
+    for done_instant, action in completed_instants(path):
+        if done_instant in base_snapshot:
+            continue
+        meta = _read_commit_meta(path, done_instant, action)
+        theirs: set[tuple[str, str]] = set()
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            theirs.update(
+                (part, st["fileId"])
+                for st in stats
+                if "logVersion" not in st
+            )
+        for part, fids in (meta.get("partitionToReplaceFileIds") or {}).items():
+            theirs.update((part, fid) for fid in fids)
+        clash = theirs & planned
+        if clash:
+            raise ConcurrentHudiWriteError(
+                f"compaction plan {instant} is stale: {done_instant} "
+                f"rewrote planned groups {sorted(clash)[:3]}"
+            )
+    hoodie = _hoodie_dir(path)
+    with open(os.path.join(hoodie, f"{instant}.compaction.inflight"), "w"):
+        pass
 
     data, full = _full_schema(schema_json)
-    merged = _merge_slices(spark, path, log_slices, full)
+    # synthetic slices: exactly the planned base + log files
+    slices = [
+        {
+            "partition": op["partitionPath"],
+            "fileId": op["fileId"],
+            "instant": op["baseInstant"],
+            "stat": {"path": op["baseFile"]},
+            "logs": [
+                {"instant": lf["instant"], "stat": {"path": lf["path"]}}
+                for lf in op["logFiles"]
+            ],
+        }
+        for op in plan["operations"]
+    ]
+    merged = _merge_slices(spark, path, slices, full)
     out = merged.withColumn(
         "_hoodie_file_name",
         F.concat(F.col("__fid"), F.lit(f"_{_WRITE_TOKEN}_{instant}.parquet")),
@@ -2279,7 +2464,7 @@ def compact_hudi(path: str) -> str:
     # fully-tombstoned groups stage nothing — publish their empty base
     import pyarrow.parquet as pq
 
-    for s in log_slices:
+    for s in slices:
         if (s["partition"], s["fileId"]) in placed_groups:
             continue
         old_fp = os.path.join(path, s["stat"]["path"])
@@ -2301,7 +2486,8 @@ def compact_hudi(path: str) -> str:
         )
 
     prev_by_group = {
-        (s["partition"], s["fileId"]): s["instant"] for s in slices
+        (op["partitionPath"], op["fileId"]): op["baseInstant"]
+        for op in plan["operations"]
     }
     p2ws = _write_stats(
         placed,
@@ -2310,11 +2496,23 @@ def compact_hudi(path: str) -> str:
         path,
     )
     meta = _commit_meta("compact", p2ws, schema_json)
-    _check_conflicts(
-        path, base, {(s["partition"], s["fileId"]) for s in log_slices}
-    )
     _complete_instant(path, instant, "commit", meta)
     return instant
+
+
+def compact_hudi(path: str) -> str:
+    """SYNCHRONOUS MOR compaction — schedule + execute in one call:
+    merge every log-bearing file slice into a NEW base file at the
+    compaction instant (completed as a `commit`, per the spec's
+    compaction-on-MOR action), preserving record meta columns —
+    incremental pulls stay exact across the rewrite. Old logs reference
+    the old base instant, so replay orphans them automatically; time
+    travel below the compaction still merges them. A group whose
+    records all died publishes a 0-row base. For the spec's async
+    contract use schedule_compaction_hudi + run_pending_compactions."""
+    instant = schedule_compaction_hudi(path)
+    (plan,) = [p for i, p in pending_compactions_hudi(path) if i == instant]
+    return _execute_compaction(path, instant, plan)
 
 
 # ---------------------------------------------------------------------------
@@ -2470,6 +2668,76 @@ def hudi_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+@query(
+    "hudi_compaction_async",
+    oracle="""
+    WITH folded AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    ),
+    live AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM folded WHERE o_orderkey % 7 <> 0
+    )
+    SELECT CAST(0 AS INT) AS phase, o_orderkey, o_totalprice FROM live
+    UNION ALL
+    SELECT CAST(1 AS INT) AS phase, o_orderkey, o_totalprice FROM live
+    UNION ALL
+    SELECT CAST(2 AS INT) AS phase, o_orderkey, o_totalprice FROM folded
+    """,
+)
+def hudi_compaction_async(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYNC compaction (the spec's scheduled contract): an upsert lands
+    log blocks, `schedule_compaction_hudi` writes the plan into a
+    `.compaction.requested` instant, then a SECOND upsert and a delete
+    land AFTER scheduling (their blocks route to the scheduled instant's
+    future base slice), and `run_pending_compactions` executes the plan.
+    Phase 0 = snapshot before execution, phase 1 = after (must be
+    identical — execution is invisible to readers), phase 2 = the
+    read-optimized view after execution (exactly the plan-folded state:
+    pre-schedule upserts baked in, post-schedule writes still log-only).
+    """
+    root = scratch_path(sf_dir, "orders_hudi_compaction_async")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_hudi(
+        orders, root, record_key="o_orderkey", table_type="MERGE_ON_READ"
+    )
+    upsert_hudi(
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        ),
+        root,
+    )
+    schedule_compaction_hudi(root)
+    upsert_hudi(
+        orders.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            F.col("o_orderkey").cast("double").alias("o_totalprice"),
+        ),
+        root,
+    )
+    delete_hudi(
+        orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"), root
+    )
+    outs = []
+
+    def snap(phase: int, view: str) -> DataFrame:
+        return read_hudi(spark, root, view=view).select(
+            F.lit(phase).alias("phase"), "o_orderkey", "o_totalprice"
+        )
+
+    outs.append(snap(0, "snapshot"))
+    run_pending_compactions(root)
+    outs.append(snap(1, "snapshot"))
+    outs.append(snap(2, "read_optimized"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 # ---------------------------------------------------------------------------
 # table services: savepoint, restore, cleaner
 # ---------------------------------------------------------------------------
@@ -2583,6 +2851,7 @@ def restore_hudi(path: str, to_instant: str) -> str:
                 fp = os.path.join(path, st["path"])
                 if os.path.exists(fp):
                     os.unlink(fp)
+                    _drop_file_claims(fp)
                     deleted_files.append(st["path"])
         for name in (
             f"{instant}.{action}",
@@ -2590,6 +2859,8 @@ def restore_hudi(path: str, to_instant: str) -> str:
             f"{instant}.{action}.inflight",
             f"{instant}.inflight",
             f"{instant}.commit.requested",
+            f"{instant}.compaction.requested",
+            f"{instant}.compaction.inflight",
         ):
             p = os.path.join(hoodie, name)
             if os.path.exists(p):
@@ -2641,6 +2912,7 @@ def clean_hudi(path: str, retain_versions: int = 1) -> str:
                 fp = os.path.join(path, rel)
                 if os.path.exists(fp):
                     os.unlink(fp)
+                    _drop_file_claims(fp)
                     deleted.append(rel)
     cl = _claim_instant(path, "clean")
     meta = {
@@ -3351,7 +3623,12 @@ def rollback_pending_hudi(
 
     deleted: list[str] = []
     for dirpath, dirs, names in os.walk(path):
-        dirs[:] = [d for d in dirs if d not in (".hoodie",) and not d.startswith(".stage-")]
+        dirs[:] = [
+            d
+            for d in dirs
+            if d not in (".hoodie", "_claims")
+            and not d.startswith(".stage-")
+        ]
         for name in names:
             fp = os.path.join(dirpath, name)
             rel = os.path.relpath(fp, path)
@@ -3369,6 +3646,7 @@ def rollback_pending_hudi(
                 }
                 if blocks and instants <= set(pending):
                     os.unlink(fp)
+                    _drop_file_claims(fp)
                     deleted.append(rel)
                 continue
             if name.endswith(".parquet"):
@@ -3376,6 +3654,7 @@ def rollback_pending_hudi(
                 parts = stem.split("_")
                 if len(parts) >= 3 and parts[-1] in pending:
                     os.unlink(fp)
+                    _drop_file_claims(fp)
                     deleted.append(rel)
 
     for instant in sorted(pending):
@@ -3526,6 +3805,8 @@ def archive_timeline_hudi(path: str, keep_recent: int = 10) -> dict:
             f"{instant}.{action}.inflight",
             f"{instant}.inflight",
             f"{instant}.commit.requested",
+            f"{instant}.compaction.requested",
+            f"{instant}.compaction.inflight",
         ):
             p = os.path.join(hoodie, name)
             if os.path.exists(p):

@@ -752,7 +752,9 @@ def test_rollback_pending_reclaims_orphan_log_blocks(spark, monkeypatch):
         os.path.join(dp, f)
         for dp, _d, fs in os.walk(root)
         for f in fs
-        if H._LOG_NAME_RE.match(f)
+        # _claims/ holds coordinated-store bookkeeping named after the
+        # files it guards, not data
+        if H._LOG_NAME_RE.match(f) and not dp.endswith("_claims")
     ]
     assert len(logs) == 1
     out = H.rollback_pending_hudi(root, older_than_ms=0)
@@ -1025,16 +1027,21 @@ def test_fsck_validates_log_blocks_and_mor_clean(spark):
     H.compact_hudi(root)
     n_before = sum(
         1 for dp, _d, fs in os.walk(root) for f in fs
-        if f.endswith(".parquet") or H._LOG_NAME_RE.match(f)
+        if (f.endswith(".parquet") or H._LOG_NAME_RE.match(f))
+        and not dp.endswith("_claims")
     )
     H.clean_hudi(root, retain_versions=1)
     n_after = sum(
         1 for dp, _d, fs in os.walk(root) for f in fs
-        if f.endswith(".parquet") or H._LOG_NAME_RE.match(f)
+        if (f.endswith(".parquet") or H._LOG_NAME_RE.match(f))
+        and not dp.endswith("_claims")
     )
     assert n_after < n_before
     logs_left = [
-        f for dp, _d, fs in os.walk(root) for f in fs if H._LOG_NAME_RE.match(f)
+        f
+        for dp, _d, fs in os.walk(root)
+        for f in fs
+        if H._LOG_NAME_RE.match(f) and not dp.endswith("_claims")
     ]
     assert logs_left == []
     rows = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
@@ -1226,11 +1233,17 @@ def test_mor_log_append_publishes_through_log_store(spark):
         assert len(rows) == 45 and rows[0] == -1.0 and 5 not in rows
     finally:
         set_default_log_store(None)
-    # collision under the POSIX store: pre-publishing the NEXT log
-    # version's name makes the racing upsert fail loudly instead of
-    # clobbering (under coordinated-put the CLAIM, not the object, is
-    # the existence authority — raced claims are covered by
+    # collision under the POSIX store (forced explicitly — the suite may
+    # run with SPARK_GRAFT_LOG_STORE=coordinated): pre-publishing the
+    # NEXT log version's name makes the racing upsert fail loudly
+    # instead of clobbering (under coordinated-put the CLAIM, not the
+    # object, is the existence authority — raced claims are covered by
     # test_hudi_concurrent_insert_race)
+    from atlas_migration_repo_spark.sources.table_log import (
+        PosixLinkLogStore,
+    )
+
+    set_default_log_store(PosixLinkLogStore())
     _, _, slices = H._replay_hudi(root)
     (sl,) = slices
     next_ver = len(sl["logs"]) + 1
@@ -1240,8 +1253,118 @@ def test_mor_log_append_publishes_through_log_store(spark):
     )
     with open(os.path.join(root, name), "wb") as fh:
         fh.write(b"occupied")
-    with pytest.raises(Exception, match="already published"):
-        upsert_hudi(
-            spark.range(10, 12).select(F.col("id"), F.lit(9.0).alias("v")),
-            root,
-        )
+    try:
+        with pytest.raises(Exception, match="already published"):
+            upsert_hudi(
+                spark.range(10, 12).select(
+                    F.col("id"), F.lit(9.0).alias("v")
+                ),
+                root,
+            )
+    finally:
+        set_default_log_store(None)
+
+
+# ---------------------------------------------------------------------------
+# async compaction (VERDICT r6 #6): scheduled plan + separate execution
+# ---------------------------------------------------------------------------
+def test_async_compaction_schedule_run_and_log_routing(spark):
+    """schedule_compaction_hudi writes the plan into a
+    `.compaction.requested` instant; writes landing AFTER scheduling
+    route their log blocks to the scheduled instant's future base (spec
+    barrier) and stay visible before, during, and after
+    run_pending_compactions; the executed commit folds EXACTLY the
+    planned logs."""
+    root = _mor_table(spark, "t_mor_async", n=60)
+    upsert_hudi(
+        spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v")), root
+    )
+    t_c = H.schedule_compaction_hudi(root)
+    hoodie = H._hoodie_dir(root)
+    assert os.path.exists(
+        os.path.join(hoodie, f"{t_c}.compaction.requested")
+    )
+    assert not os.path.exists(
+        os.path.join(hoodie, f"{t_c}.compaction.inflight")
+    )
+    (pend,) = H.pending_compactions_hudi(root)
+    assert pend[0] == t_c and len(pend[1]["operations"]) == 1
+    # scheduling again with every log-bearing group covered refuses
+    with pytest.raises(ValueError, match="nothing to compact"):
+        H.schedule_compaction_hudi(root)
+    # post-schedule writes: their log files NAME the scheduled instant
+    upsert_hudi(
+        spark.range(5, 15).select(F.col("id"), F.lit(-2.0).alias("v")), root
+    )
+    delete_hudi(spark.range(20, 25).select("id"), root)
+    post_logs = [
+        f
+        for dp, _d, fs in os.walk(root)
+        for f in fs
+        if H._LOG_NAME_RE.match(f)
+        and f"_{t_c}.log." in f
+        and not dp.endswith("_claims")
+    ]
+    assert len(post_logs) == 2  # data block + tombstone block
+    expect = {
+        i: (-2.0 if 5 <= i < 15 else (-1.0 if i < 5 else float(i)))
+        for i in range(60)
+        if not (20 <= i < 25)
+    }
+    before = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+    assert before == expect
+    done = H.run_pending_compactions(root)
+    assert done == [t_c]
+    after = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+    assert after == expect  # execution is invisible to snapshot readers
+    # RO view = the plan-folded state: first upsert baked in, the
+    # post-schedule upsert/delete still log-only
+    ro = {
+        r["id"]: r["v"]
+        for r in read_hudi(spark, root, view="read_optimized").collect()
+    }
+    assert ro == {i: (-1.0 if i < 10 else float(i)) for i in range(60)}
+    assert H.pending_compactions_hudi(root) == []
+    # a second full cycle folds the remaining logs onto the t_c base
+    H.compact_hudi(root)
+    ro2 = {
+        r["id"]: r["v"]
+        for r in read_hudi(spark, root, view="read_optimized").collect()
+    }
+    assert ro2 == expect
+
+
+def test_pending_compaction_crash_rollback(spark):
+    """A scheduled-but-never-run compaction is crashed-writer debris:
+    rollback_pending_hudi reclaims the plan marker without touching
+    data; logs that targeted the rolled-back instant stay attached to
+    the visible slice, and a later synchronous compaction folds them."""
+    root = _mor_table(spark, "t_mor_async_rb", n=40)
+    upsert_hudi(
+        spark.range(0, 8).select(F.col("id"), F.lit(-1.0).alias("v")), root
+    )
+    t_c = H.schedule_compaction_hudi(root)
+    # post-schedule write targets t_c, then the plan "crashes" unrun
+    upsert_hudi(
+        spark.range(8, 12).select(F.col("id"), F.lit(-2.0).alias("v")), root
+    )
+    out = H.rollback_pending_hudi(root, older_than_ms=0)
+    assert t_c in out["rolled_back"]
+    assert out["deleted_files"] == []  # plan only — no data placed yet
+    assert H.pending_compactions_hudi(root) == []
+    expect = {
+        i: (-1.0 if i < 8 else (-2.0 if i < 12 else float(i)))
+        for i in range(40)
+    }
+    got = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+    assert got == expect  # orphan-targeted logs still merge
+    # a fresh synchronous compaction folds EVERYTHING, including the
+    # logs that named the rolled-back instant
+    H.compact_hudi(root)
+    ro = {
+        r["id"]: r["v"]
+        for r in read_hudi(spark, root, view="read_optimized").collect()
+    }
+    assert ro == expect
+    _, _, slices = H._replay_hudi(root)
+    assert all(not s.get("logs") for s in slices)
