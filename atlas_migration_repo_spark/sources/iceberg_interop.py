@@ -1472,7 +1472,18 @@ def _apply_row_deletes(
     Delete sets are file-list/tombstone-sized next to the data, so both
     anti-joins broadcast; at larger delete volumes Spark's AQE would
     shuffle them instead — same plan shape, no driver loop either way."""
-    pos = [d for d in deletes if d["data_file"].get("content") == 1]
+    dv = [
+        d
+        for d in deletes
+        if d["data_file"].get("content") == 1
+        and d["data_file"].get("file_format") == "PUFFIN"
+    ]
+    pos = [
+        d
+        for d in deletes
+        if d["data_file"].get("content") == 1
+        and d["data_file"].get("file_format") != "PUFFIN"
+    ]
     eqs = [d for d in deletes if d["data_file"].get("content") == 2]
     # _metadata is a scan-relation pseudo-column: both derived columns
     # must be captured BEFORE any join projects the relation away
@@ -1480,7 +1491,7 @@ def _apply_row_deletes(
         "__ice_uri",
         file_path_col(),
     )
-    if pos:
+    if pos or dv:
         df = df.withColumn("__ice_pos", F.col("_metadata.row_index"))
     seq_rows = [
         (os.path.abspath(d["data_file"]["file_path"]), int(d["seq"]))
@@ -1496,12 +1507,7 @@ def _apply_row_deletes(
         ),
     )
     df = df.join(F.broadcast(seq_df), "__ice_uri")
-    if pos:
-        by_seq: dict[int, list[str]] = {}
-        for d in pos:
-            by_seq.setdefault(int(d["seq"]), []).append(
-                d["data_file"]["file_path"]
-            )
+    if pos or dv:
         dschema = T.StructType(
             [
                 T.StructField("file_path", T.StringType()),
@@ -1509,11 +1515,38 @@ def _apply_row_deletes(
             ]
         )
         dels = None
+        by_seq: dict[int, list[str]] = {}
+        for d in pos:
+            by_seq.setdefault(int(d["seq"]), []).append(
+                d["data_file"]["file_path"]
+            )
         for s, paths in sorted(by_seq.items()):
             one = (
                 spark.read.schema(dschema)
                 .parquet(*paths)
                 .withColumn("__del_seq", F.lit(s).cast("long"))
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        if dv:
+            # v3 Puffin deletion vectors: decode the referenced blobs
+            # (tombstone-sized — bounded by the data files' row counts)
+            # into the same (file_path, pos, seq) shape
+            dv_rows = []
+            for d in dv:
+                f = d["data_file"]
+                ref = os.path.abspath(f["referenced_data_file"])
+                for p in _read_puffin_dv(
+                    f["file_path"],
+                    int(f["content_offset"]),
+                    int(f["content_size_in_bytes"]),
+                ):
+                    dv_rows.append((ref, int(p), int(d["seq"])))
+            one = spark.createDataFrame(
+                dv_rows,
+                T.StructType(
+                    list(dschema.fields)
+                    + [T.StructField("__del_seq", T.LongType())]
+                ),
             )
             dels = one if dels is None else dels.unionByName(one)
         cond = (
@@ -2353,7 +2386,221 @@ def _uniform_delete_manifest(
     )
 
 
-def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
+# ---------------------------------------------------------------------------
+# Iceberg v3 deletion vectors (Puffin): the spec stores row-level deletes
+# as one deletion-vector-v1 blob per referenced data file inside a Puffin
+# file. The blob bytes are deliberately byte-compatible with Delta's DV
+# framing — 4-byte big-endian length, the portable 64-bit
+# RoaringBitmapArray (magic D1 D3 39 64 = 1681511377 LE), 4-byte
+# big-endian CRC-32 of magic+vector — so the bridge reuses the Delta
+# codec verbatim (delta_interop._dv_encode/_dv_decode).
+# ---------------------------------------------------------------------------
+_PUFFIN_MAGIC = b"PFA1"
+
+
+def _write_puffin_dvs(
+    path: str,
+    dvs: list[tuple[str, list[int]]],
+    snap_id: int,
+    seq: int,
+) -> tuple[str, list[dict]]:
+    """Write ONE Puffin file under data/ holding a deletion-vector-v1
+    blob per (referenced data file, positions) pair, per the published
+    Puffin spec: magic, blobs, then footer = magic + JSON payload +
+    4-byte LE payload size + 4 flag bytes + magic. Returns the file
+    path and the footer's per-blob metadata dicts (offset/length/
+    properties)."""
+    import binascii
+    import struct
+
+    from atlas_migration_repo_spark.sources.delta_interop import _dv_encode
+
+    body = bytearray(_PUFFIN_MAGIC)
+    blobs_meta: list[dict] = []
+    for ref, positions in dvs:
+        payload = _dv_encode(positions)  # magic + portable bitmap
+        blob = (
+            struct.pack(">i", len(payload))
+            + payload
+            + struct.pack(">I", binascii.crc32(payload) & 0xFFFFFFFF)
+        )
+        off = len(body)
+        body += blob
+        blobs_meta.append(
+            {
+                "type": "deletion-vector-v1",
+                "fields": [],
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "offset": off,
+                "length": len(blob),
+                "properties": {
+                    "referenced-data-file": ref,
+                    "cardinality": str(len(set(positions))),
+                },
+            }
+        )
+    footer_payload = json.dumps(
+        {"blobs": blobs_meta, "properties": {}}, sort_keys=True
+    ).encode()
+    body += (
+        _PUFFIN_MAGIC
+        + footer_payload
+        + struct.pack("<i", len(footer_payload))
+        + b"\x00\x00\x00\x00"  # flags: footer payload uncompressed
+        + _PUFFIN_MAGIC
+    )
+    dest = os.path.join(path, "data", f"{uuid.uuid4().hex}-deletes.puffin")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    tmp = dest + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(body))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, dest)
+    return dest, blobs_meta
+
+
+def read_puffin_footer(file_path: str) -> dict:
+    """Parse a Puffin file's footer into its JSON payload (blob list +
+    file properties), verifying the four magic sequences."""
+    import struct
+
+    with open(file_path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != _PUFFIN_MAGIC or data[-4:] != _PUFFIN_MAGIC:
+        raise ValueError(f"{file_path}: not a Puffin file (bad magic)")
+    flags = data[-8:-4]
+    if flags[0] & 1:
+        raise ValueError(f"{file_path}: compressed Puffin footers unsupported")
+    (payload_size,) = struct.unpack("<i", data[-12:-8])
+    payload = data[-12 - payload_size : -12]
+    if data[-12 - payload_size - 4 : -12 - payload_size] != _PUFFIN_MAGIC:
+        raise ValueError(f"{file_path}: Puffin footer magic missing")
+    return json.loads(payload.decode())
+
+
+def _read_puffin_dv(file_path: str, offset: int, length: int) -> list[int]:
+    """Decode one deletion-vector-v1 blob (positions list) from a Puffin
+    file, verifying the framing length and CRC."""
+    import binascii
+    import struct
+
+    from atlas_migration_repo_spark.sources.delta_interop import _dv_decode
+
+    with open(file_path, "rb") as fh:
+        fh.seek(offset)
+        blob = fh.read(length)
+    (n,) = struct.unpack(">i", blob[:4])
+    payload = blob[4 : 4 + n]
+    (crc,) = struct.unpack(">I", blob[4 + n : 8 + n])
+    if binascii.crc32(payload) & 0xFFFFFFFF != crc:
+        raise ValueError(f"{file_path}@{offset}: deletion vector failed CRC")
+    return _dv_decode(payload)
+
+
+def _manifest_entry_schema_v3() -> dict:
+    """Manifest-entry schema for v3 DELETE manifests: the spec's DV
+    fields (referenced_data_file 143, content_offset 144,
+    content_size_in_bytes 145) ride as optional columns. Used ONLY for
+    puffin-DV delete manifests — every manifest file carries its own
+    writer schema, so v2 manifests are untouched."""
+    base = _manifest_entry_schema([])
+    data_file = next(f for f in base["fields"] if f["name"] == "data_file")
+    data_file["type"]["fields"] += [
+        {
+            "name": "referenced_data_file",
+            "type": ["null", "string"],
+            "field-id": 143,
+        },
+        {"name": "content_offset", "type": ["null", "long"], "field-id": 144},
+        {
+            "name": "content_size_in_bytes",
+            "type": ["null", "long"],
+            "field-id": 145,
+        },
+    ]
+    return base
+
+
+def _uniform_delete_manifest_v3(
+    spark: SparkSession, path: str, dv_adds: list[dict], snap_id: int, seq: int
+):
+    """Delta deletion vectors → Iceberg v3 DELETION VECTORS: the DV
+    position sets are copied (bit-exact — same portable roaring payload)
+    into ONE Puffin file, one deletion-vector-v1 blob per referenced
+    data file, and a delete manifest (content=1) records each blob with
+    file_format=PUFFIN + referenced_data_file + content_offset/size —
+    the v3 replacement for the v2 positional-delete parquet bridge.
+    Returns the manifest row, or None when the DVs are empty."""
+    import urllib.parse as up
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _dv_read_positions,
+    )
+
+    dvs: list[tuple[str, list[int]]] = []
+    for a in dv_adds:
+        positions = _dv_read_positions(path, a["deletionVector"])
+        if not positions:
+            continue
+        ref = os.path.abspath(
+            os.path.join(path, up.unquote(a["path"]))
+        )
+        dvs.append((ref, positions))
+    if not dvs:
+        return None
+    puffin, blobs_meta = _write_puffin_dvs(path, dvs, snap_id, seq)
+    size = os.path.getsize(puffin)
+    entries = [
+        (
+            1,  # status ADDED
+            snap_id,
+            seq,
+            seq,
+            {
+                "content": 1,  # position deletes (DV flavor)
+                "file_path": puffin,
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": int(bm["properties"]["cardinality"]),
+                "file_size_in_bytes": size,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": None,
+                "referenced_data_file": bm["properties"][
+                    "referenced-data-file"
+                ],
+                "content_offset": bm["offset"],
+                "content_size_in_bytes": bm["length"],
+            },
+        )
+        for bm in blobs_meta
+    ]
+    n_del = sum(e[4]["record_count"] for e in entries)
+    man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    man_len = _write_avro_file(man_path, _manifest_entry_schema_v3(), entries)
+    return (
+        man_path,
+        man_len,
+        0,
+        1,  # content: DELETES
+        seq,
+        seq,
+        snap_id,
+        len(entries),
+        0,
+        0,
+        n_del,
+        0,
+        0,
+        None,
+    )
+
+
+def publish_iceberg_metadata_from_delta(
+    spark: SparkSession, path: str, dv_format: str = "parquet"
+) -> int:
     """UniForm-style dual publish (the public Delta Universal Format
     idea): give an existing DELTA table an ICEBERG metadata tree over
     the SAME data files — one copy of the data, two protocol front
@@ -2361,7 +2608,14 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
     manifest whose entries carry the Delta adds' partition values
     (typed), record counts and, where the Delta stats allow, field-id
     bounds. Refuses if an Iceberg metadata tree already exists. Returns
-    the snapshot id."""
+    the snapshot id.
+
+    `dv_format` picks how live Delta deletion vectors bridge:
+    "parquet" (default) expands them into v2 positional-delete parquet
+    files; "puffin" copies the roaring payloads bit-exactly into a v3
+    Puffin deletion-vector file and stamps format-version 3."""
+    if dv_format not in ("parquet", "puffin"):
+        raise ValueError(f"dv_format must be parquet|puffin: {dv_format}")
     import urllib.parse as up
 
     from atlas_migration_repo_spark.sources.delta_interop import (
@@ -2390,14 +2644,18 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
     os.makedirs(_meta_dir(path), exist_ok=True)
     seq = 1
     snap_id = int(time.time() * 1000) * 1000 + seq
-    # live deletion vectors ride along as an Iceberg positional-delete
-    # manifest over the same snapshot — an Iceberg manifest over the raw
-    # files alone would RESURRECT the DV-masked rows
-    del_row = (
-        _uniform_delete_manifest(spark, path, dv_adds, snap_id, seq)
-        if dv_adds
-        else None
-    )
+    # live deletion vectors ride along as an Iceberg delete manifest
+    # over the same snapshot — an Iceberg manifest over the raw files
+    # alone would RESURRECT the DV-masked rows. v2 expands to
+    # positional-delete parquet; v3 copies the roaring payloads into a
+    # Puffin deletion-vector file.
+    del_row = None
+    if dv_adds and dv_format == "puffin":
+        del_row = _uniform_delete_manifest_v3(
+            spark, path, dv_adds, snap_id, seq
+        )
+    elif dv_adds:
+        del_row = _uniform_delete_manifest(spark, path, dv_adds, snap_id, seq)
     mlist_path, added_rows = _uniform_manifest_from_delta(
         path,
         adds,
@@ -2410,7 +2668,8 @@ def publish_iceberg_metadata_from_delta(spark: SparkSession, path: str) -> int:
     )
     now_ms = int(time.time() * 1000)
     meta = {
-        "format-version": 2,
+        # puffin DVs are a v3 feature; plain/positional tables stay v2
+        "format-version": 3 if dv_format == "puffin" else 2,
         "table-uuid": str(uuid.uuid4()),
         "location": path,
         "last-sequence-number": seq,
@@ -2659,6 +2918,62 @@ def lakehouse_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
                 msum(F.col("o_totalprice")).alias("total"),
             )
             .select(F.lit(reader).alias("reader"), "o_orderstatus", "n_rows", "total")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+_DV3_PRED = "o_orderstatus = 'F' AND o_totalprice > 150000"
+
+
+@query(
+    "lakehouse_uniform_dv_puffin",
+    oracle=f"""
+    SELECT 'delta' AS reader, o_orderstatus, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE NOT ({_DV3_PRED}) GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'iceberg' AS reader, o_orderstatus, COUNT(*) AS n_rows,
+           {sql_msum('o_totalprice')} AS total
+    FROM orders WHERE NOT ({_DV3_PRED}) GROUP BY o_orderstatus
+    """,
+)
+def lakehouse_uniform_dv_puffin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm with ICEBERG V3 DELETION VECTORS: a Delta table takes a
+    merge-on-read DV delete (no data file rewritten), then the Iceberg
+    publish copies the roaring payloads BIT-EXACTLY into a Puffin
+    deletion-vector file (format-version 3, file_format=PUFFIN delete
+    manifest with referenced_data_file + content offsets) instead of
+    expanding them to v2 positional-delete parquet. Both protocol
+    readers must subtract exactly the same rows."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_dv,
+        read_delta,
+        write_delta,
+    )
+
+    root = scratch_path(sf_dir, "orders_uniform_dv3")
+    shutil.rmtree(root, ignore_errors=True)
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_delta(df.repartition(4), root)
+    delete_delta_dv(spark, root, _DV3_PRED)
+    publish_iceberg_metadata_from_delta(spark, root, dv_format="puffin")
+    outs = []
+    for reader, fn in (
+        ("delta", lambda: read_delta(spark, root)),
+        ("iceberg", lambda: read_iceberg(spark, root)),
+    ):
+        outs.append(
+            fn()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                msum(F.col("o_totalprice")).alias("total"),
+            )
+            .select(
+                F.lit(reader).alias("reader"), "o_orderstatus", "n_rows", "total"
+            )
         )
     return outs[0].unionByName(outs[1])
 

@@ -1662,3 +1662,105 @@ def test_uniform_status_reverse_direction(spark):
     assert uniform_status(root)["in_sync"] is False
     sync_delta_log_from_iceberg(spark, root)
     assert uniform_status(root)["in_sync"] is True
+
+
+# ---------------------------------------------------------------------------
+# Iceberg v3 deletion vectors (Puffin) — VERDICT r6 "next" #8
+# ---------------------------------------------------------------------------
+def test_puffin_dv_round_trip_and_delta_byte_compat():
+    """The Puffin writer frames per the published spec (magic PFA1 at
+    head and around the footer, JSON blob metadata, LE payload size),
+    _read_puffin_dv decodes every blob back to its exact position set,
+    and the blob body is BYTE-COMPATIBLE with a Delta DV record:
+    BE length + portable RoaringBitmapArray (magic D1 D3 39 64) +
+    BE CRC-32."""
+    import binascii
+    import struct
+
+    import atlas_migration_repo_spark.sources.iceberg_interop as I
+    from atlas_migration_repo_spark.sources.delta_interop import _dv_encode
+
+    root = _fresh("t_puffin_rt")
+    os.makedirs(root, exist_ok=True)
+    sets = [
+        ("/data/a.parquet", [0, 1, 5, 70000, (1 << 33) + 7]),
+        ("/data/b.parquet", list(range(0, 9000, 3))),
+    ]
+    fp, metas = I._write_puffin_dvs(root, sets, snap_id=42, seq=1)
+    raw = open(fp, "rb").read()
+    assert raw[:4] == I._PUFFIN_MAGIC and raw[-4:] == I._PUFFIN_MAGIC
+    footer = I.read_puffin_footer(fp)
+    assert [b["properties"]["referenced-data-file"] for b in footer["blobs"]] == [
+        r for r, _ in sets
+    ]
+    for (ref, positions), bm in zip(sets, footer["blobs"]):
+        assert bm["type"] == "deletion-vector-v1"
+        assert int(bm["properties"]["cardinality"]) == len(set(positions))
+        got = I._read_puffin_dv(fp, bm["offset"], bm["length"])
+        assert got == sorted(set(positions))
+        # byte-compat with the Delta framing: length + payload + crc
+        blob = raw[bm["offset"] : bm["offset"] + bm["length"]]
+        payload = _dv_encode(positions)
+        assert blob[:4] == struct.pack(">i", len(payload))
+        assert blob[4 : 4 + len(payload)] == payload
+        assert payload[:4] == bytes([0xD1, 0xD3, 0x39, 0x64])
+        assert blob[4 + len(payload) :] == struct.pack(
+            ">I", binascii.crc32(payload) & 0xFFFFFFFF
+        )
+
+
+def test_uniform_puffin_dv_publish_and_seq_semantics(spark):
+    """Delta DV state bridges into a v3 table: format-version is 3, the
+    delete manifest entry is PUFFIN-shaped (referenced_data_file +
+    content offsets), the Iceberg read equals the Delta read row-for-row,
+    and rows appended AFTER the DV snapshot survive it (data_seq >
+    delete_seq — the spec's sequence-number visibility rule)."""
+    import atlas_migration_repo_spark.sources.iceberg_interop as I
+    from atlas_migration_repo_spark.sources.avro import parse_container
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_dv,
+        read_delta,
+        write_delta,
+    )
+
+    root = _fresh("t_uniform_dv3")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") * 2.0).alias("v")
+    )
+    write_delta(df.repartition(3), root)
+    delete_delta_dv(spark, root, "grp = 3")
+    I.publish_iceberg_metadata_from_delta(spark, root, dv_format="puffin")
+    _v, meta = I._current_metadata(root)
+    assert meta["format-version"] == 3
+    # the delete manifest entry carries the v3 DV fields
+    _, datas, dels = I.iceberg_live_state(root)
+    assert dels and all(
+        d["data_file"]["file_format"] == "PUFFIN"
+        and d["data_file"]["referenced_data_file"]
+        and d["data_file"]["content_offset"] is not None
+        and d["data_file"]["content_size_in_bytes"] > 0
+        for d in dels
+    )
+    d_rows = sorted(
+        (r["id"], r["grp"], r["v"]) for r in read_delta(spark, root).collect()
+    )
+    i_rows = sorted(
+        (r["id"], r["grp"], r["v"])
+        for r in read_iceberg(spark, root).collect()
+    )
+    assert i_rows == d_rows
+    assert all(g != 3 for _i, g, _vv in i_rows)
+    # append rows MATCHING the deleted predicate after the DV snapshot:
+    # their data_seq is newer than the delete_seq, so they must survive
+    late = spark.createDataFrame([(5003, 3, -1.0)], "id bigint, grp bigint, v double")
+    write_iceberg(late, root, mode="append")
+    got = {
+        r["id"]: r["grp"]
+        for r in read_iceberg(spark, root).where(F.col("grp") == 3).collect()
+    }
+    assert got == {5003: 3}
+    # fsck sees a consistent table (puffin file present, sizes match)
+    from atlas_migration_repo_spark.lakehouse import fsck
+
+    chk = fsck(root)
+    assert chk["ok"], chk["errors"]
