@@ -578,3 +578,52 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.sum("q") > 0, 1).otherwise(0).cast("int").alias("selected"),
         )
     )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "corpus_shard_export",
+    oracle=f"""
+    SELECT CAST(doc_id % {_N_SHARDS} AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding: every document routes to
+    a stable shard (key mod {_N_SHARDS} — reproducible across engines,
+    unlike hash-partitioning internals), the corpus lands as ONE
+    partitioned parquet write (`shard=` directories, the layout a
+    training loader consumes shard-by-shard), and the returned manifest
+    (shard, n_docs, n_tokens) is computed from the READ-BACK files so
+    the export itself is verified. One shuffle on the shard key; token
+    counts are whitespace splits counted inside codegen. At 100 TB the
+    same write scales by shard count x executor parallelism — no
+    driver-side routing."""
+    import shutil
+
+    from atlas_migration_repo_spark.sources.files import scratch_path
+
+    d = load(spark, sf_dir, "documents")
+    out = scratch_path(sf_dir, "corpus_shards")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        d.withColumn(
+            "shard", (F.col("doc_id") % _N_SHARDS).cast("bigint")
+        )
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+        .repartition("shard")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import urllib.parse
@@ -216,8 +217,12 @@ def _publish_commit(
 
 
 def _checkpoint_actions(cp_path: str) -> list[dict]:
-    """Decode a V1 parquet checkpoint into action dicts (pyarrow — no
-    Spark job for metadata; a checkpoint is file-list-sized)."""
+    """Decode a parquet checkpoint into action dicts (pyarrow — no
+    Spark job for metadata; a checkpoint is file-list-sized). Handles
+    BOTH flavors: V1 (flat actions) and V2 (spec's v2Checkpoint — a
+    top-level file whose `sidecar` actions reference parquet sidecars
+    under `_delta_log/_sidecars/` holding the add actions; the
+    `checkpointMetadata` row is validated and dropped)."""
     import pyarrow.parquet as pq
 
     def _demap(v):
@@ -226,17 +231,31 @@ def _checkpoint_actions(cp_path: str) -> list[dict]:
             return {k: x for k, x in v}
         return v or {}
 
-    acts: list[dict] = []
-    for row in pq.read_table(cp_path).to_pylist():
-        for kind in ("metaData", "protocol", "add", "remove", "txn"):
-            payload = row.get(kind)
-            if payload is None:
-                continue
-            payload = {k: v for k, v in payload.items() if v is not None}
-            for mk in ("partitionValues", "configuration"):
-                if mk in payload:
-                    payload[mk] = _demap(payload[mk])
-            acts.append({kind: payload})
+    def _rows_to_actions(rows: list[dict]) -> list[dict]:
+        acts: list[dict] = []
+        for row in rows:
+            for kind in ("metaData", "protocol", "add", "remove", "txn"):
+                payload = row.get(kind)
+                if payload is None:
+                    continue
+                payload = {k: v for k, v in payload.items() if v is not None}
+                for mk in ("partitionValues", "configuration"):
+                    if mk in payload:
+                        payload[mk] = _demap(payload[mk])
+                acts.append({kind: payload})
+        return acts
+
+    rows = pq.read_table(cp_path).to_pylist()
+    acts = _rows_to_actions(rows)
+    sidecar_dir = os.path.join(os.path.dirname(cp_path), "_sidecars")
+    for row in rows:
+        sc = row.get("sidecar") if isinstance(row, dict) else None
+        if not sc or sc.get("path") is None:
+            continue
+        sc_path = sc["path"]
+        if not os.path.isabs(sc_path):
+            sc_path = os.path.join(sidecar_dir, sc_path)
+        acts.extend(_rows_to_actions(pq.read_table(sc_path).to_pylist()))
     return acts
 
 
@@ -246,11 +265,20 @@ def _raw_actions(path: str, version: int | None = None) -> tuple[int, list[dict]
     _replay, txn resolution, and checkpoint writing."""
     log_dir = _log_dir(path)
     vs = _committed_versions(log_dir)
-    cps = sorted(
-        int(n[:20])
-        for n in (os.listdir(log_dir) if os.path.isdir(log_dir) else [])
-        if n.endswith(".checkpoint.parquet") and n[:20].isdigit()
-    )
+    # checkpoint discovery covers both flavors: V1 `<v>.checkpoint.parquet`
+    # and V2 `<v>.checkpoint.<uid>.parquet` (top-level + sidecars)
+    cp_by_version: dict[int, str] = {}
+    for n in os.listdir(log_dir) if os.path.isdir(log_dir) else []:
+        if not n[:20].isdigit():
+            continue
+        if n.endswith(".checkpoint.parquet") or re.match(
+            r"^\d{20}\.checkpoint\.[0-9a-f]{8,}\.parquet$", n
+        ):
+            # a same-version V2 top-level wins over V1 (later style)
+            prev = cp_by_version.get(int(n[:20]))
+            if prev is None or len(n) > len(prev):
+                cp_by_version[int(n[:20])] = n
+    cps = sorted(cp_by_version)
     if version is None:
         if not vs and not cps:
             raise FileNotFoundError(f"no Delta commits under {log_dir}")
@@ -261,9 +289,7 @@ def _raw_actions(path: str, version: int | None = None) -> tuple[int, list[dict]
     if usable:
         start = usable[-1]
         acts.extend(
-            _checkpoint_actions(
-                os.path.join(log_dir, f"{start:020d}.checkpoint.parquet")
-            )
+            _checkpoint_actions(os.path.join(log_dir, cp_by_version[start]))
         )
     for v in vs:
         if v <= start or v > version:
@@ -714,22 +740,18 @@ def write_delta(
     return _publish_commit(_log_dir(path), actions, _next_version(_log_dir(path)))
 
 
-def checkpoint_delta(path: str, version: int | None = None) -> int:
-    """Write a V1 parquet checkpoint of the resolved state at `version`
-    (default latest) plus the `_last_checkpoint` pointer, so readers
-    replay O(commits since checkpoint) instead of the whole log."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+def _resolve_checkpoint_state(path: str, version: int | None):
+    """(version, protocol, metaData, live adds, latest txn per appId) —
+    the state every checkpoint flavor must carry. The checkpoint must
+    record the table's REAL protocol (a mapped or type-widened table
+    runs at 2/5 or 3/7 — writing the default would silently downgrade
+    it) and the latest txn mark per appId (the protocol requires
+    transaction identifiers to survive checkpoints, or idempotent
+    writers would re-apply after log trimming)."""
     v, acts = _raw_actions(path, version)
     meta, adds = _reduce_actions(acts)
     if not meta:
         raise ValueError(f"no metaData action found in {_log_dir(path)}")
-    # the checkpoint must carry the table's REAL protocol (a mapped or
-    # type-widened table runs at 2/5 or 3/7 — writing the default would
-    # silently downgrade it) and the latest txn mark per appId (the
-    # protocol requires transaction identifiers to survive checkpoints,
-    # or idempotent writers would re-apply after log trimming)
     protocol = dict(_PROTOCOL)
     txns: dict[str, dict] = {}
     for a in acts:
@@ -741,70 +763,102 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
             or int(t["version"]) > int(txns[t["appId"]]["version"])
         ):
             txns[t["appId"]] = t
+    return v, protocol, meta, adds, txns
+
+
+def _cp_schema_fields():
+    """pyarrow field structs shared by every checkpoint flavor (V1 flat
+    file, V2 top-level, V2 sidecars)."""
+    import pyarrow as pa
+
     kv = pa.map_(pa.string(), pa.string())
-    schema = pa.schema(
-        [
-            pa.field(
-                "protocol",
-                pa.struct(
-                    [
-                        ("minReaderVersion", pa.int32()),
-                        ("minWriterVersion", pa.int32()),
-                        ("readerFeatures", pa.list_(pa.string())),
-                        ("writerFeatures", pa.list_(pa.string())),
-                    ]
-                ),
+    return {
+        "protocol": pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    ("minReaderVersion", pa.int32()),
+                    ("minWriterVersion", pa.int32()),
+                    ("readerFeatures", pa.list_(pa.string())),
+                    ("writerFeatures", pa.list_(pa.string())),
+                ]
             ),
-            pa.field(
-                "txn",
-                pa.struct(
-                    [
-                        ("appId", pa.string()),
-                        ("version", pa.int64()),
-                        ("lastUpdated", pa.int64()),
-                    ]
-                ),
+        ),
+        "txn": pa.field(
+            "txn",
+            pa.struct(
+                [
+                    ("appId", pa.string()),
+                    ("version", pa.int64()),
+                    ("lastUpdated", pa.int64()),
+                ]
             ),
-            pa.field(
-                "metaData",
-                pa.struct(
-                    [
-                        ("id", pa.string()),
-                        ("format", pa.struct([("provider", pa.string())])),
-                        ("schemaString", pa.string()),
-                        ("partitionColumns", pa.list_(pa.string())),
-                        pa.field("configuration", kv),
-                        ("createdTime", pa.int64()),
-                    ]
-                ),
+        ),
+        "metaData": pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    ("id", pa.string()),
+                    ("format", pa.struct([("provider", pa.string())])),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    pa.field("configuration", kv),
+                    ("createdTime", pa.int64()),
+                ]
             ),
-            pa.field(
-                "add",
-                pa.struct(
-                    [
-                        ("path", pa.string()),
-                        pa.field("partitionValues", kv),
-                        ("size", pa.int64()),
-                        ("modificationTime", pa.int64()),
-                        ("dataChange", pa.bool_()),
-                        ("stats", pa.string()),
-                        pa.field(
-                            "deletionVector",
-                            pa.struct(
-                                [
-                                    ("storageType", pa.string()),
-                                    ("pathOrInlineDv", pa.string()),
-                                    ("offset", pa.int32()),
-                                    ("sizeInBytes", pa.int32()),
-                                    ("cardinality", pa.int64()),
-                                ]
-                            ),
+        ),
+        "add": pa.field(
+            "add",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    pa.field("partitionValues", kv),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    ("stats", pa.string()),
+                    pa.field(
+                        "deletionVector",
+                        pa.struct(
+                            [
+                                ("storageType", pa.string()),
+                                ("pathOrInlineDv", pa.string()),
+                                ("offset", pa.int32()),
+                                ("sizeInBytes", pa.int32()),
+                                ("cardinality", pa.int64()),
+                            ]
                         ),
-                    ]
-                ),
+                    ),
+                ]
             ),
-        ]
-    )
+        ),
+        "checkpointMetadata": pa.field(
+            "checkpointMetadata",
+            pa.struct([("version", pa.int64()), pa.field("tags", kv)]),
+        ),
+        "sidecar": pa.field(
+            "sidecar",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("sizeInBytes", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                ]
+            ),
+        ),
+    }
+
+
+def checkpoint_delta(path: str, version: int | None = None) -> int:
+    """Write a V1 parquet checkpoint of the resolved state at `version`
+    (default latest) plus the `_last_checkpoint` pointer, so readers
+    replay O(commits since checkpoint) instead of the whole log."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    v, protocol, meta, adds, txns = _resolve_checkpoint_state(path, version)
+    f = _cp_schema_fields()
+    schema = pa.schema([f["protocol"], f["txn"], f["metaData"], f["add"]])
     rows: list[dict] = [
         {
             "protocol": protocol,
@@ -851,6 +905,144 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
     tmp = last + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump({"version": v, "size": len(rows)}, fh)
+    os.rename(tmp, last)
+    return v
+
+
+_V2_CP_FEATURE = "v2Checkpoint"
+
+
+def checkpoint_delta_v2(
+    path: str, version: int | None = None, n_sidecars: int = 2
+) -> int:
+    """Write a V2 SPEC CHECKPOINT (delta.io PROTOCOL.md "V2 Spec
+    Checkpoints"): the add actions land in `n_sidecars` parquet SIDECAR
+    files under `_delta_log/_sidecars/`, and the top-level
+    `<v>.checkpoint.<uid>.parquet` carries checkpointMetadata, protocol,
+    metaData, txn marks, and one `sidecar` action per sidecar file.
+    At scale this is the flavor that matters: a 10M-file table's
+    checkpoint parallelizes across sidecars instead of one giant file,
+    and incremental checkpointers rewrite only changed sidecars. If the
+    table doesn't yet carry the `v2Checkpoint` reader feature, a
+    protocol-upgrade commit (3/7) lands first — pre-feature readers
+    must fail loudly rather than miss the sidecar indirection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = _log_dir(path)
+    proto = _current_protocol(path)
+    if _V2_CP_FEATURE not in set(proto.get("readerFeatures") or []):
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "UPGRADE PROTOCOL",
+                    "operationParameters": {"feature": _V2_CP_FEATURE},
+                }
+            },
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(
+                        set(proto.get("readerFeatures") or [])
+                        | {_V2_CP_FEATURE}
+                    ),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or [])
+                        | {_V2_CP_FEATURE}
+                    ),
+                }
+            },
+        ]
+        _publish_commit(log_dir, actions, _next_version(log_dir))
+        if version is not None:
+            version = _next_version(log_dir) - 1
+    v, protocol, meta, adds, txns = _resolve_checkpoint_state(path, version)
+    f = _cp_schema_fields()
+    sidecar_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecar_dir, exist_ok=True)
+    side_schema = pa.schema([f["add"]])
+    n_sidecars = max(1, min(n_sidecars, max(1, len(adds))))
+    sidecars: list[dict] = []
+    for i in range(n_sidecars):
+        chunk = adds[i::n_sidecars]
+        rows = [
+            {
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime"),
+                    "dataChange": False,
+                    "stats": a.get("stats"),
+                    "deletionVector": a.get("deletionVector"),
+                }
+            }
+            for a in chunk
+        ]
+        name = f"{uuid.uuid4().hex}.parquet"
+        dest = os.path.join(sidecar_dir, name)
+        tmp = dest + f".tmp.{uuid.uuid4().hex}"
+        pq.write_table(pa.Table.from_pylist(rows, schema=side_schema), tmp)
+        os.rename(tmp, dest)
+        sidecars.append(
+            {
+                "path": name,
+                "sizeInBytes": os.path.getsize(dest),
+                "modificationTime": int(os.path.getmtime(dest) * 1000),
+            }
+        )
+    top_schema = pa.schema(
+        [
+            f["checkpointMetadata"],
+            f["protocol"],
+            f["metaData"],
+            f["txn"],
+            f["sidecar"],
+        ]
+    )
+    rows = [
+        {"checkpointMetadata": {"version": v, "tags": {}}},
+        {
+            "protocol": protocol,
+            "metaData": {
+                "id": meta.get("id"),
+                "format": {"provider": "parquet"},
+                "schemaString": meta.get("schemaString"),
+                "partitionColumns": meta.get("partitionColumns") or [],
+                "configuration": meta.get("configuration") or {},
+                "createdTime": meta.get("createdTime"),
+            },
+        },
+    ]
+    rows += [
+        {
+            "txn": {
+                "appId": t["appId"],
+                "version": int(t["version"]),
+                "lastUpdated": t.get("lastUpdated"),
+            }
+        }
+        for t in txns.values()
+    ]
+    rows += [{"sidecar": sc} for sc in sidecars]
+    uid = uuid.uuid4().hex
+    cp = os.path.join(log_dir, f"{v:020d}.checkpoint.{uid}.parquet")
+    tmp = cp + f".tmp.{uuid.uuid4().hex}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=top_schema), tmp)
+    os.rename(tmp, cp)
+    last = os.path.join(log_dir, "_last_checkpoint")
+    tmp = last + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": v,
+                "size": len(rows),
+                "v2Checkpoint": {"path": os.path.basename(cp)},
+            },
+            fh,
+        )
     os.rename(tmp, last)
     return v
 
@@ -3188,6 +3380,35 @@ def delta_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="append" if m else "overwrite",
         )
     checkpoint_delta(root)
+    write_delta(cust.where(F.col("c_custkey") % 4 == 3), root, mode="append")
+    return read_delta(spark, root)
+
+
+@query(
+    "delta_checkpoint_v2",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 SPEC CHECKPOINT: 3 append commits, then checkpoint_delta_v2
+    lands a protocol upgrade (3/7 + v2Checkpoint), parquet SIDECAR files
+    under `_delta_log/_sidecars/` holding the adds, and a top-level
+    `<v>.checkpoint.<uid>.parquet` with checkpointMetadata + sidecar
+    actions; one more append follows. The read resolves the V2 top-level
+    (newest checkpoint <= target), expands the sidecars, and replays
+    only the post-checkpoint JSON — a unit test deletes the
+    pre-checkpoint JSONs to prove the sidecar path carries the state."""
+    root = scratch_path(sf_dir, "customer_delta_cp_v2")
+    shutil.rmtree(root, ignore_errors=True)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    for m in (0, 1, 2):
+        write_delta(
+            cust.where(F.col("c_custkey") % 4 == m),
+            root,
+            mode="append" if m else "overwrite",
+        )
+    checkpoint_delta_v2(root, n_sidecars=2)
     write_delta(cust.where(F.col("c_custkey") % 4 == 3), root, mode="append")
     return read_delta(spark, root)
 

@@ -2566,3 +2566,67 @@ def test_delta_append_refuses_non_additive_schema(spark):
     assert not any("metaData" in a for a in acts), "reorder emitted metaData"
     got = read_delta(spark, root)
     assert got.count() == 2 and set(got.columns) == {"k", "v", "s"}
+
+
+def test_v2_checkpoint_sidecars_carry_state(spark):
+    """V2 spec checkpoint: the protocol upgrades to 3/7 + v2Checkpoint,
+    the adds land in parquet sidecars under _delta_log/_sidecars/, the
+    top-level file carries checkpointMetadata + sidecar actions, and
+    deleting every pre-checkpoint JSON leaves the read exact — the
+    sidecar indirection, not the JSON history, carries the state."""
+    import re as _re
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _current_protocol,
+        checkpoint_delta_v2,
+    )
+
+    root = _fresh("t_delta_cp_v2")
+    nat = load(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    write_delta(nat.where(F.col("n_nationkey") < 10), root)
+    write_delta(
+        nat.where((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+        root,
+        mode="append",
+    )
+    cp_v = checkpoint_delta_v2(root, n_sidecars=2)
+    assert cp_v == 2  # v0, v1 appends + v2 protocol-upgrade commit
+    proto = _current_protocol(root)
+    assert proto["minReaderVersion"] == 3
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    log = os.path.join(root, "_delta_log")
+    tops = [
+        n
+        for n in os.listdir(log)
+        if _re.match(r"^\d{20}\.checkpoint\.[0-9a-f]{8,}\.parquet$", n)
+    ]
+    assert len(tops) == 1
+    sidecars = [
+        n
+        for n in os.listdir(os.path.join(log, "_sidecars"))
+        if n.endswith(".parquet")
+    ]
+    assert len(sidecars) == 2
+    last = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert last["v2Checkpoint"]["path"] == tops[0]
+    # top-level holds NO add actions — the sidecars do
+    import pyarrow.parquet as pq
+
+    top_rows = pq.read_table(os.path.join(log, tops[0])).to_pylist()
+    assert "add" not in {
+        k for r in top_rows for k, v in r.items() if v is not None
+    }
+    n_side_adds = sum(
+        sum(1 for r in pq.read_table(
+            os.path.join(log, "_sidecars", s)).to_pylist() if r.get("add"))
+        for s in sidecars
+    )
+    assert n_side_adds > 0
+    write_delta(nat.where(F.col("n_nationkey") >= 20), root, mode="append")
+    for v in (0, 1, 2):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    got = sorted(r["n_nationkey"] for r in read_delta(spark, root).collect())
+    assert got == list(range(25))
+    # a SECOND v2 checkpoint does not re-upgrade the protocol
+    v2 = checkpoint_delta_v2(root)
+    assert v2 == 3
