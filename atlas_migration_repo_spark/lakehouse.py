@@ -246,6 +246,7 @@ def _hudi_describe(path: str) -> dict:
         _read_props,
         _replay_hudi,
         completed_instants,
+        pending_compactions_hudi,
     )
 
     props = _read_props(path)
@@ -258,8 +259,12 @@ def _hudi_describe(path: str) -> dict:
         "num_commits": len(completed_instants(path)),
         "record_key": props.get("hoodie.table.recordkey.fields"),
         "partition_fields": props.get("hoodie.table.partition.fields") or None,
+        "index_type": props.get("hoodie.index.type"),
         "num_file_groups": len(slices),
         "num_log_files": sum(len(s.get("logs", [])) for s in slices),
+        "pending_compactions": [
+            i for i, _plan in pending_compactions_hudi(path)
+        ],
         "size_bytes": sum(
             s["stat"].get("fileSizeInBytes", 0) for s in slices
         ),
@@ -530,7 +535,8 @@ def fsck(path: str) -> dict:
                     checked += 1
                     if not os.path.exists(f["file_path"]):
                         errors.append(f"missing data file: {f['file_path']}")
-                    elif (
+                        continue
+                    if (
                         f.get("file_size_in_bytes")
                         and os.path.getsize(f["file_path"])
                         != f["file_size_in_bytes"]
@@ -538,6 +544,33 @@ def fsck(path: str) -> dict:
                         errors.append(
                             f"size mismatch: {f['file_path']}"
                         )
+                    if f.get("file_format") == "PUFFIN":
+                        # v3 deletion vector: the blob must decode and
+                        # match its recorded cardinality (tombstone-
+                        # sized — no data scan)
+                        from atlas_migration_repo_spark.sources.iceberg_interop import (  # noqa: E501
+                            _read_puffin_dv,
+                        )
+
+                        checked += 1
+                        try:
+                            pos = _read_puffin_dv(
+                                f["file_path"],
+                                int(f["content_offset"]),
+                                int(f["content_size_in_bytes"]),
+                            )
+                            if len(pos) != f.get("record_count"):
+                                errors.append(
+                                    "DV cardinality mismatch: "
+                                    f"{f['file_path']}@{f['content_offset']}"
+                                    f" manifest={f.get('record_count')} "
+                                    f"decoded={len(pos)}"
+                                )
+                        except Exception as ex:  # corrupt blob
+                            errors.append(
+                                f"DV unreadable: {f['file_path']}@"
+                                f"{f.get('content_offset')}: {ex}"
+                            )
     elif fmt == "hudi":
         from atlas_migration_repo_spark.sources.hudi_interop import (
             _replay_hudi,

@@ -55,7 +55,9 @@ QUERIES: dict[str, QueryDef] = {}
 # hudi_sink_txn, hudi_event_range, hudi_timeline, sink_hudi_stream,
 # geo_nearest_hub, join_asof_nearest, the never-sampled scalar/window/
 # setop batches (str_basic … explode_pos, win_moving_avg … win_first_last,
-# set_union_distinct, set_except), plus this round's new keys.
+# set_union_distinct, set_except), plus this round's five new keys:
+# hudi_compaction_async, hudi_bloom_index, lakehouse_uniform_dv_puffin,
+# delta_checkpoint_v2, corpus_shard_export.
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r6) -------------
     "scan_parquet",

@@ -158,6 +158,7 @@ def _init_table(
     precombine: str | None,
     event_time_field: str | None,
     table_type: str = "COPY_ON_WRITE",
+    bloom_index: bool = False,
 ) -> None:
     props = {
         "hoodie.table.name": table_name,
@@ -174,6 +175,10 @@ def _init_table(
         props["hoodie.table.precombine.field"] = precombine
     if event_time_field:
         props["hoodie.payload.event.time.field"] = event_time_field
+    if bloom_index:
+        # spec BLOOM index family: writers attach per-base-file key
+        # blooms + key ranges; upsert tagging prunes against them
+        props["hoodie.index.type"] = "BLOOM"
     _write_props(path, props)
 
 
@@ -771,6 +776,196 @@ def _footer_event_range(fp: str, field: str) -> tuple[int | None, int | None]:
     return mn, mx
 
 
+def _footer_key_range(fp: str) -> tuple[str | None, str | None]:
+    """[min, max] of `_hoodie_record_key` across row groups, read from
+    parquet footer statistics only (no data scan) — the spec's
+    HoodieWriteStat minRecordKey/maxRecordKey, which let upsert tagging
+    skip file groups whose key band is disjoint from the batch."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    try:
+        idx = md.schema.to_arrow_schema().get_field_index(
+            "_hoodie_record_key"
+        )
+    except Exception:
+        return None, None
+    if idx < 0:
+        return None, None
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        lo, hi = st.min, st.max
+        if isinstance(lo, bytes):
+            lo, hi = lo.decode(), hi.decode()
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    return mn, mx
+
+
+# --- record-key bloom filters (the spec's BLOOM index family) --------------
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_K = 7
+
+
+def _bloom_hash_pair(key: str) -> tuple[int, int]:
+    """Two independent 64-bit hashes of the key (md5 halves — engine-
+    portable and deterministic); probe bits come from double hashing
+    h1 + i*h2, the standard Kirsch-Mitzenmacher construction."""
+    import hashlib
+
+    d = hashlib.md5(key.encode()).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
+
+
+def _bloom_build(keys: list[str]) -> dict:
+    """{"m", "k", "b64"} bloom over the key list, ~10 bits/key (≈1% FPP
+    at k=7). False positives only ADD tagging candidates — exactness is
+    preserved by the equality join that follows."""
+    import base64
+
+    m = max(64, _BLOOM_BITS_PER_KEY * max(1, len(keys)))
+    bits = bytearray((m + 7) // 8)
+    for key in keys:
+        h1, h2 = _bloom_hash_pair(key)
+        for i in range(_BLOOM_K):
+            b = (h1 + i * h2) % m
+            bits[b >> 3] |= 1 << (b & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_may_contain(bloom: dict, key: str) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    m = int(bloom["m"])
+    h1, h2 = _bloom_hash_pair(key)
+    for i in range(int(bloom["k"])):
+        b = (h1 + i * h2) % m
+        if not (bits[b >> 3] >> (b & 7)) & 1:
+            return False
+    return True
+
+
+def _key_blooms(spark: SparkSession, path: str, placed: list[dict]) -> dict:
+    """{rel: bloom dict} for the placed base files, computed
+    DISTRIBUTED: one task per file reads just the `_hoodie_record_key`
+    column (column-pruned parquet) and builds its bloom — the write-side
+    cost of the BLOOM index, file-parallel like compaction."""
+    import pandas as pd
+
+    rows = [
+        (os.path.join(path, p["rel"]), p["rel"])
+        for p in placed
+        if p.get("rows", 0) > 0
+    ]
+    if not rows:
+        return {}
+
+    def build(pdfs):
+        import pyarrow.parquet as _pq
+
+        for pdf in pdfs:
+            out = []
+            for fp, rel in zip(pdf["fp"], pdf["rel"]):
+                keys = (
+                    _pq.read_table(fp, columns=["_hoodie_record_key"])
+                    .column(0)
+                    .to_pylist()
+                )
+                out.append((rel, json.dumps(_bloom_build(keys))))
+            yield pd.DataFrame(out, columns=["rel", "bloom"])
+
+    inp = spark.createDataFrame(rows, "fp string, rel string").repartition(
+        min(len(rows), 32)
+    )
+    got = inp.mapInPandas(build, schema="rel string, bloom string").collect()
+    return {r["rel"]: json.loads(r["bloom"]) for r in got}
+
+
+def _tagging_candidate_slices(
+    spark: SparkSession,
+    inc_keyed: DataFrame,
+    slices: list[dict],
+) -> list[dict]:
+    """BLOOM-index tagging prune: drop file slices that provably hold
+    NONE of the incoming batch's keys, in two metadata layers —
+    (1) per-partition incoming [min,max] key bounds vs each slice's
+    footer-harvested minRecordKey/maxRecordKey (driver, stats-only),
+    (2) per-slice key blooms probed on EXECUTORS against the batch's
+    keys (broadcast bloom table, one pass over the batch). Both layers
+    err only toward keeping a slice, so the equality tagging join stays
+    exact; the win is the tagging read shrinking from every live base
+    file to the candidate set."""
+    import pandas as pd
+
+    bounds = {
+        r["__pp"]: (r["lo"], r["hi"])
+        for r in inc_keyed.groupBy("__pp")
+        .agg(F.min("__key").alias("lo"), F.max("__key").alias("hi"))
+        .collect()
+    }
+    cand: list[dict] = []
+    for s in slices:
+        pb = bounds.get(s["partition"])
+        if pb is None:
+            continue  # batch has no keys in this partition
+        mn = s["stat"].get("minRecordKey")
+        mx = s["stat"].get("maxRecordKey")
+        if (
+            mn is not None
+            and mx is not None
+            and not s.get("logs")  # log rows may carry other key bands
+            and (pb[1] < mn or pb[0] > mx)
+        ):
+            continue
+        cand.append(s)
+    blooms = {
+        (s["partition"], s["fileId"]): s["stat"].get("keyBloom")
+        for s in cand
+        if s["stat"].get("keyBloom") and not s.get("logs")
+    }
+    if not blooms:
+        return cand
+    payload = json.dumps(
+        [[p, f, b] for (p, f), b in sorted(blooms.items())]
+    )
+
+    def probe(pdfs):
+        table: dict[str, list] = {}
+        for p, f, b in json.loads(payload):
+            table.setdefault(p, []).append((f, b))
+        hits: set[tuple[str, str]] = set()
+        for pdf in pdfs:
+            for key, pp in zip(pdf["__key"], pdf["__pp"]):
+                for fid, bloom in table.get(pp, []):
+                    if (pp, fid) in hits:
+                        continue
+                    if _bloom_may_contain(bloom, key):
+                        hits.add((pp, fid))
+        yield pd.DataFrame(sorted(hits), columns=["part", "fid"])
+
+    hit_rows = (
+        inc_keyed.select("__key", "__pp")
+        .mapInPandas(probe, schema="part string, fid string")
+        .distinct()
+        .collect()
+    )
+    hits = {(r["part"], r["fid"]) for r in hit_rows}
+    return [
+        s
+        for s in cand
+        if (s["partition"], s["fileId"]) not in blooms
+        or (s["partition"], s["fileId"]) in hits
+    ]
+
+
 def _partition_path_col(partition_by: list[str]):
     if not partition_by:
         return F.lit("")
@@ -885,6 +1080,7 @@ def _write_stats(
     updates_by_group: dict[tuple[str, str], int] | None = None,
     deletes_by_group: dict[tuple[str, str], int] | None = None,
     all_rows_inserted: bool = False,
+    blooms: dict[str, dict] | None = None,
 ) -> dict[str, list[dict]]:
     """HoodieWriteStat list per partition for the commit metadata.
     numInserts counts records NEW to the file group: every written row
@@ -925,10 +1121,29 @@ def _write_stats(
             if mn is not None:
                 st["minEventTime"] = mn
                 st["maxEventTime"] = mx
+        if p["rows"] > 0:
+            # spec HoodieWriteStat minRecordKey/maxRecordKey: footer-only
+            # stats that let upsert tagging skip disjoint key bands
+            kmn, kmx = _footer_key_range(os.path.join(base_path, p["rel"]))
+            if kmn is not None:
+                st["minRecordKey"] = kmn
+                st["maxRecordKey"] = kmx
+        if blooms and p["rel"] in blooms:
+            st["keyBloom"] = blooms[p["rel"]]
         out.setdefault(p["partition"], []).append(st)
     for stats in out.values():
         stats.sort(key=lambda s: s["fileId"])
     return out
+
+
+def _maybe_blooms(
+    spark: SparkSession, path: str, placed: list[dict], props: dict
+) -> dict | None:
+    """Per-file key blooms for BLOOM-indexed tables (None otherwise) —
+    one distributed column pass over the just-placed base files."""
+    if props.get("hoodie.index.type") != "BLOOM":
+        return None
+    return _key_blooms(spark, path, placed)
 
 
 def _commit_meta(
@@ -990,6 +1205,7 @@ def write_hudi(
     checkpoint: str | None = None,
     event_time_field: str | None = None,
     table_type: str = "COPY_ON_WRITE",
+    bloom_index: bool = False,
 ) -> str:
     """Land `df` as one Hudi COW commit and return its instant.
 
@@ -1014,6 +1230,7 @@ def write_hudi(
             precombine,
             event_time_field,
             table_type,
+            bloom_index,
         )
     props = _read_props(path)
     if props["hoodie.table.recordkey.fields"] != record_key:
@@ -1067,6 +1284,7 @@ def write_hudi(
         props.get("hoodie.payload.event.time.field"),
         path,
         all_rows_inserted=True,
+        blooms=_maybe_blooms(df.sparkSession, path, placed, props),
     )
     extra = (
         {"deltastreamer.checkpoint.key": checkpoint} if checkpoint else None
@@ -1150,26 +1368,41 @@ def upsert_hudi(
     base = {i for i, _ in completed_instants(path)}
     instant = _claim_instant(path, "deltacommit" if mor else "commit")
 
+    inc_keyed = incoming.withColumn(
+        "__key", F.col(record_key).cast("string")
+    ).withColumn("__pp", _partition_path_col(partition_by))
+
     # tagging reads the READ-OPTIMIZED view: every live key's file-group
     # membership comes from a base file (inserts always create bases),
     # and a key tombstoned by a MOR delete block still tags to its old
     # group — a re-insert there is a later log record that outranks the
-    # tombstone, which is exactly the upsert-after-delete semantics
-    current = read_hudi(
-        SparkSession.getActiveSession() or df.sparkSession,
-        path,
-        with_meta=True,
-        view="read_optimized",
-    ).withColumn("__fid", _fid_from_filename())
+    # tombstone, which is exactly the upsert-after-delete semantics.
+    # BLOOM-indexed tables first prune the tagging read to candidate
+    # slices (key-range + bloom layers — see _tagging_candidate_slices);
+    # both layers only ever KEEP extra slices, so tagging stays exact.
+    spark = SparkSession.getActiveSession() or df.sparkSession
+    tag_slices = slices
+    if props.get("hoodie.index.type") == "BLOOM":
+        tag_slices = _tagging_candidate_slices(spark, inc_keyed, slices)
+    _, full_for_tag = _full_schema(schema_json)
+    if tag_slices:
+        current = _scan_slices(
+            spark,
+            path,
+            tag_slices,
+            full_for_tag,
+            view="read_optimized",
+            partition_by=partition_by,
+        ).withColumn("__fid", _fid_from_filename())
+    else:
+        current = spark.createDataFrame([], full_for_tag).withColumn(
+            "__fid", F.lit(None).cast("string")
+        )
     keymap = current.select(
         F.col("_hoodie_record_key").alias("__key"),
         F.col("_hoodie_partition_path").alias("__pp"),
         "__fid",
     ).distinct()
-
-    inc_keyed = incoming.withColumn(
-        "__key", F.col(record_key).cast("string")
-    ).withColumn("__pp", _partition_path_col(partition_by))
     tagged = inc_keyed.join(keymap, ["__key", "__pp"], "left")
     updates = tagged.where(F.col("__fid").isNotNull())
     inserts = tagged.where(F.col("__fid").isNull()).drop("__fid")
@@ -1292,6 +1525,7 @@ def upsert_hudi(
         props.get("hoodie.payload.event.time.field"),
         path,
         updates_by_group=upd_counts,
+        blooms=_maybe_blooms(df.sparkSession, path, placed, props),
     )
     for st in log_stats:
         p2ws.setdefault(st["partitionPath"], []).append(st)
@@ -1486,6 +1720,7 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
         props.get("hoodie.payload.event.time.field"),
         path,
         deletes_by_group=deletes_by_group,
+        blooms=_maybe_blooms(spark, path, placed, props),
     )
     meta = _commit_meta("delete", p2ws, schema_json)
     _check_conflicts(
@@ -1588,6 +1823,7 @@ def cluster_hudi(
         prev_by_group,
         props.get("hoodie.payload.event.time.field"),
         path,
+        blooms=_maybe_blooms(spark, path, placed, props),
     )
     meta = _commit_meta("cluster", p2ws, schema_json, replaces=replaces)
     _check_conflicts(
@@ -2494,6 +2730,7 @@ def _execute_compaction(path: str, instant: str, plan: dict) -> str:
         prev_by_group,
         props.get("hoodie.payload.event.time.field"),
         path,
+        blooms=_maybe_blooms(spark, path, placed, props),
     )
     meta = _commit_meta("compact", p2ws, schema_json)
     _complete_instant(path, instant, "commit", meta)
@@ -4167,3 +4404,51 @@ def sink_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_hudi(spark, root).select(
         "user_id", "last_event_id", "last_value"
     )
+
+
+@query(
+    "hudi_bloom_index",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey BETWEEN 1000 AND 2000
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 90000000, 1.0
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 1100
+    """,
+)
+def hudi_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-index upsert tagging: the table lands range-clustered on
+    the record key with `bloom_index=True`, so every base file carries
+    footer-harvested minRecordKey/maxRecordKey plus a per-file key
+    bloom in its writeStat. An upsert touching a narrow key band tags
+    against ONLY the candidate slices (key-range prune, then bloom
+    probe — see _tagging_candidate_slices) instead of scanning every
+    live base file; matched keys update, unmatched route to fresh
+    insert groups. Both prune layers are keep-only-safe, so the result
+    is exact — the unit tests assert the candidate set actually
+    shrinks."""
+    root = scratch_path(sf_dir, "orders_hudi_bloom")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+    )
+    write_hudi(orders, root, record_key="o_orderkey", bloom_index=True)
+    band = F.col("o_orderkey").between(1000, 2000)
+    batch = (
+        orders.where(band)
+        .select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey").between(1000, 1100)).select(
+                (F.col("o_orderkey") + 90000000).alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    upsert_hudi(batch, root)
+    return read_hudi(spark, root)

@@ -1368,3 +1368,97 @@ def test_pending_compaction_crash_rollback(spark):
     assert ro == expect
     _, _, slices = H._replay_hudi(root)
     assert all(not s.get("logs") for s in slices)
+
+
+# ---------------------------------------------------------------------------
+# BLOOM index: key-range + bloom tagging prune
+# ---------------------------------------------------------------------------
+def test_bloom_index_prunes_tagging_candidates(spark):
+    """A BLOOM-indexed, range-clustered table: every base writeStat
+    carries minRecordKey/maxRecordKey + a keyBloom; a narrow-band
+    upsert's candidate set shrinks below the full slice list (range
+    layer), the bloom layer agrees with direct _bloom_may_contain
+    probes, and the upsert result is exact."""
+    root = _fresh("t_hudi_bloom_unit")
+    df = (
+        spark.range(0, 800)
+        .select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(8, "id")
+    )
+    write_hudi(df, root, record_key="id", bloom_index=True)
+    assert H._read_props(root)["hoodie.index.type"] == "BLOOM"
+    _, _, slices = H._replay_hudi(root)
+    assert len(slices) == 8
+    for s in slices:
+        st = s["stat"]
+        assert st["minRecordKey"] <= st["maxRecordKey"]
+        kb = st["keyBloom"]
+        assert kb["k"] == 7 and kb["m"] >= 64
+    # keys 10..19 live in ONE range-clustered file: candidates must
+    # shrink to a small subset of the 8 slices
+    inc = (
+        spark.range(10, 20)
+        .select(F.col("id").cast("string").alias("__key"))
+        .withColumn("__pp", F.lit(""))
+    )
+    cand = H._tagging_candidate_slices(spark, inc, slices)
+    assert 1 <= len(cand) < 8
+    # bloom self-consistency: kept slices are exactly those whose bloom
+    # may-contain at least one incoming key (string compare keeps the
+    # range layer honest too)
+    keys = [str(i) for i in range(10, 20)]
+    for s in slices:
+        expect_keep = any(
+            H._bloom_may_contain(s["stat"]["keyBloom"], k) for k in keys
+        ) and any(
+            s["stat"]["minRecordKey"] <= k <= s["stat"]["maxRecordKey"]
+            for k in keys
+        )
+        kept = any(
+            c["fileId"] == s["fileId"] and c["partition"] == s["partition"]
+            for c in cand
+        )
+        assert kept == expect_keep, (s["fileId"], kept, expect_keep)
+    # exactness end-to-end: updates + an insert through the pruned path
+    batch = spark.createDataFrame(
+        [(i, -1.0) for i in range(10, 20)] + [(9001, 5.0)],
+        "id bigint, v double",
+    )
+    upsert_hudi(batch, root)
+    rows = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+    assert len(rows) == 801 and rows[15] == -1.0 and rows[9001] == 5.0
+    assert rows[5] == 5.0 * 1.0 or rows[5] == 5.0  # untouched key intact
+
+
+def test_bloom_index_partitioned_and_compaction_carries_blooms(spark):
+    """Partitioned BLOOM table: tagging prunes by partition bounds too,
+    and MOR compaction's new bases re-carry key ranges + blooms so the
+    prune keeps working across rewrites."""
+    root = _fresh("t_hudi_bloom_mor")
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_hudi(
+        df.repartitionByRange(4, "id"),
+        root,
+        record_key="id",
+        partition_by=["p"],
+        table_type="MERGE_ON_READ",
+        bloom_index=True,
+    )
+    upsert_hudi(
+        spark.createDataFrame(
+            [(2, "0", -2.0), (3, "1", -3.0)], "id bigint, p string, v double"
+        ),
+        root,
+    )
+    H.compact_hudi(root)
+    _, _, slices = H._replay_hudi(root)
+    assert all(
+        s["stat"].get("keyBloom") and s["stat"].get("minRecordKey")
+        for s in slices
+    )
+    rows = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+    assert len(rows) == 400 and rows[2] == -2.0 and rows[3] == -3.0
