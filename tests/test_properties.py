@@ -413,17 +413,29 @@ def test_roaring_dv_payload_roundtrip(positions):
     assert _dv_decode(enc) == sorted(set(positions))
 
 
-def test_tfidf_final_plan_reuses_tokenize_exchange(spark):
-    """Regression pin for the round-6 scaling bug: text_tfidf's df
-    branch must share the tokenize shuffle via ReuseExchange in the
-    EXECUTED (AQE final) plan. The break was silent — the initial plan
-    looks identical either way and correctness never changes; only the
-    sf1 wall shows the second corpus scan."""
+def test_tfidf_tokenizes_the_corpus_once(spark):
+    """Regression pin for the round-6 scaling bug (updated for the
+    round-7 shape): text_tfidf used to depend on AQE ReuseExchange to
+    share the tokenize shuffle between the tf and df branches — a
+    fragile, silent-to-break property. It now materializes the
+    (doc,word,tf) relation ONCE via localCheckpoint, so the guarantee is
+    structural: the query's executed plan reads the checkpointed RDD for
+    both consumers and touches the documents parquet only for the
+    n_docs count — exactly one corpus FileScan, zero re-tokenization."""
     df = QUERIES["text_tfidf"].fn(spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan, "tokenize-once exchange reuse died"
+    # the AdaptiveSparkPlan string renders BOTH the final and the
+    # initial plan; judge only the final section
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ExistingRDD") >= 2, "checkpointed tf not shared"
+    n_scans = sum(
+        1
+        for line in final.splitlines()
+        if "FileScan parquet" in line and "documents" in line
+    )
+    assert n_scans == 1, f"corpus scanned {n_scans}x (want 1: n_docs only)"
 
 
 @given(
