@@ -1574,9 +1574,6 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
     instant = _claim_instant(path, action)
 
     _, full = _full_schema(schema_json)
-    current = read_hudi(
-        spark, path, with_meta=True, view="read_optimized"
-    ).withColumn("__fid", _fid_from_filename())
     scoped = bool(partition_by) and all(
         c in keys_df.columns for c in partition_by
     )
@@ -1589,6 +1586,35 @@ def delete_hudi(keys_df: DataFrame, path: str) -> str:
         del_keys = keys_df.select(
             F.col(record_key).cast("string").alias("__key")
         ).distinct()
+    # BLOOM-indexed tables prune the tagging read like the upsert does —
+    # possible whenever the key batch carries a partition path (scoped)
+    # or the table is unpartitioned; a GLOBAL delete on a partitioned
+    # table must scan every partition's bases by definition
+    tag_slices = slices
+    if props.get("hoodie.index.type") == "BLOOM" and (
+        scoped or not partition_by
+    ):
+        probe = (
+            del_keys.select(
+                "__key", F.col("__part").alias("__pp")
+            )
+            if scoped
+            else del_keys.select("__key", F.lit("").alias("__pp"))
+        )
+        tag_slices = _tagging_candidate_slices(spark, probe, slices)
+    if tag_slices:
+        current = _scan_slices(
+            spark,
+            path,
+            tag_slices,
+            full,
+            view="read_optimized",
+            partition_by=partition_by,
+        ).withColumn("__fid", _fid_from_filename())
+    else:
+        current = spark.createDataFrame([], full).withColumn(
+            "__fid", F.lit(None).cast("string")
+        )
 
     def _match(df: DataFrame):
         cond = df["_hoodie_record_key"] == del_keys["__key"]

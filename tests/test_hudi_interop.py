@@ -1462,3 +1462,39 @@ def test_bloom_index_partitioned_and_compaction_carries_blooms(spark):
     )
     rows = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
     assert len(rows) == 400 and rows[2] == -2.0 and rows[3] == -3.0
+
+
+def test_bloom_index_prunes_delete_tagging(spark):
+    """The delete path shares the BLOOM tagging prune: a narrow-band
+    delete on an unpartitioned bloom table, and a partition-scoped
+    delete on a partitioned one, both stay exact through the pruned
+    read."""
+    root = _fresh("t_hudi_bloom_delete")
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(4, "id")
+    )
+    write_hudi(df, root, record_key="id", bloom_index=True)
+    delete_hudi(spark.range(100, 110).select("id"), root)
+    rows = {r["id"] for r in read_hudi(spark, root).collect()}
+    assert rows == set(range(400)) - set(range(100, 110))
+    # partitioned + scoped batch
+    root2 = _fresh("t_hudi_bloom_delete_p")
+    df2 = spark.createDataFrame(
+        [(i, str(i % 2), float(i)) for i in range(100)],
+        "id bigint, p string, v double",
+    )
+    write_hudi(
+        df2.repartitionByRange(4, "id"),
+        root2,
+        record_key="id",
+        partition_by=["p"],
+        bloom_index=True,
+    )
+    delete_hudi(
+        spark.createDataFrame([(4, "0"), (6, "0")], "id bigint, p string"),
+        root2,
+    )
+    got = {r["id"] for r in read_hudi(spark, root2).collect()}
+    assert got == set(range(100)) - {4, 6}
