@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--log", required=True)
     ap.add_argument("--only-prefix", default=None)
+    ap.add_argument(
+        "--skip",
+        default="",
+        help="comma-separated keys to record as skipped (e.g. declared "
+        "quadratic-exact baselines whose large-SF run is hours by design)",
+    )
     args = ap.parse_args()
 
     os.environ["SPARK_GRAFT_TEST_SF"] = args.sf_dir
@@ -74,10 +80,14 @@ def main() -> None:
         return 0
 
     keys.sort(key=lambda k: (cost_bucket(k), k))
+    skip = {k for k in args.skip.split(",") if k}
     log = open(args.log, "a", buffering=1)
     n_pass = n_fail = 0
     for k in keys:
         if k in done:
+            continue
+        if k in skip:
+            log.write(json.dumps({"key": k, "status": "skipped"}) + "\n")
             continue
         qd = QUERIES[k]
         t0 = time.time()
