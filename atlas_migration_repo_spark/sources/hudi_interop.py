@@ -398,25 +398,44 @@ def _replay_hudi(path: str, as_of: str | None = None):
         latest = instant
         if meta is None:
             meta = _read_commit_meta(path, instant, action)
-        sj = (meta.get("extraMetadata") or {}).get("schema")
+        sj = _fold_commit_meta(groups, logs, replaced, instant, action, meta)
         if sj:
             schema_json = sj
-        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
-            for st in stats:
-                if "logVersion" in st:  # MOR log append, not a base slice
-                    logs.setdefault((part, st["fileId"]), []).append(
-                        (st["baseInstant"], instant, st)
-                    )
-                else:
-                    groups.setdefault((part, st["fileId"]), []).append(
-                        (instant, st)
-                    )
-        if action == "replacecommit":
-            for part, fids in (
-                meta.get("partitionToReplaceFileIds") or {}
-            ).items():
-                for fid in fids:
-                    replaced.setdefault((part, fid), instant)
+    return latest, schema_json, _assemble_slices(groups, logs, replaced)
+
+
+def _fold_commit_meta(
+    groups: dict,
+    logs: dict,
+    replaced: dict,
+    instant: str,
+    action: str,
+    meta: dict,
+) -> str | None:
+    """Fold ONE commit metadata dict into the running replay state —
+    shared by timeline replay and metadata-table folding so both planning
+    surfaces assemble byte-identical slices. Returns the schema JSON the
+    commit carries (if any)."""
+    for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+        for st in stats:
+            if "logVersion" in st:  # MOR log append, not a base slice
+                logs.setdefault((part, st["fileId"]), []).append(
+                    (st["baseInstant"], instant, st)
+                )
+            else:
+                groups.setdefault((part, st["fileId"]), []).append(
+                    (instant, st)
+                )
+    if action == "replacecommit":
+        for part, fids in (
+            meta.get("partitionToReplaceFileIds") or {}
+        ).items():
+            for fid in fids:
+                replaced.setdefault((part, fid), instant)
+    return (meta.get("extraMetadata") or {}).get("schema")
+
+
+def _assemble_slices(groups: dict, logs: dict, replaced: dict) -> list[dict]:
     slices = []
     for (part, fid), lst in groups.items():
         if (part, fid) in replaced:
@@ -446,7 +465,7 @@ def _replay_hudi(path: str, as_of: str | None = None):
             }
         )
     slices.sort(key=lambda s: (s["partition"], s["fileId"]))
-    return latest, schema_json, slices
+    return slices
 
 
 def _parse_partition(rel: str) -> dict[str, str]:
@@ -567,17 +586,32 @@ def read_hudi(
     partition_eq: dict[str, str] | None = None,
     with_meta: bool = False,
     view: str = "snapshot",
+    listing: str = "timeline",
 ) -> DataFrame:
     """Snapshot (or time-travel) read: replay the timeline to the visible
     file slices, prune partitions against writeStat partitionPath IN THE
     TIMELINE (no file listing for pruned partitions), then scan the
     survivors (merging MOR log files where present — see _scan_slices).
     `view="read_optimized"` reads base files only, the spec's RO view.
+    `listing="metadata"` plans from the metadata table's files partition
+    (hoodie.metadata.enable readers — latest snapshot only: the metadata
+    table serves the CURRENT view, time travel stays on the timeline).
     Meta columns are projected away unless asked for — column pruning
     keeps them out of the parquet read."""
     if view not in ("snapshot", "read_optimized"):
         raise ValueError(f"view must be snapshot|read_optimized: {view}")
-    latest, schema_json, slices = _replay_hudi(path, as_of)
+    if listing not in ("timeline", "metadata"):
+        raise ValueError(f"listing must be timeline|metadata: {listing}")
+    if listing == "metadata":
+        if as_of is not None:
+            raise ValueError(
+                "metadata-planned reads serve the latest snapshot; use "
+                "listing='timeline' for time travel"
+            )
+        sync_metadata_hudi(path)  # idempotent O(new instants) catch-up
+        latest, schema_json, slices = _slices_from_metadata(path)
+    else:
+        latest, schema_json, slices = _replay_hudi(path, as_of)
     if schema_json is None:
         raise FileNotFoundError(f"{path} holds no completed Hudi commits")
     data, full = _full_schema(schema_json)
@@ -3141,6 +3175,7 @@ def restore_hudi(path: str, to_instant: str) -> str:
         "restoreInstant": to_instant,
         "instantsToRollback": rolled,
         "numFilesDeleted": len(deleted_files),
+        "deletedFiles": sorted(deleted_files),
         "operationType": "restore",
     }
     _complete_instant(path, rs, "restore", meta)
@@ -4096,6 +4131,362 @@ def read_archived_timeline_hudi(path: str) -> list[tuple[str, str, dict]]:
             rec = json.loads(content.decode())
             out.append((rec["instant"], rec["action"], rec["metadata"]))
     return sorted(out, key=lambda t: t[0])
+
+
+# ---------------------------------------------------------------------------
+# metadata table (.hoodie/metadata): the spec's listing-free planning
+# surface. Real Hudi keeps an internal MOR table there whose `files`
+# partition maps each data partition to its file list, bootstrapped from
+# one storage listing and then maintained with a deltacommit per data
+# commit; readers with hoodie.metadata.enable plan from it instead of
+# listing the filesystem. This twin keeps the spec's layout and lifecycle
+# (files partition under .hoodie/metadata, its own timeline of
+# deltacommits named by the DATA instant they cover, compaction folding
+# deltas into a base, restore wiping + re-bootstrapping) with the
+# module's JSON record idiom, and ENRICHES each file entry with the full
+# HoodieWriteStat so metadata-planned reads assemble the exact same
+# slices as timeline replay (shared _fold_commit_meta/_assemble_slices).
+# ---------------------------------------------------------------------------
+def _md_root(path: str) -> str:
+    return os.path.join(_hoodie_dir(path), "metadata")
+
+
+def _md_hoodie(path: str) -> str:
+    return os.path.join(_md_root(path), ".hoodie")
+
+
+def _md_files_dir(path: str) -> str:
+    return os.path.join(_md_root(path), "files")
+
+
+def _md_publish_json(obj: dict, target: str, store: LogStore) -> bool:
+    tmp = target + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    ok = store.publish(tmp, target)
+    os.unlink(tmp)
+    return ok
+
+
+def metadata_enabled_hudi(path: str) -> bool:
+    return _read_props(path).get("hoodie.metadata.enable") == "true"
+
+
+def _md_synced_instants(path: str) -> set[str]:
+    d = _md_hoodie(path)
+    out: set[str] = set()
+    if not os.path.isdir(d):
+        return out
+    for name in os.listdir(d):
+        m = re.match(r"^(\d{17})\.deltacommit$", name)
+        if m:
+            out.add(m.group(1))
+    return out
+
+
+def _md_newest_base(path: str) -> tuple[str | None, dict | None]:
+    """(coversInstant, base dict) of the newest files-partition base
+    (bootstrap or metadata compaction output), or (None, None)."""
+    d = _md_files_dir(path)
+    best = None
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            m = re.match(r"^base_(\d{17})\.json$", name)
+            if m and (best is None or m.group(1) > best):
+                best = m.group(1)
+    if best is None:
+        return None, None
+    with open(os.path.join(d, f"base_{best}.json")) as fh:
+        return best, json.load(fh)
+
+
+def _md_listing_walk(path: str) -> dict[str, dict[str, int]]:
+    """ONE physical listing of the data table — the bootstrap's storage
+    scan (exactly what the metadata table exists to amortize away):
+    partition relpath -> {file relpath: size} over base and log files."""
+    files: dict[str, dict[str, int]] = {}
+    for dirpath, dirs, names in os.walk(path):
+        dirs[:] = [
+            d
+            for d in dirs
+            if d not in (".hoodie", "_claims") and not d.startswith(".stage-")
+        ]
+        for name in names:
+            if not (name.endswith(".parquet") or _LOG_NAME_RE.match(name)):
+                continue
+            fp = os.path.join(dirpath, name)
+            rel = os.path.relpath(fp, path)
+            part = os.path.relpath(dirpath, path)
+            part = "" if part == "." else part.replace(os.sep, "/")
+            files.setdefault(part, {})[rel.replace(os.sep, "/")] = (
+                os.path.getsize(fp)
+            )
+    return files
+
+
+def _md_bootstrap(path: str, store: LogStore) -> str | None:
+    """Build the initial files-partition base: one storage listing for
+    the physical file map plus a timeline replay for the slice view.
+    Returns the covered instant (None on an empty timeline)."""
+    latest, schema_json, slices = _replay_hudi(path)
+    if latest is None:
+        return None
+    base = {
+        "coversInstant": latest,
+        "schema": schema_json,
+        "slices": slices,
+        "files": _md_listing_walk(path),
+    }
+    os.makedirs(_md_files_dir(path), exist_ok=True)
+    os.makedirs(_md_hoodie(path), exist_ok=True)
+    target = os.path.join(_md_files_dir(path), f"base_{latest}.json")
+    _md_publish_json(base, target, store)
+    _md_publish_json(
+        {"baseFile": f"files/base_{latest}.json", "action": "bootstrap"},
+        os.path.join(_md_hoodie(path), f"{latest}.commit"),
+        store,
+    )
+    return latest
+
+
+def enable_metadata_hudi(path: str) -> int:
+    """Turn the metadata table on for an existing table (the spec's
+    hoodie.metadata.enable): bootstrap the files partition from one
+    storage listing, then catch up any newer instants. Returns the
+    number of instants synced (bootstrap counts its covered timeline)."""
+    props = _read_props(path)
+    props["hoodie.metadata.enable"] = "true"
+    _write_props(path, props)
+    return sync_metadata_hudi(path)
+
+
+def sync_metadata_hudi(path: str) -> int:
+    """Catch the metadata table up with the data timeline: one
+    deltacommit (named by the DATA instant it covers) per completed
+    instant newer than what the files partition has seen — adds from
+    partitionToWriteStats, replaced groups from replacecommits, physical
+    removals from clean/rollback. A RESTORE wipes and re-bootstraps the
+    metadata table (the spec's behavior: restore rewinds the data
+    timeline below what the metadata base may cover, so rebuilding is
+    the only state that stays exact). O(new instants) driver work;
+    idempotent; concurrent syncs collide harmlessly on put-if-absent."""
+    if not metadata_enabled_hudi(path):
+        raise ValueError(
+            "metadata table not enabled; run enable_metadata_hudi first"
+        )
+    store = resolve_log_store()
+    base_covers, _b = _md_newest_base(path)
+    if base_covers is None:
+        covered = _md_bootstrap(path, store)
+        if covered is None:
+            return 0
+        return sum(1 for i, _a in completed_instants(path) if i <= covered)
+    synced = _md_synced_instants(path)
+    n = 0
+    for instant, action in completed_instants(path):
+        if instant <= base_covers or instant in synced:
+            continue
+        meta = _read_commit_meta(path, instant, action)
+        if action == "restore":
+            # rewind below the base's coverage: rebuild from scratch
+            shutil.rmtree(_md_root(path), ignore_errors=True)
+            _md_bootstrap(path, store)
+            return n + 1
+        rec: dict = {"coversInstant": instant, "action": action}
+        if action in ("commit", "deltacommit", "replacecommit"):
+            rec["adds"] = meta.get("partitionToWriteStats") or {}
+            if action == "replacecommit":
+                rec["replaces"] = meta.get("partitionToReplaceFileIds") or {}
+            sj = (meta.get("extraMetadata") or {}).get("schema")
+            if sj:
+                rec["schema"] = sj
+        elif action in ("clean", "rollback"):
+            rec["removes"] = meta.get("deletedFiles") or []
+        # savepoint is filesystem-neutral: an empty record keeps the
+        # covered-instant bookkeeping contiguous
+        os.makedirs(_md_files_dir(path), exist_ok=True)
+        _md_publish_json(
+            rec,
+            os.path.join(_md_files_dir(path), f"{instant}.json"),
+            store,
+        )
+        _md_publish_json(
+            {"recordsFile": f"files/{instant}.json", "action": action},
+            os.path.join(_md_hoodie(path), f"{instant}.deltacommit"),
+            store,
+        )
+        n += 1
+    return n
+
+
+def _md_deltas(path: str, base_covers: str) -> list[dict]:
+    out = []
+    for instant in sorted(_md_synced_instants(path)):
+        if instant <= base_covers:
+            continue
+        with open(os.path.join(_md_files_dir(path), f"{instant}.json")) as fh:
+            out.append(json.load(fh))
+    return out
+
+
+def metadata_files_hudi(path: str) -> dict[str, dict[str, int]]:
+    """The files-partition VIEW: partition relpath -> {file relpath:
+    size} of every live physical file (base + log, superseded versions
+    included until cleaned) — the listing real Hudi readers fetch instead
+    of an object-store LIST. Folds the newest base plus its deltas:
+    O(base partitions + instants since last metadata compaction)."""
+    base_covers, base = _md_newest_base(path)
+    if base is None:
+        raise FileNotFoundError(
+            f"{path} has no metadata table; run enable_metadata_hudi"
+        )
+    files = {p: dict(m) for p, m in base["files"].items()}
+    for rec in _md_deltas(path, base_covers):
+        for part, stats in (rec.get("adds") or {}).items():
+            for st in stats:
+                files.setdefault(part, {})[st["path"]] = st["fileSizeInBytes"]
+        for rel in rec.get("removes") or []:
+            part = os.path.dirname(rel)
+            if part in files:
+                files[part].pop(rel, None)
+                if not files[part]:
+                    del files[part]
+    return files
+
+
+def metadata_partitions_hudi(path: str) -> list[str]:
+    """The __all_partitions__ record's view: every live partition path."""
+    return sorted(metadata_files_hudi(path))
+
+
+def _slices_from_metadata(path: str):
+    """Assemble visible file slices FROM THE METADATA TABLE — same
+    (latest, schema_json, slices) contract as _replay_hudi, built from
+    the newest base plus per-instant deltas through the SAME fold
+    helpers, so a metadata-planned read is plan-identical to timeline
+    replay without touching the data timeline's commit files."""
+    base_covers, base = _md_newest_base(path)
+    if base is None:
+        raise FileNotFoundError(
+            f"{path} has no metadata table; run enable_metadata_hudi"
+        )
+    groups: dict = {}
+    logs: dict = {}
+    replaced: dict = {}
+    latest = base["coversInstant"]
+    schema_json = base["schema"]
+    for s in base["slices"]:
+        groups.setdefault((s["partition"], s["fileId"]), []).append(
+            (s["instant"], s["stat"])
+        )
+        for lg in s.get("logs", []):
+            logs.setdefault((s["partition"], s["fileId"]), []).append(
+                (lg["stat"].get("baseInstant", s["instant"]),
+                 lg["instant"], lg["stat"])
+            )
+    for rec in _md_deltas(path, base_covers):
+        if rec["action"] not in ("commit", "deltacommit", "replacecommit"):
+            continue
+        latest = max(latest, rec["coversInstant"])
+        meta = {
+            "partitionToWriteStats": rec.get("adds") or {},
+            "partitionToReplaceFileIds": rec.get("replaces") or {},
+            "extraMetadata": {"schema": rec.get("schema")},
+        }
+        sj = _fold_commit_meta(
+            groups, logs, replaced, rec["coversInstant"], rec["action"], meta
+        )
+        if sj:
+            schema_json = sj
+    return latest, schema_json, _assemble_slices(groups, logs, replaced)
+
+
+def compact_metadata_hudi(path: str) -> str:
+    """Fold the files partition's base + deltas into a fresh base (the
+    metadata table's OWN compaction): after it, planning reads one base
+    file regardless of how many instants have landed. The superseded
+    base and delta records stay for audit (the data table's cleaner
+    problem does not recur here — they are KB-scale JSON)."""
+    store = resolve_log_store()
+    latest, schema_json, slices = _slices_from_metadata(path)
+    files = metadata_files_hudi(path)
+    base = {
+        "coversInstant": latest,
+        "schema": schema_json,
+        "slices": slices,
+        "files": files,
+    }
+    target = os.path.join(_md_files_dir(path), f"base_{latest}.json")
+    _md_publish_json(base, target, store)
+    _md_publish_json(
+        {"baseFile": f"files/base_{latest}.json", "action": "compaction"},
+        os.path.join(_md_hoodie(path), f"{latest}.commit"),
+        store,
+    )
+    return latest
+
+
+@query(
+    "hudi_metadata_files",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_msum('o_totalprice')} AS total,
+           TRUE AS files_view_exact
+    FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY o_orderstatus
+    """,
+)
+def hudi_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-table lifecycle end-to-end: a partitioned COW table gets
+    an insert, two upserts (×2 then back — values cancel bit-exactly), a
+    delete, and a clean; the metadata table bootstraps from one listing,
+    syncs a deltacommit per instant, and compacts into a base. The final
+    read PLANS FROM THE METADATA TABLE (listing="metadata") — zero data-
+    timeline commit reads, zero storage listing — and must equal the
+    logical state; `files_view_exact` asserts the files-partition view
+    matches a physical walk file-for-file after clean removed the
+    superseded slices. At 100 TB the files partition is what replaces
+    the O(partitions) object-store LIST every query would otherwise pay
+    [spec: hudi.apache.org/tech-specs metadata table, files partition]."""
+    root = scratch_path(sf_dir, "orders_hudi_metadata")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_hudi(
+        orders, root, record_key="o_orderkey", partition_by=["o_orderstatus"]
+    )
+    enable_metadata_hudi(root)
+    evens = orders.where(F.col("o_orderkey") % 2 == 0)
+    upsert_hudi(
+        evens.select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderstatus",
+        ),
+        root,
+    )
+    upsert_hudi(evens, root)
+    delete_hudi(
+        orders.where(F.col("o_orderkey") % 5 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        ),
+        root,
+    )
+    clean_hudi(root, retain_versions=1)
+    sync_metadata_hudi(root)
+    compact_metadata_hudi(root)
+    exact = metadata_files_hudi(root) == _md_listing_walk(root)
+    return (
+        read_hudi(spark, root, listing="metadata")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        .withColumn("files_view_exact", F.lit(bool(exact)))
+    )
 
 
 @query(

@@ -1498,3 +1498,126 @@ def test_bloom_index_prunes_delete_tagging(spark):
     )
     got = {r["id"] for r in read_hudi(spark, root2).collect()}
     assert got == set(range(100)) - {4, 6}
+
+
+# ---------------------------------------------------------------------------
+# metadata table (.hoodie/metadata files partition)
+# ---------------------------------------------------------------------------
+def test_metadata_table_bootstrap_sync_and_compaction(spark):
+    """Enable bootstraps the files partition from ONE listing; every
+    later instant syncs as a deltacommit named by the data instant it
+    covers; the files view matches a physical walk file-for-file; the
+    metadata-planned read equals the timeline read; compaction folds
+    everything into a fresh base with identical views."""
+    root = _fresh("t_hudi_md_lifecycle")
+    df = spark.createDataFrame(
+        [(i, str(i % 3), float(i)) for i in range(120)],
+        "id bigint, p string, v double",
+    )
+    write_hudi(df, root, record_key="id", partition_by=["p"])
+    n = H.enable_metadata_hudi(root)
+    assert n == 1  # bootstrap covered the one commit
+    md = H._md_root(root)
+    assert os.path.isdir(os.path.join(md, "files"))
+    base_names = [
+        x for x in os.listdir(os.path.join(md, "files"))
+        if x.startswith("base_")
+    ]
+    assert len(base_names) == 1
+    assert H.metadata_partitions_hudi(root) == ["p=0", "p=1", "p=2"]
+
+    # two more instants: upsert + delete; sync writes one deltacommit each
+    upsert_hudi(
+        df.where(F.col("id") % 2 == 0).select(
+            "id", "p", (F.col("v") * 10).alias("v")
+        ),
+        root,
+    )
+    delete_hudi(
+        spark.createDataFrame([(3, "0"), (9, "0")], "id bigint, p string"),
+        root,
+    )
+    assert H.sync_metadata_hudi(root) == 2
+    synced = H._md_synced_instants(root)
+    data_instants = [i for i, _a in completed_instants(root)]
+    assert synced == set(data_instants[1:])
+
+    assert H.metadata_files_hudi(root) == H._md_listing_walk(root)
+    got_md = {
+        (r["id"], r["v"])
+        for r in read_hudi(spark, root, listing="metadata").collect()
+    }
+    got_tl = {(r["id"], r["v"]) for r in read_hudi(spark, root).collect()}
+    assert got_md == got_tl and len(got_md) == 118
+
+    # compaction folds into a new base; views unchanged
+    covers = H.compact_metadata_hudi(root)
+    assert covers == data_instants[-1]
+    assert H.metadata_files_hudi(root) == H._md_listing_walk(root)
+    lt, sj, sl_md = H._slices_from_metadata(root)
+    lt2, sj2, sl_tl = H._replay_hudi(root)
+    assert (lt, sj, sl_md) == (lt2, sj2, sl_tl)
+
+
+def test_metadata_table_mor_logs_and_clean(spark):
+    """MOR log appends land in the files view (log files are physical
+    files a lister must see); clean's removals drop the superseded
+    slices from the view; the metadata-planned MOR snapshot merges logs
+    identically to timeline planning."""
+    root = _mor_table(spark, "t_hudi_md_mor", n=100)
+    H.enable_metadata_hudi(root)
+    upsert_hudi(
+        spark.range(0, 10).select(F.col("id"), F.lit(-1.0).alias("v")), root
+    )
+    H.sync_metadata_hudi(root)
+    files = H.metadata_files_hudi(root)
+    assert files == H._md_listing_walk(root)
+    assert any(
+        H._LOG_NAME_RE.match(os.path.basename(rel))
+        for m in files.values()
+        for rel in m
+    )
+    got_md = {
+        (r["id"], r["v"])
+        for r in read_hudi(spark, root, listing="metadata").collect()
+    }
+    assert got_md == {(i, -1.0 if i < 10 else float(i)) for i in range(100)}
+    # compact the MOR logs, then clean old versions; view tracks the walk
+    H.compact_hudi(root)
+    H.clean_hudi(root, retain_versions=1)
+    H.sync_metadata_hudi(root)
+    assert H.metadata_files_hudi(root) == H._md_listing_walk(root)
+
+
+def test_metadata_table_restore_rebootstraps(spark):
+    """RESTORE rewinds the data timeline below what the metadata base
+    may cover — sync responds by wiping and re-bootstrapping (the spec's
+    restore behavior), after which views and planning are exact again."""
+    root = _fresh("t_hudi_md_restore")
+    df = spark.range(0, 90).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    for k in range(3):
+        write_hudi(df.where(F.col("id") % 3 == k), root, record_key="id")
+    H.enable_metadata_hudi(root)
+    instants = [i for i, _a in completed_instants(root)]
+    H.savepoint_hudi(root, instants[1])
+    H.restore_hudi(root, instants[1])
+    H.sync_metadata_hudi(root)
+    assert H.metadata_files_hudi(root) == H._md_listing_walk(root)
+    got = {r["id"] for r in read_hudi(spark, root, listing="metadata").collect()}
+    assert got == {i for i in range(90) if i % 3 < 2}
+
+
+def test_metadata_read_guards(spark):
+    """Planning from metadata refuses tables without it and refuses time
+    travel (the metadata table serves the CURRENT snapshot only)."""
+    root = _fresh("t_hudi_md_guards")
+    df = spark.range(0, 10).select(F.col("id"), (F.col("id") * 1.0).alias("v"))
+    write_hudi(df, root, record_key="id")
+    with pytest.raises(ValueError, match="metadata table not enabled"):
+        read_hudi(spark, root, listing="metadata")
+    H.enable_metadata_hudi(root)
+    (i0, _), = completed_instants(root)
+    with pytest.raises(ValueError, match="latest snapshot"):
+        read_hudi(spark, root, as_of=i0, listing="metadata")
