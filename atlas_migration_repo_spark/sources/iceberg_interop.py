@@ -266,6 +266,17 @@ def _bounds_map(name: str, kid: int, vid: int) -> dict:
     }
 
 
+# v3 row lineage's reserved metadata columns: `_row_id` and
+# `_last_updated_sequence_number` (spec reserved field ids 2147483540 /
+# 2147483539). Fresh data files leave them unwritten — readers INHERIT
+# `first_row_id + _pos` / the file's data sequence number; writers that
+# COPY rows (compaction) must materialize both so row identity survives
+# rewrites.
+_ROW_ID_COL = "_row_id"
+_LAST_SEQ_COL = "_last_updated_sequence_number"
+_LINEAGE_FIELD_IDS = {_ROW_ID_COL: 2147483540, _LAST_SEQ_COL: 2147483539}
+
+
 def _manifest_entry_schema(part_fields: list[dict]) -> dict:
     data_file = {
         "type": "record",
@@ -291,6 +302,15 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                 "name": "equality_ids",
                 "type": ["null", {"type": "array", "items": "int"}],
                 "field-id": 135,
+            },
+            # v3 row lineage: the row id assigned to this data file's
+            # first row (spec field 142); null on pre-lineage manifests
+            # (the avro record encoder writes absent dict keys as null,
+            # so carried-forward v2 entries stay readable and writable)
+            {
+                "name": "first_row_id",
+                "type": ["null", "long"],
+                "field-id": 142,
             },
         ],
     }
@@ -731,8 +751,13 @@ def _stage_data_files(
                 )
     # every data column carries its Iceberg field id into the parquet
     # footer (fieldId.write) — the physical identity that survives
-    # renames; transform-derived dir columns have no field, no id
+    # renames; transform-derived dir columns have no field, no id.
+    # Materialized row-lineage columns (rewrites carrying row ids
+    # forward) take the spec's reserved ids.
     by_fid = {f["name"]: f["id"] for f in schema_fields}
+    for lc, lid in _LINEAGE_FIELD_IDS.items():
+        if lc in staged_df.columns:
+            by_fid[lc] = lid
     staged_df = staged_df.select(
         *[
             F.col(c).alias(c, metadata={"parquet.field.id": by_fid[c]})
@@ -865,6 +890,7 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
     txn: tuple[str, int] | None = None,
+    row_lineage: bool = False,
 ) -> int:
     """Commit `df` to an Iceberg v2 table at `path` as a new snapshot.
 
@@ -880,11 +906,32 @@ def write_iceberg(
     streaming sinks use since Iceberg has no txn action): a replayed
     mark at or below the recorded one is a no-op returning the current
     snapshot id — the exactly-once foreachBatch pattern, twin of
-    write_delta's."""
+    write_delta's.
+
+    `row_lineage=True` CREATES the table as format-version 3 with row
+    lineage: table metadata tracks `next-row-id`, each snapshot records
+    its `first-row-id`, and every added data file is assigned a
+    `first_row_id` in its manifest entry — rows inherit
+    `first_row_id + position` unless a materialized `_row_id` column
+    (carried through rewrites) overrides it. On an existing lineage
+    table every write assigns ids regardless of the flag; incoming
+    `_row_id`/`_last_updated_sequence_number` columns are written to the
+    data files under their reserved field ids and NEVER join the table
+    schema."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     partition_by = list(partition_by or [])
+    lineage_cols = [c for c in df.columns if c in _LINEAGE_FIELD_IDS]
+    schema_df = df.drop(*lineage_cols) if lineage_cols else df
     cur = _current_metadata(path)
+    lineage_on = (
+        "next-row-id" in cur[1] if cur is not None else bool(row_lineage)
+    )
+    if lineage_cols and not lineage_on:
+        raise ValueError(
+            "materialized _row_id columns require a row-lineage table "
+            "(create with row_lineage=True)"
+        )
     if txn is not None and cur is not None:
         last = iceberg_txn_version(path, txn[0])
         if last is not None and int(txn[1]) <= last:
@@ -906,7 +953,7 @@ def write_iceberg(
         if want_spec != have_spec:
             raise ValueError("partition_by must match the table's partition spec")
         schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
-        incoming = {f["name"]: f["type"] for f in _ice_schema(df.schema)}
+        incoming = {f["name"]: f["type"] for f in _ice_schema(schema_df.schema)}
         existing = {f["name"]: f["type"] for f in schema_fields}
         promoted: dict[str, str] = {}
         for name_, t_ in existing.items():
@@ -948,7 +995,7 @@ def write_iceberg(
                 )
                 next_id += 1
     else:
-        schema_fields = _ice_schema(df.schema)
+        schema_fields = _ice_schema(schema_df.schema)
     by_name = {f["name"]: f for f in schema_fields}
     part_fields = []
     for i, term in enumerate(partition_by):
@@ -965,6 +1012,18 @@ def write_iceberg(
     entries, added_rows = _stage_data_files(
         df, path, part_fields, by_name, schema_fields, snap_id, seq
     )
+
+    first_row = None
+    if lineage_on:
+        # assign row ids to the ADDED files in manifest-entry order:
+        # file N's first_row_id = snapshot first-row-id + rows in files
+        # before it (the spec's inheritance base). Rows whose files
+        # materialize `_row_id` keep the materialized value at read time.
+        first_row = int(cur[1].get("next-row-id", 0)) if cur else 0
+        off = 0
+        for e in entries:
+            e[4]["first_row_id"] = first_row + off
+            off += int(e[4]["record_count"])
 
     # one manifest per commit
     man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
@@ -1022,9 +1081,11 @@ def write_iceberg(
         "summary": summary,
         "schema-id": 0,
     }
+    if lineage_on:
+        snapshot["first-row-id"] = first_row
     if cur is None:
         meta = {
-            "format-version": 2,
+            "format-version": 3 if lineage_on else 2,
             "table-uuid": str(uuid.uuid4()),
             "location": path,
             "last-sequence-number": seq,
@@ -1062,12 +1123,16 @@ def write_iceberg(
             ],
             "metadata-log": [],
         }
+        if lineage_on:
+            meta["next-row-id"] = first_row + added_rows
         v = 1
     else:
         v, meta = cur
         meta = json.loads(json.dumps(meta))
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
+        if lineage_on:
+            meta["next-row-id"] = first_row + added_rows
         if evolved:
             new_sid = len(meta["schemas"])
             meta["schemas"].append(
@@ -1305,6 +1370,7 @@ def read_iceberg(
     partition_eq: dict | None = None,
     timestamp_ms: int | None = None,
     ref: str | None = None,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """Read an Iceberg v2 table: resolve the snapshot's manifests, scan
     the live parquet files in ONE Spark read, and re-attach partition
@@ -1313,7 +1379,14 @@ def read_iceberg(
     with THAT snapshot's schema-id (old snapshots keep their narrower
     schema after evolution, per the spec). Row-level DELETE FILES in the
     snapshot (v2 merge-on-read) are subtracted via _apply_row_deletes.
-    `timestamp_ms` resolves TIMESTAMP AS OF via iceberg_snapshot_as_of."""
+    `timestamp_ms` resolves TIMESTAMP AS OF via iceberg_snapshot_as_of.
+
+    `with_lineage=True` (v3 row-lineage tables) appends the reserved
+    `_row_id` / `_last_updated_sequence_number` columns: materialized
+    values from rewritten files win, otherwise rows inherit the file's
+    manifest-assigned `first_row_id` + position / the file's data
+    sequence number — the spec's inheritance rule, computed as a
+    broadcast file-map join over `_metadata.row_index` (no shuffle)."""
     if sum(x is not None for x in (snapshot_id, timestamp_ms, ref)) > 1:
         raise ValueError("pass at most one of snapshot_id / timestamp_ms / ref")
     if timestamp_ms is not None:
@@ -1340,15 +1413,67 @@ def read_iceberg(
         if pf.get("transform", "identity") == "identity"
     ]
     full = _full_schema(meta, schema_fields, spark)
+    if with_lineage:
+        if "next-row-id" not in meta:
+            raise ValueError(
+                "with_lineage requires a row-lineage table (create with "
+                "write_iceberg(..., row_lineage=True))"
+            )
+        full = T.StructType(
+            list(full.fields)
+            + [
+                T.StructField(_ROW_ID_COL, T.LongType()),
+                T.StructField(_LAST_SEQ_COL, T.LongType()),
+            ]
+        )
     if not files:
         return spark.createDataFrame([], full)
     data_schema = T.StructType([f for f in full.fields if f.name not in pcols])
     df = spark.read.schema(data_schema).parquet(*[f["file_path"] for f in files])
+    if with_lineage:
+        # capture scan pseudo-columns BEFORE any join projects the
+        # relation away (the _apply_row_deletes contract)
+        df = df.withColumn("__ice_uri", file_path_col()).withColumn(
+            "__lin_pos", F.col("_metadata.row_index")
+        )
     if dels:
         # _apply_row_deletes keeps its __ice_uri column: _metadata is a
         # scan pseudo-column the anti-joins project away, so the pv join
         # below must reuse the pre-join capture, not re-derive it
         df = _apply_row_deletes(spark, df, datas, dels, schema_fields)
+    if with_lineage:
+        lmap = spark.createDataFrame(
+            [
+                (
+                    os.path.abspath(d["data_file"]["file_path"]),
+                    d["data_file"].get("first_row_id"),
+                    int(d["seq"]),
+                )
+                for d in datas
+            ],
+            T.StructType(
+                [
+                    T.StructField("__ice_uri", T.StringType()),
+                    T.StructField("__lin_first", T.LongType()),
+                    T.StructField("__lin_seq", T.LongType()),
+                ]
+            ),
+        )
+        df = (
+            df.join(F.broadcast(lmap), "__ice_uri")
+            .withColumn(
+                _ROW_ID_COL,
+                F.coalesce(
+                    F.col(_ROW_ID_COL),
+                    F.col("__lin_first") + F.col("__lin_pos"),
+                ),
+            )
+            .withColumn(
+                _LAST_SEQ_COL,
+                F.coalesce(F.col(_LAST_SEQ_COL), F.col("__lin_seq")),
+            )
+            .drop("__lin_first", "__lin_seq", "__lin_pos")
+        )
     return _reattach_partition_cols(spark, df, files, pcols, full)
 
 
@@ -1963,7 +2088,11 @@ def rewrite_iceberg(spark: SparkSession, path: str) -> int:
             pb.append(f"bucket({int(tr[len('bucket[') : -1])}, {src})")
         else:
             raise NotImplementedError(f"rewrite: unsupported transform {tr!r}")
-    df = read_iceberg(spark, path)
+    lineage = "next-row-id" in meta
+    # on a row-lineage table, compaction MUST materialize _row_id and
+    # _last_updated_sequence_number for the rows it copies — the spec's
+    # carry rule that keeps row identity stable across rewrites
+    df = read_iceberg(spark, path, with_lineage=lineage)
     return write_iceberg(df, path, partition_by=pb or None, mode="overwrite")
 
 
@@ -2843,6 +2972,66 @@ def iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_iceberg(df, root)
     return read_iceberg(spark, root)
+
+
+@query(
+    "iceberg_row_lineage",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+             CAST(1 AS BIGINT) AS last_seq
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    b AS (
+      SELECT o_orderkey,
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+             + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id,
+             CAST(2 AS BIGINT) AS last_seq
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id, last_seq
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    WHERE o_orderkey % 10 <> 0
+    """,
+)
+def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE end-to-end: two single-file appends get
+    manifest-assigned first_row_id 0 and |batch A| (rows inherit id =
+    first_row_id + position and last-updated = the file's sequence
+    number), an equality delete tombstones every 10th key WITHOUT
+    touching lineage, and compaction rewrites the survivors while
+    MATERIALIZING `_row_id` / `_last_updated_sequence_number` — the read
+    after compaction must return the exact pre-compaction identities.
+    The oracle replays the deterministic assignment (sorted single-file
+    batches make row ids = rank within batch)."""
+    root = scratch_path(sf_dir, "orders_ice_lineage")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    batch_a = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    batch_b = (
+        orders.where(F.col("o_orderkey") % 3 == 1)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    write_iceberg(batch_a, root, mode="overwrite", row_lineage=True)
+    write_iceberg(batch_b, root, mode="append")
+    delete_iceberg_eq(
+        spark,
+        root,
+        orders.where(F.col("o_orderkey") % 10 == 0).select("o_orderkey"),
+        on=["o_orderkey"],
+    )
+    rewrite_iceberg(spark, root)  # compaction must carry row identity
+    return read_iceberg(spark, root, with_lineage=True).select(
+        "o_orderkey",
+        F.col(_ROW_ID_COL).alias("row_id"),
+        F.col(_LAST_SEQ_COL).alias("last_seq"),
+    )
 
 
 @query(

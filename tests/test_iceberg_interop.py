@@ -1764,3 +1764,90 @@ def test_uniform_puffin_dv_publish_and_seq_semantics(spark):
 
     chk = fsck(root)
     assert chk["ok"], chk["errors"]
+
+
+# ---------------------------------------------------------------------------
+# v3 row lineage
+# ---------------------------------------------------------------------------
+def test_row_lineage_assignment_and_inheritance(spark):
+    """A lineage table stamps format-version 3, tracks next-row-id,
+    records each snapshot's first-row-id, assigns every added file a
+    manifest first_row_id, and readers inherit row id = first_row_id +
+    position and last-updated = the file's sequence number."""
+    import atlas_migration_repo_spark.sources.iceberg_interop as I
+    import pytest
+
+    root = _fresh("t_ice_lineage")
+    a = spark.range(0, 50).select(F.col("id"))
+    b = spark.range(100, 130).select(F.col("id"))
+    write_iceberg(
+        a.repartition(1).sortWithinPartitions("id"), root, row_lineage=True
+    )
+    write_iceberg(
+        b.repartition(1).sortWithinPartitions("id"), root, mode="append"
+    )
+    _, meta = I._current_metadata(root)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 80
+    firsts = sorted(s["first-row-id"] for s in meta["snapshots"])
+    assert firsts == [0, 50]
+    _, files = iceberg_live_files(root)
+    assert sorted(f["first_row_id"] for f in files) == [0, 50]
+    got = {
+        (r["id"], r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    want = {(i, i, 1) for i in range(50)} | {
+        (100 + k, 50 + k, 2) for k in range(30)
+    }
+    assert got == want
+    # guards: lineage read off a v2 table; materialized cols into v2
+    root2 = _fresh("t_ice_lineage_v2")
+    write_iceberg(a, root2)
+    with pytest.raises(ValueError, match="row-lineage table"):
+        read_iceberg(spark, root2, with_lineage=True)
+    with pytest.raises(ValueError, match="row-lineage table"):
+        write_iceberg(
+            a.withColumn("_row_id", F.col("id")), root2, mode="append"
+        )
+
+
+def test_row_lineage_survives_deletes_and_compaction(spark):
+    """Positional MOR deletes leave survivors' identities untouched, and
+    compaction (rewrite_iceberg) MATERIALIZES _row_id /
+    _last_updated_sequence_number so identities are bit-stable across
+    the rewrite — including for rows whose pre-compaction position
+    differs from their post-compaction one."""
+    import atlas_migration_repo_spark.sources.iceberg_interop as I
+
+    root = _fresh("t_ice_lineage_compact")
+    a = spark.range(0, 40).select(F.col("id"))
+    b = spark.range(200, 220).select(F.col("id"))
+    write_iceberg(
+        a.repartition(1).sortWithinPartitions("id"), root, row_lineage=True
+    )
+    write_iceberg(
+        b.repartition(1).sortWithinPartitions("id"), root, mode="append"
+    )
+    I.delete_iceberg_where(spark, root, "id", 10, 19)
+    before = {
+        (r["id"], r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert len(before) == 50
+    I.rewrite_iceberg(spark, root)
+    after = {
+        (r["id"], r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert after == before
+    # the rewritten files physically carry the reserved columns
+    _, files = iceberg_live_files(root)
+    import pyarrow.parquet as pq
+
+    names = set()
+    for f in files:
+        names.update(pq.read_schema(f["file_path"]).names)
+    assert {"_row_id", "_last_updated_sequence_number"} <= names
+    # and the plain read does NOT leak them
+    assert set(read_iceberg(spark, root).columns) == {"id"}
