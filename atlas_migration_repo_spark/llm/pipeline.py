@@ -627,3 +627,66 @@ def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+_EPOCHS = 2
+_KNUTH = 2654435761  # Knuth's multiplicative hash constant (2^32 / phi)
+_SHUF_SHARDS = 16
+
+
+def _epoch_hash(epoch_col, id_col):
+    # engine-portable permutation hash: plain int64 arithmetic both Spark
+    # and DuckDB evaluate bit-identically (doc ids are < 2^33, so the
+    # product stays far inside int64)
+    return (id_col * F.lit(_KNUTH) + epoch_col * F.lit(40503)) % F.lit(
+        4294967296
+    )
+
+
+@query(
+    "corpus_shuffle_epochs",
+    oracle=f"""
+    WITH e AS (SELECT UNNEST([0, 1]) AS epoch),
+    h AS (
+      SELECT e.epoch, d.doc_id,
+             (d.doc_id * {_KNUTH} + e.epoch * 40503) % 4294967296 AS hv
+      FROM documents d CROSS JOIN e
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(hv % {_SHUF_SHARDS} AS BIGINT) AS shard,
+           doc_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY epoch, hv % {_SHUF_SHARDS}
+             ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def corpus_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible TRAINING-ORDER shuffle: each epoch permutes the
+    corpus with a seeded multiplicative hash (Knuth's 2^32/phi constant
+    — engine-portable int64 math, unlike engine-internal hash
+    partitioners) and assigns every document a shard and a position
+    within it. Re-running with the same seed reproduces the exact order
+    — the property a training run needs to resume mid-epoch or replay a
+    loss spike.
+
+    Scale shape: NO global sort anywhere — the permutation is a
+    scan-side hash expression, the only shuffle is the (epoch, shard)
+    window partition, and each window holds corpus/{_SHUF_SHARDS} docs
+    (raise _SHUF_SHARDS with corpus size; position stays shard-local by
+    design, which is how loaders consume shards in parallel)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    h = d.crossJoin(F.broadcast(epochs)).withColumn(
+        "hv", _epoch_hash(F.col("epoch").cast("long"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("epoch", F.col("hv") % _SHUF_SHARDS).orderBy(
+        "hv", "doc_id"
+    )
+    return h.select(
+        "epoch",
+        (F.col("hv") % _SHUF_SHARDS).cast("bigint").alias("shard"),
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

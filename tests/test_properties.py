@@ -503,3 +503,35 @@ def test_bottomk_sample_merge_property(vals, k):
     a, b = vals[:mid], vals[mid:]
     merged = sorted(set(bottomk(a)) | set(bottomk(b)))[:k]
     assert merged == bottomk(vals)
+
+
+def test_shuffle_epochs_reproducible_and_permutes(spark):
+    """corpus_shuffle_epochs invariants: (a) two runs are IDENTICAL
+    (seeded hash, no engine nondeterminism), (b) every epoch is a
+    permutation of the corpus (each doc appears exactly once with a
+    contiguous 1..n position within its shard), (c) different epochs
+    produce different orders."""
+    q = QUERIES["corpus_shuffle_epochs"].fn
+    a = q(spark, SF_DIR).collect()
+    b = q(spark, SF_DIR).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_epoch = {}
+    for r in a:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    n_docs = len({r["doc_id"] for r in a})
+    for _epoch, rows in by_epoch.items():
+        assert len(rows) == n_docs  # each doc exactly once per epoch
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    order0 = [
+        r["doc_id"]
+        for r in sorted(by_epoch[0], key=lambda r: (r["shard"], r["pos"]))
+    ]
+    order1 = [
+        r["doc_id"]
+        for r in sorted(by_epoch[1], key=lambda r: (r["shard"], r["pos"]))
+    ]
+    assert order0 != order1
