@@ -290,6 +290,101 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # float64 matmul computes the signatures every run.
 DEDUP_LSH_BANDS = 16
 DEDUP_LSH_BITS = 8
+# LSH-vs-blocked-exact crossover, in expected vectors per (band, key)
+# bucket. The LSH candidate join shuffles ~bands·occ rows per vector and
+# then pays a distinct + re-join; the blocked kernel scores N²/2 cells at
+# dense-BLAS cost (~64 fused flops each, no shuffled candidate relation).
+# When occ passes this bound the bucket join materializes MORE rows than
+# the block scan scores cells-for-free, so the exact blocked path is
+# strictly cheaper — exactly the regime of this fixture's τ=0.45, which
+# sits at the random-cosine noise floor where hyperplane bits can't
+# separate pairs. At production near-dup thresholds (τ ≥ 0.8) B is sized
+# so occ stays below the crossover at any N and the LSH path engages.
+DEDUP_LSH_OCC_CROSSOVER = 32.0
+
+
+def _dedup_embed_block_exact(spark: SparkSession, em: DataFrame, n: int) -> DataFrame:
+    """Exact blocked all-pairs scan for dedup_embed's dense-candidate
+    regime (see DEDUP_LSH_OCC_CROSSOVER): vectors pack into ~KNN_BLOCK-row
+    bundles, every bundle pair (i ≤ j) is scored in one float64 BLAS
+    matmul inside mapInPandas, and survivors of a τ−1e-9 prefilter are
+    re-scored with the EXACT left-to-right chain cosine that alone decides
+    τ and supplies the emitted value — the sim_knn_join kernel shape, so
+    the output is bit-identical to the LSH path's verify (same chain, same
+    r4). O(N²/B²) tasks of dense BLAS work; no N²-row relation is ever
+    shuffled — the only shuffle is the B-row bundle build."""
+    import math
+
+    import pandas as pd
+
+    nblocks = max(1, math.ceil(n / KNN_BLOCK))
+    blocks = (
+        em.select("vec_id", "embedding", (F.col("vec_id") % nblocks).alias("bid"))
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("items"))
+    )
+    pairs = (
+        blocks.select(F.col("bid").alias("abid"), F.col("items").alias("a_items"))
+        .crossJoin(
+            blocks.select(F.col("bid").alias("bbid"), F.col("items").alias("b_items"))
+        )
+        .where(F.col("abid") <= F.col("bbid"))
+        .repartition(
+            min(
+                max(1, nblocks * (nblocks + 1) // 2),
+                spark.sparkContext.defaultParallelism,
+            )
+        )
+    )
+
+    def score(batches):
+        import numpy as np
+
+        def chain_cos(x, y):
+            # sequential left-assoc IEEE accumulation == Spark chain dot ==
+            # DuckDB list_aggregate; symmetric in (x, y) because each
+            # per-term product commutes and the index order is shared
+            s = nx = ny = 0.0
+            for i in range(len(x)):
+                xi, yi = float(x[i]), float(y[i])
+                s += xi * yi
+                nx += xi * xi
+                ny += yi * yi
+            return s / (math.sqrt(nx) * math.sqrt(ny))
+
+        for pdf in batches:
+            out = {"va": [], "vb": [], "cosine": []}
+            for abid, bbid, a_items, b_items in zip(
+                pdf["abid"], pdf["bbid"], pdf["a_items"], pdf["b_items"]
+            ):
+                aid = np.array([it["vec_id"] for it in a_items], dtype=np.int64)
+                bid = np.array([it["vec_id"] for it in b_items], dtype=np.int64)
+                A = np.asarray([it["embedding"] for it in a_items], dtype=np.float64)
+                B = np.asarray([it["embedding"] for it in b_items], dtype=np.float64)
+                S = (A / np.linalg.norm(A, axis=1, keepdims=True)) @ (
+                    B / np.linalg.norm(B, axis=1, keepdims=True)
+                ).T
+                keep = S >= COSINE_TAU - 1e-9
+                if abid == bbid:
+                    # same bundle on both sides: S holds (i,j) AND (j,i);
+                    # the strict id order takes each unordered pair once
+                    keep &= aid[:, None] < bid[None, :]
+                # across bundles each unordered pair arrives exactly once
+                # (abid < bbid), in whichever id orientation bid = id %
+                # nblocks produced — canonicalize on emit
+                for i, j in zip(*np.nonzero(keep)):
+                    c = chain_cos(A[i], B[j])
+                    if c >= COSINE_TAU:
+                        va, vb = int(aid[i]), int(bid[j])
+                        if va > vb:
+                            va, vb = vb, va
+                        out["va"].append(va)
+                        out["vb"].append(vb)
+                        out["cosine"].append(c)
+            yield pd.DataFrame(out)
+
+    raw = pairs.mapInPandas(score, "va long, vb long, cosine double")
+    return raw.select("va", "vb", r4(F.col("cosine")).alias("cosine"))
 
 
 def _dedup_embed_hyperplanes():
@@ -333,18 +428,30 @@ def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters above give measured recall 1.0 on every fixture, asserted
     against a brute-force pair set in tests and by the exact SQL oracle.
 
-    Scale: never all-pairs, never a corpus broadcast — signature emission
-    is a map, candidates meet through a shuffle on (band, key) that shards
-    horizontally, and verification touches candidates only. Selectivity is
-    τ-dependent: at this fixture's τ=0.45 (at the random-cosine noise
-    floor of the synthetic corpus) the buckets prune little, but at
-    production near-dup thresholds (τ ≥ 0.8, bit-agreement p ≥ 0.8) the
-    same parameters prune aggressively; B scales as ~log2(N/bucket) like
-    sim_ann_lsh's ANN_BITS."""
+    Scale: never all-pairs-as-a-relation, never a corpus broadcast — the
+    strategy is ADAPTIVE on expected bucket occupancy (read from the
+    parquet footer, no count job). Below DEDUP_LSH_OCC_CROSSOVER vectors
+    per (band, key) bucket, candidates meet through a shuffle on
+    (band, key) that shards horizontally and verification touches
+    candidates only. Above it — the dense regime, which this fixture's
+    τ=0.45 at the random-cosine noise floor enters at sf≥0.1 because
+    hyperplane bits cannot separate noise-floor pairs — the same exact
+    answer comes from the sim_knn_join blocked-BLAS kernel, whose N²/B²
+    dense tasks are strictly cheaper than a bucket join that would
+    materialize ~90% of all pairs as shuffled rows. Both paths end in the
+    identical exact chain-dot verify, so the pair set and cosines are
+    bit-identical (asserted in tests). At production near-dup thresholds
+    (τ ≥ 0.8, bit-agreement p ≥ 0.8) B scales as ~log2(N/bucket) like
+    sim_ann_lsh's ANN_BITS and occupancy stays under the crossover at any
+    N, so the LSH path engages."""
     import numpy as np
     import pandas as pd
 
     em = load(spark, sf_dir, "embeddings")
+    n = parquet_row_count(sf_dir, "embeddings")
+    occ = n * (DEDUP_LSH_BITS + 1) / float(2**DEDUP_LSH_BITS)
+    if occ > DEDUP_LSH_OCC_CROSSOVER:
+        return _dedup_embed_block_exact(spark, em, n)
     g = _dedup_embed_hyperplanes()
     nb_, l_ = DEDUP_LSH_BITS, DEDUP_LSH_BANDS
 

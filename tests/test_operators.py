@@ -357,6 +357,29 @@ def test_dedup_embed_lsh_matches_brute_force(spark):
     ), f"false positives: {lsh - exact}"
     assert exact - lsh == set(), f"LSH missed pairs: {exact - lsh}"
 
+    # the dense-regime blocked-exact path (engaged when expected bucket
+    # occupancy passes DEDUP_LSH_OCC_CROSSOVER) must produce the identical
+    # pair set AND cosines — exactness is structural, not probabilistic
+    import atlas_migration_repo_spark.llm.similarity as _sim
+
+    saved = _sim.DEDUP_LSH_OCC_CROSSOVER
+    try:
+        _sim.DEDUP_LSH_OCC_CROSSOVER = -1.0  # force the blocked path
+        blocked = {
+            (r["va"], r["vb"], r["cosine"])
+            for r in QUERIES["dedup_embed"].fn(spark, SF_DIR).collect()
+        }
+        _sim.DEDUP_LSH_OCC_CROSSOVER = float("inf")  # force the LSH path
+        lsh_full = {
+            (r["va"], r["vb"], r["cosine"])
+            for r in QUERIES["dedup_embed"].fn(spark, SF_DIR).collect()
+        }
+    finally:
+        _sim.DEDUP_LSH_OCC_CROSSOVER = saved
+    assert blocked == lsh_full, (
+        f"blocked/LSH path divergence: {blocked ^ lsh_full}"
+    )
+
 
 def test_simhash_deterministic_and_discriminative(spark):
     """Two runs agree bit-for-bit; chunk keys are consistent with the bits;
