@@ -393,6 +393,7 @@ def decode_ppm(payload: bytes) -> dict:
     return {
         "width": w,
         "height": h,
+        "pixels": px,
         "mean_r": float(px[:, :, 0].mean()),
         "mean_g": float(px[:, :, 1].mean()),
         "mean_b": float(px[:, :, 2].mean()),
@@ -669,3 +670,69 @@ def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("mean_g")).alias("mean_g"),
         r4(F.col("mean_b")).alias("mean_b"),
     )
+
+
+def phash_bits(payload: bytes) -> int:
+    """Perceptual hash of a P6 PPM payload — the published pHash recipe
+    sized to the fixture raster: BT.601 luma, orthonormal 2D DCT-II, drop
+    the DC term, threshold every remaining coefficient at their MEDIAN,
+    pack row-major into an int. Pure numpy float64, deterministic; scaling
+    the luma by any k > 0 scales coefficients AND median by k, so the hash
+    is exactly brightness-scale-invariant (unit-asserted)."""
+    import numpy as np
+
+    feats = decode_ppm(payload)
+    h, w = feats["height"], feats["width"]
+    px = feats["pixels"].astype(np.float64)  # (h, w, 3)
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+    def dct_mat(n: int) -> "np.ndarray":
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        m[0] /= np.sqrt(2.0)
+        return m
+
+    coef = dct_mat(h) @ luma @ dct_mat(w).T
+    flat = coef.ravel()[1:]  # drop DC
+    med = float(np.median(flat))
+    bits = 0
+    for b in (flat > med).astype(np.int64):
+        bits = (bits << 1) | int(b)
+    return int(bits)
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("n_set_bits", T.IntegerType()),
+    ]
+)
+
+
+@query("multimodal_phash", tags=("approx",))
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup fingerprints through the multimodal plumbing: each
+    document's deterministic P6 payload (synth_ppm — the same
+    content-addressed raster multimodal_decode_ppm proves the codec on)
+    is decoded and pHashed inside mapInPandas. Downstream dedup is a
+    hash-groupBy (exact perceptual dups) or a simhash-style banded join
+    on hash chunks (hamming neighbors) — both already exist for 64-bit
+    fingerprints (dedup_simhash), so this key owns only the decode→hash
+    kernel. Rows-only gate (no SQL twin can run the DCT); determinism,
+    brightness-scale invariance, and bit-flip sensitivity are
+    unit-asserted on the pure phash_bits function."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "phash": [], "n_set_bits": []}
+            for doc_id in pdf["doc_id"]:
+                hbits = phash_bits(synth_ppm(int(doc_id)))
+                out["doc_id"].append(int(doc_id))
+                out["phash"].append(hbits)
+                out["n_set_bits"].append(bin(hbits).count("1"))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(run, schema=_PHASH_SCHEMA)

@@ -868,3 +868,68 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2.0
         ).alias("jsd_nats")
     )
+
+
+_GOPHER_STOPS = ("the", "a", "of", "to", "in")  # fixture-calibrated stop set
+_GOPHER_SQL_STOPS = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(LEN(w) AS INT) AS n_words,
+           {sql_r4('LIST_AGGREGATE(LIST_TRANSFORM(w, x -> LENGTH(x) * 1.0), '
+                   "'sum') / LEN(w)")} AS mean_word_len,
+           {sql_r4('LEN(LIST_FILTER(w, x -> x IN (' + _GOPHER_SQL_STOPS + '))) '
+                   '* 1.0 / LEN(w)')} AS stop_frac,
+           {sql_r4('LEN(LIST_DISTINCT(w)) * 1.0 / LEN(w)')} AS distinct_frac,
+           (LEN(w) BETWEEN 10 AND 5000
+            AND LIST_AGGREGATE(LIST_TRANSFORM(w, x -> LENGTH(x) * 1.0), 'sum')
+                / LEN(w) BETWEEN 3.0 AND 10.0
+            AND LEN(LIST_FILTER(w, x -> x IN ({_GOPHER_SQL_STOPS})))
+                * 1.0 / LEN(w) >= 0.02
+            AND LEN(LIST_DISTINCT(w)) * 1.0 / LEN(w) >= 0.2) AS gopher_keep
+    FROM t
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (the published Rae et al. 2021
+    repetition/quality heuristics, bounds calibrated to the fixture's
+    31-word vocabulary): word-count window, mean-word-length window,
+    minimum stop-word fraction, minimum lexical diversity, and the
+    composite keep decision a pretraining pipeline filters on.
+
+    All four signals are pure array expressions over the tokenized text —
+    per-row folds in whole-stage codegen, zero shuffles at any corpus
+    size; at 100 TB this is a single scan whose output feeds the corpus
+    funnel (pipeline_corpus_clean) as one more cheap stage.
+
+    Determinism: every ratio is an exact-integer numerator/denominator
+    divided once (the per-row fold order is the array order in BOTH
+    engines), so the keep-decision comparisons branch on bit-identical
+    doubles; r4 rounding is display-only."""
+    w = words()
+    mean_len = (
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x) * 1.0)
+        / F.size(w)
+    )
+    stop_frac = (
+        F.size(F.filter(w, lambda x: x.isin(*_GOPHER_STOPS))) * F.lit(1.0) / F.size(w)
+    )
+    distinct_frac = F.size(F.array_distinct(w)) * F.lit(1.0) / F.size(w)
+    keep = (
+        F.size(w).between(10, 5000)
+        & mean_len.between(3.0, 10.0)
+        & (stop_frac >= 0.02)
+        & (distinct_frac >= 0.2)
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        r4(mean_len).alias("mean_word_len"),
+        r4(stop_frac).alias("stop_frac"),
+        r4(distinct_frac).alias("distinct_frac"),
+        keep.alias("gopher_keep"),
+    )

@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.oracle import sql_r4
 from atlas_migration_repo_spark.registry import query
 
 # Merge rounds learned by the trainer. Small because each round is a full
@@ -221,4 +222,61 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "chars_per_token"
             ),
         )
+    )
+
+
+OOV_VOCAB_K = 16  # top-K word vocabulary (fixture: half the 31-word corpus)
+
+
+@query(
+    "tokenizer_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT {OOV_VOCAB_K}
+      )
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           CAST(COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS INT) AS n_oov,
+           {sql_r4('COUNT(CASE WHEN v.w IS NULL THEN 1 END) * 1.0 / COUNT(*)')}
+             AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+)
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage report: per-document out-of-vocabulary rate
+    against the corpus's own top-K word vocabulary — the sizing probe a
+    tokenizer pipeline runs BEFORE committing to a vocab budget (how much
+    of the corpus does a K-entry table actually cover?).
+
+    Plan: ONE corpus tokenize + vocab-bounded groupBy builds the frequency
+    table; the top-K cut is a deterministic (count DESC, word ASC) limit
+    whose K rows collect to the driver (the established vocab-sized
+    collect, kilobytes at any corpus size) and return as an IN-list
+    literal, so the per-document pass is a pure array filter in
+    whole-stage codegen with NO second shuffle — at 100 TB: two corpus
+    scans, one vocab-sized exchange, zero joins. The integer n_oov /
+    n_tokens ratio divides once, so both engines branch identically."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    freq = (
+        d.select(F.explode(w).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("w"))
+        .limit(OOV_VOCAB_K)
+    )
+    vocab = [r["w"] for r in freq.collect()]
+    n_oov = F.size(F.filter(w, lambda x: ~x.isin(*vocab)))
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        r4(n_oov * F.lit(1.0) / F.size(w)).alias("oov_rate"),
     )

@@ -683,3 +683,57 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_min_to_convert"),
         )
     )
+
+
+@query(
+    "ts_backtest_smape",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             COUNT(*) AS actual
+      FROM events GROUP BY event_type, day
+    ),
+    f AS (
+      SELECT event_type, day, actual,
+             LAG(actual, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS forecast
+      FROM d
+    )
+    SELECT event_type,
+           CAST(COUNT(forecast) AS INT) AS n_days,
+           {sql_r4('AVG(2.0 * ABS(actual - forecast) / (actual + forecast))')}
+             AS smape,
+           CAST(MAX(ABS(actual - forecast)) AS BIGINT) AS worst_abs_err
+    FROM f WHERE forecast IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: seasonal-naive (same weekday last week) daily
+    event volume per type, scored with SMAPE — the sanity baseline every
+    forecasting deployment is graded against before anything fancier
+    ships. Per-type daily counts are ONE corpus aggregate (map-side
+    partial combine to types×days rows); the 7-step LAG and the SMAPE
+    reduction run on that tiny relation, so at 100 TB the cost is the
+    single scan. Counts are exact integers, each SMAPE term divides once
+    (bit-identical in both engines); the r4'd AVG over ≤365 terms sits in
+    the same drift envelope as agg_stats."""
+    e = load(spark, sf_dir, "events")
+    d = (
+        e.groupBy("event_type", ntz_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = d.withColumn("forecast", F.lag("actual", 7).over(w)).where(
+        F.col("forecast").isNotNull()
+    )
+    term = 2.0 * F.abs(F.col("actual") - F.col("forecast")) / (
+        F.col("actual") + F.col("forecast")
+    )
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+        r4(F.avg(term)).alias("smape"),
+        F.max(F.abs(F.col("actual") - F.col("forecast"))).cast("bigint").alias(
+            "worst_abs_err"
+        ),
+    )

@@ -2587,3 +2587,54 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.cast("double").alias("u_stat"),
         r4(z).alias("z"),
     )
+
+
+@query(
+    "feature_winsorize",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             {sql_r4('QUANTILE_CONT(l_extendedprice, 0.05)')} AS p05,
+             {sql_r4('QUANTILE_CONT(l_extendedprice, 0.95)')} AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l.l_returnflag,
+           {sql_r4('l_extendedprice')} AS price,
+           {sql_r4('LEAST(GREATEST(l_extendedprice, p05), p95)')} AS price_winsor,
+           (l_extendedprice < p05 OR l_extendedprice > p95) AS clipped
+    FROM lineitem l JOIN b USING (l_returnflag)
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clamp to [p05, p95]) — the outlier-robust
+    feature-scaling stage ML pipelines run before z-scoring heavy-tailed
+    monetary columns. The 3-row bound table comes from one exact
+    interpolated-percentile aggregate (Spark percentile ≡ DuckDB
+    quantile_cont) and BROADCASTS back, so the clamp pass is a pure map
+    over the scan: at 100 TB this is one aggregate + one broadcast join,
+    no row-scale shuffle. Bounds are r4-rounded BEFORE the clamp on both
+    sides, so the comparisons and the clipped flag branch on the
+    identical rounded grid (the embed_outlier_zscore policy)."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        r4(F.percentile("l_extendedprice", 0.05)).alias("p05"),
+        r4(F.percentile("l_extendedprice", 0.95)).alias("p95"),
+    )
+    return (
+        li.where(F.col("l_orderkey") % 100 == 0)
+        .join(F.broadcast(b), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            r4(F.col("l_extendedprice")).alias("price"),
+            r4(
+                F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+            ).alias("price_winsor"),
+            (
+                (F.col("l_extendedprice") < F.col("p05"))
+                | (F.col("l_extendedprice") > F.col("p95"))
+            ).alias("clipped"),
+        )
+    )

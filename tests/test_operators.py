@@ -3657,3 +3657,38 @@ def test_shortest_cost_iterative_converges_and_caps(spark):
         for r in shortest_cost_iterative(eu2, 0, max_edges=50).collect()
     }
     assert conv[4] == 100
+
+
+def test_phash_invariants():
+    """multimodal_phash is rows-only; the hash kernel carries the gate:
+    (1) deterministic, (2) exactly invariant to brightness scaling (k=2 on
+    a raster kept <= 127 so the scale is float-exact), (3) sensitive to a
+    real content change, (4) never sets the dropped-DC width's worth of
+    bits beyond the coefficient count."""
+    import numpy as np
+
+    from atlas_migration_repo_spark.llm.multimodal import (
+        PPM_H,
+        PPM_W,
+        phash_bits,
+        synth_ppm,
+    )
+
+    def build(px):
+        header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
+        return header + bytes(px.ravel().tolist())
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 128, size=(PPM_H, PPM_W, 3)).astype(np.uint8)
+    h0 = phash_bits(build(base))
+    assert h0 == phash_bits(build(base))  # deterministic
+    assert h0 == phash_bits(build((base * 2).astype(np.uint8)))  # scale-inv
+    flipped = base.copy()
+    flipped[0, 0, :] = 255 - flipped[0, 0, :]
+    assert h0 != phash_bits(build(flipped))  # content-sensitive
+    n_coef = PPM_H * PPM_W - 1
+    assert 0 <= h0 < (1 << n_coef)
+    # the synth corpus hashes are deterministic and mostly distinct
+    hs = [phash_bits(synth_ppm(i)) for i in range(50)]
+    assert hs == [phash_bits(synth_ppm(i)) for i in range(50)]
+    assert len(set(hs)) > 40
