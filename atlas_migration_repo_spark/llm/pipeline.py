@@ -690,3 +690,109 @@ def corpus_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+CURRICULUM_STAGES = 4
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+             LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+               / LEN(STRING_SPLIT(text, ' ')) AS richness
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tok,
+             NTILE({CURRICULUM_STAGES}) OVER (ORDER BY richness, doc_id)
+               AS stage
+      FROM t
+    )
+    SELECT doc_id, CAST(stage AS INT) AS stage,
+           CAST(ROW_NUMBER() OVER (PARTITION BY stage
+                                   ORDER BY n_tok, doc_id) AS INT)
+             AS rank_in_stage
+    FROM s
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: documents are staged easy→hard by
+    lexical richness (distinct-token ratio — the same exact-integer-ratio
+    signal text_gopher_rules gates on) into CURRICULUM_STAGES ntiles, then
+    ranked shortest-first inside each stage — the deterministic schedule a
+    curriculum-learning loader replays identically on every engine.
+
+    Scale: richness is a per-row array expression (no shuffle); the ntile
+    and per-stage rank are two window passes over (doc_id, two ints) —
+    array columns are projected away first, so the sort shuffles carry ~16
+    bytes/row at any corpus size. Ties are broken by doc_id everywhere, so
+    both engines emit the identical permutation (hash-gated)."""
+    d = load(spark, sf_dir, "documents")
+    w = words()
+    t = d.select(
+        "doc_id",
+        F.size(w).alias("n_tok"),
+        (F.size(F.array_distinct(w)) * F.lit(1.0) / F.size(w)).alias("richness"),
+    )
+    s = t.withColumn(
+        "stage",
+        F.ntile(CURRICULUM_STAGES).over(Window.orderBy("richness", "doc_id")),
+    )
+    return s.select(
+        "doc_id",
+        F.col("stage").cast("int").alias("stage"),
+        F.row_number()
+        .over(Window.partitionBy("stage").orderBy("n_tok", "doc_id"))
+        .cast("int")
+        .alias("rank_in_stage"),
+    )
+
+
+NEG_SAMPLES_K = 4
+_NEG_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+@query(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_doc FROM documents)
+    SELECT d.doc_id,
+           CAST(i AS INT) AS neg_rank,
+           CAST((d.doc_id * {_NEG_MULT} + i * 40503) % n.n_doc AS BIGINT)
+             AS neg_id,
+           ((d.doc_id * {_NEG_MULT} + i * 40503) % n.n_doc = d.doc_id)
+             AS is_self_collision
+    FROM documents d, n, UNNEST(GENERATE_SERIES(1, {NEG_SAMPLES_K})) t(i)
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document draws NEG_SAMPLES_K pseudo-random negatives from a
+    multiplicative hash ring over the corpus id space — reproducible
+    across engines, epochs, and partitionings (no RNG state), with
+    self-collisions FLAGGED rather than silently resampled so the loader
+    (which drops or re-rolls them with its own policy) sees the exact ring
+    positions. Spark side is a per-row sequence transform + posexplode:
+    zero joins, zero shuffles — at 100 TB the negatives stream out of the
+    scan at wire speed; the corpus count comes from the parquet footer.
+    All arithmetic is exact int64 (well inside the 2^63 envelope at any
+    realistic corpus cardinality: ids up to ~2^31 × the 32-bit constant)."""
+    from atlas_migration_repo_spark.catalog import parquet_row_count
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n_doc = parquet_row_count(sf_dir, "documents")
+    ring = F.transform(
+        F.sequence(F.lit(1), F.lit(NEG_SAMPLES_K)),
+        lambda i: (F.col("doc_id") * F.lit(_NEG_MULT) + i.cast("bigint") * 40503)
+        % F.lit(n_doc),
+    )
+    e = d.select("doc_id", F.posexplode(ring).alias("pos", "neg_id"))
+    return e.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("int").alias("neg_rank"),
+        "neg_id",
+        (F.col("neg_id") == F.col("doc_id")).alias("is_self_collision"),
+    )
