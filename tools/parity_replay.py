@@ -53,7 +53,11 @@ def main() -> None:
         with open(args.log) as fh:
             for line in fh:
                 rec = json.loads(line)
-                if rec.get("status") == "pass":
+                # a prior skip is a standing decision (declared
+                # quadratic-exact baselines), not work to retry — honoring
+                # it on resume keeps a relaunch from silently grinding an
+                # hours-by-design oracle the log already excludes
+                if rec.get("status") in ("pass", "skipped"):
                     done.add(rec["key"])
     spark = get_spark(app_name="parity-replay")
     con = duckdb.connect()
