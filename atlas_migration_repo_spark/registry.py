@@ -57,7 +57,11 @@ QUERIES: dict[str, QueryDef] = {}
 # setop batches (str_basic … explode_pos, win_moving_avg … win_first_last,
 # set_union_distinct, set_except), plus this round's five new keys:
 # hudi_compaction_async, hudi_bloom_index, lakehouse_uniform_dv_puffin,
-# delta_checkpoint_v2, corpus_shard_export.
+# delta_checkpoint_v2, corpus_shard_export, and the session-2 additions:
+# iceberg_row_lineage, hudi_metadata_files, corpus_shuffle_epochs,
+# text_gopher_rules, tokenizer_oov_rate, feature_winsorize,
+# ts_backtest_smape, corpus_curriculum_order, sample_negative_pairs
+# (multimodal_phash is rows-only; after the oracle-gated ones).
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r6) -------------
     "scan_parquet",
