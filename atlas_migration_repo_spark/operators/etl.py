@@ -1702,3 +1702,164 @@ def pipeline_migrate_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         msum(F.col("o_totalprice")).alias("total"),
     )
+
+
+def refresh_delta_group_mv(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    group_col: str,
+    measure_col: str,
+    app_id: str = "mv-refresh",
+) -> int:
+    """Incrementally maintain a grouped-aggregate MATERIALIZED VIEW
+    (count + exact decimal sum per group) of a CDF-enabled Delta table.
+
+    The synced base version rides the Delta protocol's own transaction
+    identifier: every refresh commits the MV with txn=(app_id,
+    base_version), so delta_txn_version(mv) IS the sync cursor — no side
+    files, and a replayed/crashed refresh of the same base version is a
+    protocol-level no-op (write_delta's idempotent-txn path). Bootstrap
+    (no cursor yet) computes the full aggregate once; every later refresh
+    reads ONLY read_delta_cdf(last, cur) and folds row-level changes with
+    their natural signs (+insert/+update_postimage, −update_preimage/
+    −delete) into the old state: O(delta) reads + O(groups) state rewrite
+    per refresh, never O(base). Sums accumulate in DECIMAL(30,8)
+    (order-immune, the msum discipline), so increments cannot drift from
+    a from-scratch recompute — hash-equality against the full-recompute
+    oracle is the proof.
+
+    At 100 TB: the CDC scan is the change volume, the state join is a
+    broadcast of |groups| rows, and the MV rewrite is kilobytes — the
+    continuous-aggregate pattern (Databricks MV / Timescale rollup) on
+    this repo's own Delta bridge."""
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _replay,
+        delta_txn_version,
+        read_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    cur = _replay(base_path)[0]
+    last = delta_txn_version(mv_path, app_id)
+    dec = F.col(measure_col).cast("decimal(30,8)")
+    if last is None:
+        state = (
+            read_delta(spark, base_path)
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(dec).alias("total_dec"),
+            )
+        )
+    elif last == cur:
+        return cur  # nothing new; MV already covers the base head
+    else:
+        sign = (
+            F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+            .when(F.col("_change_type").isin("delete", "update_preimage"), -1)
+            .otherwise(0)
+        )
+        delta = (
+            # read_delta_cdf's from_version is INCLUSIVE; the cursor holds
+            # the last version already folded in, so resume one past it
+            read_delta_cdf(spark, base_path, from_version=last + 1, to_version=cur)
+            .groupBy(group_col)
+            .agg(
+                F.sum(sign).alias("dn"),
+                F.sum(sign.cast("decimal(30,8)") * dec).alias("dt"),
+            )
+        )
+        old = read_delta(spark, mv_path)
+        zero = F.lit(0).cast("decimal(30,8)")
+        state = (
+            old.join(F.broadcast(delta), group_col, "full_outer")
+            .select(
+                group_col,
+                (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n_rows"),
+                (
+                    F.coalesce(F.col("total_dec"), zero)
+                    + F.coalesce(F.col("dt"), zero)
+                ).cast("decimal(30,8)").alias("total_dec"),
+            )
+            .where(F.col("n_rows") > 0)
+        )
+    state = state.select(
+        group_col,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("total_dec").cast("decimal(30,8)").alias("total_dec"),
+    )
+    return write_delta(state, mv_path, mode="overwrite", txn=(app_id, cur))
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 AND o_orderkey % 3 <> 2
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS p
+      FROM orders
+      WHERE NOT (o_orderkey BETWEEN 100 AND 900 AND o_orderkey % 3 <> 2)
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_msum('p')} AS total
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view lifecycle end-to-end: a CDF-enabled Delta base
+    takes a seed load, an append, a doubling MERGE, a range DELETE, a
+    second append — and the MV is refreshed incrementally from the
+    row-level change feed after each batch of base commits (bootstrap,
+    then two O(delta) refreshes), with the sync cursor carried by the
+    protocol's txn action. The returned MV content must hash-match a
+    from-scratch recompute of the final base state (the oracle) — the
+    only way signed CDC folding with decimal accumulation can pass."""
+    import shutil
+
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        delete_delta_range,
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    base = scratch_path(sf_dir, "orders_mv_base")
+    mv = scratch_path(sf_dir, "orders_mv_state")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    write_delta(
+        orders.where(k % 3 == 0),
+        base,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    refresh_delta_group_mv(spark, base, mv, "o_orderstatus", "o_totalprice")
+
+    write_delta(orders.where(k % 3 == 1), base, mode="append")
+    merge_delta(
+        spark,
+        base,
+        orders.where((k % 10 == 0) & (k % 3 != 2)).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ),
+        key="o_orderkey",
+    )
+    delete_delta_range(spark, base, "o_orderkey", 100, 900)
+    refresh_delta_group_mv(spark, base, mv, "o_orderstatus", "o_totalprice")
+
+    write_delta(orders.where(k % 3 == 2), base, mode="append")
+    refresh_delta_group_mv(spark, base, mv, "o_orderstatus", "o_totalprice")
+
+    return read_delta(spark, mv).select(
+        "o_orderstatus",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("total_dec").cast("decimal(38,4)").cast("double").alias("total"),
+    )

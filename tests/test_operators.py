@@ -3692,3 +3692,34 @@ def test_phash_invariants():
     hs = [phash_bits(synth_ppm(i)) for i in range(50)]
     assert hs == [phash_bits(synth_ppm(i)) for i in range(50)]
     assert len(set(hs)) > 40
+
+
+def test_mv_refresh_idempotent_and_drops_empty_groups(spark, tmp_path):
+    """The MV sync cursor rides the Delta txn action: replaying a refresh
+    at an unchanged base version must be a protocol-level no-op (same MV
+    version), and a group whose count folds to zero must leave the MV."""
+    from pyspark.sql import functions as F
+
+    from atlas_migration_repo_spark.operators.etl import refresh_delta_group_mv
+    from atlas_migration_repo_spark.sources.delta_interop import (
+        _replay,
+        delete_delta_range,
+        read_delta,
+        write_delta,
+    )
+
+    base, mv = str(tmp_path / "b"), str(tmp_path / "m")
+    rows = [(i, "g1" if i < 4 else "g2", float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "k long, g string, x double")
+    write_delta(df, base, configuration={"delta.enableChangeDataFeed": "true"})
+    refresh_delta_group_mv(spark, base, mv, "g", "x")
+    v1 = _replay(mv)[0]
+    # unchanged base: refresh is a no-op, not a new MV commit
+    refresh_delta_group_mv(spark, base, mv, "g", "x")
+    assert _replay(mv)[0] == v1
+    # wipe g1 entirely; the incremental fold must drop the group
+    delete_delta_range(spark, base, "k", 0, 3)
+    refresh_delta_group_mv(spark, base, mv, "g", "x")
+    out = {r["g"]: (r["n_rows"], float(r["total_dec"])) for r in read_delta(spark, mv).collect()}
+    assert set(out) == {"g2"}
+    assert out["g2"] == (4, 4.0 + 5.0 + 6.0 + 7.0)
