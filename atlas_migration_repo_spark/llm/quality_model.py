@@ -164,3 +164,106 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def expected_initial_loss() -> float:
     """ln 2 — the w=0 cross-entropy, used by the descent invariant test."""
     return math.log(2.0)
+
+
+def _load_langid():
+    # local import: text.py imports nothing from this module, but keeping
+    # the edge lazy avoids any registry-load-order coupling
+    from atlas_migration_repo_spark.llm.text import SQL_LANGID_PRED, text_langid
+
+    return SQL_LANGID_PRED, text_langid
+
+
+_SQL_LANGID_PRED, _ = _load_langid()
+
+
+@query(
+    "quality_confusion_matrix",
+    oracle=f"""
+    WITH pred AS ({_SQL_LANGID_PRED}),
+    t AS (SELECT lang AS cls, COUNT(*) AS n_true FROM pred GROUP BY 1),
+    p AS (SELECT pred_lang AS cls, COUNT(*) AS n_pred FROM pred GROUP BY 1),
+    hit AS (
+      SELECT lang AS cls, COUNT(*) AS tp FROM pred
+      WHERE lang = pred_lang GROUP BY 1
+    ),
+    m AS (
+      SELECT cls.cls,
+             CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+             CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+             CAST(COALESCE(hit.tp, 0) AS BIGINT) AS tp
+      FROM (SELECT cls FROM t UNION SELECT cls FROM p) cls
+      LEFT JOIN t USING (cls) LEFT JOIN p USING (cls)
+      LEFT JOIN hit USING (cls)
+    ),
+    pr AS (
+      SELECT cls, n_true, n_pred, tp,
+             CAST(tp AS DOUBLE) / NULLIF(n_pred, 0) AS pv,
+             CAST(tp AS DOUBLE) / NULLIF(n_true, 0) AS rv
+      FROM m
+    )
+    SELECT cls, n_true, n_pred, tp,
+           ROUND(pv, 4) + 0.0 AS prec,
+           ROUND(rv, 4) + 0.0 AS recall,
+           ROUND(2.0 * pv * rv / NULLIF(pv + rv, 0.0), 4) + 0.0 AS f1
+    FROM pr
+    """,
+)
+def quality_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the text_langid predictor
+    against the documents table's gold `lang` labels — the evaluation
+    every classifier-driven corpus filter (language router, quality
+    gate) reports before its threshold is trusted. Composes text_langid
+    so the prediction rule is shared, not re-stated; the oracle embeds
+    the same SQL (text.SQL_LANGID_PRED) for the identical reason.
+
+    Classes are the union of observed gold and predicted labels (so a
+    class that is only ever predicted — 'und' — still gets a row, with
+    recall NULL on both sides via NULLIF). Precision/recall/F1 divide
+    exact integers as doubles — correctly-rounded identically in both
+    engines — then land on the r4 grid.
+
+    Plan: the langid scan is one pass (pure array expressions, no
+    shuffle); the three aggregates reduce to ≤|classes| rows each with
+    map-side combine, and everything after operates on ≤6-row frames —
+    at 100 TB this is a corpus scan plus driver-trivial metric algebra."""
+    _, text_langid = _load_langid()
+    pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    t = pred.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    p = pred.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    hit = (
+        pred.where(F.col("lang") == F.col("pred_lang"))
+        .groupBy(F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    classes = t.select("cls").union(p.select("cls")).distinct()
+    m = (
+        classes.join(t, "cls", "left")
+        .join(p, "cls", "left")
+        .join(hit, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    pv = F.col("tp").cast("double") / F.nullif(F.col("n_pred"), F.lit(0))
+    rv = F.col("tp").cast("double") / F.nullif(F.col("n_true"), F.lit(0))
+    m = m.withColumn("pv", pv).withColumn("rv", rv)
+    return m.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        r4(F.col("pv")).alias("prec"),
+        r4(F.col("rv")).alias("recall"),
+        r4(
+            2.0 * F.col("pv") * F.col("rv")
+            / F.nullif(F.col("pv") + F.col("rv"), F.lit(0.0))
+        ).alias("f1"),
+    )

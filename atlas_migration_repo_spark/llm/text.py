@@ -192,9 +192,10 @@ def _sql_hits(lang: str) -> str:
     return f"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN ({inlist})))"
 
 
-@query(
-    "text_langid",
-    oracle=f"""
+# One SELECT producing (doc_id, lang, pred_lang, hits) — shared verbatim by
+# the text_langid oracle and quality_confusion_matrix's, so the prediction
+# rule the metrics are computed against can never drift from the predictor.
+SQL_LANGID_PRED = f"""
     WITH scored AS (
       SELECT doc_id, lang,
              {_sql_hits('de')} AS h_de, {_sql_hits('en')} AS h_en,
@@ -211,8 +212,10 @@ def _sql_hits(lang: str) -> str:
                 ELSE 'zh' END AS pred_lang,
            CAST(GREATEST(h_de, h_en, h_es, h_fr, h_zh) AS INT) AS hits
     FROM scored
-    """,
-)
+"""
+
+
+@query("text_langid", oracle=SQL_LANGID_PRED)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (n-gram heuristic family): count hits
     against per-language stopword sets, argmax with alphabetical tie-break,

@@ -2638,3 +2638,71 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clipped"),
         )
     )
+
+
+@query(
+    "feature_target_encode",
+    oracle=f"""
+    WITH oc AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS segment,
+             CAST(o.o_totalprice AS DECIMAL(30,8)) AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    s AS (
+      SELECT segment, SUM(price) AS seg_sum, COUNT(*) AS seg_cnt
+      FROM oc GROUP BY segment
+    )
+    SELECT oc.o_orderkey, oc.segment,
+           {sql_r4(
+               'CAST(s.seg_sum - oc.price AS DOUBLE)'
+               ' / NULLIF(s.seg_cnt - 1, 0)'
+           )} AS loo_enc
+    FROM oc JOIN s USING (segment)
+    WHERE oc.o_orderkey % 10 = 0
+    """,
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean target encoding — the categorical-feature
+    encoder a training pipeline applies before gradient models: each
+    order's market segment becomes the mean order value of every OTHER
+    order in that segment, (Σ_seg − own) / (n_seg − 1), so the encoding
+    never leaks the row's own target (the classic LOO guard against
+    target leakage). A one-member category has no "others" and encodes
+    NULL (NULLIF on both sides).
+
+    Determinism: the per-segment sums accumulate in DECIMAL(30,8) (the
+    msum policy — 2dp money inputs are exact there), the subtraction
+    Σ−own happens while still decimal, and only the final division is
+    double, r4-rounded on both engines.
+
+    Plan: one fact-dim join (customer side broadcast at dim scale), one
+    hash aggregate producing |segments| rows (map-side partial combine),
+    and the 5-row stats frame broadcast back onto the sampled output —
+    no window over the fact table, no second shuffle. At 100 TB the
+    encoding pass is a scan + two broadcast joins."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(30,8)").alias("price"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "segment", "price"
+    )
+    s = oc.groupBy("segment").agg(
+        F.sum("price").alias("seg_sum"), F.count(F.lit(1)).alias("seg_cnt")
+    )
+    return (
+        oc.where(F.col("o_orderkey") % 10 == 0)
+        .join(F.broadcast(s), "segment")
+        .select(
+            "o_orderkey",
+            "segment",
+            r4(
+                (F.col("seg_sum") - F.col("price")).cast("double")
+                / F.nullif(F.col("seg_cnt") - F.lit(1), F.lit(0))
+            ).alias("loo_enc"),
+        )
+    )

@@ -621,6 +621,88 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tagged AS (
+      SELECT user_id, ts, click_id, CAST(NULL AS BIGINT) AS purchase_id,
+             0 AS tag
+      FROM clicks
+      UNION ALL
+      SELECT user_id, ts, NULL, purchase_id, 1 FROM purchases
+    )
+    SELECT purchase_id, user_id, next_click AS click_id
+    FROM (
+      SELECT purchase_id, user_id, tag,
+             LAST_VALUE(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts DESC, tag ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS next_click
+      FROM tagged
+    ) WHERE tag = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every purchase, the user's EARLIEST click
+    at-or-after the purchase instant — pandas merge_asof(direction=
+    'forward'), the attribution shape for "what did the user do next".
+    DuckDB 1.0's ASOF JOIN is backward-only, so the oracle states the
+    semantics with the same union + reversed window this plan runs.
+
+    Mirror of join_asof: tag both sides, union, run last(click_id,
+    ignorenulls) over a per-user window ordered DESCENDING by (ts) with
+    ascending tag tiebreak — at an equal instant the click row is scanned
+    before the purchase row, so the same-instant click is included
+    (inclusive >=, the twin of join_asof's inclusive <=). One shuffle on
+    user_id, O(1) window state per row, no pair explosion — the 100 TB-
+    safe as-of shape in either direction. Clicks pre-dedupe to max
+    event_id per (user, µs instant) so ties are deterministic in both
+    engines."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "ts",
+            "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # tag 0 = click, 1 = purchase: in the DESCENDING ts scan an ascending
+    # tag puts the same-instant click first, so the running last() already
+    # holds it when the purchase row arrives (inclusive >=)
+    tagged = clicks.withColumn("tag", F.lit(0)).unionByName(
+        purchases.withColumn("tag", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("next_click", F.last("click_id", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select("purchase_id", "user_id", F.col("next_click").alias("click_id"))
+    )
+
+
 ALLEN_WIN_US = 600 * 1_000_000  # start-to-start pairing window (10 min)
 
 # One CASE text shared verbatim by the Spark plan (F.expr) and the DuckDB

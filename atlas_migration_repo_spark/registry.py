@@ -60,7 +60,9 @@ QUERIES: dict[str, QueryDef] = {}
 # delta_checkpoint_v2, corpus_shard_export, and the session-2 additions:
 # iceberg_row_lineage, hudi_metadata_files, corpus_shuffle_epochs,
 # text_gopher_rules, tokenizer_oov_rate, feature_winsorize,
-# ts_backtest_smape, corpus_curriculum_order, sample_negative_pairs
+# ts_backtest_smape, corpus_curriculum_order, sample_negative_pairs,
+# and the session-3 additions: join_asof_forward, feature_target_encode,
+# quality_confusion_matrix, stream_stream_left_join
 # (multimodal_phash is rows-only; after the oracle-gated ones).
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r6) -------------

@@ -107,6 +107,89 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_join",
+    oracle="""
+    WITH views AS (
+      SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(v_ts) FROM views),
+                   (SELECT MAX(p_ts) FROM purchases))
+             - INTERVAL 1 HOUR AS w
+    )
+    SELECT v.view_id, p.purchase_id, v.user_id
+    FROM views v JOIN purchases p
+      ON v.user_id = p.user_id
+     AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id
+    FROM views v, wm
+    WHERE v.v_ts + INTERVAL 30 MINUTE < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM purchases p
+        WHERE p.user_id = v.user_id
+          AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the abandoned-cart shape: every
+    view pairs with same-user purchases within 30 minutes, and a view
+    that finds none is emitted null-padded, but only once the watermark
+    proves no qualifying purchase can still arrive. This is the semantics
+    that distinguishes streaming outer joins from batch ones: the null
+    result is a WATERMARK decision, not an end-of-data decision.
+
+    Spark evicts (and null-emits) a left row when the global watermark
+    (min across both sides' 1-hour-delayed watermarks) passes v_ts +
+    30min — the state-value watermark derived from the join's time-range
+    condition. Views younger than that horizon stay in state, unmatched
+    but unemitted, exactly as they would on an unbounded stream. The
+    oracle restates both halves in batch SQL: the inner pair set, plus
+    unmatched views with v_ts + 30min strictly below the final watermark
+    LEAST(max view ts, max purchase ts) − 1h (Spark's multipleWatermark
+    policy 'min'; the strict < is asserted by parity at every fixture
+    SF). State is keyed by user_id (shuffled symmetric hash), bounded by
+    watermark + interval on both sides — the 100 TB posture is identical
+    to the inner variant's."""
+    def build(src: DataFrame) -> DataFrame:
+        views = (
+            src.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id"),
+                wm_ts("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            src.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                wm_ts("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        ).select("view_id", "purchase_id", "user_id")
+
+    return run_to_table(
+        spark, sf_dir, "stream_stream_left_join", build, output_mode="append"
+    )
+
+
+@query(
     "sink_foreachbatch",
     oracle="""
     SELECT event_id, user_id, value

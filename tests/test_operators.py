@@ -3723,3 +3723,106 @@ def test_mv_refresh_idempotent_and_drops_empty_groups(spark, tmp_path):
     out = {r["g"]: (r["n_rows"], float(r["total_dec"])) for r in read_delta(spark, mv).collect()}
     assert set(out) == {"g2"}
     assert out["g2"] == (4, 4.0 + 5.0 + 6.0 + 7.0)
+
+
+def test_join_asof_forward_bruteforce(spark):
+    """Forward as-of must pick the EARLIEST click at-or-after each
+    purchase (inclusive >=), per user — verified against a per-row
+    brute-force over the collected fixture."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    clicks = {}
+    for r in ev.where("event_type = 'click'").collect():
+        clicks.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    # dedupe to max event_id per (user, instant), like the operator
+    for u, cs in clicks.items():
+        best = {}
+        for ts, eid in cs:
+            best[ts] = max(best.get(ts, -1), eid)
+        clicks[u] = sorted(best.items())
+    purchases = ev.where("event_type = 'purchase'").collect()
+    expected = {}
+    for r in purchases:
+        nxt = None
+        for ts, eid in clicks.get(r["user_id"], []):
+            if ts >= r["ts"]:
+                nxt = eid
+                break
+        expected[r["event_id"]] = nxt
+    got = {
+        r["purchase_id"]: r["click_id"]
+        for r in QUERIES["join_asof_forward"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_stream_stream_left_join_watermark_gate(spark):
+    """The outer join's matched subset must equal the inner join's pair
+    set, and null-padded rows must appear for exactly the unmatched views
+    whose v_ts + 30min lies strictly below the final watermark
+    (min-of-both-sides max event time − 1h) — no nulls for young views."""
+    import datetime
+
+    inner = {
+        (r["view_id"], r["purchase_id"])
+        for r in QUERIES["stream_stream_join"].fn(spark, SF_DIR).collect()
+    }
+    out = QUERIES["stream_stream_left_join"].fn(spark, SF_DIR).collect()
+    matched = {(r["view_id"], r["purchase_id"]) for r in out if r["purchase_id"] is not None}
+    assert matched == inner
+    nulls = {r["view_id"] for r in out if r["purchase_id"] is None}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    mx = ev.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    mx = {r["event_type"]: r["m"] for r in mx}
+    wm = min(mx["view"], mx["purchase"]) - datetime.timedelta(hours=1)
+    horizon = wm - datetime.timedelta(minutes=30)
+    matched_views = {v for v, _ in inner}
+    expect_nulls = {
+        r["event_id"]
+        for r in ev.where("event_type = 'view'").collect()
+        if r["event_id"] not in matched_views and r["ts"] < horizon
+    }
+    assert nulls == expect_nulls
+    assert nulls.isdisjoint(matched_views)
+
+
+def test_feature_target_encode_loo(spark):
+    """Every LOO encoding must equal (segment sum − own price)/(n−1)
+    recomputed from raw data, and must exclude the row's own target:
+    for any segment with distinct prices, two orders with different
+    prices get different encodings."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    c = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    }
+    seg_sum, seg_cnt, price_of = {}, {}, {}
+    for r in o:
+        seg = c[r["o_custkey"]]
+        seg_sum[seg] = seg_sum.get(seg, 0.0) + r["o_totalprice"]
+        seg_cnt[seg] = seg_cnt.get(seg, 0) + 1
+        price_of[r["o_orderkey"]] = (seg, r["o_totalprice"])
+    rows = QUERIES["feature_target_encode"].fn(spark, SF_DIR).collect()
+    assert rows, "sampled output is empty"
+    for r in rows[:500]:
+        seg, price = price_of[r["o_orderkey"]]
+        assert seg == r["segment"]
+        exp = (seg_sum[seg] - price) / (seg_cnt[seg] - 1)
+        assert abs(r["loo_enc"] - round(exp, 4)) < 1e-6, (r, exp)
+
+
+def test_quality_confusion_micro_and_bounds(spark):
+    """Confusion-matrix identities: Σn_pred == Σn_true == corpus size
+    (every doc gets exactly one gold and one predicted class), tp ≤ both
+    marginals, metrics within [0,1], and F1 is NULL exactly when
+    precision+recall is 0/NULL."""
+    rows = QUERIES["quality_confusion_matrix"].fn(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_true"] for r in rows) == n_docs
+    assert sum(r["n_pred"] for r in rows) == n_docs
+    for r in rows:
+        assert r["tp"] <= r["n_true"] and r["tp"] <= r["n_pred"]
+        for mcol in ("prec", "recall", "f1"):
+            v = r[mcol]
+            assert v is None or 0.0 <= v <= 1.0, (r["cls"], mcol, v)
+        if r["prec"] in (None, 0.0) and r["recall"] in (None, 0.0):
+            assert r["f1"] in (None, 0.0)
