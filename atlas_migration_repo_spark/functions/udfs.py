@@ -343,3 +343,52 @@ def udf_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "customer")
     return c.select("c_custkey", lookup(F.col("c_nationkey")).alias("nation_name"))
+
+
+@query(
+    "udtf_analyze_dynamic",
+    oracle="""
+    SELECT doc_id,
+           STRING_SPLIT(text, ' ')[1] AS w1,
+           STRING_SPLIT(text, ' ')[2] AS w2,
+           STRING_SPLIT(text, ' ')[3] AS w3
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF with a static analyze() (Spark 4): the OUTPUT
+    SCHEMA is computed at plan time from the call's literal argument —
+    first_words(text, 3) materializes columns w1..w3, the same function
+    called with 5 would materialize w1..w5. This is the remaining rung of
+    the UDTF surface after the basic generator (udtf_split) and the
+    TABLE-arg aggregator (udtf_table_arg): schema-producing functions
+    (dynamic pivots, configurable featurizers) where the shape itself is
+    an argument. Catalyst sees a fixed schema post-analysis, so pruning
+    and downstream planning are unaffected; execution is the usual
+    Arrow-batched lateral generator, one Python pass, no shuffle."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None:
+                raise ValueError("first_words(text, n): n must be a literal")
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"w{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            ws = text.split(" ") if text else []
+            yield tuple(ws[i] if i < len(ws) else None for i in range(n))
+
+    spark.udtf.register("first_words", FirstWords)
+    load(spark, sf_dir, "documents").where(F.col("doc_id") < 50).createOrReplaceTempView(
+        "_udtf_docs_dyn"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.* FROM _udtf_docs_dyn d, LATERAL first_words(d.text, 3) t"
+    )

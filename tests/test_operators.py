@@ -3826,3 +3826,13 @@ def test_quality_confusion_micro_and_bounds(spark):
             assert v is None or 0.0 <= v <= 1.0, (r["cls"], mcol, v)
         if r["prec"] in (None, 0.0) and r["recall"] in (None, 0.0):
             assert r["f1"] in (None, 0.0)
+
+
+def test_udtf_analyze_dynamic_polymorphism(spark):
+    """The analyze() UDTF's output schema must follow the literal arg:
+    the same function called with n=5 yields columns w1..w5."""
+    QUERIES["udtf_analyze_dynamic"].fn(spark, SF_DIR).collect()  # registers
+    out = spark.sql("SELECT * FROM first_words('a b c', 5)")
+    assert out.columns == ["w1", "w2", "w3", "w4", "w5"]
+    row = out.collect()[0]
+    assert tuple(row) == ("a", "b", "c", None, None)
