@@ -232,8 +232,23 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
                 S = An @ Bn.T
                 S[aid[:, None] == bid[None, :]] = -np.inf  # exclude self
-                # exact chain norms of candidates, computed once per block
-                bnorm = [math.sqrt(chain_cos(v, v, 1.0)) for v in B]
+                # exact chain norms of candidates, computed once per block.
+                # sqrt of the SEQUENTIAL sum-of-squares, matching DuckDB's
+                # SQRT(list_aggregate(...)) bit-for-bit. (A previous
+                # shortcut, sqrt(chain_cos(v, v, 1.0)), evaluated to
+                # ‖v‖^0.5 — chain_cos(v,v,1) is s/√s = √s, so the outer
+                # sqrt quartered the exponent. Invisible on unit-norm
+                # fixtures (error ~1e-7·cos) until the sf1 replay caught
+                # one cosine sitting 8e-10 under an r4 boundary; badly
+                # wrong on any non-unit corpus.)
+                def chain_norm(v) -> float:
+                    s = 0.0
+                    for i in range(len(v)):
+                        vi = float(v[i])
+                        s += vi * vi
+                    return math.sqrt(s)
+
+                bnorm = [chain_norm(v) for v in B]
                 jmax = S.argmax(1)
                 smax = S[np.arange(len(aid)), jmax]
                 # exact re-rank of every BLAS near-tie: the winner is
