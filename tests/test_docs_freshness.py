@@ -47,3 +47,16 @@ def test_survey_addendum_covers_registry():
     with_oracle = int(m.group(2))
     assert total == len(QUERIES)
     assert with_oracle == sum(1 for q in QUERIES.values() if q.oracle)
+
+
+def test_plans_sweep_has_no_flagged_plans():
+    """The committed plan audit must carry ZERO non-allow-listed
+    cartesian/nested-loop findings: a key whose plan legitimately uses a
+    broadcast nested loop gets an _NLJ_ALLOWED entry (with its linearity
+    argument) in the same commit that adds the key — round-7 session-3
+    caught corpus_shuffle_epochs shipping un-allow-listed."""
+    text = (REPO / "PLANS.md").read_text()
+    assert "NOT allow-listed" not in text, (
+        "PLANS.md carries flagged plans; either fix the plan or add a "
+        "justified _NLJ_ALLOWED entry in plans/report.py and regenerate"
+    )
