@@ -157,36 +157,44 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF). State is keyed by user_id (shuffled symmetric hash), bounded by
     watermark + interval on both sides — the 100 TB posture is identical
     to the inner variant's."""
-    def build(src: DataFrame) -> DataFrame:
-        views = (
-            src.where(F.col("event_type") == "view")
-            .select(
-                F.col("event_id").alias("view_id"),
-                F.col("user_id"),
-                wm_ts("ts").alias("v_ts"),
-            )
-            .withWatermark("v_ts", "1 hour")
-        )
-        purchases = (
-            src.where(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("p_user"),
-                wm_ts("ts").alias("p_ts"),
-            )
-            .withWatermark("p_ts", "1 hour")
-        )
-        return views.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("v_ts"))
-            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-            "left_outer",
-        ).select("view_id", "purchase_id", "user_id")
-
     return run_to_table(
-        spark, sf_dir, "stream_stream_left_join", build, output_mode="append"
+        spark,
+        sf_dir,
+        "stream_stream_left_join",
+        left_join_build,
+        output_mode="append",
     )
+
+
+def left_join_build(src: DataFrame) -> DataFrame:
+    """stream_stream_left_join's logical plan, module-level so the
+    multi-batch watermark test (tests/test_operators.py) can drive the
+    IDENTICAL plan over a file-split source with maxFilesPerTrigger=1."""
+    views = (
+        src.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            wm_ts("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            wm_ts("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("view_id", "purchase_id", "user_id")
 
 
 @query(

@@ -3836,3 +3836,73 @@ def test_udtf_analyze_dynamic_polymorphism(spark):
     assert out.columns == ["w1", "w2", "w3", "w4", "w5"]
     row = out.collect()[0]
     assert tuple(row) == ("a", "b", "c", None, None)
+
+
+def test_stream_stream_left_join_multibatch_equals_single(spark, tmp_path):
+    """The outer join's final result must be BATCHING-INVARIANT when no
+    data arrives late: splitting the source at the median event time into
+    two files processed one per micro-batch (maxFilesPerTrigger=1, so the
+    watermark genuinely advances mid-run and some null rows emit in batch
+    1) must yield exactly the single-batch result set — same matches,
+    same null-padded views, nothing duplicated by the restartable state."""
+    import time
+
+    from atlas_migration_repo_spark.streaming.harness import EVENTS_SCHEMA
+    from atlas_migration_repo_spark.streaming.sinks import left_join_build
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cut = ev.select(
+        F.percentile(epoch_us("ts"), F.lit(0.5)).alias("c")
+    ).collect()[0]["c"]
+    src = str(tmp_path / "src")
+    # time-ordered split: batch-2 events are all newer than batch-1's
+    # watermark, so nothing is dropped as late and the invariant is exact
+    ev.where(epoch_us("ts") <= cut).coalesce(1).write.parquet(
+        f"{src}/b1", mode="overwrite"
+    )
+    ev.where(epoch_us("ts") > cut).coalesce(1).write.parquet(
+        f"{src}/b2", mode="overwrite"
+    )
+    # mtime order drives file-source batch order
+    now = time.time()
+    import os
+
+    for sub, mt in (("b1", now - 60), ("b2", now)):
+        for root, _, fs in os.walk(f"{src}/{sub}"):
+            for f in fs:
+                os.utime(os.path.join(root, f), (mt, mt))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            left_join_build(
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("lsj_multibatch")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    multi = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.table("lsj_multibatch").collect()
+    }
+    single = {
+        (r["view_id"], r["purchase_id"])
+        for r in QUERIES["stream_stream_left_join"].fn(spark, SF_DIR).collect()
+    }
+    assert multi == single
+    # exactly-once: no view appears both matched and null-padded, and no
+    # duplicate rows survived the two-batch state handoff
+    rows = spark.table("lsj_multibatch").collect()
+    assert len(rows) == len(multi)
+    nulls = {v for v, p in multi if p is None}
+    matched = {v for v, p in multi if p is not None}
+    assert nulls.isdisjoint(matched)
