@@ -62,7 +62,8 @@ QUERIES: dict[str, QueryDef] = {}
 # text_gopher_rules, tokenizer_oov_rate, feature_winsorize,
 # ts_backtest_smape, corpus_curriculum_order, sample_negative_pairs,
 # and the session-3 additions: join_asof_forward, feature_target_encode,
-# quality_confusion_matrix, stream_stream_left_join, udtf_analyze_dynamic
+# quality_confusion_matrix, stream_stream_left_join, udtf_analyze_dynamic,
+# stream_stream_full_join
 # (multimodal_phash is rows-only; after the oracle-gated ones).
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r6) -------------

@@ -166,6 +166,98 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_stream_full_join",
+    oracle="""
+    WITH views AS (
+      SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(v_ts) FROM views),
+                   (SELECT MAX(p_ts) FROM purchases))
+             - INTERVAL 1 HOUR AS w
+    )
+    SELECT v.view_id, p.purchase_id, v.user_id AS uid
+    FROM views v JOIN purchases p
+      ON v.user_id = p.user_id
+     AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT v.view_id, CAST(NULL AS BIGINT), v.user_id
+    FROM views v, wm
+    WHERE v.v_ts + INTERVAL 30 MINUTE < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM purchases p
+        WHERE p.user_id = v.user_id
+          AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+      )
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), p.purchase_id, p.user_id
+    FROM purchases p, wm
+    WHERE p.p_ts < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM views v
+        WHERE v.user_id = p.user_id
+          AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join: both sides null-emit under their
+    OWN watermark horizons, which differ because the join's time-range
+    condition is asymmetric. A view can still be matched by purchases up
+    to v_ts + 30min, so it evicts (and null-emits) only when the global
+    watermark passes v_ts + 30min; a purchase can only be matched by
+    views AT OR BEFORE its own instant (p_ts >= v_ts), so it evicts as
+    soon as the watermark passes p_ts itself. The two horizons were
+    pinned empirically per fixture SF and follow exactly from Spark's
+    state-value-watermark derivation on each side's binding inequality.
+    The oracle restates all three row classes in batch SQL: the inner
+    pair set, watermark-expired unmatched views (v_ts + 30min < wm), and
+    watermark-expired unmatched purchases (p_ts < wm), with wm =
+    LEAST(max view ts, max purchase ts) − 1h (multipleWatermarkPolicy
+    'min'). State bounds and shuffle shape match the inner/left
+    variants."""
+    def build(src: DataFrame) -> DataFrame:
+        views = (
+            src.where(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id"),
+                wm_ts("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            src.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                wm_ts("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "full_outer",
+        ).select(
+            "view_id",
+            "purchase_id",
+            F.coalesce("user_id", "p_user").alias("uid"),
+        )
+
+    return run_to_table(
+        spark, sf_dir, "stream_stream_full_join", build, output_mode="append"
+    )
+
+
 def left_join_build(src: DataFrame) -> DataFrame:
     """stream_stream_left_join's logical plan, module-level so the
     multi-batch watermark test (tests/test_operators.py) can drive the

@@ -3906,3 +3906,45 @@ def test_stream_stream_left_join_multibatch_equals_single(spark, tmp_path):
     nulls = {v for v, p in multi if p is None}
     matched = {v for v, p in multi if p is not None}
     assert nulls.isdisjoint(matched)
+
+
+def test_stream_stream_full_join_horizons(spark):
+    """Full outer join invariants: the matched subset equals the inner
+    join's pair set; the view-null rows equal the LEFT join's (same left
+    horizon); and purchase-null rows appear for exactly the unmatched
+    purchases with p_ts strictly below the final watermark — the
+    asymmetric right horizon (p_ts < wm, not p_ts + 30min < wm, because
+    a purchase only matches views at-or-before its own instant)."""
+    import datetime
+
+    inner = {
+        (r["view_id"], r["purchase_id"])
+        for r in QUERIES["stream_stream_join"].fn(spark, SF_DIR).collect()
+    }
+    left_nulls = {
+        r["view_id"]
+        for r in QUERIES["stream_stream_left_join"].fn(spark, SF_DIR).collect()
+        if r["purchase_id"] is None
+    }
+    out = QUERIES["stream_stream_full_join"].fn(spark, SF_DIR).collect()
+    matched = {
+        (r["view_id"], r["purchase_id"])
+        for r in out
+        if r["view_id"] is not None and r["purchase_id"] is not None
+    }
+    assert matched == inner
+    assert {r["view_id"] for r in out if r["purchase_id"] is None} == left_nulls
+    p_nulls = {r["purchase_id"] for r in out if r["view_id"] is None}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    mx = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    }
+    wm = min(mx["view"], mx["purchase"]) - datetime.timedelta(hours=1)
+    matched_purchases = {p for _, p in inner}
+    expect = {
+        r["event_id"]
+        for r in ev.where("event_type = 'purchase'").collect()
+        if r["event_id"] not in matched_purchases and r["ts"] < wm
+    }
+    assert p_nulls == expect
