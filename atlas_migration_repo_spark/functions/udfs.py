@@ -382,7 +382,9 @@ def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema)
 
         def eval(self, text: str, n: int):
-            ws = text.split(" ") if text else []
+            # ''.split(' ') == [''] — matches DuckDB's STRING_SPLIT('', ' '),
+            # whose first element is '' not NULL; only SQL NULL maps to [].
+            ws = text.split(" ") if text is not None else []
             yield tuple(ws[i] if i < len(ws) else None for i in range(n))
 
     spark.udtf.register("first_words", FirstWords)

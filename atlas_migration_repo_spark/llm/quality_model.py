@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.llm.text import SQL_LANGID_PRED, text_langid
 from atlas_migration_repo_spark.registry import query
 
 LOGREG_STEPS = 12
@@ -166,21 +167,10 @@ def expected_initial_loss() -> float:
     return math.log(2.0)
 
 
-def _load_langid():
-    # local import: text.py imports nothing from this module, but keeping
-    # the edge lazy avoids any registry-load-order coupling
-    from atlas_migration_repo_spark.llm.text import SQL_LANGID_PRED, text_langid
-
-    return SQL_LANGID_PRED, text_langid
-
-
-_SQL_LANGID_PRED, _ = _load_langid()
-
-
 @query(
     "quality_confusion_matrix",
     oracle=f"""
-    WITH pred AS ({_SQL_LANGID_PRED}),
+    WITH pred AS ({SQL_LANGID_PRED}),
     t AS (SELECT lang AS cls, COUNT(*) AS n_true FROM pred GROUP BY 1),
     p AS (SELECT pred_lang AS cls, COUNT(*) AS n_pred FROM pred GROUP BY 1),
     hit AS (
@@ -227,7 +217,6 @@ def quality_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the three aggregates reduce to ≤|classes| rows each with
     map-side combine, and everything after operates on ≤6-row frames —
     at 100 TB this is a corpus scan plus driver-trivial metric algebra."""
-    _, text_langid = _load_langid()
     pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
     t = pred.groupBy(F.col("lang").alias("cls")).agg(
         F.count(F.lit(1)).alias("n_true")

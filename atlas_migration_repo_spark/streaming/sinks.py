@@ -59,6 +59,38 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(spark, sf_dir, "stream_static_join", build, output_mode="append")
 
 
+def _watermarked_sides(src: DataFrame) -> tuple[DataFrame, DataFrame, F.Column]:
+    """The views/purchases sides + range condition shared by EVERY
+    stream-stream join variant (inner/left/full): one construction —
+    selects, 1-hour watermarks, user-equality and the 30-minute
+    time-range predicate — so the variants cannot silently drift apart
+    (ADVICE r7). Each variant picks its join type and projection."""
+    views = (
+        src.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            wm_ts("ts").alias("v_ts"),  # watermark needs LTZ
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            wm_ts("ts").alias("p_ts"),  # watermark needs LTZ
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return views, purchases, cond
+
+
 @query(
     "stream_stream_join",
     oracle="""
@@ -78,30 +110,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric-hash join co-partitioned on user. The oracle is the batch
     self-join over the same rows."""
     def build(src: DataFrame) -> DataFrame:
-        views = (
-            src.where(F.col("event_type") == "view")
-            .select(
-                F.col("event_id").alias("view_id"),
-                F.col("user_id"),
-                wm_ts("ts").alias("v_ts"),  # watermark needs LTZ
-            )
-            .withWatermark("v_ts", "1 hour")
+        views, purchases, cond = _watermarked_sides(src)
+        return views.join(purchases, cond).select(
+            "view_id", "purchase_id", "user_id"
         )
-        purchases = (
-            src.where(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("p_user"),
-                wm_ts("ts").alias("p_ts"),  # watermark needs LTZ
-            )
-            .withWatermark("p_ts", "1 hour")
-        )
-        return views.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("v_ts"))
-            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-        ).select("view_id", "purchase_id", "user_id")
 
     return run_to_table(spark, sf_dir, "stream_stream_join", build, output_mode="append")
 
@@ -222,39 +234,8 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEAST(max view ts, max purchase ts) − 1h (multipleWatermarkPolicy
     'min'). State bounds and shuffle shape match the inner/left
     variants."""
-    def build(src: DataFrame) -> DataFrame:
-        views = (
-            src.where(F.col("event_type") == "view")
-            .select(
-                F.col("event_id").alias("view_id"),
-                F.col("user_id"),
-                wm_ts("ts").alias("v_ts"),
-            )
-            .withWatermark("v_ts", "1 hour")
-        )
-        purchases = (
-            src.where(F.col("event_type") == "purchase")
-            .select(
-                F.col("event_id").alias("purchase_id"),
-                F.col("user_id").alias("p_user"),
-                wm_ts("ts").alias("p_ts"),
-            )
-            .withWatermark("p_ts", "1 hour")
-        )
-        return views.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("p_ts") >= F.col("v_ts"))
-            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-            "full_outer",
-        ).select(
-            "view_id",
-            "purchase_id",
-            F.coalesce("user_id", "p_user").alias("uid"),
-        )
-
     return run_to_table(
-        spark, sf_dir, "stream_stream_full_join", build, output_mode="append"
+        spark, sf_dir, "stream_stream_full_join", full_join_build, output_mode="append"
     )
 
 
@@ -262,31 +243,21 @@ def left_join_build(src: DataFrame) -> DataFrame:
     """stream_stream_left_join's logical plan, module-level so the
     multi-batch watermark test (tests/test_operators.py) can drive the
     IDENTICAL plan over a file-split source with maxFilesPerTrigger=1."""
-    views = (
-        src.where(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id"),
-            wm_ts("ts").alias("v_ts"),
-        )
-        .withWatermark("v_ts", "1 hour")
+    views, purchases, cond = _watermarked_sides(src)
+    return views.join(purchases, cond, "left_outer").select(
+        "view_id", "purchase_id", "user_id"
     )
-    purchases = (
-        src.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            wm_ts("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
+
+
+def full_join_build(src: DataFrame) -> DataFrame:
+    """stream_stream_full_join's logical plan, module-level for the same
+    reason as left_join_build — boundary tests drive the identical plan."""
+    views, purchases, cond = _watermarked_sides(src)
+    return views.join(purchases, cond, "full_outer").select(
+        "view_id",
+        "purchase_id",
+        F.coalesce("user_id", "p_user").alias("uid"),
     )
-    return views.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "left_outer",
-    ).select("view_id", "purchase_id", "user_id")
 
 
 @query(

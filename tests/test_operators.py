@@ -3948,3 +3948,77 @@ def test_stream_stream_full_join_horizons(spark):
         if r["event_id"] not in matched_purchases and r["ts"] < wm
     }
     assert p_nulls == expect
+
+
+def test_stream_stream_outer_join_boundary_inclusivity(spark, tmp_path):
+    """Pin Spark's outer-join eviction inclusivity STRUCTURALLY (ADVICE
+    r7): the left/full oracles encode null-emission as strict < (view:
+    v_ts + 30min < wm; purchase: p_ts < wm). Hand-built events place one
+    unmatched view and one unmatched purchase EXACTLY on their horizon
+    and one each 1 s inside it; the on-boundary rows must stay in state
+    (no null row), the inside rows must null-emit. If a Spark upgrade
+    ever flips the boundary to <=, this fails before any fixture does."""
+    import datetime
+    import os
+    import time
+
+    from atlas_migration_repo_spark.streaming.harness import EVENTS_SCHEMA
+    from atlas_migration_repo_spark.streaming.sinks import (
+        full_join_build,
+        left_join_build,
+    )
+
+    t = lambda s: datetime.datetime.fromisoformat(f"2024-01-01 {s}")
+    # final watermark = min(max view ts, max purchase ts) - 1h = 12:00:00,
+    # driven by the batch-2 sentinel pair at 13:00 on each side.
+    rows = {
+        "b1": [
+            (1, t("11:30:00"), 101, "view", 1.0, "{}"),  # horizon: 12:00 == wm → hold
+            (2, t("11:29:59"), 102, "view", 1.0, "{}"),  # 11:59:59 < wm → null-emit
+            (3, t("12:00:00"), 103, "purchase", 1.0, "{}"),  # == wm → hold
+            (4, t("11:59:59"), 104, "purchase", 1.0, "{}"),  # < wm → null-emit
+        ],
+        "b2": [
+            (5, t("13:00:00"), 105, "view", 1.0, "{}"),
+            (6, t("13:00:00"), 106, "purchase", 1.0, "{}"),
+        ],
+    }
+    src = str(tmp_path / "src")
+    now = time.time()
+    for i, (sub, rs) in enumerate(rows.items()):
+        spark.createDataFrame(rs, EVENTS_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/{sub}", mode="overwrite"
+        )
+        for root, _, fs in os.walk(f"{src}/{sub}"):
+            for f in fs:
+                os.utime(os.path.join(root, f), (now - 60 + i, now - 60 + i))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for sink, build in (
+            ("boundary_full", full_join_build),
+            ("boundary_left", left_join_build),
+        ):
+            q = (
+                build(
+                    spark.readStream.schema(EVENTS_SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(src)
+                )
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    full = spark.table("boundary_full").collect()
+    assert {r["view_id"] for r in full if r["purchase_id"] is None} == {2}, full
+    assert {r["purchase_id"] for r in full if r["view_id"] is None} == {4}, full
+    assert not [r for r in full if r["view_id"] and r["purchase_id"]]
+    left = spark.table("boundary_left").collect()
+    assert {r["view_id"] for r in left if r["purchase_id"] is None} == {2}, left
+    assert len(left) == 1
