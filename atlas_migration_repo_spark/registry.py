@@ -36,35 +36,25 @@ QUERIES: dict[str, QueryDef] = {}
 # aggregates, joins, windows, set ops, goldens, pivots, sources, ETL,
 # subqueries, analytics, scalars, UDFs, streaming, text, dedup, pipeline,
 # similarity, multimodal. Pure registration order; no semantics change.
-# Round-7 rotation (protocol: VERDICT r3 "next" #4, re-affirmed r5 #3 and
-# r6 #2): ~20 fixed family representatives stay every round; the other
-# ~30 slots rotate to oracle-gated registry keys the driver has NOT
-# hash-verified in any prior round (r1∪…∪r6 covered 175 keys), so
+# Round-8 rotation (protocol: VERDICT r3 "next" #4, re-affirmed every
+# round since): ~20 fixed family representatives stay every round; the
+# other ~30 slots rotate to oracle-gated registry keys the driver has
+# NOT hash-verified in any prior round (r1∪…∪r7 covered 211 keys), so
 # successive driver CORRECTNESS artifacts cumulatively cover the
-# registry. This round fills the window with the judge's named
-# never-sampled Hudi family (MOR upsert/RO/delete, compaction, restore,
-# clean, adopts, incremental, timeline archive, sorted clustering, CDC
-# sink, streaming source, tri-format UniForm) plus
-# sample_importance_dsir, graph_bfs_hops, the sketch pair,
-# pipeline_migrate_any, and the two schema-evolution keys.
-# Round-8 rotation candidates (oracle-gated, never driver-sampled):
-# iceberg_promote_evolution, delta_stats_skipping, sink_tablelog_txn,
-# lakehouse_uniform_sync/_reverse_sync, graph_shortest_cost,
-# delta_rename_travel, delta_widen_travel, sink_uniform_stream,
-# hudi_partition_pruning, hudi_delete_cow, hudi_insert_overwrite,
-# hudi_sink_txn, hudi_event_range, hudi_timeline, sink_hudi_stream,
-# geo_nearest_hub, join_asof_nearest, the never-sampled scalar/window/
-# setop batches (str_basic … explode_pos, win_moving_avg … win_first_last,
-# set_union_distinct, set_except), plus this round's five new keys:
-# hudi_compaction_async, hudi_bloom_index, lakehouse_uniform_dv_puffin,
-# delta_checkpoint_v2, corpus_shard_export, and the session-2 additions:
-# iceberg_row_lineage, hudi_metadata_files, corpus_shuffle_epochs,
-# text_gopher_rules, tokenizer_oov_rate, feature_winsorize,
-# ts_backtest_smape, corpus_curriculum_order, sample_negative_pairs,
-# and the session-3 additions: join_asof_forward, feature_target_encode,
-# quality_confusion_matrix, stream_stream_left_join, udtf_analyze_dynamic,
-# stream_stream_full_join
-# (multimodal_phash is rows-only; after the oracle-gated ones).
+# registry. This round fills the window with VERDICT r7 "next" #2's
+# named list (join_asof_forward, feature_target_encode,
+# quality_confusion_matrix, the outer stream-stream joins,
+# udtf_analyze_dynamic, iceberg_row_lineage, hudi_metadata_files,
+# delta_checkpoint_v2, lakehouse_uniform_dv_puffin) plus the queued
+# candidate backlog (hudi bloom/async-compaction, the r7 corpus/feature
+# keys, lakehouse sync pair, graph_shortest_cost, travel keys,
+# sink_uniform_stream, geo_nearest_hub).
+# Round-9 rotation candidates (oracle-gated, never driver-sampled):
+# join_asof_nearest, the scalar/window/setop batches (str_basic …
+# explode_pos, win_moving_avg … win_first_last, set_union_distinct,
+# set_except), the TPC-H golden tail (q4/q6/q8/q11-q13/q15-q17/q19-q22),
+# the text family (text_stats … text_gopher_rules), the dedup tail,
+# ts_* analytics, and any keys added in round 8.
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r6) -------------
     "scan_parquet",
@@ -87,8 +77,41 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_tumbling",
     "text_tfidf",
     "dedup_exact",
-    # -- rotation: oracle-verified keys unseen by the driver in r1-r6 -----
-    # the full never-sampled Hudi family (VERDICT r6 "next" #2's list)
+    # -- rotation (round 8): oracle-verified keys unseen by the driver in
+    # r1-r7 (cumulative 211 keys covered), per VERDICT r7 "next" #2 —
+    # the judge's named list first, then the queued candidate backlog
+    "join_asof_forward",
+    "feature_target_encode",
+    "quality_confusion_matrix",
+    "stream_stream_left_join",
+    "stream_stream_full_join",
+    "udtf_analyze_dynamic",
+    "iceberg_row_lineage",
+    "hudi_metadata_files",
+    "delta_checkpoint_v2",
+    "lakehouse_uniform_dv_puffin",
+    "hudi_compaction_async",
+    "hudi_bloom_index",
+    "corpus_shard_export",
+    "corpus_shuffle_epochs",
+    "text_gopher_rules",
+    "tokenizer_oov_rate",
+    "feature_winsorize",
+    "ts_backtest_smape",
+    "corpus_curriculum_order",
+    "sample_negative_pairs",
+    "iceberg_promote_evolution",
+    "delta_stats_skipping",
+    "sink_tablelog_txn",
+    "lakehouse_uniform_sync",
+    "lakehouse_uniform_reverse_sync",
+    "graph_shortest_cost",
+    "delta_rename_travel",
+    "delta_widen_travel",
+    "sink_uniform_stream",
+    "geo_nearest_hub",
+    # -- past the ~50-entry driver window: the r7-hashed rotation block
+    # (kept listed for replay-tooling order stability), then family reps
     "hudi_mor_upsert",
     "hudi_mor_read_optimized",
     "hudi_mor_delete",
@@ -112,7 +135,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "hudi_event_range",
     "hudi_timeline",
     "sink_hudi_stream",
-    # never-sampled analytics / pipeline / evolution keys
     "sample_importance_dsir",
     "graph_bfs_hops",
     "sketch_quantile_bottomk",
@@ -120,7 +142,7 @@ _DRIVER_SAMPLE_PREFIX = (
     "pipeline_migrate_any",
     "delta_schema_evolution",
     "iceberg_schema_evolution",
-    # -- past the ~50-entry driver window: family reps that keep the
+    # -- family reps that keep the
     #    family-span invariant for modules already driver-covered, the
     #    r6-hashed lakehouse window (keeps ordering stable for replay
     #    tooling), plus rows-only entries (advisor: rows-only goes AFTER
@@ -160,17 +182,12 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_watermark",
     "text_wordcount",
     "dedup_clusters",
-    "delta_rename_travel",
-    "delta_widen_travel",
-    "lakehouse_uniform_sync",
-    "lakehouse_uniform_reverse_sync",
     "source_avro",
     "merge_versioned",
     "table_log_changes",
     "stream_kafka_shaped",
     "pipeline_lakehouse_sync",
     "geo_haversine_pairs",
-    "geo_nearest_hub",
     "source_python_ds",
     "ts_ewma",
     "orders_rfm",
@@ -180,7 +197,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_stateful",
     "stream_stateful_ttl",
     "sink_foreachbatch",
-    "sink_uniform_stream",
     "pack_sequences",
     "multimodal_resize_ppm",
     "tokenizer_bpe_encode",
