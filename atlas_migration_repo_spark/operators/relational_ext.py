@@ -370,6 +370,113 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ED_K = 2  # edit-distance threshold shared with fuzzy_match_names
+_ED_Q = 2  # q-gram width
+_ED_PREFIX = _ED_K * _ED_Q + 1  # prefix-filter length: k·q + 1 = 5
+
+
+_FUZZY_BANDED_ORACLE = f"""
+    WITH g AS (
+      SELECT c_custkey, c_name, c_nationkey, LENGTH(c_name) AS ln,
+             list_sort(list_transform(
+               generate_series(1, LENGTH(c_name) - {_ED_Q - 1}),
+               i -> SUBSTRING(c_name, CAST(i AS INT), {_ED_Q}))) AS gs
+      FROM customer
+    ),
+    enc AS (
+      SELECT c_custkey, c_name, c_nationkey, ln,
+             list_transform(generate_series(1, LEN(gs)),
+               i -> gs[CAST(i AS INT)] || '#' ||
+                    CAST(i - list_position(gs, gs[CAST(i AS INT)]) AS VARCHAR)
+             )[1:{_ED_PREFIX}] AS sig
+      FROM g
+    ),
+    post AS (SELECT c_custkey, c_name, c_nationkey, ln, UNNEST(sig) AS tag FROM enc),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS ca, b.c_custkey AS cb,
+             a.c_name AS na, b.c_name AS nb
+      FROM post a JOIN post b
+        ON a.tag = b.tag AND a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey AND ABS(a.ln - b.ln) <= {_ED_K}
+    )
+    SELECT ca, cb, CAST(LEVENSHTEIN(na, nb) AS INT) AS dist
+    FROM cand WHERE LEVENSHTEIN(na, nb) <= {_ED_K}
+"""
+
+
+@query("fuzzy_match_banded", oracle=_FUZZY_BANDED_ORACLE)
+def fuzzy_match_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_match_names' 100 TB execution shape (VERDICT r7 "next" #3):
+    the SAME pair set — same-nation customers ≤2 edits apart — via
+    prune-then-verify instead of a within-block quadratic scan. Candidate
+    generation is q-gram PREFIX FILTERING (the ED-Join family of
+    similarity joins): edit distance ≤ k destroys at most k·q of a
+    string's q-grams, so two qualifying strings share ≥ (|grams| − k·q)
+    grams, and by the prefix-filter theorem their k·q+1 = 5
+    smallest grams (under any one global total order — here (gram,
+    occurrence) lexicographic, duplicates occurrence-tagged so multiset
+    overlap becomes set overlap) must intersect. Each name therefore
+    posts only k·q+1 = 5 index entries; candidates come from one
+    equality join on (nation, gram-tag) with the |len(a)−len(b)| ≤ k
+    length band, then exact Levenshtein verifies — linear index size,
+    posting-list-bounded candidates, no O(block²) anywhere. Names shorter
+    than k·q+q−1 chars would need the short-string fallback (their gram
+    bound degenerates); the fixture's generator-uniform names are all
+    ≥18 chars and the test asserts pair-set equality with the exact
+    baseline, so the filter's zero-miss guarantee is checked, not
+    assumed. Skewed hot grams (shared boilerplate prefixes — here
+    'Customer#') are exactly what AQE skew-join splits; the prefix
+    signature already minimizes posting fan-out by construction."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    enc = c.withColumn(
+        "gs",
+        F.expr(
+            f"sort_array(transform(sequence(1, length(c_name) - {_ED_Q - 1}),"
+            f" i -> substring(c_name, i, {_ED_Q})))"
+        ),
+    ).withColumn(
+        "sig",
+        F.expr(
+            f"slice(transform(gs, (x, i) -> concat(x, '#',"
+            f" CAST(i + 1 - array_position(gs, x) AS STRING))), 1, {_ED_PREFIX})"
+        ),
+    )
+    post = enc.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.length("c_name").alias("ln"),
+        F.explode("sig").alias("tag"),
+    )
+    a = post.select(
+        F.col("tag"),
+        F.col("c_custkey").alias("ca"),
+        F.col("c_name").alias("na"),
+        F.col("c_nationkey").alias("ka"),
+        F.col("ln").alias("la"),
+    )
+    b = post.select(
+        F.col("tag").alias("tag_b"),
+        F.col("c_custkey").alias("cb"),
+        F.col("c_name").alias("nb"),
+        F.col("c_nationkey").alias("kb"),
+        F.col("ln").alias("lb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("tag") == F.col("tag_b"))
+            & (F.col("ka") == F.col("kb"))
+            & (F.col("ca") < F.col("cb"))
+            & (F.abs(F.col("la") - F.col("lb")) <= _ED_K),
+        )
+        .select("ca", "cb", "na", "nb")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("na"), F.col("nb"))
+    return cand.where(dist <= _ED_K).select("ca", "cb", dist.cast("int").alias("dist"))
+
+
 @query(
     "ts_interp_linear",
     oracle=f"""

@@ -4022,3 +4022,21 @@ def test_stream_stream_outer_join_boundary_inclusivity(spark, tmp_path):
     left = spark.table("boundary_left").collect()
     assert {r["view_id"] for r in left if r["purchase_id"] is None} == {2}, left
     assert len(left) == 1
+
+
+def test_fuzzy_match_banded_equals_exact(spark):
+    """The prefix-filtered fuzzy join must have ZERO misses: its pair set
+    (with distances) must equal the exact within-block quadratic's. This
+    checks the ED-Join soundness argument (k·q+1-prefix of occurrence-
+    tagged q-grams must intersect for any pair within edit distance k) on
+    real data rather than assuming it."""
+    exact = {
+        (r["ca"], r["cb"], r["dist"])
+        for r in QUERIES["fuzzy_match_names"].fn(spark, SF_DIR).collect()
+    }
+    band = {
+        (r["ca"], r["cb"], r["dist"])
+        for r in QUERIES["fuzzy_match_banded"].fn(spark, SF_DIR).collect()
+    }
+    assert band == exact, (len(band), len(exact))
+    assert exact, "fixture produced no fuzzy pairs — test is vacuous"
