@@ -1913,6 +1913,235 @@ def delete_iceberg_eq(
     )
 
 
+def delete_iceberg_dv(spark: SparkSession, path: str, column: str, lo, hi) -> int:
+    """NATIVE Iceberg v3 DELETION-VECTOR delete (VERDICT r7 "next" #4):
+    a range delete that lands as deletion-vector-v1 blobs in a Puffin
+    file plus a v3 delete manifest — no Delta table anywhere in the
+    path (the UniForm bridge at publish_iceberg_metadata_from_delta
+    remains the other producer of the same artifacts).
+
+    Spec obligations implemented, not just exercised:
+    - SUPERSEDE-BY-UNION: the spec allows at most ONE live DV per data
+      file, so a new DV for a file that already has one must contain
+      the union of both position sets; the superseded entry is marked
+      DELETED (status 2) in a rewritten copy of its manifest, keeping
+      every other entry as EXISTING with its original sequence numbers
+      materialized (inheritance would otherwise re-stamp them with the
+      new manifest's).
+    - v2 COEXISTENCE GUARD: v3 forbids writing DVs for a file that
+      still has live v2 position-delete rows unless they are folded in;
+      since a v2 delete file may reference many data files, folding
+      means rewriting it — out of scope here, so the writer REFUSES
+      loudly and tells the caller to compact first (the spec's own
+      migration guidance).
+    - The table's format-version is stamped 3 at commit, and readers
+      subtract DVs under the same data_seq <= delete_seq visibility
+      rule as v2 positional deletes (_apply_row_deletes).
+
+    Candidate files are pruned from manifest column bounds before any
+    scan, and per-file position lists are tombstone-sized (bounded by
+    rows-per-file), so the commit cost is O(matched rows), never a data
+    rewrite. Returns the new snapshot id (no-op deletes are elided)."""
+    meta, datas, deletes = iceberg_live_state(path)
+    ident_pcols = {
+        pf["name"]
+        for pf in meta["partition-specs"][0]["fields"]
+        if pf.get("transform", "identity") == "identity"
+    }
+    if column in ident_pcols:
+        raise ValueError(
+            f"{column!r} is an identity partition column (values live in "
+            "metadata, not data files); delete whole partitions via "
+            "rewrite/overwrite instead of row tombstones"
+        )
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    fld = next(f for f in schema_fields if f["name"] == column)
+    fid, typ = fld["id"], fld["type"]
+
+    def _bound(raw, key_id):
+        if not raw:
+            return None
+        for kv in raw:
+            if kv["key"] == key_id:
+                return _ice_decode_bound(typ, kv["value"])
+        return None
+
+    cands = []
+    for d in datas:
+        f = d["data_file"]
+        fmin = _bound(f.get("lower_bounds"), fid)
+        fmax = _bound(f.get("upper_bounds"), fid)
+        if fmin is None or fmax is None or (fmax >= lo and fmin <= hi):
+            cands.append(f)
+    if not cands:
+        return meta["current-snapshot-id"]
+    full = _full_schema(meta, schema_fields, spark)
+    hits = (
+        spark.read.schema(full)
+        .parquet(*[f["file_path"] for f in cands])
+        .where(F.col(column).between(F.lit(lo), F.lit(hi)))
+        .select(
+            file_path_col().alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .groupBy("file_path")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .collect()
+    )
+    if not hits:
+        return meta["current-snapshot-id"]
+    new_dvs: dict[str, set[int]] = {
+        os.path.abspath(r["file_path"]): set(r["positions"]) for r in hits
+    }
+    # v2 coexistence guard + supersede-by-union over live PUFFIN DVs
+    superseded: set[tuple[str, int]] = set()  # (puffin file, content_offset)
+    for d in deletes:
+        f = d["data_file"]
+        if f.get("content") != 1:
+            continue
+        if f.get("file_format") == "PUFFIN":
+            ref = os.path.abspath(f["referenced_data_file"])
+            if ref in new_dvs:
+                new_dvs[ref] |= set(
+                    _read_puffin_dv(
+                        f["file_path"],
+                        int(f["content_offset"]),
+                        int(f["content_size_in_bytes"]),
+                    )
+                )
+                superseded.add((f["file_path"], int(f["content_offset"])))
+        else:
+            pos_refs = {
+                os.path.abspath(r["file_path"])
+                for r in spark.read.parquet(f["file_path"])
+                .select("file_path")
+                .distinct()
+                .collect()
+            }
+            clash = sorted(pos_refs & set(new_dvs))
+            if clash:
+                raise ValueError(
+                    "live v2 position-delete file "
+                    f"{f['file_path']} still references {clash[:3]}; "
+                    "compact v2 position deletes into DVs (rewrite_iceberg) "
+                    "before writing v3 deletion vectors for these files"
+                )
+    v, cur_meta = _current_metadata(path)
+    seq = cur_meta["last-sequence-number"] + 1
+    snap_id = int(time.time() * 1000) * 1000 + seq
+    puffin, blobs_meta = _write_puffin_dvs(
+        path, sorted((ref, sorted(ps)) for ref, ps in new_dvs.items()), snap_id, seq
+    )
+    size = os.path.getsize(puffin)
+    entries = [
+        (
+            1,  # status ADDED
+            snap_id,
+            seq,
+            seq,
+            {
+                "content": 1,
+                "file_path": puffin,
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": int(bm["properties"]["cardinality"]),
+                "file_size_in_bytes": size,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": None,
+                "referenced_data_file": bm["properties"]["referenced-data-file"],
+                "content_offset": bm["offset"],
+                "content_size_in_bytes": bm["length"],
+            },
+        )
+        for bm in blobs_meta
+    ]
+    n_del = sum(e[4]["record_count"] for e in entries)
+    man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+    man_len = _write_avro_file(man_path, _manifest_entry_schema_v3(), entries)
+    new_row = (
+        man_path,
+        man_len,
+        0,
+        1,  # content: DELETES
+        seq,
+        seq,
+        snap_id,
+        len(entries),
+        0,
+        0,
+        n_del,
+        0,
+        0,
+        None,
+    )
+    cur_snap = next(
+        s
+        for s in cur_meta["snapshots"]
+        if s["snapshot-id"] == cur_meta["current-snapshot-id"]
+    )
+    _, prior = parse_container(open(cur_snap["manifest-list"], "rb").read())
+    carried = []
+    for m in prior:
+        m = list(m)
+        if m[3] != 1 or not superseded:
+            carried.append(tuple(m))
+            continue
+        _, m_entries = parse_container(open(m[0], "rb").read())
+        hit_idx = [
+            i
+            for i, e in enumerate(m_entries)
+            if e[0] != 2
+            and e[4].get("file_format") == "PUFFIN"
+            and (e[4]["file_path"], int(e[4]["content_offset"])) in superseded
+        ]
+        if not hit_idx:
+            carried.append(tuple(m))
+            continue
+        rewritten = []
+        kept = removed = kept_rows = removed_rows = 0
+        for i, e in enumerate(m_entries):
+            e = list(e)
+            e[2] = e[2] if e[2] is not None else m[4]  # materialize seqs
+            e[3] = e[3] if e[3] is not None else m[4]
+            if i in hit_idx:
+                e[0] = 2  # DELETED by this commit
+                e[1] = snap_id
+                removed += 1
+                removed_rows += e[4]["record_count"]
+            elif e[0] != 2:
+                e[0] = 0  # EXISTING
+                kept += 1
+                kept_rows += e[4]["record_count"]
+            else:
+                continue  # drop entries already dead before this commit
+            rewritten.append(tuple(e))
+        rw_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
+        rw_len = _write_avro_file(
+            rw_path, _manifest_entry_schema_v3(), rewritten
+        )
+        carried.append(
+            (rw_path, rw_len, m[2], 1, m[4], m[5], snap_id, 0, kept, removed,
+             0, kept_rows, removed_rows, m[13])
+        )
+    mlist_path = os.path.join(
+        _meta_dir(path), f"snap-{snap_id}-{uuid.uuid4().hex}.avro"
+    )
+    _write_avro_file(mlist_path, _MANIFEST_FILE_SCHEMA, [new_row] + carried)
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": int(time.time() * 1000),
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+        "schema-id": cur_meta["current-schema-id"],
+    }
+    patched = json.loads(json.dumps(cur_meta))
+    patched["format-version"] = 3  # DVs require v3
+    _append_snapshot_commit(path, (v, patched), snapshot, seq)
+    return snap_id
+
+
 def merge_iceberg(
     spark: SparkSession, path: str, source: DataFrame, on: list[str]
 ) -> int:
@@ -3709,6 +3938,61 @@ def iceberg_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(agg.select(F.lit(v).alias("version"), "n_rows", "total"))
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "iceberg_delete_dv",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    UNION ALL
+    SELECT 1 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE NOT (o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1996-06-30 23:59:59')
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows, {sql_msum('o_totalprice')} AS total
+    FROM orders
+    WHERE NOT (o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59')
+    """,
+)
+def iceberg_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE Iceberg v3 deletion-vector deletes, twice, so the spec's
+    at-most-one-live-DV-per-data-file rule is exercised: the first
+    commit tombstones 1996-H1 as Puffin deletion-vector blobs; the
+    second widens to the full year, which must UNION the surviving H1
+    positions into fresh DVs and mark the old blobs' manifest entries
+    deleted (supersede-by-union — structurally asserted in
+    tests/test_iceberg_interop.py). All three snapshots stay readable
+    (snapshot isolation); no data file is ever rewritten. This is the
+    no-Delta-involved sibling of lakehouse_uniform_dv_puffin's bridge."""
+    import datetime as _dt
+
+    root = scratch_path(sf_dir, "orders_iceberg_dvdel")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+    )
+    s0 = write_iceberg(orders, root)
+    s1 = delete_iceberg_dv(
+        spark, root, "o_orderdate",
+        _dt.datetime(1996, 1, 1), _dt.datetime(1996, 6, 30, 23, 59, 59),
+    )
+    s2 = delete_iceberg_dv(
+        spark, root, "o_orderdate",
+        _dt.datetime(1996, 1, 1), _dt.datetime(1996, 12, 31, 23, 59, 59),
+    )
+    outs = []
+    for i, sid in enumerate((s0, s1, s2)):
+        agg = read_iceberg(spark, root, snapshot_id=sid).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        outs.append(agg.select(F.lit(i).alias("version"), "n_rows", "total"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
 
 
 @query(

@@ -1851,3 +1851,137 @@ def test_row_lineage_survives_deletes_and_compaction(spark):
     assert {"_row_id", "_last_updated_sequence_number"} <= names
     # and the plain read does NOT leak them
     assert set(read_iceberg(spark, root).columns) == {"id"}
+
+
+def test_model_check_dv_commit_sequences(spark):
+    """Model-check NATIVE v3 deletion-vector commits: a seeded random
+    sequence of append / DV-range-delete / rewrite commits against a
+    plain dict model. Every recorded snapshot must read back exactly its
+    model state, and after EVERY commit the spec invariant holds: at
+    most one live deletion vector per referenced data file."""
+    import random
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        delete_iceberg_dv,
+        iceberg_live_state,
+        read_iceberg,
+        rewrite_iceberg,
+    )
+
+    rng = random.Random(7)
+    root = _fresh("ut_ice_model_dv")
+    schema = "k bigint, val double"
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, schema)
+
+    rows = [(i, float(i)) for i in range(200)]
+    sid = write_iceberg(df_of(rows), root, mode="append")
+    model = dict(rows)
+    snaps = [(sid, dict(model))]
+    next_key = 1000
+    for _step in range(8):
+        op = rng.choice(["append", "dv_delete", "dv_delete", "rewrite"])
+        if op == "append":
+            new = [
+                (next_key + i, float(rng.randint(0, 999)))
+                for i in range(rng.randint(1, 40))
+            ]
+            next_key += 100
+            sid = write_iceberg(df_of(new), root, mode="append")
+            model.update(dict(new))
+        elif op == "dv_delete":
+            lo = rng.randint(0, 1200)
+            hi = lo + rng.randint(0, 300)
+            sid = delete_iceberg_dv(spark, root, "k", lo, hi)
+            model = {k: v for k, v in model.items() if not (lo <= k <= hi)}
+        else:
+            sid = rewrite_iceberg(spark, root)
+        snaps.append((sid, dict(model)))
+        _, _, deletes = iceberg_live_state(root)
+        refs = [
+            d["data_file"]["referenced_data_file"]
+            for d in deletes
+            if d["data_file"].get("file_format") == "PUFFIN"
+        ]
+        assert len(refs) == len(set(refs)), (
+            f"step {_step}: multiple live DVs for one data file: {refs}"
+        )
+    for i, (sid, expect) in enumerate(snaps):
+        got = {
+            r["k"]: r["val"]
+            for r in read_iceberg(spark, root, snapshot_id=sid).collect()
+        }
+        assert got == expect, f"snapshot {i} (id {sid}) diverged from model"
+
+
+def test_dv_supersede_union_guard_and_visibility(spark):
+    """The native DV writer's spec obligations, asserted structurally:
+    (1) a second overlapping DV delete SUPERSEDES by union — the live DV
+    for a twice-hit data file contains the first commit's positions;
+    (2) no data file is rewritten by either DV commit; (3) the table is
+    stamped format-version 3; (4) rows appended AFTER a DV survive reads
+    (sequence-number visibility); (5) writing a DV over a file that
+    still has live v2 position-delete rows refuses loudly."""
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        _current_metadata,
+        _read_puffin_dv,
+        delete_iceberg_dv,
+        delete_iceberg_where,
+        iceberg_live_state,
+        read_iceberg,
+    )
+
+    root = _fresh("ut_ice_dv_union")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(300)], "k bigint, val double"
+    ).repartitionByRange(4, "k")
+    write_iceberg(df, root)
+    _, datas0, _ = iceberg_live_state(root)
+    files0 = sorted(d["data_file"]["file_path"] for d in datas0)
+
+    def live_dvs():
+        _, _, dels = iceberg_live_state(root)
+        out = {}
+        for d in dels:
+            f = d["data_file"]
+            if f.get("file_format") == "PUFFIN":
+                out[f["referenced_data_file"]] = set(
+                    _read_puffin_dv(
+                        f["file_path"],
+                        int(f["content_offset"]),
+                        int(f["content_size_in_bytes"]),
+                    )
+                )
+        return out
+
+    delete_iceberg_dv(spark, root, "k", 10, 40)
+    first = live_dvs()
+    assert first, "first DV commit produced no deletion vectors"
+    delete_iceberg_dv(spark, root, "k", 30, 90)
+    second = live_dvs()
+    for ref, pos in first.items():
+        assert ref in second and pos <= second[ref], (
+            "supersede-by-union lost positions from the first DV"
+        )
+    _, datas2, _ = iceberg_live_state(root)
+    assert sorted(d["data_file"]["file_path"] for d in datas2) == files0, (
+        "DV delete rewrote data files"
+    )
+    _, meta = _current_metadata(root)
+    assert meta["format-version"] == 3
+    # sequence visibility: re-append deleted keys AFTER the DVs
+    revived = spark.createDataFrame(
+        [(20, 20.5), (35, 35.5)], "k bigint, val double"
+    )
+    write_iceberg(revived, root, mode="append")
+    got = {
+        r["k"]: r["val"] for r in read_iceberg(spark, root).collect() if r["k"] in (20, 35)
+    }
+    assert got == {20: 20.5, 35: 35.5}, "post-DV appends were wrongly masked"
+    # v2 coexistence guard
+    import pytest as _pytest
+
+    delete_iceberg_where(spark, root, "k", 100, 120)
+    with _pytest.raises(ValueError, match="position-delete"):
+        delete_iceberg_dv(spark, root, "k", 110, 130)
