@@ -839,6 +839,40 @@ def _footer_key_range(fp: str) -> tuple[str | None, str | None]:
     return mn, mx
 
 
+def _footer_col_range(fp: str, field: str):
+    """JSON-encodable [min, max] of an arbitrary column across row
+    groups, read from parquet footer statistics only (no data scan) —
+    the per-file envelope the metadata table's column_stats partition
+    records. Datetimes normalize to epoch millis, binary to utf-8;
+    (None, None) when any row group lacks stats (skipping must narrow,
+    never filter)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    try:
+        idx = md.schema.to_arrow_schema().get_field_index(field)
+    except Exception:
+        return None, None
+    if idx < 0:
+        return None, None
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        lo, hi = st.min, st.max
+        if isinstance(lo, dt.datetime):
+            lo = int(lo.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+            hi = int(hi.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        elif isinstance(lo, bytes):
+            lo, hi = lo.decode(), hi.decode()
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    return mn, mx
+
+
 # --- record-key bloom filters (the spec's BLOOM index family) --------------
 _BLOOM_BITS_PER_KEY = 10
 _BLOOM_K = 7
@@ -3170,6 +3204,13 @@ def restore_hudi(path: str, to_instant: str) -> str:
                 if cname.startswith(f"{instant}."):
                     os.unlink(os.path.join(claims, cname))
         rolled.append(instant)
+    # checkpoints covering rolled-back instants hold slices whose data
+    # files were just deleted — a replay seeded from one would read dead
+    # paths (found by the archival/restore model check); drop them
+    for name in os.listdir(hoodie):
+        m = re.match(r"^\.checkpoint\.(\d{17})\.json$", name)
+        if m and m.group(1) > to_instant:
+            os.unlink(os.path.join(hoodie, name))
     rs = _claim_instant(path, "restore")
     meta = {
         "restoreInstant": to_instant,
@@ -4065,12 +4106,18 @@ def archive_timeline_hudi(path: str, keep_recent: int = 10) -> dict:
         writes[-keep_recent][0] if len(writes) > keep_recent else
         (writes[0][0] if writes else "")
     )
+    # a restore to savepoint S must be able to roll back every write
+    # AFTER S from the ACTIVE timeline, so nothing newer than the OLDEST
+    # savepoint may archive (Hudi's own rule: archival stops at the first
+    # savepoint) — found by the archival/restore model check
+    sp_cap = min(protected) if protected else None
     to_archive = [
         (i, a)
         for i, a in done
         if i <= cp_covers
         and i < keep_from
         and i not in protected
+        and (sp_cap is None or i < sp_cap)
         and a != "savepoint"  # savepoint entries carry live protection
     ]
     if not to_archive:
@@ -4233,12 +4280,17 @@ def _md_bootstrap(path: str, store: LogStore) -> str | None:
     latest, schema_json, slices = _replay_hudi(path)
     if latest is None:
         return None
+    files = _md_listing_walk(path)
     base = {
         "coversInstant": latest,
         "schema": schema_json,
         "slices": slices,
-        "files": _md_listing_walk(path),
+        "files": files,
     }
+    cs_cols = _cs_columns(path)
+    if cs_cols:
+        rels = [rel for m in files.values() for rel in m]
+        base["columnStats"] = _cs_for_files(path, rels, cs_cols)
     os.makedirs(_md_files_dir(path), exist_ok=True)
     os.makedirs(_md_hoodie(path), exist_ok=True)
     target = os.path.join(_md_files_dir(path), f"base_{latest}.json")
@@ -4302,6 +4354,14 @@ def sync_metadata_hudi(path: str) -> int:
             sj = (meta.get("extraMetadata") or {}).get("schema")
             if sj:
                 rec["schema"] = sj
+            cs_cols = _cs_columns(path)
+            if cs_cols:
+                rels = [
+                    st["path"]
+                    for stats in rec["adds"].values()
+                    for st in stats
+                ]
+                rec["columnStats"] = _cs_for_files(path, rels, cs_cols)
         elif action in ("clean", "rollback"):
             rec["removes"] = meta.get("deletedFiles") or []
         # savepoint is filesystem-neutral: an empty record keeps the
@@ -4361,6 +4421,130 @@ def metadata_partitions_hudi(path: str) -> list[str]:
     return sorted(metadata_files_hudi(path))
 
 
+# --- column_stats metadata partition (spec: metadata table, column_stats
+# index — per-file min/max envelopes keyed by (column, file), collected
+# from parquet footers at index-update time so range reads plan from the
+# metadata table instead of per-commit writeStats) -------------------------
+def _cs_columns(path: str) -> list[str]:
+    props = _read_props(path)
+    if props.get("hoodie.metadata.index.column.stats.enable") != "true":
+        return []
+    return [
+        c
+        for c in (
+            props.get("hoodie.metadata.index.column.stats.columns") or ""
+        ).split(",")
+        if c
+    ]
+
+
+def _cs_for_files(path: str, rels: list[str], cols: list[str]) -> dict:
+    """{file relpath: {column: [min, max]}} from parquet footers — the
+    index-update cost is O(new base files) footer reads, never a data
+    scan; log files carry no footer stats and are skipped (a slice with
+    logs is never pruned)."""
+    out: dict[str, dict] = {}
+    for rel in rels:
+        if not rel.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, rel)
+        if not os.path.isfile(fp):
+            continue
+        stats = {}
+        for c in cols:
+            mn, mx = _footer_col_range(fp, c)
+            if mn is not None:
+                stats[c] = [mn, mx]
+        if stats:
+            out[rel] = stats
+    return out
+
+
+def enable_column_stats_hudi(path: str, columns: list[str]) -> int:
+    """Turn the metadata table's column_stats partition on for `columns`
+    (hoodie.metadata.index.column.stats.*). If the metadata table already
+    exists it is rebuilt so the index backfills every live file — the
+    spec's index-bootstrap behavior; the metadata table is always exactly
+    reconstructible from the data timeline, so a rebuild loses nothing.
+    Returns the number of instants synced."""
+    if not columns:
+        raise ValueError("column_stats needs at least one column")
+    props = _read_props(path)
+    props["hoodie.metadata.enable"] = "true"
+    props["hoodie.metadata.index.column.stats.enable"] = "true"
+    props["hoodie.metadata.index.column.stats.columns"] = ",".join(columns)
+    _write_props(path, props)
+    shutil.rmtree(_md_root(path), ignore_errors=True)
+    return sync_metadata_hudi(path)
+
+
+def metadata_column_stats_hudi(path: str) -> dict[str, dict]:
+    """The column_stats-partition VIEW: {file relpath: {column: [min,
+    max]}} for every live base file — folded from the newest metadata
+    base plus per-instant deltas, with cleaned/rolled-back files dropped.
+    Raises if the index is not enabled (a missing index must fail loudly,
+    not degrade into a silent full scan)."""
+    if not _cs_columns(path):
+        raise ValueError(
+            "column_stats index not enabled; run enable_column_stats_hudi"
+        )
+    base_covers, base = _md_newest_base(path)
+    if base is None:
+        raise FileNotFoundError(
+            f"{path} has no metadata table; run enable_metadata_hudi"
+        )
+    stats = {rel: dict(m) for rel, m in (base.get("columnStats") or {}).items()}
+    for rec in _md_deltas(path, base_covers):
+        stats.update(rec.get("columnStats") or {})
+        for rel in rec.get("removes") or []:
+            stats.pop(rel, None)
+    return stats
+
+
+def read_hudi_column_range(
+    spark: SparkSession, path: str, column: str, lo, hi
+) -> DataFrame:
+    """Column-range skip read planned ENTIRELY from the metadata table:
+    file listing from the files partition, min/max envelopes from the
+    column_stats partition — zero data-timeline commit reads, zero
+    storage listing, zero footer opens at query time (VERDICT r7 "next"
+    #6: at 10M-file scale this is the listing-free planning surface; the
+    per-commit writeStat path read_hudi_event_range uses costs O(commits)
+    timeline reads instead). A slice is kept when its base file's
+    envelope intersects [lo, hi], when the envelope is missing (skipping
+    narrows, never filters), or when the slice carries log files (log
+    rows have no footer stats); the exact predicate decides on the
+    survivors."""
+    sync_metadata_hudi(path)
+    stats = metadata_column_stats_hudi(path)
+    latest, schema_json, slices = _slices_from_metadata(path)
+    if schema_json is None:
+        raise FileNotFoundError(f"{path} holds no completed Hudi commits")
+    data, full = _full_schema(schema_json)
+
+    def _keep(s: dict) -> bool:
+        if s.get("logs"):
+            return True
+        env = (stats.get(s["stat"]["path"]) or {}).get(column)
+        if env is None:
+            return True
+        return env[1] >= lo and env[0] <= hi
+
+    keep = [s for s in slices if _keep(s)]
+    if not keep:
+        return spark.createDataFrame([], data).where(F.lit(False))
+    props = _read_props(path)
+    pby = [
+        c
+        for c in (props.get("hoodie.table.partition.fields") or "").split(",")
+        if c
+    ]
+    df = _scan_slices(spark, path, keep, full, partition_by=pby)
+    return df.where(F.col(column).between(F.lit(lo), F.lit(hi))).select(
+        *[f.name for f in data.fields]
+    )
+
+
 def _slices_from_metadata(path: str):
     """Assemble visible file slices FROM THE METADATA TABLE — same
     (latest, schema_json, slices) contract as _replay_hudi, built from
@@ -4418,6 +4602,8 @@ def compact_metadata_hudi(path: str) -> str:
         "slices": slices,
         "files": files,
     }
+    if _cs_columns(path):
+        base["columnStats"] = metadata_column_stats_hudi(path)
     target = os.path.join(_md_files_dir(path), f"base_{latest}.json")
     _md_publish_json(base, target, store)
     _md_publish_json(
@@ -4486,6 +4672,73 @@ def hudi_metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum(F.col("o_totalprice")).alias("total"),
         )
         .withColumn("files_view_exact", F.lit(bool(exact)))
+    )
+
+
+@query(
+    "hudi_column_stats",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_msum('o_totalprice')} AS total,
+           TRUE AS pruned_blind
+    FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+    """,
+)
+def hudi_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-table column_stats partition (VERDICT r7 "next" #6): a
+    range-clustered COW table enables the column_stats index on
+    o_orderkey, takes two upserts AFTER enabling (so per-instant sync
+    records index updates, ×2 then back — values cancel bit-exactly) and
+    a clean, then compacts the metadata table. The range read plans
+    ENTIRELY from the metadata table — files partition for the listing,
+    column_stats for the min/max envelopes; zero per-commit writeStat
+    reads, zero footer opens at query time. The proof is
+    iceberg_partition_pruning-style DELETED-BLIND: every live base file
+    whose envelope misses [100, 2000] is physically REMOVED from disk
+    before the read, so any pruning regression fails loudly instead of
+    silently scanning; `pruned_blind` additionally asserts files were
+    actually deleted. At 10M-file scale this is the listing-free planning
+    surface [spec: hudi.apache.org/tech-specs metadata table,
+    column_stats partition]."""
+    root = scratch_path(sf_dir, "orders_hudi_colstats")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .repartitionByRange(8, "o_orderkey")
+    )
+    write_hudi(orders, root, record_key="o_orderkey")
+    enable_column_stats_hudi(root, ["o_orderkey"])
+    evens = orders.where(F.col("o_orderkey") % 2 == 0)
+    upsert_hudi(
+        evens.select(
+            "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderstatus",
+        ),
+        root,
+    )
+    upsert_hudi(evens, root)
+    clean_hudi(root, retain_versions=1)
+    sync_metadata_hudi(root)
+    compact_metadata_hudi(root)
+    lo, hi = 100, 2000
+    stats = metadata_column_stats_hudi(root)
+    _, _, slices = _slices_from_metadata(root)
+    n_deleted = 0
+    for s in slices:
+        if s.get("logs"):
+            continue
+        env = (stats.get(s["stat"]["path"]) or {}).get("o_orderkey")
+        if env is not None and (env[1] < lo or env[0] > hi):
+            os.remove(os.path.join(root, s["stat"]["path"]))
+            n_deleted += 1
+    return (
+        read_hudi_column_range(spark, root, "o_orderkey", lo, hi)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("o_totalprice")).alias("total"),
+        )
+        .withColumn("pruned_blind", F.lit(n_deleted > 0))
     )
 
 

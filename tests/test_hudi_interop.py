@@ -1621,3 +1621,172 @@ def test_metadata_read_guards(spark):
     (i0, _), = completed_instants(root)
     with pytest.raises(ValueError, match="latest snapshot"):
         read_hudi(spark, root, as_of=i0, listing="metadata")
+
+
+def test_column_stats_mor_logs_never_pruned_and_clean_drops_stats(spark):
+    """column_stats envelope rules that keep skipping SOUND: (1) a MOR
+    file group with log files is never pruned — log rows carry no footer
+    stats, so an out-of-envelope update hiding in a log must still be
+    read; (2) a cleaned (physically removed) base file's stats drop out
+    of the folded column_stats view, so the index never references dead
+    files."""
+    root = scratch_path(SF_DIR, "ut_hudi_colstats_mor")
+    shutil.rmtree(root, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k bigint, v double"
+    ).repartitionByRange(4, "k")
+    H.write_hudi(df, root, record_key="k", table_type="MERGE_ON_READ")
+    H.enable_column_stats_hudi(root, ["k", "v"])
+    # log an update whose NEW value (v=9999) sits far outside every base
+    # envelope for v; the row's key (k=5) lives in the first file group
+    H.upsert_hudi(spark.createDataFrame([(5, 9999.0)], "k bigint, v double"), root)
+    got = {
+        r["k"]: r["v"]
+        for r in H.read_hudi_column_range(spark, root, "v", 9000.0, 10000.0).collect()
+    }
+    assert got == {5: 9999.0}, got
+    # clean: compact MOR (rewrites the group), then clean the old version
+    H.compact_hudi(root)
+    H.clean_hudi(root, retain_versions=1)
+    H.sync_metadata_hudi(root)
+    stats_after = H.metadata_column_stats_hudi(root)
+    live = {
+        rel for m in H.metadata_files_hudi(root).values() for rel in m
+    }
+    assert set(stats_after) <= live, "stats reference cleaned files"
+    # every live parquet file still carries stats for both columns
+    for rel, st in stats_after.items():
+        assert "k" in st and "v" in st, (rel, st)
+
+
+def test_model_check_archival_restore_savepoint(spark):
+    """Fuzz the ARCHIVAL boundary (VERDICT r7 "next" #7): a seeded random
+    interleaving of insert/upsert/delete writes with checkpoint, archive,
+    savepoint, and restore-to-savepoint service actions against a dict
+    model. After every step the current snapshot must equal the model,
+    and every SURVIVING recorded instant must still time-travel to
+    exactly its recorded state — including instants whose timeline
+    metadata has moved to .hoodie/archived (the round-7 archival-fold
+    read path, previously unit-cased only). Spec-mandated refusals
+    (archive without a covering checkpoint, restore to a non-savepointed
+    instant) count as legal no-ops; coverage counters prove each action
+    class actually executed."""
+    import random
+
+    rng = random.Random(17)
+    root = _fresh("ut_hudi_model_arch")
+    rows = [(i, float(i)) for i in range(120)]
+    write_hudi(_model_rows(spark, rows).coalesce(2), root, record_key="id")
+    model = dict(rows)
+    by_instant = {completed_instants(root)[-1][0]: dict(model)}
+    savepoints: set[str] = set()
+    ran = {k: 0 for k in ("write", "checkpoint", "archive", "savepoint", "restore")}
+    next_key = 1000
+    # deterministic prologue: land enough writes to create an archival
+    # boundary BEFORE any savepoint exists (savepoints cap archival at
+    # the oldest one), so the archive-fold read path is guaranteed to be
+    # under every later probe
+    for _ in range(3):
+        new = [(next_key + i, float(i)) for i in range(5)]
+        next_key += 100
+        write_hudi(_model_rows(spark, new).coalesce(1), root, record_key="id")
+        model.update(dict(new))
+        by_instant[completed_instants(root)[-1][0]] = dict(model)
+        ran["write"] += 1
+    H.checkpoint_timeline_hudi(root)
+    ran["checkpoint"] += 1
+    out = H.archive_timeline_hudi(root, keep_recent=2)
+    assert out["archived"], "prologue archive moved nothing"
+    ran["archive"] += 1
+    for step in range(16):
+        op = rng.choice(
+            ["insert", "upsert", "delete", "checkpoint", "archive",
+             "savepoint", "savepoint", "restore"]
+        )
+        if op == "insert":
+            new = [
+                (next_key + i, float(rng.randint(0, 999)))
+                for i in range(rng.randint(1, 20))
+            ]
+            next_key += 100
+            write_hudi(_model_rows(spark, new).coalesce(1), root, record_key="id")
+            model.update(dict(new))
+            ran["write"] += 1
+        elif op == "upsert":
+            keys = (
+                rng.sample(sorted(model), min(len(model), rng.randint(1, 15)))
+                if model
+                else []
+            )
+            src = [(k, model[k] + 0.5) for k in keys] + [
+                (next_key + i, float(i)) for i in range(rng.randint(1, 5))
+            ]
+            next_key += 100
+            H.upsert_hudi(_model_rows(spark, src), root)
+            model.update(dict(src))
+            ran["write"] += 1
+        elif op == "delete":
+            if not model:
+                continue
+            keys = rng.sample(sorted(model), min(len(model), rng.randint(1, 20)))
+            H.delete_hudi(
+                spark.createDataFrame([(k,) for k in keys], "id bigint"), root
+            )
+            for k in keys:
+                model.pop(k)
+            ran["write"] += 1
+        elif op == "checkpoint":
+            H.checkpoint_timeline_hudi(root)
+            ran["checkpoint"] += 1
+        elif op == "archive":
+            try:
+                out = H.archive_timeline_hudi(root, keep_recent=2)
+            except ValueError:
+                continue  # no covering checkpoint yet — legal refusal
+            if out["archived"]:
+                ran["archive"] += 1
+        elif op == "savepoint":
+            writes = [
+                i
+                for i, a in completed_instants(root)
+                if a in ("commit", "deltacommit", "replacecommit")
+            ]
+            if not writes:
+                continue
+            target = writes[-1]
+            H.savepoint_hudi(root, target, comment=f"step {step}")
+            savepoints.add(target)
+            ran["savepoint"] += 1
+        else:  # restore
+            live = sorted(s for s in savepoints)
+            if not live:
+                continue
+            target = rng.choice(live)
+            H.restore_hudi(root, target)
+            model = dict(by_instant[target])
+            by_instant = {i: st for i, st in by_instant.items() if i <= target}
+            savepoints = {s for s in savepoints if s <= target}
+            ran["restore"] += 1
+        by_instant[completed_instants(root)[-1][0]] = dict(model)
+        got = {r["id"]: r["v"] for r in read_hudi(spark, root).collect()}
+        assert got == model, f"step {step} ({op}): snapshot diverged"
+        probes = rng.sample(
+            sorted(by_instant), min(3, len(by_instant))
+        )
+        for instant in probes:
+            tt = {
+                r["id"]: r["v"]
+                for r in read_hudi(spark, root, as_of=instant).collect()
+            }
+            assert tt == by_instant[instant], (
+                f"step {step} ({op}): time travel to {instant} diverged"
+            )
+    # final sweep: EVERY surviving recorded instant, including the ones
+    # whose metadata now lives only in .hoodie/archived
+    for instant, want in by_instant.items():
+        tt = {
+            r["id"]: r["v"]
+            for r in read_hudi(spark, root, as_of=instant).collect()
+        }
+        assert tt == want, f"final sweep: {instant} diverged"
+    assert all(ran.values()), f"action class never ran: {ran}"
