@@ -60,3 +60,51 @@ def test_plans_sweep_has_no_flagged_plans():
         "PLANS.md carries flagged plans; either fix the plan or add a "
         "justified _NLJ_ALLOWED entry in plans/report.py and regenerate"
     )
+
+
+def test_witness_lines_cite_hash_verified_substrate():
+    """The witness rule (VERDICT r7 "next" #8, endorsed from the round-8
+    plan): a cc_witness-style verification is only as strong as its
+    substrate, so every `witness_pass` line in every committed
+    PARITY_*.jsonl must name a substrate key that the SAME log
+    hash-verifies (`status: pass`) at the same scale. A witness whose
+    substrate has no hash evidence in its own log fails CI."""
+    import json
+
+    logs = sorted(REPO.glob("PARITY_*.jsonl"))
+    assert logs, "no parity logs committed"
+    load_all_modules()
+    checked = 0
+    for log in logs:
+        passed_keys = set()
+        witnesses = []
+        for raw in log.read_text().splitlines():
+            try:
+                rec = json.loads(raw)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("status") == "pass":
+                passed_keys.add(rec["key"])
+            elif rec.get("status") == "witness_pass":
+                witnesses.append(rec)
+        for w in witnesses:
+            substrate = w.get("substrate")
+            if substrate is None:
+                # pre-r8 lines carry the substrate only in prose: accept
+                # exactly one registry key named in the witness text
+                named = [
+                    k for k in QUERIES if k in (w.get("witness") or "")
+                ]
+                assert len(named) == 1, (
+                    f"{log.name}: witness for {w['key']} names "
+                    f"{len(named)} registry keys in its text — add an "
+                    "explicit 'substrate' field"
+                )
+                substrate = named[0]
+            assert substrate in passed_keys, (
+                f"{log.name}: witness for {w['key']} rests on "
+                f"{substrate!r}, which has NO hash-pass line in the same "
+                "log — the witness is unsupported"
+            )
+            checked += 1
+    assert checked >= 1, "no witness lines found to audit"

@@ -95,6 +95,10 @@ def main() -> None:
         "key": "embed_dedup_clusters",
         "status": "witness_pass" if not mismatches else "witness_fail",
         "witness": "driver union-find over the sf-verified dedup_embed pair set",
+        # the witness rule (VERDICT r7 "next" #8): a witness is only as
+        # good as its substrate; name it so the docs-freshness audit can
+        # demand the substrate's own hash pass in the SAME parity log
+        "substrate": "dedup_embed",
         "n_vectors": n_vec,
         "n_edges": len(pairs),
         "n_clusters": sum(1 for _, (l, _c) in expected.items() if _c),
