@@ -756,6 +756,8 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     global NTILE at every scale — hash-gated. No single task ever sorts
     more than corpus/_CURR_RANK_PARTS rows; ties are impossible because
     doc_id is unique."""
+    from atlas_migration_repo_spark.operators.distributed import global_ntile
+
     d = load(spark, sf_dir, "documents")
     w = words()
     t = d.select(
@@ -763,36 +765,12 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(w).alias("n_tok"),
         (F.size(F.array_distinct(w)) * F.lit(1.0) / F.size(w)).alias("richness"),
     )
-    tr = (
-        t.repartitionByRange(_CURR_RANK_PARTS, "richness", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = {
-        r["pid"]: r["n"]
-        for r in tr.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    n = sum(counts.values())
-    offsets, acc = {}, 0
-    for pid in sorted(counts):  # range partitions are ordered by key range
-        offsets[pid] = acc
-        acc += counts[pid]
-    base, rem = divmod(n, CURRICULUM_STAGES)
-    head = rem * (base + 1)  # rows living in the ⌈n/k⌉-sized buckets
-    off = F.element_at(
-        F.create_map(
-            *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
-        ),
-        F.col("pid"),
-    )
-    local = F.row_number().over(Window.partitionBy("pid").orderBy("richness", "doc_id"))
-    s = tr.withColumn("rk", (off + local).cast("bigint")).withColumn(
-        "stage",
-        F.when(
-            F.col("rk") <= head, F.lit(1) + F.expr(f"(rk - 1) DIV {base + 1}")
-        ).otherwise(
-            F.lit(rem + 1) + F.expr(f"(rk - {head} - 1) DIV {max(base, 1)}")
-        ),
+    s = global_ntile(
+        t,
+        [F.col("richness").asc(), F.col("doc_id").asc()],
+        CURRICULUM_STAGES,
+        parts=_CURR_RANK_PARTS,
+        out="stage",
     )
     return s.select(
         "doc_id",

@@ -301,11 +301,11 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the corpus max date so the result is reproducible), frequency, and
     decimal-exact monetary total, each cut into quartiles (customer-key
     tie-break makes NTILE deterministic). The aggregate runs keyed by
-    customer; the three NTILE windows then rank the *aggregated* relation.
-    At 100 TB those global sorts are the valve: swap NTILE for
-    percentile_approx cutoffs (3 numbers, broadcast) and the segmentation
-    becomes a pure map — documented here because fixture scale doesn't
-    need it."""
+    customer; the three exact NTILE cuts then run on the *aggregated*
+    relation through distributed.global_ntile (range partition +
+    offset-rank + closed-form bucket inverse) — bit-identical to the
+    single-window NTILE with no task ever sorting all |customers| rows,
+    one ranged pass per RFM axis."""
     o = load(spark, sf_dir, "orders")
     anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
     base = (
@@ -322,23 +322,25 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    return base.select(
+    from atlas_migration_repo_spark.operators.distributed import global_ntile
+
+    cut = global_ntile(
+        base, [F.col("recency_days").asc(), F.col("c_custkey").asc()], 4, out="r_q"
+    )
+    cut = global_ntile(
+        cut, [F.col("frequency").desc(), F.col("c_custkey").asc()], 4, out="f_q"
+    )
+    cut = global_ntile(
+        cut, [F.col("monetary").desc(), F.col("c_custkey").asc()], 4, out="m_q"
+    )
+    return cut.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "c_custkey"))
-        .cast("int")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "c_custkey"))
-        .cast("int")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary").desc(), "c_custkey"))
-        .cast("int")
-        .alias("m_quartile"),
+        F.col("r_q").cast("int").alias("r_quartile"),
+        F.col("f_q").cast("int").alias("f_quartile"),
+        F.col("m_q").cast("int").alias("m_quartile"),
     )
 
 
@@ -371,10 +373,16 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative share cut at 70% / 95%. All accumulation stays decimal
     (exact, order-independent) until the final share division, so the
     class boundaries are bit-identical in both engines. Revenue aggregates
-    by part first (map-side combine), leaving the global cumulative window
-    on |parts| rows — and at warehouse scale the same two-tier trick as
-    skyline applies: range-partition the revenue axis and prefix-sum the
-    per-range totals."""
+    by part first (map-side combine); the cumulative sum over |parts|
+    rows is the DISTRIBUTED two-tier prefix sum
+    (distributed.global_running_sum — exact for decimal, so regrouping
+    the additions cannot move a boundary), and the grand total is a
+    1-row broadcast scalar — no task ever sorts or sums all parts
+    alone."""
+    from atlas_migration_repo_spark.operators.distributed import (
+        global_running_sum,
+    )
+
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -383,16 +391,14 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev_dec")
     )
-    w_cum = Window.orderBy(F.col("rev_dec").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = global_running_sum(
+        rev,
+        [F.col("rev_dec").desc(), F.col("l_partkey").asc()],
+        F.col("rev_dec"),
+        out="cum_dec",
     )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "rev_dec",
-        F.sum("rev_dec").over(w_cum).alias("cum_dec"),
-        F.sum("rev_dec").over(w_all).alias("total_dec"),
-    )
+    total = rev.agg(F.sum("rev_dec").alias("total_dec"))
+    ranked = cum.crossJoin(F.broadcast(total))
     share = F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")
     return ranked.select(
         "l_partkey",
@@ -1470,27 +1476,27 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     over spend sorted ascending (custkey tiebreak). Both Σi·x and Σx
     accumulate in exact decimal (i is an exact integer rank), so the
     final expression divides bit-identical operands. Spend aggregates
-    per customer first; the rank window runs on |customers| rows —
-    same two-tier valve as abc_classification if that ever dominates."""
+    per customer first; the rank over |customers| rows is the
+    DISTRIBUTED global row_number (distributed.global_rank) — no task
+    ever sorts the whole customer relation, and n falls out of the
+    offset pass for free."""
+    from atlas_migration_repo_spark.operators.distributed import global_rank
+
     o = load(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("x")
     )
-    wr = Window.orderBy("x", "o_custkey")
-    wall = Window.partitionBy()
-    ranked = spend.select(
-        "x",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
+    ranked, n = global_rank(
+        spend, [F.col("x").asc(), F.col("o_custkey").asc()], out="i"
     )
     return ranked.agg(
         r4(
             2.0
             * F.sum(F.col("i") * F.col("x")).cast("double")
-            / (F.first("n") * F.sum("x").cast("double"))
-            - (F.first("n") + 1.0) / F.first("n")
+            / (F.lit(n) * F.sum("x").cast("double"))
+            - (F.lit(n) + 1.0) / F.lit(n)
         ).alias("gini"),
-        F.first("n").cast("bigint").alias("n_customers"),
+        F.lit(n).cast("bigint").alias("n_customers"),
     )
 
 
@@ -1554,11 +1560,15 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity interval; +1/−1 endpoint deltas, sorted, running-summed —
     the max is the answer (capacity planning's favorite query). Ends sort
     before starts at the same instant (delta −1 < +1), so touching
-    intervals don't double-count. The endpoint union is 2n narrow rows;
-    the global sweep window is the one scale concentration — the
-    documented fix is range-partitioning time and chaining per-range
-    offsets (same prefix-aggregate two-tier as skyline/ABC). Counts are
-    integers: exact in any engine."""
+    intervals don't double-count. The endpoint union is 2n narrow rows —
+    DATA-scale, so the sweep is the DISTRIBUTED two-tier prefix sum
+    (distributed.global_running_sum: range-partition time, chain
+    per-range offsets; deltas are integers, so the regrouped addition is
+    exact) — no task ever sorts the whole timeline."""
+    from atlas_migration_repo_spark.operators.distributed import (
+        global_running_sum,
+    )
+
     ev = load(spark, sf_dir, "events")
     starts = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
     ends = ev.select(
@@ -1566,10 +1576,12 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("delta"),
     )
     endpoints = starts.unionByName(ends)
-    w = Window.orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    swept = endpoints.select("t", F.sum("delta").over(w).alias("concurrent"))
+    swept = global_running_sum(
+        endpoints,
+        [F.col("t").asc(), F.col("delta").asc()],
+        F.col("delta").cast("bigint"),
+        out="concurrent",
+    ).select("t", "concurrent")
     peak = swept.agg(F.max("concurrent").alias("pk"))
     return (
         swept.crossJoin(F.broadcast(peak))
@@ -2546,10 +2558,17 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     values come from the same distribution? The nonparametric partner
     of dq_ks_drift (which compares CDFs) and stat_chi2_independence
     (categorical). Average ranks for ties derive from per-distinct-value
-    counts + one cumulative window over the DISTINCT values (never a
-    row-scale global sort): avg_rank = cum - cnt + (cnt+1)/2; U, the
-    tie term Σ(t³-t), and the z-score are exact integer/half-integer
-    arithmetic until the final normalization (shared 4dp policy)."""
+    counts + one cumulative count over the DISTINCT values — which are
+    data-scale for a continuous column, so the cumulative runs through
+    the DISTRIBUTED two-tier prefix sum (distributed.global_running_sum;
+    integer counts → exact under regrouping): avg_rank = cum - cnt +
+    (cnt+1)/2; U, the tie term Σ(t³-t), and the z-score are exact
+    integer/half-integer arithmetic until the final normalization
+    (shared 4dp policy)."""
+    from atlas_migration_repo_spark.operators.distributed import (
+        global_running_sum,
+    )
+
     s = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type").isin("view", "purchase"))
@@ -2561,8 +2580,7 @@ def stat_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt_v"
         ),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    r = g.withColumn("cum", F.sum("cnt").over(w))
+    r = global_running_sum(g, [F.col("value").asc()], F.col("cnt"), out="cum")
     k = r.agg(
         F.sum(
             F.col("cnt_v")

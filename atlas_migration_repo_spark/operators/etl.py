@@ -1438,10 +1438,15 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the empirical CDFs are integer-count ratios (IEEE division
     of exact integers — bit-identical in both engines), so the argmax
     location needs no tolerance; the supremum value rounds at 4dp. Shape:
-    one groupBy on distinct values, one ordered cumulative window over
-    the distinct-value relation, then a global max — the window is the
-    inherent sequential structure of a CDF (at 100 TB, run per partition
-    key — e.g. per segment — to bound the sort)."""
+    one groupBy on distinct values, then the two cumulative counts run
+    through the DISTRIBUTED two-tier prefix sum
+    (distributed.global_running_sum — integer counts, exact under
+    regrouping), then a global max: distinct values of a continuous
+    column are data-scale, so no task may own the whole CDF."""
+    from atlas_migration_repo_spark.operators.distributed import (
+        global_running_sum,
+    )
+
     o = load(spark, sf_dir, "orders")
     tagged = o.select(
         F.col("o_totalprice").alias("v"),
@@ -1453,10 +1458,13 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ga").alias("na"), F.sum(1 - F.col("ga")).alias("nb")
     )
     tot = per_v.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = (
-        per_v.withColumn("ca", F.sum("na").over(w))
-        .withColumn("cb", F.sum("nb").over(w))
+        global_running_sum(
+            global_running_sum(per_v, [F.col("v").asc()], F.col("na"), out="ca"),
+            [F.col("v").asc()],
+            F.col("nb"),
+            out="cb",
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "v",

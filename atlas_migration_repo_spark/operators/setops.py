@@ -26,13 +26,24 @@ from atlas_migration_repo_spark.registry import query
 )
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key ORDER BY (desc + asc, unique-key tiebreak), with the rank
-    materialized so ordering itself is hash-verified."""
+    materialized so ordering itself is hash-verified. The rank is the
+    DISTRIBUTED global row_number (operators/distributed.global_rank:
+    range partition + per-partition offsets) — the filtered relation
+    still scales with the table, so no single task may sort it."""
+    from atlas_migration_repo_spark.operators.distributed import global_rank
+
     o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000)
-    w = Window.orderBy(
-        F.col("o_orderstatus").desc(), F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    ranked, _n = global_rank(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        [
+            F.col("o_orderstatus").desc(),
+            F.col("o_totalprice").asc(),
+            F.col("o_orderkey").asc(),
+        ],
+        out="rn",
     )
-    return o.select(
-        "o_orderkey", "o_orderstatus", "o_totalprice", F.row_number().over(w).alias("rn")
+    return ranked.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "rn"
     )
 
 

@@ -106,12 +106,16 @@ _DRIVER_SAMPLE_PREFIX = (
     "lakehouse_uniform_sync",
     "lakehouse_uniform_reverse_sync",
     "graph_shortest_cost",
+    "geo_nearest_hub",
+    # this round's new keys (never sampled by construction)
+    "fuzzy_match_banded",
+    "iceberg_delete_dv",
+    "hudi_column_stats",
+    # -- past the ~50-entry driver window: the r7-hashed rotation block
+    # (kept listed for replay-tooling order stability), then family reps
     "delta_rename_travel",
     "delta_widen_travel",
     "sink_uniform_stream",
-    "geo_nearest_hub",
-    # -- past the ~50-entry driver window: the r7-hashed rotation block
-    # (kept listed for replay-tooling order stability), then family reps
     "hudi_mor_upsert",
     "hudi_mor_read_optimized",
     "hudi_mor_delete",

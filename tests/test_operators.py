@@ -4040,3 +4040,76 @@ def test_fuzzy_match_banded_equals_exact(spark):
     }
     assert band == exact, (len(band), len(exact))
     assert exact, "fixture produced no fuzzy pairs — test is vacuous"
+
+
+def test_distributed_global_order_primitives_exact(spark):
+    """operators/distributed.py must be BIT-IDENTICAL to the single-window
+    plans it replaces: global_rank vs ROW_NUMBER, global_ntile vs NTILE
+    (several k, including k > n), and global_running_sum vs the running
+    SUM window for integer and decimal values — on a relation with
+    duplicate sort keys so the unique-tiebreak contract is exercised."""
+    import random
+
+    from atlas_migration_repo_spark.operators.distributed import (
+        global_ntile,
+        global_rank,
+        global_running_sum,
+    )
+
+    from pyspark.sql import Window
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 50), float(rng.randint(0, 100))) for i in range(2017)]
+    df = spark.createDataFrame(rows, "id bigint, g int, v double")
+    order = [F.col("g").asc(), F.col("id").asc()]
+    got, n = global_rank(df, order, parts=7, out="rk")
+    ref = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+    )
+    assert n == len(rows)
+    assert {(r["id"], r["rk"]) for r in got.collect()} == {
+        (r["id"], r["rk"]) for r in ref.collect()
+    }
+    for k in (4, 7, 160, 5000):  # 5000 > n: first n buckets get 1 row
+        gt = global_ntile(df, order, k, parts=7, out="t")
+        rf = df.withColumn(
+            "t", F.ntile(k).over(Window.orderBy(*order)).cast("bigint")
+        )
+        assert {(r["id"], r["t"]) for r in gt.collect()} == {
+            (r["id"], r["t"]) for r in rf.collect()
+        }, f"ntile k={k}"
+    dfd = df.withColumn("d", F.col("v").cast("decimal(20,4)"))
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    gs = global_running_sum(dfd, order, F.col("d"), parts=7, out="c")
+    rs = dfd.withColumn("c", F.sum("d").over(w))
+    assert {(r["id"], r["c"]) for r in gs.collect()} == {
+        (r["id"], r["c"]) for r in rs.collect()
+    }
+    gi = global_running_sum(df, order, F.col("g").cast("bigint"), parts=7, out="c")
+    ri = df.withColumn("c", F.sum(F.col("g").cast("bigint")).over(w))
+    assert {(r["id"], r["c"]) for r in gi.collect()} == {
+        (r["id"], r["c"]) for r in ri.collect()
+    }
+
+
+def test_refit_plans_have_no_ordered_global_window(spark):
+    """The round-8 refits must keep their two-tier shape: none of these
+    plans may contain an ordered-global (unpartitioned) window or a
+    SinglePartition sort of a data-scale relation."""
+    from atlas_migration_repo_spark.plans.inspect import physical_plan
+    from atlas_migration_repo_spark.plans.report import _ordered_global_windows
+
+    for key in (
+        "corpus_curriculum_order",
+        "pack_sequences",
+        "sort_multi",
+        "orders_rfm",
+        "orders_gini_coefficient",
+        "abc_classification",
+        "events_peak_concurrency",
+        "stat_mannwhitney",
+        "dq_ks_drift",
+    ):
+        phys = physical_plan(QUERIES[key].fn(spark, SF_DIR))
+        gw = _ordered_global_windows(phys)
+        assert not gw, f"{key}: ordered-global window regressed: {gw[0]}"

@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--log", required=True)
     ap.add_argument("--only-prefix", default=None)
     ap.add_argument(
+        "--only-keys",
+        default=None,
+        help="comma-separated exact keys to replay (targeted re-verification "
+        "of a round's touched keys at a large SF)",
+    )
+    ap.add_argument(
         "--skip",
         default="",
         help="comma-separated keys to record as skipped (e.g. declared "
@@ -75,6 +81,12 @@ def main() -> None:
     if args.only_prefix:
         prefixes = tuple(p for p in args.only_prefix.split(",") if p)
         keys = [k for k in keys if k.startswith(prefixes)]
+    if args.only_keys:
+        want = {k for k in args.only_keys.split(",") if k}
+        missing = want - set(keys)
+        if missing:
+            raise SystemExit(f"--only-keys not in registry: {sorted(missing)}")
+        keys = [k for k in keys if k in want]
     # cheapest-first: non-LLM relational keys before the heavy dedup/sim
     # families, so a time-boxed run covers the most keys
     def cost_bucket(k: str) -> int:
