@@ -692,18 +692,23 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     right definition for quantities and budgets that must be realizable).
     Both twins spell out the same rank-selection rule rather than leaning
     on engine-specific QUANTILE_DISC tie conventions, so parity is by
-    construction. At fixture scale this is a per-group sort; the
-    documented scale swap is percentile_approx, whose sketch merges
-    map-side."""
+    construction. The per-group rank is distributed.grouped_rank — the
+    3 groups are each a third of the table, so a per-group window sort
+    would put n/3 rows on one task; the two-tier rank keeps the EXACT
+    order statistic (no percentile_approx compromise) at any scale."""
+    from atlas_migration_repo_spark.operators.distributed import grouped_rank
+
     li = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wc = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag",
-        "l_quantity",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    ranked, sizes = grouped_rank(
+        li.select("l_returnflag", "l_quantity"),
+        ["l_returnflag"],
+        [F.col("l_quantity").asc()],
+        out="rn",
     )
+    n_map = F.create_map(
+        *[x for (g,), n in sorted(sizes.items()) for x in (F.lit(g), F.lit(n))]
+    )
+    ranked = ranked.withColumn("n", F.element_at(n_map, F.col("l_returnflag")))
 
     def at(q: float):
         return F.max(
@@ -2094,28 +2099,32 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     value, running SUM(weight), pick the smallest value whose cumulative
     weight reaches half the group total.
 
-    Scale: one window sort per group (the shared §2.5 exchange) plus a
-    groups-wide min — no per-value explode, no second pass. Determinism:
-    quantities are small integers, so every cumulative weight is an exact
-    double integer and tw/2 is exact (.0/.5); peer rows of a tied value
-    may accumulate in any order, but the LAST peer always carries the
-    full through-value total, so the minimal qualifying VALUE is
-    engine-independent even though per-row cumulative numbers are not."""
+    Scale: the 3 groups are each a third of the table, so the cumulative
+    weight runs through distributed.grouped_running_sum (two-tier prefix
+    sum — no task owns a group) and the group totals are a 3-row
+    broadcast. Determinism: quantities are small integers, so every
+    cumulative weight is an exact integer-valued double — exact under the
+    offset regrouping too — and tw/2 is exact (.0/.5); peer rows of a
+    tied value may accumulate in any order, but the LAST peer always
+    carries the full through-value total, so the minimal qualifying VALUE
+    is engine-independent even though per-row cumulative numbers are
+    not."""
+    from atlas_migration_repo_spark.operators.distributed import (
+        grouped_running_sum,
+    )
+
     li = load(spark, sf_dir, "lineitem")
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = grouped_running_sum(
+        li.select("l_returnflag", F.col("l_extendedprice").alias("v"), "l_quantity"),
+        ["l_returnflag"],
+        [F.col("v").asc()],
+        F.col("l_quantity"),
+        out="cw",
     )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.sum("l_quantity").over(w_cum).alias("cw"),
-        F.sum("l_quantity").over(w_all).alias("tw"),
-    )
+    tot = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))
     return (
-        cum.where(F.col("cw") >= F.col("tw") / 2)
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .where(F.col("cw") >= F.col("tw") / 2)
         .groupBy("l_returnflag")
         .agg(F.min("v").alias("weighted_median"))
     )

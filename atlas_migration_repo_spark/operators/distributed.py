@@ -117,6 +117,114 @@ def global_ntile(
     ).drop("__grk")
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    parts: int = DEFAULT_PARTS,
+    out: str = "rk",
+) -> tuple[DataFrame, dict]:
+    """Exact ROW_NUMBER() OVER (PARTITION BY group_cols ORDER BY
+    order_exprs) when the GROUPS are few but each group is data-scale —
+    the low-cardinality-partition window that otherwise puts n/|groups|
+    rows on one task. Range-partitions on (group_cols + order_exprs), so
+    a group spans consecutive partitions and each task sorts only its
+    slice; the rank is the group's exclusive prefix count across
+    partitions plus the partition-local row_number. The offset map holds
+    ≤ parts × |groups| entries — keep groups bounded (that is the
+    operator's premise). Returns (df + rank, {group tuple: group size})
+    — group sizes fall out of the offset pass for free."""
+    order_all = [F.col(c).asc() for c in group_cols] + order_exprs
+    tr = _ranged(df, order_all, parts)
+    rows = (
+        tr.groupBy("__pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per: dict[tuple, dict[int, int]] = {}
+    for r in rows:
+        g = tuple(r[c] for c in group_cols)
+        per.setdefault(g, {})[r["__pid"]] = r["n"]
+    sizes = {g: sum(m.values()) for g, m in per.items()}
+    if not per:
+        return tr.withColumn(out, F.lit(None).cast("bigint")).drop("__pid"), {}
+    entries = []
+    for g, m in per.items():
+        acc = 0
+        for pid in sorted(m):
+            entries.append(("\x1f".join(map(str, g + (pid,))), acc))
+            acc += m[pid]
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols],
+        F.col("__pid").cast("string")
+    )
+    off = F.element_at(
+        F.create_map(
+            *[x for k, v in entries for x in (F.lit(k), F.lit(v))]
+        ),
+        key,
+    )
+    local = F.row_number().over(
+        Window.partitionBy("__pid", *group_cols).orderBy(*order_exprs)
+    )
+    return tr.withColumn(out, (off + local).cast("bigint")).drop("__pid"), sizes
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column],
+    value: Column,
+    parts: int = DEFAULT_PARTS,
+    out: str = "cum",
+) -> DataFrame:
+    """Exact running SUM(value) OVER (PARTITION BY group_cols ORDER BY
+    order_exprs ROWS UNBOUNDED PRECEDING) for few-but-huge groups and
+    INTEGER / DECIMAL (or integer-valued double) values — the grouped
+    twin of global_running_sum, same exactness restriction."""
+    order_all = [F.col(c).asc() for c in group_cols] + order_exprs
+    tr = _ranged(df.withColumn("__val", value), order_all, parts)
+    agg_df = tr.groupBy("__pid", *group_cols).agg(F.sum("__val").alias("s"))
+    sum_type = dict(agg_df.dtypes)["s"]
+    per: dict[tuple, dict[int, object]] = {}
+    for r in agg_df.collect():
+        g = tuple(r[c] for c in group_cols)
+        per.setdefault(g, {})[r["__pid"]] = r["s"]
+    if not per:
+        return tr.withColumn(out, F.lit(None)).drop("__pid", "__val")
+    entries = []
+    for g, m in per.items():
+        acc = None
+        for pid in sorted(m):
+            entries.append(
+                ("\x1f".join(map(str, g + (pid,))), acc)
+            )
+            acc = m[pid] if acc is None else acc + m[pid]
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols],
+        F.col("__pid").cast("string")
+    )
+    off = F.element_at(
+        F.create_map(
+            *[
+                x
+                for k, v in entries
+                for x in (
+                    F.lit(k),
+                    F.lit(str(v if v is not None else 0)).cast(sum_type),
+                )
+            ]
+        ),
+        key,
+    )
+    local = F.sum("__val").over(
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tr.withColumn(out, off + local).drop("__pid", "__val")
+
+
 def global_running_sum(
     df: DataFrame,
     order_exprs: list[Column],

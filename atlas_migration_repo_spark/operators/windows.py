@@ -369,12 +369,19 @@ def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-12 with partition order — fatal on the 4dp rounding grid); the
     single double division is then the identical IEEE op on identical
     operands. LOO statistics are the building block of ablation scoring
-    and outlier-robust baselines; one unbounded window = one shuffle."""
+    and outlier-robust baselines. The group aggregates come from a
+    map-side-combined groupBy broadcast back onto the scan — NOT an
+    unbounded window partitioned by the ~5-value event_type, which would
+    put n/5 rows on one task each (round-8 scale sweep)."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    dsum = F.sum(F.col("value").cast("decimal(30,8)")).over(w)
-    n = F.count(F.lit(1)).over(w)
-    loo = (dsum - F.col("value").cast("decimal(30,8)")).cast("double") / (n - 1)
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("__gsum"),
+        F.count(F.lit(1)).alias("__gn"),
+    )
+    ev = ev.join(F.broadcast(g), "event_type")
+    loo = (F.col("__gsum") - F.col("value").cast("decimal(30,8)")).cast(
+        "double"
+    ) / (F.col("__gn") - 1)
     return ev.select(
         "event_id",
         "event_type",

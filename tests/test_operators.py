@@ -4113,3 +4113,64 @@ def test_refit_plans_have_no_ordered_global_window(spark):
         phys = physical_plan(QUERIES[key].fn(spark, SF_DIR))
         gw = _ordered_global_windows(phys)
         assert not gw, f"{key}: ordered-global window regressed: {gw[0]}"
+    # the grouped refits: windows partitioned by a ~3-value column over
+    # data-scale input are the same killer with a different spelling —
+    # their plans may window only on (__pid, group) after the range
+    # partition (win_exclude_current must carry no Window at all)
+    import re
+
+    for key in ("agg_percentile_disc", "agg_weighted_median"):
+        phys = physical_plan(QUERIES[key].fn(spark, SF_DIR))
+        for line in phys.splitlines():
+            if re.search(r"\bWindow \[", line):
+                assert "__pid" in line, f"{key}: non-two-tier window: {line[:120]}"
+    phys = physical_plan(QUERIES["win_exclude_current"].fn(spark, SF_DIR))
+    assert not re.search(r"\bWindow \[", phys), "win_exclude_current re-grew a window"
+
+
+def test_grouped_distributed_primitives_exact(spark):
+    """grouped_rank / grouped_running_sum must be bit-identical to the
+    partitioned single-window plans they replace, on groups with
+    duplicate order keys (ties exercise the arbitrary-but-valid
+    permutation within peers the same way the window does)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from atlas_migration_repo_spark.operators.distributed import (
+        grouped_rank,
+        grouped_running_sum,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        (i, rng.choice(["a", "b", "c"]), rng.randint(0, 40), rng.randint(1, 9))
+        for i in range(1777)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, v int, w int")
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got, sizes = grouped_rank(df, ["g"], order, parts=6, out="rk")
+    ref = df.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("g").orderBy(*order)).cast("bigint"),
+    )
+    assert {(r["id"], r["rk"]) for r in got.collect()} == {
+        (r["id"], r["rk"]) for r in ref.collect()
+    }
+    assert sizes == {
+        (g,): sum(1 for _i, gg, _v, _w in rows if gg == g) for g in ("a", "b", "c")
+    }
+    gs = grouped_running_sum(
+        df, ["g"], order, F.col("w").cast("bigint"), parts=6, out="c"
+    )
+    rs = df.withColumn(
+        "c",
+        F.sum(F.col("w").cast("bigint")).over(
+            Window.partitionBy("g")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert {(r["id"], r["c"]) for r in gs.collect()} == {
+        (r["id"], r["c"]) for r in rs.collect()
+    }
