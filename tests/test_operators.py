@@ -4174,3 +4174,27 @@ def test_grouped_distributed_primitives_exact(spark):
     assert {(r["id"], r["c"]) for r in gs.collect()} == {
         (r["id"], r["c"]) for r in rs.collect()
     }
+
+
+def test_driver_window_rotates_to_unseen_keys():
+    """The rotation protocol (VERDICT r3 "next" #4, re-affirmed every
+    round): the driver hash-verifies the first ~50 registry entries, so
+    at least 30 of the first 50 must be keys NO committed
+    CORRECTNESS_r*.json has ever sampled — otherwise a round burns its
+    driver evidence re-verifying old keys. Computed from the committed
+    artifacts, so the check updates itself every round."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    seen: set[str] = set()
+    arts = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert arts, "no driver correctness artifacts committed"
+    for p in arts:
+        seen |= set(json.loads(p.read_text()).keys())
+    window = list(QUERIES)[:50]
+    fresh = [k for k in window if k not in seen]
+    assert len(fresh) >= 30, (
+        f"driver window holds only {len(fresh)} never-sampled keys; "
+        "rotate _DRIVER_SAMPLE_PREFIX in registry.py"
+    )
