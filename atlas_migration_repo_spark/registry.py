@@ -49,12 +49,16 @@ QUERIES: dict[str, QueryDef] = {}
 # candidate backlog (hudi bloom/async-compaction, the r7 corpus/feature
 # keys, lakehouse sync pair, graph_shortest_cost, travel keys,
 # sink_uniform_stream, geo_nearest_hub).
-# Round-9 rotation candidates (oracle-gated, never driver-sampled):
-# join_asof_nearest, the scalar/window/setop batches (str_basic …
-# explode_pos, win_moving_avg … win_first_last, set_union_distinct,
-# set_except), the TPC-H golden tail (q4/q6/q8/q11-q13/q15-q17/q19-q22),
-# the text family (text_stats … text_gopher_rules), the dedup tail,
-# ts_* analytics, and any keys added in round 8.
+# Round-9 rotation (this round): the queued candidate list from round 8,
+# filled with the TPC-H golden tail, the window/setop/scalar batches,
+# join_asof_nearest, and the text-family heads — all oracle-gated and
+# never driver-sampled (verified against the r1-r8 artifact union).
+# Round-10 rotation candidates (oracle-gated, never driver-sampled):
+# the remaining scalar batch (map_funcs, explode_pos, json_funcs,
+# str_basic leftovers), the dedup tail (dedup_fingerprint … dedup_spans),
+# ts_* analytics (ts_interp_linear, ts_gap_detect, ts_seasonal_decompose,
+# ts_holt_linear, ts_bollinger_bands …), the events/orders analytics
+# families, the sql_* surface, and any keys added in round 9.
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r6) -------------
     "scan_parquet",
@@ -77,9 +81,47 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_tumbling",
     "text_tfidf",
     "dedup_exact",
-    # -- rotation (round 8): oracle-verified keys unseen by the driver in
-    # r1-r7 (cumulative 211 keys covered), per VERDICT r7 "next" #2 —
-    # the judge's named list first, then the queued candidate backlog
+    # -- rotation (round 9): oracle-verified keys unseen by the driver in
+    # r1-r8 (cumulative 241 keys covered), per VERDICT r8 "next" #1 —
+    # the queued list: TPC-H golden tail, window/setop/scalar batches,
+    # join_asof_nearest, text-family heads
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_cust_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_filter",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "join_asof_nearest",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_ntile",
+    "win_first_last",
+    "set_union_distinct",
+    "set_except",
+    "str_basic",
+    "ts_funcs",
+    "math_funcs",
+    "cond_expr",
+    "cast_types",
+    "text_stats",
+    "text_ngram",
+    "text_quality",
+    # this round's new keys (never sampled by construction)
+    "iceberg_merge_dv",
+    "iceberg_eq_delete_dv",
+    # -- past the ~50-entry driver window. First two entries are ALSO
+    # never-sampled so the tripwire holds 30 fresh keys both before and
+    # after the two new keys above land. Then the r8-hashed rotation
+    # block (kept listed for replay-tooling order stability).
+    "set_except_all",
+    "set_intersect_all",
     "join_asof_forward",
     "feature_target_encode",
     "quality_confusion_matrix",
@@ -107,12 +149,9 @@ _DRIVER_SAMPLE_PREFIX = (
     "lakehouse_uniform_reverse_sync",
     "graph_shortest_cost",
     "geo_nearest_hub",
-    # this round's new keys (never sampled by construction)
     "fuzzy_match_banded",
     "iceberg_delete_dv",
     "hudi_column_stats",
-    # -- past the ~50-entry driver window: the r7-hashed rotation block
-    # (kept listed for replay-tooling order stability), then family reps
     "delta_rename_travel",
     "delta_widen_travel",
     "sink_uniform_stream",
@@ -181,7 +220,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "hudi_time_travel",
     "hudi_incremental",
     "hudi_clustering",
-    "str_basic",
     "json_funcs",
     "stream_watermark",
     "text_wordcount",

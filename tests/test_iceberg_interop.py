@@ -1855,15 +1855,19 @@ def test_row_lineage_survives_deletes_and_compaction(spark):
 
 def test_model_check_dv_commit_sequences(spark):
     """Model-check NATIVE v3 deletion-vector commits: a seeded random
-    sequence of append / DV-range-delete / rewrite commits against a
-    plain dict model. Every recorded snapshot must read back exactly its
-    model state, and after EVERY commit the spec invariant holds: at
-    most one live deletion vector per referenced data file."""
+    sequence of append / DV-range-delete / DV-merge / DV-eq-delete /
+    rewrite commits (VERDICT r8 "next" #2: merge in the action alphabet)
+    against a plain dict model. Every recorded snapshot must read back
+    exactly its model state, after EVERY commit the spec invariant holds
+    (at most one live deletion vector per referenced data file), and no
+    v2 delete technology ever lands (pure-DV table)."""
     import random
 
     from atlas_migration_repo_spark.sources.iceberg_interop import (
         delete_iceberg_dv,
+        delete_iceberg_eq_dv,
         iceberg_live_state,
+        merge_iceberg_dv,
         read_iceberg,
         rewrite_iceberg,
     )
@@ -1880,8 +1884,11 @@ def test_model_check_dv_commit_sequences(spark):
     model = dict(rows)
     snaps = [(sid, dict(model))]
     next_key = 1000
-    for _step in range(8):
-        op = rng.choice(["append", "dv_delete", "dv_delete", "rewrite"])
+    for _step in range(12):
+        op = rng.choice(
+            ["append", "dv_delete", "dv_delete", "merge", "merge",
+             "eq_delete", "rewrite"]
+        )
         if op == "append":
             new = [
                 (next_key + i, float(rng.randint(0, 999)))
@@ -1895,6 +1902,36 @@ def test_model_check_dv_commit_sequences(spark):
             hi = lo + rng.randint(0, 300)
             sid = delete_iceberg_dv(spark, root, "k", lo, hi)
             model = {k: v for k, v in model.items() if not (lo <= k <= hi)}
+        elif op == "merge":
+            # updates to sampled live keys + brand-new keys: the DV merge
+            # must tombstone exactly the matched positions and append all
+            upd = (
+                rng.sample(sorted(model), min(len(model), rng.randint(1, 30)))
+                if model
+                else []
+            )
+            src = [(k, model[k] + 0.5) for k in upd] + [
+                (next_key + i, float(rng.randint(0, 999)))
+                for i in range(rng.randint(0, 10))
+            ]
+            next_key += 100
+            if not src:
+                continue
+            sid = merge_iceberg_dv(spark, root, df_of(src), on=["k"])
+            model.update(dict(src))
+        elif op == "eq_delete":
+            if not model:
+                continue
+            doomed = rng.sample(
+                sorted(model), min(len(model), rng.randint(1, 20))
+            )
+            sid = delete_iceberg_eq_dv(
+                spark,
+                root,
+                spark.createDataFrame([(k,) for k in doomed], "k bigint"),
+                ["k"],
+            )
+            model = {k: v for k, v in model.items() if k not in doomed}
         else:
             sid = rewrite_iceberg(spark, root)
         snaps.append((sid, dict(model)))
@@ -1906,6 +1943,14 @@ def test_model_check_dv_commit_sequences(spark):
         ]
         assert len(refs) == len(set(refs)), (
             f"step {_step}: multiple live DVs for one data file: {refs}"
+        )
+        non_dv = [
+            d["data_file"]["file_path"]
+            for d in deletes
+            if d["data_file"].get("file_format") != "PUFFIN"
+        ]
+        assert non_dv == [], (
+            f"step {_step}: v2 delete technology on a pure-DV table: {non_dv}"
         )
     for i, (sid, expect) in enumerate(snaps):
         got = {
