@@ -33,6 +33,33 @@ from pyspark.sql import functions as F
 DEFAULT_PARTS = 32  # scale with cluster; each task sorts n/parts rows
 
 
+# NULL group values must hit the same offset-map key from both sides:
+# concat_ws silently SKIPS null columns (shorter key) while str(None)
+# yields "None" — so both encoders coalesce NULL to one sentinel byte.
+# \x00 never occurs in the string form of a real value produced by
+# Spark's cast-to-string, so the sentinel cannot collide.
+_NULL_KEY = "\x00"
+
+
+def _grp_key_col(group_cols: list[str]) -> Column:
+    """Spark-side offset-map key: group columns + __pid, null-safe."""
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_KEY))
+            for c in group_cols
+        ],
+        F.col("__pid").cast("string"),
+    )
+
+
+def _grp_key_str(g: tuple, pid: int) -> str:
+    """Driver-side twin of _grp_key_col for one collected group tuple."""
+    return "\x1f".join(
+        [_NULL_KEY if v is None else str(v) for v in g] + [str(pid)]
+    )
+
+
 def _ranged(df: DataFrame, order_exprs: list[Column], parts: int) -> DataFrame:
     return (
         df.repartitionByRange(parts, *order_exprs)
@@ -152,12 +179,9 @@ def grouped_rank(
     for g, m in per.items():
         acc = 0
         for pid in sorted(m):
-            entries.append(("\x1f".join(map(str, g + (pid,))), acc))
+            entries.append((_grp_key_str(g, pid), acc))
             acc += m[pid]
-    key = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in group_cols],
-        F.col("__pid").cast("string")
-    )
+    key = _grp_key_col(group_cols)
     off = F.element_at(
         F.create_map(
             *[x for k, v in entries for x in (F.lit(k), F.lit(v))]
@@ -196,14 +220,9 @@ def grouped_running_sum(
     for g, m in per.items():
         acc = None
         for pid in sorted(m):
-            entries.append(
-                ("\x1f".join(map(str, g + (pid,))), acc)
-            )
+            entries.append((_grp_key_str(g, pid), acc))
             acc = m[pid] if acc is None else acc + m[pid]
-    key = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in group_cols],
-        F.col("__pid").cast("string")
-    )
+    key = _grp_key_col(group_cols)
     off = F.element_at(
         F.create_map(
             *[

@@ -372,13 +372,20 @@ def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     and outlier-robust baselines. The group aggregates come from a
     map-side-combined groupBy broadcast back onto the scan — NOT an
     unbounded window partitioned by the ~5-value event_type, which would
-    put n/5 rows on one task each (round-8 scale sweep)."""
+    put n/5 rows on one task each (round-8 scale sweep). The re-attach
+    join is NULL-SAFE (ADVICE r8): PARTITION BY keeps NULL keys as their
+    own group, and groupBy emits that group's row, so eqNullSafe makes
+    the rewrite exact for nullable event_type too (a plain equi-join
+    would silently drop those rows)."""
     ev = load(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.sum(F.col("value").cast("decimal(30,8)")).alias("__gsum"),
         F.count(F.lit(1)).alias("__gn"),
     )
-    ev = ev.join(F.broadcast(g), "event_type")
+    g = g.withColumnRenamed("event_type", "__g_et")
+    ev = ev.join(
+        F.broadcast(g), ev["event_type"].eqNullSafe(g["__g_et"])
+    ).drop("__g_et")
     loo = (F.col("__gsum") - F.col("value").cast("decimal(30,8)")).cast(
         "double"
     ) / (F.col("__gn") - 1)

@@ -4042,6 +4042,56 @@ def test_fuzzy_match_banded_equals_exact(spark):
     assert exact, "fixture produced no fuzzy pairs — test is vacuous"
 
 
+def test_fuzzy_banded_short_string_fallback(spark):
+    """Names with fewer grams than the prefix (length ≤ 5) have no
+    ED-Join intersection guarantee, so they route through the dedicated
+    short-string block (ADVICE r8). Synthetic data mixing 1-8 char names
+    — including the length-1 case whose Spark gram sequence used to turn
+    DESCENDING — must reproduce the brute-force ≤k pair set exactly, and
+    short×long pairs within the length band must not be lost."""
+    import itertools
+
+    from atlas_migration_repo_spark.operators.relational_ext import (
+        _ED_K,
+        _fuzzy_banded_pairs,
+    )
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    names = [
+        "a", "b", "ab", "abc", "abcd", "abcde",  # all short (≤5)
+        "abcdef", "abcdefg",  # 6-7: long side of short×long band pairs
+        "abcdxf", "zbcdef",  # 6: within 2 edits of abcdef
+        "completely-unrelated-name", "completely-unrelated-nome",
+    ]
+    # same-nation constraint: put everything in one nation to maximize pairs
+    rows = [(i, n, 0) for i, n in enumerate(names)]
+    df = spark.createDataFrame(
+        rows, "c_custkey bigint, c_name string, c_nationkey bigint"
+    )
+    got = {
+        (r["ca"], r["cb"], r["dist"])
+        for r in _fuzzy_banded_pairs(df).collect()
+    }
+    want = {
+        (i, j, ed(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if ed(a, b) <= _ED_K
+    }
+    assert got == want, (sorted(got - want), sorted(want - got))
+    # the fallback must actually fire: short-name pairs exist in `want`
+    assert any(min(len(names[i]), len(names[j])) <= 5 for i, j, _ in want)
+
+
 def test_distributed_global_order_primitives_exact(spark):
     """operators/distributed.py must be BIT-IDENTICAL to the single-window
     plans it replaces: global_rank vs ROW_NUMBER, global_ntile vs NTILE
@@ -4143,8 +4193,16 @@ def test_grouped_distributed_primitives_exact(spark):
     )
 
     rng = random.Random(9)
+    # None group: ADVICE r8 — concat_ws silently skipped null group
+    # values while the driver-side key said "None"; both sides now
+    # coalesce to one sentinel, so a null group ranks like any other
     rows = [
-        (i, rng.choice(["a", "b", "c"]), rng.randint(0, 40), rng.randint(1, 9))
+        (
+            i,
+            rng.choice(["a", "b", "c", None]),
+            rng.randint(0, 40),
+            rng.randint(1, 9),
+        )
         for i in range(1777)
     ]
     df = spark.createDataFrame(rows, "id bigint, g string, v int, w int")
@@ -4158,7 +4216,8 @@ def test_grouped_distributed_primitives_exact(spark):
         (r["id"], r["rk"]) for r in ref.collect()
     }
     assert sizes == {
-        (g,): sum(1 for _i, gg, _v, _w in rows if gg == g) for g in ("a", "b", "c")
+        (g,): sum(1 for _i, gg, _v, _w in rows if gg == g)
+        for g in ("a", "b", "c", None)
     }
     gs = grouped_running_sum(
         df, ["g"], order, F.col("w").cast("bigint"), parts=6, out="c"
