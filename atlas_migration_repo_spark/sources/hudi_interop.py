@@ -4501,6 +4501,95 @@ def metadata_column_stats_hudi(path: str) -> dict[str, dict]:
     return stats
 
 
+def metadata_column_stats_relation(
+    spark: SparkSession, path: str, column: str
+) -> DataFrame:
+    """The column_stats partition for ONE column as a Spark RELATION
+    (rel, mn_long/mx_long | mn_dbl/mx_dbl | mn_str/mx_str) — the
+    10M-file planning surface (VERDICT r8 "next" #4): the newest base
+    plus per-instant delta blobs are parsed EXECUTOR-side (wholetext
+    scan + mapInPandas), and the spec's fold — an instant's entry
+    replaces a file's whole stats record, removes drop it, newest wins —
+    is ONE window over (rel, ordinal), so the envelope relation is never
+    materialized on the driver. Envelope values keep their JSON type in
+    typed column pairs (int64 exactly in longs; floats in doubles;
+    strings — datetimes were already normalized to epoch millis at index
+    time); a file whose newest record lacks the column yields NULLs,
+    which every consumer must treat as keep (skipping narrows, never
+    filters)."""
+    from pyspark.sql import Window
+
+    base_covers, base_fp = None, None
+    d = _md_files_dir(path)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            m = re.match(r"^base_(\d{17})\.json$", name)
+            if m and (base_covers is None or m.group(1) > base_covers):
+                base_covers, base_fp = m.group(1), os.path.join(d, name)
+    if base_fp is None:
+        raise FileNotFoundError(
+            f"{path} has no metadata table; run enable_metadata_hudi"
+        )
+    paths = [base_fp] + [
+        os.path.join(d, f"{i}.json")
+        for i in sorted(_md_synced_instants(path))
+        if i > base_covers
+    ]
+    ords = {os.path.basename(p): i for i, p in enumerate(paths)}
+    txt = spark.read.text(paths, wholetext=True).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__src"),
+        "value",
+    )
+    out_schema = (
+        "rel string, ord int, is_remove boolean, "
+        "mn_long long, mx_long long, mn_dbl double, mx_dbl double, "
+        "mn_str string, mx_str string"
+    )
+    cols = [
+        "rel", "ord", "is_remove",
+        "mn_long", "mx_long", "mn_dbl", "mx_dbl", "mn_str", "mx_str",
+    ]
+
+    def _parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for src, blob in zip(pdf["__src"], pdf["value"]):
+                rec = json.loads(blob)
+                o = ords[src]
+                for rel, stats in (rec.get("columnStats") or {}).items():
+                    row = {c: None for c in cols}
+                    row.update(rel=rel, ord=o, is_remove=False)
+                    env = (stats or {}).get(column)
+                    if env is not None:
+                        mn, mx = env
+                        if isinstance(mn, bool) or isinstance(mx, bool):
+                            pass  # no boolean range semantics: keep NULLs
+                        elif isinstance(mn, int) and isinstance(mx, int):
+                            row["mn_long"], row["mx_long"] = mn, mx
+                        elif isinstance(mn, (int, float)) and isinstance(
+                            mx, (int, float)
+                        ):
+                            row["mn_dbl"], row["mx_dbl"] = float(mn), float(mx)
+                        else:
+                            row["mn_str"], row["mx_str"] = str(mn), str(mx)
+                    rows.append(row)
+                for rel in rec.get("removes") or []:
+                    row = {c: None for c in cols}
+                    row.update(rel=rel, ord=o, is_remove=True)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    rel_df = txt.mapInPandas(_parse, out_schema)
+    w = Window.partitionBy("rel").orderBy(F.col("ord").desc())
+    return (
+        rel_df.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & ~F.col("is_remove"))
+        .drop("__rn", "ord", "is_remove")
+    )
+
+
 def read_hudi_column_range(
     spark: SparkSession, path: str, column: str, lo, hi
 ) -> DataFrame:
@@ -4514,23 +4603,58 @@ def read_hudi_column_range(
     envelope intersects [lo, hi], when the envelope is missing (skipping
     narrows, never filters), or when the slice carries log files (log
     rows have no footer stats); the exact predicate decides on the
-    survivors."""
+    survivors.
+
+    The keep/prune itself is a SPARK FILTER over the column_stats
+    relation (VERDICT r8 "next" #4): the slice list joins
+    metadata_column_stats_relation on file rel, the disjointness
+    predicate runs executor-side in the envelope's own type (int64
+    exact; doubles IEEE; strings lexicographic — the same comparisons
+    the old driver loop made), and only SURVIVING file names are
+    collected — never the envelope relation (a unit test pins that
+    metadata_column_stats_hudi is not called on this path)."""
     sync_metadata_hudi(path)
-    stats = metadata_column_stats_hudi(path)
+    if not _cs_columns(path):
+        raise ValueError(
+            "column_stats index not enabled; run enable_column_stats_hudi"
+        )
     latest, schema_json, slices = _slices_from_metadata(path)
     if schema_json is None:
         raise FileNotFoundError(f"{path} holds no completed Hudi commits")
     data, full = _full_schema(schema_json)
-
-    def _keep(s: dict) -> bool:
-        if s.get("logs"):
-            return True
-        env = (stats.get(s["stat"]["path"]) or {}).get(column)
-        if env is None:
-            return True
-        return env[1] >= lo and env[0] <= hi
-
-    keep = [s for s in slices if _keep(s)]
+    env = metadata_column_stats_relation(spark, path, column)
+    if isinstance(lo, bool) or isinstance(hi, bool):
+        raise ValueError("boolean range predicates have no skip semantics")
+    if isinstance(lo, (int, float)):
+        disjoint = (
+            F.when(
+                F.col("mn_long").isNotNull(),
+                (F.col("mx_long") < F.lit(lo)) | (F.col("mn_long") > F.lit(hi)),
+            )
+            .when(
+                F.col("mn_dbl").isNotNull(),
+                (F.col("mx_dbl") < F.lit(float(lo)))
+                | (F.col("mn_dbl") > F.lit(float(hi))),
+            )
+            .otherwise(F.lit(False))
+        )
+    else:
+        disjoint = F.when(
+            F.col("mn_str").isNotNull(),
+            (F.col("mx_str") < F.lit(str(lo))) | (F.col("mn_str") > F.lit(str(hi))),
+        ).otherwise(F.lit(False))
+    sdf = spark.createDataFrame(
+        [(s["stat"]["path"], bool(s.get("logs"))) for s in slices],
+        "rel string, has_logs boolean",
+    )
+    keep_rels = {
+        r["rel"]
+        for r in sdf.join(env, "rel", "left")
+        .where(F.col("has_logs") | ~disjoint)
+        .select("rel")
+        .collect()
+    }
+    keep = [s for s in slices if s["stat"]["path"] in keep_rels]
     if not keep:
         return spark.createDataFrame([], data).where(F.lit(False))
     props = _read_props(path)
