@@ -29,6 +29,22 @@ class QueryDef:
 
 QUERIES: dict[str, QueryDef] = {}
 
+# Keys that scale replays (tools/parity_replay.py) may record as
+# "skipped" at sf1+, each with the standing justification. CI audits
+# every committed PARITY_*.jsonl skip line against this dict
+# (tests/test_docs_freshness.py) — an ad-hoc skip with no registered
+# reason fails the suite, so the lone declared skip stays a pinned
+# decision rather than a convention (VERDICT r8 "next" #6).
+DECLARED_PARITY_SKIPS: dict[str, str] = {
+    "fuzzy_match_names": (
+        "declared quadratic-exact baseline (within-block all-pairs "
+        "Levenshtein, kept as the unit-test ground truth); its scale "
+        "shape fuzzy_match_banded computes the SAME pair set — equality "
+        "unit-asserted at fixture scale (test_fuzzy_match_banded_equals_"
+        "exact) — and replays green at sf1"
+    ),
+}
+
 # The grading driver hash-verifies a PREFIX of the registry (first ~50
 # entries in iteration order). Module import order alone would make that
 # sample 3-4 modules deep, so after loading, the registry is reordered to

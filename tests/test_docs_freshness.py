@@ -62,6 +62,47 @@ def test_plans_sweep_has_no_flagged_plans():
     )
 
 
+def test_parity_skip_lines_are_declared():
+    """Every "skipped" line in every committed PARITY_*.jsonl must name a
+    key registered in DECLARED_PARITY_SKIPS (VERDICT r8 "next" #6) — a
+    scale-replay skip is a standing engineering decision with a written
+    justification, not a convention the next round can silently widen.
+    (tools/parity_replay.py refuses undeclared --skip keys up front and
+    stamps the registered reason into new lines; pre-r9 lines carry no
+    reason field and are accepted by key alone.)"""
+    import json
+
+    from atlas_migration_repo_spark.registry import DECLARED_PARITY_SKIPS
+
+    logs = sorted(REPO.glob("PARITY_*.jsonl"))
+    assert logs, "no parity logs committed"
+    # a skip is also acceptable when a LATER committed log at the same
+    # scale resolved the key (pass or witness_pass) — e.g. the r7 sf1
+    # skip of embed_dedup_clusters, witness-passed in the r8 sf1 log
+    resolved: dict[str, set[str]] = {}
+    skips: list[tuple[str, str, str]] = []
+    for log in logs:
+        scale = log.name.split("_r")[0]
+        for raw in log.read_text().splitlines():
+            try:
+                rec = json.loads(raw)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("status") in ("pass", "witness_pass"):
+                resolved.setdefault(scale, set()).add(rec["key"])
+            elif rec.get("status") == "skipped":
+                skips.append((log.name, scale, rec["key"]))
+    assert skips, "no skip lines found to audit"
+    for log_name, scale, key in skips:
+        assert key in DECLARED_PARITY_SKIPS or key in resolved.get(
+            scale, set()
+        ), (
+            f"{log_name}: skip for {key!r} has no registered reason in "
+            "registry.DECLARED_PARITY_SKIPS and no later pass at the "
+            "same scale"
+        )
+
+
 def test_witness_lines_cite_hash_verified_substrate():
     """The witness rule (VERDICT r7 "next" #8, endorsed from the round-8
     plan): a cc_witness-style verification is only as strong as its

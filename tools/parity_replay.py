@@ -49,6 +49,7 @@ def main() -> None:
     import duckdb
 
     import conftest as C  # noqa: E402  (tests/conftest — reuses the gate)
+    from atlas_migration_repo_spark import registry as R
     from atlas_migration_repo_spark.catalog import TABLES, table_path
     from atlas_migration_repo_spark.registry import QUERIES, load_all_modules
     from atlas_migration_repo_spark.session import get_spark
@@ -102,13 +103,29 @@ def main() -> None:
 
     keys.sort(key=lambda k: (cost_bucket(k), k))
     skip = {k for k in args.skip.split(",") if k}
+    undeclared = skip - set(R.DECLARED_PARITY_SKIPS)
+    if undeclared:
+        raise SystemExit(
+            f"--skip keys {sorted(undeclared)} have no registered reason; "
+            "add them to registry.DECLARED_PARITY_SKIPS (CI audits every "
+            "committed skip line against it)"
+        )
     log = open(args.log, "a", buffering=1)
     n_pass = n_fail = 0
     for k in keys:
         if k in done:
             continue
         if k in skip:
-            log.write(json.dumps({"key": k, "status": "skipped"}) + "\n")
+            log.write(
+                json.dumps(
+                    {
+                        "key": k,
+                        "status": "skipped",
+                        "reason": R.DECLARED_PARITY_SKIPS[k],
+                    }
+                )
+                + "\n"
+            )
             continue
         qd = QUERIES[k]
         t0 = time.time()
