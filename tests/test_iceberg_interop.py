@@ -1091,6 +1091,64 @@ def test_partitioned_iceberg_merge_mor(spark):
         )
 
 
+def test_partitioned_iceberg_merge_dv(spark):
+    """DV MERGE on an identity-partitioned table: matched rows tombstone
+    via Puffin DVs (partition-agnostic, keyed by (file, pos)), source
+    rows land partitioned, updates move rows across partitions, no data
+    file is rewritten, no v2 delete file ever lands, and partition-
+    pruned reads stay correct. Merging ON an identity partition column
+    is refused (key values live only in metadata)."""
+    import pytest as _pytest
+
+    from atlas_migration_repo_spark.sources.iceberg_interop import (
+        iceberg_live_state,
+        merge_iceberg_dv,
+        read_iceberg,
+    )
+
+    root = _fresh("ut_ice_part_merge_dv")
+    rows = [(i, f"p{i % 3}", float(i)) for i in range(300)]
+    schema = "k bigint, part string, val double"
+    s1 = write_iceberg(
+        spark.createDataFrame(rows, schema), root, partition_by=["part"],
+        mode="append",
+    )
+    model = {k: (p, v) for k, p, v in rows}
+    files_before = {
+        d["data_file"]["file_path"] for d in iceberg_live_state(root)[1]
+    }
+    src = [(0, "p0", 111.0), (1, "p0", 222.0), (1000, "p2", 333.0)]
+    merge_iceberg_dv(spark, root, spark.createDataFrame(src, schema), on=["k"])
+    model.update({k: (p, v) for k, p, v in src})
+    got = {
+        r["k"]: (r["part"], r["val"]) for r in read_iceberg(spark, root).collect()
+    }
+    assert got == model
+    _, datas, deletes = iceberg_live_state(root)
+    files_after = {d["data_file"]["file_path"] for d in datas}
+    assert files_before < files_after, "old data files must survive untouched"
+    assert deletes and all(
+        d["data_file"].get("file_format") == "PUFFIN" for d in deletes
+    ), "DV merge must land only Puffin deletion vectors"
+    p0 = {
+        r["k"]
+        for r in read_iceberg(spark, root, partition_eq={"part": "p0"}).collect()
+    }
+    assert p0 == {k for k, (p, _v) in model.items() if p == "p0"}
+    p1 = {
+        r["k"]
+        for r in read_iceberg(spark, root, partition_eq={"part": "p1"}).collect()
+    }
+    assert p1 == {k for k, (p, _v) in model.items() if p == "p1"}
+    assert {
+        r["k"] for r in read_iceberg(spark, root, snapshot_id=s1).collect()
+    } == set(range(300))
+    with _pytest.raises(ValueError, match="identity partition columns"):
+        merge_iceberg_dv(
+            spark, root, spark.createDataFrame(src, schema), on=["part"]
+        )
+
+
 def test_model_check_partitioned_mor_sequences(spark):
     """Partitioned twin of the MOR model check: seeded random append /
     positional-delete / equality-merge (sometimes partition-moving) /
