@@ -634,8 +634,26 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select("vec_id", "bucket").join(best, "vec_id", "left")
 
 
-IVF_CELLS = 32  # coarse-quantizer size: ~N/cells vectors per cell
+IVF_CELLS = 32  # coarse-quantizer floor: ~N/cells vectors per cell
 IVF_PROBES = 4  # query-side multiprobe: search the 4 nearest cells
+
+
+def ivf_cells_for(n: int) -> int:
+    """Corpus-sized cell count for the self-join ANN path: ~√n cells
+    (floored at IVF_CELLS) keeps per-cell population ~√n, so the cell
+    equi-join emits n·probes·√n candidate pairs instead of the
+    n²·probes/cells a FIXED cell count degenerates to — the round-9 sf1
+    LLM bench caught sim_ann_ivf at 71×/decade with 32 cells pinned
+    (20k vectors → 625/cell; 200k → 6,250/cell). With √n cells the
+    PER-QUERY candidate list grows √n (the standard IVF trade: FAISS
+    sizes nlist at √n…16√n) and total work n^1.5 — the honest floor for
+    an n-query self-join; serving-side per-query latency is the √n
+    curve. Fixed-width consumers (sim_knn_ann's near-exhaustive
+    recall-0.95 configuration, the persisted ann_index) keep their own
+    documented sizings."""
+    import math
+
+    return max(IVF_CELLS, math.isqrt(max(int(n), 0)))
 
 
 def _kmeans_refine(spark: SparkSession, em: DataFrame, cent, iters: int):
@@ -702,25 +720,28 @@ def _ivf_centroids(
     em: DataFrame,
     refine_iters: int = 0,
     cache_key: str | None = None,
+    cells: int | None = None,
 ):
-    """Train the IVF coarse quantizer: centroids are the IVF_CELLS vectors
-    with the smallest xxhash64(vec_id) (deterministic, no RNG), optionally
-    refined with ``refine_iters`` spherical-k-means passes. Returns the
-    unit-normalized (IVF_CELLS, dim) float64 array — KB-sized driver
-    state that ann_index persists as a table."""
+    """Train the IVF coarse quantizer: centroids are the ``cells``
+    (default IVF_CELLS) vectors with the smallest xxhash64(vec_id)
+    (deterministic, no RNG), optionally refined with ``refine_iters``
+    spherical-k-means passes. Returns the unit-normalized (cells, dim)
+    float64 array — KB-sized driver state that ann_index persists as a
+    table."""
     import numpy as np
 
+    cells = IVF_CELLS if cells is None else cells
     seeds = (
         em.select("vec_id", "embedding")
         .withColumn("hk", F.xxhash64("vec_id"))
         .orderBy("hk", "vec_id")
-        .limit(IVF_CELLS)
+        .limit(cells)
         .collect()
     )
     cent = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
     if refine_iters:
-        key = (cache_key, IVF_CELLS, refine_iters)
+        key = (cache_key, cells, refine_iters)
         if cache_key is not None and key in _IVF_CENT_CACHE:
             cent = _IVF_CENT_CACHE[key]
         else:
@@ -768,12 +789,15 @@ def _ivf_assignments(
     probes: int,
     refine_iters: int = 0,
     cache_key: str | None = None,
+    cells: int | None = None,
 ):
     """IVF cell assignments (members, probed): members are stored in
     their 1 nearest cell, queries probe their ``probes`` nearest cells,
     candidates meet through an equi-join on cell id — a plain shuffle
     join that shards horizontally at corpus scale."""
-    cent = _ivf_centroids(spark, em, refine_iters=refine_iters, cache_key=cache_key)
+    cent = _ivf_centroids(
+        spark, em, refine_iters=refine_iters, cache_key=cache_key, cells=cells
+    )
     bc = spark.sparkContext.broadcast(cent)
     members = _assign_cells(em, bc, 1)
     probed = _assign_cells(em, bc, probes)
@@ -814,13 +838,15 @@ def _ivf_candidates(
     probes: int,
     refine_iters: int = 0,
     cache_key: str | None = None,
+    cells: int | None = None,
 ) -> DataFrame:
     """Pair-expanded IVF candidates (qid, cid, qe, ce) — the plain
     cell equi-join; right at low probe widths (sim_ann_ivf), but it
     duplicates member arrays once per matching QUERY. Wide-probe
     consumers use _ivf_assignments + per-cell bundling instead."""
     members, probed = _ivf_assignments(
-        spark, em, probes, refine_iters=refine_iters, cache_key=cache_key
+        spark, em, probes, refine_iters=refine_iters, cache_key=cache_key,
+        cells=cells,
     )
     q = probed.select(F.col("vec_id").alias("qid"), "cell", F.col("embedding").alias("qe"))
     m = members.select(F.col("vec_id").alias("cid"), "cell", F.col("embedding").alias("ce"))
@@ -859,12 +885,18 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set is cells it most plausibly neighbors (multiprobe trades
     compute for recall). Candidates meet through an equi-join on cell id —
     a plain shuffle join that scales horizontally; per-cell lists are the
-    only state, so a 1e9-vector corpus shards by cell. Output: one row per
-    vector — its approximate 1-NN among candidates (NULL when all probe
-    cells held only the vector itself). Rows-only gate (approximate by
-    design); recall vs exact 1-NN is asserted in unit tests."""
+    only state, so a 1e9-vector corpus shards by cell. The cell count
+    SCALES ~√n with the corpus (ivf_cells_for — round-9 sf1 bench fix:
+    32 pinned cells made the equi-join n²·probes/32, 71×/decade), so
+    per-query candidates grow √n and total self-join work n^1.5 — the
+    residual super-linearity is the query COUNT; per-query latency is
+    the √n curve a serving path sees. Output: one row per vector — its
+    approximate 1-NN among candidates (NULL when all probe cells held
+    only the vector itself). Rows-only gate (approximate by design);
+    recall vs exact 1-NN is asserted in unit tests."""
     em = load(spark, sf_dir, "embeddings")
-    cand = _ivf_candidates(spark, em, IVF_PROBES)
+    n = em.count()  # parquet row-count metadata, no scan
+    cand = _ivf_candidates(spark, em, IVF_PROBES, cells=ivf_cells_for(n))
     scored = cand.select("qid", "cid", "qe", "ce").mapInPandas(
         _einsum_score, "qid long, cid long, cos double"
     )
