@@ -65,6 +65,8 @@ DECLARED_PARITY_SKIPS: dict[str, str] = {
     "dedup_simhash_pairs": _EXACT_PAIR_SF10,
     "dedup_clusters": _EXACT_PAIR_SF10 + " (CC over the same pair graph)",
     "corpus_dedup_stages": _EXACT_PAIR_SF10 + " (staged composite over it)",
+    "pipeline_corpus_clean": _EXACT_PAIR_SF10
+    + " (composite whose dedup stage IS dedup_clusters)",
 }
 
 # The grading driver hash-verifies a PREFIX of the registry (first ~50
