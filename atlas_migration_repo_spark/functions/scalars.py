@@ -151,8 +151,8 @@ def ts_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice, 1) AS price_r1,
-           FLOOR(l_extendedprice) AS price_floor,
-           CEIL(l_extendedprice) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
            ABS(l_discount - 0.05) AS disc_dev,
            {sql_r4('POW(l_quantity, 2)')} AS qty_sq,
            {sql_r4('SQRT(l_extendedprice)')} AS price_sqrt,
@@ -165,7 +165,10 @@ def ts_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """round/floor/ceil/abs/pow/sqrt/ln/log10/mod/sign (transcendentals
-    rounded: JVM vs libm may differ in the last ulp)."""
+    rounded: JVM vs libm may differ in the last ulp). Spark FLOOR/CEIL
+    return BIGINT while DuckDB's return DOUBLE, so the oracle casts both
+    to BIGINT — same values, but the driver's pandas hash is dtype-aware
+    (the r9 driver FAIL)."""
     li = load(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     return li.select(
@@ -224,7 +227,7 @@ def cond_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
            CAST(o_orderkey AS DOUBLE) AS key_dbl,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
            CAST(o_orderdate AS DATE) AS order_date,
            CAST('2000-06-15' AS DATE) AS fixed_date
@@ -234,14 +237,19 @@ def cond_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Casts across string/int/double/decimal/date. NB double→string is
     deliberately absent (engine formatting differs), and Spark's double→int
-    TRUNCATES while DuckDB's ROUNDS — the oracle uses TRUNC to match."""
+    TRUNCATES while DuckDB's ROUNDS — the oracle uses TRUNC to match.
+    The decimal leg is cast back to DOUBLE before surfacing: Spark hands a
+    DECIMAL column to pandas as object-``Decimal`` while DuckDB's ``.df()``
+    yields float64, so a surfaced decimal hash-mismatches at the driver even
+    when every value agrees (the r9 driver FAIL). decimal(12,2)→double is
+    correctly rounded in both engines, so the twins stay exact."""
     o = load(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("bigint").alias("key_back"),
         F.col("o_orderkey").cast("double").alias("key_dbl"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
         F.col("o_totalprice").cast("int").cast("bigint").alias("price_int"),
         as_date(F.col("o_orderdate")).alias("order_date"),
         F.lit("2000-06-15").cast("date").alias("fixed_date"),

@@ -15,12 +15,19 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import glob as _glob
+import math
+import os
+import shutil
+import time as _time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from atlas_migration_repo_spark.catalog import load, r4
 from atlas_migration_repo_spark.oracle import sql_r4
 from atlas_migration_repo_spark.registry import query
+from atlas_migration_repo_spark.sources.files import scratch_path
 from atlas_migration_repo_spark.llm.text import SQL_SHINGLES, shingles, words
 
 JACCARD_TAU = 0.2
@@ -112,7 +119,116 @@ def _shingle_posting_list(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     return sh.join(rare, "shingle", "left_semi")
 
 
-def _pair_intersections(d: DataFrame) -> DataFrame:
+# Chunked pair materialization (VERDICT r9 "next" #4): the exact
+# pair-LISTING family's candidate volume grows ~df² per shingle, and one
+# monolithic pair shuffle at sf10 (500k near-dup-dense docs) spills past
+# a fixed-disk box's budget (~77 GB here — the declared r9 sf10 failure).
+# When the ESTIMATED candidate count (Σ df·(df-1)/2 over df-capped
+# shingles — one cheap linear aggregation) exceeds the per-chunk target,
+# the pair space is split into C = ⌈est/target⌉ chunks by
+# pmod(hash(da), C): every unordered pair lands in EXACTLY one chunk (the
+# filter keys on da alone), so per-chunk intersection counts are globally
+# exact, each chunk's pairs are verified (sizes join + τ filter) inside
+# the chunk job, and only the small verified output is written to scratch
+# parquet — peak shuffle disk is one chunk's, not the corpus's. Chunks
+# run SEQUENTIALLY with a best-effort shuffle-file drain between them
+# (the whole point is bounding concurrent disk). C == 1 — every SF the
+# oracle gate runs — short-circuits to the unchanged lazy single-pass
+# plan. On a real cluster the same knob bounds per-executor spill; the
+# target is sized in pairs (~24 B/pair of shuffle) via
+# SPARK_GRAFT_PAIR_CHUNK_PAIRS.
+_PAIR_CHUNK_PAIRS_DEFAULT = 300_000_000
+
+
+def _pair_chunk_target() -> int:
+    return int(
+        os.environ.get("SPARK_GRAFT_PAIR_CHUNK_PAIRS", _PAIR_CHUNK_PAIRS_DEFAULT)
+    )
+
+
+def _est_candidate_pairs(d: DataFrame) -> int:
+    """Σ df·(df-1)/2 over df-capped shingles — the exact row count the
+    pair explode will emit (before the groupBy merges shared shingles),
+    from one linear explode + groupBy pass."""
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
+    )
+    row = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") < SHINGLE_DF_CAP)
+        .agg(
+            F.sum(
+                (F.col("df").cast("long") * (F.col("df") - 1) / 2).cast("long")
+            ).alias("p")
+        )
+        .collect()[0]
+    )
+    return int(row["p"] or 0)
+
+
+def _drain_shuffle_files(spark: SparkSession) -> None:
+    """Best-effort release of the previous chunk job's shuffle files:
+    nudge the JVM ContextCleaner (shuffle files are deleted when their
+    RDDs become weakly reachable) and wait — bounded — while the local
+    block-manager directories are still shrinking. Purely an optimization
+    for fixed-disk boxes; correctness never depends on it."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        return
+
+    def _size() -> int:
+        total = 0
+        for pat in ("/tmp/blockmgr-*", "/tmp/spark-*/blockmgr-*"):
+            for f in _glob.glob(pat + "/**/*", recursive=True):
+                try:
+                    if os.path.isfile(f):
+                        total += os.path.getsize(f)
+                except OSError:
+                    pass
+        return total
+
+    try:
+        prev = _size()
+        for _ in range(20):
+            _time.sleep(1)
+            cur = _size()
+            if cur >= prev * 0.9:  # stopped shrinking
+                break
+            prev = cur
+    except Exception:
+        pass
+
+
+def _chunked_pair_run(
+    spark: SparkSession,
+    sf_dir: str,
+    d: DataFrame,
+    finish,
+    key: str,
+) -> DataFrame:
+    """Run `finish(_pair_intersections(...))` — the verify stage mapping
+    raw (da, db, i) candidate counts to a SMALL output — either as one
+    lazy plan (C == 1) or per da-hash chunk, each chunk written to
+    scratch parquet and the union read back."""
+    est = _est_candidate_pairs(d)
+    n_chunks = max(1, math.ceil(est / max(1, _pair_chunk_target())))
+    if n_chunks == 1:
+        return finish(_pair_intersections(d))
+    root = scratch_path(sf_dir, key)
+    shutil.rmtree(root, ignore_errors=True)
+    for c in range(n_chunks):
+        out = finish(_pair_intersections(d, n_chunks=n_chunks, chunk=c))
+        out.write.mode("overwrite").parquet(os.path.join(root, f"c{c}"))
+        del out
+        _drain_shuffle_files(spark)
+    return spark.read.parquet(os.path.join(root, "c*"))
+
+
+def _pair_intersections(
+    d: DataFrame, n_chunks: int = 1, chunk: int = 0
+) -> DataFrame:
     """(da, db, i) shared-shingle counts for every ordered doc pair
     (da < db) sharing ≥1 df-capped shingle — the kernel behind the exact
     Jaccard/containment/sweep family.
@@ -127,6 +243,10 @@ def _pair_intersections(d: DataFrame) -> DataFrame:
     off the family's sf0.1 wall). i is exact: each shared
     shingle contributes its pair exactly once (posting lists are
     distinct-per-doc).
+
+    With ``n_chunks > 1`` only pairs whose ``pmod(hash(da), n_chunks)``
+    equals ``chunk`` survive the explode (map-side, pre-shuffle) — the
+    chunked-materialization slice driven by `_chunked_pair_run`.
 
     The SHINGLE_DF_CAP stop-shingle guard folds into the SAME
     aggregation (`size(ds) < cap` post-filter) instead of the separate
@@ -154,10 +274,14 @@ def _pair_intersections(d: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
-        lists.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    ex = lists.select(F.explode(pairs).alias("p"))
+    if n_chunks > 1:
+        # chunk filter BEFORE the pair groupBy: the explode generates and
+        # discards out-of-chunk pairs map-side, so the shuffle written is
+        # 1/n_chunks of the candidate volume — the whole point
+        ex = ex.where(F.pmod(F.hash(F.col("p.da")), n_chunks) == chunk)
+    return ex.groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db")).agg(
+        F.count(F.lit(1)).alias("i")
     )
 
 
@@ -173,16 +297,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = d.select(
         "doc_id", F.size(F.array_distinct(shingles(words()))).alias("n")
     )
-    inter = _pair_intersections(d)
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    return (
-        inter.join(sa, F.col("da") == F.col("sa.doc_id"))
-        .join(sb, F.col("db") == F.col("sb.doc_id"))
-        .where(jac >= JACCARD_TAU)
-        .select("da", "db", r4(jac).alias("jaccard"))
-    )
+
+    def verify(inter: DataFrame) -> DataFrame:
+        # sizes broadcast explicitly: inside a chunk job the big side is
+        # the pair stream — re-shuffling it against a doc-count dim would
+        # recreate the very spill the chunking bounds
+        sa = F.broadcast(sizes).alias("sa")
+        sb = F.broadcast(sizes).alias("sb")
+        return (
+            inter.join(sa, F.col("da") == F.col("sa.doc_id"))
+            .join(sb, F.col("db") == F.col("sb.doc_id"))
+            .where(jac >= JACCARD_TAU)
+            .select("da", "db", r4(jac).alias("jaccard"))
+        )
+
+    return _chunked_pair_run(spark, sf_dir, d, verify, "chunkpairs_jaccard")
 
 
 @query("dedup_near", tags=("approx",))
@@ -530,20 +660,29 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = d.select(
         "doc_id", F.size(F.array_distinct(shingles(words()))).alias("n")
     )
-    inter = _pair_intersections(d)
-    j = (
-        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .select((F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("jac"))
-    )
-    return j.agg(
-        *[
-            F.sum(F.when(F.col("jac") >= float(t), 1).otherwise(0)).alias(
-                f"n_t{t.replace('.', '')}"
+    cols = [f"n_t{t.replace('.', '')}" for t in _SWEEP_TAUS]
+
+    def verify(inter: DataFrame) -> DataFrame:
+        # per-chunk PARTIAL counts (counts are associative, so chunked
+        # partials re-sum exactly); one row per chunk
+        j = (
+            inter.join(F.broadcast(sizes).alias("sa"), F.col("da") == F.col("sa.doc_id"))
+            .join(F.broadcast(sizes).alias("sb"), F.col("db") == F.col("sb.doc_id"))
+            .select(
+                (
+                    F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+                ).alias("jac")
             )
-            for t in _SWEEP_TAUS
-        ]
-    )
+        )
+        return j.agg(
+            *[
+                F.sum(F.when(F.col("jac") >= float(t), 1).otherwise(0)).alias(c)
+                for t, c in zip(_SWEEP_TAUS, cols)
+            ]
+        )
+
+    partials = _chunked_pair_run(spark, sf_dir, d, verify, "chunkpairs_sweep")
+    return partials.agg(*[F.sum(c).alias(c) for c in cols])
 
 
 CONTAINMENT_TAU = 0.5
@@ -580,18 +719,24 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = d.select(
         "doc_id", F.size(F.array_distinct(shingles(words()))).alias("n")
     )
-    ordered = _pair_intersections(d)
-    inter = ordered.unionByName(
-        ordered.select(
-            F.col("db").alias("da"), F.col("da").alias("db"), F.col("i")
-        )
-    )
     cont = F.col("i") * 1.0 / F.col("sa.n")
-    return (
-        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .where(cont >= CONTAINMENT_TAU)
-        .select("da", "db", r4(cont).alias("containment"))
-    )
+
+    def verify(ordered: DataFrame) -> DataFrame:
+        # both directions emitted INSIDE the chunk (|A∩B| is symmetric
+        # and each unordered pair lives in exactly one chunk, so the
+        # directed expansion is chunk-local)
+        inter = ordered.unionByName(
+            ordered.select(
+                F.col("db").alias("da"), F.col("da").alias("db"), F.col("i")
+            )
+        )
+        return (
+            inter.join(F.broadcast(sizes).alias("sa"), F.col("da") == F.col("sa.doc_id"))
+            .where(cont >= CONTAINMENT_TAU)
+            .select("da", "db", r4(cont).alias("containment"))
+        )
+
+    return _chunked_pair_run(spark, sf_dir, d, verify, "chunkpairs_containment")
 
 
 # dedup_keep_best survivor key: fixed-width decimal strings compare exactly
@@ -852,15 +997,23 @@ def corpus_dedup_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = d2.select(
         "doc_id", F.size(F.array_distinct(shingles(words()))).alias("n")
     )
-    inter = _pair_intersections(d2)
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    dead = (
-        inter.join(sizes.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .where(jac >= JACCARD_TAU)
-        .select(F.col("db").alias("doc_id"))
-        .distinct()
-    )
+
+    def verify(inter: DataFrame) -> DataFrame:
+        # chunk-local distinct removal set; a doc_id can fall out of
+        # several chunks (pairs keyed by different da), so the consumer
+        # re-distincts after the union
+        return (
+            inter.join(F.broadcast(sizes).alias("sa"), F.col("da") == F.col("sa.doc_id"))
+            .join(F.broadcast(sizes).alias("sb"), F.col("db") == F.col("sb.doc_id"))
+            .where(jac >= JACCARD_TAU)
+            .select(F.col("db").alias("doc_id"))
+            .distinct()
+        )
+
+    dead = _chunked_pair_run(
+        spark, sf_dir, d2, verify, "chunkpairs_stages"
+    ).distinct()
     s3 = s2.join(dead, "doc_id", "left_anti")
     n_near = s3.select(F.lit(3).alias("stage"), F.lit("near_jaccard").alias("name"), F.count(F.lit(1)).alias("n_docs"))
 
@@ -894,16 +1047,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting case like any hot key."""
     h = dedup_simhash(spark, sf_dir).select("doc_id", "chunk0", "chunk1", "chunk2", "chunk3")
     h = h.localCheckpoint()  # 4 self-joins: compute the hashes once
-    cand = None
-    for i in range(4):
-        a = h.select(
-            F.col("doc_id").alias("da"), *[F.col(f"chunk{j}").alias(f"a{j}") for j in range(4)]
-        )
-        b = h.select(
-            F.col("doc_id").alias("db"), *[F.col(f"chunk{j}").alias(f"b{j}") for j in range(4)]
-        )
-        p = a.join(b, (F.col(f"a{i}") == F.col(f"b{i}")) & (F.col("da") < F.col("db")))
-        cand = p if cand is None else cand.unionByName(p)
     ham = sum(
         (
             F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
@@ -911,7 +1054,54 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    return (
-        cand.select("da", "db", ham.cast("int").alias("hamming"))
-        .distinct()
-    )
+
+    def band_pairs(n_chunks: int = 1, chunk: int = 0) -> DataFrame:
+        cand = None
+        for i in range(4):
+            a = h.select(
+                F.col("doc_id").alias("da"),
+                *[F.col(f"chunk{j}").alias(f"a{j}") for j in range(4)],
+            )
+            b = h.select(
+                F.col("doc_id").alias("db"),
+                *[F.col(f"chunk{j}").alias(f"b{j}") for j in range(4)],
+            )
+            p = a.join(
+                b, (F.col(f"a{i}") == F.col(f"b{i}")) & (F.col("da") < F.col("db"))
+            )
+            if n_chunks > 1:
+                # filter the JOIN OUTPUT map-side, before the distinct's
+                # shuffle — the join's shuffle INPUT is linear in docs;
+                # it is the candidate-pair distinct that explodes on a
+                # boilerplate-dense corpus (the declared r9 sf10 failure)
+                p = p.where(F.pmod(F.hash(F.col("da")), n_chunks) == chunk)
+            cand = p if cand is None else cand.unionByName(p)
+        return cand.select("da", "db", ham.cast("int").alias("hamming")).distinct()
+
+    # candidate estimate: Σ over the four band columns of Σ_v n_v·(n_v-1)/2
+    # (an upper bound — multi-band collisions double-count; four linear
+    # groupBys on the checkpointed hash relation)
+    est = 0
+    for i in range(4):
+        row = (
+            h.groupBy(f"chunk{i}")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(
+                    (F.col("n").cast("long") * (F.col("n") - 1) / 2).cast("long")
+                ).alias("p")
+            )
+            .collect()[0]
+        )
+        est += int(row["p"] or 0)
+    n_chunks = max(1, math.ceil(est / max(1, _pair_chunk_target())))
+    if n_chunks == 1:
+        return band_pairs()
+    root = scratch_path(sf_dir, "chunkpairs_simhash")
+    shutil.rmtree(root, ignore_errors=True)
+    for c in range(n_chunks):
+        out = band_pairs(n_chunks=n_chunks, chunk=c)
+        out.write.mode("overwrite").parquet(os.path.join(root, f"c{c}"))
+        del out
+        _drain_shuffle_files(spark)
+    return spark.read.parquet(os.path.join(root, "c*"))

@@ -36,9 +36,29 @@ DEFAULT_PARTS = 32  # scale with cluster; each task sorts n/parts rows
 # NULL group values must hit the same offset-map key from both sides:
 # concat_ws silently SKIPS null columns (shorter key) while str(None)
 # yields "None" — so both encoders coalesce NULL to one sentinel byte.
-# \x00 never occurs in the string form of a real value produced by
-# Spark's cast-to-string, so the sentinel cannot collide.
+# For NUMERIC/temporal group columns cast-to-string never emits control
+# bytes, but a STRING group column passes through cast unchanged, so a
+# value equal to "\x00" (or containing the "\x1f" separator) would
+# collide (ADVICE r9 #4). Both encoders therefore escape symmetrically:
+# \x01 is the escape byte (\x01→\x01\x01, \x00→\x010, \x1f→\x011), so
+# encoded values never contain a raw \x00 or \x1f, the bare-\x00 NULL
+# sentinel cannot collide, and the \x1f join is unambiguous — the
+# encoding is injective over arbitrary string domains.
 _NULL_KEY = "\x00"
+
+
+def _esc_col(c: Column) -> Column:
+    c = F.replace(c, F.lit("\x01"), F.lit("\x01\x01"))
+    c = F.replace(c, F.lit("\x00"), F.lit("\x010"))
+    return F.replace(c, F.lit("\x1f"), F.lit("\x011"))
+
+
+def _esc_str(s: str) -> str:
+    return (
+        s.replace("\x01", "\x01\x01")
+        .replace("\x00", "\x010")
+        .replace("\x1f", "\x011")
+    )
 
 
 def _grp_key_col(group_cols: list[str]) -> Column:
@@ -46,7 +66,7 @@ def _grp_key_col(group_cols: list[str]) -> Column:
     return F.concat_ws(
         "\x1f",
         *[
-            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_KEY))
+            F.coalesce(_esc_col(F.col(c).cast("string")), F.lit(_NULL_KEY))
             for c in group_cols
         ],
         F.col("__pid").cast("string"),
@@ -56,7 +76,7 @@ def _grp_key_col(group_cols: list[str]) -> Column:
 def _grp_key_str(g: tuple, pid: int) -> str:
     """Driver-side twin of _grp_key_col for one collected group tuple."""
     return "\x1f".join(
-        [_NULL_KEY if v is None else str(v) for v in g] + [str(pid)]
+        [_NULL_KEY if v is None else _esc_str(str(v)) for v in g] + [str(pid)]
     )
 
 

@@ -89,24 +89,33 @@ DECLARED_PARITY_SKIPS: dict[str, str] = {
 # candidate backlog (hudi bloom/async-compaction, the r7 corpus/feature
 # keys, lakehouse sync pair, graph_shortest_cost, travel keys,
 # sink_uniform_stream, geo_nearest_hub).
-# Round-9 rotation (this round): the queued candidate list from round 8,
+# Round-9 rotation: the queued candidate list from round 8,
 # filled with the TPC-H golden tail, the window/setop/scalar batches,
 # join_asof_nearest, and the text-family heads — all oracle-gated and
 # never driver-sampled (verified against the r1-r8 artifact union).
-# Round-10 rotation candidates (oracle-gated, never driver-sampled):
-# the remaining scalar batch (map_funcs, explode_pos, json_funcs,
-# str_basic leftovers), the dedup tail (dedup_fingerprint … dedup_spans),
-# ts_* analytics (ts_interp_linear, ts_gap_detect, ts_seasonal_decompose,
-# ts_holt_linear, ts_bollinger_bands …), the events/orders analytics
-# families, the sql_* surface, and any keys added in round 9.
+# Round-10 rotation (this round, VERDICT r9 "next" #2): 30 fresh slots
+# drawn from the queued candidates — remaining scalar batch (hash/array/
+# map/explode/json), the sql_* surface, ts_* analytics, the dedup tail,
+# events/orders analytics, and the text tail. Two fixed-rep slots
+# (agg_grouping_sets, join_asof — both multiply driver-green, and their
+# families keep another rep in the window) are lent to math_funcs and
+# cast_types so the driver RE-verifies the two r9 hash fails with their
+# dtype fixes in the same round.
+# Round-11 rotation candidates (oracle-gated, never driver-sampled):
+# the str_* scalar tail (str_mask, str_collation, str_url_funcs,
+# str_funcs2, str_regexp_all, str_printf), variant/xml/bitwise funcs,
+# the udf family tail (udf_scalar, udf_arrow_map, udtf_table_arg,
+# udaf_grouped_arrow), win_* tail (win_cume_dist, win_percent_rank_nth,
+# win_nth_value, win_lag_default), the embed_* family, the stream_*
+# leftovers (stream_dedup, stream_global_agg, stream_upsert_cdc), and
+# the sink/source format batch (sink_jsonl, sink_csv_quoted, source_xml,
+# source_text_lines).
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r6) -------------
     "scan_parquet",
     "filter_cmp",
     "agg_pricing_summary",
-    "agg_grouping_sets",
     "join_inner",
-    "join_asof",
     "win_row_number",
     "topk_per_group",
     "sort_multi",
@@ -121,10 +130,49 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_tumbling",
     "text_tfidf",
     "dedup_exact",
-    # -- rotation (round 9): oracle-verified keys unseen by the driver in
-    # r1-r8 (cumulative 241 keys covered), per VERDICT r8 "next" #1 —
-    # the queued list: TPC-H golden tail, window/setop/scalar batches,
-    # join_asof_nearest, text-family heads
+    # -- re-verification of the two r9 driver hash FAILs, now fixed
+    # (math_funcs: CAST(FLOOR/CEIL AS BIGINT) oracle twins; cast_types:
+    # decimal surfaced through cast-to-double twins) — in the window so
+    # CORRECTNESS_r10 carries driver evidence for the fixes
+    "math_funcs",
+    "cast_types",
+    # -- rotation (round 10): oracle-verified keys unseen by the driver
+    # in r1-r9 (cumulative 271 keys covered), per VERDICT r9 "next" #2
+    "hash_funcs",
+    "array_funcs",
+    "map_funcs",
+    "explode_pos",
+    "json_funcs",
+    "sql_entrypoint",
+    "sql_parameterized",
+    "sql_group_by_all",
+    "sql_pivot_clause",
+    "sql_pipe_syntax",
+    "ts_interp_linear",
+    "ts_gap_detect",
+    "ts_seasonal_decompose",
+    "ts_holt_linear",
+    "ts_bollinger_bands",
+    "ts_downsample_ohlc",
+    "dedup_fingerprint",
+    "dedup_chunks",
+    "dedup_keep_best",
+    "dedup_incremental",
+    "dedup_spans",
+    "events_interarrival_histogram",
+    "events_cumulative_unique_users",
+    "orders_yoy_growth",
+    "orders_cohort_ltv",
+    "orders_gini_coefficient",
+    "text_tokens",
+    "text_fingerprint",
+    "text_normalize",
+    "text_pii_redact",
+    # -- past the ~50-entry driver window. The r9 window block and the
+    # two fixed reps lent out above come first (kept listed for
+    # replay-tooling order stability), then the r8-hashed rotation block.
+    "agg_grouping_sets",
+    "join_asof",
     "q4_priority_check",
     "q6_forecast_revenue",
     "q8_market_share",
@@ -147,19 +195,12 @@ _DRIVER_SAMPLE_PREFIX = (
     "set_except",
     "str_basic",
     "ts_funcs",
-    "math_funcs",
     "cond_expr",
-    "cast_types",
     "text_stats",
     "text_ngram",
     "text_quality",
-    # this round's new keys (never sampled by construction)
     "iceberg_merge_dv",
     "iceberg_eq_delete_dv",
-    # -- past the ~50-entry driver window. First two entries are ALSO
-    # never-sampled so the tripwire holds 30 fresh keys both before and
-    # after the two new keys above land. Then the r8-hashed rotation
-    # block (kept listed for replay-tooling order stability).
     "set_except_all",
     "set_intersect_all",
     "join_asof_forward",
@@ -260,7 +301,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "hudi_time_travel",
     "hudi_incremental",
     "hudi_clustering",
-    "json_funcs",
     "stream_watermark",
     "text_wordcount",
     "dedup_clusters",

@@ -67,6 +67,7 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import os
 import re
 import shutil
@@ -4519,6 +4520,14 @@ def metadata_column_stats_relation(
     filters)."""
     from pyspark.sql import Window
 
+    if not _cs_columns(path):
+        # same loud guard as metadata_column_stats_hudi (ADVICE r9 #2):
+        # without it, a metadata-enabled table with no column_stats
+        # index returns an EMPTY relation and every consumer's left join
+        # silently degrades skipping into keep-everything.
+        raise ValueError(
+            "column_stats index not enabled; run enable_column_stats_hudi"
+        )
     base_covers, base_fp = None, None
     d = _md_files_dir(path)
     if os.path.isdir(d):
@@ -4625,11 +4634,25 @@ def read_hudi_column_range(
     env = metadata_column_stats_relation(spark, path, column)
     if isinstance(lo, bool) or isinstance(hi, bool):
         raise ValueError("boolean range predicates have no skip semantics")
+    lo_l, hi_l = lo, hi  # integer-exact bounds (set by the numeric branch)
     if isinstance(lo, (int, float)):
+        # The long branch compares in LONG (ADVICE r9 #3): int predicates
+        # pass through exactly, float predicates are converted to the
+        # equivalent integer bounds (mx < lo ⟺ mx < ceil(lo);
+        # mn > hi ⟺ mn > floor(hi) for integer mx/mn), clamped to int64.
+        # NB the old mixed long-vs-double compare could never WRONGLY
+        # prune (IEEE long→double rounding is monotone, so widened
+        # disjointness implies exact disjointness) — but it could
+        # conservatively keep files an exact compare prunes; this keeps
+        # the predicate exact end-to-end instead.
+        LMIN, LMAX = -(1 << 63), (1 << 63) - 1
+        lo_l = lo if isinstance(lo, int) else min(max(math.ceil(lo), LMIN), LMAX)
+        hi_l = hi if isinstance(hi, int) else min(max(math.floor(hi), LMIN), LMAX)
         disjoint = (
             F.when(
                 F.col("mn_long").isNotNull(),
-                (F.col("mx_long") < F.lit(lo)) | (F.col("mn_long") > F.lit(hi)),
+                (F.col("mx_long") < F.lit(lo_l))
+                | (F.col("mn_long") > F.lit(hi_l)),
             )
             .when(
                 F.col("mn_dbl").isNotNull(),
@@ -4664,9 +4687,18 @@ def read_hudi_column_range(
         if c
     ]
     df = _scan_slices(spark, path, keep, full, partition_by=pby)
-    return df.where(F.col(column).between(F.lit(lo), F.lit(hi))).select(
-        *[f.name for f in data.fields]
-    )
+    # The survivor predicate must carry the SAME exact semantics as the
+    # prune (ADVICE r9 #3): for an integral column, a raw float literal
+    # would make Spark widen the column to double (values beyond 2^53
+    # collapse), silently matching rows outside the mathematical range —
+    # so integral columns compare against the equivalent integer bounds
+    # computed above.
+    ityp = {f.name: f.dataType.simpleString() for f in data.fields}[column]
+    if ityp in ("tinyint", "smallint", "int", "bigint"):
+        pred = F.col(column).between(F.lit(lo_l), F.lit(hi_l))
+    else:
+        pred = F.col(column).between(F.lit(lo), F.lit(hi))
+    return df.where(pred).select(*[f.name for f in data.fields])
 
 
 def _slices_from_metadata(path: str):

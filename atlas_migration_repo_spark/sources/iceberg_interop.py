@@ -2013,7 +2013,10 @@ def _dv_union_supersede(
     targeted data file (v3 forbids mixing; the spec's migration guidance
     is to compact first). Mutates `new_dvs`; returns the superseded
     (puffin_path, content_offset) pairs whose manifest entries the
-    commit must mark DELETED."""
+    commit must mark DELETED. NB `spark` is genuinely required: the
+    v2-coexistence check reads each live position-delete FILE's
+    referenced data paths via spark.read.parquet (ADVICE r9 #5 assessed:
+    the parameter is used on that branch, so it stays)."""
     superseded: set[tuple[str, int]] = set()
     for d in deletes:
         f = d["data_file"]
@@ -2058,6 +2061,7 @@ def _commit_dv_snapshot(
     new_dvs: dict[str, set[int]],
     superseded: set[tuple[str, int]],
     operation: str,
+    added_rows: int = 0,
 ) -> int:
     """Commit tail shared by every native-DV verb: write ONE Puffin file
     + v3 delete manifest for `new_dvs`, carry every prior manifest
@@ -2065,7 +2069,11 @@ def _commit_dv_snapshot(
     DELETED, siblings EXISTING with sequence numbers materialized) —
     prepend `data_rows` manifest rows (merge's new data files), stamp
     format-version 3, and append one snapshot. An empty `new_dvs`
-    (insert-only merge) skips the Puffin/delete manifest entirely."""
+    (insert-only merge) skips the Puffin/delete manifest entirely.
+    On a row-lineage table (metadata carries `next-row-id`) the snapshot
+    records its `first-row-id` and next-row-id advances by `added_rows`
+    (the caller has already assigned per-file `first_row_id` to the new
+    data manifest entries — ADVICE r9 #1)."""
     v, cur_meta = cur
     rows: list[tuple] = list(data_rows)
     if new_dvs:
@@ -2185,6 +2193,10 @@ def _commit_dv_snapshot(
     }
     patched = json.loads(json.dumps(cur_meta))
     patched["format-version"] = 3  # DVs require v3
+    if "next-row-id" in cur_meta:
+        first_row = int(cur_meta["next-row-id"])
+        snapshot["first-row-id"] = first_row
+        patched["next-row-id"] = first_row + int(added_rows)
     _append_snapshot_commit(path, (v, patched), snapshot, seq)
     return snap_id
 
@@ -2517,7 +2529,21 @@ def merge_iceberg_dv(
         seq,
     )
     data_rows: list[tuple] = []
+    added_rows = 0
     if data_entries:
+        if "next-row-id" in cur[1]:
+            # row-lineage table (v3): the merge's new data files take row
+            # ids exactly like write_iceberg's append path — file N's
+            # first_row_id = table next-row-id + rows in files before it;
+            # _commit_dv_snapshot stamps the snapshot's first-row-id and
+            # bumps next-row-id from added_rows (ADVICE r9 #1: without
+            # this, DV-merged files landed with null lineage ids).
+            first_row = int(cur[1]["next-row-id"])
+            off = 0
+            for e in data_entries:
+                e[4]["first_row_id"] = first_row + off
+                off += int(e[4]["record_count"])
+        added_rows = sum(int(e[4]["record_count"]) for e in data_entries)
         summaries = _partition_summaries(part_fields, data_entries)
         man_path = os.path.join(_meta_dir(path), f"{uuid.uuid4().hex}-m0.avro")
         man_len = _write_avro_file(
@@ -2546,7 +2572,8 @@ def merge_iceberg_dv(
     )
     superseded = _dv_union_supersede(spark, new_dvs, deletes)
     return _commit_dv_snapshot(
-        path, cur, seq, snap_id, data_rows, new_dvs, superseded, "overwrite"
+        path, cur, seq, snap_id, data_rows, new_dvs, superseded, "overwrite",
+        added_rows=added_rows,
     )
 
 

@@ -74,7 +74,7 @@ def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 def run_spark(spark, qd, sf_dir: str):
     df = qd.fn(spark, sf_dir)
-    return df.columns, df.collect()
+    return df.columns, df.collect(), df.schema
 
 
 def run_oracle(con, qd):
@@ -83,9 +83,101 @@ def run_oracle(con, qd):
     return cols, cur.fetchall()
 
 
+# ---------------------------------------------------------------------------
+# Pandas-dtype parity audit (VERDICT r9 "next" #1c). The driver's hash gate
+# compares pandas frames, and pandas dtype is where Spark and DuckDB can
+# diverge even when every VALUE matches: Spark FLOOR returns BIGINT (int64)
+# while DuckDB's returns DOUBLE (float64), and a surfaced DECIMAL reaches
+# pandas as object-``Decimal`` from Spark but float64 from DuckDB's
+# ``.df()``. Value comparison alone (above) is blind to this axis — that is
+# exactly how math_funcs/cast_types stayed builder-green for six rounds and
+# failed their first driver sampling (r9). So every oracle-gated key also
+# asserts that the TYPE CLASS of each output column agrees between the Spark
+# schema and DuckDB's ``DESCRIBE`` of the oracle, and that neither side
+# surfaces a decimal.
+
+_DUCK_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    return "other"
+
+
+def _duck_type_class(t: str) -> str:
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in _DUCK_INT_TYPES:
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "BLOB":
+        return "bin"
+    return "other"
+
+
+def assert_dtype_parity(con, qd, spark_schema) -> None:
+    """Spark-vs-DuckDB pandas-dtype-class parity for one oracle key."""
+    desc = con.execute(f"DESCRIBE {qd.oracle}").fetchall()
+    duck_classes = {row[0]: _duck_type_class(row[1]) for row in desc}
+    spark_classes = {f.name: _spark_type_class(f.dataType) for f in spark_schema.fields}
+    bad = []
+    for name, s_cls in spark_classes.items():
+        d_cls = duck_classes.get(name)
+        if d_cls is None:
+            continue  # column-name parity is asserted separately
+        if s_cls == "decimal" or d_cls == "decimal":
+            bad.append(
+                (name, s_cls, d_cls, "surfaced DECIMAL reaches pandas as "
+                 "object-Decimal (Spark) vs float64 (DuckDB) — cast both "
+                 "twins to DOUBLE or VARCHAR before surfacing")
+            )
+        elif s_cls != d_cls:
+            bad.append(
+                (name, s_cls, d_cls, "pandas dtype class diverges — align "
+                 "the twins with explicit CASTs (e.g. CAST(FLOOR(x) AS "
+                 "BIGINT) in the oracle: Spark FLOOR is BIGINT, DuckDB's "
+                 "is DOUBLE)")
+            )
+    assert not bad, (
+        f"{qd.name}: driver-hash dtype hazard in columns "
+        + "; ".join(f"{n} (spark={s}, duckdb={d}: {why})" for n, s, d, why in bad)
+    )
+
+
 def assert_matches_oracle(spark, con, qd, sf_dir: str = SF_DIR):
-    s_cols, s_rows = run_spark(spark, qd, sf_dir)
+    s_cols, s_rows, s_schema = run_spark(spark, qd, sf_dir)
     o_cols, o_rows = run_oracle(con, qd)
+    assert_dtype_parity(con, qd, s_schema)
     assert sorted(s_cols) == sorted(o_cols), (
         f"{qd.name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
     )

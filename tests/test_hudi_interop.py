@@ -1663,6 +1663,41 @@ def test_column_range_read_never_collects_envelope_relation(spark, monkeypatch):
     assert empty.count() == 0
 
 
+def test_column_range_int64_exact_beyond_2p53_and_relation_guard(spark):
+    """ADVICE r9 #3: an integral column queried with FLOAT bounds must
+    compare exactly — prune AND survivor predicate — not through Spark's
+    long→double widening, under which int64 values beyond 2^53 collapse
+    onto the same double (2^53 and 2^53+1 both "equal" 2^53.0). With
+    exact semantics only the mathematically in-range row survives.
+    ADVICE r9 #2: metadata_column_stats_relation must raise the same
+    loud guard as the driver-side fold when the column_stats index is
+    not enabled, instead of returning an empty relation that degrades
+    skipping into keep-everything."""
+    root = scratch_path(SF_DIR, "ut_hudi_colstats_2p53")
+    shutil.rmtree(root, ignore_errors=True)
+    p = 1 << 53
+    # double spacing at 2^53 is 2: p-2 and p are exact doubles, p+1 is
+    # NOT representable and widens to p — the collapse the fix targets
+    df = spark.createDataFrame(
+        [(p - 2, 1.0), (p, 2.0), (p + 1, 3.0)], "k bigint, v double"
+    ).repartition(1)
+    H.write_hudi(df, root, record_key="k")
+    H.enable_metadata_hudi(root)
+    with pytest.raises(ValueError, match="column_stats index not enabled"):
+        H.metadata_column_stats_relation(spark, root, "k")
+    H.enable_column_stats_hudi(root, ["k"])
+    H.sync_metadata_hudi(root)
+    got = {
+        r["k"]
+        for r in H.read_hudi_column_range(
+            spark, root, "k", float(p), float(p)
+        ).collect()
+    }
+    # widened long→double compare would ALSO admit p+1 (it collapses
+    # onto 2^53.0); the exact integer-bounds predicate must not
+    assert got == {p}, got
+
+
 def test_column_stats_mor_logs_never_pruned_and_clean_drops_stats(spark):
     """column_stats envelope rules that keep skipping SOUND: (1) a MOR
     file group with log files is never pruned — log rows carry no footer

@@ -1911,6 +1911,58 @@ def test_row_lineage_survives_deletes_and_compaction(spark):
     assert set(read_iceberg(spark, root).columns) == {"id"}
 
 
+def test_row_lineage_dv_merge_assigns_row_ids(spark):
+    """ADVICE r9 #1: merge_iceberg_dv on a row-lineage table must assign
+    first_row_id to its new data files, stamp the snapshot's
+    first-row-id, and bump next-row-id — previously DV-merged files
+    landed with null lineage ids. Survivors keep their identities; the
+    merge's rows (updates re-inserted + brand-new) take fresh ids from
+    the pre-merge next-row-id in manifest-entry/position order. A
+    follow-up DV delete adds no rows: next-row-id holds, but its
+    snapshot still records first-row-id."""
+    import atlas_migration_repo_spark.sources.iceberg_interop as I
+
+    root = _fresh("t_ice_lineage_dv_merge")
+    a = spark.range(0, 40).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_iceberg(
+        a.repartition(1).sortWithinPartitions("id"), root, row_lineage=True
+    )
+    src = spark.range(0, 10).select(
+        F.col("id"), F.lit(-1).cast("long").alias("v")
+    ).unionAll(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") - 100).alias("v")
+        )
+    )
+    sid = I.merge_iceberg_dv(
+        spark, root, src.repartition(1).sortWithinPartitions("id"), on=["id"]
+    )
+    _, meta = I._current_metadata(root)
+    assert meta["next-row-id"] == 55  # 40 pre-merge + 15 merged
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    assert snap["first-row-id"] == 40
+    _, files = iceberg_live_files(root)
+    assert sorted(f["first_row_id"] for f in files) == [0, 40]
+    got = {
+        (r["id"], r["v"], r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    want = (
+        {(i, 2 * i, i, 1) for i in range(10, 40)}  # survivors untouched
+        | {(i, -1, 40 + i, 2) for i in range(10)}  # updates, fresh ids
+        | {(100 + k, k, 50 + k, 2) for k in range(5)}  # inserts
+    )
+    assert got == want
+    # DV delete on the lineage table: no rows added → next-row-id holds,
+    # snapshot still stamps its first-row-id
+    sid2 = I.delete_iceberg_dv(spark, root, "id", 15, 19)
+    _, meta2 = I._current_metadata(root)
+    assert meta2["next-row-id"] == 55
+    snap2 = next(s for s in meta2["snapshots"] if s["snapshot-id"] == sid2)
+    assert snap2["first-row-id"] == 55
+    assert read_iceberg(spark, root, with_lineage=True).count() == 40
+
+
 def test_model_check_dv_commit_sequences(spark):
     """Model-check NATIVE v3 deletion-vector commits: a seeded random
     sequence of append / DV-range-delete / DV-merge / DV-eq-delete /

@@ -4195,11 +4195,16 @@ def test_grouped_distributed_primitives_exact(spark):
     rng = random.Random(9)
     # None group: ADVICE r8 — concat_ws silently skipped null group
     # values while the driver-side key said "None"; both sides now
-    # coalesce to one sentinel, so a null group ranks like any other
+    # coalesce to one sentinel, so a null group ranks like any other.
+    # Hostile STRING groups: ADVICE r9 #4 — a group value equal to the
+    # "\x00" NULL sentinel, containing the "\x1f" separator, or
+    # containing the "\x01" escape byte must key distinctly (both
+    # encoders escape symmetrically, so the domain is arbitrary strings)
+    groups = ["a", "b", "c", None, "\x00", "x\x1fy", "x\x01y", "x\x010y"]
     rows = [
         (
             i,
-            rng.choice(["a", "b", "c", None]),
+            rng.choice(groups),
             rng.randint(0, 40),
             rng.randint(1, 9),
         )
@@ -4216,8 +4221,7 @@ def test_grouped_distributed_primitives_exact(spark):
         (r["id"], r["rk"]) for r in ref.collect()
     }
     assert sizes == {
-        (g,): sum(1 for _i, gg, _v, _w in rows if gg == g)
-        for g in ("a", "b", "c", None)
+        (g,): sum(1 for _i, gg, _v, _w in rows if gg == g) for g in groups
     }
     gs = grouped_running_sum(
         df, ["g"], order, F.col("w").cast("bigint"), parts=6, out="c"
@@ -4257,3 +4261,67 @@ def test_driver_window_rotates_to_unseen_keys():
         f"driver window holds only {len(fresh)} never-sampled keys; "
         "rotate _DRIVER_SAMPLE_PREFIX in registry.py"
     )
+
+
+def test_chunked_pair_materialization_exact(spark, oracle_con, monkeypatch):
+    """VERDICT r9 "next" #4: the exact pair-LISTING dedup family must
+    produce BYTE-IDENTICAL results when chunked pair materialization
+    engages (est. candidate pairs > SPARK_GRAFT_PAIR_CHUNK_PAIRS → C
+    da-hash chunks executed sequentially, verified per chunk, union read
+    back from scratch). Forces C≈3 at gate scale by shrinking the
+    per-chunk target to est/3, replays the driver's oracle gate for
+    every family member, and pins that chunking actually engaged (≥2
+    chunk dirs under scratch)."""
+    import os
+
+    import atlas_migration_repo_spark.llm.dedup as D
+    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.sources.files import scratch_path
+    from conftest import assert_matches_oracle
+
+    d = load(spark, SF_DIR, "documents")
+    est = D._est_candidate_pairs(d)
+    assert est > 0
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_CHUNK_PAIRS", str(max(1, est // 3)))
+    for key in (
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "dedup_threshold_sweep",
+        "corpus_dedup_stages",
+        "dedup_clusters",
+    ):
+        assert_matches_oracle(spark, oracle_con, QUERIES[key])
+    chunks = [
+        p
+        for p in os.listdir(scratch_path(SF_DIR, "chunkpairs_jaccard"))
+        if p.startswith("c")
+    ]
+    assert len(chunks) >= 2, "chunked materialization never engaged"
+
+    # the simhash band-join kernel chunks on its own (band-collision)
+    # estimate — force it the same way and replay its oracle
+    h = D.dedup_simhash(spark, SF_DIR).select(
+        "doc_id", "chunk0", "chunk1", "chunk2", "chunk3"
+    )
+    estb = 0
+    for i in range(4):
+        row = (
+            h.groupBy(f"chunk{i}")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(
+                    (F.col("n").cast("long") * (F.col("n") - 1) / 2).cast("long")
+                ).alias("p")
+            )
+            .collect()[0]
+        )
+        estb += int(row["p"] or 0)
+    assert estb > 0
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_CHUNK_PAIRS", str(max(1, estb // 3)))
+    assert_matches_oracle(spark, oracle_con, QUERIES["dedup_simhash_pairs"])
+    schunks = [
+        p
+        for p in os.listdir(scratch_path(SF_DIR, "chunkpairs_simhash"))
+        if p.startswith("c")
+    ]
+    assert len(schunks) >= 2, "simhash chunked materialization never engaged"
