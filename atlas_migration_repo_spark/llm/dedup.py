@@ -218,11 +218,16 @@ def _chunked_pair_run(
         return finish(_pair_intersections(d))
     root = scratch_path(sf_dir, key)
     shutil.rmtree(root, ignore_errors=True)
+    # the linear explode→groupBy posting-list aggregation runs ONCE; each
+    # chunk reads the checkpointed relation and generates only its own
+    # pairs (outer-element chunk gate in _pairs_from_lists)
+    lists = _posting_lists(d).localCheckpoint(eager=True)
     for c in range(n_chunks):
-        out = finish(_pair_intersections(d, n_chunks=n_chunks, chunk=c))
+        out = finish(_pairs_from_lists(lists, n_chunks=n_chunks, chunk=c))
         out.write.mode("overwrite").parquet(os.path.join(root, f"c{c}"))
         del out
         _drain_shuffle_files(spark)
+    del lists
     return spark.read.parquet(os.path.join(root, "c*"))
 
 
@@ -245,8 +250,14 @@ def _pair_intersections(
     distinct-per-doc).
 
     With ``n_chunks > 1`` only pairs whose ``pmod(hash(da), n_chunks)``
-    equals ``chunk`` survive the explode (map-side, pre-shuffle) — the
-    chunked-materialization slice driven by `_chunked_pair_run`.
+    equals ``chunk`` are GENERATED (the chunk predicate applies to the
+    outer element before the inner pair expansion, so chunk c does
+    ~1/n_chunks of the quadratic work — across all chunks the pair
+    generation totals the single-pass cost, and only the linear
+    posting-list side repeats) — the chunked-materialization slice
+    driven by `_chunked_pair_run`, which also passes a checkpointed
+    posting-list relation so the explode→groupBy aggregation runs once,
+    not once per chunk.
 
     The SHINGLE_DF_CAP stop-shingle guard folds into the SAME
     aggregation (`size(ds) < cap` post-filter) instead of the separate
@@ -256,32 +267,62 @@ def _pair_intersections(
     its reducer before the filter drops it (8 bytes × df — fine through
     df ~10⁷); a corpus where single shingles exceed that switches back
     to the semi-join pre-filter, which never collects the hot list."""
+    return _pairs_from_lists(_posting_lists(d), n_chunks=n_chunks, chunk=chunk)
+
+
+def _posting_lists(d: DataFrame) -> DataFrame:
+    """(shingle, ds) df-capped sorted posting lists — the linear half of
+    the kernel, split out so `_chunked_pair_run` can checkpoint it once
+    and reuse it across chunks."""
     sh = d.select(
         "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
     )
-    lists = (
+    return (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") < SHINGLE_DF_CAP)
     )
+
+
+def _pairs_from_lists(
+    lists: DataFrame, n_chunks: int = 1, chunk: int = 0
+) -> DataFrame:
+    """(da, db, i) from posting lists; the quadratic half of the kernel."""
     ds = F.col("ds")
-    pairs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + 2, F.size(ds)),
-                lambda y: F.struct(x.alias("da"), y.alias("db")),
-            ),
-        )
-    )
-    ex = lists.select(F.explode(pairs).alias("p"))
     if n_chunks > 1:
-        # chunk filter BEFORE the pair groupBy: the explode generates and
-        # discards out-of-chunk pairs map-side, so the shuffle written is
-        # 1/n_chunks of the candidate volume — the whole point
-        ex = ex.where(F.pmod(F.hash(F.col("p.da")), n_chunks) == chunk)
-    return ex.groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db")).agg(
-        F.count(F.lit(1)).alias("i")
+        # generate ONLY this chunk's pairs: the chunk predicate gates the
+        # OUTER element, and the inner side pairs x with the strictly
+        # greater elements (ds is sorted and per-list doc_ids are unique,
+        # so `y > x` is exactly "after x" — the slice-by-index form below
+        # can't be outer-filtered without losing the index). Σ over
+        # chunks of the quadratic work = the single-pass cost; only the
+        # linear outer scan repeats per chunk.
+        mine = F.filter(
+            ds, lambda x: F.pmod(F.hash(x), F.lit(n_chunks)) == F.lit(chunk)
+        )
+        pairs = F.flatten(
+            F.transform(
+                mine,
+                lambda x: F.transform(
+                    F.filter(ds, lambda y: y > x),
+                    lambda y: F.struct(x.alias("da"), y.alias("db")),
+                ),
+            )
+        )
+    else:
+        pairs = F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(ds, i + 2, F.size(ds)),
+                    lambda y: F.struct(x.alias("da"), y.alias("db")),
+                ),
+            )
+        )
+    return (
+        lists.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
     )
 
 
@@ -1062,6 +1103,17 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("da"),
                 *[F.col(f"chunk{j}").alias(f"a{j}") for j in range(4)],
             )
+            if n_chunks > 1:
+                # chunk gate on the A SIDE, BEFORE the join: the pair
+                # order constraint da < db means every unordered pair is
+                # emitted with da = its min doc, so filtering a to
+                # pmod(hash(da)) == chunk partitions the pair space
+                # exactly — each chunk probes only its own candidates
+                # (total join output across chunks = the single-pass
+                # volume) and the distinct's shuffle is 1/n_chunks. It
+                # is that candidate distinct that explodes on a
+                # boilerplate-dense corpus (the declared r9 sf10 failure).
+                a = a.where(F.pmod(F.hash(F.col("da")), n_chunks) == chunk)
             b = h.select(
                 F.col("doc_id").alias("db"),
                 *[F.col(f"chunk{j}").alias(f"b{j}") for j in range(4)],
@@ -1069,12 +1121,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = a.join(
                 b, (F.col(f"a{i}") == F.col(f"b{i}")) & (F.col("da") < F.col("db"))
             )
-            if n_chunks > 1:
-                # filter the JOIN OUTPUT map-side, before the distinct's
-                # shuffle — the join's shuffle INPUT is linear in docs;
-                # it is the candidate-pair distinct that explodes on a
-                # boilerplate-dense corpus (the declared r9 sf10 failure)
-                p = p.where(F.pmod(F.hash(F.col("da")), n_chunks) == chunk)
             cand = p if cand is None else cand.unionByName(p)
         return cand.select("da", "db", ham.cast("int").alias("hamming")).distinct()
 
