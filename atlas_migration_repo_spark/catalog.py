@@ -29,22 +29,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# Inferred parquet schema per file path. Schema inference reads the file
+# footer through the JVM (~80 ms per call vs ~15 ms with the schema handed
+# to the reader — measured r10); a 6-table join paid it six times per query
+# construction. Metadata only — every query still scans the parquet data.
+_SCHEMA_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain parquet scan — pushdown/pruning happen
     at the source when callers .select()/.where() on the result."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    try:
-        df = spark.read.parquet(table_path(sf_dir, name))
-    except Exception as e:  # pragma: no cover - only ns-precision fixtures
-        if name == "events" and "PARQUET_TYPE_ILLEGAL" in str(e):
-            # ns-precision events.parquet: Spark 4 hard-rejects
-            # TIMESTAMP(NANOS) unless nanosAsLong surfaces it as raw int64.
-            # Runtime-settable, so this works on any caller-supplied session.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(table_path(sf_dir, name))
-        else:
-            raise
+    path = table_path(sf_dir, name)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        try:
+            df = spark.read.parquet(path)
+        except Exception as e:  # pragma: no cover - only ns-precision fixtures
+            if name == "events" and "PARQUET_TYPE_ILLEGAL" in str(e):
+                # ns-precision events.parquet: Spark 4 hard-rejects
+                # TIMESTAMP(NANOS) unless nanosAsLong surfaces it as raw int64.
+                # Runtime-settable, so this works on any caller-supplied session.
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = spark.read.parquet(path)
+            else:
+                raise
+        _SCHEMA_CACHE[path] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns fixture surfaced as int64 ns → convert to µs TIMESTAMP_NTZ
         # (floor, matching DuckDB's ns→µs CAST truncation). Integral `div`,
@@ -99,23 +112,61 @@ def r4(c: Column) -> Column:
     return F.round(c.cast("double"), 4) + F.lit(0.0)
 
 
-def msum(c: Column) -> Column:
-    """Exact money-sum: DECIMAL(30,8) accumulation → DECIMAL(.,4) → double.
+# msum fast path: per-row 8dp mantissa is split at this base into two
+# overflow-safe long sums (see msum docstring for the full budget).
+_MSUM_SPLIT = 3_000_000
 
-    Twin of oracle.sql_msum. Why this exact shape (measured on the fixture):
-    - Fixture measures are ≤2dp and their products ≤6dp-exact, so the
-      per-row double→decimal(30,8) cast has a 100× margin to any rounding
-      tie — Spark's shortest-repr HALF_UP and DuckDB's exact-binary
-      rounding agree on every row. (Scale 4 does NOT work: 6dp products
-      hit exact .xxxx50 ties that the engines break differently.)
-    - Decimal aggregation is exact and order-independent → immune to
-      shuffle-order double drift (≈1e-4 at sf0.1, past the round grid).
-    - The 4dp rounding happens decimal→decimal (exact ties, HALF_UP ==
-      half-away-from-zero in both engines), then decimal→double is
-      correctly rounded in both engines for |value|·1e4 < 2^53.
-    Decimal sums stay in Tungsten codegen (Decimal128) — JVM fast path.
+
+def _mantissa8(c: Column) -> Column:
+    """round(c·1e8) half-away-from-zero as a long — the unscaled value of
+    CAST(c AS DECIMAL(30,8)) for every value in msum's input contract."""
+    return (c * 1e8 + F.when(c >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("bigint")
+
+
+def msum(c: Column) -> Column:
+    """Exact money-sum, bit-identical to DECIMAL(30,8) accumulation →
+    DECIMAL(38,4) → double, via integer-mantissa long sums (r10 fast path).
+
+    Twin of oracle.sql_msum. Input contract (unchanged from the decimal
+    form): values are ≤6dp-exact decimals (fixture measures are ≤2dp, their
+    products ≤6dp-exact; arbitrary doubles are r4-rounded first — see
+    similarity.sim_maxsim) with |value| < 1e9.
+
+    Why this computes the same result (measured exhaustively on the
+    fixtures, pinned by tests/test_properties.py::test_msum_fast_path_*):
+    - Per row, round(c·1e8) half-away-from-zero on the BINARY double equals
+      the unscaled value of Spark's shortest-repr cast(c as decimal(30,8)):
+      a ≤6dp-exact value sits ≥50 mantissa units from the nearest rounding
+      tie, while the c·1e8 double product carries ≤1e-3 units of error —
+      a 4-5 order-of-magnitude margin (same argument, same 100× headroom,
+      as the decimal form's docstring made for the cast itself).
+    - The mantissa is split m = (m DIV 3e6)·3e6 + (m % 3e6), truncating
+      division, so the two long partial sums reconstruct Σm exactly at any
+      aggregation order — the same order-independence decimal sums gave.
+      Overflow budget: |m| ≤ 1.3e13 → |hi| ≤ 4.4e6, |lo| < 3e6; at 100 TB
+      (~6e11 lineitem rows) both sums stay below 2.7e18 ≪ 2^63.
+    - Reconstruction runs on |groups| rows only, entirely in decimal with
+      no precision-loss adjustment (27+8+1 ≤ 38 digits end to end): Σm as
+      DECIMAL(28,0), ·1e-8 → DECIMAL(37,8) exact, → DECIMAL(38,4) is the
+      identical HALF_UP 4dp rounding, → double correctly rounded once.
+    Why: the decimal form pays a Double.toString + BigDecimal parse per row
+    per measure (measured 1.76 s for Q1's four sums at sf0.1 vs 0.28 s for
+    this form); the long form stays in whole-stage codegen arithmetic.
     """
-    return F.sum(c.cast("decimal(30,8)")).cast("decimal(38,4)").cast("double")
+    m = _mantissa8(c)
+    lo = m % _MSUM_SPLIT
+    # (m - lo) is an exact multiple of the split base ≤ 2^53, so the double
+    # division below is exact; the quotient re-enters long space unrounded.
+    hi = ((m - lo) / _MSUM_SPLIT).cast("bigint")
+    total = (
+        F.sum(hi).cast("decimal(19,0)") * F.lit(_MSUM_SPLIT).cast("decimal(7,0)")
+        + F.sum(lo).cast("decimal(19,0)")
+    )
+    return (
+        (total * F.lit("0.00000001").cast("decimal(8,8)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+    )
 
 
 def as_date(c: Column) -> Column:

@@ -211,17 +211,28 @@ def _chunked_pair_run(
     """Run `finish(_pair_intersections(...))` — the verify stage mapping
     raw (da, db, i) candidate counts to a SMALL output — either as one
     lazy plan (C == 1) or per da-hash chunk, each chunk written to
-    scratch parquet and the union read back."""
-    est = _est_candidate_pairs(d)
+    scratch parquet and the union read back.
+
+    r10: ONE posting-list pass serves both the estimate and the pair
+    generation. The lists are checkpointed first and the candidate count
+    is Σ|ds|·(|ds|-1)/2 over the materialized lists — a metadata-cheap
+    aggregate — where the previous shape paid a full extra
+    explode→groupBy estimator pass (`_est_candidate_pairs`) over the raw
+    corpus and then re-derived the lists again for the actual run (the
+    estimate itself is identical: |ds| IS the capped df). Both branches
+    then generate pairs from the same checkpointed relation."""
+    lists = _posting_lists(d).localCheckpoint(eager=True)
+    row = lists.agg(
+        F.sum(
+            (F.size("ds").cast("long") * (F.size("ds") - 1) / 2).cast("long")
+        ).alias("p")
+    ).collect()[0]
+    est = int(row["p"] or 0)
     n_chunks = max(1, math.ceil(est / max(1, _pair_chunk_target())))
     if n_chunks == 1:
-        return finish(_pair_intersections(d))
+        return finish(_pairs_from_lists(lists))
     root = scratch_path(sf_dir, key)
     shutil.rmtree(root, ignore_errors=True)
-    # the linear explode→groupBy posting-list aggregation runs ONCE; each
-    # chunk reads the checkpointed relation and generates only its own
-    # pairs (outer-element chunk gate in _pairs_from_lists)
-    lists = _posting_lists(d).localCheckpoint(eager=True)
     for c in range(n_chunks):
         out = finish(_pairs_from_lists(lists, n_chunks=n_chunks, chunk=c))
         out.write.mode("overwrite").parquet(os.path.join(root, f"c{c}"))
@@ -371,6 +382,12 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle"))
 
+    # localCheckpoint: the band self-join below consumes `bands` on BOTH
+    # sides, and Catalyst does not reuse the exchange across the two
+    # consumers — without the checkpoint the shingle explode + 32-way
+    # min-hash aggregation (the expensive pass) ran twice (r10; same
+    # tokenize-once pattern as text_tfidf). The checkpointed relation is
+    # |docs| × 33 narrow columns — tiny at any SF next to the corpus.
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(_MERSENNE))).alias(
@@ -378,7 +395,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i in range(MINHASH_K)
         ]
-    )
+    ).localCheckpoint()
     bands = sigs.select(
         "doc_id",
         F.posexplode(

@@ -203,13 +203,15 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def chain_cos(x, y, ny):
         # sequential left-assoc IEEE accumulation == Spark chain `dot` ==
-        # DuckDB list_aggregate; Python floats ARE C doubles
-        s = 0.0
-        nx = 0.0
-        for i in range(len(x)):
-            xi, yi = float(x[i]), float(y[i])
-            s += xi * yi
-            nx += xi * xi
+        # DuckDB list_aggregate. np.cumsum (ufunc accumulate) is strictly
+        # sequential left-associated over float64 — bit-identical to the
+        # interpreted per-element loop it replaced (r10; pinned by
+        # tests/test_properties.py::test_knn_cumsum_matches_python_chain)
+        # at vectorized speed.
+        import numpy as np
+
+        s = float(np.cumsum(np.asarray(x) * np.asarray(y))[-1])
+        nx = float(np.cumsum(np.asarray(x) * np.asarray(x))[-1])
         return s / (math.sqrt(nx) * ny)
 
     def best_per_block_pair(batches):
@@ -241,14 +243,11 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # fixtures (error ~1e-7·cos) until the sf1 replay caught
                 # one cosine sitting 8e-10 under an r4 boundary; badly
                 # wrong on any non-unit corpus.)
-                def chain_norm(v) -> float:
-                    s = 0.0
-                    for i in range(len(v)):
-                        vi = float(v[i])
-                        s += vi * vi
-                    return math.sqrt(s)
-
-                bnorm = [chain_norm(v) for v in B]
+                # np.cumsum along axis=1 is the sequential left-assoc
+                # accumulation per row — the last column IS the chain
+                # sum-of-squares, bit-identical to the per-element loop
+                # (see chain_cos note), one vectorized pass per block.
+                bnorm = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
                 jmax = S.argmax(1)
                 smax = S[np.arange(len(aid)), jmax]
                 # exact re-rank of every BLAS near-tie: the winner is
@@ -591,7 +590,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sig = F.concat(*[F.when(proj(j) >= 0, "1").otherwise("0") for j in range(ANN_BITS)])
-    tagged = em.select("vec_id", "embedding", sig.alias("bucket"))
+    # localCheckpoint: `tagged` feeds BOTH sides of the bucket self-join
+    # plus the final left join — without it the ANN_BITS × dim
+    # interpreted-HOF signature projection ran three times (r10; the
+    # checkpointed relation is |vectors| narrow rows, tiny at any SF).
+    tagged = em.select("vec_id", "embedding", sig.alias("bucket")).localCheckpoint()
     a = tagged.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("bucket")
     )

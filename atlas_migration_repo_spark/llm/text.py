@@ -150,14 +150,18 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against executed plans — so the old "df derived from tf" shape
     # re-tokenized the corpus twice; this was the worst headline scaler,
     # 3.1x wall at 10x data, VERDICT r6 #4. With the checkpoint: ~2.4x,
-    # measured interleaved at sf1.) The doc_id repartition BEFORE the
-    # aggregate feeds the downstream WindowGroupLimit its partial top-k
-    # map-side, keeping the final window exchange at ~top-k-per-doc
-    # volume. The checkpoint is eager, so bench timings include it —
-    # the fn is constructed fresh inside every timed run.
+    # measured interleaved at sf1.) No repartition before the aggregate:
+    # the groupBy's partial (map-side) hash agg collapses repeated
+    # (doc, word) tokens where they are scanned, so the ONE tf exchange
+    # carries distinct pairs, not raw token rows (2.3× fewer rows at
+    # sf0.1: 270,704 tokens → ≤116,231 pairs; guide §2.3 aggregate-
+    # before-shuffle — the previous doc_id repartition shuffled every
+    # token row and then still lost its partitioning at the checkpoint
+    # boundary, so the window re-exchanged anyway). The checkpoint is
+    # eager, so bench timings include it — the fn is constructed fresh
+    # inside every timed run.
     tf = (
-        tok.repartition("doc_id")
-        .groupBy("doc_id", "word")
+        tok.groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint()
     )

@@ -96,14 +96,25 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative customer spend (decimal-exact prefix sums, §5.4 policy)."""
+    """Cumulative customer spend (decimal-exact prefix sums, §5.4 policy).
+
+    r10 fast path, same trick as catalog.msum: the prefix sum runs over the
+    long 8dp mantissa (one codegen add per row) instead of DECIMAL(30,8)
+    (one Double.toString + BigDecimal parse per row), and each row's
+    result re-enters decimal only for the final exact 4dp rounding.
+    Bit-identical while any single customer's cumulative spend stays under
+    9.2e10 (mantissa < 2^63) — TPC-H customers hold ~10 orders ≤ ~600k
+    each at EVERY scale factor, so the margin is ~10^4 at 100 TB."""
+    from atlas_migration_repo_spark.catalog import _mantissa8
+
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w)
+    running_m = F.sum(_mantissa8(F.col("o_totalprice"))).over(w)
+    running = running_m.cast("decimal(19,0)") * F.lit("0.00000001").cast("decimal(8,8)")
     return o.select(
         "o_orderkey", running.cast("decimal(38,4)").cast("double").alias("running_spend")
     )

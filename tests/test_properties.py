@@ -535,3 +535,99 @@ def test_shuffle_epochs_reproducible_and_permutes(spark):
         for r in sorted(by_epoch[1], key=lambda r: (r["shard"], r["pos"]))
     ]
     assert order0 != order1
+
+
+def test_msum_fast_path_matches_decimal_form(spark):
+    """r10 msum optimization gate: the long-mantissa fast path must be
+    bit-identical to the DECIMAL(30,8)-accumulation form it replaced.
+
+    Checks both layers on real fixture data (every lineitem row at SF_DIR):
+    (a) per-row: round(c*1e8) half-away-from-zero == unscaled value of
+        cast(c as decimal(30,8)) for each Q1 measure incl. the 6dp-exact
+        products — zero mismatches tolerated;
+    (b) aggregated: Q1-shaped msum group results equal the decimal form
+        cell-for-cell (string compare — catches any dtype/repr drift).
+    Also pins the negative-value branch with a constructed frame.
+    """
+    from atlas_migration_repo_spark.catalog import _mantissa8, as_date, load, msum
+
+    li = load(spark, SF_DIR, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    measures = {
+        "qty": F.col("l_quantity"),
+        "ext": F.col("l_extendedprice"),
+        "dp": disc_price,
+        "ch": charge,
+    }
+    checks = []
+    for tag, c in measures.items():
+        dec_m = (c.cast("decimal(30,8)") * 100000000).cast("decimal(38,0)").cast("bigint")
+        checks.append(
+            F.sum(F.when(dec_m != _mantissa8(c), 1).otherwise(0)).alias(tag)
+        )
+    row = li.agg(*checks).collect()[0]
+    assert all(v == 0 for v in row), f"per-row mantissa drift: {row.asDict()}"
+
+    def msum_decimal(c):
+        return F.sum(c.cast("decimal(30,8)")).cast("decimal(38,4)").cast("double")
+
+    def q1(agg_fn):
+        aggs = [agg_fn(c).alias(tag) for tag, c in measures.items()]
+        return (
+            li.where(as_date(F.col("l_shipdate")) <= F.lit("2001-09-02").cast("date"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(*aggs)
+        )
+
+    old = {tuple(r[:2]): [str(v) for v in r[2:]] for r in q1(msum_decimal).collect()}
+    new = {tuple(r[:2]): [str(v) for v in r[2:]] for r in q1(msum).collect()}
+    assert old == new
+
+    # negative values (c_acctbal-like) exercise the -0.5 branch
+    neg = spark.createDataFrame(
+        [(1, -999.99), (1, -0.01), (1, 123.45), (2, -500.55), (2, 0.0)],
+        "k int, v double",
+    )
+    got = {
+        r["k"]: str(r["s"])
+        for r in neg.groupBy("k").agg(msum(F.col("v")).alias("s")).collect()
+    }
+    want = {
+        r["k"]: str(r["s"])
+        for r in neg.groupBy("k").agg(msum_decimal(F.col("v")).alias("s")).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-2, max_value=2, allow_nan=False),
+            st.floats(min_value=-2, max_value=2, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=96,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_knn_cumsum_matches_python_chain(pairs):
+    """r10 sim_knn_join gate: np.cumsum (ufunc accumulate) must equal the
+    sequential left-associated Python-float chain BIT-for-bit — the
+    determinism contract that lets the exact re-rank agree with Spark's
+    chain `dot` and DuckDB's list_aggregate."""
+    import math
+
+    import numpy as np
+
+    x = np.array([p[0] for p in pairs], dtype=np.float64)
+    y = np.array([p[1] for p in pairs], dtype=np.float64)
+    s = 0.0
+    nx = 0.0
+    for i in range(len(x)):
+        xi, yi = float(x[i]), float(y[i])
+        s += xi * yi
+        nx += xi * xi
+    assert float(np.cumsum(x * y)[-1]) == s
+    assert float(np.cumsum(x * x)[-1]) == nx
+    assert float(np.sqrt(np.cumsum(x * x)[-1])) == math.sqrt(nx)
