@@ -24,7 +24,7 @@ import time as _time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import load, r4
+from atlas_migration_repo_spark.catalog import load, parquet_row_count, r4
 from atlas_migration_repo_spark.oracle import sql_r4
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.files import scratch_path
@@ -139,10 +139,21 @@ def _shingle_posting_list(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
 # SPARK_GRAFT_PAIR_CHUNK_PAIRS.
 _PAIR_CHUNK_PAIRS_DEFAULT = 300_000_000
 
+# Below this many documents (parquet-footer count — no job) the candidate
+# estimator pass is skipped and the single-pass lazy plan runs directly;
+# see _chunked_pair_run's docstring for the margin math and the override.
+_PAIR_EST_SKIP_DOCS_DEFAULT = 20_000
+
 
 def _pair_chunk_target() -> int:
     return int(
         os.environ.get("SPARK_GRAFT_PAIR_CHUNK_PAIRS", _PAIR_CHUNK_PAIRS_DEFAULT)
+    )
+
+
+def _pair_est_skip_docs() -> int:
+    return int(
+        os.environ.get("SPARK_GRAFT_PAIR_EST_SKIP_DOCS", _PAIR_EST_SKIP_DOCS_DEFAULT)
     )
 
 
@@ -213,26 +224,36 @@ def _chunked_pair_run(
     lazy plan (C == 1) or per da-hash chunk, each chunk written to
     scratch parquet and the union read back.
 
-    r10: ONE posting-list pass serves both the estimate and the pair
-    generation. The lists are checkpointed first and the candidate count
-    is Σ|ds|·(|ds|-1)/2 over the materialized lists — a metadata-cheap
-    aggregate — where the previous shape paid a full extra
-    explode→groupBy estimator pass (`_est_candidate_pairs`) over the raw
-    corpus and then re-derived the lists again for the actual run (the
-    estimate itself is identical: |ds| IS the capped df). Both branches
-    then generate pairs from the same checkpointed relation."""
-    lists = _posting_lists(d).localCheckpoint(eager=True)
-    row = lists.agg(
-        F.sum(
-            (F.size("ds").cast("long") * (F.size("ds") - 1) / 2).cast("long")
-        ).alias("p")
-    ).collect()[0]
-    est = int(row["p"] or 0)
+    r10: the estimator pass is SKIPPED outright below a parquet-footer
+    doc-count gate. The estimate exists only to bound chunk disk at
+    10⁵+-doc scale, yet its explode→groupBy pass cost ~3.4 s of
+    dedup_ngram_jaccard's ~10 s at sf0.1 (measured; the family dropped to
+    ~6.7 s without it). Below SPARK_GRAFT_PAIR_EST_SKIP_DOCS documents
+    (default 20,000 — the fixture family measures Σ df·(df-1)/2 ≈
+    1.2e8 pairs at 50k docs, 0.4× the chunk target, so 20k docs carries
+    ≥16× margin even for a corpus 10× denser in shared shingles) the run
+    goes straight to the lazy single-pass plan; a corpus family whose
+    per-doc candidate degree is pathologically higher sets the knob to 0
+    to force the exact estimator at every size. The footer count is an
+    upper bound on |d| (callers pass filtered subsets of documents), so
+    the gate only ever errs toward running the estimator. An earlier r10
+    cut fused the estimate into an eagerly-checkpointed posting-list
+    relation instead — measured SLOWER than the estimator it replaced
+    (collect_list has no map-side partial aggregation, so materializing
+    the lists shuffles raw posting rows and re-serializes them to block
+    storage); reverted in favor of this gate."""
+    if parquet_row_count(sf_dir, "documents") <= _pair_est_skip_docs():
+        return finish(_pair_intersections(d))
+    est = _est_candidate_pairs(d)
     n_chunks = max(1, math.ceil(est / max(1, _pair_chunk_target())))
     if n_chunks == 1:
-        return finish(_pairs_from_lists(lists))
+        return finish(_pair_intersections(d))
     root = scratch_path(sf_dir, key)
     shutil.rmtree(root, ignore_errors=True)
+    # the linear explode→groupBy posting-list aggregation runs ONCE; each
+    # chunk reads the checkpointed relation and generates only its own
+    # pairs (outer-element chunk gate in _pairs_from_lists)
+    lists = _posting_lists(d).localCheckpoint(eager=True)
     for c in range(n_chunks):
         out = finish(_pairs_from_lists(lists, n_chunks=n_chunks, chunk=c))
         out.write.mode("overwrite").parquet(os.path.join(root, f"c{c}"))
@@ -382,12 +403,14 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle"))
 
-    # localCheckpoint: the band self-join below consumes `bands` on BOTH
-    # sides, and Catalyst does not reuse the exchange across the two
-    # consumers — without the checkpoint the shingle explode + 32-way
-    # min-hash aggregation (the expensive pass) ran twice (r10; same
-    # tokenize-once pattern as text_tfidf). The checkpointed relation is
-    # |docs| × 33 narrow columns — tiny at any SF next to the corpus.
+    # NO localCheckpoint here, deliberately (r10 measured 7.5 s vs 4.5 s
+    # WITH one): the band self-join's two sides share the same sigs
+    # aggregation subtree and Spark's ReuseExchange serves both from ONE
+    # physical exchange, so the expensive pass already runs once — while
+    # a checkpoint replaces the well-estimated relation with a LogicalRDD
+    # whose default size statistics degrade the downstream join planning.
+    # (Contrast sim_ann_lsh, where the reused subtree is a projection
+    # with no exchange to share — there the checkpoint wins 2×.)
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(_MERSENNE))).alias(
@@ -395,7 +418,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i in range(MINHASH_K)
         ]
-    ).localCheckpoint()
+    )
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -1143,7 +1166,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # candidate estimate: Σ over the four band columns of Σ_v n_v·(n_v-1)/2
     # (an upper bound — multi-band collisions double-count; four linear
-    # groupBys on the checkpointed hash relation)
+    # groupBys on the checkpointed hash relation). Skipped below the same
+    # footer doc-count gate as _chunked_pair_run — four collect jobs are
+    # pure overhead at scales where chunking cannot engage.
+    if parquet_row_count(sf_dir, "documents") <= _pair_est_skip_docs():
+        return band_pairs()
     est = 0
     for i in range(4):
         row = (

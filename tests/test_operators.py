@@ -4282,6 +4282,10 @@ def test_chunked_pair_materialization_exact(spark, oracle_con, monkeypatch):
     d = load(spark, SF_DIR, "documents")
     est = D._est_candidate_pairs(d)
     assert est > 0
+    # the r10 footer gate skips the estimator (and thus chunking) below
+    # 20k docs — force the exact-estimator path so chunking can engage
+    # at gate scale
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_EST_SKIP_DOCS", "0")
     monkeypatch.setenv("SPARK_GRAFT_PAIR_CHUNK_PAIRS", str(max(1, est // 3)))
     for key in (
         "dedup_ngram_jaccard",
