@@ -28,7 +28,14 @@ from atlas_migration_repo_spark.catalog import load, parquet_row_count, r4
 from atlas_migration_repo_spark.oracle import sql_r4
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.files import scratch_path
-from atlas_migration_repo_spark.llm.text import SQL_SHINGLES, shingles, words
+from atlas_migration_repo_spark.llm.text import (
+    SQL_SHINGLES,
+    shingle_counts,
+    shingle_rows,
+    shingles,
+    tokenized,
+    words,
+)
 
 JACCARD_TAU = 0.2
 # Stop-shingle guard for the inverted-index self-join: shingles appearing in
@@ -107,9 +114,7 @@ def _shingle_posting_list(d: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
     worst shuffle key) to cap·(cap-1)/2 candidate pairs. Per-doc shingle
     counts for Jaccard/containment denominators must come from the UNCAPPED
     explode — only candidate generation is capped."""
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
-    )
+    sh = shingle_rows(d)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -161,9 +166,7 @@ def _est_candidate_pairs(d: DataFrame) -> int:
     """Σ df·(df-1)/2 over df-capped shingles — the exact row count the
     pair explode will emit (before the groupBy merges shared shingles),
     from one linear explode + groupBy pass."""
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
-    )
+    sh = shingle_rows(d)
     row = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -306,9 +309,7 @@ def _posting_lists(d: DataFrame) -> DataFrame:
     """(shingle, ds) df-capped sorted posting lists — the linear half of
     the kernel, split out so `_chunked_pair_run` can checkpoint it once
     and reuse it across chunks."""
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
-    )
+    sh = shingle_rows(d)
     return (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -367,9 +368,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # per-doc distinct-shingle count computed ARRAY-SIDE per row — no
     # explode, no groupBy; identical value to counting the exploded rows
-    sizes = d.select(
-        "doc_id", F.size(F.array_distinct(shingles(words()))).alias("n")
-    )
+    sizes = shingle_counts(d)
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
 
     def verify(inter: DataFrame) -> DataFrame:
@@ -401,7 +400,7 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only gate (approximate recall); tests assert pair-set equality
     with dedup_ngram_jaccard on the fixture."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle"))
+    sh = shingle_rows(d)
 
     # NO localCheckpoint here, deliberately (r10 measured 7.5 s vs 4.5 s
     # WITH one): the band self-join's two sides share the same sigs
@@ -445,7 +444,9 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact-Jaccard verification of candidates only
-    sets = d.select("doc_id", F.array_distinct(shingles(words())).alias("sset"))
+    sets = tokenized(d, "doc_id").select(
+        "doc_id", F.array_distinct(shingles(F.col("w"))).alias("sset")
+    )
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sset"), F.col("sb.sset")))
     union = F.size(F.col("sa.sset")) + F.size(F.col("sb.sset")) - inter
@@ -690,7 +691,7 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the duplicated-hash side is a tiny fraction of chunks, so the
     final join broadcasts."""
     d = load(spark, sf_dir, "documents")
-    w = words()
+    w = F.col("w")
     n_chunks = F.ceil(F.size(w) / float(CHUNK_WORDS)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -698,7 +699,11 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(w, i * CHUNK_WORDS + 1, CHUNK_WORDS))
         ),
     )
-    c = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_hash"))
+    # attribute-bound w: the lambda re-slices an array lookup, not a fresh
+    # split(text) per chunk (shingles() perf contract, text.py)
+    c = tokenized(d, "doc_id").select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_hash")
+    )
     dup = (
         c.groupBy("chunk_hash")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
@@ -738,9 +743,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical in both engines, so counts cannot straddle a tie.
     The self-join input carries the SHINGLE_DF_CAP stop-shingle guard."""
     d = load(spark, sf_dir, "documents")
-    sizes = d.select(
-        "doc_id", F.size(F.array_distinct(shingles(words()))).alias("n")
-    )
+    sizes = shingle_counts(d)
     cols = [f"n_t{t.replace('.', '')}" for t in _SWEEP_TAUS]
 
     def verify(inter: DataFrame) -> DataFrame:
@@ -797,9 +800,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ubiquitous shingles costs candidates, not correctness, because they
     carry no dedup signal."""
     d = load(spark, sf_dir, "documents")
-    sizes = d.select(
-        "doc_id", F.size(F.array_distinct(shingles(words()))).alias("n")
-    )
+    sizes = shingle_counts(d)
     cont = F.col("i") * 1.0 / F.col("sa.n")
 
     def verify(ordered: DataFrame) -> DataFrame:
@@ -980,15 +981,16 @@ def span_dedup(d: DataFrame, span_w: int) -> DataFrame:
     """Span-dedup kernel over any (doc_id, text) frame — factored out so
     property tests can drive it with generated corpora (hypothesis model
     check in tests/test_properties.py) and pipelines can compose it."""
-    ws = words()
+    ws = F.col("w")
     nspans = F.ceil(F.size(ws) / span_w).cast("int")
     spans_arr = F.transform(
         F.sequence(F.lit(0), nspans - 1),
         lambda i: F.concat_ws(" ", F.slice(ws, i * span_w + 1, span_w)),
     )
-    sp = d.select("doc_id", F.posexplode(spans_arr).alias("chunk_idx", "span")).withColumn(
-        "h", F.md5("span")
-    )
+    # attribute-bound w (shingles() perf contract, text.py)
+    sp = tokenized(d, "doc_id").select(
+        "doc_id", F.posexplode(spans_arr).alias("chunk_idx", "span")
+    ).withColumn("h", F.md5("span"))
     keep = sp.groupBy("h").agg(F.min(F.struct("doc_id", "chunk_idx")).alias("k"))
     marked = sp.join(keep, "h").withColumn(
         "kept",
@@ -1075,9 +1077,7 @@ def corpus_dedup_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = d.join(s2, "doc_id", "left_semi")
     n_fp = d2.select(F.lit(2).alias("stage"), F.lit("fingerprint").alias("name"), F.count(F.lit(1)).alias("n_docs"))
 
-    sizes = d2.select(
-        "doc_id", F.size(F.array_distinct(shingles(words()))).alias("n")
-    )
+    sizes = shingle_counts(d2)
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
 
     def verify(inter: DataFrame) -> DataFrame:

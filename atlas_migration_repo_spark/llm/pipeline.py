@@ -68,17 +68,26 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus so the canonical choice is stable regardless of upstream
     filters). Returns the surviving docs with token counts and scores —
     the manifest a tokenizer run would consume."""
+    from atlas_migration_repo_spark.llm.text import tokenized
+
     d = load(spark, sf_dir, "documents")
-    n_tok = F.size(words())
+    # attribute-bound tokens (shingles() perf contract, text.py): the
+    # filter predicate and the projected score reuse one split per row
+    w = F.col("w")
+    n_tok = F.size(w)
     long_ratio = (
-        F.size(F.filter(words(), lambda x: F.length(x) > 4)) * F.lit(1.0) / n_tok
+        F.size(F.filter(w, lambda x: F.length(x) > 4)) * F.lit(1.0) / n_tok
     )
     score = F.least(F.lit(1.0), n_tok / F.lit(64.0)) * long_ratio
-    qual = d.where(score > _QUALITY_TAU).select(
-        "doc_id",
-        "text",
-        n_tok.cast("int").alias("n_tokens"),
-        r4(score).alias("quality_score"),
+    qual = (
+        tokenized(d, "doc_id", "text")
+        .where(score > _QUALITY_TAU)
+        .select(
+            "doc_id",
+            "text",
+            n_tok.cast("int").alias("n_tokens"),
+            r4(score).alias("quality_score"),
+        )
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     kept = (
@@ -123,12 +132,10 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join — at 100 TB the corpus is only ever streamed through two
     hash probes, never self-joined. The planted near-dups make the
     contaminated set non-trivial."""
-    from atlas_migration_repo_spark.llm.text import shingles, words
+    from atlas_migration_repo_spark.llm.text import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
-    )
+    sh = shingle_rows(d)
     bench_sh = (
         sh.where(F.col("doc_id") % 50 == 0).select("shingle").distinct()
     )
@@ -303,9 +310,13 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes a 100 TB corpus sample auditable — and it is a scan-level
     filter: no shuffle, composes with pushdown, and the acceptance test
     is the same expression on both engines bit-for-bit."""
+    from atlas_migration_repo_spark.llm.text import tokenized
+
     d = load(spark, sf_dir, "documents")
-    n_tok = F.size(words())
-    long_ratio = F.size(F.filter(words(), lambda x: F.length(x) > 4)) * F.lit(1.0) / n_tok
+    # attribute-bound tokens (shingles() perf contract, text.py)
+    w = F.col("w")
+    n_tok = F.size(w)
+    long_ratio = F.size(F.filter(w, lambda x: F.length(x) > 4)) * F.lit(1.0) / n_tok
     score = F.least(F.lit(1.0), n_tok / F.lit(64.0)) * long_ratio
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
@@ -314,7 +325,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 16777216.0
     )
     return (
-        d.select("doc_id", score.alias("score"), u.alias("u"))
+        tokenized(d, "doc_id").select("doc_id", score.alias("score"), u.alias("u"))
         .where(F.col("u") < F.col("score"))
         .select("doc_id", r4(F.col("score")).alias("quality_score"), r4(F.col("u")).alias("u01"))
     )
@@ -414,12 +425,10 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are integers; the fraction is one IEEE division
     evaluated identically in both engines, compared against τ UNROUNDED
     on both sides so boundary docs cannot disagree."""
-    from atlas_migration_repo_spark.llm.text import shingles, words
+    from atlas_migration_repo_spark.llm.text import shingle_rows
 
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles(words()))).alias("shingle")
-    )
+    sh = shingle_rows(d)
     bench_sh = (
         sh.where(F.col("doc_id") % 50 == 0)
         .select("shingle")

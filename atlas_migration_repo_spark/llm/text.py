@@ -23,7 +23,18 @@ def words() -> Column:
     active SparkContext, so no module-level constants)."""
     return F.split(F.col("text"), " ")
 
-# word-level 3-gram shingles, entirely array-side (no explode/shuffle)
+# word-level 3-gram shingles, entirely array-side (no explode/shuffle).
+#
+# PERF CONTRACT (r10): pass an ATTRIBUTE column (a projected `w`, via
+# `tokenized()`), never `words()` directly. Spark's higher-order-function
+# lambdas are evaluated interpreted, and an expression referenced inside
+# the lambda body is RE-EVALUATED per array element per reference — with
+# `words()` inline that is 3 fresh `split(text)` calls per shingle
+# (~300 per 100-word doc; measured 9× the whole explode's cost at sf0.1).
+# With an attribute the references are array lookups. The projection
+# boundary survives the optimizer: CollapseProject keeps an alias that a
+# consumer references more than once unless it is trivially cheap, and
+# every consumer here references `w` at least four times.
 def shingles(words: Column) -> Column:
     return F.when(
         F.size(words) >= 3,
@@ -34,6 +45,30 @@ def shingles(words: Column) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def tokenized(d: DataFrame, *keep: str) -> DataFrame:
+    """(keep..., w = words()) with the split in its OWN projection, so
+    downstream higher-order lambdas bind `w` as an attribute — see the
+    shingles() perf contract above."""
+    return d.select(*keep, words().alias("w"))
+
+
+def shingle_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle): per-doc DISTINCT word-3-gram shingles, exploded —
+    the shared relation behind the dedup/decontamination family, built via
+    tokenized() so the shingle lambda binds an attribute."""
+    return tokenized(d, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("w")))).alias("shingle")
+    )
+
+
+def shingle_counts(d: DataFrame, alias: str = "n") -> DataFrame:
+    """(doc_id, n): per-doc distinct-shingle count, computed array-side per
+    row (no explode, no shuffle), attribute-bound like shingle_rows."""
+    return tokenized(d, "doc_id").select(
+        "doc_id", F.size(F.array_distinct(shingles(F.col("w")))).alias(alias)
+    )
 
 
 SQL_SHINGLES = (
@@ -103,15 +138,17 @@ def text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global bigram counts. Spark side builds bigrams array-side (zero
     pre-aggregate shuffle); the oracle uses the lead-window formulation."""
     d = load(spark, sf_dir, "documents")
+    w = F.col("w")
     bigrams = F.when(
-        F.size(words()) >= 2,
+        F.size(w) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(words()) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(words(), i), F.element_at(words(), i + 1)),
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        tokenized(d)  # attribute-bound lambda: see shingles() perf contract
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -260,14 +297,26 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, and a composite score ∈ [0,1] (length-saturating × lexical
     richness) — the filter-stage primitive of a training-data pipeline."""
     d = load(spark, sf_dir, "documents")
-    n_tok = F.size(words())
-    long_ratio = F.size(F.filter(words(), lambda x: F.length(x) > 4)) * F.lit(1.0) / n_tok
-    return d.select(
-        "doc_id",
-        n_tok.cast("int").alias("n_tokens"),
-        r4(F.col("n_chars").cast("double") / n_tok).alias("avg_token_span"),
-        r4(long_ratio).alias("long_token_ratio"),
-        r4(F.least(F.lit(1.0), n_tok / F.lit(64.0)) * long_ratio).alias("quality_score"),
+    # staged projections (shingles() perf contract): tokenize once; inline,
+    # every n_tok/long_ratio reference re-ran the split and the filter fold
+    w = F.col("w")
+    n_tok = F.col("_n")
+    long_ratio = F.col("_long")
+    return (
+        tokenized(d, "doc_id", "n_chars")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(w).alias("_n"),
+            (F.size(F.filter(w, lambda x: F.length(x) > 4)) * F.lit(1.0) / F.size(w)).alias("_long"),
+        )
+        .select(
+            "doc_id",
+            n_tok.cast("int").alias("n_tokens"),
+            r4(F.col("n_chars").cast("double") / n_tok).alias("avg_token_span"),
+            r4(long_ratio).alias("long_token_ratio"),
+            r4(F.least(F.lit(1.0), n_tok / F.lit(64.0)) * long_ratio).alias("quality_score"),
+        )
     )
 
 
@@ -311,13 +360,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hex digests — no float formatting involved) so the driver's scalar
     hash gate can compare it. Near-identical docs share fingerprint
     entries → groupable at scale without pairwise compares."""
-    d = load(spark, sf_dir, "documents").where(F.size(words()) >= 3)
-    sh = shingles(words())
-    return d.select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.array_sort(F.transform(sh, F.md5)), 1, 3), ","
-        ).alias("fingerprint"),
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(F.col("w"))
+    return (
+        tokenized(d, "doc_id")
+        .where(F.size(F.col("w")) >= 3)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.array_sort(F.transform(sh, F.md5)), 1, 3), ","
+            ).alias("fingerprint"),
+        )
     )
 
 
@@ -338,15 +391,28 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats (1 - unique/total) — the boilerplate/spam signal used to
     drop template-generated text from training corpora. Pure array
     expressions per row; no shuffle at any scale."""
-    d = load(spark, sf_dir, "documents").where(F.size(words()) >= 3)
-    sh = shingles(words())
-    n = F.size(sh)
-    u = F.size(F.array_distinct(sh))
-    return d.select(
-        "doc_id",
-        n.alias("n_ngrams"),
-        u.alias("n_unique"),
-        r4(F.lit(1.0) - u * F.lit(1.0) / n).alias("rep_ratio"),
+    d = load(spark, sf_dir, "documents")
+    # three projection steps: w, then the shingle array, then the sizes —
+    # each alias is multiply-referenced downstream, so CollapseProject
+    # keeps every boundary and the shingle array builds ONCE per row
+    # (inline, `sh` was re-evaluated once per size/ratio reference)
+    n = F.col("n_ngrams")
+    u = F.col("n_unique")
+    return (
+        tokenized(d, "doc_id")
+        .where(F.size(F.col("w")) >= 3)
+        .select("doc_id", shingles(F.col("w")).alias("sh"))
+        .select(
+            "doc_id",
+            F.size("sh").alias("n_ngrams"),
+            F.size(F.array_distinct("sh")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_unique",
+            r4(F.lit(1.0) - u * F.lit(1.0) / n).alias("rep_ratio"),
+        )
     )
 
 
@@ -917,7 +983,13 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     divided once (the per-row fold order is the array order in BOTH
     engines), so the keep-decision comparisons branch on bit-identical
     doubles; r4 rounding is display-only."""
-    w = words()
+    # staged projections (shingles() perf contract): tokenize once, fold
+    # each signal once, then round/branch on the attributes — inline, the
+    # split and the aggregate/filter folds re-ran per reference (~15
+    # evaluations per row across the outputs and the keep decision).
+    # Values are unchanged: keep branches on the RAW signals, r4 stays
+    # display-only.
+    w = F.col("w")
     mean_len = (
         F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x) * 1.0)
         / F.size(w)
@@ -927,16 +999,26 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     distinct_frac = F.size(F.array_distinct(w)) * F.lit(1.0) / F.size(w)
     keep = (
-        F.size(w).between(10, 5000)
-        & mean_len.between(3.0, 10.0)
-        & (stop_frac >= 0.02)
-        & (distinct_frac >= 0.2)
+        F.col("n_words").between(10, 5000)
+        & F.col("_mean").between(3.0, 10.0)
+        & (F.col("_stop") >= 0.02)
+        & (F.col("_dist") >= 0.2)
     )
-    return load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(w).alias("n_words"),
-        r4(mean_len).alias("mean_word_len"),
-        r4(stop_frac).alias("stop_frac"),
-        r4(distinct_frac).alias("distinct_frac"),
-        keep.alias("gopher_keep"),
+    return (
+        tokenized(load(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.size(w).alias("n_words"),
+            mean_len.alias("_mean"),
+            stop_frac.alias("_stop"),
+            distinct_frac.alias("_dist"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            r4(F.col("_mean")).alias("mean_word_len"),
+            r4(F.col("_stop")).alias("stop_frac"),
+            r4(F.col("_dist")).alias("distinct_frac"),
+            keep.alias("gopher_keep"),
+        )
     )

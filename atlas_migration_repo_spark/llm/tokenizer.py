@@ -273,10 +273,17 @@ def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(OOV_VOCAB_K)
     )
     vocab = [r["w"] for r in freq.collect()]
-    n_oov = F.size(F.filter(w, lambda x: ~x.isin(*vocab)))
-    return d.select(
-        "doc_id",
-        F.size(w).alias("n_tokens"),
-        n_oov.alias("n_oov"),
-        r4(n_oov * F.lit(1.0) / F.size(w)).alias("oov_rate"),
+    # staged projections (shingles() perf contract, text.py): inline, the
+    # oov filter-fold over the IN-list ran twice per row (n_oov + rate)
+    wa = F.col("w")
+    n_oov = F.size(F.filter(wa, lambda x: ~x.isin(*vocab)))
+    return (
+        d.select("doc_id", w.alias("w"))
+        .select("doc_id", F.size(wa).alias("n_tokens"), n_oov.alias("n_oov"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            r4(F.col("n_oov") * F.lit(1.0) / F.col("n_tokens")).alias("oov_rate"),
+        )
     )

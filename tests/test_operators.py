@@ -1885,6 +1885,34 @@ def test_new_dedup_ops_plan_guardrails(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_tokenize_once_plan_guardrails(spark):
+    """The shingles() perf contract (llm/text.py): higher-order-function
+    lambdas must bind the token array as an ATTRIBUTE (via tokenized()),
+    never reference words() inline — Spark evaluates HOF lambdas
+    interpreted and re-runs any non-attribute expression referenced in
+    the body once per array element (r10 measured 13x on
+    text_repetition). Guard: the number of `split(text` expressions in
+    the optimized physical plan stays at the attribute-bound level
+    (inline levels were 4-21 per query)."""
+    from atlas_migration_repo_spark.plans.inspect import physical_plan
+
+    bounds = {
+        "text_ngram": 1,
+        "text_quality": 1,
+        "text_gopher_rules": 1,
+        "tokenizer_oov_rate": 1,
+        "text_repetition": 3,
+        "text_fingerprint": 3,
+        "dedup_near": 4,
+        "decontaminate_corpus": 2,
+        "contamination_report": 2,
+    }
+    for name, bound in bounds.items():
+        plan = physical_plan(QUERIES[name].fn(spark, SF_DIR))
+        n = plan.count("split(text")
+        assert n <= bound, f"{name}: {n} split(text) sites > {bound}"
+
+
 def test_orchestration_cli_emits_valid_spec(capsys):
     """The DAG-spec CLI must print one self-contained JSON document whose
     demo objects cover all three extract shapes (watermarked incremental,
