@@ -70,6 +70,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import uuid
 from dataclasses import dataclass, field
 from functools import reduce
@@ -136,6 +137,17 @@ class CoordinatedPutLogStore(LogStore):
     conditional write — swap `_claim` to target the real coordinator and
     nothing else changes).
 
+    Object visibility: an S3 PUT is read-ATOMIC — a concurrent GET sees
+    the old object or the new one, never a partial body. A plain local
+    `open(path, "wb")` is NOT (a reader between truncate and write sees
+    an empty/partial file — observed as a JSONDecodeError in a racing
+    re-read under load), so every object this emulation publishes
+    (staged copy, commit object, recovery re-copy) goes through
+    `_put_atomic`: write a same-directory temp, fsync, `os.replace` onto
+    the destination. The replace is a CLOBBERING last-writer-wins step —
+    coordination still comes only from the claim, exactly like S3 —
+    it merely models S3's read-atomicity faithfully on a POSIX fs.
+
     Publish steps (crash-recoverable at every boundary):
     1. claim <v> (conditional create; lose ⇒ return False after
        recovering the winner's commit if they crashed),
@@ -155,6 +167,18 @@ class CoordinatedPutLogStore(LogStore):
         d = os.path.join(log_dir, "_claims")
         os.makedirs(d, exist_ok=True)
         return d
+
+    @staticmethod
+    def _put_atomic(src_path: str, dest: str) -> None:
+        """Clobbering PUT with S3-like read-atomicity: readers of `dest`
+        see the previous object or the complete new one, never a partial
+        body. Same-directory temp so os.replace stays one-filesystem."""
+        tmp = f"{dest}.put-{os.getpid()}-{threading.get_ident()}"
+        with open(src_path, "rb") as src, open(tmp, "wb") as dst:
+            dst.write(src.read())
+            dst.flush()
+            os.fsync(dst.fileno())
+        os.replace(tmp, dest)
 
     def publish(self, tmp: str, target: str) -> bool:
         import time
@@ -179,15 +203,13 @@ class CoordinatedPutLogStore(LogStore):
             fh.flush()
             os.fsync(fh.fileno())
         # durable staging copy, then the last-writer-wins PUT of the
-        # commit object (we own the claim, so nobody else writes target)
-        with open(tmp, "rb") as src, open(staged, "wb") as dst:
-            dst.write(src.read())
-            dst.flush()
-            os.fsync(dst.fileno())
-        with open(tmp, "rb") as src, open(target, "wb") as dst:
-            dst.write(src.read())
-            dst.flush()
-            os.fsync(dst.fileno())
+        # commit object (we own the claim, so nobody else writes target).
+        # Both are read-atomic puts: `staged` must never be observable
+        # half-written (a racing loser's _recover_one would copy the
+        # partial body onto target), and a racing re-read of `target`
+        # must see a complete JSON document or none at all.
+        self._put_atomic(tmp, staged)
+        self._put_atomic(tmp, target)
         with open(claim, "w") as fh:
             json.dump({"staged": os.path.basename(staged), "complete": True}, fh)
         return True
@@ -203,10 +225,7 @@ class CoordinatedPutLogStore(LogStore):
         if os.path.exists(target):
             return
         if os.path.exists(staged):
-            with open(staged, "rb") as src, open(target, "wb") as dst:
-                dst.write(src.read())
-                dst.flush()
-                os.fsync(dst.fileno())
+            self._put_atomic(staged, target)  # idempotent, read-atomic
             return
         try:
             with open(claim) as fh:
