@@ -292,7 +292,7 @@ def sim_ann_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "nn_id",
-            r4(cosine(F.col("ea"), F.col("eb"))).alias("cosine"),
+            r4(cosine("ea", "eb")).alias("cosine"),
             (F.col("la") == F.col("lb")).alias("same_label"),
         )
     )

@@ -509,33 +509,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly leaner than collecting per-word contribution arrays. Exactly
     SQL-expressible, so the oracle gate is the full rows+schema+hash check."""
     d = load(spark, sf_dir, "documents")
-    hx = F.md5(F.col("word"))
-    # 16 hex-digit values; bit j = (digit[j div 4] >> (j mod 4)) & 1
-    dv = [F.conv(F.substring(hx, p + 1, 1), 16, 10).cast("int") for p in range(16)]
+    # r10, two stacked wins with byte-identical output (oracle-gated):
+    # 1. two conv(8-hex-digit)→long parses instead of 16 per-digit convs —
+    #    conv + substring are the per-word string tax, long shifts are
+    #    codegen arithmetic. An 8-hex slice parses to the big-endian
+    #    32-bit value, so bit j = (digit[j div 4] >> (j mod 4)) & 1
+    #    becomes one shiftright on a half: shift 4·(7 - (j div 4) mod 8)
+    #    + j mod 4. The halves are their own projection stage so each
+    #    parses once per word (CollapseProject keeps non-cheap multiply-
+    #    referenced aliases staged — the tokenize-once discipline).
+    # 2. every 64-wide column family is built as one-parse SQL text
+    #    instead of per-Column operator chains (~800 driver⇄JVM round
+    #    trips ≈ 2.1 s of measured construction on this box; the parsed
+    #    trees are identical).
+    per_word = d.select("doc_id", F.explode(words()).alias("word")).selectExpr(
+        "doc_id",
+        "CAST(CONV(SUBSTRING(md5(word), 1, 8), 16, 10) AS BIGINT) AS h0",
+        "CAST(CONV(SUBSTRING(md5(word), 9, 8), 16, 10) AS BIGINT) AS h1",
+    )
     wbits = [
-        F.shiftright(dv[j // 4], j % 4).bitwiseAND(F.lit(1)).alias(f"b{j}")
+        f"CAST((SHIFTRIGHT(h{(j // 4) // 8}, {4 * (7 - (j // 4) % 8) + (j % 4)})"
+        f" & 1) AS INT) AS b{j}"
         for j in range(64)
     ]
-    per_word = d.select("doc_id", F.explode(words()).alias("word")).select(
-        "doc_id", *wbits
-    )
-    s = per_word.groupBy("doc_id").agg(
+    s = per_word.selectExpr("doc_id", *wbits).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(64)],
+        *[F.expr(f"SUM(b{j})").alias(f"s{j}") for j in range(64)],
     )
-    out_bit = [
-        F.when(2 * F.col(f"s{j}") > F.col("n"), 1).otherwise(0) for j in range(64)
-    ]
-    chunk = lambda c0: sum(  # noqa: E731
-        (out_bit[c0 + i] * F.lit(1 << (15 - i)) for i in range(16)), F.lit(0)
-    ).cast("long")
-    return s.select(
+    out_bit = [f"(CASE WHEN 2 * s{j} > n THEN 1 ELSE 0 END)" for j in range(64)]
+    bits_concat = ", ".join(f"CAST({b} AS STRING)" for b in out_bit)
+    chunk = lambda c0: "CAST(0 + " + " + ".join(  # noqa: E731
+        f"{out_bit[c0 + i]} * {1 << (15 - i)}" for i in range(16)
+    ) + " AS BIGINT)"
+    return s.selectExpr(
         "doc_id",
-        F.concat(*[b.cast("string") for b in out_bit]).alias("simhash_bits"),
-        chunk(0).alias("chunk0"),
-        chunk(16).alias("chunk1"),
-        chunk(32).alias("chunk2"),
-        chunk(48).alias("chunk3"),
+        f"CONCAT({bits_concat}) AS simhash_bits",
+        f"{chunk(0)} AS chunk0",
+        f"{chunk(16)} AS chunk1",
+        f"{chunk(32)} AS chunk2",
+        f"{chunk(48)} AS chunk3",
     )
 
 
@@ -560,6 +572,17 @@ def min_label_components(
         .withColumn("lab", F.col("id"))
         .persist()
     )
+    # Convergence metric (r10): labels are monotonically non-increasing
+    # (min-propagation + a monotone pointer jump), so the EXACT decimal
+    # label sum is strictly smaller after any change and equal iff the
+    # round was a no-op. Tracking it folds the convergence check into the
+    # round's own materializing action — one job per round where the old
+    # shape paid two (an eager checkpoint job + a join-recount job), and
+    # no label-vs-label join at all. DECIMAL(38,0) keeps the sum exact at
+    # any node count (1e9 ids of 1e12 would overflow a long).
+    prev_sum = lab.agg(
+        F.sum(F.col("id").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _round in range(max_rounds):
         msgs = edges.join(lab, edges[src] == lab.id).select(
             F.col(dst).alias("id"), F.col("lab")
@@ -575,26 +598,25 @@ def min_label_components(
         parent = new.select(
             F.col("id").alias("lab"), F.col("lab").alias("plab")
         )
-        # localCheckpoint truncates lineage each round: without it the
-        # logical plan (and optimizer time) grows linearly per iteration
-        # and any downstream explain/recompute replays every round. On a
-        # cluster, pair with a reliable checkpoint dir if executor loss
-        # during the (short) CC loop must be survivable.
+        # lazy localCheckpoint + the sum action: the aggregate job below
+        # computes the round AND persists/truncates its lineage in the
+        # same pass (without it the logical plan and optimizer time grow
+        # linearly per iteration). On a cluster, pair with a reliable
+        # checkpoint dir if executor loss during the (short) CC loop
+        # must be survivable.
         new = (
             new.join(parent, "lab", "left")
             .select("id", F.coalesce("plab", "lab").alias("lab"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), "id")
-            .where(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
+        cur_sum = new.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         lab.unpersist()
         lab = new
-        if changed == 0:
+        if cur_sum == prev_sum:
             return lab
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected components did not converge in {max_rounds} rounds — "
         "with pointer doubling this indicates a logic error, not a long "

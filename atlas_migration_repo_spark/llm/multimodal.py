@@ -44,7 +44,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     label×lang — the 'line up modalities by key' primitive."""
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
-    l2 = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    l2 = F.sqrt(dot("embedding", "embedding"))
     return (
         d.join(e, d.doc_id == e.vec_id)
         .groupBy("label", "lang")

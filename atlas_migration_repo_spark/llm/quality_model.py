@@ -56,21 +56,36 @@ def _features(d: DataFrame) -> DataFrame:
     )
 
 
+def _flit(v: float) -> str:
+    """Exact double literal for one-parse SQL: repr() is the shortest
+    round-trip decimal and CAST(string AS DOUBLE) parses it back to the
+    identical bits (java.lang.Double.parseDouble is correctly rounded),
+    then constant-folds — same Literal the old F.lit(v) built."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _prob_sql(w: list[float]) -> str:
+    """σ(w·x) as ONE-parse SQL text, clamped for log — the expression
+    tree F.lit/F.exp chains built before r10, without their ~100
+    driver⇄JVM round trips per GD step (measured: the 12-step training
+    loop spent 5-12 s in construction, 0.2 s executing; see
+    OPTIMIZATION_r10.md)."""
+    z = (
+        f"({_flit(w[0])} + {_flit(w[1])} * x1 + "
+        f"{_flit(w[2])} * x2 + {_flit(w[3])} * x3)"
+    )
+    p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + EXP(-{z})))"
+    return f"GREATEST(LEAST({p}, {_flit(1.0 - _EPS)}), {_flit(_EPS)})"
+
+
 def _prob(w: list[float]) -> Column:
     """σ(w·x) as a literal-weight column expression, clamped for log."""
-    z = (
-        F.lit(w[0])
-        + F.lit(w[1]) * F.col("x1")
-        + F.lit(w[2]) * F.col("x2")
-        + F.lit(w[3]) * F.col("x3")
-    )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return F.greatest(F.least(p, F.lit(1.0 - _EPS)), F.lit(_EPS))
+    return F.expr(_prob_sql(w))
 
 
-def _dsum(c: Column) -> Column:
+def _dsum_sql(c: str) -> str:
     """Order-independent sum: per-row round to DECIMAL(38,18), exact add."""
-    return F.sum(c.cast("decimal(38,18)"))
+    return f"SUM(CAST({c} AS DECIMAL(38,18)))"
 
 
 def _standardize(feat: DataFrame) -> DataFrame:
@@ -80,8 +95,8 @@ def _standardize(feat: DataFrame) -> DataFrame:
     this is a single map-side-combined aggregation."""
     names = ("x1", "x2", "x3")
     row = feat.agg(
-        *[_dsum(F.col(x)).alias(f"s_{x}") for x in names],
-        *[_dsum(F.col(x) * F.col(x)).alias(f"q_{x}") for x in names],
+        *[F.expr(_dsum_sql(x)).alias(f"s_{x}") for x in names],
+        *[F.expr(_dsum_sql(f"{x} * {x}")).alias(f"q_{x}") for x in names],
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     n = float(row["n"])
@@ -104,16 +119,23 @@ def train_logreg(
     """
     w = [0.0, 0.0, 0.0, 0.0]
     history: list[tuple[int, float, list[float]]] = []
-    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    xs = ["CAST(1.0 AS DOUBLE)", "x1", "x2", "x3"]
     for step in range(1, steps + 1):
-        p = _prob(w)
-        err = p - F.col("y")
-        loss = -(
-            F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+        # one-parse SQL per aggregate expression (same trees the
+        # F.lit/F.log chains built; see _prob_sql) — construction, not
+        # math: gradients/losses are bit-identical
+        p = _prob_sql(w)
+        err = f"({p} - y)"
+        loss = (
+            f"(-(y * LN({p}) + "
+            f"(CAST(1.0 AS DOUBLE) - y) * LN(CAST(1.0 AS DOUBLE) - {p})))"
         )
         row = feat.agg(
-            *[_dsum(err * x).alias(f"g{k}") for k, x in enumerate(xs)],
-            _dsum(loss).alias("l"),
+            *[
+                F.expr(_dsum_sql(f"{err} * {x}")).alias(f"g{k}")
+                for k, x in enumerate(xs)
+            ],
+            F.expr(_dsum_sql(loss)).alias("l"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         n = float(row["n"])

@@ -53,6 +53,26 @@ from atlas_migration_repo_spark.registry import query
 # 32k-vocab run changes only this constant, not the plan shape.
 N_MERGES = 8
 
+# Driver-side merge-loop gate (r10 perf): when the word-frequency table —
+# the ONLY state the merge rounds touch — holds at most this many distinct
+# words, it is collected once and the K merge rounds run as plain Python
+# over it, replacing 3·K sequential vocabulary-sized Spark jobs (pair
+# count + argmax collect + checkpoint per round) with ONE collect. This is
+# how production BPE trainers work (word counts fit memory; the corpus
+# does not): the corpus-scale stage — explode + word groupBy — stays
+# distributed and identical, and the cutover is decided by the actual
+# distinct-word count via limit(cap+1).collect(), never by corpus size.
+# Above the cap (10⁷-word web-scale vocabularies) the distributed rounds
+# run unchanged. Equivalence of the two paths is pinned by
+# tests/test_operators.py::test_bpe_driver_path_matches_distributed.
+BPE_DRIVER_VOCAB_CAP = 65_536
+
+
+def _bpe_driver_cap() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB", BPE_DRIVER_VOCAB_CAP))
+
 
 def _chars(word: Column) -> Column:
     """Word → array of single-character symbols (initial BPE alphabet)."""
@@ -137,6 +157,51 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Driver twin of _apply_merge: greedy left-to-right (a, b) → a+b with
+    the one-symbol lookbehind that clears after a merge — the identical
+    skip-after-merge scan, expressed over a Python list."""
+    out: list[str] = []
+    prev: str | None = None
+    for x in syms:
+        if prev is None:
+            prev = x
+        elif prev == a and x == b:
+            out.append(a + b)
+            prev = None
+        else:
+            out.append(prev)
+            prev = x
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
+def _train_bpe_driver(
+    vocab: list[tuple[str, int, list[str]]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """The K merge rounds over a collected word-frequency table. Pure
+    integer pair counts; the argmax tie-break (count DESC, l ASC, r ASC)
+    compares Python strings, whose code-point order equals Spark's
+    UTF8String byte order (UTF-8 preserves code-point order), so the
+    learned sequence is identical to the distributed rounds'. Mutates
+    ``vocab`` rows in place to their merged symbol lists."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, cnt, syms in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for row in vocab:
+            row[2][:] = _merge_word(row[2], a, b)
+    return merges
+
+
 def train_bpe(
     wf: DataFrame, n_merges: int = N_MERGES
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
@@ -145,8 +210,27 @@ def train_bpe(
     merges = [(left, right, weighted_pair_count), ...] in learned order.
     The per-round one-row collect is the algorithm's inherent sequential
     step (each merge depends on the previous round's symbols); all heavy
-    work stays distributed.
+    work stays distributed — except when the vocabulary itself fits the
+    driver (limit-probed against BPE_DRIVER_VOCAB_CAP), where the rounds
+    run as plain Python over the collected word table: one job instead of
+    3·K sequential vocabulary-sized jobs, identical merges (equivalence
+    pinned in tests). The corpus-scale stage (the word-frequency groupBy
+    feeding ``wf``) is unchanged either way.
     """
+    cap = _bpe_driver_cap()
+    if cap > 0:
+        head = wf.limit(cap + 1).collect()
+        if len(head) <= cap:
+            vocab = [
+                (r["word"], int(r["cnt"]), list(r["syms"])) for r in head
+            ]
+            merges = _train_bpe_driver(vocab, n_merges)
+            spark = wf.sparkSession
+            out = spark.createDataFrame(
+                [(w, c, s) for w, c, s in vocab],
+                "word STRING, cnt BIGINT, syms ARRAY<STRING>",
+            )
+            return merges, out
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (

@@ -1667,9 +1667,9 @@ def embed_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atlas_migration_repo_spark.llm.similarity import dot
 
     paired = a.join(b, "mate").where(F.col("vec_id") != F.col("mate"))
-    na = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    nb = F.sqrt(dot(F.col("eb"), F.col("eb")))
-    cos = dot(F.col("embedding"), F.col("eb")) / (na * nb)
+    na = F.sqrt(dot("embedding", "embedding"))
+    nb = F.sqrt(dot("eb", "eb"))
+    cos = dot("embedding", "eb") / (na * nb)
     return paired.select(
         F.floor(cos * 10).cast("int").alias("cos_decile")
     ).groupBy("cos_decile").agg(F.count(F.lit(1)).alias("n_pairs"))

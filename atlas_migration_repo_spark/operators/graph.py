@@ -236,7 +236,10 @@ def shortest_cost_iterative(
             best.unionByName(cand)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint()  # node-sized; truncates per-round lineage
+            # lazy: the improved-count action below materializes AND
+            # checkpoints this node-sized state in one job (r10 — the
+            # eager form paid a separate checkpoint job per round)
+            .localCheckpoint(eager=False)
         )
         improved = (
             merged.join(

@@ -2052,6 +2052,60 @@ def test_bpe_encode_invariants(spark):
         assert r["chars_per_token"] >= 1.0
 
 
+def test_bpe_driver_path_matches_distributed(spark, monkeypatch):
+    """The r10 driver-side merge loop (vocab-gated fast path) must learn
+    the identical merge sequence and word segmentation as the distributed
+    rounds — on the hand-checked corpus AND the sf0.01 fixture, covering
+    tie-breaks (count DESC, left ASC, right ASC) and the greedy
+    skip-after-merge scan."""
+    from atlas_migration_repo_spark.catalog import load
+    from atlas_migration_repo_spark.llm.tokenizer import _word_freq, train_bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 3 + ["widest"])
+    corpora = [
+        spark.createDataFrame([(text,)], "text STRING"),
+        load(spark, SF_DIR.replace("sf0.1", "sf0.01"), "documents").select("text"),
+    ]
+    for docs in corpora:
+        monkeypatch.setenv("SPARK_GRAFT_BPE_DRIVER_VOCAB", "0")
+        m_dist, wf_dist = train_bpe(_word_freq(docs))
+        segs_dist = {r["word"]: (r["cnt"], r["syms"]) for r in wf_dist.collect()}
+        monkeypatch.delenv("SPARK_GRAFT_BPE_DRIVER_VOCAB")
+        m_drv, wf_drv = train_bpe(_word_freq(docs))
+        segs_drv = {r["word"]: (r["cnt"], r["syms"]) for r in wf_drv.collect()}
+        assert m_drv == m_dist
+        assert segs_drv == segs_dist
+
+
+def test_cc_label_sum_convergence_matches_join_count(spark):
+    """min_label_components' r10 convergence metric (exact decimal label
+    sum unchanged) must terminate with the same labeling as a reference
+    fixpoint: every node's label equals the min doc_id of its component
+    (checked against a Python union-find on the same edge list)."""
+    from atlas_migration_repo_spark.llm.dedup import min_label_components
+
+    pairs = [(1, 2), (2, 3), (5, 6), (8, 8), (10, 11), (11, 12), (12, 13)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "va LONG, vb LONG",
+    )
+    lab = {r["id"]: r["lab"] for r in min_label_components(edges, "va", "vb").collect()}
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert lab == want
+
+
 def test_asof_nearest_never_farther_than_backward(spark):
     """join_asof_nearest must dominate join_asof: wherever the backward
     join found a click, the nearest join must pick one at most that far
