@@ -123,6 +123,50 @@ def _mantissa8(c: Column) -> Column:
     return (c * 1e8 + F.when(c >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("bigint")
 
 
+def _mantissa4(c: Column) -> Column:
+    """round(c·1e4) half-away-from-zero as a long — the unscaled 4dp value.
+    For ≤4dp-exact inputs with |c| < 5e14·1e-4 the double product c·1e4
+    carries < 0.5 units of error (|c·1e4|·2⁻⁵² < 0.5 up to |c·1e4| ≈ 2e15),
+    so the long recovers the exact scaled integer. Use instead of
+    _mantissa8 when |c| can exceed ~1e9 (there c·1e8 > 2^58 and the
+    8dp product's error exceeds the rounding margin) and the input is
+    4dp-exact — e.g. a 4dp measure times an integer weight."""
+    return (c * 1e4 + F.when(c >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("bigint")
+
+
+def _msum_parts(c: Column, dp: int = 8) -> tuple[Column, Column]:
+    """(hi, lo) long mantissa split of c at the dp-digit grid."""
+    m = _mantissa8(c) if dp == 8 else _mantissa4(c)
+    lo = m % _MSUM_SPLIT
+    # (m - lo) is an exact multiple of the split base ≤ 2^53, so the double
+    # division below is exact; the quotient re-enters long space unrounded.
+    hi = ((m - lo) / _MSUM_SPLIT).cast("bigint")
+    return hi, lo
+
+
+# exact decimal scale factors for reconstruction: multiplying the integer
+# Σm (DECIMAL(p,0)) by 10^-dp as DECIMAL(dp,dp) is exact (p+dp+1 ≤ 38).
+_MSUM_SCALE = {8: "0.00000001", 4: "0.0001"}
+
+
+def _msum_total(hi_sum: Column, lo_sum: Column) -> Column:
+    """The exact integer mantissa sum Σm as DECIMAL(28,0), rebuilt from the
+    two overflow-safe long partial sums (hi·SPLIT + lo, all exact)."""
+    return (
+        hi_sum.cast("decimal(19,0)") * F.lit(_MSUM_SPLIT).cast("decimal(7,0)")
+        + lo_sum.cast("decimal(19,0)")
+    )
+
+
+def _msum_reconstruct(hi_sum: Column, lo_sum: Column, dp: int = 8) -> Column:
+    """Σ(c at dp-digit grid) reconstructed exactly in decimal from the two
+    long partial sums: value equals SUM(CAST(c AS DECIMAL(30,8))) for every
+    dp-exact input (the 8dp decimal just carries trailing zeros at dp=4)."""
+    return _msum_total(hi_sum, lo_sum) * F.lit(_MSUM_SCALE[dp]).cast(
+        f"decimal({dp},{dp})"
+    )
+
+
 def msum(c: Column) -> Column:
     """Exact money-sum, bit-identical to DECIMAL(30,8) accumulation →
     DECIMAL(38,4) → double, via integer-mantissa long sums (r10 fast path).
@@ -153,17 +197,69 @@ def msum(c: Column) -> Column:
     per measure (measured 1.76 s for Q1's four sums at sf0.1 vs 0.28 s for
     this form); the long form stays in whole-stage codegen arithmetic.
     """
-    m = _mantissa8(c)
-    lo = m % _MSUM_SPLIT
-    # (m - lo) is an exact multiple of the split base ≤ 2^53, so the double
-    # division below is exact; the quotient re-enters long space unrounded.
-    hi = ((m - lo) / _MSUM_SPLIT).cast("bigint")
+    hi, lo = _msum_parts(c)
+    return (
+        _msum_reconstruct(F.sum(hi), F.sum(lo))
+        .cast("decimal(38,4)")
+        .cast("double")
+    )
+
+
+def msum8(c: Column, dp: int = 8) -> Column:
+    """Exact money-sum cast straight to double, NO 4dp rounding — the twin
+    of ``F.sum(c.cast("decimal(30,8)")).cast("double")`` (r11; same input
+    contract and mantissa argument as msum — see its docstring). The
+    reconstructed DECIMAL value equals the DECIMAL(38,8) sum exactly, and
+    decimal→double casting is value-based, so the single correctly-rounded
+    conversion lands on the identical double regardless of the decimal's
+    declared precision. ``dp=4`` switches to the 4dp mantissa for inputs
+    that are 4dp-exact but too large for the 8dp grid (see _mantissa4)."""
+    hi, lo = _msum_parts(c, dp)
+    return _msum_reconstruct(F.sum(hi), F.sum(lo), dp).cast("double")
+
+
+def msum_dec(c: Column) -> Column:
+    """Exact money-sum typed DECIMAL(38,8) — drop-in for
+    ``F.sum(c.cast("decimal(30,8)"))`` at sites where the sum STAYS decimal
+    downstream (division, subtraction, ordering): the reconstructed value
+    is Σm·1e-8 exactly (the decimal sum's value) and the explicit
+    DECIMAL(38,8) cast (lossless widening from DECIMAL(37,8)) pins the
+    type, so downstream decimal type-derivation — division result scale,
+    ROUND output type — is unchanged from the decimal-accumulation form."""
+    hi, lo = _msum_parts(c)
+    return _msum_reconstruct(F.sum(hi), F.sum(lo)).cast("decimal(38,8)")
+
+
+def sql_msum_spark(expr: str) -> str:
+    """Spark-SQL text twin of msum for queries built as SQL strings
+    (func_sql_udf): the same mantissa-split long sums, reconstructed in
+    decimal — bit-identical to
+    ``CAST(ROUND(SUM(CAST((expr) AS DECIMAL(30,8))), 4) AS DOUBLE)``
+    under msum's input contract (0.5D literals keep the ±0.5 tie nudge a
+    DOUBLE, exactly like the Column form's F.lit(0.5))."""
+    m = f"CAST(({expr}) * 1e8 + IF(({expr}) >= 0, 0.5D, -0.5D) AS BIGINT)"
+    lo = f"({m} % {_MSUM_SPLIT})"
+    hi = f"CAST(({m} - {lo}) / {_MSUM_SPLIT} AS BIGINT)"
     total = (
-        F.sum(hi).cast("decimal(19,0)") * F.lit(_MSUM_SPLIT).cast("decimal(7,0)")
-        + F.sum(lo).cast("decimal(19,0)")
+        f"(CAST(SUM({hi}) AS DECIMAL(19,0)) * CAST({_MSUM_SPLIT} AS DECIMAL(7,0))"
+        f" + CAST(SUM({lo}) AS DECIMAL(19,0)))"
     )
     return (
-        (total * F.lit("0.00000001").cast("decimal(8,8)"))
+        f"CAST(CAST({total} * CAST(0.00000001 AS DECIMAL(8,8))"
+        f" AS DECIMAL(38,4)) AS DOUBLE)"
+    )
+
+
+def msum_over(c: Column, w) -> Column:
+    """Windowed msum: bit-identical to
+    ``SUM(CAST(c AS DECIMAL(30,8))) OVER w → DECIMAL(38,4) → DOUBLE``
+    (equivalently ``ROUND(..., 4)::DOUBLE`` — both are HALF_UP on the same
+    exact value). The two long mantissa sums evaluate in the SAME window
+    frame pass; per output row the reconstruction is long→decimal
+    arithmetic, never a double→string→BigDecimal parse."""
+    hi, lo = _msum_parts(c)
+    return (
+        _msum_reconstruct(F.sum(hi).over(w), F.sum(lo).over(w))
         .cast("decimal(38,4)")
         .cast("double")
     )

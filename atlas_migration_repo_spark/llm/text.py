@@ -594,8 +594,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
+        # r11: q is an exact long — the decimal detour added nothing;
+        # Σq as a long is exact (|Σq| ≤ n_tokens·~2e5 ≪ 2^63) and
+        # long→double is the identical correctly-rounded conversion.
         (
-            (F.sum(F.col("q").cast("decimal(30,8)")).cast("double") / 10000.0)
+            (F.sum("q").cast("double") / 10000.0)
             / F.count(F.lit(1)).cast("double")
         ).alias("lm_logprob"),
     )
@@ -649,8 +652,9 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
+        # r11: long sum of the exact quantized q (see text_lm_score)
         (
-            (F.sum(F.col("q").cast("decimal(30,8)")).cast("double") / 10000.0)
+            (F.sum("q").cast("double") / 10000.0)
             / F.count(F.lit(1)).cast("double")
         ).alias("lm_bigram_logprob"),
     )
@@ -951,10 +955,9 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized.groupBy(
         F.col("la").alias("lang_a"), F.col("lb").alias("lang_b")
     ).agg(
-        (
-            (F.sum(F.col("tq").cast("decimal(30,8)")).cast("double") / 100000000.0)
-            / 2.0
-        ).alias("jsd_nats")
+        # r11: tq is an exact long (≤ ~1.4e8 per term; Σ ≪ 2^63) — plain
+        # long sum, identical correctly-rounded double.
+        ((F.sum("tq").cast("double") / 100000000.0) / 2.0).alias("jsd_nats")
     )
 
 

@@ -16,7 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import as_date, load, msum, r4
+from atlas_migration_repo_spark.catalog import (
+    _msum_parts,
+    _msum_reconstruct,
+    as_date,
+    load,
+    msum,
+    msum8,
+    r4,
+)
 from atlas_migration_repo_spark.oracle import sql_isum, sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 
@@ -485,17 +493,27 @@ def agg_two_stage_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain GROUP BY. This is the manual fallback when AQE's skew handling
     can't kick in (e.g. a single giant group rather than a skewed join)."""
     ev = load(spark, sf_dir, "events")
+    # r11 mantissa form: the per-(key, salt) partials carry the two long
+    # mantissa sums (catalog._msum_parts) instead of a decimal; integer
+    # addition is associative, so merging partials reconstructs the exact
+    # Σm the single-stage msum computes — then the identical (38,4)→double
+    # finish. Bit-equality is pinned by the same capture/oracle gates.
+    hi, lo = _msum_parts(F.col("value"))
     partial = (
         ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(SALT_BUCKETS)))
         .groupBy("event_type", "salt")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            F.sum(F.col("value").cast("decimal(30,8)")).alias("ps"),
+            F.sum(hi).alias("ph"),
+            F.sum(lo).alias("pl"),
         )
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.sum("ps").cast("decimal(38,4)").cast("double").alias("value_sum"),
+        _msum_reconstruct(F.sum("ph"), F.sum("pl"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("value_sum"),
     )
 
 
@@ -598,10 +616,12 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("l_quantity")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(q.cast("decimal(30,8)")).cast("double").alias("s1"),
-        F.sum((q * q).cast("decimal(30,8)")).cast("double").alias("s2"),
-        F.sum((q * q * q).cast("decimal(30,8)")).cast("double").alias("s3"),
-        F.sum((q * q * q * q).cast("decimal(30,8)")).cast("double").alias("s4"),
+        # r11: exact decimal power sums → msum8 (integral quantities ≤ 50,
+        # so q..q⁴ are integers ≤ 6.25e6 — far inside the mantissa margin)
+        msum8(q).alias("s1"),
+        msum8(q * q).alias("s2"),
+        msum8(q * q * q).alias("s3"),
+        msum8(q * q * q * q).alias("s4"),
     )
     return s.select(
         "l_returnflag",
@@ -655,7 +675,8 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         *[
-            F.round(F.sum(F.expr(e).cast("decimal(30,8)")), 4).cast("double").alias(k)
+            # r11: ROUND(dec-sum, 4)::DOUBLE → msum (identical HALF_UP)
+            msum(F.expr(e)).alias(k)
             for k, e in _REGR_SUMS.items()
         ],
     )

@@ -12,7 +12,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import epoch_us, load, msum, r4
+from atlas_migration_repo_spark.catalog import (
+    _mantissa8,
+    _msum_parts,
+    _msum_total,
+    epoch_us,
+    load,
+    msum,
+    msum8,
+    msum_dec,
+    r4,
+)
 from atlas_migration_repo_spark.oracle import sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 
@@ -160,16 +170,8 @@ def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     rev = (
         li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
-                    "decimal(30,8)"
-                )
-            )
-            .cast("decimal(38,4)")
-            .cast("double")
-            .alias("revenue")
-        )
+        # r11: decimal sum → msum (bit-identical; catalog.py)
+        .agg(msum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("revenue"))
     )
     w_all = Window.partitionBy()
     return rev.select(
@@ -221,12 +223,13 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("user_id")
         .agg(
             F.sum("dt_s").alias("obs_seconds"),
-            (
-                F.sum((F.col("value") * F.col("dt_s")).cast("decimal(30,8)")).cast(
-                    "double"
-                )
-                / F.sum("dt_s")
-            ).alias("_twap_raw"),
+            # r11: exact decimal sum → msum8 at the 4dp grid (the product
+            # is 4dp-exact but can exceed 1e9, outside the 8dp mantissa's
+            # double-exactness range — catalog._mantissa4 documents the
+            # margin: |c·1e4| < 2e15 keeps the scaled error < 0.5 units)
+            (msum8(F.col("value") * F.col("dt_s"), dp=4) / F.sum("dt_s")).alias(
+                "_twap_raw"
+            ),
         )
         .where(F.col("obs_seconds") > 0)
         .select(
@@ -316,10 +319,8 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.first("mx"), F.max(F.col("o_orderdate").cast("date"))
             ).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-            .cast("decimal(38,4)")
-            .cast("double")
-            .alias("monetary"),
+            # r11: decimal sum → msum (bit-identical; catalog.py)
+            msum(F.col("o_totalprice")).alias("monetary"),
         )
     )
     from atlas_migration_repo_spark.operators.distributed import global_ntile
@@ -384,12 +385,14 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load(spark, sf_dir, "lineitem")
+    # r11: decimal accumulation → msum_dec; the sum STAYS DECIMAL(38,8)
+    # (value and type identical), so the downstream prefix sum, ordering
+    # and share division are untouched — only the per-lineitem-row
+    # double→BigDecimal parse is gone.
     rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
-                "decimal(30,8)"
-            )
-        ).alias("rev_dec")
+        msum_dec(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+            "rev_dec"
+        )
     )
     cum = global_running_sum(
         rev,
@@ -777,8 +780,11 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     4dp while still decimal, then cast — same discipline as msum. Plain
     two-sum aggregate: partial map-side combine, one shuffle of 3 rows."""
     li = load(spark, sf_dir, "lineitem")
-    num = F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(30,8)"))
-    den = F.sum(F.col("l_quantity").cast("decimal(30,8)"))
+    # r11: both sums via msum_dec — identical DECIMAL(38,8) operands, so
+    # the decimal division (result scale included) and ROUND are unchanged.
+    # price·qty ≤ 4dp-exact and ≤ ~5e6: inside the 8dp mantissa margin.
+    num = msum_dec(F.col("l_extendedprice") * F.col("l_quantity"))
+    den = msum_dec(F.col("l_quantity"))
     return li.groupBy("l_returnflag").agg(
         F.round(num / den, 4).cast("double").alias("qty_weighted_price")
     )
@@ -946,10 +952,8 @@ def pct_change_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = o.groupBy(
         F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-        .cast("decimal(38,4)")
-        .cast("double")
-        .alias("revenue")
+        # r11: decimal sum → msum (bit-identical; catalog.py)
+        msum(F.col("o_totalprice")).alias("revenue")
     )
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
@@ -1433,16 +1437,11 @@ def feature_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary. The (mu, sd) scalars broadcast; normalization is a pure map
     over the (sampled) output rows."""
     li = load(spark, sf_dir, "lineitem")
+    # r11: exact decimal sums → msum8 (bit-identical; catalog.py)
     m = li.agg(
-        (
-            F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu_q"),
+        (msum8(F.col("l_quantity")) / F.count(F.lit(1))).alias("mu_q"),
         F.stddev_samp("l_quantity").alias("sd_q"),
-        (
-            F.sum(F.col("l_discount").cast("decimal(30,8)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu_d"),
+        (msum8(F.col("l_discount")) / F.count(F.lit(1))).alias("mu_d"),
         F.stddev_samp("l_discount").alias("sd_d"),
     )
     return (
@@ -1488,9 +1487,10 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from atlas_migration_repo_spark.operators.distributed import global_rank
 
     o = load(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("x")
-    )
+    # r11: decimal accumulation → msum_dec (DECIMAL(38,8) value+type
+    # pinned, so the rank ordering and the downstream Σi·x / Σx decimal
+    # arithmetic are untouched)
+    spend = o.groupBy("o_custkey").agg(msum_dec(F.col("o_totalprice")).alias("x"))
     ranked, n = global_rank(
         spend, [F.col("x").asc(), F.col("o_custkey").asc()], out="i"
     )
@@ -1904,7 +1904,8 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(F.col("o_orderdate").cast("date")).alias("m")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).alias("rev"),
+        # r11: decimal accumulation → msum_dec (value+type pinned)
+        msum_dec(F.col("o_totalprice")).alias("rev"),
     )
     tot = monthly.agg(
         F.sum("rev").alias("trev"), F.count(F.lit(1)).alias("nm")
@@ -2034,10 +2035,8 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = o.groupBy(
         F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-        .cast("decimal(38,4)")
-        .cast("double")
-        .alias("revenue")
+        # r11: decimal sum → msum (bit-identical; catalog.py)
+        msum(F.col("o_totalprice")).alias("revenue")
     )
     w = Window.orderBy("yr")
     prev = F.lag("revenue").over(w)
@@ -2708,18 +2707,24 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window over the fact table, no second shuffle. At 100 TB the
     encoding pass is a scan + two broadcast joins."""
     o = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.col("o_totalprice").cast("decimal(30,8)").alias("price"),
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
     c = load(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
     oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        "o_orderkey", "segment", "price"
+        "o_orderkey", "segment", "o_totalprice"
     )
+    # r11 mantissa LOO (same argument as win_exclude_current): the segment
+    # sum is the exact integer mantissa Σm (two long partial sums, rebuilt
+    # once per segment); the per-row encoding divides (Σm − m_row)·1e-8 —
+    # the identical rational (seg_sum_dec − price_dec) was — so the double
+    # quotient is bit-equal while every per-row double→BigDecimal parse
+    # (aggregation side AND re-attach side) becomes codegen long math.
+    hi, lo = _msum_parts(F.col("o_totalprice"))
     s = oc.groupBy("segment").agg(
-        F.sum("price").alias("seg_sum"), F.count(F.lit(1)).alias("seg_cnt")
+        _msum_total(F.sum(hi), F.sum(lo)).alias("seg_sum_m"),
+        F.count(F.lit(1)).alias("seg_cnt"),
     )
     return (
         oc.where(F.col("o_orderkey") % 10 == 0)
@@ -2728,7 +2733,10 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "segment",
             r4(
-                (F.col("seg_sum") - F.col("price")).cast("double")
+                (
+                    (F.col("seg_sum_m") - _mantissa8(F.col("o_totalprice")))
+                    * F.lit("0.00000001").cast("decimal(8,8)")
+                ).cast("double")
                 / F.nullif(F.col("seg_cnt") - F.lit(1), F.lit(0))
             ).alias("loo_enc"),
         )

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import as_date, load, msum, r4
+from atlas_migration_repo_spark.catalog import (
+    _msum_parts,
+    _msum_reconstruct,
+    as_date,
+    load,
+    msum,
+    r4,
+)
 from atlas_migration_repo_spark.oracle import sql_msum, sql_r4
 from atlas_migration_repo_spark.registry import query
 from atlas_migration_repo_spark.sources.files import scratch_path
@@ -805,25 +812,41 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final 4dp round, so merge order cannot drift)."""
     o = load(spark, sf_dir, "orders")
     cutoff = F.lit("1999-01-01").cast("date")
-    dec = F.col("o_totalprice").cast("decimal(30,8)")
+    # r11 mantissa state (catalog.msum argument): the maintained aggregate
+    # state is the two long mantissa partial sums — longs add exactly and
+    # associatively, so base ⊎ delta reconstructs the identical Σm the
+    # decimal state carried, and the ROUND(·,4)::DOUBLE finish is the same
+    # HALF_UP on the same exact value. The merge algebra the query declares
+    # (state adds, never recomputes) is unchanged.
+    hi, lo = _msum_parts(F.col("o_totalprice"))
 
     def agg_state(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderstatus").agg(
-            F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(hi).alias("sh"),
+            F.sum(lo).alias("sl"),
         )
 
     base = agg_state(o.where(as_date(F.col("o_orderdate")) < cutoff))
     delta = agg_state(o.where(as_date(F.col("o_orderdate")) >= cutoff)).select(
-        "o_orderstatus", F.col("n").alias("dn"), F.col("s").alias("ds")
+        "o_orderstatus",
+        F.col("n").alias("dn"),
+        F.col("sh").alias("dh"),
+        F.col("sl").alias("dl"),
     )
-    zero = F.lit(0).cast("decimal(30,8)")
     merged = base.join(delta, "o_orderstatus", "full_outer").select(
         "o_orderstatus",
         (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n"),
-        (F.coalesce(F.col("s"), zero) + F.coalesce(F.col("ds"), zero)).alias("s"),
+        (F.coalesce(F.col("sh"), F.lit(0)) + F.coalesce(F.col("dh"), F.lit(0))).alias("sh"),
+        (F.coalesce(F.col("sl"), F.lit(0)) + F.coalesce(F.col("dl"), F.lit(0))).alias("sl"),
     )
     return merged.select(
-        "o_orderstatus", "n", F.round(F.col("s"), 4).cast("double").alias("total")
+        "o_orderstatus",
+        "n",
+        _msum_reconstruct(F.col("sh"), F.col("sl"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("total"),
     )
 
 

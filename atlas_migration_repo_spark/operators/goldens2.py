@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import as_date, load, msum
+from atlas_migration_repo_spark.catalog import as_date, load, msum, msum8
 from atlas_migration_repo_spark.oracle import sql_msum
 from atlas_migration_repo_spark.registry import query
 
@@ -700,10 +700,8 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations = [3, 8, 12, 13, 15]
     c = load(spark, sf_dir, "customer").where(F.col("c_nationkey").isin(nations))
     thr = c.where(F.col("c_acctbal") > 0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast("decimal(30,8)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("thr")
+        # r11: exact decimal sum → msum8 (bit-identical value; catalog.py)
+        (msum8(F.col("c_acctbal")) / F.count(F.lit(1)).cast("double")).alias("thr")
     )
     recent = (
         load(spark, sf_dir, "orders")

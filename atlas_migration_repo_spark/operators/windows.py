@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from atlas_migration_repo_spark.catalog import epoch_us, load, r4
+from atlas_migration_repo_spark.catalog import (
+    _mantissa8,
+    _msum_parts,
+    _msum_total,
+    epoch_us,
+    load,
+    msum_over,
+    r4,
+)
 from atlas_migration_repo_spark.oracle import sql_r4
 from atlas_migration_repo_spark.registry import query
 
@@ -389,17 +397,26 @@ def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rewrite exact for nullable event_type too (a plain equi-join
     would silently drop those rows)."""
     ev = load(spark, sf_dir, "events")
+    # r11 mantissa form (catalog.msum argument): the group sum is carried as
+    # two long partial sums and reconstructed ONCE per group as the exact
+    # integer mantissa Σm (DECIMAL(28,0)); the per-row LOO numerator is then
+    # (Σm − m_row)·1e-8 — the identical rational the DECIMAL(30,8) form
+    # computed as (__gsum − value_dec), so the double quotient is bit-equal
+    # while the per-row double→BigDecimal parse is gone from both the
+    # aggregation and the re-attached subtraction.
+    hi, lo = _msum_parts(F.col("value"))
     g = ev.groupBy("event_type").agg(
-        F.sum(F.col("value").cast("decimal(30,8)")).alias("__gsum"),
+        _msum_total(F.sum(hi), F.sum(lo)).alias("__gsum_m"),
         F.count(F.lit(1)).alias("__gn"),
     )
     g = g.withColumnRenamed("event_type", "__g_et")
     ev = ev.join(
         F.broadcast(g), ev["event_type"].eqNullSafe(g["__g_et"])
     ).drop("__g_et")
-    loo = (F.col("__gsum") - F.col("value").cast("decimal(30,8)")).cast(
-        "double"
-    ) / (F.col("__gn") - 1)
+    loo = (
+        (F.col("__gsum_m") - _mantissa8(F.col("value")))
+        * F.lit("0.00000001").cast("decimal(8,8)")
+    ).cast("double") / (F.col("__gn") - 1)
     return ev.select(
         "event_id",
         "event_type",
@@ -443,9 +460,9 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_in_window"),
-        F.round(F.sum(F.col("value").cast("decimal(30,8)")).over(w), 4)
-        .cast("double")
-        .alias("sum_in_window"),
+        # r11: ROUND(dec-sum, 4)::DOUBLE → msum_over (same HALF_UP on the
+        # same exact value; both long mantissa sums share the frame pass)
+        msum_over(F.col("value"), w).alias("sum_in_window"),
     )
 
 
@@ -481,9 +498,6 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.sum(F.col("value").cast("decimal(30,8)"))
-        .over(w)
-        .cast("decimal(38,4)")
-        .cast("double")
-        .alias("value_last_hour"),
+        # r11: windowed decimal sum → msum_over (bit-identical; catalog.py)
+        msum_over(F.col("value"), w).alias("value_last_hour"),
     )

@@ -74,6 +74,14 @@ def main() -> None:
                 "timing": "best-of-2-noop-sink",
                 "queries": timings,
                 "sf": sf,
+                # Prove the env contract (VERDICT r10 "next" #2): the resolved
+                # master and the scheduler's effective parallelism, so a run at
+                # SPARK_GRAFT_CPUS=8 is verifiable from the JSON alone. Note:
+                # sf0.1 fixtures are single-row-group parquet, so SCAN stages
+                # are 1 task regardless of cores — scan-bound core scaling is
+                # only measurable at sf1+ (see SCALING.md "core-scaling probe").
+                "master": spark.sparkContext.master,
+                "cpus_effective": spark.sparkContext.defaultParallelism,
             }
         )
     )

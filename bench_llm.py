@@ -75,6 +75,9 @@ def main() -> None:
                 "timing": "best-of-2-noop-sink",
                 "queries": timings,
                 "sf": sf,
+                # env-contract proof, same fields as bench.py (VERDICT r10 #2)
+                "master": spark.sparkContext.master,
+                "cpus_effective": spark.sparkContext.defaultParallelism,
             }
         )
     )

@@ -708,28 +708,25 @@ def test_ann_bundle_rows_bounded_under_skew(spark, monkeypatch):
 
     monkeypatch.setattr(S, "IVF_CELLS", 1)
     monkeypatch.setattr(S, "ANN_BUNDLE_CAP", 16)
-    S._IVF_CENT_CACHE.clear()
-    try:
-        em = load(spark, SF_DIR, "embeddings")
-        n = em.count()
-        members, _probed = S._ivf_assignments(spark, em, 4)
-        mb = S._bundle_by_cell(members, "embedding", "m_items")
-        sizes = [r["n"] for r in mb.select(F.size("m_items").alias("n")).collect()]
-        assert max(sizes) <= 16, f"bundle row exceeded cap: {max(sizes)}"
-        assert sum(sizes) == n  # chunking loses nothing
-        assert len(sizes) >= n // 16  # genuinely split, not one row
+    # quantizer is trained per invocation since r11 — no cache to reset
+    em = load(spark, SF_DIR, "embeddings")
+    n = em.count()
+    members, _probed = S._ivf_assignments(spark, em, 4)
+    mb = S._bundle_by_cell(members, "embedding", "m_items")
+    sizes = [r["n"] for r in mb.select(F.size("m_items").alias("n")).collect()]
+    assert max(sizes) <= 16, f"bundle row exceeded cap: {max(sizes)}"
+    assert sum(sizes) == n  # chunking loses nothing
+    assert len(sizes) >= n // 16  # genuinely split, not one row
 
-        exact = {
-            r["vec_id"]: r["nn_id"]
-            for r in QUERIES["sim_knn_join"].fn(spark, SF_DIR).collect()
-        }
-        ann = {
-            r["vec_id"]: r["nn_id"]
-            for r in QUERIES["sim_knn_ann"].fn(spark, SF_DIR).collect()
-        }
-        assert ann == exact, "single-cell ANN must match exact 1-NN"
-    finally:
-        S._IVF_CENT_CACHE.clear()  # don't poison other tests' quantizer
+    exact = {
+        r["vec_id"]: r["nn_id"]
+        for r in QUERIES["sim_knn_join"].fn(spark, SF_DIR).collect()
+    }
+    ann = {
+        r["vec_id"]: r["nn_id"]
+        for r in QUERIES["sim_knn_ann"].fn(spark, SF_DIR).collect()
+    }
+    assert ann == exact, "single-cell ANN must match exact 1-NN"
 
 
 def test_ann_index_sync_matches_rebuild(spark):

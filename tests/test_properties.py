@@ -600,6 +600,126 @@ def test_msum_fast_path_matches_decimal_form(spark):
     assert got == want
 
 
+def test_msum_family_matches_decimal_forms(spark):
+    """r11 decimal-site conversion gate (VERDICT r10 "next" #4): each new
+    mantissa helper must be bit-identical to the DECIMAL(30,8) form it
+    replaced, on real fixture data AND a constructed negative-value frame.
+
+    - msum8      vs SUM(CAST(c AS DEC(30,8)))::DOUBLE            (no 4dp round)
+    - msum8 dp=4 vs the same, for a 4dp-exact >1e9-magnitude product
+    - msum_dec   vs SUM(CAST(c AS DEC(30,8))) — value AND dtype, and the
+                 downstream decimal division agg_weighted_avg relies on
+    - msum_over  vs SUM(CAST(...)) OVER w → DEC(38,4) → DOUBLE and the
+                 ROUND(...,4)::DOUBLE spelling (same HALF_UP)
+    - the LOO subtraction identity (Σm − m_row)·1e-8 vs (gsum − dec_row)
+    """
+    from pyspark.sql import Window
+
+    from atlas_migration_repo_spark.catalog import (
+        _mantissa8,
+        _msum_parts,
+        _msum_total,
+        load,
+        msum8,
+        msum_dec,
+        msum_over,
+    )
+
+    li = load(spark, SF_DIR, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q = F.col("l_quantity")
+
+    # --- msum8 (group + global), incl. negative frame ---
+    def dec8(c):
+        return F.sum(c.cast("decimal(30,8)")).cast("double")
+
+    for df, key in ((li, "l_returnflag"),):
+        for c in (disc_price, q * q * q * q):
+            old = {r[0]: str(r[1]) for r in df.groupBy(key).agg(dec8(c)).collect()}
+            new = {r[0]: str(r[1]) for r in df.groupBy(key).agg(msum8(c)).collect()}
+            assert old == new
+    neg = spark.createDataFrame(
+        [(1, -999.99), (1, -0.01), (1, 123.45), (2, -500.55), (2, 0.0)],
+        "k int, v double",
+    )
+    assert [str(r[0]) for r in neg.agg(msum8(F.col("v"))).collect()] == [
+        str(r[0]) for r in neg.agg(dec8(F.col("v"))).collect()
+    ]
+
+    # --- msum8 dp=4: 4dp-exact values far beyond the 8dp grid's range ---
+    big = spark.createDataFrame(
+        [(1, 9876.5432, 2_600_000), (1, 0.0001, 1_999_999), (2, -123.4567, 3)],
+        "k int, v double, w long",
+    )
+    prod = F.col("v") * F.col("w")
+    old = {r[0]: str(r[1]) for r in big.groupBy("k").agg(dec8(prod)).collect()}
+    new = {r[0]: str(r[1]) for r in big.groupBy("k").agg(msum8(prod, dp=4)).collect()}
+    assert old == new
+
+    # --- msum_dec: value, dtype, and a downstream decimal division ---
+    def decsum(c):
+        return F.sum(c.cast("decimal(30,8)"))
+
+    a = li.groupBy("l_returnflag").agg(decsum(disc_price).alias("s"))
+    b = li.groupBy("l_returnflag").agg(msum_dec(disc_price).alias("s"))
+    assert a.schema["s"].dataType.simpleString() == b.schema["s"].dataType.simpleString()
+    assert {r[0]: str(r[1]) for r in a.collect()} == {
+        r[0]: str(r[1]) for r in b.collect()
+    }
+    num_old, den_old = decsum(F.col("l_extendedprice") * q), decsum(q)
+    num_new, den_new = msum_dec(F.col("l_extendedprice") * q), msum_dec(q)
+    old = {
+        r[0]: str(r[1])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.round(num_old / den_old, 4).cast("double"))
+        .collect()
+    }
+    new = {
+        r[0]: str(r[1])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.round(num_new / den_new, 4).cast("double"))
+        .collect()
+    }
+    assert old == new
+
+    # --- msum_over vs both decimal window spellings ---
+    ev = load(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    trip = ev.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(30,8)"))
+        .over(w)
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("a"),
+        F.round(F.sum(F.col("value").cast("decimal(30,8)")).over(w), 4)
+        .cast("double")
+        .alias("b"),
+        msum_over(F.col("value"), w).alias("c"),
+    ).collect()
+    for r in trip:
+        assert str(r["a"]) == str(r["b"]) == str(r["c"]), r
+
+    # --- LOO identity: (Σm − m_row)·1e-8 == (gsum_dec − dec_row) ---
+    hi, lo = _msum_parts(F.col("value"))
+    g_new = ev.groupBy("event_type").agg(_msum_total(F.sum(hi), F.sum(lo)).alias("gm"))
+    g_old = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("gs")
+    )
+    j = (
+        ev.join(F.broadcast(g_new), "event_type")
+        .join(F.broadcast(g_old), "event_type")
+        .select(
+            (
+                (F.col("gm") - _mantissa8(F.col("value")))
+                * F.lit("0.00000001").cast("decimal(8,8)")
+            ).cast("double").alias("new"),
+            (F.col("gs") - F.col("value").cast("decimal(30,8)")).cast("double").alias("old"),
+        )
+    )
+    assert j.where(F.col("new") != F.col("old")).count() == 0
+
+
 @given(
     st.lists(
         st.tuples(
