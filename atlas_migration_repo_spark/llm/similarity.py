@@ -32,6 +32,16 @@ N_QUERIES = 10
 EMBED_DIM = 64  # fixture embedding dimension (FIXTURES.md)
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for SQL-text composition (ADVICE r10:
+    an unquoted name containing dots/spaces/reserved words would mis-parse
+    or resolve to a nested field). Embedded backticks double per Spark's
+    quoting rule; already-quoted names pass through."""
+    if name.startswith("`") and name.endswith("`"):
+        return name
+    return "`" + name.replace("`", "``") + "`"
+
+
 def spark_dot_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
     """The Spark-SQL text of ``dot`` for composition into one-parse
     F.expr expressions (r10: each Column operator is a driver⇄JVM round
@@ -39,7 +49,9 @@ def spark_dot_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
     CONSTRUCTION time — seconds of measured wall on the bench's timed
     path; one parsed string is a single round trip, and the parser yields
     the identical left-associated Add/Multiply/Cast tree, so execution
-    and results are bit-for-bit unchanged)."""
+    and results are bit-for-bit unchanged). Names are backtick-quoted, so
+    any column name a DataFrame can hold composes safely."""
+    a, b = _quote_ident(a), _quote_ident(b)
     terms = " + ".join(
         f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
         for i in range(1, dim + 1)

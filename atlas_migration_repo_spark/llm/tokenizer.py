@@ -68,10 +68,32 @@ N_MERGES = 8
 BPE_DRIVER_VOCAB_CAP = 65_536
 
 
-def _bpe_driver_cap() -> int:
+def _parse_driver_cap() -> int:
+    """Parse SPARK_GRAFT_BPE_DRIVER_VOCAB once at import (ADVICE r10: the
+    per-call re-read raised an uncaught ValueError on a malformed value);
+    a value that does not parse falls back to the default loudly."""
     import os
+    import warnings
 
-    return int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB", BPE_DRIVER_VOCAB_CAP))
+    raw = os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB")
+    if raw is None:
+        return BPE_DRIVER_VOCAB_CAP
+    try:
+        return int(raw)
+    except ValueError:
+        warnings.warn(
+            f"SPARK_GRAFT_BPE_DRIVER_VOCAB={raw!r} is not an integer; "
+            f"using the default cap {BPE_DRIVER_VOCAB_CAP}",
+            stacklevel=1,
+        )
+        return BPE_DRIVER_VOCAB_CAP
+
+
+_BPE_DRIVER_CAP = _parse_driver_cap()
+
+
+def _bpe_driver_cap() -> int:
+    return _BPE_DRIVER_CAP
 
 
 def _chars(word: Column) -> Column:
@@ -219,10 +241,15 @@ def train_bpe(
     """
     cap = _bpe_driver_cap()
     if cap > 0:
-        head = wf.limit(cap + 1).collect()
+        # Probe and collect in ONE job, but ship only (word, cnt) — the
+        # syms array is list(word) by construction (_chars splits at
+        # codepoints, exactly Python's str iteration), so an above-cap
+        # vocabulary no longer pays a cap-sized collect of symbol arrays
+        # it then discards (ADVICE r10).
+        head = wf.select("word", "cnt").limit(cap + 1).collect()
         if len(head) <= cap:
             vocab = [
-                (r["word"], int(r["cnt"]), list(r["syms"])) for r in head
+                (r["word"], int(r["cnt"]), list(r["word"])) for r in head
             ]
             merges = _train_bpe_driver(vocab, n_merges)
             spark = wf.sparkSession

@@ -101,15 +101,25 @@ DECLARED_PARITY_SKIPS: dict[str, str] = {
 # families keep another rep in the window) are lent to math_funcs and
 # cast_types so the driver RE-verifies the two r9 hash fails with their
 # dtype fixes in the same round.
-# Round-11 rotation candidates (oracle-gated, never driver-sampled):
-# the str_* scalar tail (str_mask, str_collation, str_url_funcs,
-# str_funcs2, str_regexp_all, str_printf), variant/xml/bitwise funcs,
-# the udf family tail (udf_scalar, udf_arrow_map, udtf_table_arg,
-# udaf_grouped_arrow), win_* tail (win_cume_dist, win_percent_rank_nth,
-# win_nth_value, win_lag_default), the embed_* family, the stream_*
-# leftovers (stream_dedup, stream_global_agg, stream_upsert_cdc), and
-# the sink/source format batch (sink_jsonl, sink_csv_quoted, source_xml,
-# source_text_lines).
+# Round-11 rotation (this round, VERDICT r10 "next" #8): 32 fresh slots —
+# the queued candidate list (str_* scalar tail, variant/xml/bitwise
+# funcs, the udf family tail, win_* tail, embed_* family, stream_*
+# leftovers, sink/source format batch) plus FIVE of this round's
+# decimal→mantissa converted keys that the driver has never sampled
+# (win_exclude_current, win_time_range, share_of_total, agg_weighted_avg,
+# func_sql_udf — one per conversion shape: LOO subtraction, window msum,
+# plain msum, decimal division, SQL-text msum), so CORRECTNESS_r11
+# carries driver evidence for the riskiest r11 rewrite classes. The two
+# slots lent to math_funcs/cast_types in r10 (both now driver-green)
+# return to rotation. Cumulative driver coverage after r10: 301 keys.
+# Round-12 rotation candidates (oracle-gated, never driver-sampled):
+# the agg_* tail (agg_count_distinct_exact, agg_histogram_numeric-style
+# keys), remaining ts_*/feature_* analytics, the iceberg/delta/hudi
+# interop tails, graph_*, sketch_*, multimodal_* oracle-gated keys, and
+# whatever this round's conversions leave unsampled (text_lm_score,
+# text_lm_bigram, text_js_divergence, abc_classification, pct_change_mom,
+# ts_time_weighted_avg, feature_zscore_normalize, orders_seasonality_index,
+# xml_funcs if not drawn).
 _DRIVER_SAMPLE_PREFIX = (
     # -- fixed family representatives (driver-green in r1-r6) -------------
     "scan_parquet",
@@ -130,14 +140,47 @@ _DRIVER_SAMPLE_PREFIX = (
     "stream_tumbling",
     "text_tfidf",
     "dedup_exact",
-    # -- re-verification of the two r9 driver hash FAILs, now fixed
-    # (math_funcs: CAST(FLOOR/CEIL AS BIGINT) oracle twins; cast_types:
-    # decimal surfaced through cast-to-double twins) — in the window so
-    # CORRECTNESS_r10 carries driver evidence for the fixes
+    # -- rotation (round 11): oracle-verified keys unseen by the driver
+    # in r1-r10 (cumulative 301 keys covered), per VERDICT r10 "next" #8
+    "str_mask",
+    "str_collation",
+    "str_url_funcs",
+    "str_funcs2",
+    "str_regexp_all",
+    "str_printf",
+    "variant_funcs",
+    "xml_funcs",
+    "bitwise_funcs",
+    "udf_scalar",
+    "udf_arrow_map",
+    "udtf_table_arg",
+    "udaf_grouped_arrow",
+    "win_cume_dist",
+    "win_percent_rank_nth",
+    "win_nth_value",
+    "win_lag_default",
+    "embed_norm",
+    "embed_cosine_hist",
+    "embed_truncation_fidelity",
+    "stream_dedup",
+    "stream_global_agg",
+    "stream_upsert_cdc",
+    "sink_jsonl",
+    "sink_csv_quoted",
+    "source_xml",
+    "source_text_lines",
+    # -- r11 decimal→mantissa converted keys, never driver-sampled: one
+    # per conversion shape so the driver re-proves the rewrites
+    "win_exclude_current",
+    "win_time_range",
+    "share_of_total",
+    "agg_weighted_avg",
+    "func_sql_udf",
+    # -- past the ~50-entry driver window. The r10 window block comes
+    # first (kept listed for replay-tooling order stability), then the
+    # earlier rotation blocks.
     "math_funcs",
     "cast_types",
-    # -- rotation (round 10): oracle-verified keys unseen by the driver
-    # in r1-r9 (cumulative 271 keys covered), per VERDICT r9 "next" #2
     "hash_funcs",
     "array_funcs",
     "map_funcs",
@@ -168,9 +211,6 @@ _DRIVER_SAMPLE_PREFIX = (
     "text_fingerprint",
     "text_normalize",
     "text_pii_redact",
-    # -- past the ~50-entry driver window. The r9 window block and the
-    # two fixed reps lent out above come first (kept listed for
-    # replay-tooling order stability), then the r8-hashed rotation block.
     "agg_grouping_sets",
     "join_asof",
     "q4_priority_check",
